@@ -1,0 +1,339 @@
+"""Lazy mask algebra, fused into jitted kernels.
+
+Functional re-design of the reference mask subsystem
+(``/root/reference/spectral_cube/masks.py``): masks are immutable expression
+trees whose ``include(data)`` lowers to pure jnp ops, so every consumer
+(reductions, moments, transforms) fuses the predicate into its kernel via
+``jnp.where`` instead of materializing filled copies (the reference's
+``_filled`` at masks.py:197 allocates a full masked copy per op).
+
+Node types mirror the reference one-for-one:
+
+- :class:`BooleanArrayMask`  (masks.py:457)  — concrete bool array + WCS,
+  broadcasting 1-D spectral / 2-D spatial masks to cube shape.
+- :class:`LazyMask`          (masks.py:586)  — ``function(data)``.
+- :class:`LazyComparisonMask`(masks.py:670)  — ``function(data, value)``,
+  what ``cube > 3*u.K`` builds.
+- :class:`FunctionMask`      (masks.py:760)  — ``function(data, wcs, view)``.
+- :class:`CompositeMask` / :class:`InvertedMask` (masks.py:364/:337) —
+  ``& | ^ ~`` build lazy composites.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["MaskBase", "InvertedMask", "CompositeMask", "BooleanArrayMask",
+           "LazyMask", "LazyComparisonMask", "FunctionMask",
+           "is_broadcastable_and_smaller", "dims_to_skip", "view_of_subset"]
+
+
+def is_broadcastable_and_smaller(shape1, shape2):
+    """True if an array of ``shape1`` can broadcast to ``shape2`` without
+    expanding shape2 (reference masks.py:38-49)."""
+    if len(shape1) > len(shape2):
+        return False
+    for a, b in zip(shape1[::-1], shape2[::-1]):
+        if a not in (1, b):
+            return False
+    return True
+
+
+def dims_to_skip(shape1, shape2):
+    """Axes of shape2 not covered by shape1 (reference masks.py:51-77)."""
+    if not is_broadcastable_and_smaller(shape1, shape2):
+        raise ValueError(f"cannot broadcast {shape1} to {shape2}")
+    ndiff = len(shape2) - len(shape1)
+    skip = list(range(ndiff))
+    for i, (a, b) in enumerate(zip(shape1, shape2[ndiff:])):
+        if a == 1 and b != 1:
+            skip.append(i + ndiff)
+    return skip
+
+
+def view_of_subset(view, shape_full, shape_sub):
+    """Restrict a cube view to the axes present in a smaller mask array
+    (reference masks.py:79-99)."""
+    if view is None or view == ():
+        return ()
+    skip = dims_to_skip(shape_sub, shape_full)
+    view = _normalize_view(view, len(shape_full))
+    return tuple(v for i, v in enumerate(view) if i not in skip)
+
+
+def _normalize_view(view, ndim):
+    if view is None:
+        view = ()
+    if not isinstance(view, tuple):
+        view = (view,)
+    view = view + (slice(None),) * (ndim - len(view))
+    return view
+
+
+class MaskBase(ABC):
+    """Boolean include/exclude semantics over cube-shaped data."""
+
+    @abstractmethod
+    def _include(self, data=None, view=()):
+        """Return the boolean *include* array for ``data[view]``."""
+
+    def include(self, data=None, wcs=None, view=()):
+        return self._include(data=data, view=view)
+
+    def exclude(self, data=None, wcs=None, view=()):
+        inc = self._include(data=data, view=view)
+        if isinstance(inc, np.ndarray):
+            return ~inc
+        return jnp.logical_not(inc)
+
+    @property
+    def shape(self):
+        return getattr(self, "_shape", None)
+
+    # -- data access -------------------------------------------------------
+    def _filled(self, data, wcs=None, fill=np.nan, view=(), xp=jnp):
+        """Mask-filled data: data where included, ``fill`` elsewhere.
+
+        Unlike the reference (masks.py:197-237, which allocates an np.ma
+        masked copy, optionally memmapped), this is a pure jnp.where that
+        XLA fuses into whatever kernel consumes it.
+        """
+        view = () if view is None else view
+        sub = data[view] if view != () else data
+        inc = self._include(data=data, view=view)
+        return xp.where(inc, sub, xp.asarray(fill, dtype=sub.dtype))
+
+    def _flattened(self, data, wcs=None, view=()):
+        """1-D array of included values (host-side; dynamic shape)."""
+        view = () if view is None else view
+        sub = np.asarray(data[view] if view != () else data)
+        inc = np.asarray(self._include(data=data, view=view))
+        inc = np.broadcast_to(inc, sub.shape)
+        return sub[inc]
+
+    def any(self, data=None, view=()):
+        return bool(np.any(np.asarray(self._include(data=data, view=view))))
+
+    # -- composition ---------------------------------------------------------
+    def __and__(self, other):
+        return CompositeMask(self, other, operation="and")
+
+    def __or__(self, other):
+        return CompositeMask(self, other, operation="or")
+
+    def __xor__(self, other):
+        return CompositeMask(self, other, operation="xor")
+
+    def __invert__(self):
+        return InvertedMask(self)
+
+    # -- structure ---------------------------------------------------------
+    def __getitem__(self, view):
+        return _ViewMask(self, view)
+
+    def with_spectral_unit(self, unit, velocity_convention=None,
+                           rest_value=None):
+        """Masks carry no unit state in this framework; WCS lives on the
+        cube, so this is the identity (kept for API parity)."""
+        return self
+
+
+class _ViewMask(MaskBase):
+    """A mask restricted to a static view of its parent."""
+
+    def __init__(self, parent, view):
+        self._parent = parent
+        self._view = view
+        pshape = parent.shape
+        if pshape is not None:
+            self._shape = np.empty(pshape, dtype=bool)[view].shape
+
+    def _include(self, data=None, view=()):
+        # compose views: evaluate parent on its own view, then slice
+        inc = self._parent._include(data=data, view=self._view)
+        if view == () or view is None:
+            return inc
+        return inc[view]
+
+
+class InvertedMask(MaskBase):
+    def __init__(self, mask):
+        self._mask = mask
+        self._shape = mask.shape
+
+    def _include(self, data=None, view=()):
+        inc = self._mask._include(data=data, view=view)
+        if isinstance(inc, np.ndarray):
+            return ~inc
+        return jnp.logical_not(inc)
+
+    def __getitem__(self, view):
+        return InvertedMask(self._mask[view])
+
+
+class CompositeMask(MaskBase):
+    """Lazy binary and/or/xor of two masks (reference masks.py:364-455)."""
+
+    def __init__(self, mask1, mask2, operation="and"):
+        if isinstance(mask1, MaskBase) and isinstance(mask2, MaskBase):
+            s1, s2 = mask1.shape, mask2.shape
+            if s1 is not None and s2 is not None:
+                if not (is_broadcastable_and_smaller(s1, s2)
+                        or is_broadcastable_and_smaller(s2, s1)):
+                    raise ValueError(
+                        f"mask shapes {s1} and {s2} are not broadcastable")
+        self._mask1 = mask1
+        self._mask2 = mask2
+        if operation not in ("and", "or", "xor"):
+            raise ValueError(f"unknown operation {operation!r}")
+        self._operation = operation
+        shapes = [m.shape for m in (mask1, mask2) if m.shape is not None]
+        self._shape = max(shapes, key=len) if shapes else None
+
+    def _include(self, data=None, view=()):
+        i1 = self._mask1._include(data=data, view=view)
+        i2 = self._mask2._include(data=data, view=view)
+        xp = np if (isinstance(i1, np.ndarray)
+                    and isinstance(i2, np.ndarray)) else jnp
+        if self._operation == "and":
+            return xp.logical_and(i1, i2)
+        if self._operation == "or":
+            return xp.logical_or(i1, i2)
+        return xp.logical_xor(i1, i2)
+
+    def __getitem__(self, view):
+        return CompositeMask(self._mask1[view], self._mask2[view],
+                             operation=self._operation)
+
+
+class BooleanArrayMask(MaskBase):
+    """A concrete boolean array, broadcastable up to cube shape.
+
+    ``include=True`` means the array flags included pixels; ``include=False``
+    means it flags excluded ones (reference masks.py:457-584).  1-D spectral
+    masks are treated as shape (n, 1, 1) and 2-D spatial masks as
+    (1, ny, nx), broadcast lazily (zero-copy, the jnp analog of the
+    reference's zero-stride ``as_strided`` trick at masks.py:494-524).
+    """
+
+    def __init__(self, mask, wcs=None, shape=None, include=True):
+        mask = np.asarray(mask) if isinstance(mask, (list, tuple)) else mask
+        if mask.dtype != bool and mask.dtype != jnp.bool_:
+            mask = mask.astype(bool)
+        if not include:
+            mask = ~np.asarray(mask)
+        self._wcs = wcs
+        full_shape = shape
+        if shape is None and mask.ndim == 3:
+            full_shape = mask.shape
+        if full_shape is not None and mask.shape != tuple(full_shape):
+            if mask.ndim == 1:
+                mask = mask.reshape(mask.shape + (1, 1))
+            elif mask.ndim == 2:
+                mask = mask.reshape((1,) + mask.shape)
+            if not is_broadcastable_and_smaller(mask.shape, full_shape):
+                raise ValueError(
+                    f"mask shape {mask.shape} not broadcastable to "
+                    f"{full_shape}")
+        self._mask = mask
+        self._shape = tuple(full_shape) if full_shape is not None \
+            else mask.shape
+
+    def _include(self, data=None, view=()):
+        if self._mask.shape == self._shape:
+            m = self._mask
+            return m[view] if view not in ((), None) else m
+        # sub-dimensional: broadcast lazily, slice with the restricted view
+        subview = view_of_subset(view, self._shape, self._mask.shape)
+        m = self._mask[subview] if subview not in ((), None) else self._mask
+        # compute the post-view full shape for broadcasting
+        if view in ((), None):
+            out_shape = self._shape
+        else:
+            out_shape = np.empty(self._shape, dtype=np.uint8)[view].shape
+        xp = np if isinstance(m, np.ndarray) else jnp
+        return xp.broadcast_to(m, _broadcast_target(m.shape, out_shape))
+
+    def __getitem__(self, view):
+        if self._mask.shape == self._shape:
+            new_mask = self._mask[view]
+            return BooleanArrayMask(new_mask, wcs=None, shape=new_mask.shape)
+        return _ViewMask(self, view)
+
+
+def _broadcast_target(small_shape, full_shape):
+    """Resolve the broadcast target shape (full_shape may have fewer dims
+    after integer indexing)."""
+    if len(small_shape) == len(full_shape):
+        return full_shape
+    return full_shape
+
+
+class LazyMask(MaskBase):
+    """mask = ``function(data)`` evaluated on demand (reference masks.py:586).
+
+    Unlike the reference (which binds a fixed data array at construction),
+    the data flows in at evaluation time so the same mask works on any view
+    of the cube inside jit; a fixed ``data`` may still be bound for API
+    parity.
+    """
+
+    def __init__(self, function, cube=None, data=None, wcs=None, shape=None):
+        self._function = function
+        if cube is not None:
+            data = cube._data
+            wcs = getattr(cube, "_wcs", None)
+        self._data = data
+        self._wcs = wcs
+        self._shape = shape if shape is not None else (
+            tuple(np.shape(data)) if data is not None else None)
+
+    def _include(self, data=None, view=()):
+        d = data if data is not None else self._data
+        if d is None:
+            raise ValueError("LazyMask has no bound data and none was given")
+        sub = d[view] if view not in ((), None) else d
+        return self._function(sub)
+
+
+class LazyComparisonMask(MaskBase):
+    """mask = ``function(data, comparison_value)`` — how ``cube > 0.5*u.K``
+    works (built by operators at reference spectral_cube.py:2263-2296)."""
+
+    def __init__(self, function, comparison_value, cube=None, data=None,
+                 wcs=None, shape=None):
+        self._function = function
+        self._comparison_value = comparison_value
+        if cube is not None:
+            data = cube._data
+            wcs = getattr(cube, "_wcs", None)
+        self._data = data
+        self._wcs = wcs
+        self._shape = shape if shape is not None else (
+            tuple(np.shape(data)) if data is not None else None)
+
+    def _include(self, data=None, view=()):
+        d = data if data is not None else self._data
+        if d is None:
+            raise ValueError("mask has no bound data and none was given")
+        sub = d[view] if view not in ((), None) else d
+        return self._function(sub, self._comparison_value)
+
+
+class FunctionMask(MaskBase):
+    """mask = ``function(data, wcs, view)`` computed at call time
+    (reference masks.py:760-801)."""
+
+    def __init__(self, function, shape=None):
+        self._function = function
+        self._shape = shape
+
+    def _include(self, data=None, view=()):
+        result = self._function(data, None, view)
+        sub = data[view] if view not in ((), None) else data
+        if data is not None and np.shape(result) != np.shape(sub):
+            raise ValueError("Function did not return mask with correct shape")
+        return result

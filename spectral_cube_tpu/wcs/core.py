@@ -1,0 +1,703 @@
+"""Standalone FITS WCS implementation.
+
+The reference library keeps all coordinate logic in astropy's wcslib wrapper
+plus a slicing/reindexing layer (``spectral_cube/wcs_utils.py``).  This module
+reimplements the subset a spectral-cube engine needs — linear axes, celestial
+projections (via :mod:`.projections`), spectral axes with FITS nonlinear
+algorithm codes — natively in numpy, with the per-pixel transforms also
+evaluable as jnp inside jit (pass ``xp=jnp``).
+
+Axis order convention: parameters are stored in **FITS axis order** (axis 0 ==
+NAXIS1, the fastest-varying numpy axis), like astropy.  Pixel coordinates in
+the public API are **0-based** in FITS axis order.
+
+Behavioral parity targets (re-derived, not copied):
+- slicing math incl. step>1 and reverse: ``/root/reference/spectral_cube/wcs_utils.py:212-339``
+- drop/swap/reindex: ``wcs_utils.py:28-210``
+- equality check: ``wcs_utils.py:341-441``
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Sequence
+
+import numpy as np
+
+from ..units import Unit, Quantity, UnitConversionError
+from ..units import (spectral as spectral_equiv, doppler_radio,
+                     doppler_optical, doppler_relativistic, c)
+from . import projections as prj
+
+__all__ = ["WCS", "WCSCelestialError"]
+
+
+class WCSCelestialError(Exception):
+    pass
+
+
+# spectral ctype roots and their physical type
+SPECTRAL_CTYPES = {
+    "FREQ": "frequency",
+    "WAVE": "length",
+    "AWAV": "air wavelength",
+    "VRAD": "speed",
+    "VOPT": "speed",
+    "VELO": "speed",
+    "ENER": "frequency",   # handled via spectral equivalency
+    "WAVN": "frequency",
+    "BETA": "speed",
+}
+
+# noncompliant spectral ctypes seen in the wild (reference: wcs_utils.py:25-27)
+BAD_SPECTYPES = {"VELOCITY": "VELO", "WAVELENG": "WAVE", "FELO": "VOPT"}
+
+# per-variable-char linear units used by the FITS spectral algorithm codes
+CHAR_UNIT = {"F": Unit.parse("Hz"), "W": Unit.parse("m"),
+             "V": Unit.parse("m / s"), "A": Unit.parse("m")}
+TYPE_DEFAULT_UNIT = {"frequency": Unit.parse("Hz"), "length": Unit.parse("m"),
+                     "speed": Unit.parse("m / s"),
+                     "air wavelength": Unit.parse("m")}
+
+CELESTIAL_LON_PREFIXES = ("RA", "GLON", "ELON", "HLON", "SLON", "TLON")
+CELESTIAL_LAT_PREFIXES = ("DEC", "GLAT", "ELAT", "HLAT", "SLAT", "TLAT")
+
+_PRESERVED_ATTRS = ("restfrq", "restwav", "specsys", "radesys", "equinox",
+                    "lonpole", "latpole", "dateobs", "mjdobs", "obsgeo",
+                    "ssysobs", "velosys", "zsource")
+
+
+def _axis_kind(ctype: str) -> str:
+    base = ctype.strip().upper()
+    head = base.split("-")[0]
+    if head in CELESTIAL_LON_PREFIXES:
+        return "lon"
+    if head in CELESTIAL_LAT_PREFIXES:
+        return "lat"
+    if head in ("LL",):
+        return "lon"
+    if head in ("MM",):
+        return "lat"
+    if base.startswith("STOKES"):
+        return "stokes"
+    spec = base[:4]
+    if spec in SPECTRAL_CTYPES or base in BAD_SPECTYPES:
+        return "spectral"
+    if base in ("", "PIXEL", "LINEAR"):
+        return "linear"
+    return "linear"
+
+
+class WCS:
+    """A world coordinate system over ``naxis`` FITS axes."""
+
+    def __init__(self, naxis=None, header=None):
+        if header is not None:
+            self._from_header(header, naxis=naxis)
+            return
+        naxis = naxis or 2
+        self.naxis = naxis
+        self.ctype = [""] * naxis
+        self.crval = np.zeros(naxis)
+        self.crpix = np.ones(naxis)
+        self.cdelt = np.ones(naxis)
+        self.pc = np.eye(naxis)
+        self.cunit = [Unit.parse("")] * naxis
+        self.restfrq = 0.0
+        self.restwav = 0.0
+        self.specsys = ""
+        self.radesys = ""
+        self.equinox = None
+        self.lonpole = None
+        self.latpole = None
+        self.dateobs = ""
+        self.mjdobs = None
+        self.obsgeo = None
+        self.ssysobs = ""
+        self.velosys = None
+        self.zsource = None
+        self.pixel_shape = None
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    def _from_header(self, header, naxis=None):
+        get = header.get
+        n = naxis or int(get("WCSAXES", get("NAXIS", 0)) or 0)
+        if n == 0:
+            # count CTYPEn cards
+            n = 0
+            while f"CTYPE{n + 1}" in header:
+                n += 1
+            n = max(n, 1)
+        self.__init__(naxis=n)
+        for i in range(n):
+            a = i + 1
+            self.ctype[i] = str(get(f"CTYPE{a}", "")).strip()
+            if self.ctype[i].upper() in BAD_SPECTYPES:
+                self.ctype[i] = BAD_SPECTYPES[self.ctype[i].upper()]
+            self.crval[i] = float(get(f"CRVAL{a}", 0.0))
+            self.crpix[i] = float(get(f"CRPIX{a}", 1.0))
+            self.cdelt[i] = float(get(f"CDELT{a}", 1.0))
+            cu = str(get(f"CUNIT{a}", "")).strip()
+            if not cu:
+                cu = self._default_cunit(self.ctype[i])
+            try:
+                self.cunit[i] = Unit.parse(cu)
+            except UnitConversionError:
+                self.cunit[i] = Unit.parse("")
+        # PC / CD matrix
+        has_cd = any(f"CD{i + 1}_{j + 1}" in header
+                     for i in range(n) for j in range(n))
+        if has_cd:
+            cd = np.zeros((n, n))
+            for i in range(n):
+                for j in range(n):
+                    cd[i, j] = float(get(f"CD{i + 1}_{j + 1}", 0.0))
+            # factor CD into cdelt (diagonal) * pc
+            cdelt = np.sqrt((cd ** 2).sum(axis=1))
+            cdelt = np.where(cdelt == 0, 1.0, cdelt)
+            sign = np.sign(np.diag(cd))
+            sign = np.where(sign == 0, 1.0, sign)
+            cdelt = cdelt * sign
+            self.cdelt = cdelt
+            self.pc = cd / cdelt[:, None]
+        else:
+            for i in range(n):
+                for j in range(n):
+                    key = f"PC{i + 1}_{j + 1}"
+                    if key in header:
+                        self.pc[i, j] = float(get(key))
+        self.restfrq = float(get("RESTFRQ", get("RESTFREQ", 0.0)) or 0.0)
+        self.restwav = float(get("RESTWAV", 0.0) or 0.0)
+        self.specsys = str(get("SPECSYS", "")).strip()
+        self.radesys = str(get("RADESYS", "")).strip()
+        eq = get("EQUINOX", get("EPOCH", None))
+        self.equinox = float(eq) if eq is not None else None
+        lp = get("LONPOLE", None)
+        self.lonpole = float(lp) if lp is not None else None
+        lt = get("LATPOLE", None)
+        self.latpole = float(lt) if lt is not None else None
+        self.dateobs = str(get("DATE-OBS", "")).strip()
+        if "NAXIS1" in header:
+            try:
+                self.pixel_shape = tuple(int(header[f"NAXIS{i + 1}"])
+                                         for i in range(n))
+            except KeyError:
+                self.pixel_shape = None
+
+    @staticmethod
+    def _default_cunit(ctype: str) -> str:
+        kind = _axis_kind(ctype)
+        if kind in ("lon", "lat"):
+            return "deg"
+        if kind == "spectral":
+            root = ctype[:4].upper()
+            return {"FREQ": "Hz", "WAVE": "m", "AWAV": "m", "VRAD": "m/s",
+                    "VOPT": "m/s", "VELO": "m/s", "ENER": "J",
+                    "WAVN": "1/m"}.get(root, "")
+        return ""
+
+    def deepcopy(self) -> "WCS":
+        out = WCS(naxis=self.naxis)
+        out.ctype = list(self.ctype)
+        out.crval = self.crval.copy()
+        out.crpix = self.crpix.copy()
+        out.cdelt = self.cdelt.copy()
+        out.pc = self.pc.copy()
+        out.cunit = list(self.cunit)
+        for attr in _PRESERVED_ATTRS:
+            setattr(out, attr, getattr(self, attr))
+        out.pixel_shape = self.pixel_shape
+        return out
+
+    copy = deepcopy
+
+    # ------------------------------------------------------------------
+    # axis classification
+    # ------------------------------------------------------------------
+    @property
+    def axis_kinds(self):
+        return [_axis_kind(ct) for ct in self.ctype]
+
+    @property
+    def spec(self) -> int:
+        """Index of the spectral axis (FITS order, 0-based); -1 if none."""
+        kinds = self.axis_kinds
+        return kinds.index("spectral") if "spectral" in kinds else -1
+
+    @property
+    def lon_axis(self) -> int:
+        kinds = self.axis_kinds
+        return kinds.index("lon") if "lon" in kinds else -1
+
+    @property
+    def lat_axis(self) -> int:
+        kinds = self.axis_kinds
+        return kinds.index("lat") if "lat" in kinds else -1
+
+    @property
+    def stokes_axis(self) -> int:
+        kinds = self.axis_kinds
+        return kinds.index("stokes") if "stokes" in kinds else -1
+
+    @property
+    def has_celestial(self) -> bool:
+        return self.lon_axis >= 0 and self.lat_axis >= 0
+
+    @property
+    def projection_code(self) -> str:
+        if self.lon_axis < 0:
+            return ""
+        parts = self.ctype[self.lon_axis].split("-")
+        return parts[-1].upper() if len(parts) > 1 and parts[-1] else ""
+
+    @property
+    def wcs(self):
+        """Self-reference so astropy-style ``wcs.wcs.crval`` call sites work."""
+        return self
+
+    @property
+    def pixel_scale_matrix(self) -> np.ndarray:
+        return np.diag(self.cdelt) @ self.pc
+
+    def get_pc(self):
+        return self.pc
+
+    def proj_plane_pixel_area(self) -> float:
+        """Celestial pixel area in deg^2 (astropy proj_plane_pixel_area)."""
+        if not self.has_celestial:
+            raise WCSCelestialError("WCS has no celestial axes")
+        cel = self.celestial
+        m = cel.pixel_scale_matrix
+        # convert to degrees
+        for i in range(2):
+            m[i] = m[i] * cel.cunit[i].to(Unit.parse("deg"))
+        return abs(np.linalg.det(m))
+
+    def proj_plane_pixel_scales(self) -> np.ndarray:
+        cel = self.celestial
+        m = cel.pixel_scale_matrix
+        for i in range(2):
+            m[i] = m[i] * cel.cunit[i].to(Unit.parse("deg"))
+        return np.sqrt((m ** 2).sum(axis=1))
+
+    # ------------------------------------------------------------------
+    # transforms
+    # ------------------------------------------------------------------
+    def _celestial_pole(self):
+        code = self.projection_code
+        return prj.celestial_pole(
+            code,
+            self.crval[self.lon_axis] * self.cunit[self.lon_axis].to("deg"),
+            self.crval[self.lat_axis] * self.cunit[self.lat_axis].to("deg"),
+            self.lonpole, self.latpole)
+
+    def pix2world(self, *pixel_axes, xp=np):
+        """0-based pixel coords (one array per FITS axis) -> world coords.
+
+        Returns a list of arrays, one per axis, in each axis's CUNIT.
+        """
+        if len(pixel_axes) != self.naxis:
+            raise ValueError(f"expected {self.naxis} pixel arrays")
+        pix = [xp.asarray(p, dtype=xp.float64 if xp is np else None)
+               for p in pixel_axes]
+        offs = [p + 1.0 - self.crpix[i] for i, p in enumerate(pix)]
+        # intermediate world coords x_i = cdelt_i * sum_j pc_ij * off_j
+        inter = []
+        for i in range(self.naxis):
+            acc = 0.0
+            for j in range(self.naxis):
+                pcij = self.pc[i, j]
+                if pcij != 0.0:
+                    acc = acc + pcij * offs[j]
+            inter.append(self.cdelt[i] * acc)
+
+        world = [None] * self.naxis
+        kinds = self.axis_kinds
+        # celestial pair
+        if self.has_celestial:
+            li, bi = self.lon_axis, self.lat_axis
+            x = inter[li] * self.cunit[li].to("deg")
+            y = inter[bi] * self.cunit[bi].to("deg")
+            code = self.projection_code
+            if code == "":
+                world[li] = self.crval[li] + inter[li]
+                world[bi] = self.crval[bi] + inter[bi]
+            else:
+                phi, theta = prj.proj_xy2native(code, x, y, xp=xp)
+                ap, dp, phip = self._celestial_pole()
+                lon, lat = prj.native_to_celestial(phi, theta, ap, dp, phip,
+                                                   xp=xp)
+                world[li] = lon / self.cunit[li].to("deg")
+                world[bi] = lat / self.cunit[bi].to("deg")
+        for i in range(self.naxis):
+            if world[i] is not None:
+                continue
+            if kinds[i] == "spectral":
+                world[i] = self._spectral_pix2world_inter(inter[i], xp=xp)
+            else:
+                world[i] = self.crval[i] + inter[i]
+        return world
+
+    def world2pix(self, *world_axes, xp=np):
+        """world coords (per FITS axis, in CUNIT) -> 0-based pixel coords."""
+        if len(world_axes) != self.naxis:
+            raise ValueError(f"expected {self.naxis} world arrays")
+        wld = [xp.asarray(w, dtype=xp.float64 if xp is np else None)
+               for w in world_axes]
+        inter = [None] * self.naxis
+        kinds = self.axis_kinds
+        if self.has_celestial:
+            li, bi = self.lon_axis, self.lat_axis
+            code = self.projection_code
+            if code == "":
+                inter[li] = wld[li] - self.crval[li]
+                inter[bi] = wld[bi] - self.crval[bi]
+            else:
+                lon = wld[li] * self.cunit[li].to("deg")
+                lat = wld[bi] * self.cunit[bi].to("deg")
+                ap, dp, phip = self._celestial_pole()
+                phi, theta = prj.celestial_to_native(lon, lat, ap, dp, phip,
+                                                     xp=xp)
+                x, y = prj.proj_native2xy(code, phi, theta, xp=xp)
+                inter[li] = x / self.cunit[li].to("deg")
+                inter[bi] = y / self.cunit[bi].to("deg")
+        for i in range(self.naxis):
+            if inter[i] is not None:
+                continue
+            if kinds[i] == "spectral":
+                inter[i] = self._spectral_world2inter(wld[i], xp=xp)
+            else:
+                inter[i] = wld[i] - self.crval[i]
+        # invert x = cdelt * pc @ off  ->  off = pc^-1 @ (x / cdelt)
+        pcinv = np.linalg.inv(self.pc)
+        pix = []
+        for j in range(self.naxis):
+            acc = 0.0
+            for i in range(self.naxis):
+                pij = pcinv[j, i]
+                if pij != 0.0:
+                    acc = acc + pij * (inter[i] / self.cdelt[i])
+            pix.append(acc + self.crpix[j] - 1.0)
+        return pix
+
+    # astropy-compatible aliases operating on stacked coordinate arrays
+    def wcs_pix2world(self, coords, origin=0):
+        coords = np.atleast_2d(np.asarray(coords, dtype=float))
+        cols = [coords[:, i] - origin for i in range(self.naxis)]
+        out = self.pix2world(*cols)
+        return np.stack([np.asarray(o, dtype=float) for o in out], axis=-1)
+
+    def wcs_world2pix(self, coords, origin=0):
+        coords = np.atleast_2d(np.asarray(coords, dtype=float))
+        cols = [coords[:, i] for i in range(self.naxis)]
+        out = self.world2pix(*cols)
+        return np.stack([np.asarray(o, dtype=float) + origin for o in out],
+                        axis=-1)
+
+    # ------------------------------------------------------------------
+    # spectral axis machinery
+    # ------------------------------------------------------------------
+    def _spectral_parts(self):
+        """Return (root, sampled_char, assoc_char) of the spectral ctype.
+
+        For 'VOPT-F2W': root='VOPT', sampled='F' (axis linear in frequency),
+        assoc='W' (VOPT is a linear function of wavelength).
+        For 4-char ctypes root==sampled==assoc variable of the root itself.
+        """
+        ct = self.ctype[self.spec].strip().upper()
+        root = ct[:4]
+        if len(ct) > 4 and "2" in ct[4:]:
+            code = ct.split("-")[-1]  # e.g. F2W
+            return root, code[0], code[2]
+        return root, None, None
+
+    def _rest_value_si(self):
+        if self.restfrq:
+            return self.restfrq, "frequency"
+        if self.restwav:
+            return c / self.restwav, "frequency"
+        return None, None
+
+    def _spec_equiv(self, root):
+        """Equivalency list to convert the root variable <-> linear variables."""
+        eqv = list(spectral_equiv())
+        rest, _ = self._rest_value_si()
+        if rest is not None:
+            if root == "VRAD" or root is None:
+                eqv += doppler_radio(rest)
+            if root == "VOPT":
+                eqv += doppler_optical(rest)
+            if root == "VELO":
+                eqv += doppler_radio(rest)  # placeholder; replaced below
+        return eqv
+
+    def _root_equivalencies(self, root):
+        rest, _ = self._rest_value_si()
+        eqv = list(spectral_equiv())
+        if rest is not None:
+            if root == "VRAD":
+                eqv = doppler_radio(rest) + eqv
+            elif root == "VOPT":
+                eqv = doppler_optical(rest) + eqv
+            elif root == "VELO":
+                eqv = doppler_relativistic(rest) + eqv
+        return eqv
+
+    _SAMPLED_ROOT = {"F": "FREQ", "W": "WAVE", "V": "VELO", "A": "AWAV"}
+
+    def _spectral_nonlinear_setup(self):
+        """Analytic (to-sampled, from-sampled) transforms in SI, plus the
+        sampled-space reference value and per-unit-inter derivative."""
+        from .spectral import spectral_value_transform
+        root, sampled, _ = self._spectral_parts()
+        i = self.spec
+        samp_root = self._SAMPLED_ROOT[sampled]
+        rest, _kind = self._rest_value_si()
+        to_samp, d_to_samp = spectral_value_transform(root, samp_root, rest)
+        from_samp, _ = spectral_value_transform(samp_root, root, rest)
+        crval_si = self.crval[i] * self.cunit[i].scale
+        crval_s = float(to_samp(crval_si))
+        deriv = float(d_to_samp(crval_si))
+        return from_samp, crval_s, deriv
+
+    def _spectral_pix2world_inter(self, inter, xp=np):
+        """intermediate offset (cdelt*pc*(p-crpix), in CUNIT) -> world in CUNIT.
+
+        Nonlinear algorithm-coded ctypes (e.g. VOPT-F2W) evaluate linearly in
+        the *sampled* variable then map back analytically, matching wcslib's
+        spcx2s semantics exactly."""
+        _, sampled, _ = self._spectral_parts()
+        i = self.spec
+        cunit = self.cunit[i]
+        if sampled is None:
+            return self.crval[i] + inter
+        from_samp, crval_s, deriv = self._spectral_nonlinear_setup()
+        lin = crval_s + deriv * (inter * cunit.scale)
+        return from_samp(lin) / cunit.scale
+
+    def _spectral_world2inter(self, world, xp=np):
+        root, sampled, _ = self._spectral_parts()
+        i = self.spec
+        cunit = self.cunit[i]
+        if sampled is None:
+            return world - self.crval[i]
+        from .spectral import spectral_value_transform
+        samp_root = self._SAMPLED_ROOT[sampled]
+        rest, _kind = self._rest_value_si()
+        to_samp, _ = spectral_value_transform(root, samp_root, rest)
+        _, crval_s, deriv = self._spectral_nonlinear_setup()
+        lin = to_samp(world * cunit.scale)
+        return (lin - crval_s) / deriv / cunit.scale
+
+    @property
+    def spectral_unit(self) -> Unit:
+        return self.cunit[self.spec]
+
+    def spectral_axis_values(self, n: int) -> np.ndarray:
+        """World values of the spectral axis for pixels 0..n-1, in CUNIT."""
+        i = self.spec
+        pix = [np.zeros(n)] * self.naxis
+        pix[i] = np.arange(n, dtype=float)
+        # use crpix-centered zeros for other axes so projections are valid
+        for j in range(self.naxis):
+            if j != i:
+                pix[j] = np.full(n, self.crpix[j] - 1.0)
+        return np.asarray(self.pix2world(*pix)[i])
+
+    # ------------------------------------------------------------------
+    # restructuring (reference: wcs_utils.py reindex/swap/drop/slice)
+    # ------------------------------------------------------------------
+    def reindex(self, inds: Sequence[int]) -> "WCS":
+        inds = list(inds)
+        out = WCS(naxis=len(inds))
+        out.ctype = [self.ctype[i] for i in inds]
+        out.crval = self.crval[inds]
+        out.crpix = self.crpix[inds]
+        out.cdelt = self.cdelt[inds]
+        out.cunit = [self.cunit[i] for i in inds]
+        out.pc = self.pc[np.ix_(inds, inds)]
+        for attr in _PRESERVED_ATTRS:
+            setattr(out, attr, getattr(self, attr))
+        if self.pixel_shape is not None:
+            out.pixel_shape = tuple(self.pixel_shape[i] for i in inds)
+        return out
+
+    def dropaxis(self, ax: int) -> "WCS":
+        return self.reindex([i for i in range(self.naxis) if i != ax])
+
+    def swapaxes(self, ax0: int, ax1: int) -> "WCS":
+        inds = list(range(self.naxis))
+        inds[ax0], inds[ax1] = inds[ax1], inds[ax0]
+        return self.reindex(inds)
+
+    def sub(self, kinds_or_inds) -> "WCS":
+        """Select axes by kind name ('lon','lat','spectral','stokes') or
+        by 1-based FITS index (astropy .sub convention)."""
+        inds = []
+        for k in kinds_or_inds:
+            if isinstance(k, str):
+                inds.append(self.axis_kinds.index(k))
+            else:
+                inds.append(k - 1)
+        return self.reindex(inds)
+
+    @property
+    def celestial(self) -> "WCS":
+        if not self.has_celestial:
+            raise WCSCelestialError("WCS has no celestial axes")
+        return self.reindex([self.lon_axis, self.lat_axis])
+
+    @property
+    def spectral(self) -> "WCS":
+        return self.reindex([self.spec])
+
+    def slice(self, view, shape=None, numpy_order=True) -> "WCS":
+        """Slice this WCS with a tuple of numpy slices (no integer indices).
+
+        Semantics match the reference ``slice_wcs`` (wcs_utils.py:212-339):
+        step>1 shifts crpix by the half-pixel-aware formula, step==-1
+        reverses via a recomputed crval, other negative steps unsupported.
+        """
+        if not hasattr(view, "__len__"):
+            view = [view]
+        if len(view) > self.naxis:
+            raise ValueError("more slices than WCS axes")
+        if not all(isinstance(v, slice) for v in view):
+            raise ValueError("integer indices not allowed; use dropaxis")
+        out = self.deepcopy()
+        for i, iview in enumerate(view):
+            if iview.step is not None and iview.start is None:
+                iview = slice(0, iview.stop, iview.step)
+            wi = self.naxis - 1 - i if numpy_order else i
+            if iview.step is not None and iview.step < 0:
+                if iview.step != -1:
+                    raise NotImplementedError(
+                        "simultaneous resampling & reversing not supported")
+                if shape is None:
+                    raise ValueError("reverse slicing requires a shape")
+                refpix = iview.stop if iview.stop is not None else shape[i]
+                # world value at the last kept pixel becomes the new crval
+                pixv = [np.array([self.crpix[j] - 1.0])
+                        for j in range(self.naxis)]
+                pixv[wi] = np.array([float(refpix - 1)])
+                crval = float(np.asarray(self.pix2world(*pixv)[wi])[0])
+                out.crpix[wi] = 1.0
+                out.crval[wi] = crval
+                out.cdelt[wi] = -self.cdelt[wi]
+            elif iview.start is not None:
+                if iview.step not in (None, 1):
+                    crp = ((self.crpix[wi] - iview.start - 0.5)
+                           / iview.step + 0.5)
+                    out.crpix[wi] = crp
+                    out.cdelt[wi] = self.cdelt[wi] * iview.step
+                else:
+                    out.crpix[wi] = self.crpix[wi] - iview.start
+        if out.pixel_shape is not None and shape is not None:
+            new_shape = list(shape[::-1])
+            for i, iview in enumerate(view):
+                wi = self.naxis - 1 - i
+                start, stop, step = iview.indices(shape[i])
+                new_shape[wi] = max(0, -(-(stop - start) // step))
+            out.pixel_shape = tuple(new_shape)
+        return out
+
+    # ------------------------------------------------------------------
+    # equality & header
+    # ------------------------------------------------------------------
+    def check_equality(self, other: "WCS", wcs_tolerance: float = 0.0) -> bool:
+        """Field-by-field comparison with tolerance (reference
+        wcs_utils.py:341-441 compares header cards with float tolerance)."""
+        if self.naxis != other.naxis:
+            return False
+        tol = wcs_tolerance
+
+        def close(a, b):
+            if tol == 0.0:
+                return np.allclose(a, b, rtol=1e-12, atol=0)
+            return np.allclose(a, b, rtol=tol, atol=0)
+
+        if [c0.split("-")[0] for c0 in self.ctype] != \
+           [c1.split("-")[0] for c1 in other.ctype]:
+            return False
+        if self.ctype != other.ctype:
+            return False
+        # compare crval/cdelt in SI so unit spellings don't matter
+        for i in range(self.naxis):
+            s0, s1 = self.cunit[i].scale, other.cunit[i].scale
+            if self.cunit[i].dims != other.cunit[i].dims:
+                return False
+            if not close(self.crval[i] * s0, other.crval[i] * s1):
+                return False
+            if not close(self.cdelt[i] * s0, other.cdelt[i] * s1):
+                return False
+        if not close(self.crpix, other.crpix):
+            return False
+        if not close(self.pc, other.pc):
+            return False
+        for attr in ("restfrq", "restwav"):
+            a, b = getattr(self, attr), getattr(other, attr)
+            if (a or 0.0) != 0.0 or (b or 0.0) != 0.0:
+                if not close(a or 0.0, b or 0.0):
+                    return False
+        return True
+
+    def __eq__(self, other):
+        if not isinstance(other, WCS):
+            return NotImplemented
+        return self.check_equality(other)
+
+    def __hash__(self):
+        return id(self)
+
+    def to_header(self) -> dict:
+        """WCS keywords as a header dict (FITS card values)."""
+        h = {}
+        h["WCSAXES"] = self.naxis
+        for i in range(self.naxis):
+            a = i + 1
+            h[f"CTYPE{a}"] = self.ctype[i]
+            h[f"CRVAL{a}"] = float(self.crval[i])
+            h[f"CRPIX{a}"] = float(self.crpix[i])
+            h[f"CDELT{a}"] = float(self.cdelt[i])
+            h[f"CUNIT{a}"] = self.cunit[i].to_string()
+        if not np.allclose(self.pc, np.eye(self.naxis)):
+            for i in range(self.naxis):
+                for j in range(self.naxis):
+                    if i != j or self.pc[i, j] != 1.0:
+                        h[f"PC{i + 1}_{j + 1}"] = float(self.pc[i, j])
+        if self.restfrq:
+            h["RESTFRQ"] = self.restfrq
+        if self.restwav:
+            h["RESTWAV"] = self.restwav
+        if self.specsys:
+            h["SPECSYS"] = self.specsys
+        if self.radesys:
+            h["RADESYS"] = self.radesys
+        if self.equinox is not None:
+            h["EQUINOX"] = self.equinox
+        if self.lonpole is not None:
+            h["LONPOLE"] = self.lonpole
+        if self.latpole is not None:
+            h["LATPOLE"] = self.latpole
+        return h
+
+    def __repr__(self):
+        rows = ", ".join(
+            f"{self.ctype[i] or 'LINEAR'}({self.crval[i]:g} {self.cunit[i]})"
+            for i in range(self.naxis))
+        return f"<WCS naxis={self.naxis}: {rows}>"
+
+
+def _vector_converter(from_unit: Unit, to_unit: Unit, equivalencies):
+    """Build an elementwise converter usable with numpy or jnp arrays."""
+    if from_unit.dims == to_unit.dims:
+        f = from_unit.scale / to_unit.scale
+        return lambda v, xp=np: v * f
+    for dims_a, dims_b, fwd, bwd in equivalencies:
+        if from_unit.dims == dims_a and to_unit.dims == dims_b:
+            return lambda v, xp=np: fwd(v * from_unit.scale) / to_unit.scale
+        if from_unit.dims == dims_b and to_unit.dims == dims_a:
+            return lambda v, xp=np: bwd(v * from_unit.scale) / to_unit.scale
+    raise UnitConversionError(f"cannot convert {from_unit} -> {to_unit}")
