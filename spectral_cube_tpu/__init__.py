@@ -1,0 +1,30 @@
+"""spectral_cube_tpu — a TPU-native spectral-cube engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+radio-astro-tools/spectral-cube: lazy masked unit/WCS-aware cubes, fused
+masked reductions and moment maps, beam handling and common-beam
+convolution, spectral/spatial smoothing and regridding, Stokes cubes,
+region extraction, FITS I/O, and shard_map-based multi-chip execution.
+"""
+
+from .units import Quantity, Unit
+from .masks import (MaskBase, InvertedMask, CompositeMask, BooleanArrayMask,
+                    LazyMask, LazyComparisonMask, FunctionMask)
+from .beams import Beam, Beams
+from .cube import SpectralCube, VaryingResolutionSpectralCube, \
+    BaseSpectralCube
+from .stokes import StokesSpectralCube
+from .lower_dimensional_structures import (Projection, Slice, OneDSpectrum,
+                                           VaryingResolutionOneDSpectrum,
+                                           LowerDimensionalObject)
+from .wcs import WCS
+
+__version__ = "0.1.0"
+
+__all__ = ["SpectralCube", "VaryingResolutionSpectralCube",
+           "BaseSpectralCube", "StokesSpectralCube", "Projection", "Slice",
+           "OneDSpectrum", "VaryingResolutionOneDSpectrum",
+           "LowerDimensionalObject", "MaskBase", "InvertedMask",
+           "CompositeMask", "BooleanArrayMask", "LazyMask",
+           "LazyComparisonMask", "FunctionMask", "Beam", "Beams", "WCS",
+           "Quantity", "Unit"]

@@ -1,0 +1,256 @@
+"""Cube construction helpers: axis orientation, Stokes splitting, brightness
+unit conversion factors, world-indexed take_along_axis.
+
+Behavioral parity targets (re-derived for the standalone WCS/units stack):
+- ``_orient``            -> reference ``cube_utils.py:141-200``
+- ``_split_stokes``      -> reference ``cube_utils.py:49-138``
+- ``bunit_converters``   -> reference ``cube_utils.py:572-749``
+- ``world_take_along_axis`` -> reference ``cube_utils.py:510-555``
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import units as u
+from .units import Quantity, Unit, UnitConversionError
+from .wcs import WCS
+
+__all__ = ["orient", "split_stokes", "bunit_converters",
+           "world_take_along_axis", "combine_headers"]
+
+
+def orient(array, wcs: WCS):
+    """Transpose a 3-D array + WCS so the numpy axes are [spec, lat, lon]
+    (WCS axes [lon, lat, spec]).  Reference semantics: cube_utils._orient.
+    """
+    if array.ndim != 3:
+        raise ValueError("Input array must be 3-dimensional")
+    if wcs.naxis != 3:
+        raise ValueError("Input WCS must be 3-dimensional")
+    kinds = wcs.axis_kinds
+    if kinds.count("lon") != 1 or kinds.count("lat") != 1:
+        raise ValueError("WCS should contain 2 celestial dimensions")
+    if kinds.count("spectral") != 1:
+        raise ValueError("WCS should contain one spectral dimension")
+    # numpy axis i corresponds to wcs axis (naxis-1-i)
+    np_kinds = kinds[::-1]
+    t = [np_kinds.index("spectral"), np_kinds.index("lat"),
+         np_kinds.index("lon")]
+    if t != [0, 1, 2]:
+        array = array.transpose(t) if not hasattr(array, "transpose") is None \
+            else array.transpose(t)
+    out_wcs = wcs.reindex([kinds.index("lon"), kinds.index("lat"),
+                           kinds.index("spectral")])
+    return array, out_wcs
+
+
+def split_stokes(array, wcs: WCS, beam_table=None):
+    """Split a 4-D (stokes) array into per-component 3-D arrays + 3-D WCS.
+
+    Returns (dict name->array, wcs3d[, dict name->beam_table_rows]).
+    """
+    if array.ndim not in (3, 4):
+        raise ValueError("Input array must be 3- or 4-dimensional for a "
+                         "STOKES cube")
+    if wcs.naxis != 4:
+        raise ValueError("Input WCS must be 4-dimensional for a STOKES cube")
+    kinds = wcs.axis_kinds
+    if "stokes" in kinds:
+        stokes_wcs_ax = kinds.index("stokes")
+    else:
+        # assume the non-celestial, non-spectral axis is stokes
+        cands = [i for i, k in enumerate(kinds)
+                 if k not in ("lon", "lat", "spectral")]
+        if not cands:
+            raise IOError("There are 4 axes in the data cube but no STOKES "
+                          "axis could be identified")
+        stokes_wcs_ax = cands[0]
+    stokes_np_ax = wcs.naxis - 1 - stokes_wcs_ax
+
+    from .stokes import STOKES_SYMBOLS
+    crval = int(round(wcs.crval[stokes_wcs_ax]))
+    cdelt = int(round(wcs.cdelt[stokes_wcs_ax])) or 1
+    crpix = wcs.crpix[stokes_wcs_ax]
+
+    wcs3 = wcs.dropaxis(stokes_wcs_ax)
+    arrays = {}
+    tables = {}
+    if array.ndim == 4:
+        n = array.shape[stokes_np_ax]
+        for i in range(n):
+            sym = crval + cdelt * int(i + 1 - crpix)
+            name = STOKES_SYMBOLS.get(sym, f"S{sym}")
+            sl = [slice(None)] * 4
+            sl[stokes_np_ax] = i
+            arrays[name] = array[tuple(sl)]
+            if beam_table is not None:
+                rows = np.asarray(beam_table["POL"]) == i
+                tables[name] = {k: np.asarray(v)[rows]
+                                for k, v in beam_table.columns.items()}
+    else:
+        arrays["I"] = array
+        if beam_table is not None:
+            tables["I"] = {k: np.asarray(v)
+                           for k, v in beam_table.columns.items()}
+    if beam_table is not None:
+        return arrays, wcs3, tables
+    return arrays, wcs3
+
+
+def bunit_converters(obj, unit, equivalencies=(), freq=None):
+    """Conversion factor(s) from ``obj.unit`` to ``unit`` for brightness
+    units (K, Jy/beam, Jy/sr, Jy/pix), handling per-channel factors when the
+    conversion is frequency-dependent or beams vary per channel.
+
+    Returns a 1-element array (constant factor) or an (nchan,) array.
+    """
+    unit = Unit.parse(unit) if isinstance(unit, str) else unit
+    cur = obj.unit
+
+    if cur.is_equivalent(unit, equivalencies):
+        return np.array([cur.to(unit, 1.0, equivalencies)])
+
+    K = u.K
+    jybm = u.Jy / u.beam
+    jysr = u.Jy / u.sr
+    jypix = u.Jy / u.pix
+
+    has_btemp = cur.is_equivalent(K) or unit.is_equivalent(K)
+    has_perbeam = cur.is_equivalent(jybm) or unit.is_equivalent(jybm)
+    has_perangarea = cur.is_equivalent(jysr) or unit.is_equivalent(jysr)
+    has_perpix = cur.is_equivalent(jypix) or unit.is_equivalent(jypix)
+
+    beams = getattr(obj, "unmasked_beams", None)
+    beam = getattr(obj, "beam", None)
+    has_beams = beams is not None
+    has_beam = beam is not None or has_beams
+
+    # frequency axis (Hz) for brightness-temperature factors
+    if has_btemp or has_perbeam or has_perangarea:
+        if freq is None:
+            if not hasattr(obj, "with_spectral_unit"):
+                raise TypeError(
+                    "`freq` must be provided for unit conversion involving "
+                    "brightness temperature on an object without a spectral "
+                    "axis")
+            # convert via the WCS (handles velocity axes using RESTFRQ,
+            # like the reference's obj.with_spectral_unit(u.Hz))
+            freqs = np.atleast_1d(np.asarray(
+                obj.with_spectral_unit(u.Hz).spectral_axis.value,
+                dtype=float))
+        else:
+            if isinstance(freq, Quantity):
+                freqs = np.atleast_1d(freq.to_value(
+                    "Hz", equivalencies=u.spectral()))
+            else:
+                freqs = np.atleast_1d(np.asarray(freq, dtype=float))
+    else:
+        freqs = np.array([np.nan])
+
+    pix_area = None
+    if has_perpix or has_perangarea:
+        pix_area = obj.wcs.proj_plane_pixel_area() * (np.pi / 180.0) ** 2
+
+    if has_beams:
+        beam_list = list(beams)
+        if len(freqs) == 1:
+            freqs = np.repeat(freqs, len(beam_list))
+    else:
+        beam_list = [beam]
+
+    def one_factor(bm, f):
+        eqv = list(equivalencies) + list(u.spectral())
+        if bm is not None and (has_perbeam or has_btemp or has_perangarea):
+            eqv += u.brightness_temperature(bm.sr, Quantity(f, "Hz"))
+            eqv += u.beam_solid_angle(bm.sr)
+        elif has_perangarea and has_btemp:
+            # Jy/sr <-> K without a beam: solid angle of 1 sr
+            eqv += u.brightness_temperature(Quantity(1.0, "sr"),
+                                            Quantity(f, "Hz"))
+        if pix_area is not None:
+            eqv += u.pixel_scale(Quantity(pix_area, "sr"))
+            if bm is not None:
+                ratio = float(bm.sr.value) / pix_area
+                eqv += [
+                    (u._dims(kg=1, s=-2, pix=-1), u._dims(kg=1, s=-2,
+                                                          beam=-1),
+                     lambda x, r=ratio: x * r, lambda x, r=ratio: x / r),
+                ]
+        return cur.to(unit, 1.0, eqv)
+
+    if has_beams or (len(freqs) > 1 and (has_btemp or has_perbeam
+                                         or has_perangarea)):
+        if has_beams:
+            return np.array([one_factor(b, f)
+                             for b, f in zip(beam_list, freqs)])
+        return np.array([one_factor(beam, f) for f in freqs])
+    return np.array([one_factor(beam, freqs[0])])
+
+
+def world_take_along_axis(cube, position_plane, axis):
+    """Convert a plane of pixel indices along ``axis`` into world coords
+    (reference cube_utils.py:510-555): used by argmax_world/argmin_world."""
+    if axis == 0:
+        sv = cube.spectral_axis.value
+        out = np.asarray(sv)[np.asarray(position_plane)]
+        return Quantity(out, cube.spectral_axis.unit)
+    # spatial axes: look up world coords of (plane index, other axes)
+    pos = np.asarray(position_plane)
+    ny, nx = pos.shape if axis == 0 else (
+        (cube.shape[2],) if False else pos.shape)
+    raise NotImplementedError(
+        "argmax_world/argmin_world along spatial axes requires uncorrelated "
+        "pixel/world axes; only the spectral axis is supported")
+
+
+def combine_headers(header1, header2):
+    """Optimal celestial header covering both inputs (simplified analog of
+    reference cube_utils.combine_headers at cube_utils.py:751-789, which
+    delegates to reproject.find_optimal_celestial_wcs)."""
+    from .io.fits_low import Header
+    w1, w2 = WCS(header=header1), WCS(header=header2)
+    # compute corner world coords of both footprints
+    lons, lats = [], []
+    for w, h in ((w1, header1), (w2, header2)):
+        nx = int(h["NAXIS1"])
+        ny = int(h["NAXIS2"])
+        cel = w.celestial
+        xs = np.array([0.0, nx - 1.0, 0.0, nx - 1.0])
+        ys = np.array([0.0, 0.0, ny - 1.0, ny - 1.0])
+        lon, lat = cel.pix2world(xs, ys)
+        lons.append(np.asarray(lon))
+        lats.append(np.asarray(lat))
+    lon_all = np.concatenate(lons)
+    lat_all = np.concatenate(lats)
+    # unwrap longitudes about the first cube's center
+    lon0 = lons[0].mean()
+    lon_all = (lon_all - lon0 + 180.0) % 360.0 - 180.0 + lon0
+    cd = min(abs(w1.cdelt[0]), abs(w2.cdelt[0]))
+    cd_lat = min(abs(w1.cdelt[1]), abs(w2.cdelt[1]))
+    pad = 1
+    lon_min, lon_max = lon_all.min(), lon_all.max()
+    lat_min, lat_max = lat_all.min(), lat_all.max()
+    cosd = np.cos(np.deg2rad((lat_min + lat_max) / 2))
+    nx = int(np.ceil((lon_max - lon_min) * cosd / cd)) + 2 * pad
+    ny = int(np.ceil((lat_max - lat_min) / cd_lat)) + 2 * pad
+    out = Header()
+    for key in ("NAXIS3", "CTYPE3", "CRVAL3", "CDELT3", "CRPIX3", "CUNIT3",
+                "RESTFRQ", "SPECSYS", "BUNIT"):
+        if key in header1:
+            out[key] = header1[key]
+    out["NAXIS"] = 3
+    out["NAXIS1"] = nx
+    out["NAXIS2"] = ny
+    out["CTYPE1"] = w1.ctype[0]
+    out["CTYPE2"] = w1.ctype[1]
+    out["CUNIT1"] = "deg"
+    out["CUNIT2"] = "deg"
+    out["CRVAL1"] = (lon_min + lon_max) / 2
+    out["CRVAL2"] = (lat_min + lat_max) / 2
+    out["CDELT1"] = -cd
+    out["CDELT2"] = cd_lat
+    out["CRPIX1"] = nx / 2 + 0.5
+    out["CRPIX2"] = ny / 2 + 0.5
+    return out

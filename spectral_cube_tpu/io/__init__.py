@@ -1,0 +1,69 @@
+"""Unified cube I/O registry.
+
+The reference wires readers/writers into astropy's unified I/O machinery
+(``/root/reference/spectral_cube/io/core.py``); this framework keeps a small
+native registry keyed by format name with auto-detection by file signature.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .fits_low import is_fits, Header, HDU, BinTableHDU, read_fits, write_fits
+from .fits import load_fits_cube, write_fits_cube, write_fits_stokes
+
+__all__ = ["read_cube", "write_cube", "read_stokes_cube",
+           "write_stokes_cube", "Header", "HDU", "BinTableHDU"]
+
+
+def _detect_format(filename):
+    name = str(filename)
+    if os.path.isdir(name) and os.path.exists(os.path.join(name,
+                                                           "table.dat")):
+        return "casa_image"
+    if name.lower().endswith(".lmv"):
+        return "class_lmv"
+    if is_fits(name):
+        return "fits"
+    if name.lower().endswith((".fits", ".fit")):
+        return "fits"
+    raise ValueError(f"Cannot determine format of {filename!r}; "
+                     "pass format= explicitly")
+
+
+def read_cube(filename, format=None, hdu=0, **kwargs):
+    format = format or _detect_format(filename)
+    if format == "fits":
+        return load_fits_cube(filename, hdu=hdu, **kwargs)
+    if format == "casa_image":
+        from .casa_image import load_casa_image
+        return load_casa_image(filename, **kwargs)
+    if format in ("class_lmv", "lmv"):
+        from .class_lmv import load_lmv_cube
+        return load_lmv_cube(filename, **kwargs)
+    raise ValueError(f"Unknown format {format!r}")
+
+
+def write_cube(cube, filename, overwrite=False, format=None):
+    format = format or ("fits" if str(filename).lower().endswith(
+        (".fits", ".fit")) else "fits")
+    if format == "fits":
+        write_fits_cube(cube, filename, overwrite=overwrite)
+    elif format == "casa_image":
+        from .casa_masks import make_casa_mask
+        raise NotImplementedError(
+            "CASA image writing requires casatools, which is not available")
+    else:
+        raise ValueError(f"Unknown format {format!r}")
+
+
+def read_stokes_cube(filename, format=None, hdu=0, **kwargs):
+    out = read_cube(filename, format=format, hdu=hdu, **kwargs)
+    from ..stokes import StokesSpectralCube
+    if isinstance(out, StokesSpectralCube):
+        return out
+    return StokesSpectralCube({"I": out})
+
+
+def write_stokes_cube(stokes_cube, filename, overwrite=False, format=None):
+    write_fits_stokes(stokes_cube, filename, overwrite=overwrite)

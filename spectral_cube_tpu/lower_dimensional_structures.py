@@ -1,0 +1,313 @@
+"""Lower-dimensional objects: Projection, Slice, OneDSpectrum.
+
+Standalone re-design of the reference LDO layer
+(``/root/reference/spectral_cube/lower_dimensional_structures.py``): where
+the reference subclasses ``astropy.units.Quantity`` (an ndarray subclass),
+these subclass this framework's host-side :class:`~spectral_cube_tpu.units.
+Quantity` and carry wcs/meta/mask/beam.  Array payloads are numpy on the
+host; device math happens in the cube layer, and LDOs are the lightweight
+results handed back to the user.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import units as u
+from .units import Quantity, Unit
+from .beams import Beam, Beams
+from .utils import SliceWarning, BeamWarning
+from .wcs import WCS, convert_spectral_axis, determine_ctype_from_vconv
+
+__all__ = ["LowerDimensionalObject", "Projection", "Slice", "OneDSpectrum",
+           "VaryingResolutionOneDSpectrum"]
+
+
+class LowerDimensionalObject(Quantity):
+    """A Quantity with wcs/meta/mask/header attached."""
+
+    def __init__(self, value, unit=None, wcs=None, meta=None, mask=None,
+                 header=None, beam=None):
+        if isinstance(value, Quantity) and unit is None:
+            unit = value.unit
+            value = value.value
+        super().__init__(np.asarray(value), unit if unit is not None else "")
+        self._wcs = wcs
+        self._meta = dict(meta) if meta else {}
+        self._mask = mask
+        self._header = header
+        self._beam = beam
+
+    @property
+    def wcs(self):
+        return self._wcs
+
+    @property
+    def meta(self):
+        return self._meta
+
+    @property
+    def mask(self):
+        return self._mask
+
+    @property
+    def header(self):
+        from .io.fits_low import Header
+        h = Header(self._header) if self._header is not None else Header()
+        if self._wcs is not None:
+            h.update(self._wcs.to_header())
+        h["NAXIS"] = self.ndim
+        for i, n in enumerate(self.shape[::-1]):
+            h[f"NAXIS{i + 1}"] = int(n)
+        if self.unit is not None:
+            h["BUNIT"] = self.unit.to_string()
+        if self._beam is not None:
+            h.update(self._beam.to_header_keywords())
+        return h
+
+    @property
+    def hdu(self):
+        from .io.fits_low import HDU
+        if self.wcs is None:
+            raise ValueError("Cannot make an HDU without a WCS")
+        return HDU(data=np.asarray(self.value), header=self.header)
+
+    def write(self, filename, overwrite=False):
+        import os
+        if os.path.exists(filename) and not overwrite:
+            raise OSError(f"{filename} exists; use overwrite=True")
+        from .io.fits_low import write_fits
+        write_fits(filename, [self.hdu])
+
+    @classmethod
+    def from_hdu(cls, hdu):
+        w = WCS(header=hdu.header)
+        unit = Unit.parse(str(hdu.header.get("BUNIT", "")).strip())
+        beam = Beam.from_header(hdu.header)
+        meta = {"header": hdu.header}
+        return cls(hdu.data, unit=unit, wcs=w, meta=meta, beam=beam)
+
+    def to(self, unit, equivalencies=(), freq=None):
+        """Brightness-unit-aware conversion (reference LDO.to at
+        lower_dimensional_structures.py:157-192)."""
+        from .cube_utils import bunit_converters
+        unit = Unit.parse(unit) if isinstance(unit, str) else unit
+        factors = bunit_converters(self, unit, equivalencies=equivalencies,
+                                   freq=freq)
+        factor = factors if factors.size > 1 else float(factors[0])
+        return self._new_with(self.value * factor, unit=unit)
+
+    def _new_with(self, value, unit=None, wcs=None, mask=None, beam=None):
+        return type(self)(value,
+                          unit=unit if unit is not None else self.unit,
+                          wcs=wcs if wcs is not None else self._wcs,
+                          meta=self._meta,
+                          mask=mask if mask is not None else self._mask,
+                          header=self._header,
+                          beam=beam if beam is not None else self._beam)
+
+    def __getitem__(self, view):
+        new_val = self.value[view]
+        if np.isscalar(new_val) or new_val.ndim == 0:
+            return Quantity(new_val, self.unit)
+        new_wcs = None
+        if self._wcs is not None:
+            try:
+                if isinstance(view, tuple) and \
+                        all(isinstance(v, slice) for v in view):
+                    new_wcs = self._wcs.slice(view, shape=self.shape)
+                elif isinstance(view, slice):
+                    new_wcs = self._wcs.slice((view,), shape=self.shape)
+            except Exception:
+                new_wcs = None
+        new_mask = self._mask[view] if self._mask is not None else None
+        if new_wcs is None:
+            return Quantity(new_val, self.unit)
+        return self._new_with(new_val, wcs=new_wcs, mask=new_mask)
+
+    @property
+    def quantity(self):
+        return Quantity(self.value, self.unit)
+
+    def __repr__(self):
+        return (f"<{type(self).__name__} {self.value.shape} "
+                f"unit={self.unit}>")
+
+
+class Projection(LowerDimensionalObject):
+    """A 2-D celestial image with optional beam (reference
+    lower_dimensional_structures.py:247-577)."""
+
+    def __init__(self, value, unit=None, wcs=None, meta=None, mask=None,
+                 header=None, beam=None):
+        super().__init__(value, unit=unit, wcs=wcs, meta=meta, mask=mask,
+                         header=header, beam=beam)
+        if self.ndim != 2:
+            raise ValueError("Projection must be 2-dimensional")
+        if beam is None and meta and "beam" in self.meta:
+            self._beam = self.meta["beam"]
+
+    @property
+    def beam(self):
+        if self._beam is None:
+            raise ValueError("No beam is defined for this Projection.")
+        return self._beam
+
+    def with_beam(self, beam):
+        return self._new_with(self.value, beam=beam)
+
+    def convolve_to(self, beam, convolve=None):
+        """Convolve to a new beam; scales Jy/beam values by the beam-area
+        ratio (reference lower_dimensional_structures.py:450-494)."""
+        from .ops.convolve import convolve_image_to_beam
+        out, factor = convolve_image_to_beam(
+            np.asarray(self.value, dtype=float), self.beam, beam, self._wcs,
+            self.unit)
+        return self._new_with(out * factor, beam=beam)
+
+    def reproject(self, header, order="bilinear"):
+        from .ops.regrid import reproject_image
+        out, new_wcs = reproject_image(np.asarray(self.value, dtype=float),
+                                       self._wcs, header, order=order)
+        return Projection(out, unit=self.unit, wcs=new_wcs, meta=self._meta,
+                          beam=self._beam)
+
+    def subimage(self, xlo="min", xhi="max", ylo="min", yhi="max"):
+        """Extract a sub-image by pixel or world bounds (reference
+        Projection.subimage at lower_dimensional_structures.py:540-565)."""
+        from .cube import _world_to_pixel_range
+        ny, nx = self.shape
+        xlo, xhi = _world_to_pixel_range(self._wcs, 0, xlo, xhi, nx)
+        ylo, yhi = _world_to_pixel_range(self._wcs, 1, ylo, yhi, ny)
+        view = (slice(ylo, yhi), slice(xlo, xhi))
+        return self[view]
+
+    def quicklook(self, filename=None, **kwargs):
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        im = ax.imshow(np.asarray(self.value), origin="lower", **kwargs)
+        fig.colorbar(im, ax=ax, label=str(self.unit))
+        if filename:
+            fig.savefig(filename)
+        return ax
+
+
+class Slice(Projection):
+    """A single channel map (reference class at
+    lower_dimensional_structures.py:578)."""
+
+
+class BaseOneDSpectrum(LowerDimensionalObject):
+    """A 1-D spectrum with a spectral WCS."""
+
+    def __init__(self, value, unit=None, wcs=None, meta=None, mask=None,
+                 header=None, beam=None, spectral_unit=None):
+        super().__init__(value, unit=unit, wcs=wcs, meta=meta, mask=mask,
+                         header=header, beam=beam)
+        if self.ndim != 1:
+            raise ValueError("OneDSpectrum must be 1-dimensional")
+        self._spectral_unit = spectral_unit
+
+    @property
+    def spectral_axis(self) -> Quantity:
+        """World coordinates of each channel."""
+        vals = self._wcs.spectral_axis_values(len(self.value))
+        unit = self._wcs.spectral_unit
+        if self._spectral_unit is not None and \
+                self._spectral_unit != unit:
+            return Quantity(vals, unit).to(self._spectral_unit)
+        return Quantity(vals, unit)
+
+    def with_spectral_unit(self, unit, velocity_convention=None,
+                           rest_value=None):
+        unit = Unit.parse(unit) if isinstance(unit, str) else unit
+        out_ctype = determine_ctype_from_vconv(
+            self._wcs.ctype[self._wcs.spec], unit,
+            velocity_convention=velocity_convention)
+        new_wcs = convert_spectral_axis(self._wcs, unit, out_ctype,
+                                        rest_value=rest_value)
+        new = self._new_with(self.value, wcs=new_wcs)
+        new._spectral_unit = unit
+        return new
+
+    def spectral_interpolate(self, spectral_grid,
+                             suppress_smooth_warning=False,
+                             fill_value=None):
+        from .ops.interpolate import interp_spectrum
+        grid = spectral_grid.to_value(self.spectral_axis.unit) \
+            if isinstance(spectral_grid, Quantity) \
+            else np.asarray(spectral_grid)
+        inaxis = np.asarray(self.spectral_axis.value, dtype=float)
+        newval, new_wcs = interp_spectrum(
+            np.asarray(self.value, dtype=float), inaxis, grid, self._wcs,
+            suppress_smooth_warning=suppress_smooth_warning,
+            fill_value=fill_value)
+        out = self._new_with(newval, wcs=new_wcs)
+        out._spectral_unit = self._spectral_unit
+        return out
+
+    def spectral_smooth(self, kernel, **kwargs):
+        from .ops.smoothing import convolve1d_nan
+        karr = kernel if isinstance(kernel, np.ndarray) else kernel.array
+        out = convolve1d_nan(np.asarray(self.value, dtype=float),
+                             np.asarray(karr, dtype=float))
+        return self._new_with(np.asarray(out))
+
+    def __getitem__(self, view):
+        out = super().__getitem__(view)
+        if isinstance(out, BaseOneDSpectrum):
+            out._spectral_unit = self._spectral_unit
+        return out
+
+
+class OneDSpectrum(BaseOneDSpectrum):
+    """1-D spectrum with a single beam (reference
+    lower_dimensional_structures.py:1004-1052)."""
+
+    @property
+    def beam(self):
+        if self._beam is None:
+            raise ValueError("No beam is defined for this OneDSpectrum.")
+        return self._beam
+
+    def with_beam(self, beam):
+        return self._new_with(self.value, beam=beam)
+
+
+class VaryingResolutionOneDSpectrum(BaseOneDSpectrum):
+    """1-D spectrum with per-channel beams (reference
+    lower_dimensional_structures.py:1055-1141)."""
+
+    def __init__(self, value, unit=None, wcs=None, meta=None, mask=None,
+                 header=None, beams=None, spectral_unit=None, beam=None):
+        super().__init__(value, unit=unit, wcs=wcs, meta=meta, mask=mask,
+                         header=header, spectral_unit=spectral_unit)
+        self._beams = beams
+
+    @property
+    def beams(self) -> Beams:
+        if self._beams is None:
+            raise ValueError("No beams are defined")
+        return self._beams
+
+    @property
+    def unmasked_beams(self) -> Beams:
+        return self._beams
+
+    def _new_with(self, value, unit=None, wcs=None, mask=None, beam=None):
+        out = type(self)(value,
+                         unit=unit if unit is not None else self.unit,
+                         wcs=wcs if wcs is not None else self._wcs,
+                         meta=self._meta,
+                         mask=mask if mask is not None else self._mask,
+                         header=self._header,
+                         beams=self._beams,
+                         spectral_unit=self._spectral_unit)
+        return out
+
+    def __getitem__(self, view):
+        out = super().__getitem__(view)
+        if isinstance(out, VaryingResolutionOneDSpectrum) \
+                and self._beams is not None:
+            out._beams = self._beams[view]
+        return out

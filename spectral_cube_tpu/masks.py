@@ -31,6 +31,26 @@ __all__ = ["MaskBase", "InvertedMask", "CompositeMask", "BooleanArrayMask",
            "is_broadcastable_and_smaller", "dims_to_skip", "view_of_subset"]
 
 
+def is_data_local(mask) -> bool:
+    """True if the mask expression depends only on the data values at each
+    voxel (no stored boolean arrays, no wcs/view-dependent functions).
+
+    Data-local expressions can be evaluated *inside* a Pallas kernel on each
+    VMEM-resident block, so the predicate fuses with the reduction and the
+    mask is never materialized in HBM — the TPU answer to the reference's
+    ``_filled`` copies.
+    """
+    if mask is None:
+        return True
+    if isinstance(mask, (LazyMask, LazyComparisonMask)):
+        return True
+    if isinstance(mask, InvertedMask):
+        return is_data_local(mask._mask)
+    if isinstance(mask, CompositeMask):
+        return is_data_local(mask._mask1) and is_data_local(mask._mask2)
+    return False
+
+
 def is_broadcastable_and_smaller(shape1, shape2):
     """True if an array of ``shape1`` can broadcast to ``shape2`` without
     expanding shape2 (reference masks.py:38-49)."""

@@ -1,0 +1,190 @@
+"""Beam convolution via batched XLA FFTs.
+
+Replaces the reference's per-plane astropy ``convolve``/``convolve_fft``
+loops (``/root/reference/spectral_cube/spectral_cube.py:3334-3392`` single
+beam, ``:4126-4240`` per-channel varying beams) with one batched rfft2 over
+channel blocks.  Per-channel kernels are grouped by unique beam so their
+transfer functions are FFT'd once each (SURVEY hard-part (c)).
+
+Semantics matched: astropy convolve/convolve_fft with boundary zero-fill,
+``nan_treatment='interpolate'`` (normalized convolution: convolve the
+zero-filled data and the validity mask, divide), ``normalize_kernel=True``;
+Jy/beam data are rescaled by the beam-area ratio
+(reference :3374-3378).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..beams import Beam
+from ..units import Unit
+
+__all__ = ["convolve2d_nan_fft", "convolve_cube_to_beam",
+           "convolve_image_to_beam", "beam_unit_factor", "fft_shape"]
+
+
+def fft_shape(n):
+    """Next fast FFT size >= n (products of 2/3/5, TPU-friendly)."""
+    best = 1 << (int(n) - 1).bit_length()
+    m = 1
+    while m < n * 2:
+        for f in (1, 3, 5, 9, 15):
+            c = m * f
+            if c >= n and c < best:
+                best = c
+        m *= 2
+    return best
+
+
+def _kernel_transfer(kernel, fy, fx):
+    """rfft2 of a centered, zero-padded kernel."""
+    ky, kx = kernel.shape
+    pad = np.zeros((fy, fx), dtype=np.float64)
+    pad[:ky, :kx] = kernel
+    # center the kernel at (0,0) so convolution does not translate the image
+    pad = np.roll(pad, (-(ky // 2), -(kx // 2)), axis=(0, 1))
+    return np.fft.rfft2(pad)
+
+
+def convolve2d_nan_fft(data, kernel):
+    """NaN-interpolating normalized FFT convolution of [ny, nx] or
+    [nchan, ny, nx] data with a single 2-D kernel."""
+    data = jnp.asarray(data)
+    single = data.ndim == 2
+    if single:
+        data = data[None]
+    transfers = _kernel_transfer(np.asarray(kernel, dtype=float)
+                                 / np.asarray(kernel, dtype=float).sum(),
+                                 *_padded_shape(data.shape[1:], kernel.shape))
+    out = _convolve_planes(data, jnp.asarray(transfers[None]),
+                           np.zeros(data.shape[0], dtype=np.int32),
+                           kernel.shape)
+    return out[0] if single else out
+
+
+def _padded_shape(img_shape, kernel_shape):
+    ny, nx = img_shape
+    ky, kx = kernel_shape
+    return fft_shape(ny + ky - 1), fft_shape(nx + kx - 1)
+
+
+def _convolve_planes(data, transfers, group_idx, kernel_shape):
+    """Convolve each channel with its group's transfer function.
+
+    data: (nchan, ny, nx); transfers: (ngroup, fy, fx//2+1) complex;
+    group_idx: (nchan,) int32.
+    """
+    nchan, ny, nx = data.shape
+    fy = (transfers.shape[1])
+    fx = 2 * (transfers.shape[2] - 1)
+    comp = jnp.complex128 if data.dtype == jnp.float64 else jnp.complex64
+    real = jnp.float64 if data.dtype == jnp.float64 else jnp.float32
+
+    valid = jnp.isfinite(data)
+    filled = jnp.where(valid, data, 0).astype(real)
+    vmask = valid.astype(real)
+
+    pads = ((0, 0), (0, fy - ny), (0, fx - nx))
+    fdata = jnp.fft.rfft2(jnp.pad(filled, pads))
+    fmask = jnp.fft.rfft2(jnp.pad(vmask, pads))
+
+    t = transfers.astype(comp)[jnp.asarray(group_idx)]
+    num = jnp.fft.irfft2(fdata * t, s=(fy, fx))[:, :ny, :nx]
+    den = jnp.fft.irfft2(fmask * t, s=(fy, fx))[:, :ny, :nx]
+    eps = 1e-8
+    out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
+    # all-NaN planes stay NaN
+    any_valid = jnp.any(valid, axis=(1, 2), keepdims=True)
+    out = jnp.where(any_valid, out, jnp.nan)
+    # astropy zero-boundary convolution with interpolation divides by the
+    # in-image kernel weight; positions where the original was NaN get
+    # interpolated values, matching nan_treatment='interpolate'
+    return out.astype(data.dtype)
+
+
+def beam_unit_factor(unit: Unit, current: Beam, target: Beam) -> float:
+    """Jy/beam rescaling under a beam change (reference
+    spectral_cube.py:3374-3378): 'beam' in the denominator means the value
+    scales with the beam solid angle."""
+    from .. import units as u
+    if unit.dims == (u.Jy / u.beam).dims:
+        return float(target.sr.value / current.sr.value)
+    return 1.0
+
+
+def convolve_cube_to_beam(data, beams, target: Beam, pixscale_rad,
+                          unit: Unit = None, goodchannels=None):
+    """Convolve every channel of [nchan, ny, nx] ``data`` to ``target``.
+
+    ``beams``: a single Beam or a per-channel sequence.  Channels sharing a
+    beam share one FFT'd transfer function.  Returns (out, factors) where
+    ``factors`` is the per-channel Jy/beam rescale (ones if N/A).
+    """
+    nchan, ny, nx = data.shape
+    if isinstance(beams, Beam):
+        beam_list = [beams] * nchan
+    else:
+        beam_list = list(beams)
+    # group channels by (numerically) unique beam
+    groups = []
+    group_idx = np.zeros(nchan, dtype=np.int32)
+    for i, b in enumerate(beam_list):
+        for gi, gb in enumerate(groups):
+            if b == gb:
+                group_idx[i] = gi
+                break
+        else:
+            groups.append(b)
+            group_idx[i] = len(groups) - 1
+
+    fy, fx = None, None
+    kernels = []
+    max_k = (1, 1)
+    for b in groups:
+        conv_beam = target.deconvolve(b)
+        if conv_beam.major_rad <= 0:
+            kernels.append(None)  # identity
+            continue
+        k = conv_beam.as_kernel(pixscale_rad)
+        kernels.append(k)
+        max_k = (max(max_k[0], k.shape[0]), max(max_k[1], k.shape[1]))
+    fy, fx = _padded_shape((ny, nx), max_k)
+    transfers = np.zeros((len(groups), fy, fx // 2 + 1), dtype=np.complex128)
+    for gi, k in enumerate(kernels):
+        if k is None:
+            transfers[gi] = 1.0  # delta function: identity convolution
+        else:
+            transfers[gi] = _kernel_transfer(k, fy, fx)
+
+    out = _convolve_planes(jnp.asarray(data), jnp.asarray(transfers),
+                           group_idx, max_k)
+
+    factors = np.ones(nchan)
+    if unit is not None:
+        for i, b in enumerate(beam_list):
+            factors[i] = beam_unit_factor(unit, b, target)
+    if goodchannels is not None:
+        bad = ~np.asarray(goodchannels)
+        if bad.any():
+            out = out.at[jnp.asarray(np.where(bad)[0])].set(jnp.nan)
+    return out, factors
+
+
+def convolve_image_to_beam(img, current: Beam, target: Beam, wcs,
+                           unit: Unit = None):
+    """2-D Projection convolution (reference
+    lower_dimensional_structures.py:450-494)."""
+    pixscale = float(np.mean(np.abs(wcs.celestial.proj_plane_pixel_scales()))
+                     ) * np.pi / 180.0
+    conv_beam = target.deconvolve(current)
+    if conv_beam.major_rad <= 0:
+        out = jnp.asarray(img)
+    else:
+        kernel = conv_beam.as_kernel(pixscale)
+        out = convolve2d_nan_fft(img, kernel)
+    factor = beam_unit_factor(unit, current, target) if unit is not None \
+        else 1.0
+    return np.asarray(out), factor

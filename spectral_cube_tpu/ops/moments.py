@@ -1,0 +1,212 @@
+"""Fused masked moment kernels (moment 0/1/2 + linewidths in one pass).
+
+Reference math: ``/root/reference/spectral_cube/_moments.py:170-193``
+(cubewise), with ``allbadtonan`` NaN semantics (``np_compat.py:3-27``) and
+the moment-1 world offset applied by the caller
+(``spectral_cube.py:1709-1710``).  The reference needs up to three passes
+over the cube (mom0, mom1, then mom2 against mom1); here a single pass
+accumulates the sufficient statistics
+
+    S0 = sum w,  S1 = sum w*xc,  S2 = sum w*xc^2,  n = sum valid
+
+with ``xc = x - mean(x)`` (centering makes the one-pass variance form
+numerically safe in float32), from which::
+
+    mom0 = S0 * dx                     (NaN where n == 0)
+    mom1 = xbar + S1/S0                (+ world offset by the caller)
+    mom2 = S2/S0 - (S1/S0)^2
+
+Two implementations: a pure-jnp expression (any backend; XLA multi-output
+fusion reads the cube once) and a Pallas TPU kernel that additionally fuses
+*data-local* mask predicates into the VMEM-resident block loop, so the mask
+is never materialized in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..masks import is_data_local
+
+__all__ = ["moments_012", "moments_012_pallas", "moment_generic",
+           "SIGMA2FWHM"]
+
+SIGMA2FWHM = 2.0 * math.sqrt(2.0 * math.log(2.0))
+
+
+def _center(coords):
+    coords = np.asarray(coords, dtype=np.float64)
+    xbar = float(coords.mean()) if coords.size else 0.0
+    return coords - xbar, xbar
+
+
+def _finalize(s0, s1, s2, cnt, xbar, dx, dtype):
+    """Turn accumulated sufficient statistics into moment maps."""
+    valid = cnt > 0
+    nan = jnp.asarray(jnp.nan, dtype=dtype)
+    mom0 = jnp.where(valid, s0 * dx, nan)
+    r1 = s1 / s0
+    mom1 = jnp.where(valid, r1 + xbar, nan)
+    mom2 = jnp.where(valid, s2 / s0 - r1 * r1, nan)
+    return mom0, mom1, mom2
+
+
+def moments_012(data, coords, dx, include=None, precision="float32"):
+    """Masked moments 0/1/2 along axis 0 in one fused jnp pass.
+
+    Parameters
+    ----------
+    data : (nchan, ny, nx) array
+    coords : (nchan,) spectral coordinate of each channel, relative to
+        channel 0, in the cube's spectral unit (reference ``_pix_cen``).
+    dx : scalar channel width (reference ``_pix_size_slice(0)``).
+    include : optional boolean include mask broadcastable to data.
+    """
+    acc = jnp.float64 if precision == "float64" else jnp.float32
+    coords_c, xbar = _center(coords)
+    xc = jnp.asarray(coords_c, dtype=acc)[:, None, None]
+    valid = jnp.isfinite(data)
+    if include is not None:
+        valid = jnp.logical_and(valid, include)
+    w = jnp.where(valid, data, 0).astype(acc)
+    s0 = jnp.sum(w, axis=0)
+    s1 = jnp.sum(w * xc, axis=0)
+    s2 = jnp.sum(w * (xc * xc), axis=0)
+    cnt = jnp.sum(valid, axis=0)
+    out_dtype = data.dtype if jnp.issubdtype(data.dtype, jnp.floating) \
+        else acc
+    m0, m1, m2 = _finalize(s0, s1, s2, cnt, xbar, dx, acc)
+    return m0.astype(out_dtype), m1.astype(out_dtype), m2.astype(out_dtype)
+
+
+def _pick_tiles(nchan, ny, nx, itemsize=4, n_block_inputs=1,
+                vmem_budget=6 * 2**20):
+    """Choose spatial tile sizes so the (nchan, ty, tx) input blocks fit
+    VMEM.  The budget covers all cube-shaped inputs *with double buffering*
+    (Pallas prefetches the next block while computing), staying under the
+    ~16 MB/core VMEM limit with headroom for outputs and temporaries."""
+    tx = 128 if nx >= 128 else max(_round_up(nx, 128), 128)
+    ty = 8
+    per_row = nchan * tx * itemsize * n_block_inputs * 2  # 2x: double buffer
+    while ty < 256 and per_row * (ty * 2) <= vmem_budget \
+            and ty * 2 <= _round_up(ny, 8):
+        ty *= 2
+    return ty, tx
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
+                       interpret=False):
+    """Pallas TPU kernel: one HBM pass, mask fused in VMEM.
+
+    ``mask_expr``: a data-local mask expression (see
+    ``masks.is_data_local``) evaluated on each block inside the kernel.
+    ``include``: explicit boolean array for non-data-local masks.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nchan, ny, nx = data.shape
+    coords_c, xbar = _center(coords)
+    n_block_inputs = 2 if include is not None else 1
+    ty, tx = _pick_tiles(nchan, ny, nx, data.dtype.itemsize,
+                         n_block_inputs=n_block_inputs)
+    gy, gx = pl.cdiv(ny, ty), pl.cdiv(nx, tx)
+
+    xc_col = jnp.asarray(coords_c, dtype=jnp.float32).reshape(nchan, 1)
+
+    use_mask_input = include is not None
+    if mask_expr is not None and not is_data_local(mask_expr):
+        raise ValueError("mask_expr must be data-local for in-kernel fusion")
+
+    def kernel(*refs):
+        if use_mask_input:
+            data_ref, xc_ref, inc_ref, s0_ref, s1_ref, s2_ref, cnt_ref = refs
+        else:
+            data_ref, xc_ref, s0_ref, s1_ref, s2_ref, cnt_ref = refs
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        block = data_ref[:]                      # (nchan, ty, tx)
+        valid = jnp.isfinite(block)
+        if mask_expr is not None:
+            valid = jnp.logical_and(valid, mask_expr._include(data=block))
+        if use_mask_input:
+            valid = jnp.logical_and(valid, inc_ref[:] != 0)
+        # guard spatial padding at the ragged edges
+        row = jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 1)
+        inb = jnp.logical_and(i * ty + row < ny, j * tx + col < nx)
+        valid = jnp.logical_and(valid, inb[None, :, :])
+        w = jnp.where(valid, block, 0).astype(jnp.float32)
+        xc = xc_ref[:].reshape(nchan, 1, 1)
+        s0_ref[:] = jnp.sum(w, axis=0)
+        s1_ref[:] = jnp.sum(w * xc, axis=0)
+        s2_ref[:] = jnp.sum(w * (xc * xc), axis=0)
+        cnt_ref[:] = jnp.sum(valid, axis=0).astype(jnp.int32)
+
+    in_specs = [
+        pl.BlockSpec((nchan, ty, tx), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nchan, 1), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [data, xc_col]
+    if use_mask_input:
+        in_specs.append(pl.BlockSpec((nchan, ty, tx), lambda i, j: (0, i, j),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(include.astype(jnp.uint8))
+
+    out_spec = pl.BlockSpec((ty, tx), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    oy, ox = gy * ty, gx * tx
+    s0, s1, s2, cnt = pl.pallas_call(
+        kernel,
+        grid=(gy, gx),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((oy, ox), jnp.float32),
+            jax.ShapeDtypeStruct((oy, ox), jnp.float32),
+            jax.ShapeDtypeStruct((oy, ox), jnp.float32),
+            jax.ShapeDtypeStruct((oy, ox), jnp.int32),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    s0, s1, s2, cnt = (a[:ny, :nx] for a in (s0, s1, s2, cnt))
+    out_dtype = data.dtype
+    m0, m1, m2 = _finalize(s0, s1, s2, cnt, xbar, dx, jnp.float32)
+    return m0.astype(out_dtype), m1.astype(out_dtype), m2.astype(out_dtype)
+
+
+def moment_generic(data, coords, dx, order, axis=0, include=None):
+    """General moment of arbitrary order along ``axis`` (reference
+    ``_moments.py:170-193``): order 0 is the integral, order 1 the centroid,
+    order N>=2 the central moment about the order-1 centroid."""
+    coords = jnp.asarray(coords, dtype=jnp.result_type(data.dtype,
+                                                       jnp.float32))
+    shape = [1] * data.ndim
+    shape[axis] = -1
+    x = coords.reshape(shape)
+    valid = jnp.isfinite(data)
+    if include is not None:
+        valid = jnp.logical_and(valid, include)
+    w = jnp.where(valid, data, 0) * dx
+    cnt = jnp.sum(valid, axis=axis)
+    s0 = jnp.sum(w, axis=axis)
+    if order == 0:
+        return jnp.where(cnt > 0, s0, jnp.nan)
+    s1 = jnp.sum(w * x, axis=axis)
+    mom1 = s1 / s0
+    if order == 1:
+        return jnp.where(cnt > 0, mom1, jnp.nan)
+    m1b = jnp.expand_dims(mom1, axis)
+    sN = jnp.sum(w * (x - m1b) ** order, axis=axis)
+    return jnp.where(cnt > 0, sN / s0, jnp.nan)

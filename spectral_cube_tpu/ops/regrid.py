@@ -1,0 +1,127 @@
+"""Gather-based reprojection onto new spatial/spectral WCS, plus mosaics.
+
+The reference delegates to the external ``reproject`` package with the full
+cube in host memory (``/root/reference/spectral_cube/spectral_cube.py:
+2649-2746``) and builds mosaics by scatter-adding reprojected cubes with
+weight maps (``cube_utils.py:791-856``).  Here the target->source pixel
+mapping is computed host-side in float64 through the standalone WCS stack,
+then the resample runs on device as a ``map_coordinates`` gather — bilinear
+by default, matching ``reproject_interp(order='bilinear')``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax.scipy.ndimage import map_coordinates
+
+from ..wcs import WCS
+
+__all__ = ["spatial_pixel_mapping", "reproject_image", "reproject_cube",
+           "mosaic_add"]
+
+_ORDERS = {"nearest-neighbor": 0, "nearest": 0, "bilinear": 1}
+
+
+def spatial_pixel_mapping(wcs_in: WCS, wcs_out: WCS, shape_out):
+    """(y_src, x_src) float64 arrays: for each output pixel, the fractional
+    input pixel it samples."""
+    ny, nx = shape_out
+    yy, xx = np.mgrid[0:ny, 0:nx].astype(np.float64)
+    cel_out = wcs_out.celestial
+    cel_in = wcs_in.celestial
+    lon, lat = cel_out.pix2world(xx.ravel(), yy.ravel())
+    xs, ys = cel_in.world2pix(np.asarray(lon), np.asarray(lat))
+    return (np.asarray(ys).reshape(ny, nx),
+            np.asarray(xs).reshape(ny, nx))
+
+
+def _resample_planes(data, ys, xs, order):
+    """Gather [*, ny_in, nx_in] planes at fractional (ys, xs), cval NaN."""
+    data = jnp.asarray(data)
+    single = data.ndim == 2
+    if single:
+        data = data[None]
+    nchan = data.shape[0]
+    ny, nx = ys.shape
+    cz = jnp.broadcast_to(jnp.arange(nchan)[:, None, None],
+                          (nchan, ny, nx)).astype(jnp.float32)
+    cy = jnp.broadcast_to(jnp.asarray(ys, dtype=jnp.float32)[None],
+                          (nchan, ny, nx))
+    cx = jnp.broadcast_to(jnp.asarray(xs, dtype=jnp.float32)[None],
+                          (nchan, ny, nx))
+    out = map_coordinates(data, [cz, cy, cx], order=order, mode="constant",
+                          cval=jnp.nan)
+    return out[0] if single else out
+
+
+def reproject_image(data, wcs_in: WCS, target_header, order="bilinear"):
+    """Reproject a 2-D image onto the celestial WCS of ``target_header``."""
+    wcs_out = WCS(header=target_header)
+    ny = int(target_header["NAXIS2"])
+    nx = int(target_header["NAXIS1"])
+    ys, xs = spatial_pixel_mapping(wcs_in, wcs_out, (ny, nx))
+    out = _resample_planes(data, ys, xs, _ORDERS[order])
+    return np.asarray(out), wcs_out.celestial if wcs_out.naxis > 2 \
+        else wcs_out
+
+
+def reproject_cube(data, wcs_in: WCS, target_header, order="bilinear",
+                   spectral_values_in=None):
+    """Reproject a [spec, y, x] cube onto a full 3-D target WCS.
+
+    Separable evaluation (the reference requires separable spectral/
+    celestial WCS throughout): the channel mapping depends only on z and the
+    spatial mapping only on (y, x); both are host-computed then fused into a
+    single 3-D gather on device.
+    """
+    wcs_out = WCS(header=target_header)
+    nz = int(target_header.get("NAXIS3", data.shape[0]))
+    ny = int(target_header["NAXIS2"])
+    nx = int(target_header["NAXIS1"])
+    ys, xs = spatial_pixel_mapping(wcs_in, wcs_out, (ny, nx))
+
+    # spectral mapping: world value of each output channel -> input pixel
+    sv_out = wcs_out.spectral_axis_values(nz)
+    out_unit = wcs_out.spectral_unit
+    in_unit = wcs_in.spectral_unit
+    sv_out_in_units = out_unit.to(in_unit, np.asarray(sv_out))
+    if spectral_values_in is not None:
+        # invert via the actual input axis (handles nonlinear sampling)
+        inax = np.asarray(spectral_values_in, dtype=np.float64)
+        order_in = np.argsort(inax)
+        zs = np.interp(sv_out_in_units, inax[order_in],
+                       np.arange(len(inax), dtype=np.float64)[order_in],
+                       left=np.nan, right=np.nan)
+    else:
+        pixv = [np.full(nz, wcs_in.crpix[j] - 1.0)
+                for j in range(wcs_in.naxis)]
+        zs = np.asarray(wcs_in._spectral_world2inter(sv_out_in_units)
+                        / wcs_in.cdelt[wcs_in.spec]
+                        + wcs_in.crpix[wcs_in.spec] - 1.0)
+
+    data = jnp.asarray(data)
+    cz = jnp.broadcast_to(
+        jnp.asarray(zs, dtype=jnp.float32)[:, None, None], (nz, ny, nx))
+    cy = jnp.broadcast_to(jnp.asarray(ys, dtype=jnp.float32)[None],
+                          (nz, ny, nx))
+    cx = jnp.broadcast_to(jnp.asarray(xs, dtype=jnp.float32)[None],
+                          (nz, ny, nx))
+    out = map_coordinates(data, [cz, cy, cx], order=_ORDERS[order],
+                          mode="constant", cval=jnp.nan)
+    footprint = jnp.isfinite(out)
+    return out, np.asarray(footprint), wcs_out
+
+
+def mosaic_add(accum, weights, cube_data, wcs_in, target_header,
+               order="bilinear", spectral_values_in=None):
+    """Scatter-add one reprojected cube into a mosaic accumulator
+    (reference mosaic_cubes, cube_utils.py:791-856): accum += data*w,
+    weights += w, with w the reprojection footprint."""
+    out, foot, _ = reproject_cube(cube_data, wcs_in, target_header,
+                                  order=order,
+                                  spectral_values_in=spectral_values_in)
+    w = foot.astype(accum.dtype)
+    accum = accum + jnp.where(foot, out, 0) * 1.0
+    weights = weights + w
+    return accum, weights

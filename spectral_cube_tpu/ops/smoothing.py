@@ -1,0 +1,178 @@
+"""Spectral/spatial smoothing, filtering, and sigma clipping.
+
+Replaces the reference's per-spectrum/per-plane joblib fan-out
+(``/root/reference/spectral_cube/spectral_cube.py:2749-3222``) with
+vectorized jit kernels: 1-D spectral convolutions run as a single
+``lax.conv_general_dilated`` over all spaxels at once, spatial filters as
+batched 2-D convs over channels, and median filters as sliding-window
+``jnp.median`` stacks.  NaN handling matches astropy ``convolve``
+(``nan_treatment='interpolate'``, ``boundary='fill'(0)``,
+``normalize_kernel=True``), which is what the reference's smoothing calls
+use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["convolve1d_nan", "spectral_smooth_cube", "spatial_smooth_cube",
+           "spectral_median_filter_cube", "spatial_median_filter_cube",
+           "sigma_clip_spectrally", "gaussian_kernel1d"]
+
+
+def gaussian_kernel1d(stddev, size=None):
+    """Host-side 1-D Gaussian kernel matching astropy Gaussian1DKernel:
+    sampled at integer offsets, support 8*stddev (odd), normalized."""
+    if size is None:
+        size = int(8 * float(stddev) + 1) | 1
+    x = np.arange(size, dtype=float) - (size - 1) / 2.0
+    k = np.exp(-0.5 * (x / float(stddev)) ** 2)
+    return k / k.sum()
+
+
+def _conv1d_along_axis0(data, kernel):
+    """Correlate data (n, ...) with kernel (k,) along axis 0, zero padding.
+
+    Runs as one grouped conv: reshape to (batch=1, chan=1, n, space) and use
+    conv_general_dilated so XLA maps it onto the hardware efficiently.
+    """
+    n = data.shape[0]
+    spatial = int(np.prod(data.shape[1:])) if data.ndim > 1 else 1
+    x = data.reshape(1, 1, n, spatial)
+    k = jnp.asarray(kernel, dtype=data.dtype)[::-1].reshape(1, 1, -1, 1)
+    pad = (len(kernel) - 1) // 2
+    pad_hi = len(kernel) - 1 - pad
+    out = lax.conv_general_dilated(
+        x, k, window_strides=(1, 1),
+        padding=((pad_hi, pad), (0, 0)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return out.reshape(data.shape)
+
+
+def convolve1d_nan(data, kernel, axis=0):
+    """astropy-convolve semantics along ``axis``: NaNs are interpolated over
+    (normalized convolution), zero-fill boundary, kernel normalized."""
+    data = jnp.asarray(data)
+    kernel = np.asarray(kernel, dtype=float)
+    kernel = kernel / kernel.sum()
+    if axis != 0:
+        data = jnp.moveaxis(data, axis, 0)
+    valid = jnp.isfinite(data)
+    filled = jnp.where(valid, data, 0).astype(jnp.float32
+                                              if data.dtype != jnp.float64
+                                              else jnp.float64)
+    num = _conv1d_along_axis0(filled, kernel)
+    den = _conv1d_along_axis0(valid.astype(filled.dtype), kernel)
+    out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.nan)
+    out = jnp.where(jnp.any(valid, axis=0, keepdims=True), out, jnp.nan)
+    # astropy keeps original NaNs NaN only when interpolation impossible;
+    # with nan_treatment='interpolate' NaN positions get interpolated values
+    if axis != 0:
+        out = jnp.moveaxis(out, 0, axis)
+    return out.astype(data.dtype)
+
+
+def spectral_smooth_cube(data, kernel):
+    """Convolve along the spectral axis (axis 0) of a [spec, y, x] cube."""
+    return convolve1d_nan(data, kernel, axis=0)
+
+
+def spatial_smooth_cube(data, kernel2d):
+    """Convolve each channel map with a 2-D kernel (zero boundary,
+    NaN-interpolating, normalized) — batched over channels."""
+    data = jnp.asarray(data)
+    k = np.asarray(kernel2d, dtype=float)
+    k = k / k.sum()
+    nchan = data.shape[0]
+    valid = jnp.isfinite(data)
+    comp = jnp.float64 if data.dtype == jnp.float64 else jnp.float32
+    filled = jnp.where(valid, data, 0).astype(comp)
+
+    kj = jnp.asarray(k[::-1, ::-1], dtype=comp)[None, None]
+    py, px = (k.shape[0] - 1) // 2, (k.shape[1] - 1) // 2
+    py_hi, px_hi = k.shape[0] - 1 - py, k.shape[1] - 1 - px
+
+    def conv(x):
+        return lax.conv_general_dilated(
+            x[:, None], kj, window_strides=(1, 1),
+            padding=((py_hi, py), (px_hi, px)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+
+    num = conv(filled)
+    den = conv(valid.astype(comp))
+    out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.nan)
+    out = jnp.where(jnp.any(valid, axis=(1, 2), keepdims=True), out, jnp.nan)
+    return out.astype(data.dtype)
+
+
+def _sliding_stack(data, size, axis):
+    """Stack ``size`` shifted copies along a new leading axis, reflect-padded
+    (scipy.ndimage default boundary mode)."""
+    half = size // 2
+    pads = [(0, 0)] * data.ndim
+    pads[axis] = (half, size - 1 - half)
+    padded = jnp.pad(data, pads, mode="reflect")
+    slices = []
+    n = data.shape[axis]
+    for o in range(size):
+        idx = [slice(None)] * data.ndim
+        idx[axis] = slice(o, o + n)
+        slices.append(padded[tuple(idx)])
+    return jnp.stack(slices, axis=0)
+
+
+def spectral_median_filter_cube(data, size):
+    """scipy.ndimage.median_filter semantics along the spectral axis
+    (NaNs propagate, reflect boundary) — the reference's
+    ``spectral_smooth_median`` (spectral_cube.py:3186)."""
+    stack = _sliding_stack(jnp.asarray(data), int(size), axis=0)
+    return jnp.median(stack, axis=0)
+
+
+def spatial_median_filter_cube(data, size):
+    """Per-channel 2-D median filter, ``size`` an int or (ky, kx)."""
+    if np.isscalar(size):
+        ky = kx = int(size)
+    else:
+        ky, kx = (int(s) for s in size)
+    stack = _sliding_stack(jnp.asarray(data), ky, axis=1)
+    stack = _sliding_stack(stack, kx, axis=3)
+    flat = stack.reshape((ky * kx,) + data.shape)
+    return jnp.median(flat, axis=0)
+
+
+def sigma_clip_spectrally(data, sigma=3.0, maxiters=5, cenfunc="median"):
+    """Iterative per-spaxel sigma clipping along the spectral axis,
+    astropy.stats.sigma_clip semantics (clipped values -> NaN); the
+    reference workload at docs/dask.rst:188-212 and spectral_cube.py:3161.
+
+    A fixed-trip-count fori_loop replaces astropy's data-dependent while
+    loop so the whole thing stays inside one jit."""
+    data = jnp.asarray(data)
+    comp = jnp.float64 if data.dtype == jnp.float64 else jnp.float32
+    x = data.astype(comp)
+
+    def center_std(v):
+        valid = jnp.isfinite(v)
+        cnt = jnp.sum(valid, axis=0).astype(comp)
+        safe = jnp.maximum(cnt, 1)
+        if cenfunc == "median":
+            cen = jnp.nanmedian(v, axis=0)
+        else:
+            cen = jnp.where(cnt > 0,
+                            jnp.sum(jnp.where(valid, v, 0), axis=0) / safe,
+                            jnp.nan)
+        dev = jnp.where(valid, (v - cen[None]) ** 2, 0)
+        std = jnp.sqrt(jnp.sum(dev, axis=0) / safe)
+        return cen, std
+
+    def body(_, v):
+        cen, std = center_std(v)
+        keep = jnp.abs(v - cen[None]) <= sigma * std[None]
+        return jnp.where(keep, v, jnp.nan)
+
+    out = lax.fori_loop(0, int(maxiters), body, x)
+    return out.astype(data.dtype)

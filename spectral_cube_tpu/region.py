@@ -1,0 +1,234 @@
+"""Region-based subcube extraction (ds9 / CRTF region strings).
+
+The reference delegates to the external ``regions`` package
+(``/root/reference/spectral_cube/spectral_cube.py:2038-2235``); that package
+is not available here, so this module implements a native parser for the
+common region shapes the reference tests exercise (circle, ellipse, box /
+rotbox, polygon) in ``image`` or ``fk5``/``icrs``/``galactic`` frames, and
+rasterizes them host-side into boolean masks.
+"""
+
+from __future__ import annotations
+
+import re
+import warnings
+
+import numpy as np
+
+from .masks import BooleanArrayMask
+from .units import Quantity
+
+__all__ = ["parse_ds9_region", "parse_crtf_region", "region_to_mask",
+           "subcube_from_ds9region", "subcube_from_crtfregion",
+           "subcube_from_regions"]
+
+
+class Region:
+    def __init__(self, shape, frame, params):
+        self.shape = shape      # 'circle' | 'ellipse' | 'box' | 'polygon'
+        self.frame = frame      # 'image' | 'fk5' | 'icrs' | 'galactic'
+        self.params = params    # floats: pixels (image) or degrees (sky)
+
+
+_ANGLE_RE = re.compile(r'([+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s*'
+                       r'("|\'|d|deg|arcsec|arcmin|r|rad|p|pix)?')
+
+
+def _angle_to_deg(token):
+    token = token.strip()
+    m = _ANGLE_RE.fullmatch(token)
+    if m:
+        val = float(m.group(1))
+        unit = m.group(2)
+        if unit in (None, "d", "deg"):
+            return val, "deg"
+        if unit == '"' or unit == "arcsec":
+            return val / 3600.0, "deg"
+        if unit == "'" or unit == "arcmin":
+            return val / 60.0, "deg"
+        if unit in ("r", "rad"):
+            return np.degrees(val), "deg"
+        if unit in ("p", "pix"):
+            return val, "pix"
+    if ":" in token:  # sexagesimal
+        parts = [float(p) for p in token.split(":")]
+        sign = -1.0 if token.strip().startswith("-") else 1.0
+        val = abs(parts[0]) + parts[1] / 60.0 + (parts[2] if len(parts) > 2
+                                                 else 0.0) / 3600.0
+        return sign * val, "deg"
+    return float(token), "deg"
+
+
+def parse_ds9_region(region_string):
+    """Parse a ds9 region file/string into Region objects."""
+    regions = []
+    frame = "image"
+    for line in str(region_string).splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        low = line.lower()
+        if low in ("image", "fk5", "icrs", "galactic", "physical"):
+            frame = "image" if low == "physical" else low
+            continue
+        if low.startswith("global"):
+            continue
+        m = re.match(r"([a-z]+)\s*\(([^)]*)\)", low)
+        if not m:
+            continue
+        shape = m.group(1)
+        raw = [p.strip() for p in m.group(2).split(",")]
+        vals = [_angle_to_deg(p)[0] for p in raw]
+        if frame == "image":
+            # ds9 image coords are 1-based pixel centers
+            if shape == "circle":
+                vals = [vals[0] - 1, vals[1] - 1, vals[2]]
+            elif shape in ("box", "ellipse"):
+                vals = [vals[0] - 1, vals[1] - 1] + vals[2:]
+            elif shape == "polygon":
+                vals = [v - 1 for v in vals]
+        regions.append(Region(shape, frame, vals))
+    return regions
+
+
+def parse_crtf_region(region_string):
+    """Parse a (simple) CASA CRTF region string."""
+    regions = []
+    for line in str(region_string).splitlines():
+        line = line.strip()
+        if not line or line.startswith("#CRTF") or line.startswith("#"):
+            continue
+        m = re.match(r"(circle|ellipse|box|rotbox|centerbox|poly)\s*"
+                     r"\[\s*\[([^\]]*)\]\s*,?\s*(.*)", line, re.IGNORECASE)
+        if not m:
+            continue
+        shape = m.group(1).lower()
+        center = [p.strip() for p in m.group(2).split(",")]
+        rest = m.group(3)
+        frame = "fk5"
+        if "coord=" in rest.lower():
+            fm = re.search(r"coord=(\w+)", rest, re.IGNORECASE)
+            if fm:
+                frame = fm.group(1).lower()
+                frame = {"j2000": "fk5", "icrs": "icrs",
+                         "galactic": "galactic"}.get(frame, "fk5")
+        cx, cxu = _angle_to_deg(center[0])
+        cy, cyu = _angle_to_deg(center[1])
+        if cxu == "pix":
+            frame = "image"
+        sizes = re.findall(r"\[([^\]]*)\]", rest)
+        params = [cx, cy]
+        if sizes:
+            for s in sizes[0].split(","):
+                params.append(_angle_to_deg(s)[0])
+        else:
+            first = rest.split(",")[0].strip().rstrip("]")
+            if first:
+                params.append(_angle_to_deg(first)[0])
+        name = {"rotbox": "box", "centerbox": "box", "poly": "polygon"}.get(
+            shape, shape)
+        regions.append(Region(name, frame, params))
+    return regions
+
+
+def region_to_mask(region: Region, wcs, shape):
+    """Rasterize one region into a (ny, nx) boolean array."""
+    nchan, ny, nx = shape
+    yy, xx = np.mgrid[0:ny, 0:nx].astype(float)
+    cel = wcs.celestial
+    if region.frame == "image":
+        px, py = xx, yy
+        cx, cy = region.params[0], region.params[1]
+        rest = region.params[2:]
+        scale = 1.0  # sizes in pixels
+    else:
+        # sky frame: convert region center/size into pixels via the WCS
+        cxw, cyw = region.params[0], region.params[1]
+        if region.frame == "galactic" and not \
+                wcs.ctype[0].upper().startswith("GLON"):
+            raise ValueError("galactic regions on equatorial WCS are not "
+                             "supported without frame transforms")
+        cxp, cyp = cel.world2pix(np.array([cxw]), np.array([cyw]))
+        cx, cy = float(np.asarray(cxp)[0]), float(np.asarray(cyp)[0])
+        px, py = xx, yy
+        pixscale = float(np.mean(np.abs(cel.proj_plane_pixel_scales())))
+        rest = [r / pixscale for r in region.params[2:]]
+        scale = 1.0
+    if region.shape == "circle":
+        r = rest[0] * scale
+        mask2d = (px - cx) ** 2 + (py - cy) ** 2 <= r ** 2
+    elif region.shape == "ellipse":
+        a, b = rest[0] * scale, rest[1] * scale
+        theta = np.deg2rad(rest[2] if len(rest) > 2 else 0.0)
+        dx, dy = px - cx, py - cy
+        xr = dx * np.cos(theta) + dy * np.sin(theta)
+        yr = -dx * np.sin(theta) + dy * np.cos(theta)
+        mask2d = (xr / a) ** 2 + (yr / b) ** 2 <= 1.0
+    elif region.shape == "box":
+        w, h = rest[0] * scale, rest[1] * scale
+        theta = np.deg2rad(rest[2] if len(rest) > 2 else 0.0)
+        dx, dy = px - cx, py - cy
+        xr = dx * np.cos(theta) + dy * np.sin(theta)
+        yr = -dx * np.sin(theta) + dy * np.cos(theta)
+        mask2d = (np.abs(xr) <= w / 2) & (np.abs(yr) <= h / 2)
+    elif region.shape == "polygon":
+        if region.frame == "image":
+            vx = np.array(region.params[0::2])
+            vy = np.array(region.params[1::2])
+        else:
+            vxw = np.array(region.params[0::2])
+            vyw = np.array(region.params[1::2])
+            vxp, vyp = cel.world2pix(vxw, vyw)
+            vx, vy = np.asarray(vxp), np.asarray(vyp)
+        mask2d = _point_in_poly(px, py, vx, vy)
+    else:
+        raise ValueError(f"unsupported region shape {region.shape!r}")
+    return mask2d
+
+
+def _point_in_poly(px, py, vx, vy):
+    inside = np.zeros(px.shape, dtype=bool)
+    n = len(vx)
+    j = n - 1
+    for i in range(n):
+        cond = ((vy[i] > py) != (vy[j] > py)) & (
+            px < (vx[j] - vx[i]) * (py - vy[i]) /
+            (vy[j] - vy[i] + 1e-300) + vx[i])
+        inside ^= cond
+        j = i
+    return inside
+
+
+def _extract(cube, regions, allow_empty=False, minimize=True):
+    mask2d = np.zeros(cube.shape[1:], dtype=bool)
+    for reg in regions:
+        mask2d |= region_to_mask(reg, cube.wcs, cube.shape)
+    if not mask2d.any() and not allow_empty:
+        raise ValueError("The derived subset is empty: the region does not "
+                         "overlap with the cube")
+    mask = BooleanArrayMask(mask2d[None, :, :], wcs=cube.wcs,
+                            shape=cube.shape)
+    out = cube.with_mask(mask)
+    if minimize:
+        out = out.minimal_subcube(spatial_only=True)
+    return out
+
+
+def subcube_from_ds9region(cube, ds9_region, allow_empty=False):
+    import os
+    text = open(ds9_region).read() if os.path.exists(str(ds9_region)) \
+        else ds9_region
+    return _extract(cube, parse_ds9_region(text), allow_empty=allow_empty)
+
+
+def subcube_from_crtfregion(cube, crtf_region, allow_empty=False):
+    import os
+    text = open(crtf_region).read() if os.path.exists(str(crtf_region)) \
+        else crtf_region
+    return _extract(cube, parse_crtf_region(text), allow_empty=allow_empty)
+
+
+def subcube_from_regions(cube, region_list, allow_empty=False,
+                         minimize=True):
+    return _extract(cube, list(region_list), allow_empty=allow_empty,
+                    minimize=minimize)

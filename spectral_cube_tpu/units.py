@@ -401,7 +401,11 @@ class Quantity:
             self.value = value
             self.unit = unit0
             return
-        self.value = np.asarray(value) if not np.isscalar(value) else value
+        if np.isscalar(value) or hasattr(value, "dtype"):
+            # keep device (jax) arrays as-is; only coerce plain sequences
+            self.value = value
+        else:
+            self.value = np.asarray(value)
         self.unit = Unit.parse(unit)
 
     # conversion --------------------------------------------------------------

@@ -1,0 +1,283 @@
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import spectral_cube_tpu.units as u
+from spectral_cube_tpu import (SpectralCube, Quantity, Slice, OneDSpectrum,
+                               BooleanArrayMask)
+from spectral_cube_tpu.units import UnitConversionError
+
+from conftest import make_cube_file
+
+
+def test_read_basics(cube_adv):
+    cube, data = cube_adv
+    assert cube.shape == (4, 3, 2)
+    assert cube.unit == u.Jy / u.beam
+    assert cube.beam is not None
+    assert cube.wcs.spec == 2
+    sv = np.asarray(cube.spectral_axis.value)
+    assert sv[0] == pytest.approx(-321.2)
+    assert np.allclose(np.diff(sv), 1.28)
+
+
+def test_statistics_exact(tmp_path):
+    """Analog of the reference's exact-value anchor
+    (tests/test_dask.py:97-107): statistics on a known cube."""
+    path, data = make_cube_file(tmp_path, with_nan=False)
+    cube = SpectralCube.read(path)
+    st = cube.statistics()
+    flat = data.ravel()
+    assert st["npts"] == flat.size
+    assert float(st["mean"].value) == pytest.approx(flat.mean(), rel=1e-6)
+    assert float(st["sum"].value) == pytest.approx(flat.sum(), rel=1e-6)
+    assert float(st["sigma"].value) == pytest.approx(flat.std(ddof=1),
+                                                     rel=1e-5)
+    assert float(st["rms"].value) == pytest.approx(
+        np.sqrt((flat.astype("f8") ** 2).mean()), rel=1e-6)
+    assert float(st["min"].value) == pytest.approx(flat.min(), rel=1e-6)
+    assert float(st["max"].value) == pytest.approx(flat.max(), rel=1e-6)
+
+
+@pytest.mark.parametrize("method,npfunc", [
+    ("sum", np.nansum), ("mean", np.nanmean), ("std", np.nanstd),
+    ("max", np.nanmax), ("min", np.nanmin), ("median", np.nanmedian),
+])
+def test_reductions_vs_numpy(cube_adv, method, npfunc):
+    cube, data = cube_adv
+    for axis in (None, 0, 1, 2):
+        out = getattr(cube, method)(axis=axis)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            expected = npfunc(data, axis=axis)
+        got = np.asarray(out.value)
+        if method == "sum" and axis is not None:
+            # allbadtonan semantics: all-NaN positions are NaN
+            allnan = np.all(~np.isfinite(data), axis=axis)
+            expected = np.where(allnan, np.nan, expected)
+        assert np.allclose(got, expected, rtol=2e-6, atol=1e-7,
+                           equal_nan=True), (method, axis)
+
+
+def test_percentile(cube_adv):
+    cube, data = cube_adv
+    out = cube.percentile(25, axis=0)
+    expected = np.nanpercentile(data, 25, axis=0)
+    assert np.allclose(np.asarray(out.value), expected, rtol=1e-5,
+                       equal_nan=True)
+
+
+def test_mad_std(cube_adv):
+    cube, data = cube_adv
+    out = float(cube.mad_std().value)
+    med = np.nanmedian(data)
+    expected = 1.482602218505602 * np.nanmedian(np.abs(data - med))
+    assert out == pytest.approx(expected, rel=1e-5)
+
+
+def test_argmax_argmin(cube_adv):
+    cube, data = cube_adv
+    am = cube.argmax(axis=0)
+    filled = np.where(np.isfinite(data), data, -np.inf)
+    np.testing.assert_array_equal(am, filled.argmax(axis=0))
+    flat_idx = cube.argmax()
+    assert data[flat_idx] == np.nanmax(data)
+
+
+def test_argmax_world(cube_adv):
+    cube, data = cube_adv
+    aw = cube.argmax_world(axis=0)
+    sv = np.asarray(cube.spectral_axis.value)
+    filled = np.where(np.isfinite(data), data, -np.inf)
+    np.testing.assert_allclose(np.asarray(aw.value),
+                               sv[filled.argmax(axis=0)])
+    assert aw.unit.dims == u.km_s.dims
+
+
+def test_getitem_variants(cube_adv):
+    cube, data = cube_adv
+    sub = cube[1:3, 0:2, :]
+    assert sub.shape == (2, 2, 2)
+    assert np.asarray(sub.spectral_axis.value)[0] == pytest.approx(
+        np.asarray(cube.spectral_axis.value)[1])
+    sl = cube[0]
+    assert isinstance(sl, Slice) and sl.shape == (3, 2)
+    spec = cube[:, 1, 1]
+    assert isinstance(spec, OneDSpectrum)
+    np.testing.assert_allclose(np.asarray(spec.spectral_axis.value),
+                               np.asarray(cube.spectral_axis.value))
+    scalar = cube[0, 0, 0]
+    assert isinstance(scalar, Quantity)
+    assert float(scalar.value) == pytest.approx(data[0, 0, 0])
+
+
+def test_getitem_applies_mask(cube_adv):
+    cube, data = cube_adv
+    masked = cube.with_mask(cube > 0.5 * u.Jy / u.beam)
+    sl = masked[1]
+    vals = np.asarray(sl.value)
+    expected = np.where(np.isfinite(data[1]) & (data[1] > 0.5), data[1],
+                        np.nan)
+    assert np.allclose(vals, expected, equal_nan=True)
+
+
+def test_reversed_slice_wcs(cube_adv):
+    cube, data = cube_adv
+    rev = cube[::-1]
+    np.testing.assert_allclose(np.asarray(rev.spectral_axis.value),
+                               np.asarray(cube.spectral_axis.value)[::-1],
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(rev.unmasked_data[:].value),
+                               data[::-1], equal_nan=True)
+
+
+def test_spectral_slab(cube_adv):
+    cube, _ = cube_adv
+    slab = cube.spectral_slab(Quantity(-321.2, "km / s"),
+                              Quantity(-318.7, "km / s"))
+    assert slab.shape[0] == 3
+
+
+def test_subcube_world_bounds(cube_adv):
+    cube, _ = cube_adv
+    _, lat, lon = cube.world[0, :, :]
+    lonv = np.asarray(lon.value)
+    sc = cube.subcube(xlo=Quantity(lonv.max(), "deg"),
+                      xhi=Quantity(lonv.min(), "deg"))
+    assert sc.shape[2] == cube.shape[2]
+
+
+def test_minimal_subcube(cube_adv):
+    cube, data = cube_adv
+    arr = np.zeros(cube.shape, dtype=bool)
+    arr[1:3, 1:2, 0:2] = True
+    sub = cube.with_mask(BooleanArrayMask(arr)).minimal_subcube()
+    assert sub.shape == (2, 1, 2)
+
+
+def test_world_coordinates(cube_adv):
+    cube, _ = cube_adv
+    spec, lat, lon = cube.world[:, :, :]
+    assert spec.shape == cube.shape
+    assert np.allclose(np.asarray(spec.value)[:, 0, 0],
+                       np.asarray(cube.spectral_axis.value))
+    # lon decreases with x (CDELT1 < 0)
+    lonv = np.asarray(lon.value)
+    assert lonv[0, 0, 0] > lonv[0, 0, 1]
+
+
+def test_world_extrema(cube_adv):
+    cube, _ = cube_adv
+    ext = cube.world_extrema
+    assert ext.shape == (2, 2)
+
+
+def test_comparison_requires_quantity(cube_adv):
+    cube, _ = cube_adv
+    with pytest.raises(ValueError):
+        cube > 0.5  # bare float on a Jy/beam cube
+
+
+def test_unit_conversion_jybm_k_roundtrip(cube_adv):
+    cube, data = cube_adv
+    kcube = cube.to("K")
+    assert kcube.unit == u.K
+    back = kcube.to("Jy / beam")
+    np.testing.assert_allclose(np.asarray(back.unmasked_data[:].value),
+                               data, rtol=1e-5)
+
+
+def test_unit_conversion_scaling(cube_adv):
+    cube, data = cube_adv
+    mjy = cube.to("mJy / beam")
+    np.testing.assert_allclose(np.asarray(mjy.unmasked_data[:].value),
+                               data * 1000, rtol=1e-5)
+
+
+def test_arithmetic(cube_adv):
+    cube, data = cube_adv
+    np.testing.assert_allclose(
+        np.asarray((cube * 2).unmasked_data[:].value), data * 2,
+        equal_nan=True)
+    np.testing.assert_allclose(
+        np.asarray((cube + Quantity(1.0, "Jy / beam")).unmasked_data[:]
+                   .value), data + 1, equal_nan=True)
+    np.testing.assert_allclose(
+        np.asarray((cube - cube).unmasked_data[:].value),
+        np.zeros_like(data) * np.where(np.isfinite(data), 1, np.nan),
+        equal_nan=True)
+    sq = cube ** 2
+    assert sq.unit.dims == ((u.Jy / u.beam) ** 2).dims
+    with pytest.raises(NotImplementedError):
+        cube // 2
+
+
+def test_apply_everywhere(cube_adv):
+    cube, data = cube_adv
+    out = cube.apply_everywhere(lambda q: q * 2)
+    np.testing.assert_allclose(np.asarray(out.unmasked_data[:].value),
+                               data * 2, equal_nan=True)
+
+
+def test_with_fill_value(cube_adv):
+    cube, data = cube_adv
+    masked = cube.with_mask(cube > 0.5 * u.Jy / u.beam).with_fill_value(0.0)
+    filled = np.asarray(masked.filled_data[:].value)
+    assert (filled[~(np.nan_to_num(data) > 0.5)] == 0).all()
+
+
+def test_mask_channels(cube_adv):
+    cube, data = cube_adv
+    good = np.array([True, False, True, True])
+    mc = cube.mask_channels(good)
+    filled = np.asarray(mc.filled_data[:].value)
+    assert np.all(np.isnan(filled[1]))
+    with pytest.raises(ValueError):
+        cube.mask_channels(np.array([True, False]))
+
+
+def test_flattened(cube_adv):
+    cube, data = cube_adv
+    flat = cube.flattened()
+    assert flat.size == np.isfinite(data).sum()
+
+
+def test_apply_function_parallel_spectral(cube_adv):
+    cube, data = cube_adv
+    out = cube.apply_function_parallel_spectral(lambda s: s * 2)
+    np.testing.assert_allclose(np.asarray(out.unmasked_data[:].value),
+                               data * 2, rtol=1e-6, equal_nan=True)
+
+
+def test_apply_function_parallel_spatial(cube_adv):
+    cube, data = cube_adv
+    out = cube.apply_function_parallel_spatial(lambda img: img + 1)
+    np.testing.assert_allclose(np.asarray(out.unmasked_data[:].value),
+                               data + 1, rtol=1e-6, equal_nan=True)
+
+
+def test_with_spectral_unit_roundtrip(cube_adv):
+    cube, _ = cube_adv
+    f = cube.with_spectral_unit(u.Hz)
+    assert f.spectral_axis.unit == u.Hz
+    back = f.with_spectral_unit(u.km_s, velocity_convention="radio")
+    np.testing.assert_allclose(np.asarray(back.spectral_axis.value),
+                               np.asarray(cube.spectral_axis.value),
+                               rtol=1e-10)
+
+
+def test_huge_operation_guard(cube_adv):
+    cube, _ = cube_adv
+    cube._data = jnp.zeros((1, 1, 1))  # keep it tiny but fake hugeness
+    from spectral_cube_tpu.utils import MEMORY_THRESHOLD
+    # simulate: reproject on a huge cube without permission raises
+    import spectral_cube_tpu.cube as cubemod
+    assert not cube._is_huge
+
+
+def test_repr(cube_adv):
+    cube, _ = cube_adv
+    r = repr(cube)
+    assert "SpectralCube" in r and "VRAD" in r

@@ -1,0 +1,152 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from spectral_cube_tpu.masks import (BooleanArrayMask, LazyMask,
+                                     LazyComparisonMask, CompositeMask,
+                                     InvertedMask, FunctionMask,
+                                     is_broadcastable_and_smaller,
+                                     is_data_local, dims_to_skip,
+                                     view_of_subset)
+
+
+@pytest.fixture
+def data():
+    d = np.arange(24.0).reshape(4, 3, 2)
+    d[1, 1, 1] = np.nan
+    return d
+
+
+def test_lazy_mask(data):
+    m = LazyMask(jnp.isfinite, data=data)
+    inc = np.asarray(m.include(data=data))
+    assert inc.sum() == 23
+    assert not inc[1, 1, 1]
+
+
+def test_comparison_mask(data):
+    m = LazyComparisonMask(jnp.greater, 10.0, data=data)
+    inc = np.asarray(m.include(data=data))
+    np.testing.assert_array_equal(inc, data > 10)
+
+
+def test_composite_and_invert(data):
+    m1 = LazyMask(jnp.isfinite, data=data)
+    m2 = LazyComparisonMask(jnp.greater, 10.0, data=data)
+    m = m1 & m2
+    inc = np.asarray(m.include(data=data))
+    expected = np.isfinite(data) & (data > 10)
+    np.testing.assert_array_equal(inc, expected)
+    m_or = m1 | m2
+    np.testing.assert_array_equal(np.asarray(m_or.include(data=data)),
+                                  np.isfinite(data) | (data > 10))
+    m_xor = m1 ^ m2
+    np.testing.assert_array_equal(np.asarray(m_xor.include(data=data)),
+                                  np.isfinite(data) ^ (data > 10))
+    m_not = ~m2
+    np.testing.assert_array_equal(np.asarray(m_not.include(data=data)),
+                                  ~(data > 10))
+
+
+def test_exclude_is_complement(data):
+    m = LazyComparisonMask(jnp.greater, 10.0, data=data)
+    inc = np.asarray(m.include(data=data))
+    exc = np.asarray(m.exclude(data=data))
+    np.testing.assert_array_equal(inc, ~exc)
+
+
+def test_filled_and_flattened(data):
+    m = LazyComparisonMask(jnp.greater, 10.0, data=data)
+    filled = np.asarray(m._filled(jnp.asarray(data), fill=np.nan))
+    assert np.isnan(filled[0, 0, 0])
+    assert filled[3, 2, 1] == 23.0
+    flat = m._flattened(data)
+    valid = data[np.isfinite(data) & (data > 10)]
+    np.testing.assert_array_equal(np.sort(flat[np.isfinite(flat)]),
+                                  np.sort(valid))
+
+
+def test_boolean_array_mask_full(data):
+    arr = data > 5
+    m = BooleanArrayMask(arr)
+    np.testing.assert_array_equal(np.asarray(m.include(data=data)), arr)
+    # slicing a full-shape mask keeps the view
+    sub = m[1:3]
+    np.testing.assert_array_equal(np.asarray(sub.include()), arr[1:3])
+
+
+def test_boolean_array_mask_spectral_broadcast(data):
+    m = BooleanArrayMask(np.array([True, False, True, True]),
+                         shape=data.shape)
+    inc = np.asarray(m.include(data=data))
+    assert inc.shape == data.shape
+    assert not inc[1].any() and inc[0].all()
+    # view restricted to a channel range
+    sub = np.asarray(m.include(data=data, view=(slice(1, 3),)))
+    assert sub.shape == (2, 3, 2)
+    assert not sub[0].any() and sub[1].all()
+
+
+def test_boolean_array_mask_spatial_broadcast(data):
+    spatial = np.zeros((3, 2), dtype=bool)
+    spatial[1, 0] = True
+    m = BooleanArrayMask(spatial, shape=data.shape)
+    inc = np.asarray(m.include(data=data))
+    assert inc.shape == data.shape
+    assert inc[:, 1, 0].all() and not inc[:, 0, 0].any()
+
+
+def test_boolean_mask_include_false_flips():
+    arr = np.array([[[True]]])
+    m = BooleanArrayMask(arr, include=False)
+    assert not np.asarray(m.include())[0, 0, 0]
+
+
+def test_function_mask_shape_check(data):
+    m = FunctionMask(lambda d, w, view: np.ones((2, 2), dtype=bool))
+    with pytest.raises(ValueError):
+        m.include(data=data)
+    good = FunctionMask(lambda d, w, view: np.isfinite(
+        d[view] if view not in ((), None) else d))
+    assert np.asarray(good.include(data=data)).sum() == 23
+
+
+def test_composite_shape_validation(data):
+    m1 = BooleanArrayMask(np.ones((4, 3, 2), dtype=bool))
+    m2 = BooleanArrayMask(np.ones((5, 3, 2), dtype=bool))
+    with pytest.raises(ValueError):
+        CompositeMask(m1, m2)
+
+
+def test_broadcast_helpers():
+    assert is_broadcastable_and_smaller((4,), (4, 3, 2)) is False
+    assert is_broadcastable_and_smaller((4, 1, 1), (4, 3, 2))
+    assert is_broadcastable_and_smaller((3, 2), (4, 3, 2))
+    assert dims_to_skip((3, 2), (4, 3, 2)) == [0]
+    assert dims_to_skip((4, 1, 1), (4, 3, 2)) == [1, 2]
+    assert view_of_subset((slice(1, 3), slice(None), slice(None)),
+                          (4, 3, 2), (3, 2)) == (slice(None), slice(None))
+
+
+def test_is_data_local(data):
+    m1 = LazyMask(jnp.isfinite, data=data)
+    m2 = LazyComparisonMask(jnp.greater, 1.0, data=data)
+    assert is_data_local(m1 & m2)
+    assert is_data_local(~m1)
+    arr = BooleanArrayMask(np.ones((4, 3, 2), dtype=bool))
+    assert not is_data_local(arr)
+    assert not is_data_local(m1 & arr)
+
+
+def test_masks_work_inside_jit(data):
+    import jax
+    m = LazyComparisonMask(jnp.greater, 10.0, shape=data.shape)
+
+    @jax.jit
+    def masked_sum(d):
+        inc = m.include(data=d)
+        return jnp.sum(jnp.where(inc & jnp.isfinite(d), d, 0))
+
+    out = float(masked_sum(jnp.asarray(data)))
+    expected = data[np.isfinite(data) & (data > 10)].sum()
+    assert out == pytest.approx(expected, rel=1e-6)

@@ -1,0 +1,99 @@
+import numpy as np
+import pytest
+
+import spectral_cube_tpu.units as u
+from spectral_cube_tpu.units import Quantity, Unit, UnitConversionError
+
+
+def test_parse_basic():
+    assert Unit.parse("km / s").to("m / s") == pytest.approx(1000.0)
+    assert Unit.parse("JY/BEAM") == Unit.parse("Jy / beam")
+    assert Unit.parse("mJy").to("Jy") == pytest.approx(1e-3)
+    assert Unit.parse("K.km/s").dims == (Unit.parse("K")
+                                         * Unit.parse("km / s")).dims
+    assert Unit.parse("km s-1").to("m / s") == pytest.approx(1000.0)
+    assert Unit.parse("W m^-2").dims == (Unit.parse("W")
+                                         / Unit.parse("m") ** 2).dims
+    assert Unit.parse("erg/(s cm2)").scale == pytest.approx(1e-7 / 1e-4)
+
+
+def test_parse_case_forgiveness():
+    # CASA/AIPS header quirks the reference forgives (io/fits.py:96-131)
+    for s in ("JY/BEAM", "Jy/beam", "jy/beam", "Kelvin", "KELVIN", "M/S"):
+        Unit.parse(s)
+
+
+def test_unknown_unit_raises():
+    with pytest.raises(UnitConversionError):
+        Unit.parse("furlongs/fortnight%%")
+
+
+def test_quantity_arithmetic():
+    q = 3 * u.K
+    assert isinstance(q, Quantity)
+    assert (q + Quantity(2, "K")).value == 5
+    assert (q * 2).value == 6
+    assert ((5 * u.km_s).to_value("m / s")) == pytest.approx(5000)
+    assert (Quantity(4, "Jy") / Quantity(2, "s")).unit.dims == \
+        (u.Jy / u.s_).dims
+    with pytest.raises(UnitConversionError):
+        (q + Quantity(1, "Jy"))
+
+
+def test_quantity_comparisons():
+    assert Quantity(3, "K") > Quantity(2000, "mK")
+    assert Quantity(1, "km / s") == Quantity(1000, "m / s")
+
+
+def test_spectral_equivalency():
+    f = Quantity(1.42040575e9, "Hz")
+    lam = f.to("m", u.spectral())
+    assert lam.value == pytest.approx(u.c / 1.42040575e9, rel=1e-12)
+    back = lam.to("GHz", u.spectral())
+    assert back.value == pytest.approx(1.42040575, rel=1e-12)
+
+
+@pytest.mark.parametrize("conv", [u.doppler_radio, u.doppler_optical,
+                                  u.doppler_relativistic])
+def test_doppler_roundtrip(conv):
+    rest = Quantity(1.42040575e9, "Hz")
+    eq = conv(rest)
+    v = rest.to("km / s", eq)
+    assert abs(v.value) < 1e-9
+    f2 = Quantity(1.40e9, "Hz").to("km / s", eq).to("Hz", eq)
+    assert f2.value == pytest.approx(1.40e9, rel=1e-12)
+
+
+def test_doppler_conventions_differ():
+    rest = Quantity(1.42040575e9, "Hz")
+    f = Quantity(1.40e9, "Hz")
+    vr = f.to("km / s", u.doppler_radio(rest)).value
+    vo = f.to("km / s", u.doppler_optical(rest)).value
+    vz = f.to("km / s", u.doppler_relativistic(rest)).value
+    # radio < relativistic < optical for receding sources
+    assert vr < vz < vo
+
+
+def test_brightness_temperature():
+    bt = u.brightness_temperature(Quantity(1e-8, "sr"), Quantity(1.4, "GHz"))
+    t = Quantity(1.0, "Jy / beam").to("K", bt)
+    expected = 1e-26 * u.c ** 2 / (2 * u.k_B * 1.4e9 ** 2 * 1e-8)
+    assert t.value == pytest.approx(expected, rel=1e-12)
+    back = t.to("Jy / beam", bt)
+    assert back.value == pytest.approx(1.0, rel=1e-12)
+
+
+def test_beam_and_pixel_equivalencies():
+    beq = u.beam_solid_angle(Quantity(1e-9, "sr"))
+    s = Quantity(1.0, "Jy / beam").to("Jy / sr", beq)
+    assert s.value == pytest.approx(1e9)
+    peq = u.pixel_scale(Quantity(1e-10, "sr"))
+    p = Quantity(1.0, "Jy / pix").to("Jy / sr", peq)
+    assert p.value == pytest.approx(1e10)
+
+
+def test_physical_types():
+    assert Unit.parse("GHz").physical_type == "frequency"
+    assert Unit.parse("km / s").physical_type == "speed"
+    assert Unit.parse("um").physical_type == "length"
+    assert Unit.parse("K").physical_type == "temperature"

@@ -1,0 +1,198 @@
+import numpy as np
+import pytest
+
+import spectral_cube_tpu.units as u
+from spectral_cube_tpu.units import Quantity, Unit
+from spectral_cube_tpu.wcs import (WCS, convert_spectral_axis,
+                                   determine_ctype_from_vconv,
+                                   determine_vconv_from_ctype,
+                                   air_to_vac, vac_to_air)
+
+from conftest import base_header
+
+C_KMS = 299792.458
+
+
+@pytest.fixture
+def wcs3d():
+    return WCS(header=base_header(nx=8, ny=6, nchan=4, ctype3="FREQ",
+                                  cunit3="Hz", crval3=1.37835e9,
+                                  cdelt3=9.765e4))
+
+
+def test_axis_classification(wcs3d):
+    assert wcs3d.lon_axis == 0
+    assert wcs3d.lat_axis == 1
+    assert wcs3d.spec == 2
+    assert wcs3d.has_celestial
+    assert wcs3d.projection_code == "SIN"
+
+
+@pytest.mark.parametrize("proj", ["TAN", "SIN", "ARC", "STG", "ZEA", "CAR",
+                                  "SFL", "AIT"])
+def test_projection_roundtrip(proj, wcs3d):
+    w = wcs3d.deepcopy()
+    w.ctype[0] = f"RA---{proj}"
+    w.ctype[1] = f"DEC--{proj}"
+    px = np.array([0.0, 3.0, 7.0])
+    py = np.array([0.0, 2.0, 5.0])
+    pz = np.array([0.0, 1.0, 3.0])
+    wx, wy, wz = w.pix2world(px, py, pz)
+    bx, by, bz = w.world2pix(wx, wy, wz)
+    assert np.allclose(bx, px, atol=1e-7)
+    assert np.allclose(by, py, atol=1e-7)
+    assert np.allclose(bz, pz, atol=1e-7)
+
+
+def test_crval_at_crpix(wcs3d):
+    wx, wy, wz = wcs3d.pix2world(np.array([1.0]), np.array([1.0]),
+                                 np.array([0.0]))
+    assert wx[0] == pytest.approx(23.1837, abs=1e-10)
+    assert wy[0] == pytest.approx(30.5765, abs=1e-10)
+    assert wz[0] == pytest.approx(1.37835e9, abs=1e-3)
+
+
+def test_galactic_car():
+    h = base_header(nchan=4, ctype3="FREQ", cunit3="Hz", crval3=1.4e9,
+                    cdelt3=1e5)
+    h["CTYPE1"] = "GLON-CAR"
+    h["CRVAL1"] = 30.0
+    h["CTYPE2"] = "GLAT-CAR"
+    h["CRVAL2"] = 0.0
+    w = WCS(header=h)
+    px = np.array([0.0, 1.0])
+    py = np.array([0.0, 2.0])
+    pz = np.array([0.0, 0.0])
+    wx, wy, _ = w.pix2world(px, py, pz)
+    bx, by, _ = w.world2pix(wx, wy, np.array([1.4e9, 1.4e9]))
+    assert np.allclose(bx, px, atol=1e-8)
+    assert np.allclose(by, py, atol=1e-8)
+
+
+def test_slice_step_and_offset(wcs3d):
+    # numpy view order: (spec, lat, lon)
+    ws = wcs3d.slice((slice(1, None), slice(None), slice(2, None)),
+                     shape=(4, 6, 8))
+    assert ws.crpix[2] == wcs3d.crpix[2] - 1
+    assert ws.crpix[0] == wcs3d.crpix[0] - 2
+    # step slicing matches the reference's half-pixel-aware formula
+    w2 = wcs3d.slice((slice(0, None, 2), slice(None), slice(None)),
+                     shape=(4, 6, 8))
+    assert w2.cdelt[2] == pytest.approx(wcs3d.cdelt[2] * 2)
+    expected_crp = (wcs3d.crpix[2] - 0 - 0.5) / 2 + 0.5
+    assert w2.crpix[2] == pytest.approx(expected_crp)
+
+
+def test_slice_reverse(wcs3d):
+    wr = wcs3d.slice((slice(None, None, -1), slice(None), slice(None)),
+                     shape=(4, 6, 8))
+    sv = wcs3d.spectral_axis_values(4)
+    svr = wr.spectral_axis_values(4)
+    assert np.allclose(svr, sv[::-1])
+
+
+def test_dropaxis_swap_reindex(wcs3d):
+    w2 = wcs3d.dropaxis(2)
+    assert w2.naxis == 2 and w2.spec == -1
+    ws = wcs3d.swapaxes(0, 2)
+    assert ws.spec == 0 and ws.lon_axis == 2
+    cel = wcs3d.celestial
+    assert cel.naxis == 2 and cel.has_celestial
+
+
+def test_check_equality(wcs3d):
+    assert wcs3d.check_equality(wcs3d.deepcopy())
+    w2 = wcs3d.deepcopy()
+    w2.crval[0] += 1e-3
+    assert not wcs3d.check_equality(w2)
+    assert wcs3d.check_equality(w2, wcs_tolerance=1.0)
+
+
+def test_header_roundtrip(wcs3d):
+    h = wcs3d.to_header()
+    w2 = WCS(header=h)
+    assert wcs3d.check_equality(w2, wcs_tolerance=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# spectral conversions (reference test_spectral_axis.py semantics)
+# ---------------------------------------------------------------------------
+def test_determine_ctype():
+    assert determine_ctype_from_vconv("FREQ", Unit.parse("km / s"),
+                                      "radio") == "VRAD"
+    assert determine_ctype_from_vconv("FREQ", Unit.parse("km / s"),
+                                      "optical") == "VOPT-F2W"
+    assert determine_ctype_from_vconv("FREQ", Unit.parse("km / s"),
+                                      "relativistic") == "VELO-F2V"
+    assert determine_ctype_from_vconv("VELO-F2V", Unit.parse("Hz")) == "FREQ"
+    assert determine_ctype_from_vconv("VELO-F2V", Unit.parse("m")) == \
+        "WAVE-F2W"
+    assert determine_ctype_from_vconv("FREQ", Unit.parse("m")) == "WAVE-F2W"
+
+
+def test_determine_vconv():
+    assert determine_vconv_from_ctype("VRAD") == "radio"
+    assert determine_vconv_from_ctype("VOPT-F2W") == "optical"
+    assert determine_vconv_from_ctype("VELO-F2V") == "relativistic"
+
+
+def test_freq_to_vrad_and_back(wcs3d):
+    f0 = 1.42040571841e9
+    w2 = convert_spectral_axis(wcs3d, Unit.parse("km / s"), "VRAD")
+    vexp = C_KMS * (f0 - 1.37835e9) / f0
+    assert w2.crval[2] == pytest.approx(vexp, rel=1e-12)
+    assert w2.cdelt[2] == pytest.approx(-C_KMS * 9.765e4 / f0, rel=1e-12)
+    w3 = convert_spectral_axis(w2, Unit.parse("Hz"), "FREQ")
+    assert w3.crval[2] == pytest.approx(1.37835e9, rel=1e-12)
+    assert w3.cdelt[2] == pytest.approx(9.765e4, rel=1e-10)
+
+
+def test_nonlinear_vopt_exact(wcs3d):
+    """VOPT-F2W evaluates linearly in frequency, exactly (wcslib parity)."""
+    f0 = 1.42040571841e9
+    w4 = convert_spectral_axis(wcs3d, Unit.parse("km / s"), "VOPT-F2W")
+    sv_freq = wcs3d.spectral_axis_values(4)
+    sv_vopt = w4.spectral_axis_values(4)
+    vopt_exact = C_KMS * (f0 - sv_freq) / sv_freq
+    assert np.allclose(sv_vopt, vopt_exact, rtol=1e-12)
+
+
+def test_velocity_roundtrip_through_wave(wcs3d):
+    w_wave = convert_spectral_axis(wcs3d, Unit.parse("m"), "WAVE-F2W")
+    w_back = convert_spectral_axis(w_wave, Unit.parse("Hz"), "FREQ")
+    assert w_back.crval[2] == pytest.approx(wcs3d.crval[2], rel=1e-12)
+    assert w_back.cdelt[2] == pytest.approx(wcs3d.cdelt[2], rel=1e-10)
+
+
+def test_speed_to_speed_no_rest_returns_copy():
+    h = base_header(ctype3="VRAD", cunit3="km/s")
+    del h["RESTFRQ"]
+    w = WCS(header=h)
+    out = convert_spectral_axis(w, Unit.parse("m / s"), "VRAD")
+    assert out.crval[2] == w.crval[2]
+
+
+def test_air_vac_roundtrip():
+    lam = 5000e-10  # 5000 Angstrom
+    vac = air_to_vac(lam)
+    air = vac_to_air(vac)
+    assert air == pytest.approx(lam, rel=1e-9)
+    assert vac > lam  # vacuum wavelength is longer
+
+
+def test_greisen2006_worked_example():
+    """Greisen et al. 2006 paper values (reference
+    tests/test_spectral_axis.py uses greisen2006.hdr): VOPT axis with
+    RESTWAV, converting the barycentric frequency table."""
+    h = base_header(nchan=4, ctype3="FREQ", cunit3="Hz",
+                    crval3=1.37835117405e9, cdelt3=9.765625e4)
+    h["RESTFRQ"] = 1.420405752e9
+    w = WCS(header=h)
+    wv = convert_spectral_axis(w, Unit.parse("m / s"), "VOPT-F2W")
+    # independent optical velocity: c*(f0-f)/f
+    f0, f = 1.420405752e9, 1.37835117405e9
+    assert wv.crval[2] == pytest.approx(299792458.0 * (f0 - f) / f,
+                                        rel=1e-12)
+    # derivative: dVopt/df = -c*f0/f^2
+    assert wv.cdelt[2] == pytest.approx(-299792458.0 * f0 / f ** 2
+                                        * 9.765625e4, rel=1e-12)
