@@ -1,0 +1,129 @@
+"""Headline benchmark: SNR-masked fused moment 0/1/2 throughput.
+
+BASELINE.json config #1: "256^3 synthetic Gaussian-line FITS cube:
+SNR-masked moment 0/1/2 + linewidth_sigma".  The reference computes this as
+three nan-aware numpy passes over a mask-filled copy
+(/root/reference/spectral_cube/_moments.py:170-193); the baseline below is
+exactly that algorithm in numpy on the host.  This framework runs one fused
+Pallas pass on the TPU with the mask predicate evaluated in VMEM.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Gvoxel/s/chip", "vs_baseline": N}
+
+The TPU measurement loops the kernel inside one jit (lax.fori_loop) because
+the axon tunnel adds ~29 ms of fixed RTT per dispatch, which would otherwise
+swamp a sub-millisecond kernel.
+"""
+
+import json
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+N = 256
+THRESHOLD = 0.25
+REPS = 100
+
+
+def make_cube(n=N, seed=0):
+    """Synthetic Gaussian-line cube + noise, float32."""
+    rng = np.random.RandomState(seed)
+    v = (np.arange(n) - n / 2.0) * 1.0
+    line = np.exp(-0.5 * (v / (n / 16.0)) ** 2).astype(np.float32)
+    data = (line[:, None, None] * rng.rand(1, n, n).astype(np.float32)
+            + 0.1 * rng.randn(n, n, n).astype(np.float32))
+    return data, v - v[0], 1.0
+
+
+def numpy_reference_moments(data, coords, dx, threshold):
+    """The reference's cubewise algorithm (allbadtonan nansum over the
+    mask-filled cube, then mom1/mom2 passes) in plain numpy."""
+    filled = np.where(np.isfinite(data) & (data > threshold), data, np.nan)
+    w = filled * dx
+    x = coords[:, None, None]
+    with np.errstate(all="ignore"):
+        s0 = np.nansum(w, axis=0)
+        allnan = np.all(np.isnan(w), axis=0)
+        mom0 = np.where(allnan, np.nan, s0)
+        mom1 = np.nansum(w * x, axis=0) / s0
+        mom2 = np.nansum(w * (x - mom1[None]) ** 2, axis=0) / s0
+    return mom0, mom1, mom2
+
+
+def main():
+    data_np, coords, dx = make_cube()
+    gvox = data_np.size / 1e9
+
+    # ---- baseline: reference algorithm in numpy on the host --------------
+    numpy_reference_moments(data_np[:8], coords[:8], dx, THRESHOLD)  # warm
+    t0 = time.perf_counter()
+    e0, e1, e2 = numpy_reference_moments(data_np, coords, dx, THRESHOLD)
+    t_numpy = time.perf_counter() - t0
+
+    # ---- this framework: fused masked pass on device ----------------------
+    from spectral_cube_tpu.masks import LazyComparisonMask
+    from spectral_cube_tpu.ops.moments import moments_012, moments_012_pallas
+
+    on_tpu = jax.default_backend() == "tpu"
+    mask = LazyComparisonMask(jnp.greater, THRESHOLD,
+                              shape=data_np.shape)
+
+    if on_tpu:
+        def one_pass(d):
+            return moments_012_pallas(d, coords, dx, mask_expr=mask)
+    else:
+        def one_pass(d):
+            return moments_012(d, coords, dx, include=d > THRESHOLD)
+
+    data = jnp.asarray(data_np)
+
+    # correctness vs the reference algorithm (1e-6 target on mom0/mom1)
+    m0, m1, m2 = (np.asarray(m) for m in jax.jit(one_pass)(data))
+    for got, exp, rtol, name in ((m0, e0, 3e-6, "mom0"),
+                                 (m1, e1, 3e-6, "mom1"),
+                                 (m2, e2, 5e-5, "mom2")):
+        ok = np.allclose(got, exp, rtol=rtol, atol=1e-6, equal_nan=True)
+        if not ok:
+            bad = np.nanmax(np.abs((got - exp) /
+                                   np.where(exp == 0, 1, exp)))
+            print(f"# WARNING: {name} mismatch vs reference algorithm "
+                  f"(max rel {bad:.2e})", file=sys.stderr)
+
+    @jax.jit
+    def looped(d):
+        def body(i, acc):
+            mm0, mm1, mm2 = one_pass(d + acc * 0)  # data dep: no hoisting
+            return acc + mm0[0, 0] + mm1[1, 1] + mm2[2, 2]
+        return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
+
+    np.asarray(looped(data))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(looped(data))
+    elapsed = time.perf_counter() - t0
+    # subtract one fixed dispatch RTT (measured separately)
+    tiny = jax.jit(lambda d: d[0, 0, 0] * 1.0)
+    np.asarray(tiny(data))
+    t1 = time.perf_counter()
+    np.asarray(tiny(data))
+    rtt = time.perf_counter() - t1
+    per_pass = max((elapsed - rtt) / REPS, 1e-9)
+
+    throughput = gvox / per_pass
+    baseline_throughput = gvox / t_numpy
+    result = {
+        "metric": "snr_masked_moment012_256cube_throughput",
+        "value": round(throughput, 3),
+        "unit": "Gvoxel/s/chip",
+        "vs_baseline": round(throughput / baseline_throughput, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

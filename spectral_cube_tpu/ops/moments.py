@@ -45,19 +45,39 @@ def _center(coords):
     return coords - xbar, xbar
 
 
-def _finalize(s0, s1, s2, cnt, xbar, dx, dtype):
-    """Turn accumulated sufficient statistics into moment maps."""
+def _moment_stats(w, valid, xc):
+    """Sufficient statistics for moments 0/1/2 with two-pass numerics.
+
+    First pass estimates the centroid from centered coordinates; the second
+    pass accumulates the residual mean and second moment *about that
+    estimate*, so no large squares are ever differenced (the naive one-pass
+    ``S2/S0 - (S1/S0)^2`` form loses ~3 digits in float32 on real data).
+    Inside the Pallas kernel both passes read the same VMEM-resident block,
+    so HBM sees the data exactly once.
+    """
+    s0 = jnp.sum(w, axis=0)
+    s1 = jnp.sum(w * xc, axis=0)
+    cnt = jnp.sum(valid, axis=0)
+    safe_s0 = jnp.where(s0 == 0, 1, s0)
+    m1_est = s1 / safe_s0                      # centroid estimate (pass 1)
+    d = xc - m1_est[None, :, :]
+    r1 = jnp.sum(w * d, axis=0) / safe_s0      # residual mean (tiny)
+    s2c = jnp.sum(w * (d * d), axis=0)         # second moment about m1_est
+    return s0, m1_est, r1, s2c, cnt
+
+
+def _finalize(s0, m1_est, r1, s2c, cnt, xbar, dx, dtype):
     valid = cnt > 0
     nan = jnp.asarray(jnp.nan, dtype=dtype)
     mom0 = jnp.where(valid, s0 * dx, nan)
-    r1 = s1 / s0
-    mom1 = jnp.where(valid, r1 + xbar, nan)
-    mom2 = jnp.where(valid, s2 / s0 - r1 * r1, nan)
+    mom1 = jnp.where(valid, xbar + m1_est + r1, nan)
+    safe_s0 = jnp.where(s0 == 0, 1, s0)
+    mom2 = jnp.where(valid, s2c / safe_s0 - r1 * r1, nan)
     return mom0, mom1, mom2
 
 
 def moments_012(data, coords, dx, include=None, precision="float32"):
-    """Masked moments 0/1/2 along axis 0 in one fused jnp pass.
+    """Masked moments 0/1/2 along axis 0 in one fused jnp expression.
 
     Parameters
     ----------
@@ -74,13 +94,10 @@ def moments_012(data, coords, dx, include=None, precision="float32"):
     if include is not None:
         valid = jnp.logical_and(valid, include)
     w = jnp.where(valid, data, 0).astype(acc)
-    s0 = jnp.sum(w, axis=0)
-    s1 = jnp.sum(w * xc, axis=0)
-    s2 = jnp.sum(w * (xc * xc), axis=0)
-    cnt = jnp.sum(valid, axis=0)
+    stats = _moment_stats(w, valid, xc)
     out_dtype = data.dtype if jnp.issubdtype(data.dtype, jnp.floating) \
         else acc
-    m0, m1, m2 = _finalize(s0, s1, s2, cnt, xbar, dx, acc)
+    m0, m1, m2 = _finalize(*stats, xbar, dx, acc)
     return m0.astype(out_dtype), m1.astype(out_dtype), m2.astype(out_dtype)
 
 
@@ -129,9 +146,10 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
 
     def kernel(*refs):
         if use_mask_input:
-            data_ref, xc_ref, inc_ref, s0_ref, s1_ref, s2_ref, cnt_ref = refs
+            (data_ref, xc_ref, inc_ref, s0_ref, m1_ref, r1_ref, s2_ref,
+             cnt_ref) = refs
         else:
-            data_ref, xc_ref, s0_ref, s1_ref, s2_ref, cnt_ref = refs
+            data_ref, xc_ref, s0_ref, m1_ref, r1_ref, s2_ref, cnt_ref = refs
         i = pl.program_id(0)
         j = pl.program_id(1)
         block = data_ref[:]                      # (nchan, ty, tx)
@@ -147,10 +165,13 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
         valid = jnp.logical_and(valid, inb[None, :, :])
         w = jnp.where(valid, block, 0).astype(jnp.float32)
         xc = xc_ref[:].reshape(nchan, 1, 1)
-        s0_ref[:] = jnp.sum(w, axis=0)
-        s1_ref[:] = jnp.sum(w * xc, axis=0)
-        s2_ref[:] = jnp.sum(w * (xc * xc), axis=0)
-        cnt_ref[:] = jnp.sum(valid, axis=0).astype(jnp.int32)
+        # two-pass numerics over the VMEM-resident block (see _moment_stats)
+        s0, m1_est, r1, s2c, cnt = _moment_stats(w, valid, xc)
+        s0_ref[:] = s0
+        m1_ref[:] = m1_est
+        r1_ref[:] = r1
+        s2_ref[:] = s2c
+        cnt_ref[:] = cnt.astype(jnp.int32)
 
     in_specs = [
         pl.BlockSpec((nchan, ty, tx), lambda i, j: (0, i, j),
@@ -167,22 +188,20 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
     out_spec = pl.BlockSpec((ty, tx), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     oy, ox = gy * ty, gx * tx
-    s0, s1, s2, cnt = pl.pallas_call(
+    fmap = jax.ShapeDtypeStruct((oy, ox), jnp.float32)
+    s0, m1_est, r1, s2c, cnt = pl.pallas_call(
         kernel,
         grid=(gy, gx),
         in_specs=in_specs,
-        out_specs=(out_spec, out_spec, out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((oy, ox), jnp.float32),
-            jax.ShapeDtypeStruct((oy, ox), jnp.float32),
-            jax.ShapeDtypeStruct((oy, ox), jnp.float32),
-            jax.ShapeDtypeStruct((oy, ox), jnp.int32),
-        ),
+        out_specs=(out_spec,) * 5,
+        out_shape=(fmap, fmap, fmap, fmap,
+                   jax.ShapeDtypeStruct((oy, ox), jnp.int32)),
         interpret=interpret,
     )(*inputs)
-    s0, s1, s2, cnt = (a[:ny, :nx] for a in (s0, s1, s2, cnt))
+    s0, m1_est, r1, s2c, cnt = (a[:ny, :nx]
+                                for a in (s0, m1_est, r1, s2c, cnt))
     out_dtype = data.dtype
-    m0, m1, m2 = _finalize(s0, s1, s2, cnt, xbar, dx, jnp.float32)
+    m0, m1, m2 = _finalize(s0, m1_est, r1, s2c, cnt, xbar, dx, jnp.float32)
     return m0.astype(out_dtype), m1.astype(out_dtype), m2.astype(out_dtype)
 
 

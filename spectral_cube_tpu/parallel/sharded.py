@@ -1,0 +1,351 @@
+"""Sharded cube execution: SPMD kernels over a CubeMesh.
+
+This is the functional replacement for the reference's
+``DaskSpectralCube`` (``/root/reference/spectral_cube/dask_spectral_cube.py``,
+1650 LoC): instead of re-implementing the cube API over a chunked-graph
+runtime, the same fused kernels from ``ops/`` run SPMD over a device mesh —
+GSPMD partitions the elementwise/reduction work automatically, ``psum``
+trees replace the chunk-aggregation graphs (``statistics()`` :769-814),
+``ppermute`` halo exchange replaces chunk-overlap handling for spatial
+stencils, and ``reshard`` replaces rechunk between op families.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .mesh import CubeMesh
+from ..ops import moments as _mom
+from ..ops import reductions as _red
+
+__all__ = ["sharded_moments", "sharded_statistics", "halo_pad",
+           "sharded_spatial_convolve", "sharded_spectral_convolve_fft",
+           "sharded_sigma_clip", "sharded_spectral_interpolate",
+           "ShardedCube"]
+
+
+# ---------------------------------------------------------------------------
+# moments: spatial layout, zero communication
+# ---------------------------------------------------------------------------
+def sharded_moments(data, coords, dx, cmesh: CubeMesh, include=None,
+                    mask_expr=None):
+    """Masked moments 0/1/2 over a spatially-sharded cube.
+
+    Each device reduces its own (nchan, y/py, x/px) shard along the local
+    spectral axis — no collectives at all.  On TPU each shard runs the fused
+    Pallas kernel; elsewhere the jnp expression."""
+    mesh = cmesh.mesh
+    use_pallas = jax.default_backend() == "tpu"
+
+    in_specs = [P(None, "y", "x")]
+    args = [cmesh.shard(data, "spatial")]
+    if include is not None:
+        in_specs.append(P(None, "y", "x"))
+        args.append(cmesh.shard(include, "spatial"))
+
+    def local(d, *rest):
+        inc = rest[0] if rest else None
+        if use_pallas:
+            return _mom.moments_012_pallas(d, coords, dx,
+                                           mask_expr=mask_expr, include=inc)
+        if mask_expr is not None:
+            inc2 = mask_expr._include(data=d)
+            inc = inc2 if inc is None else jnp.logical_and(inc, inc2)
+        return _mom.moments_012(d, coords, dx, include=inc)
+
+    fn = shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=(P("y", "x"), P("y", "x"), P("y", "x")),
+                   )
+    return jax.jit(fn)(*args)
+
+
+# ---------------------------------------------------------------------------
+# one-pass global statistics: psum tree over the mesh
+# ---------------------------------------------------------------------------
+def sharded_statistics(data, cmesh: CubeMesh, include=None):
+    """CASA-style global stats over a spatially-sharded cube: per-shard
+    {n, min, max, sum, sumsq} then a psum/pmax tree over ('y','x') — the
+    direct analog of the reference's per-chunk accumulation
+    (dask_spectral_cube.py:769-814)."""
+    mesh = cmesh.mesh
+    in_specs = [P(None, "y", "x")]
+    args = [cmesh.shard(data, "spatial")]
+    if include is not None:
+        in_specs.append(P(None, "y", "x"))
+        args.append(cmesh.shard(include, "spatial"))
+
+    def local(d, *rest):
+        inc = rest[0] if rest else None
+        valid = _red.valid_mask(d, inc)
+        cnt = jnp.sum(valid)
+        s = jnp.sum(jnp.where(valid, d, 0))
+        ss = jnp.sum(jnp.where(valid, d * d, 0))
+        mn = jnp.min(jnp.where(valid, d, jnp.inf))
+        mx = jnp.max(jnp.where(valid, d, -jnp.inf))
+        axes = ("y", "x")
+        cnt = jax.lax.psum(cnt, axes)
+        s = jax.lax.psum(s, axes)
+        ss = jax.lax.psum(ss, axes)
+        mn = jax.lax.pmin(mn, axes)
+        mx = jax.lax.pmax(mx, axes)
+        return cnt, mn, mx, s, ss
+
+    fn = shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=(P(), P(), P(), P(), P()))
+    cnt, mn, mx, s, ss = jax.jit(fn)(*args)
+    npts = float(cnt)
+    out = {"npts": int(cnt), "min": float(mn), "max": float(mx),
+           "sum": float(s), "sumsq": float(ss), "mean": float(s) / npts}
+    out["sigma"] = float(np.sqrt((out["sumsq"] - out["sum"] ** 2 / npts)
+                                 / (npts - 1)))
+    out["rms"] = float(np.sqrt(out["sumsq"] / npts))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# halo exchange for spatial stencils (the ppermute analog of dask chunk
+# overlap; SURVEY 2.10 "halo exchange for spatial convolution")
+# ---------------------------------------------------------------------------
+def halo_pad(local, halo_y, halo_x, axis_y="y", axis_x="x"):
+    """Pad a local [..., py, px] shard with neighbor data via ppermute.
+
+    Edge shards get zero padding (matching the zero-fill boundary of the
+    astropy-convolve semantics used throughout)."""
+
+    def exchange(arr, halo, axis_name, axis):
+        if halo == 0:
+            return arr
+        n = jax.lax.axis_size(axis_name)
+        idx = jax.lax.axis_index(axis_name)
+        lo = jax.lax.slice_in_dim(arr, 0, halo, axis=axis)
+        hi = jax.lax.slice_in_dim(arr, arr.shape[axis] - halo,
+                                  arr.shape[axis], axis=axis)
+        # send my high edge to my right neighbor (it becomes their left halo)
+        right = [(i, i + 1) for i in range(n - 1)]
+        left = [(i, i - 1) for i in range(1, n)]
+        from_left = jax.lax.ppermute(hi, axis_name, right)
+        from_right = jax.lax.ppermute(lo, axis_name, left)
+        zeros = jnp.zeros_like(lo)
+        left_halo = jnp.where(idx > 0, from_left, zeros)
+        right_halo = jnp.where(idx < n - 1, from_right, zeros)
+        return jnp.concatenate([left_halo, arr, right_halo], axis=axis)
+
+    out = exchange(local, halo_y, axis_y, local.ndim - 2)
+    out = exchange(out, halo_x, axis_x, local.ndim - 1)
+    return out
+
+
+def sharded_spatial_convolve(data, kernel, cmesh: CubeMesh):
+    """NaN-interpolating spatial convolution of a spatially-sharded cube
+    with a (small) 2-D kernel, using halo exchange instead of resharding."""
+    from ..ops.smoothing import spatial_smooth_cube
+    mesh = cmesh.mesh
+    k = np.asarray(kernel, dtype=float)
+    k = k / k.sum()
+    hy, hx = k.shape[0] // 2, k.shape[1] // 2
+
+    def local(d):
+        valid = jnp.isfinite(d)
+        comp = jnp.float64 if d.dtype == jnp.float64 else jnp.float32
+        filled = jnp.where(valid, d, 0).astype(comp)
+        vf = valid.astype(comp)
+        both = jnp.concatenate([filled, vf], axis=0)
+        padded = halo_pad(both, hy, hx)
+        nchan = d.shape[0]
+        pf, pv = padded[:nchan], padded[nchan:]
+        kj = jnp.asarray(k[::-1, ::-1], dtype=comp)[None, None]
+        conv = lambda x: jax.lax.conv_general_dilated(
+            x[:, None], kj, (1, 1), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+        num = conv(pf)
+        den = conv(pv)
+        out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.nan)
+        return out.astype(d.dtype)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(None, "y", "x"),),
+                   out_specs=P(None, "y", "x"))
+    return jax.jit(fn)(cmesh.shard(data, "spatial"))
+
+
+# ---------------------------------------------------------------------------
+# FFT beam convolution: reshard to channel layout (the rechunk analog)
+# ---------------------------------------------------------------------------
+def sharded_spectral_convolve_fft(data, transfers, group_idx,
+                                  cmesh: CubeMesh):
+    """Per-channel FFT convolution over a mesh: reshard [spec,y,x] to the
+    spectral layout (all-to-all over ICI), run full-plane FFTs locally per
+    channel, reshard back."""
+    from ..ops.convolve import _convolve_planes
+
+    @jax.jit
+    def run(d, t):
+        d2 = cmesh.reshard(d, "spectral")
+        out = _convolve_planes(d2, t, group_idx, None)
+        return cmesh.reshard(out, "spatial")
+
+    return run(cmesh.shard(data, "spatial"), jnp.asarray(transfers))
+
+
+def sharded_sigma_clip(data, cmesh: CubeMesh, sigma=3.0, maxiters=5):
+    """Per-spaxel sigma clip: zero-communication in the spatial layout."""
+    from ..ops.smoothing import sigma_clip_spectrally
+    mesh = cmesh.mesh
+    fn = shard_map(
+        lambda d: sigma_clip_spectrally(d, sigma=sigma, maxiters=maxiters),
+        mesh=mesh, in_specs=(P(None, "y", "x"),),
+        out_specs=P(None, "y", "x"))
+    return jax.jit(fn)(cmesh.shard(data, "spatial"))
+
+
+def sharded_spectral_interpolate(data, inaxis, outaxis, cmesh: CubeMesh):
+    """Spectral regrid: gather weights are shared, so each device regrids
+    its own spatial shard with zero communication."""
+    from ..ops.interpolate import interp_cube_spectral
+    mesh = cmesh.mesh
+    fn = shard_map(
+        lambda d: interp_cube_spectral(d, inaxis, outaxis)[0],
+        mesh=mesh, in_specs=(P(None, "y", "x"),),
+        out_specs=P(None, "y", "x"))
+    return jax.jit(fn)(cmesh.shard(data, "spatial"))
+
+
+# ---------------------------------------------------------------------------
+# ShardedCube: cube facade bound to a mesh
+# ---------------------------------------------------------------------------
+class ShardedCube:
+    """Wraps a SpectralCube with a CubeMesh, running its hot operations
+    SPMD.  This is the user-facing analog of ``DaskSpectralCube``:
+    ``SpectralCube.read(..., use_dask=True)`` becomes
+    ``ShardedCube(cube, mesh)`` (or ``cube.to_sharded(mesh)``)."""
+
+    def __init__(self, cube, cmesh: CubeMesh | None = None):
+        self.cube = cube
+        self.cmesh = cmesh if cmesh is not None else CubeMesh()
+        # place the data once; all downstream jit calls keep the layout
+        cube._data = self.cmesh.shard(cube._device_data, "spatial")
+
+    @property
+    def shape(self):
+        return self.cube.shape
+
+    def _include(self):
+        c = self.cube
+        if c._mask is None:
+            return None
+        from ..masks import is_data_local
+        if is_data_local(c._mask):
+            return None  # evaluated in-kernel
+        return c._mask.include(data=c._device_data)
+
+    def moment_maps(self):
+        """(mom0, mom1, mom2) Projections in one sharded pass."""
+        c = self.cube
+        coords = c._spectral_offsets()
+        dx = c._spectral_pix_size()
+        from ..masks import is_data_local
+        mask_expr = c._mask if (c._mask is not None
+                                and is_data_local(c._mask)) else None
+        include = None if mask_expr is not None else self._include()
+        m0, m1, m2 = sharded_moments(c._device_data, coords, dx, self.cmesh,
+                                     include=include, mask_expr=mask_expr)
+        sv0 = float(np.asarray(c.spectral_axis.value)[0])
+        from ..lower_dimensional_structures import Projection
+        new_wcs = c._wcs.dropaxis(2)
+        u0 = c.unit * c.spectral_unit
+        return (Projection(np.asarray(m0), unit=u0, wcs=new_wcs),
+                Projection(np.asarray(m1) + sv0, unit=c.spectral_unit,
+                           wcs=new_wcs),
+                Projection(np.asarray(m2), unit=c.spectral_unit ** 2,
+                           wcs=new_wcs))
+
+    def statistics(self):
+        from ..units import Quantity
+        c = self.cube
+        raw = sharded_statistics(c._device_data, self.cmesh,
+                                 include=c._mask.include(
+                                     data=c._device_data)
+                                 if c._mask is not None else None)
+        out = {"npts": raw["npts"]}
+        for k in ("min", "max", "sum", "mean", "sigma", "rms"):
+            out[k] = Quantity(raw[k], c.unit)
+        out["sumsq"] = Quantity(raw["sumsq"], c.unit ** 2)
+        return out
+
+    def sigma_clip_spectrally(self, threshold, maxiters=5):
+        out = sharded_sigma_clip(self.cube._get_filled_data(fill=np.nan),
+                                 self.cmesh, sigma=threshold,
+                                 maxiters=maxiters)
+        return ShardedCube(self.cube._new_cube_with(data=out), self.cmesh)
+
+    def spatial_smooth(self, kernel):
+        karr = np.asarray(getattr(kernel, "array", kernel), dtype=float)
+        out = sharded_spatial_convolve(
+            self.cube._get_filled_data(fill=np.nan), karr, self.cmesh)
+        return ShardedCube(self.cube._new_cube_with(data=out), self.cmesh)
+
+    def spectral_interpolate(self, spectral_grid):
+        from ..units import Quantity
+        from ..ops.interpolate import linear_spectral_wcs
+        c = self.cube
+        grid = spectral_grid.to_value(c.spectral_unit) \
+            if isinstance(spectral_grid, Quantity) \
+            else np.asarray(spectral_grid)
+        inax = np.asarray(c.spectral_axis.value, dtype=float)
+        out = sharded_spectral_interpolate(
+            c._get_filled_data(fill=np.nan), inax, grid, self.cmesh)
+        new_wcs = linear_spectral_wcs(c._wcs, grid)
+        return ShardedCube(c._new_cube_with(data=out, wcs=new_wcs,
+                                            mask=False or None),
+                           self.cmesh)
+
+    def convolve_to(self, beam):
+        """Common-beam convolution with the reshard (rechunk-analog) path."""
+        from ..ops import convolve as _conv
+        c = self.cube
+        beams = getattr(c, "_beams", None)
+        beam_list = list(beams) if beams is not None \
+            else [c.beam] * c.shape[0]
+        pixscale = float(np.mean(np.abs(
+            c._wcs.celestial.proj_plane_pixel_scales()))) * np.pi / 180.0
+        nchan, ny, nx = c.shape
+        groups, group_idx = [], np.zeros(nchan, dtype=np.int32)
+        for i, b in enumerate(beam_list):
+            for gi, gb in enumerate(groups):
+                if b == gb:
+                    group_idx[i] = gi
+                    break
+            else:
+                groups.append(b)
+                group_idx[i] = len(groups) - 1
+        kernels, max_k = [], (1, 1)
+        for b in groups:
+            cb = beam.deconvolve(b)
+            if cb.major_rad <= 0:
+                kernels.append(None)
+                continue
+            k = cb.as_kernel(pixscale)
+            kernels.append(k)
+            max_k = (max(max_k[0], k.shape[0]), max(max_k[1], k.shape[1]))
+        fy, fx = _conv._padded_shape((ny, nx), max_k)
+        transfers = np.zeros((len(groups), fy, fx // 2 + 1),
+                             dtype=np.complex128)
+        for gi, k in enumerate(kernels):
+            transfers[gi] = 1.0 if k is None else _conv._kernel_transfer(
+                k, fy, fx)
+        out = sharded_spectral_convolve_fft(
+            c._get_filled_data(fill=np.nan), transfers, group_idx,
+            self.cmesh)
+        factors = np.array([_conv.beam_unit_factor(c.unit, b, beam)
+                            for b in beam_list])
+        if not np.allclose(factors, 1.0):
+            out = out * jnp.asarray(factors, dtype=out.dtype)[:, None, None]
+        from ..cube import SpectralCube
+        new = SpectralCube(data=out, wcs=c._wcs, mask=c._mask,
+                           meta=dict(c._meta), unit=c._unit, beam=beam)
+        return ShardedCube(new, self.cmesh)

@@ -6,13 +6,19 @@ import os
 import sys
 
 # must run before jax initializes: tests run on a virtual 8-device CPU mesh
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# (force cpu even when the environment points JAX at a TPU tunnel)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = \
         flags + " --xla_force_host_platform_device_count=8"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# the axon sitecustomize pre-configures the TPU tunnel platform; override it
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

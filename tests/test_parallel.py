@@ -1,0 +1,119 @@
+"""Multi-device tests on a virtual 8-device CPU mesh (the analog of the
+reference's in-process dask.distributed cluster test,
+tests/test_dask.py:296-336; conftest sets
+--xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import spectral_cube_tpu.units as u
+from spectral_cube_tpu import SpectralCube, Quantity
+from spectral_cube_tpu.parallel import (CubeMesh, ShardedCube,
+                                        sharded_moments, sharded_statistics,
+                                        sharded_spatial_convolve, halo_pad)
+from spectral_cube_tpu.masks import LazyComparisonMask
+from spectral_cube_tpu.ops.moments import moments_012
+from spectral_cube_tpu.ops.smoothing import spatial_smooth_cube
+
+from conftest import make_cube_file
+
+
+@pytest.fixture(scope="module")
+def cmesh():
+    assert len(jax.devices()) == 8, "expected 8 virtual devices"
+    return CubeMesh()
+
+
+@pytest.fixture
+def big_cube():
+    rng = np.random.RandomState(3)
+    data = rng.rand(16, 24, 32).astype("f4")
+    data[4, 5, 6] = np.nan
+    coords = np.arange(16) * 0.5
+    return data, coords, 0.5
+
+
+def test_mesh_grid(cmesh):
+    assert cmesh.n_devices == 8
+    ny, nx = cmesh.grid
+    assert ny * nx == 8
+
+
+def test_sharded_moments_match_single_device(cmesh, big_cube):
+    data, coords, dx = big_cube
+    e0, e1, e2 = (np.asarray(m) for m in
+                  moments_012(jnp.asarray(data), coords, dx))
+    m0, m1, m2 = (np.asarray(m) for m in
+                  sharded_moments(data, coords, dx, cmesh))
+    assert np.allclose(m0, e0, rtol=1e-6, equal_nan=True)
+    assert np.allclose(m1, e1, rtol=1e-6, equal_nan=True)
+    assert np.allclose(m2, e2, rtol=1e-5, atol=1e-7, equal_nan=True)
+
+
+def test_sharded_moments_with_mask(cmesh, big_cube):
+    data, coords, dx = big_cube
+    mask = LazyComparisonMask(jnp.greater, 0.3, shape=data.shape)
+    e = [np.asarray(m) for m in moments_012(jnp.asarray(data), coords, dx,
+                                            include=jnp.asarray(data) > 0.3)]
+    got = [np.asarray(m) for m in
+           sharded_moments(data, coords, dx, cmesh, mask_expr=mask)]
+    for a, b in zip(got, e):
+        assert np.allclose(a, b, rtol=1e-5, atol=1e-7, equal_nan=True)
+
+
+def test_sharded_statistics(cmesh, big_cube):
+    data, _, _ = big_cube
+    st = sharded_statistics(data, cmesh)
+    dd = data[np.isfinite(data)].astype("f8")
+    assert st["npts"] == dd.size
+    assert st["mean"] == pytest.approx(dd.mean(), rel=1e-6)
+    assert st["sigma"] == pytest.approx(dd.std(ddof=1), rel=1e-4)
+    assert st["min"] == pytest.approx(dd.min(), rel=1e-6)
+    assert st["max"] == pytest.approx(dd.max(), rel=1e-6)
+
+
+def test_halo_exchange_convolution(cmesh, big_cube):
+    """Halo-exchange direct conv == single-device conv (the chunk-overlap
+    correctness invariant)."""
+    data, _, _ = big_cube
+    k = np.outer([0.25, 0.5, 0.25], [0.25, 0.5, 0.25])
+    expected = np.asarray(spatial_smooth_cube(jnp.asarray(data), k))
+    got = np.asarray(sharded_spatial_convolve(data, k, cmesh))
+    assert np.allclose(got, expected, rtol=1e-5, atol=1e-6, equal_nan=True)
+
+
+def test_sharded_cube_facade(tmp_path, cmesh):
+    path, data = make_cube_file(tmp_path, shape=(16, 24, 32))
+    cube = SpectralCube.read(path)
+    sc = ShardedCube(cube, cmesh)
+    m0, m1, m2 = sc.moment_maps()
+    ref0 = cube.moment0()
+    assert np.allclose(np.asarray(m0.value), np.asarray(ref0.value),
+                       rtol=1e-5, equal_nan=True)
+    st = sc.statistics()
+    assert st["npts"] == np.isfinite(data).sum()
+
+
+def test_sharded_sigma_clip(tmp_path, cmesh):
+    path, data = make_cube_file(tmp_path, shape=(16, 24, 32))
+    cube = SpectralCube.read(path)
+    sc = ShardedCube(cube, cmesh)
+    clipped = sc.sigma_clip_spectrally(2.0)
+    expected = cube.sigma_clip_spectrally(2.0)
+    assert np.allclose(np.asarray(clipped.cube.unmasked_data[:].value),
+                       np.asarray(expected.unmasked_data[:].value),
+                       rtol=1e-5, equal_nan=True)
+
+
+def test_reshard_roundtrip(cmesh, big_cube):
+    data, _, _ = big_cube
+
+    @jax.jit
+    def roundtrip(d):
+        d2 = cmesh.reshard(d, "spectral")
+        return cmesh.reshard(d2 * 2.0, "spatial")
+
+    out = np.asarray(roundtrip(cmesh.shard(data, "spatial")))
+    assert np.allclose(out, data * 2, rtol=1e-6, equal_nan=True)
