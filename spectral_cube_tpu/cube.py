@@ -1532,11 +1532,19 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
                 "Slicing a VaryingResolutionSpectralCube to a 2D plane "
                 "along the spectral axis is not supported "
                 "(reference spectral_cube.py:3937-3943)")
+        if all(isinstance(v, slice) for v in view):
+            # slice data/wcs/mask and beams together so the constructor's
+            # length check sees consistent inputs
+            new_wcs = self._wcs.slice(view, shape=self.shape)
+            newmask = self._mask[view] if self._mask is not None else None
+            meta = dict(self._meta)
+            meta["slice"] = [(v.start, v.stop, v.step) for v in view]
+            return self._new_cube_with(
+                data=self._device_data[view], wcs=new_wcs, mask=newmask,
+                meta=meta, beams=self._beams[spec_idx],
+                goodbeams_mask=self._goodbeams_mask[spec_idx])
         out = super().__getitem__(view)
-        if isinstance(out, VaryingResolutionSpectralCube):
-            out._beams = self._beams[spec_idx]
-            out._goodbeams_mask = self._goodbeams_mask[spec_idx]
-        elif isinstance(out, VaryingResolutionOneDSpectrum):
+        if isinstance(out, VaryingResolutionOneDSpectrum):
             out._beams = self._beams[spec_idx]
         return out
 

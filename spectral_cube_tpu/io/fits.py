@@ -143,6 +143,7 @@ def write_fits_stokes(stokes_cube, filename, overwrite=False):
                       for c in comps], axis=0)
     h = ref.header
     h["NAXIS"] = 4
+    h["WCSAXES"] = 4
     h["NAXIS4"] = len(comps)
     h["CTYPE4"] = "STOKES"
     from ..stokes import STOKES_SYMBOLS

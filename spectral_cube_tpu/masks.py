@@ -318,6 +318,16 @@ class LazyMask(MaskBase):
         sub = d[view] if view not in ((), None) else d
         return self._function(sub)
 
+    def __getitem__(self, view):
+        """Slicing a data-local mask just tracks shape: the cube slices its
+        data in lockstep, so evaluation applies the function to whatever
+        (already-sliced) data it receives."""
+        new_shape = np.empty(self._shape, dtype=bool)[view].shape \
+            if self._shape is not None else None
+        return LazyMask(self._function,
+                        data=self._data[view] if self._data is not None
+                        else None, wcs=self._wcs, shape=new_shape)
+
 
 class LazyComparisonMask(MaskBase):
     """mask = ``function(data, comparison_value)`` — how ``cube > 0.5*u.K``
@@ -341,6 +351,14 @@ class LazyComparisonMask(MaskBase):
             raise ValueError("mask has no bound data and none was given")
         sub = d[view] if view not in ((), None) else d
         return self._function(sub, self._comparison_value)
+
+    def __getitem__(self, view):
+        new_shape = np.empty(self._shape, dtype=bool)[view].shape \
+            if self._shape is not None else None
+        return LazyComparisonMask(
+            self._function, self._comparison_value,
+            data=self._data[view] if self._data is not None else None,
+            wcs=self._wcs, shape=new_shape)
 
 
 class FunctionMask(MaskBase):

@@ -85,23 +85,23 @@ def _convolve_planes(data, transfers, group_idx, kernel_shape):
 
     valid = jnp.isfinite(data)
     filled = jnp.where(valid, data, 0).astype(real)
-    vmask = valid.astype(real)
+    # astropy boundary='fill' treats the zero padding as *valid* data, so
+    # the normalized-convolution denominator is 1 - conv(invalid): only NaN
+    # holes (nan_treatment='interpolate') reduce the local weight.
+    invalid = (~valid).astype(real)
 
     pads = ((0, 0), (0, fy - ny), (0, fx - nx))
     fdata = jnp.fft.rfft2(jnp.pad(filled, pads))
-    fmask = jnp.fft.rfft2(jnp.pad(vmask, pads))
+    finv = jnp.fft.rfft2(jnp.pad(invalid, pads))
 
     t = transfers.astype(comp)[jnp.asarray(group_idx)]
     num = jnp.fft.irfft2(fdata * t, s=(fy, fx))[:, :ny, :nx]
-    den = jnp.fft.irfft2(fmask * t, s=(fy, fx))[:, :ny, :nx]
+    den = 1.0 - jnp.fft.irfft2(finv * t, s=(fy, fx))[:, :ny, :nx]
     eps = 1e-8
     out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
     # all-NaN planes stay NaN
     any_valid = jnp.any(valid, axis=(1, 2), keepdims=True)
     out = jnp.where(any_valid, out, jnp.nan)
-    # astropy zero-boundary convolution with interpolation divides by the
-    # in-image kernel weight; positions where the original was NaN get
-    # interpolated values, matching nan_treatment='interpolate'
     return out.astype(data.dtype)
 
 

@@ -36,8 +36,33 @@ def spatial_pixel_mapping(wcs_in: WCS, wcs_out: WCS, shape_out):
             np.asarray(xs).reshape(ny, nx))
 
 
+def _gather_with_footprint(data, coords, order):
+    """map_coordinates with NaN outside the input footprint and
+    weight-aware NaN propagation.
+
+    Naive map_coordinates poisons in-bounds points whose *zero-weight*
+    neighbor is NaN (0*NaN=NaN) — both for cval=NaN at the edges and for
+    NaN voxels in the data.  Here coordinates are clipped, NaN data is
+    zeroed for the value gather, and a parallel gather of the NaN indicator
+    marks outputs whose stencil touches NaN with nonzero weight."""
+    eps = 1e-6
+    valid = None
+    clipped = []
+    for c, n in zip(coords, data.shape):
+        v = (c >= -eps) & (c <= n - 1 + eps)  # False for NaN coords
+        valid = v if valid is None else (valid & v)
+        clipped.append(jnp.clip(jnp.nan_to_num(c), 0.0, n - 1))
+    nanmask = jnp.isnan(data).astype(data.dtype)
+    out = map_coordinates(jnp.nan_to_num(data), clipped, order=order,
+                          mode="constant", cval=0.0)
+    wnan = map_coordinates(nanmask, clipped, order=order, mode="constant",
+                           cval=0.0)
+    out = jnp.where(wnan > 1e-6, jnp.nan, out)
+    return jnp.where(valid, out, jnp.nan)
+
+
 def _resample_planes(data, ys, xs, order):
-    """Gather [*, ny_in, nx_in] planes at fractional (ys, xs), cval NaN."""
+    """Gather [*, ny_in, nx_in] planes at fractional (ys, xs); NaN outside."""
     data = jnp.asarray(data)
     single = data.ndim == 2
     if single:
@@ -50,8 +75,7 @@ def _resample_planes(data, ys, xs, order):
                           (nchan, ny, nx))
     cx = jnp.broadcast_to(jnp.asarray(xs, dtype=jnp.float32)[None],
                           (nchan, ny, nx))
-    out = map_coordinates(data, [cz, cy, cx], order=order, mode="constant",
-                          cval=jnp.nan)
+    out = _gather_with_footprint(data, [cz, cy, cx], order)
     return out[0] if single else out
 
 
@@ -107,8 +131,7 @@ def reproject_cube(data, wcs_in: WCS, target_header, order="bilinear",
                           (nz, ny, nx))
     cx = jnp.broadcast_to(jnp.asarray(xs, dtype=jnp.float32)[None],
                           (nz, ny, nx))
-    out = map_coordinates(data, [cz, cy, cx], order=_ORDERS[order],
-                          mode="constant", cval=jnp.nan)
+    out = _gather_with_footprint(data, [cz, cy, cx], _ORDERS[order])
     footprint = jnp.isfinite(out)
     return out, np.asarray(footprint), wcs_out
 

@@ -65,7 +65,9 @@ def convolve1d_nan(data, kernel, axis=0):
                                               if data.dtype != jnp.float64
                                               else jnp.float64)
     num = _conv1d_along_axis0(filled, kernel)
-    den = _conv1d_along_axis0(valid.astype(filled.dtype), kernel)
+    # astropy boundary='fill': zero padding counts as valid data, so the
+    # denominator only drops below 1 around NaN holes
+    den = 1.0 - _conv1d_along_axis0((~valid).astype(filled.dtype), kernel)
     out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.nan)
     out = jnp.where(jnp.any(valid, axis=0, keepdims=True), out, jnp.nan)
     # astropy keeps original NaNs NaN only when interpolation impossible;
@@ -102,7 +104,8 @@ def spatial_smooth_cube(data, kernel2d):
             dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
 
     num = conv(filled)
-    den = conv(valid.astype(comp))
+    # zero-fill boundary counts as valid data (astropy boundary='fill')
+    den = 1.0 - conv((~valid).astype(comp))
     out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.nan)
     out = jnp.where(jnp.any(valid, axis=(1, 2), keepdims=True), out, jnp.nan)
     return out.astype(data.dtype)
@@ -114,7 +117,9 @@ def _sliding_stack(data, size, axis):
     half = size // 2
     pads = [(0, 0)] * data.ndim
     pads[axis] = (half, size - 1 - half)
-    padded = jnp.pad(data, pads, mode="reflect")
+    # scipy.ndimage 'reflect' duplicates the edge sample, which numpy calls
+    # 'symmetric'
+    padded = jnp.pad(data, pads, mode="symmetric")
     slices = []
     n = data.shape[axis]
     for o in range(size):

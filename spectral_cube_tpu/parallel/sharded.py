@@ -154,8 +154,10 @@ def sharded_spatial_convolve(data, kernel, cmesh: CubeMesh):
         valid = jnp.isfinite(d)
         comp = jnp.float64 if d.dtype == jnp.float64 else jnp.float32
         filled = jnp.where(valid, d, 0).astype(comp)
-        vf = valid.astype(comp)
-        both = jnp.concatenate([filled, vf], axis=0)
+        # zero-fill boundary counts as valid (astropy boundary='fill'), so
+        # the halo-exchanged denominator tracks only NaN holes
+        inv = (~valid).astype(comp)
+        both = jnp.concatenate([filled, inv], axis=0)
         padded = halo_pad(both, hy, hx)
         nchan = d.shape[0]
         pf, pv = padded[:nchan], padded[nchan:]
@@ -164,7 +166,7 @@ def sharded_spatial_convolve(data, kernel, cmesh: CubeMesh):
             x[:, None], kj, (1, 1), padding="VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
         num = conv(pf)
-        den = conv(pv)
+        den = 1.0 - conv(pv)
         out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.nan)
         return out.astype(d.dtype)
 

@@ -27,11 +27,12 @@ __all__ = [
 D2R = np.pi / 180.0
 R2D = 180.0 / np.pi
 
-SUPPORTED_PROJECTIONS = ("TAN", "SIN", "ARC", "STG", "ZEA", "CAR", "SFL",
-                         "GLS", "AIT", "")
+SUPPORTED_PROJECTIONS = ("TAN", "SIN", "ARC", "STG", "ZEA", "AZP", "CAR",
+                         "SFL", "GLS", "AIT", "")
 
 # Fiducial native coordinates (phi0, theta0) per projection family [deg].
-_ZENITHAL = {"TAN", "SIN", "ARC", "STG", "ZEA"}
+# AZP with mu=0 (the GILDAS default) is gnomonic, i.e. TAN
+_ZENITHAL = {"TAN", "SIN", "ARC", "STG", "ZEA", "AZP"}
 _CYLINDRICAL = {"CAR", "SFL", "GLS", "AIT", ""}
 
 
@@ -43,7 +44,7 @@ def fiducial_native(code: str):
 
 def _zenithal_r_to_theta(code, r, xp):
     """R_theta [deg] -> theta [deg] for zenithal projections."""
-    if code == "TAN":
+    if code in ("TAN", "AZP"):
         return xp.arctan2(R2D, r) * R2D
     if code == "SIN":
         return xp.arccos(xp.clip(r * D2R, -1.0, 1.0)) * R2D
@@ -58,7 +59,7 @@ def _zenithal_r_to_theta(code, r, xp):
 
 def _zenithal_theta_to_r(code, theta, xp):
     t = theta * D2R
-    if code == "TAN":
+    if code in ("TAN", "AZP"):
         return R2D * xp.cos(t) / xp.maximum(xp.sin(t), 1e-300)
     if code == "SIN":
         return R2D * xp.cos(t)

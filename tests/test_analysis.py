@@ -1,0 +1,125 @@
+import warnings
+
+import numpy as np
+import pytest
+
+import spectral_cube_tpu.units as u
+from spectral_cube_tpu import SpectralCube, OneDSpectrum, Quantity
+from spectral_cube_tpu.analysis_utilities import (fourier_shift,
+                                                  stack_spectra, stack_cube)
+from spectral_cube_tpu.io.fits_low import HDU, write_fits
+
+from conftest import base_header, gaussian_line_cube
+
+
+def test_fourier_shift_integer():
+    x = np.zeros(32)
+    x[10] = 1.0
+    out = fourier_shift(x, 5)
+    assert np.argmax(out) == 15
+    assert out[15] == pytest.approx(1.0, rel=1e-6)
+
+
+def test_fourier_shift_preserves_nan():
+    x = np.sin(np.linspace(0, 4 * np.pi, 64))
+    x[20] = np.nan
+    out = fourier_shift(x, 3)
+    assert np.isnan(out[23])
+    assert np.isfinite(out[40])
+
+
+def test_fourier_shift_all_nan():
+    x = np.full(16, np.nan)
+    out = fourier_shift(x, 2)
+    assert np.isnan(out).all()
+
+
+def make_shifted_gaussian_cube(tmp_path, nchan=64, ny=4, nx=5, sigma=4.0):
+    """Each spaxel hosts a Gaussian line at a known, distinct velocity —
+    the reference's stacking ground truth (test_analysis_functions.py)."""
+    rng = np.random.RandomState(0)
+    v = np.arange(nchan, dtype=float)  # km/s, channel width 1
+    centers = 20 + 20 * rng.rand(ny, nx)  # km/s
+    data = np.exp(-0.5 * ((v[:, None, None] - centers[None]) / sigma) ** 2)
+    h = base_header(nx=nx, ny=ny, nchan=nchan, ctype3="VRAD",
+                    cunit3="km/s", crval3=0.0, cdelt3=1.0)
+    path = str(tmp_path / "shifted.fits")
+    write_fits(path, [HDU(data=data, header=h)])
+    return SpectralCube.read(path), centers
+
+
+def test_stack_spectra_recovers_line(tmp_path):
+    cube, centers = make_shifted_gaussian_cube(tmp_path)
+    vsurf = Quantity(centers, "km / s")
+    stacked = stack_spectra(cube, vsurf, v0=Quantity(32.0, "km / s"))
+    assert isinstance(stacked, OneDSpectrum)
+    vals = np.asarray(stacked.value)
+    sv = np.asarray(stacked.spectral_axis.value)
+    # stacked line peaks at v0 and matches the intrinsic width
+    peak_v = sv[np.nanargmax(vals)]
+    assert peak_v == pytest.approx(32.0, abs=1.0)
+    assert np.nanmax(vals) == pytest.approx(1.0, rel=0.02)
+    # fitted second moment ~ sigma
+    w = np.nan_to_num(vals)
+    m1 = (w * sv).sum() / w.sum()
+    m2 = (w * (sv - m1) ** 2).sum() / w.sum()
+    assert np.sqrt(m2) == pytest.approx(4.0, rel=0.1)
+
+
+def test_stack_spectra_pads_edges(tmp_path):
+    cube, centers = make_shifted_gaussian_cube(tmp_path)
+    vsurf = Quantity(centers, "km / s")
+    stacked = stack_spectra(cube, vsurf, v0=Quantity(32.0, "km / s"),
+                            pad_edges=True)
+    assert stacked.size >= cube.shape[0]
+
+
+def test_stack_spectra_bad_velocities_warn(tmp_path):
+    from spectral_cube_tpu.utils import BadVelocitiesWarning
+    cube, centers = make_shifted_gaussian_cube(tmp_path)
+    bad = centers.copy()
+    bad[0, 0] = 1e6
+    with pytest.warns(BadVelocitiesWarning):
+        stack_spectra(cube, Quantity(bad, "km / s"),
+                      v0=Quantity(32.0, "km / s"))
+
+
+def test_stack_spectra_validation(tmp_path):
+    cube, centers = make_shifted_gaussian_cube(tmp_path)
+    with pytest.raises(ValueError):
+        stack_spectra(cube, Quantity(np.full_like(centers, np.nan),
+                                     "km / s"))
+    with pytest.raises(ValueError):
+        stack_spectra(cube, Quantity(centers[:2], "km / s"))
+    with pytest.raises(ValueError):
+        stack_spectra(cube, Quantity(centers, "km / s"),
+                      v0=Quantity(1e9, "km / s"))
+
+
+def test_stack_cube_two_lines(tmp_path):
+    """Two lines at known rest frequencies stack onto one velocity grid."""
+    nchan = 128
+    f0 = 100e9
+    df = 1e6
+    freqs = f0 + np.arange(nchan) * df
+    # two gaussian lines in frequency space
+    l1, l2 = 100.02e9, 100.08e9
+    sig = 3e6
+    spec = (np.exp(-0.5 * ((freqs - l1) / sig) ** 2)
+            + np.exp(-0.5 * ((freqs - l2) / sig) ** 2))
+    data = np.broadcast_to(spec[:, None, None], (nchan, 3, 3)).copy()
+    h = base_header(nx=3, ny=3, nchan=nchan, ctype3="FREQ", cunit3="Hz",
+                    crval3=f0, cdelt3=df)
+    path = str(tmp_path / "twoline.fits")
+    write_fits(path, [HDU(data=data, header=h)])
+    cube = SpectralCube.read(path)
+    out = stack_cube(cube,
+                     [Quantity(l1, "Hz"), Quantity(l2, "Hz")],
+                     vmin=Quantity(-40, "km / s"),
+                     vmax=Quantity(40, "km / s"))
+    vals = np.asarray(out.unmasked_data[:, 1, 1].value)
+    sv = np.asarray(out.spectral_axis.value)
+    # the stacked line peaks near v=0
+    assert abs(sv[np.nanargmax(vals)]) < 5.0
+    # stacking two identical lines: peak amplitude ~1 (each line ~1 + tail)
+    assert np.nanmax(vals) == pytest.approx(1.0, rel=0.1)

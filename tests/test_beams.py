@@ -1,0 +1,126 @@
+import math
+
+import numpy as np
+import pytest
+
+from spectral_cube_tpu.beams import Beam, Beams, BeamError, commonbeam
+from spectral_cube_tpu.units import Quantity
+
+
+def asec(v):
+    return Quantity(v, "arcsec")
+
+
+def test_beam_basics():
+    b = Beam.make(asec(4), asec(3), Quantity(30, "deg"))
+    assert b.major.to_value("arcsec") == pytest.approx(4)
+    assert b.minor.to_value("arcsec") == pytest.approx(3)
+    assert b.pa.to_value("deg") == pytest.approx(30)
+    assert b.sr.value == pytest.approx(
+        math.pi / (4 * math.log(2)) * b.major_rad * b.minor_rad)
+
+
+def test_minor_exceeds_major_raises():
+    with pytest.raises(BeamError):
+        Beam.make(asec(2), asec(3))
+
+
+def test_convolve_deconvolve_roundtrip():
+    b1 = Beam.make(asec(4), asec(3), Quantity(30, "deg"))
+    b2 = Beam.make(asec(2), asec(2))
+    conv = b1.convolve(b2)
+    dec = conv.deconvolve(b2)
+    assert dec.major_rad == pytest.approx(b1.major_rad, rel=1e-12)
+    assert dec.minor_rad == pytest.approx(b1.minor_rad, rel=1e-12)
+
+
+def test_circular_quadrature():
+    c = Beam.make(asec(3)).convolve(Beam.make(asec(4)))
+    assert c.major.to_value("arcsec") == pytest.approx(5, rel=1e-12)
+
+
+def test_deconvolve_failure():
+    with pytest.raises(BeamError):
+        Beam.make(asec(2)).deconvolve(Beam.make(asec(3)))
+    out = Beam.make(asec(2)).deconvolve(Beam.make(asec(3)),
+                                        failure_returns_pointlike=True)
+    assert out.major_rad == 0
+
+
+def test_deconvolve_self_is_pointlike():
+    b = Beam.make(asec(3), asec(2), Quantity(10, "deg"))
+    out = b.deconvolve(b)
+    assert out.major_rad == 0 and out.minor_rad == 0
+
+
+def test_jtok():
+    b = Beam.make(asec(1))
+    jtok = b.jtok(Quantity(100, "GHz"))
+    # standard approximation: 1.222e6 / (nu_GHz^2 maj_as min_as)
+    assert jtok.value == pytest.approx(1.222e6 / 1e4, rel=0.01)
+
+
+def test_kernel_properties():
+    b = Beam.make(asec(4), asec(3), Quantity(30, "deg"))
+    k = b.as_kernel(Quantity(1, "arcsec").to("rad"))
+    assert k.sum() == pytest.approx(1.0, abs=1e-12)
+    iy, ix = np.unravel_index(np.argmax(k), k.shape)
+    assert (iy, ix) == (k.shape[0] // 2, k.shape[1] // 2)
+    assert k.shape[0] % 2 == 1
+
+
+def test_from_header():
+    b = Beam.from_header({"BMAJ": 1e-3, "BMIN": 5e-4, "BPA": 45.0})
+    assert b.major.to_value("deg") == pytest.approx(1e-3)
+    assert b.pa.to_value("deg") == pytest.approx(45)
+    assert Beam.from_header({}) is None
+
+
+def test_beams_collection():
+    bs = Beams(major=Quantity([1, 2, 3], "arcsec"),
+               minor=Quantity([1, 1, 2], "arcsec"),
+               pa=Quantity([0, 45, 90], "deg"))
+    assert len(bs) == 3
+    assert bs.largest_beam().major.to_value("arcsec") == pytest.approx(3)
+    assert bs.smallest_beam().major.to_value("arcsec") == pytest.approx(1)
+    sub = bs[np.array([True, False, True])]
+    assert len(sub) == 2
+    avg = bs.average_beam()
+    assert 1 < avg.major.to_value("arcsec") < 3
+
+
+def test_common_beam_identical():
+    bs = Beams(major=Quantity([2, 2], "arcsec"))
+    cb = commonbeam(bs)
+    assert cb.major.to_value("arcsec") == pytest.approx(2)
+
+
+def test_common_beam_nested():
+    bs = Beams(major=Quantity([1, 3], "arcsec"))
+    cb = commonbeam(bs)
+    assert cb.major.to_value("arcsec") == pytest.approx(3)
+
+
+def test_common_beam_crossed_ellipses():
+    bs = Beams(beams=[
+        Beam.make(asec(4), asec(2), Quantity(0, "deg")),
+        Beam.make(asec(4), asec(2), Quantity(90, "deg"))])
+    cb = commonbeam(bs)
+    for b in bs:
+        cb.deconvolve(b)  # must not raise
+    assert cb.major.to_value("arcsec") == pytest.approx(4, rel=0.1)
+    assert cb.minor.to_value("arcsec") >= 3.5
+
+
+def test_beams_table_roundtrip():
+    bs = Beams(major=Quantity([1, 2], "arcsec"),
+               minor=Quantity([0.5, 1], "arcsec"),
+               pa=Quantity([10, 20], "deg"))
+    cols = bs.to_table_columns()
+    bs2 = Beams(major=Quantity(np.asarray(cols["BMAJ"], dtype=float),
+                               "arcsec"),
+                minor=Quantity(np.asarray(cols["BMIN"], dtype=float),
+                               "arcsec"),
+                pa=Quantity(np.asarray(cols["BPA"], dtype=float), "deg"))
+    assert bs2[0].major.to_value("arcsec") == pytest.approx(1, rel=1e-6)
+    assert bs2[1].pa.to_value("deg") == pytest.approx(20, rel=1e-5)

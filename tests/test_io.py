@@ -1,0 +1,200 @@
+import os
+
+import numpy as np
+import pytest
+
+import spectral_cube_tpu.units as u
+from spectral_cube_tpu import (SpectralCube, VaryingResolutionSpectralCube,
+                               StokesSpectralCube, Quantity)
+from spectral_cube_tpu.io.fits_low import (Header, HDU, BinTableHDU,
+                                           read_fits, write_fits)
+
+from conftest import base_header, make_cube_file, make_vr_cube_file, \
+    make_beams_table
+
+
+def test_header_card_parsing():
+    from spectral_cube_tpu.io.fits_low import _parse_card
+    assert _parse_card("SIMPLE  =                    T / conform"[:80]) == \
+        ("SIMPLE", True, "conform")
+    k, v, c = _parse_card(
+        "CRVAL1  =    2.31837500515E+01  / ra".ljust(80))
+    assert k == "CRVAL1" and v == pytest.approx(23.18375)
+    k, v, c = _parse_card("OBJECT  = 'M33     '           / name".ljust(80))
+    assert v == "M33"
+    k, v, c = _parse_card("NAXIS   =                    3".ljust(80))
+    assert v == 3 and isinstance(v, int)
+
+
+def test_fits_roundtrip_dtypes(tmp_path):
+    for dtype in ("f4", "f8", "i2", "i4"):
+        data = (np.random.RandomState(0).rand(3, 4, 5) * 100).astype(dtype)
+        path = str(tmp_path / f"t_{dtype}.fits")
+        write_fits(path, [HDU(data=data, header=Header())])
+        back = read_fits(path)[0].data
+        np.testing.assert_allclose(back, data)
+
+
+def test_bscale_bzero(tmp_path):
+    h = Header()
+    h["BSCALE"] = 0.5
+    h["BZERO"] = 100.0
+    raw = np.arange(12, dtype="i2").reshape(3, 4)
+    path = str(tmp_path / "scaled.fits")
+    # write raw with scaling keywords; reader must apply them
+    hdu = HDU(data=raw, header=h)
+    write_fits(path, [hdu])
+    back = read_fits(path)[0]
+    np.testing.assert_allclose(back.data, raw * 0.5 + 100.0)
+
+
+def test_read_cube_orients_any_permutation(tmp_path):
+    """Axis-permutation independence (the reference's adv/advs/dvsa/...
+    fixtures, conftest.py:50-58)."""
+    rng = np.random.RandomState(5)
+    data = rng.rand(4, 3, 2)  # [spec, lat, lon]
+    base = base_header()
+    # write permuted versions with matching permuted headers
+    perms = {
+        "adv": ([0, 1, 2], [1, 2, 3]),        # numpy [s,y,x]; fits axes x,y,s
+        "vad": ([2, 0, 1], None),
+        "dva": ([1, 0, 2], None),
+    }
+    # construct permuted header manually for each data transpose
+    for name, (tr, _) in perms.items():
+        pdata = data.transpose(tr)
+        h = Header()
+        h["BUNIT"] = "K"
+        h["RESTFRQ"] = 1.42040571841e9
+        # numpy axis i is FITS axis ndim-i; map base fits axes accordingly
+        fits_axis_of_np = {0: 3, 1: 2, 2: 1}  # for [s,y,x]
+        for new_np_ax, old_np_ax in enumerate(tr):
+            old_fits = fits_axis_of_np[old_np_ax]
+            new_fits = 3 - new_np_ax
+            for key in ("CTYPE", "CRVAL", "CDELT", "CRPIX", "CUNIT"):
+                src = f"{key}{old_fits}"
+                if src in base:
+                    h[f"{key}{new_fits}"] = base[src]
+            h[f"NAXIS{new_fits}"] = pdata.shape[new_np_ax]
+        h["NAXIS"] = 3
+        path = str(tmp_path / f"{name}.fits")
+        write_fits(path, [HDU(data=pdata, header=h)])
+        cube = SpectralCube.read(path)
+        assert cube.shape == (4, 3, 2), name
+        np.testing.assert_allclose(
+            np.asarray(cube.unmasked_data[:].value), data, err_msg=name)
+        assert cube.wcs.ctype[2].startswith("VRAD")
+
+
+def test_cube_write_read_roundtrip(tmp_path, cube_adv):
+    cube, data = cube_adv
+    path = str(tmp_path / "out.fits")
+    cube.write(path)
+    c2 = SpectralCube.read(path)
+    np.testing.assert_allclose(np.asarray(c2.unmasked_data[:].value), data,
+                               equal_nan=True, rtol=1e-7)
+    assert c2.wcs.check_equality(cube.wcs, wcs_tolerance=1e-10)
+    assert c2.unit == cube.unit
+    assert c2.beam == cube.beam
+
+
+def test_write_no_overwrite(tmp_path, cube_adv):
+    cube, _ = cube_adv
+    path = str(tmp_path / "x.fits")
+    cube.write(path)
+    with pytest.raises(OSError):
+        cube.write(path)
+    cube.write(path, overwrite=True)
+
+
+def test_vr_cube_read(cube_vr):
+    cube, data = cube_vr
+    assert isinstance(cube, VaryingResolutionSpectralCube)
+    assert len(cube.unmasked_beams) == 4
+    assert cube.unmasked_beams[0].major.to_value("deg") * 3600 == \
+        pytest.approx(1.0, rel=1e-5)
+
+
+def test_vr_cube_write_roundtrip(tmp_path, cube_vr):
+    cube, data = cube_vr
+    path = str(tmp_path / "vr_out.fits")
+    cube.write(path)
+    c2 = SpectralCube.read(path)
+    assert isinstance(c2, VaryingResolutionSpectralCube)
+    assert len(c2.unmasked_beams) == 4
+    assert c2.unmasked_beams[2].major.to_value("deg") == pytest.approx(
+        cube.unmasked_beams[2].major.to_value("deg"), rel=1e-5)
+
+
+def test_4d_stokes_read(tmp_path):
+    rng = np.random.RandomState(9)
+    data4 = rng.rand(2, 4, 3, 2)  # [stokes, spec, lat, lon]
+    h = base_header()
+    h["NAXIS"] = 4
+    h["NAXIS4"] = 2
+    h["CTYPE4"] = "STOKES"
+    h["CRVAL4"] = 1.0
+    h["CDELT4"] = 1.0
+    h["CRPIX4"] = 1.0
+    path = str(tmp_path / "stokes.fits")
+    write_fits(path, [HDU(data=data4, header=h)])
+    sc = StokesSpectralCube.read(path)
+    assert set(sc.components) == {"I", "Q"}
+    np.testing.assert_allclose(
+        np.asarray(sc["I"].unmasked_data[:].value), data4[0])
+    np.testing.assert_allclose(
+        np.asarray(sc["Q"].unmasked_data[:].value), data4[1])
+
+
+def test_4d_single_stokes_collapses(tmp_path):
+    rng = np.random.RandomState(9)
+    data4 = rng.rand(1, 4, 3, 2)
+    h = base_header()
+    h["NAXIS"] = 4
+    h["NAXIS4"] = 1
+    h["CTYPE4"] = "STOKES"
+    path = str(tmp_path / "stokes1.fits")
+    write_fits(path, [HDU(data=data4, header=h)])
+    cube = SpectralCube.read(path)
+    assert isinstance(cube, SpectralCube)
+    assert cube.shape == (4, 3, 2)
+
+
+def test_lmv_reader_reference_file():
+    lmv = "/root/reference/spectral_cube/tests/data/example_cube.lmv"
+    if not os.path.exists(lmv):
+        pytest.skip("reference LMV example not available")
+    cube = SpectralCube.read(lmv)
+    assert cube.shape == (7, 4, 3)
+    assert cube.unit == u.Jy / u.beam
+    assert cube.wcs.ctype[2] == "VELO"
+    m0 = cube.moment0()
+    assert np.isfinite(np.asarray(m0.value)).all()
+
+
+def test_lmv_matches_reference_fits_export():
+    """The reference ships the same cube as FITS; our LMV decode must agree."""
+    lmv = "/root/reference/spectral_cube/tests/data/example_cube.lmv"
+    fits = "/root/reference/spectral_cube/tests/data/example_cube.fits"
+    if not (os.path.exists(lmv) and os.path.exists(fits)):
+        pytest.skip("reference example files not available")
+    c1 = SpectralCube.read(lmv)
+    c2 = SpectralCube.read(fits)
+    np.testing.assert_allclose(np.asarray(c1.unmasked_data[:].value),
+                               np.asarray(c2.unmasked_data[:].value),
+                               rtol=1e-6, equal_nan=True)
+
+
+def test_casa_reader_gated():
+    from spectral_cube_tpu.io.casa_image import load_casa_image
+    with pytest.raises(ImportError):
+        load_casa_image("/nonexistent.image")
+
+
+def test_format_detection(tmp_path, cube_adv):
+    from spectral_cube_tpu.io import _detect_format
+    cube, _ = cube_adv
+    path = str(tmp_path / "det.fits")
+    cube.write(path)
+    assert _detect_format(path) == "fits"
+    assert _detect_format("x.lmv") == "class_lmv"

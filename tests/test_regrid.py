@@ -1,0 +1,231 @@
+"""Convolution, reprojection, interpolation, downsampling tests
+(the reference's test_regrid.py battery, re-derived)."""
+
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import spectral_cube_tpu.units as u
+from spectral_cube_tpu import SpectralCube, Beam, Quantity
+from spectral_cube_tpu.io.fits_low import Header, HDU, write_fits
+from spectral_cube_tpu.ops.convolve import convolve2d_nan_fft
+from spectral_cube_tpu.ops.interpolate import downsample_axis
+
+from conftest import base_header, make_cube_file, make_vr_cube_file
+
+
+def make_delta_cube(tmp_path, shape=(2, 25, 25), beam_arcsec=None,
+                    pixscale_deg=5.55e-4):
+    """Delta-function cube: ground truth for convolution (the reference's
+    data_255_delta fixture, conftest.py:429-436)."""
+    nchan, ny, nx = shape
+    data = np.zeros(shape)
+    data[:, ny // 2, nx // 2] = 1.0
+    h = base_header(nx=nx, ny=ny, nchan=nchan, beam=False)
+    h["CDELT1"] = -pixscale_deg
+    h["CDELT2"] = pixscale_deg
+    h["BUNIT"] = "K"
+    if beam_arcsec is not None:
+        h["BMAJ"] = beam_arcsec / 3600.0
+        h["BMIN"] = beam_arcsec / 3600.0
+        h["BPA"] = 0.0
+    path = str(tmp_path / "delta.fits")
+    write_fits(path, [HDU(data=data, header=h)])
+    return SpectralCube.read(path), data
+
+
+def test_convolve_delta_gives_kernel(tmp_path):
+    """Convolving a delta function reproduces the deconvolved kernel."""
+    pix_deg = 5.55e-4
+    cube, _ = make_delta_cube(tmp_path, beam_arcsec=2 * pix_deg * 3600)
+    target = Beam.make(Quantity(6 * pix_deg, "deg"))
+    out = cube.convolve_to(target)
+    img = np.asarray(out.unmasked_data[1].value)
+    # peak at center, gaussian shape with correct width
+    iy, ix = np.unravel_index(np.argmax(img), img.shape)
+    assert (iy, ix) == (12, 12)
+    conv_beam = target.deconvolve(cube.beam)
+    kernel = conv_beam.as_kernel(Quantity(pix_deg, "deg").to("rad"),
+                                 x_size=25, y_size=25)
+    np.testing.assert_allclose(img, kernel, atol=1e-6)
+
+
+def test_convolve_point_source_peak_preserved_jybm(tmp_path):
+    """Jy/beam point source: convolution rescales so the peak stays 1
+    (the physically-calibrated fixture, reference conftest.py:589-659)."""
+    pix_deg = 5.55e-4
+    nchan, ny, nx = 2, 25, 25
+    beam0 = Beam.make(Quantity(4 * pix_deg, "deg"))
+    # a point source observed with beam0, in Jy/beam: gaussian with peak 1
+    kernel0 = np.asarray(beam0.as_kernel(Quantity(pix_deg, "deg").to("rad"),
+                                         x_size=25, y_size=25))
+    img = kernel0 / kernel0.max()
+    data = np.broadcast_to(img, (nchan, ny, nx)).copy()
+    h = base_header(nx=nx, ny=ny, nchan=nchan, beam=False)
+    h["CDELT1"] = -pix_deg
+    h["CDELT2"] = pix_deg
+    h["BUNIT"] = "Jy/beam"
+    h["BMAJ"] = h["BMIN"] = 4 * pix_deg
+    h["BPA"] = 0.0
+    path = str(tmp_path / "point.fits")
+    write_fits(path, [HDU(data=data, header=h)])
+    cube = SpectralCube.read(path)
+    target = Beam.make(Quantity(5 * pix_deg, "deg"))
+    out = cube.convolve_to(target)
+    peak = float(np.asarray(out.unmasked_data[0].value).max())
+    assert peak == pytest.approx(1.0, rel=0.01)
+
+
+def test_convolve2d_nan_interpolation():
+    img = np.ones((16, 16))
+    img[8, 8] = np.nan
+    k = np.ones((3, 3)) / 9.0
+    out = np.asarray(convolve2d_nan_fft(img, k))
+    # NaN gets interpolated from neighbors (all ones)
+    assert out[8, 8] == pytest.approx(1.0, rel=1e-6)
+
+
+def test_convolve_to_same_beam_identity(tmp_path):
+    pix_deg = 5.55e-4
+    cube, data = make_delta_cube(tmp_path, beam_arcsec=4 * pix_deg * 3600)
+    out = cube.convolve_to(cube.beam)
+    np.testing.assert_allclose(np.asarray(out.unmasked_data[:].value), data,
+                               atol=1e-6)
+
+
+def test_vr_convolve_to_common(cube_vr):
+    cube, data = cube_vr
+    common = cube.common_beam()
+    out = cube.convolve_to(common)
+    from spectral_cube_tpu import SpectralCube as SC
+    assert isinstance(out, SC)
+    assert out.beam == common
+    assert np.isfinite(np.asarray(out.unmasked_data[:].value)).all()
+
+
+def test_vr_convolve_smaller_raises(cube_vr):
+    cube, _ = cube_vr
+    small = Beam.make(Quantity(0.5, "arcsec"))
+    from spectral_cube_tpu.beams import BeamError
+    with pytest.raises(BeamError):
+        cube.convolve_to(small)
+
+
+def test_spectral_interpolate_linear_data(cube_adv):
+    cube, data = cube_adv
+    sv = np.asarray(cube.spectral_axis.value)
+    # interpolation onto midpoints of a linear function is exact
+    lin = np.arange(4)[:, None, None] * np.ones((4, 3, 2))
+    cube2 = cube._new_cube_with(data=jnp.asarray(lin), mask=None)
+    mid = Quantity((sv[:-1] + sv[1:]) / 2.0, "km / s")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = cube2.spectral_interpolate(mid)
+    np.testing.assert_allclose(np.asarray(out.unmasked_data[:].value),
+                               (lin[:-1] + lin[1:]) / 2, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.spectral_axis.value),
+                               mid.value, rtol=1e-10)
+
+
+def test_spectral_interpolate_nonlinear_grid_raises(cube_adv):
+    cube, _ = cube_adv
+    with pytest.raises(ValueError):
+        cube.spectral_interpolate(Quantity(np.array([-321.0, -320.0,
+                                                     -318.0]), "km / s"))
+
+
+def test_spectral_interpolate_nyquist_warning(tmp_path):
+    from spectral_cube_tpu.utils import SmoothingWarning
+    path, data = make_cube_file(tmp_path, shape=(16, 3, 2))
+    cube = SpectralCube.read(path)
+    sv = np.asarray(cube.spectral_axis.value)
+    coarse = Quantity(np.linspace(sv[0], sv[-1], 4), "km / s")
+    with pytest.warns(SmoothingWarning):
+        cube.spectral_interpolate(coarse)
+
+
+@pytest.mark.parametrize("estimator", ["mean", "sum", "median"])
+def test_downsample_axis(estimator):
+    data = np.arange(24.0).reshape(6, 2, 2)
+    out = np.asarray(downsample_axis(jnp.asarray(data), 2, 0,
+                                     estimator=estimator))
+    npfn = {"mean": np.nanmean, "sum": np.nansum,
+            "median": np.nanmedian}[estimator]
+    expected = np.stack([npfn(data[i:i + 2], axis=0)
+                         for i in range(0, 6, 2)])
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_downsample_ragged_tail():
+    data = np.arange(10.0).reshape(5, 2, 1)
+    out = np.asarray(downsample_axis(jnp.asarray(data), 2, 0,
+                                     estimator="mean"))
+    assert out.shape == (3, 2, 1)
+    # last block has one sample
+    np.testing.assert_allclose(out[2, :, 0], data[4, :, 0])
+
+
+def test_cube_downsample_wcs(cube_adv):
+    cube, data = cube_adv
+    out = cube.downsample_axis(2, axis=0)
+    assert out.shape == (2, 3, 2)
+    sv = np.asarray(cube.spectral_axis.value)
+    svd = np.asarray(out.spectral_axis.value)
+    # downsampled channel centers at block centers
+    np.testing.assert_allclose(svd, [(sv[0] + sv[1]) / 2,
+                                     (sv[2] + sv[3]) / 2], rtol=1e-9)
+
+
+def test_reproject_identity(cube_adv):
+    cube, data = cube_adv
+    hdr = cube.header
+    out = cube.reproject(hdr)
+    got = np.asarray(out.unmasked_data[:].value)
+    np.testing.assert_allclose(got, data, rtol=1e-5, atol=1e-6,
+                               equal_nan=True)
+    assert out.wcs.check_equality(cube.wcs, wcs_tolerance=1e-9)
+
+
+def test_reproject_offset_halfpixel(tmp_path):
+    path, data = make_cube_file(tmp_path, shape=(3, 16, 16), with_nan=False)
+    cube = SpectralCube.read(path)
+    hdr = cube.header
+    hdr["CRPIX1"] = float(hdr["CRPIX1"]) + 0.5  # shift grid by half pixel
+    out = cube.reproject(hdr)
+    got = np.asarray(out.unmasked_data[:].value)
+    # output pixel x samples input x - 0.5: average of x-1 and x neighbors
+    expected = 0.5 * (data[:, :, :-1] + data[:, :, 1:])
+    np.testing.assert_allclose(got[:, :, 1:], expected, rtol=2e-2,
+                               atol=2e-2)
+
+
+def test_mosaic_two_offset_cubes(tmp_path):
+    """Mosaicking two overlapping cubes reproduces both footprints
+    (reference mosaic_cubes, cube_utils.py:791-856)."""
+    from spectral_cube_tpu.cube_utils import combine_headers
+    from spectral_cube_tpu.ops.regrid import mosaic_add
+    p1, d1 = make_cube_file(tmp_path, "m1.fits", shape=(2, 12, 12),
+                            with_nan=False)
+    c1 = SpectralCube.read(p1)
+    h2 = base_header(nx=12, ny=12, nchan=2)
+    h2["CRVAL1"] = c1.header["CRVAL1"] + 8 * abs(c1.header["CDELT1"])
+    rng = np.random.RandomState(1)
+    d2 = rng.rand(2, 12, 12)
+    p2 = str(tmp_path / "m2.fits")
+    write_fits(p2, [HDU(data=d2, header=h2)])
+    c2 = SpectralCube.read(p2)
+
+    target = combine_headers(c1.header, c2.header)
+    nz, ny, nx = 2, int(target["NAXIS2"]), int(target["NAXIS1"])
+    accum = jnp.zeros((nz, ny, nx))
+    weights = jnp.zeros((nz, ny, nx))
+    for c in (c1, c2):
+        accum, weights = mosaic_add(
+            accum, weights, c._get_filled_data(fill=np.nan), c.wcs, target,
+            spectral_values_in=np.asarray(c.spectral_axis.value))
+    w = np.asarray(weights)
+    assert w.max() >= 1
+    mosaic = np.where(w > 0, np.asarray(accum) / np.maximum(w, 1), np.nan)
+    assert np.isfinite(mosaic).sum() > d1[0].size  # covers more than one cube

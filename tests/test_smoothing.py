@@ -1,0 +1,130 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy import ndimage
+
+from spectral_cube_tpu.ops.smoothing import (
+    convolve1d_nan, spectral_smooth_cube, spatial_smooth_cube,
+    spectral_median_filter_cube, spatial_median_filter_cube,
+    sigma_clip_spectrally, gaussian_kernel1d)
+
+
+def test_gaussian_kernel1d():
+    k = gaussian_kernel1d(2.0)
+    assert k.sum() == pytest.approx(1.0, abs=1e-12)
+    assert k.size % 2 == 1
+    assert k[k.size // 2] == k.max()
+
+
+def test_convolve1d_matches_numpy():
+    rng = np.random.RandomState(0)
+    data = rng.rand(32, 3, 4)
+    k = gaussian_kernel1d(1.5)
+    out = np.asarray(spectral_smooth_cube(jnp.asarray(data), k))
+    # oracle: zero-padded correlation per spaxel
+    expected = np.empty_like(data)
+    for j in range(3):
+        for i in range(4):
+            expected[:, j, i] = np.convolve(data[:, j, i], k, mode="same")
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-7)
+
+
+def test_convolve1d_nan_interpolation():
+    data = np.ones((16, 1, 1))
+    data[8] = np.nan
+    k = gaussian_kernel1d(1.0)
+    out = np.asarray(spectral_smooth_cube(jnp.asarray(data), k))
+    # NaN interpolated from neighbors (all ones)
+    assert out[8, 0, 0] == pytest.approx(1.0, rel=1e-6)
+    # other positions unchanged
+    assert out[4, 0, 0] == pytest.approx(1.0, rel=1e-6)
+
+
+def test_convolve1d_all_nan_column_stays_nan():
+    data = np.full((8, 1, 1), np.nan)
+    out = np.asarray(spectral_smooth_cube(jnp.asarray(data),
+                                          gaussian_kernel1d(1.0)))
+    assert np.isnan(out).all()
+
+
+def test_spatial_smooth_matches_scipy():
+    rng = np.random.RandomState(1)
+    data = rng.rand(2, 16, 17)
+    k = np.outer([0.25, 0.5, 0.25], [0.25, 0.5, 0.25])
+    out = np.asarray(spatial_smooth_cube(jnp.asarray(data), k))
+    for c in range(2):
+        expected = ndimage.correlate(data[c], k, mode="constant", cval=0.0)
+        np.testing.assert_allclose(out[c], expected, rtol=1e-5, atol=1e-7)
+
+
+def test_spectral_median_filter_matches_scipy():
+    rng = np.random.RandomState(2)
+    data = rng.rand(16, 3, 4)
+    out = np.asarray(spectral_median_filter_cube(jnp.asarray(data), 3))
+    expected = ndimage.median_filter(data, size=(3, 1, 1))
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_spatial_median_filter_matches_scipy():
+    rng = np.random.RandomState(3)
+    data = rng.rand(2, 12, 13)
+    out = np.asarray(spatial_median_filter_cube(jnp.asarray(data), 3))
+    expected = ndimage.median_filter(data, size=(1, 3, 3))
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_sigma_clip_removes_outliers():
+    rng = np.random.RandomState(4)
+    data = rng.randn(64, 4, 4).astype("f4") * 0.1
+    data[10, 1, 1] = 50.0  # gross outlier
+    out = np.asarray(sigma_clip_spectrally(jnp.asarray(data), sigma=3.0))
+    assert np.isnan(out[10, 1, 1])
+    # inliers survive
+    assert np.isfinite(out[:, 0, 0]).sum() > 55
+
+
+def test_sigma_clip_matches_iterative_numpy():
+    rng = np.random.RandomState(5)
+    data = rng.randn(64).astype("f4")
+    data[5] = 30.0
+
+    def np_clip(v, sigma, iters):
+        v = v.copy()
+        for _ in range(iters):
+            med = np.nanmedian(v)
+            std = np.sqrt(np.nanmean((v - med) ** 2)
+                          ) if False else np.nanstd(v)
+            v[np.abs(v - med) > sigma * std] = np.nan
+        return v
+
+    out = np.asarray(sigma_clip_spectrally(
+        jnp.asarray(data[:, None, None]), sigma=3.0, maxiters=5))[:, 0, 0]
+    expected = np_clip(data, 3.0, 5)
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-6,
+                               equal_nan=True)
+
+
+def test_cube_smoothing_api(cube_adv):
+    cube, data = cube_adv
+    kcube = cube.to("K")  # Jy/beam spatial smoothing is guarded
+    sm = kcube.spatial_smooth(np.ones((3, 3)) / 9.0)
+    assert sm.shape == cube.shape
+    sm2 = kcube.spatial_smooth_median(3)
+    assert sm2.shape == cube.shape
+    sp = cube.spectral_smooth(gaussian_kernel1d(1.0))
+    assert sp.shape == cube.shape
+    # spectral median smoothing is also guarded on Jy/beam cubes
+    # (reference base_class.py:116-140)
+    spm = kcube.spectral_smooth_median(3)
+    assert spm.shape == cube.shape
+
+
+def test_jybeam_spatial_smooth_guard(cube_adv):
+    from spectral_cube_tpu.beams import BeamError
+    cube, _ = cube_adv
+    with pytest.raises(BeamError):
+        cube.spatial_smooth(np.ones((3, 3)) / 9.0)
+    # override works
+    out = cube.spatial_smooth(np.ones((3, 3)) / 9.0,
+                              raise_error_jybm=False)
+    assert out.shape == cube.shape

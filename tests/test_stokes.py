@@ -1,0 +1,121 @@
+import numpy as np
+import pytest
+
+from spectral_cube_tpu import (SpectralCube, StokesSpectralCube,
+                               BooleanArrayMask)
+
+from conftest import make_cube_file
+
+
+def _component_cubes(tmp_path, names, seeds=None):
+    cubes = {}
+    for i, name in enumerate(names):
+        path, data = make_cube_file(tmp_path, f"{name}.fits",
+                                    seed=(seeds[i] if seeds else i),
+                                    with_nan=False)
+        cubes[name] = SpectralCube.read(path)
+    return cubes
+
+
+def test_construction_and_access(tmp_path):
+    cubes = _component_cubes(tmp_path, ["I", "Q", "U", "V"])
+    sc = StokesSpectralCube(cubes)
+    assert set(sc.components) == {"I", "Q", "U", "V"}
+    assert sc.shape == (4, 3, 2)
+    assert sc.stokes_type == "SKY_STOKES"
+    # attribute access (reference :153-163)
+    np.testing.assert_allclose(
+        np.asarray(sc.I.unmasked_data[:].value),
+        np.asarray(sc["I"].unmasked_data[:].value))
+
+
+def test_invalid_component_rejected(tmp_path):
+    cubes = _component_cubes(tmp_path, ["I"])
+    cubes["BANANA"] = cubes["I"]
+    with pytest.raises(ValueError):
+        StokesSpectralCube(cubes)
+
+
+def test_mismatched_shape_rejected(tmp_path):
+    path1, _ = make_cube_file(tmp_path, "a.fits")
+    path2, _ = make_cube_file(tmp_path, "b.fits", shape=(5, 3, 2))
+    with pytest.raises(ValueError):
+        StokesSpectralCube({"I": SpectralCube.read(path1),
+                            "Q": SpectralCube.read(path2)})
+
+
+def test_common_mask(tmp_path):
+    cubes = _component_cubes(tmp_path, ["I", "Q"])
+    mask = np.zeros((4, 3, 2), dtype=bool)
+    mask[:, 1, :] = True
+    sc = StokesSpectralCube(cubes).with_mask(mask)
+    icube = sc["I"]
+    filled = np.asarray(icube.filled_data[:].value)
+    assert np.isnan(filled[:, 0, :]).all()
+    assert np.isfinite(filled[:, 1, :]).all()
+
+
+def test_linear_feed_to_sky(tmp_path):
+    cubes = _component_cubes(tmp_path, ["I", "Q", "U", "V"])
+    XX = cubes["I"] + cubes["Q"]
+    YY = cubes["I"] - cubes["Q"]
+    XY = cubes["U"] + cubes["V"]
+    YX = cubes["U"] - cubes["V"]
+    feed = StokesSpectralCube({"XX": XX, "YY": YY, "XY": XY, "YX": YX})
+    assert feed.stokes_type == "FEED_LINEAR"
+    sky = feed.transform_basis("Sky")
+    for comp in "IQUV":
+        np.testing.assert_allclose(
+            np.asarray(sky[comp].unmasked_data[:].value),
+            np.asarray(cubes[comp].unmasked_data[:].value),
+            rtol=1e-5, atol=1e-7)
+
+
+def test_circular_feed_to_sky(tmp_path):
+    cubes = _component_cubes(tmp_path, ["I", "Q", "U", "V"])
+    RR = cubes["I"] + cubes["V"]
+    LL = cubes["I"] - cubes["V"]
+    RL = cubes["Q"] - cubes["U"]
+    LR = cubes["Q"] + cubes["U"]
+    feed = StokesSpectralCube({"RR": RR, "LL": LL, "RL": RL, "LR": LR})
+    assert feed.stokes_type == "FEED_CIRCULAR"
+    sky = feed.transform_basis("Sky")
+    for comp in "IQUV":
+        np.testing.assert_allclose(
+            np.asarray(sky[comp].unmasked_data[:].value),
+            np.asarray(cubes[comp].unmasked_data[:].value),
+            rtol=1e-5, atol=1e-7)
+
+
+def test_sky_to_feed_roundtrip(tmp_path):
+    cubes = _component_cubes(tmp_path, ["I", "Q", "U", "V"])
+    sc = StokesSpectralCube(cubes)
+    back = sc.transform_basis("Linear").transform_basis("Sky")
+    for comp in "IQUV":
+        np.testing.assert_allclose(
+            np.asarray(back[comp].unmasked_data[:].value),
+            np.asarray(cubes[comp].unmasked_data[:].value),
+            rtol=1e-5, atol=1e-7)
+
+
+def test_delegated_geometry(tmp_path):
+    from spectral_cube_tpu.units import Quantity
+    cubes = _component_cubes(tmp_path, ["I", "Q"])
+    sc = StokesSpectralCube(cubes)
+    slab = sc.spectral_slab(Quantity(-321.2, "km / s"),
+                            Quantity(-318.7, "km / s"))
+    assert slab["I"].shape[0] == 3
+    sub = sc.subcube(xlo=0, xhi=1)
+    assert sub["Q"].shape[2] == 1
+
+
+def test_stokes_write_read_roundtrip(tmp_path):
+    cubes = _component_cubes(tmp_path, ["I", "Q"])
+    sc = StokesSpectralCube(cubes)
+    path = str(tmp_path / "stokes_out.fits")
+    sc.write(path)
+    back = StokesSpectralCube.read(path)
+    assert set(back.components) == {"I", "Q"}
+    np.testing.assert_allclose(
+        np.asarray(back["Q"].unmasked_data[:].value),
+        np.asarray(cubes["Q"].unmasked_data[:].value), rtol=1e-6)

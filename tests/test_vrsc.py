@@ -1,0 +1,154 @@
+import warnings
+
+import numpy as np
+import pytest
+
+import spectral_cube_tpu.units as u
+from spectral_cube_tpu import (SpectralCube, VaryingResolutionSpectralCube,
+                               Beam, Beams, Quantity,
+                               VaryingResolutionOneDSpectrum, Slice)
+from spectral_cube_tpu.utils import NonFiniteBeamsWarning
+
+from conftest import make_vr_cube_file
+
+
+def test_beams_attached(cube_vr):
+    cube, _ = cube_vr
+    assert isinstance(cube, VaryingResolutionSpectralCube)
+    assert len(cube.unmasked_beams) == cube.shape[0]
+    majors = cube.unmasked_beams.major.to_value("arcsec")
+    np.testing.assert_allclose(majors, np.linspace(1.0, 1.5, 4), rtol=1e-5)
+
+
+def test_beam_length_mismatch_raises(cube_vr):
+    cube, data = cube_vr
+    with pytest.raises(ValueError):
+        VaryingResolutionSpectralCube(
+            data=cube._data, wcs=cube.wcs,
+            beams=Beams(major=Quantity([1, 2], "arcsec")))
+
+
+def test_nonfinite_beams_masked(tmp_path):
+    majors = np.array([1.0, np.nan, 1.2, 1.3], dtype="f4")
+    path, data = make_vr_cube_file(tmp_path, major_arcsec=majors)
+    with pytest.warns(NonFiniteBeamsWarning):
+        cube = SpectralCube.read(path)
+    assert not cube.goodbeams_mask[1]
+    filled = np.asarray(cube.filled_data[:].value)
+    assert np.isnan(filled[1]).all()
+
+
+def test_spectral_slicing_keeps_beams(cube_vr):
+    cube, _ = cube_vr
+    sub = cube[1:3]
+    assert isinstance(sub, VaryingResolutionSpectralCube)
+    assert len(sub.unmasked_beams) == 2
+    assert sub.unmasked_beams[0] == cube.unmasked_beams[1]
+
+
+def test_channel_slice_gets_single_beam(cube_vr):
+    cube, _ = cube_vr
+    sl = cube[2]
+    assert isinstance(sl, Slice)
+    assert sl.beam == cube.unmasked_beams[2]
+
+
+def test_spectrum_slice_gets_beams(cube_vr):
+    cube, _ = cube_vr
+    spec = cube[:, 1, 1]
+    assert isinstance(spec, VaryingResolutionOneDSpectrum)
+    assert len(spec.beams) == 4
+
+
+def test_2d_slice_along_spectral_forbidden(cube_vr):
+    cube, _ = cube_vr
+    with pytest.raises(NotImplementedError):
+        cube[:, 1, :]
+
+
+def test_moment_requires_matched_beams(cube_vr):
+    cube, _ = cube_vr
+    # beams differ by ~50% in area: spectral reductions must raise
+    with pytest.raises(ValueError):
+        cube.moment0()
+    with pytest.raises(ValueError):
+        cube.sum(axis=0)
+    # spatial reductions are fine
+    cube.sum(axis=1)
+
+
+def test_beam_threshold_override(cube_vr):
+    cube, _ = cube_vr
+    cube.beam_threshold = 2.0  # very loose: allow the variation
+    m0 = cube.moment0()
+    assert m0.shape == cube.shape[1:]
+
+
+def test_identify_and_mask_bad_beams(tmp_path):
+    majors = np.array([1.0, 1.01, 5.0, 1.02], dtype="f4")
+    path, _ = make_vr_cube_file(tmp_path, major_arcsec=majors)
+    cube = SpectralCube.read(path)
+    good = cube.identify_bad_beams(threshold=0.5)
+    assert list(good) == [True, True, False, True]
+    masked = cube.mask_out_bad_beams(0.5)
+    filled = np.asarray(masked.filled_data[:].value)
+    assert np.isnan(filled[2]).all()
+    assert not masked.goodbeams_mask[2]
+
+
+def test_average_beams(cube_vr):
+    cube, _ = cube_vr
+    avg = cube.average_beams()
+    majors = cube.unmasked_beams.major.to_value("deg")
+    assert avg.major.to_value("deg") == pytest.approx(majors.mean(),
+                                                      rel=1e-6)
+
+
+def test_common_beam_contains_all(cube_vr):
+    cube, _ = cube_vr
+    cb = cube.common_beam()
+    for b in cube.beams:
+        cb.deconvolve(b)
+
+
+def test_spectral_interpolate_raises(cube_vr):
+    cube, _ = cube_vr
+    with pytest.raises(AttributeError):
+        cube.spectral_interpolate(Quantity(np.array([-321.0, -320.0]),
+                                           "km / s"))
+    with pytest.raises(AttributeError):
+        cube.spectral_smooth(np.ones(3) / 3)
+
+
+def test_jtok_factors(cube_vr):
+    cube, _ = cube_vr
+    factors = cube.jtok_factors()
+    assert factors.shape == (4,)
+    assert (factors > 0).all()
+    # bigger beams -> smaller K per Jy/beam
+    assert factors[0] > factors[-1]
+
+
+def test_to_kelvin_per_channel(cube_vr):
+    cube, data = cube_vr
+    kcube = cube.to("K")
+    factors = cube.jtok_factors()
+    got = np.asarray(kcube.unmasked_data[:].value)
+    expected = data * factors[:, None, None]
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_with_beams(cube_vr):
+    cube, _ = cube_vr
+    nb = Beams(major=Quantity([2, 2, 2, 2], "arcsec"))
+    out = cube.with_beams(nb)
+    assert out.unmasked_beams[0].major.to_value("arcsec") == \
+        pytest.approx(2.0)
+    # now beams match: moments work
+    m0 = out.moment0()
+    assert m0.shape == cube.shape[1:]
+
+
+def test_casambm_header(cube_vr):
+    cube, _ = cube_vr
+    assert cube.header["CASAMBM"] is True
