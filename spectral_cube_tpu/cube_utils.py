@@ -205,6 +205,44 @@ def world_take_along_axis(cube, position_plane, axis):
         "pixel/world axes; only the spectral axis is supported")
 
 
+def mosaic_cubes(cubes, target_header=None, order="bilinear",
+                 combine="mean"):
+    """Mosaic several cubes onto a common celestial grid (reference
+    ``mosaic_cubes``, cube_utils.py:791-856): each cube is reprojected onto
+    the optimal common header and scatter-added with its footprint weight.
+    """
+    import jax.numpy as jnp
+    from .ops.regrid import mosaic_add
+    from .masks import BooleanArrayMask
+
+    if len(cubes) < 1:
+        raise ValueError("need at least one cube")
+    if target_header is None:
+        target_header = cubes[0].header
+        for c in cubes[1:]:
+            target_header = combine_headers(target_header, c.header)
+    nz = int(target_header.get("NAXIS3", cubes[0].shape[0]))
+    ny = int(target_header["NAXIS2"])
+    nx = int(target_header["NAXIS1"])
+    accum = jnp.zeros((nz, ny, nx))
+    weights = jnp.zeros((nz, ny, nx))
+    for c in cubes:
+        accum, weights = mosaic_add(
+            accum, weights, c._get_filled_data(fill=np.nan), c.wcs,
+            target_header,
+            order=order,
+            spectral_values_in=np.asarray(c.spectral_axis.value))
+    w = weights
+    out = jnp.where(w > 0, accum / jnp.where(w > 0, w, 1), jnp.nan)
+    from .cube import SpectralCube
+    out_wcs = WCS(header=target_header)
+    mask = BooleanArrayMask(np.asarray(w > 0), wcs=out_wcs,
+                            shape=out.shape)
+    return SpectralCube(out, out_wcs, mask=mask,
+                        meta=dict(cubes[0].meta), unit=cubes[0].unit,
+                        beam=getattr(cubes[0], "beam", None))
+
+
 def combine_headers(header1, header2):
     """Optimal celestial header covering both inputs (simplified analog of
     reference cube_utils.combine_headers at cube_utils.py:751-789, which

@@ -259,13 +259,23 @@ class HDU:
         if self._data is None and self._lazy is not None:
             path, offset, dtype, shape, bscale, bzero = self._lazy
             count = int(np.prod(shape)) if shape else 0
-            raw = np.memmap(path, dtype=dtype, mode="r", offset=offset,
-                            shape=(count,))
-            arr = np.asarray(raw).reshape(shape)
-            # native byte order
-            arr = arr.astype(arr.dtype.newbyteorder("="), copy=False)
-            if bscale != 1.0 or bzero != 0.0:
-                arr = arr * bscale + bzero
+            if dtype.kind == "f" or bscale != 1.0 or bzero != 0.0:
+                # fused multithreaded mmap+byteswap+scale decode (native
+                # C++ when available, numpy fallback inside)
+                from .native import decode_payload
+                bitpix = {"u1": 8, "i2": 16, "i4": 32, "i8": 64,
+                          "f4": -32, "f8": -64}[dtype.str[1:]]
+                out_dtype = np.float64 if bitpix == -64 else np.float32
+                if dtype.kind == "i" and bscale == 1.0 and bzero == 0.0:
+                    out_dtype = None
+                arr = decode_payload(path, offset, count, bitpix,
+                                     bscale, bzero,
+                                     out_dtype=out_dtype).reshape(shape)
+            else:
+                raw = np.memmap(path, dtype=dtype, mode="r", offset=offset,
+                                shape=(count,))
+                arr = np.asarray(raw).reshape(shape)
+                arr = arr.astype(arr.dtype.newbyteorder("="), copy=False)
             self._data = arr
         return self._data
 

@@ -1,0 +1,109 @@
+"""ctypes bindings for the native FITS payload decoder.
+
+Builds ``native/fits_decode.cpp`` on first use (cached as a .so next to the
+source) and exposes :func:`decode_payload` — a fused mmap + byteswap +
+scale decode parallelized over host cores.  Falls back to numpy when no
+compiler is available, so the pure-Python path always works.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["decode_payload", "native_available", "native_stats_f32"]
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native",
+    "fits_decode.cpp")
+_SO = os.path.join(os.path.dirname(_SRC), "_fits_decode.so")
+
+
+def _build():
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+           "-o", _SO, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        try:
+            if not os.path.exists(_SO) or (
+                    os.path.exists(_SRC)
+                    and os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_SO)
+            lib.fits_decode_payload.restype = ctypes.c_int
+            lib.fits_decode_payload.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+                ctypes.c_int, ctypes.c_double, ctypes.c_double,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+            lib.fits_stats_f32.restype = None
+            lib.fits_stats_f32.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+                ctypes.c_int]
+            _LIB = lib
+        except Exception:
+            _LIB = None
+        return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+# below this, thread spin-up costs more than it saves
+_MIN_NATIVE_ELEMENTS = 1 << 20
+
+
+def decode_payload(path, offset, count, bitpix, bscale=1.0, bzero=0.0,
+                   out_dtype=None, nthreads=0):
+    """Decode ``count`` elements of a FITS data payload starting at byte
+    ``offset`` into a native-endian float array."""
+    if out_dtype is None:
+        out_dtype = np.float64 if bitpix == -64 else np.float32
+    out_dtype = np.dtype(out_dtype)
+    lib = _load() if count >= _MIN_NATIVE_ELEMENTS else None
+    if lib is not None:
+        out = np.empty(count, dtype=out_dtype)
+        rc = lib.fits_decode_payload(
+            str(path).encode(), int(offset), int(count), int(bitpix),
+            float(bscale), float(bzero),
+            out.ctypes.data_as(ctypes.c_void_p),
+            1 if out_dtype == np.float64 else 0, int(nthreads))
+        if rc == 0:
+            return out
+    # numpy fallback (also the small-array fast path)
+    be = {8: ">u1", 16: ">i2", 32: ">i4", 64: ">i8",
+          -32: ">f4", -64: ">f8"}[bitpix]
+    raw = np.fromfile(str(path), dtype=be, count=count,
+                      offset=int(offset))
+    arr = raw.astype(out_dtype)
+    if bscale != 1.0 or bzero != 0.0:
+        arr = arr * bscale + bzero
+    return arr
+
+
+def native_stats_f32(arr: np.ndarray, nthreads=0):
+    """One-pass {npts, min, max, sum, sumsq} over a float32 array, or None
+    if the native library is unavailable."""
+    lib = _load()
+    if lib is None or arr.dtype != np.float32 or not arr.flags.c_contiguous:
+        return None
+    out = np.empty(5, dtype=np.float64)
+    lib.fits_stats_f32(arr.ctypes.data_as(ctypes.c_void_p), arr.size,
+                       out.ctypes.data_as(ctypes.c_void_p), int(nthreads))
+    return {"npts": int(out[0]), "min": out[1], "max": out[2],
+            "sum": out[3], "sumsq": out[4]}

@@ -102,11 +102,18 @@ def moments_012(data, coords, dx, include=None, precision="float32"):
 
 
 def _pick_tiles(nchan, ny, nx, itemsize=4, n_block_inputs=1,
-                vmem_budget=6 * 2**20):
+                vmem_budget=8 * 2**20):
     """Choose spatial tile sizes so the (nchan, ty, tx) input blocks fit
     VMEM.  The budget covers all cube-shaped inputs *with double buffering*
     (Pallas prefetches the next block while computing), staying under the
-    ~16 MB/core VMEM limit with headroom for outputs and temporaries."""
+    ~16 MB/core VMEM limit with headroom for outputs and temporaries.
+
+    Measured on v5e (256^3 f32, SNR mask): ty=8 -> 101 Gvox/s, ty=16 ->
+    103 Gvox/s; the kernel is VPU-bound (~11 elementwise ops/voxel), not
+    HBM-bound, so larger tiles give marginal gains.  An MXU basis-matmul
+    variant reaches 128 Gvox/s at bf16 precision (fails the 1e-6 target)
+    and 89 Gvox/s at HIGHEST precision (operand-splitting VPU cost), so
+    the two-pass VPU form is the best accuracy/speed point."""
     tx = 128 if nx >= 128 else max(_round_up(nx, 128), 128)
     ty = 8
     per_row = nchan * tx * itemsize * n_block_inputs * 2  # 2x: double buffer

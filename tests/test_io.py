@@ -198,3 +198,47 @@ def test_format_detection(tmp_path, cube_adv):
     cube.write(path)
     assert _detect_format(path) == "fits"
     assert _detect_format("x.lmv") == "class_lmv"
+
+
+def test_native_decoder_matches_numpy(tmp_path):
+    """The C++ fused decoder must agree bit-for-bit with the numpy path."""
+    from spectral_cube_tpu.io import native
+    if not native.native_available():
+        pytest.skip("no C++ toolchain available")
+    rng = np.random.RandomState(0)
+    data = rng.randn(64, 64, 64).astype("f4")
+    data[0, 0, 0] = np.nan
+    path = str(tmp_path / "native.bin")
+    with open(path, "wb") as f:
+        f.write(data.astype(">f4").tobytes())
+    # force the native path regardless of size threshold
+    old = native._MIN_NATIVE_ELEMENTS
+    native._MIN_NATIVE_ELEMENTS = 0
+    try:
+        out = native.decode_payload(path, 0, data.size, -32)
+    finally:
+        native._MIN_NATIVE_ELEMENTS = old
+    np.testing.assert_array_equal(out.reshape(data.shape), data)
+    st = native.native_stats_f32(data.ravel())
+    dd = data[np.isfinite(data)].astype("f8")
+    assert st["npts"] == dd.size
+    assert st["sum"] == pytest.approx(dd.sum(), rel=1e-9)
+
+
+def test_mosaic_cubes_user_api(tmp_path):
+    from spectral_cube_tpu.cube_utils import mosaic_cubes
+    p1, d1 = make_cube_file(tmp_path, "mc1.fits", shape=(2, 10, 10),
+                            with_nan=False)
+    c1 = SpectralCube.read(p1)
+    h2 = base_header(nx=10, ny=10, nchan=2)
+    h2["CRVAL1"] = c1.header["CRVAL1"] + 6 * abs(c1.header["CDELT1"])
+    from spectral_cube_tpu.io.fits_low import HDU, write_fits
+    d2 = np.random.RandomState(2).rand(2, 10, 10)
+    p2 = str(tmp_path / "mc2.fits")
+    write_fits(p2, [HDU(data=d2, header=h2)])
+    c2 = SpectralCube.read(p2)
+    mosaic = mosaic_cubes([c1, c2])
+    assert mosaic.shape[0] == 2
+    assert mosaic.shape[2] > 10  # wider than either input
+    vals = np.asarray(mosaic.unmasked_data[:].value)
+    assert np.isfinite(vals).sum() > 100
