@@ -491,6 +491,14 @@ class BaseSpectralCube:
     def spatial_coordinate_map(self):
         return self.world[0, :, :][1:]
 
+    def flattened_world(self, view=()):
+        """1-D world coordinate arrays for every voxel in a view
+        (reference base_class.py:243-270)."""
+        spec, lat, lon = self.world[view if view else
+                                    (slice(None),) * 3]
+        return [Quantity(np.asarray(q.value).ravel(), q.unit)
+                for q in (spec, lat, lon)]
+
     @property
     @cached
     def world_extrema(self):
@@ -1224,6 +1232,20 @@ class BaseSpectralCube:
                               unit=self._unit,
                               fill_value=self._fill_value,
                               allow_huge_operations=self.allow_huge_operations)
+
+    def checkpoint(self, tmp_dir=None):
+        """Compute and spill the current (lazily masked) state to a temp
+        store, returning a reloaded cube whose lifetime owns the store —
+        the reference's ``save_to_tmp_dir=True``
+        (dask_spectral_cube.py:85-116)."""
+        from .persistence import checkpoint_to_tmp_dir
+        return checkpoint_to_tmp_dir(self, tmp_dir=tmp_dir)
+
+    def to_sharded(self, cmesh=None):
+        """Bind this cube to a device mesh for SPMD execution (the
+        ``use_dask=True`` analog)."""
+        from .parallel import CubeMesh, ShardedCube
+        return ShardedCube(self, cmesh if cmesh is not None else CubeMesh())
 
     # ------------------------------------------------------------------
     # exporters (reference spectral_cube.py:2363-2574)

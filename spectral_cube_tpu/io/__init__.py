@@ -32,6 +32,21 @@ def _detect_format(filename):
 
 
 def read_cube(filename, format=None, hdu=0, **kwargs):
+    # accept in-memory HDU objects (reference: load_fits_cube accepts HDUs)
+    if isinstance(filename, (HDU, list)):
+        import tempfile
+        import os as _os
+        hdus = filename if isinstance(filename, list) else [filename]
+        tmp = tempfile.NamedTemporaryFile(suffix=".fits", delete=False)
+        tmp.close()
+        try:
+            write_fits(tmp.name, hdus)
+            cube = load_fits_cube(tmp.name, hdu=hdu, **kwargs)
+            if hasattr(cube, "_device_data"):
+                cube._device_data  # force load before the temp file goes
+            return cube
+        finally:
+            _os.unlink(tmp.name)
     format = format or _detect_format(filename)
     if format == "fits":
         return load_fits_cube(filename, hdu=hdu, **kwargs)

@@ -232,6 +232,22 @@ class ShardedCube:
         # place the data once; all downstream jit calls keep the layout
         cube._data = self.cmesh.shard(cube._device_data, "spatial")
 
+    def rechunk(self, layout="spatial", save_to_tmp_dir=False):
+        """Move the cube between mesh layouts (the dask ``rechunk`` analog;
+        reference dask_spectral_cube.py:349-384).  With
+        ``save_to_tmp_dir=True`` the current state is spilled to host
+        first (the zarr persistence analog)."""
+        cube = self.cube
+        if save_to_tmp_dir:
+            cube = cube.checkpoint()
+        cube._data = self.cmesh.shard(cube._device_data, layout)
+        if cube is self.cube:
+            return self
+        out = object.__new__(ShardedCube)
+        out.cube = cube
+        out.cmesh = self.cmesh
+        return out
+
     @property
     def shape(self):
         return self.cube.shape

@@ -532,6 +532,40 @@ class WCS:
         inds[ax0], inds[ax1] = inds[ax1], inds[ax0]
         return self.reindex(inds)
 
+    def add_stokes_axis(self, add_before_ind: int) -> "WCS":
+        """Insert an uncorrelated STOKES axis before FITS index
+        ``add_before_ind`` (reference wcs_utils.add_stokes_axis_to_wcs,
+        :48-94)."""
+        n = self.naxis + 1
+        out = WCS(naxis=n)
+        keep = [i for i in range(n) if i != add_before_ind]
+        for new_i, old_i in zip(keep, range(self.naxis)):
+            out.ctype[new_i] = self.ctype[old_i]
+            out.crval[new_i] = self.crval[old_i]
+            out.crpix[new_i] = self.crpix[old_i]
+            out.cdelt[new_i] = self.cdelt[old_i]
+            out.cunit[new_i] = self.cunit[old_i]
+        out.pc[np.ix_(keep, keep)] = self.pc
+        out.ctype[add_before_ind] = "STOKES"
+        for attr in _PRESERVED_ATTRS:
+            setattr(out, attr, getattr(self, attr))
+        return out
+
+    def is_pixel_axis_correlated(self, pixel_axis: int) -> bool:
+        """True if the given pixel axis feeds more than one world axis
+        (gates argmax_world; reference wcs_utils.py:493-515)."""
+        coupled = np.abs(self.pc) > 1e-12
+        # celestial lon/lat are always mutually correlated via projection
+        world_axes = np.where(coupled[:, pixel_axis])[0]
+        if len(world_axes) > 1:
+            return True
+        if len(world_axes) == 1:
+            k = self.axis_kinds[world_axes[0]]
+            if k in ("lon", "lat") and self.projection_code not in ("",
+                                                                    "CAR"):
+                return True
+        return False
+
     def sub(self, kinds_or_inds) -> "WCS":
         """Select axes by kind name ('lon','lat','spectral','stokes') or
         by 1-based FITS index (astropy .sub convention)."""
