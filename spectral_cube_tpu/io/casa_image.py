@@ -1,17 +1,25 @@
-"""CASA image reading (gated).
+"""CASA image reading — native, no casatools/casa_formats_io required.
 
-The reference reads CASA images through the external ``casa_formats_io``
-package (``/root/reference/spectral_cube/io/casa_image.py:37-227``), which
-implements a native parser for the CASA table system (AipsIO serialization +
-tiled storage managers).  Neither ``casa_formats_io`` nor ``casatools`` is
-available in this environment; this module keeps the API surface and raises
-a clear, actionable error.  FITS exports of CASA images (including their
-per-plane BEAMS tables) are fully supported through the FITS path.
+The reference requires the external ``casa_formats_io`` package
+(``/root/reference/spectral_cube/io/casa_image.py:37-227``); this framework
+parses the CASA table system directly (see :mod:`.casa_low`): pixel data
+and the boolean validity mask from their tiled storage managers, the
+coordinate system from the ``coords`` record, single or per-plane beams
+from ``imageinfo``, and the brightness unit from ``units``.
 """
 
 from __future__ import annotations
 
 import os
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+
+from .casa_low import read_casa_image_parts
+from ..cube_utils import orient, split_stokes
+from ..masks import BooleanArrayMask, LazyMask, CompositeMask
+from ..utils import FITSReadError
 
 __all__ = ["load_casa_image", "is_casa_image"]
 
@@ -24,13 +32,56 @@ def is_casa_image(path) -> bool:
 
 def load_casa_image(filename, skipdata=False, skipvalid=False, skipcs=False,
                     target_cls=None, use_dask=None, **kwargs):
-    try:
-        import casa_formats_io  # noqa: F401
-    except ImportError as exc:
-        raise ImportError(
-            "Reading CASA .image tables requires the casa_formats_io "
-            "package, which is not installed in this environment. Export "
-            "the image to FITS (CASA: exportfits) and use "
-            "SpectralCube.read on the FITS file instead.") from exc
-    raise NotImplementedError(
-        "casa_formats_io integration is not wired up in this build")
+    """Load a CASA .image directory into a cube (reference
+    io/casa_image.py:37-227 behavior, native implementation)."""
+    from ..cube import SpectralCube, VaryingResolutionSpectralCube
+    from ..stokes import StokesSpectralCube
+    from ..beams import Beam, Beams
+
+    if not is_casa_image(filename):
+        raise FITSReadError(f"{filename!r} is not a CASA image directory")
+
+    data, valid, wcs, unit, beams, misc = read_casa_image_parts(
+        str(filename))
+    meta = {"filename": str(filename)}
+    meta.update(misc)
+    if unit:
+        meta["BUNIT"] = unit
+
+    def build_cube(arr3, valid3, wcs3, cube_beams):
+        arr3, wcs_o = orient(arr3, wcs3)
+        djax = jnp.asarray(np.ascontiguousarray(arr3))
+        mask = LazyMask(jnp.isfinite, data=djax, wcs=wcs_o)
+        if valid3 is not None:
+            v3, _ = orient(valid3, wcs3)
+            mask = CompositeMask(
+                mask, BooleanArrayMask(np.ascontiguousarray(v3),
+                                       wcs=wcs_o, shape=arr3.shape), "and")
+        if isinstance(cube_beams, Beams):
+            return VaryingResolutionSpectralCube(
+                djax, wcs_o, mask=mask, meta=dict(meta), beams=cube_beams)
+        return SpectralCube(djax, wcs_o, mask=mask, meta=dict(meta),
+                            beam=cube_beams)
+
+    if data.ndim == 3:
+        return build_cube(data, valid, wcs, beams)
+    if data.ndim == 4:
+        from ..io.fits_low import BinTableHDU
+        arrays, wcs3 = split_stokes(data, wcs)
+        valid_arrays = {}
+        if valid is not None:
+            varrays, _ = split_stokes(valid, wcs)
+            valid_arrays = varrays
+        cubes = {name: build_cube(arr, valid_arrays.get(name), wcs3, beams)
+                 for name, arr in arrays.items()}
+        if len(cubes) == 1:
+            return next(iter(cubes.values()))
+        return StokesSpectralCube(cubes, meta=meta)
+    if data.ndim == 2:
+        from ..lower_dimensional_structures import Projection
+        from ..units import Unit
+        return Projection(data, unit=Unit.parse(unit) if unit else None,
+                          wcs=wcs, meta=meta,
+                          beam=beams if isinstance(beams, Beam) else None)
+    raise FITSReadError(f"unsupported CASA image dimensionality "
+                        f"{data.ndim}")

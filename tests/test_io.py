@@ -185,9 +185,10 @@ def test_lmv_matches_reference_fits_export():
                                rtol=1e-6, equal_nan=True)
 
 
-def test_casa_reader_gated():
+def test_casa_reader_rejects_non_image():
     from spectral_cube_tpu.io.casa_image import load_casa_image
-    with pytest.raises(ImportError):
+    from spectral_cube_tpu.utils import FITSReadError
+    with pytest.raises(FITSReadError):
         load_casa_image("/nonexistent.image")
 
 
