@@ -342,8 +342,17 @@ class BaseSpectralCube:
 
     @classmethod
     def read(cls, filename, format=None, hdu=0, use_dask=None, **kwargs):
+        """Read a cube.  ``use_dask=True`` (the reference's chunked-runtime
+        switch) distributes the data over all local devices — every
+        subsequent op runs SPMD via GSPMD auto-partitioning."""
         from .io import read_cube
-        return read_cube(filename, format=format, hdu=hdu, **kwargs)
+        cube = read_cube(filename, format=format, hdu=hdu, **kwargs)
+        if use_dask:
+            from .parallel import CubeMesh
+            cmesh = CubeMesh()
+            if cmesh.n_devices > 1 and hasattr(cube, "_device_data"):
+                cube._data = cmesh.shard(cube._device_data, "spatial")
+        return cube
 
     # ------------------------------------------------------------------
     # masking API (reference spectral_cube.py:1259-1306, :2263-2296)
@@ -694,7 +703,10 @@ class BaseSpectralCube:
         data = self._device_data
         coords = self._spectral_offsets()
         dx = self._spectral_pix_size()
+        sharded = (hasattr(data, "sharding")
+                   and len(getattr(data.sharding, "device_set", [0])) > 1)
         use_pallas = (jax.default_backend() == "tpu"
+                      and not sharded
                       and data.dtype in (jnp.float32, jnp.bfloat16))
         mask = self._mask
         if use_pallas:

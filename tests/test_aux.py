@@ -151,3 +151,17 @@ def test_device_memory_stats():
     from spectral_cube_tpu.profiling import device_memory_stats
     stats = device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_use_dask_shards_over_devices(tmp_path):
+    """read(use_dask=True) distributes data over all devices and all cube
+    ops keep working (GSPMD auto-partitioning)."""
+    path, data = make_cube_file(tmp_path, shape=(8, 16, 16))
+    cube = SpectralCube.read(path, use_dask=True)
+    assert len(cube._data.sharding.device_set) == len(jax.devices())
+    m0 = cube.moment0()
+    ref = SpectralCube.read(path).moment0()
+    np.testing.assert_allclose(np.asarray(m0.value), np.asarray(ref.value),
+                               rtol=1e-5, equal_nan=True)
+    st = cube.statistics()
+    assert st["npts"] == np.isfinite(data).sum()
