@@ -102,7 +102,7 @@ def moments_012(data, coords, dx, include=None, precision="float32"):
 
 
 def _pick_tiles(nchan, ny, nx, itemsize=4, n_block_inputs=1,
-                vmem_budget=8 * 2**20):
+                vmem_budget=6 * 2**20):
     """Choose spatial tile sizes so the (nchan, ty, tx) input blocks fit
     VMEM.  The budget covers all cube-shaped inputs *with double buffering*
     (Pallas prefetches the next block while computing), staying under the

@@ -36,6 +36,80 @@ def spatial_pixel_mapping(wcs_in: WCS, wcs_out: WCS, shape_out):
             np.asarray(xs).reshape(ny, nx))
 
 
+def _bilinear_spatial_then_linear_z(data, zs, ys, xs, order):
+    """Separable trilinear resample: spectral lerp (shared weights per
+    channel) then spatial bilinear via four flat takes.
+
+    map_coordinates' general 3-D gather is pathologically slow on TPU
+    (measured ~2 s for a 256^3 cube); exploiting separability — the channel
+    mapping depends only on z, the spatial mapping only on (y, x) — brings
+    it to a handful of HBM passes.  NaN poisoning follows nonzero-weight
+    semantics like :func:`_gather_with_footprint`.
+    """
+    nchan_in, ny_in, nx_in = data.shape
+    nz = zs.shape[0]
+    ny, nx = ys.shape
+
+    zvalid = np.isfinite(zs) & (zs >= -1e-6) & (zs <= nchan_in - 1 + 1e-6)
+    zc = np.clip(np.nan_to_num(zs), 0, nchan_in - 1)
+    z0 = np.clip(zc.astype(np.int32), 0, nchan_in - 2) \
+        if nchan_in > 1 else np.zeros(nz, np.int32)
+    zf = jnp.asarray((zc - z0).astype(np.float32))[:, None, None]
+    if order == 0:
+        z0 = np.clip(np.round(zc).astype(np.int32), 0, nchan_in - 1)
+        zf = jnp.zeros((nz, 1, 1), jnp.float32)
+
+    yvalid = np.isfinite(ys) & (ys >= -1e-6) & (ys <= ny_in - 1 + 1e-6)
+    xvalid = np.isfinite(xs) & (xs >= -1e-6) & (xs <= nx_in - 1 + 1e-6)
+    ycl = np.clip(np.nan_to_num(ys), 0, ny_in - 1)
+    xcl = np.clip(np.nan_to_num(xs), 0, nx_in - 1)
+    if order == 0:
+        y0 = np.clip(np.round(ycl).astype(np.int64), 0, ny_in - 1)
+        x0 = np.clip(np.round(xcl).astype(np.int64), 0, nx_in - 1)
+        wy = np.zeros_like(ycl, np.float32)
+        wx = np.zeros_like(xcl, np.float32)
+    else:
+        y0 = np.clip(ycl.astype(np.int64), 0, max(ny_in - 2, 0))
+        x0 = np.clip(xcl.astype(np.int64), 0, max(nx_in - 2, 0))
+        wy = (ycl - y0).astype(np.float32)
+        wx = (xcl - x0).astype(np.float32)
+    y1 = np.minimum(y0 + 1, ny_in - 1)
+    x1 = np.minimum(x0 + 1, nx_in - 1)
+
+    nanmask = jnp.isnan(data).astype(jnp.float32)
+    filled = jnp.nan_to_num(data)
+
+    def zlerp(arr):
+        lo = arr[jnp.asarray(z0)]
+        if order == 0 or nchan_in == 1:
+            return lo
+        hi = arr[jnp.asarray(np.minimum(z0 + 1, nchan_in - 1))]
+        return lo * (1 - zf) + hi * zf
+
+    fz = zlerp(filled)
+    wz = zlerp(nanmask)
+
+    corners = ((y0, x0, (1 - wy) * (1 - wx)), (y0, x1, (1 - wy) * wx),
+               (y1, x0, wy * (1 - wx)), (y1, x1, wy * wx))
+    flat_f = fz.reshape(nz, ny_in * nx_in)
+    flat_w = wz.reshape(nz, ny_in * nx_in)
+    out = jnp.zeros((nz, ny * nx), fz.dtype)
+    wn = jnp.zeros((nz, ny * nx), jnp.float32)
+    for yy, xx, w in corners:
+        idx = jnp.asarray((yy * nx_in + xx).ravel())
+        wj = jnp.asarray(w.ravel())[None, :]
+        out = out + jnp.take(flat_f, idx, axis=1) * wj
+        wn = wn + jnp.take(flat_w, idx, axis=1) * wj
+        if order == 0:
+            break
+    out = out.reshape(nz, ny, nx)
+    wn = wn.reshape(nz, ny, nx)
+    valid = jnp.asarray((yvalid & xvalid)[None, :, :]) & \
+        jnp.asarray(zvalid)[:, None, None]
+    out = jnp.where(wn > 1e-6, jnp.nan, out)
+    return jnp.where(valid, out, jnp.nan)
+
+
 def _gather_with_footprint(data, coords, order):
     """map_coordinates with NaN outside the input footprint and
     weight-aware NaN propagation.
@@ -68,14 +142,9 @@ def _resample_planes(data, ys, xs, order):
     if single:
         data = data[None]
     nchan = data.shape[0]
-    ny, nx = ys.shape
-    cz = jnp.broadcast_to(jnp.arange(nchan)[:, None, None],
-                          (nchan, ny, nx)).astype(jnp.float32)
-    cy = jnp.broadcast_to(jnp.asarray(ys, dtype=jnp.float32)[None],
-                          (nchan, ny, nx))
-    cx = jnp.broadcast_to(jnp.asarray(xs, dtype=jnp.float32)[None],
-                          (nchan, ny, nx))
-    out = _gather_with_footprint(data, [cz, cy, cx], order)
+    zs = np.arange(nchan, dtype=np.float64)
+    out = _bilinear_spatial_then_linear_z(data, zs, np.asarray(ys),
+                                          np.asarray(xs), order)
     return out[0] if single else out
 
 
@@ -125,13 +194,9 @@ def reproject_cube(data, wcs_in: WCS, target_header, order="bilinear",
                         + wcs_in.crpix[wcs_in.spec] - 1.0)
 
     data = jnp.asarray(data)
-    cz = jnp.broadcast_to(
-        jnp.asarray(zs, dtype=jnp.float32)[:, None, None], (nz, ny, nx))
-    cy = jnp.broadcast_to(jnp.asarray(ys, dtype=jnp.float32)[None],
-                          (nz, ny, nx))
-    cx = jnp.broadcast_to(jnp.asarray(xs, dtype=jnp.float32)[None],
-                          (nz, ny, nx))
-    out = _gather_with_footprint(data, [cz, cy, cx], _ORDERS[order])
+    out = _bilinear_spatial_then_linear_z(data, np.asarray(zs),
+                                          np.asarray(ys), np.asarray(xs),
+                                          _ORDERS[order])
     footprint = jnp.isfinite(out)
     return out, np.asarray(footprint), wcs_out
 

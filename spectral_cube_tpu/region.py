@@ -79,6 +79,14 @@ def parse_ds9_region(region_string):
         shape = m.group(1)
         raw = [p.strip() for p in m.group(2).split(",")]
         vals = [_angle_to_deg(p)[0] for p in raw]
+        # ds9 equatorial frames write sexagesimal longitudes in HOURS
+        if frame in ("fk5", "icrs") and shape != "polygon" \
+                and ":" in raw[0]:
+            vals[0] *= 15.0
+        if frame in ("fk5", "icrs") and shape == "polygon":
+            for k in range(0, len(raw), 2):
+                if ":" in raw[k]:
+                    vals[k] *= 15.0
         if frame == "image":
             # ds9 image coords are 1-based pixel centers
             if shape == "circle":
