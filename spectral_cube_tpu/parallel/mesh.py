@@ -27,7 +27,41 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["CubeMesh", "make_mesh"]
+__all__ = ["CubeMesh", "make_mesh", "use_mesh", "default_mesh"]
+
+_DEFAULT_MESH = None
+
+
+def default_mesh() -> "CubeMesh":
+    """The process-wide default CubeMesh (all local devices unless
+    overridden by :func:`use_mesh`)."""
+    global _DEFAULT_MESH
+    if _DEFAULT_MESH is None:
+        _DEFAULT_MESH = CubeMesh()
+    return _DEFAULT_MESH
+
+
+class use_mesh:
+    """Set the default mesh, as a call or a context manager — the analog of
+    the reference's ``use_dask_scheduler`` (dask_spectral_cube.py:278-312).
+
+    >>> use_mesh(CubeMesh(shape=(2, 4)))          # set globally
+    >>> with use_mesh(CubeMesh(devices=devs)):    # or scoped
+    ...     cube.to_sharded().moment_maps()
+    """
+
+    def __init__(self, cmesh):
+        global _DEFAULT_MESH
+        self._previous = _DEFAULT_MESH
+        _DEFAULT_MESH = cmesh
+
+    def __enter__(self):
+        return _DEFAULT_MESH
+
+    def __exit__(self, *exc):
+        global _DEFAULT_MESH
+        _DEFAULT_MESH = self._previous
+        return False
 
 
 def _factor2(n):

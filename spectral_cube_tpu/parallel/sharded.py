@@ -227,8 +227,9 @@ class ShardedCube:
     ``ShardedCube(cube, mesh)`` (or ``cube.to_sharded(mesh)``)."""
 
     def __init__(self, cube, cmesh: CubeMesh | None = None):
+        from .mesh import default_mesh
         self.cube = cube
-        self.cmesh = cmesh if cmesh is not None else CubeMesh()
+        self.cmesh = cmesh if cmesh is not None else default_mesh()
         # place the data once; all downstream jit calls keep the layout
         cube._data = self.cmesh.shard(cube._device_data, "spatial")
 

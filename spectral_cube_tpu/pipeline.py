@@ -13,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .parallel import CubeMesh, ShardedCube
+from .parallel import CubeMesh, ShardedCube, default_mesh
 from .units import Quantity
 
 __all__ = ["run_pipeline"]
@@ -37,7 +37,7 @@ def run_pipeline(cube, cmesh: CubeMesh | None = None, snr_threshold=None,
     'statistics', 'cube' (the convolved/reprojected cube), all computed
     with the spatial layout except the convolution reshard.
     """
-    cmesh = cmesh if cmesh is not None else CubeMesh()
+    cmesh = cmesh if cmesh is not None else default_mesh()
 
     # varying-resolution cubes must reach a common beam before any
     # spectral reduction (the reference's beam-sameness guard)

@@ -117,3 +117,13 @@ def test_reshard_roundtrip(cmesh, big_cube):
 
     out = np.asarray(roundtrip(cmesh.shard(data, "spatial")))
     assert np.allclose(out, data * 2, rtol=1e-6, equal_nan=True)
+
+
+def test_use_mesh_context(cmesh):
+    from spectral_cube_tpu.parallel import use_mesh, default_mesh, CubeMesh
+    base = default_mesh()
+    small = CubeMesh(devices=jax.devices()[:4])
+    with use_mesh(small) as m:
+        assert default_mesh() is small
+        assert m.n_devices == 4
+    assert default_mesh() is base
