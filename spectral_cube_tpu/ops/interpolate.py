@@ -60,11 +60,16 @@ def interp_cube_spectral(data, inaxis, outaxis, include=None):
     data = jnp.asarray(data)
     lo = data[idxj]
     hi = data[idxj + 1]
-    out = lo * (1 - fracj) + hi * fracj
+    # exact grid hits return the exact sample (np.interp semantics: a NaN
+    # zero-weight neighbor must not poison the result)
+    lerp = lo * (1 - fracj) + hi * fracj
+    out = jnp.where(fracj == 0, lo, jnp.where(fracj == 1, hi, lerp))
     new_include = None
     if include is not None:
         inc = jnp.asarray(include).astype(jnp.float32)
-        inc_i = inc[idxj] * (1 - fracj) + inc[idxj + 1] * fracj
+        inc_lerp = inc[idxj] * (1 - fracj) + inc[idxj + 1] * fracj
+        inc_i = jnp.where(fracj == 0, inc[idxj],
+                          jnp.where(fracj == 1, inc[idxj + 1], inc_lerp))
         new_include = inc_i > 0
     return out.astype(data.dtype), new_include
 

@@ -229,3 +229,34 @@ def test_mosaic_two_offset_cubes(tmp_path):
     assert w.max() >= 1
     mosaic = np.where(w > 0, np.asarray(accum) / np.maximum(w, 1), np.nan)
     assert np.isfinite(mosaic).sum() > d1[0].size  # covers more than one cube
+
+
+def test_spectral_interpolate_descending_grid(cube_adv):
+    """Interpolation onto a reversed (descending) output grid (SURVEY hard
+    part (e): reversed/non-monotonic grids)."""
+    cube, data = cube_adv
+    sv = np.asarray(cube.spectral_axis.value)
+    rev = Quantity(sv[::-1].copy(), "km / s")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = cube.spectral_interpolate(rev)
+    np.testing.assert_allclose(np.asarray(out.spectral_axis.value),
+                               sv[::-1], rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.unmasked_data[:].value),
+                               data[::-1], rtol=1e-6, equal_nan=True)
+
+
+def test_spectral_interpolate_from_descending_axis(cube_adv):
+    """Input axis descending (e.g. frequency axes): weights flip."""
+    cube, data = cube_adv
+    rev_cube = cube[::-1]
+    sv = np.asarray(rev_cube.spectral_axis.value)
+    assert sv[0] > sv[-1]
+    mid = Quantity((sv[:-1] + sv[1:]) / 2.0, "km / s")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = rev_cube.spectral_interpolate(mid)
+    expected = (data[::-1][:-1] + data[::-1][1:]) / 2
+    got = np.asarray(out.unmasked_data[:].value)
+    mask = np.isfinite(expected)
+    np.testing.assert_allclose(got[mask], expected[mask], rtol=1e-6)
