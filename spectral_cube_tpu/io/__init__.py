@@ -60,14 +60,14 @@ def read_cube(filename, format=None, hdu=0, **kwargs):
 
 
 def write_cube(cube, filename, overwrite=False, format=None):
-    format = format or ("fits" if str(filename).lower().endswith(
-        (".fits", ".fit")) else "fits")
+    name = str(filename).lower()
+    if format is None:
+        format = "casa_image" if name.endswith((".image", ".im")) else "fits"
     if format == "fits":
         write_fits_cube(cube, filename, overwrite=overwrite)
     elif format == "casa_image":
-        from .casa_masks import make_casa_mask
-        raise NotImplementedError(
-            "CASA image writing requires casatools, which is not available")
+        from .casa_writer import write_casa_image
+        write_casa_image(cube, filename, overwrite=overwrite)
     else:
         raise ValueError(f"Unknown format {format!r}")
 

@@ -96,3 +96,137 @@ def test_tiled_bool_unpack():
     assert mask.dtype == np.bool_
     assert mask.shape == (2, 3, 4, 5)
     assert mask.all()
+
+
+def test_multitile_assembly(tmp_path):
+    """Synthesize a multi-tile TSM payload byte-by-byte and check the tile
+    assembly (the checked-in reference images are all single-tile)."""
+    import struct
+    from spectral_cube_tpu.io.casa_low import read_tiled_data
+
+    # cube 5x4x3 (casa order), tiles 2x3x2 -> grid 3x2x2 = 12 tiles
+    cube_shape = [5, 4, 3]
+    tile_shape = [2, 3, 2]
+    ntiles = [-(-c // t) for c, t in zip(cube_shape, tile_shape)]
+    rng = np.random.RandomState(0)
+    full = rng.rand(*cube_shape[::-1]).astype(">f4")  # numpy order (3,4,5)
+
+    img = tmp_path / "synth.image"
+    img.mkdir()
+
+    # tiles in fortran order over the grid, each tile fortran-ordered
+    padded = np.zeros([n * t for n, t in
+                       zip(ntiles[::-1], tile_shape[::-1])], dtype=">f4")
+    padded[:cube_shape[2], :cube_shape[1], :cube_shape[0]] = full
+    payload = b""
+    import itertools
+    for k in range(ntiles[2]):
+        for j in range(ntiles[1]):
+            for i in range(ntiles[0]):
+                tile = padded[k * tile_shape[2]:(k + 1) * tile_shape[2],
+                              j * tile_shape[1]:(j + 1) * tile_shape[1],
+                              i * tile_shape[0]:(i + 1) * tile_shape[0]]
+                payload += np.asfortranarray(tile.T).T.tobytes()
+    (img / "table.f0_TSM0").write_bytes(payload)
+
+    # minimal AipsIO TSM header
+    def u32(v):
+        return struct.pack(">I", v)
+
+    def s(txt):
+        return u32(len(txt)) + txt.encode()
+
+    def ipos(vals):
+        body = s("IPosition") + u32(1) + u32(len(vals)) + \
+            b"".join(u32(v) for v in vals)
+        return u32(len(body) + 4) + body
+
+    tsman = (u32(0) + u32(0) + b"\x01" + u32(1) + u32(7) + s("map")
+             + u32(0) + u32(3) + u32(1) + b"\x01" + u32(1) + u32(0)
+             + u32(len(payload)) + u32(1) + u32(1))
+    record = u32(48) + s("Record") + u32(1) + b"\x00" * (48 - 19)
+    tsman += record + ipos(cube_shape) + ipos(tile_shape) + u32(0) + u32(0)
+    inner = s("TiledStMan") + u32(2) + tsman
+    body = s("TiledCellStMan") + u32(1) + ipos(tile_shape) + \
+        u32(len(inner) + 4) + inner
+    # note: outer length spans the whole stream (inclusive)
+    blob = u32(0xBEBEBEBE) + u32(len(body) + 4) + body
+    (img / "table.f0").write_bytes(blob)
+
+    # minimal table.dat carrying only the endian flag
+    tdat = (u32(0xBEBEBEBE) + u32(0)  # length unchecked by the reader
+            )
+    # reuse a real table.dat for structure, patching nothing (big-endian
+    # flag=0 means BE payloads, matching our ">f4" tiles)
+    src = BASE + "basic_bigendian.image/table.dat"
+    if os.path.exists(src):
+        import shutil
+        shutil.copy(src, img / "table.dat")
+    else:
+        pytest.skip("no reference table.dat to borrow the keyword record")
+
+    out = read_tiled_data(str(img), 0)
+    np.testing.assert_allclose(
+        out, full.astype("<f4").astype(float), rtol=1e-6)
+
+
+def test_casa_write_read_roundtrip(tmp_path, cube_adv):
+    cube, data = cube_adv
+    out = str(tmp_path / "round.image")
+    cube.write(out, format="casa_image")
+    back = SpectralCube.read(out)
+    got = np.asarray(back.unmasked_data[:].value)
+    np.testing.assert_allclose(got, data, rtol=1e-6, equal_nan=True)
+    assert back.unit == cube.unit
+    assert back.beam == cube.beam
+    # CASA stores frequency; spectral axes agree in Hz
+    sv1 = np.asarray(cube.with_spectral_unit(u.Hz).spectral_axis.value)
+    sv2 = np.asarray(back.spectral_axis.value)
+    np.testing.assert_allclose(sv1, sv2, rtol=1e-9)
+    # celestial WCS survives
+    assert back.wcs.ctype[:2] == cube.wcs.ctype[:2]
+    np.testing.assert_allclose(back.wcs.crval[:2], cube.wcs.crval[:2],
+                               rtol=1e-9)
+    # NaN mask round-trips through the bit-packed mask0 table
+    filled = np.asarray(back.filled_data[:].value)
+    assert np.isnan(filled[1, 1, 1])
+
+
+def test_casa_write_vr_beams(tmp_path, cube_vr):
+    cube, data = cube_vr
+    out = str(tmp_path / "vr.image")
+    cube.write(out, format="casa_image")
+    from spectral_cube_tpu import VaryingResolutionSpectralCube
+    back = SpectralCube.read(out)
+    assert isinstance(back, VaryingResolutionSpectralCube)
+    assert len(back.unmasked_beams) == 4
+    assert back.unmasked_beams[2].major.to_value("deg") == pytest.approx(
+        cube.unmasked_beams[2].major.to_value("deg"), rel=1e-6)
+
+
+def test_casa_write_stokes(tmp_path):
+    from conftest import make_cube_file
+    p1, d1 = make_cube_file(tmp_path, "i.fits", with_nan=False)
+    p2, d2 = make_cube_file(tmp_path, "q.fits", seed=5, with_nan=False)
+    sc = StokesSpectralCube({"I": SpectralCube.read(p1),
+                             "Q": SpectralCube.read(p2)})
+    out = str(tmp_path / "stokes.image")
+    from spectral_cube_tpu.io.casa_writer import write_casa_image
+    write_casa_image(sc, out)
+    back = SpectralCube.read(out)
+    assert isinstance(back, StokesSpectralCube)
+    assert set(back.components) == {"I", "Q"}
+    np.testing.assert_allclose(
+        np.asarray(back["Q"].unmasked_data[:].value), d2, rtol=1e-6)
+
+
+def test_make_casa_mask(tmp_path, cube_adv):
+    from spectral_cube_tpu.io.casa_masks import make_casa_mask
+    cube, data = cube_adv
+    masked = cube.with_mask(cube > 0.5 * u.Jy / u.beam)
+    out = str(tmp_path / "mask.image")
+    make_casa_mask(masked, out)
+    back = SpectralCube.read(out)
+    vals = np.asarray(back.unmasked_data[:].value)
+    expected = (np.isfinite(data) & (data > 0.5)).astype(float)
+    np.testing.assert_allclose(vals, expected)
