@@ -454,6 +454,46 @@ class BaseSpectralCube:
                                         rest_value=rest_value)
         return self._new_cube_with(wcs=new_wcs)
 
+    @property
+    def spectral_extrema(self):
+        sv = np.asarray(self.spectral_axis.value)
+        return Quantity(np.array([sv.min(), sv.max()]), self.spectral_unit)
+
+    def unmasked_copy(self):
+        """Copy with no mask: all data included (reference
+        spectral_cube.py:1447-1453)."""
+        newcube = self._new_cube_with()
+        newcube._mask = None
+        return newcube
+
+    def chunked(self, chunksize=1000):
+        """Not Implemented (matching the reference,
+        spectral_cube.py:891-897); shard over a CubeMesh instead."""
+        raise NotImplementedError()
+
+    def find_lines(self, velocity_offset=None, velocity_convention=None,
+                   rest_value=None, **kwargs):
+        """Line search via astroquery's Splatalogue interface (reference
+        spectral_cube.py:2604-2648); requires network + astroquery."""
+        try:
+            from astroquery.splatalogue import Splatalogue
+        except ImportError as exc:
+            raise ImportError(
+                "find_lines requires astroquery, which is not installed in "
+                "this environment") from exc
+        value = self.with_spectral_unit(
+            u.GHz, velocity_convention=velocity_convention,
+            rest_value=rest_value).spectral_axis
+        if velocity_offset is not None:
+            vsu = self.with_spectral_unit(
+                u.km_s, velocity_convention=velocity_convention,
+                rest_value=rest_value).spectral_axis
+            vsu = vsu + velocity_offset
+            value = Quantity(np.asarray(vsu.value), vsu.unit)
+        return Splatalogue.query_lines(
+            float(np.asarray(value.value).min()),
+            float(np.asarray(value.value).max()), **kwargs)
+
     def closest_spectral_channel(self, value: Quantity) -> int:
         sv = self.spectral_axis
         try:

@@ -129,6 +129,39 @@ class LowerDimensionalObject(Quantity):
     def quantity(self):
         return Quantity(self.value, self.unit)
 
+    @property
+    def array(self):
+        """Bare ndarray view (reference
+        lower_dimensional_structures.py:137-142)."""
+        return np.asarray(self.value)
+
+    @property
+    def hdulist(self):
+        return [self.hdu]
+
+    @classmethod
+    def read(cls, filename, **kwargs):
+        from .io.fits_low import read_fits
+        hdus = read_fits(str(filename))
+        for h in hdus:
+            if getattr(h, "is_image", False) and h.shape:
+                return cls.from_hdu(h)
+        raise IOError(f"no image HDU found in {filename}")
+
+    def with_fill_value(self, fill_value):
+        new = self._new_with(self.value)
+        new.fill_value = fill_value
+        return new
+
+    def shrink_mask(self):
+        """Drop the mask when it excludes nothing (matplotlib display hack;
+        reference lower_dimensional_structures.py:207-215)."""
+        m = self._mask
+        if m is not None and np.asarray(
+                m.include(data=self.value)).all():
+            self._mask = None
+        return self
+
     def __repr__(self):
         return (f"<{type(self).__name__} {self.value.shape} "
                 f"unit={self.unit}>")

@@ -281,3 +281,31 @@ def test_repr(cube_adv):
     cube, _ = cube_adv
     r = repr(cube)
     assert "SpectralCube" in r and "VRAD" in r
+
+
+def test_spectral_extrema_and_unmasked_copy(cube_adv):
+    cube, data = cube_adv
+    ext = cube.spectral_extrema
+    sv = np.asarray(cube.spectral_axis.value)
+    np.testing.assert_allclose(np.asarray(ext.value), [sv.min(), sv.max()])
+    masked = cube.with_mask(cube > 0.5 * u.Jy / u.beam)
+    um = masked.unmasked_copy()
+    assert um.mask is None
+    np.testing.assert_allclose(np.asarray(um.filled_data[:].value), data,
+                               equal_nan=True)
+    with pytest.raises(NotImplementedError):
+        cube.chunked()
+
+
+def test_ldo_array_read_roundtrip(tmp_path, cube_adv):
+    from spectral_cube_tpu import Projection
+    cube, data = cube_adv
+    m0 = cube.moment0()
+    assert isinstance(m0.array, np.ndarray)
+    path = str(tmp_path / "proj.fits")
+    m0.write(path)
+    back = Projection.read(path)
+    np.testing.assert_allclose(np.asarray(back.value),
+                               np.asarray(m0.value), rtol=1e-7,
+                               equal_nan=True)
+    assert back.wcs.check_equality(m0.wcs, wcs_tolerance=1e-9)
