@@ -88,12 +88,13 @@ def main():
     for got, exp, rtol, name in ((m0, e0, 3e-6, "mom0"),
                                  (m1, e1, 3e-6, "mom1"),
                                  (m2, e2, 5e-5, "mom2")):
-        ok = np.allclose(got, exp, rtol=rtol, atol=1e-6, equal_nan=True)
-        if not ok:
-            bad = np.nanmax(np.abs((got - exp) /
-                                   np.where(exp == 0, 1, exp)))
-            print(f"# WARNING: {name} mismatch vs reference algorithm "
-                  f"(max rel {bad:.2e})", file=sys.stderr)
+        scale = np.nanmax(np.abs(exp))
+        rel = np.abs(got - exp) / np.maximum(np.abs(exp), 1e-3 * scale)
+        worst = float(np.nanmax(np.where(np.isfinite(exp), rel, np.nan)))
+        print(f"# accuracy {name}: max rel err {worst:.2e} vs float64 "
+              "oracle", file=sys.stderr)
+        if worst > rtol:
+            print(f"# WARNING: {name} exceeds {rtol:g}", file=sys.stderr)
 
     @jax.jit
     def looped(d):
