@@ -540,6 +540,11 @@ class BaseSpectralCube:
     def spatial_coordinate_map(self):
         return self.world[0, :, :][1:]
 
+    def world_spines(self):
+        """Not currently implemented; use ``world`` (reference
+        base_class.py:253-264)."""
+        raise NotImplementedError()
+
     def flattened_world(self, view=()):
         """1-D world coordinate arrays for every voxel in a view
         (reference base_class.py:243-270)."""

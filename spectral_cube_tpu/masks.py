@@ -134,6 +134,27 @@ class MaskBase(ABC):
         inc = np.broadcast_to(inc, sub.shape)
         return sub[inc]
 
+    def view(self, view=()):
+        """numpy.ma compatibility: masked=True means excluded (reference
+        masks.py:120-132)."""
+        return self.exclude(view=view)
+
+    def quicklook(self, view, wcs=None, filename=None, use_aplpy=None,
+                  aplpy_kwargs=None):
+        """Plot a 2-D slice of the mask (reference masks.py:272-335)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as _np
+        img = _np.asarray(self.include(view=view))
+        if img.ndim != 2:
+            raise ValueError("view must return a 2D slice")
+        fig, ax = plt.subplots()
+        ax.imshow(img, origin="lower", interpolation="nearest")
+        if filename:
+            fig.savefig(filename)
+        return ax
+
     def any(self, data=None, view=()):
         return bool(np.any(np.asarray(self._include(data=data, view=view))))
 

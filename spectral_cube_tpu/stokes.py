@@ -92,6 +92,11 @@ class StokesSpectralCube:
         return self._mask
 
     @property
+    def stokes_data(self):
+        """The underlying component dict (reference :118-122)."""
+        return self._stokes_data
+
+    @property
     def components(self):
         return list(self._stokes_data.keys())
 
