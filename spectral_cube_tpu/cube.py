@@ -737,8 +737,8 @@ class BaseSpectralCube:
         else:
             coords = np.asarray(lon.value)[0][0] - \
                 np.asarray(lon.value)[0, 0, 0]
-        dx = abs(self._wcs.proj_plane_pixel_scales()[2 - axis - 0 if axis == 2
-                                                     else 1])
+        # FITS axis index of the collapsed numpy axis: lat -> 1, lon -> 0
+        dx = abs(self._wcs.proj_plane_pixel_scales()[2 - axis])
         shape = [1, 1, 1]
         shape[axis] = -1
         return coords.reshape(-1), dx

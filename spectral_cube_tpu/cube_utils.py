@@ -39,8 +39,7 @@ def orient(array, wcs: WCS):
     t = [np_kinds.index("spectral"), np_kinds.index("lat"),
          np_kinds.index("lon")]
     if t != [0, 1, 2]:
-        array = array.transpose(t) if not hasattr(array, "transpose") is None \
-            else array.transpose(t)
+        array = array.transpose(t)
     out_wcs = wcs.reindex([kinds.index("lon"), kinds.index("lat"),
                            kinds.index("spectral")])
     return array, out_wcs

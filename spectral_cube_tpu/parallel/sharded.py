@@ -12,8 +12,6 @@ stencils, and ``reshard`` replaces rechunk between op families.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -420,31 +420,6 @@ class WCS:
             return c / self.restwav, "frequency"
         return None, None
 
-    def _spec_equiv(self, root):
-        """Equivalency list to convert the root variable <-> linear variables."""
-        eqv = list(spectral_equiv())
-        rest, _ = self._rest_value_si()
-        if rest is not None:
-            if root == "VRAD" or root is None:
-                eqv += doppler_radio(rest)
-            if root == "VOPT":
-                eqv += doppler_optical(rest)
-            if root == "VELO":
-                eqv += doppler_radio(rest)  # placeholder; replaced below
-        return eqv
-
-    def _root_equivalencies(self, root):
-        rest, _ = self._rest_value_si()
-        eqv = list(spectral_equiv())
-        if rest is not None:
-            if root == "VRAD":
-                eqv = doppler_radio(rest) + eqv
-            elif root == "VOPT":
-                eqv = doppler_optical(rest) + eqv
-            elif root == "VELO":
-                eqv = doppler_relativistic(rest) + eqv
-        return eqv
-
     _SAMPLED_ROOT = {"F": "FREQ", "W": "WAVE", "V": "VELO", "A": "AWAV"}
 
     def _spectral_nonlinear_setup(self):
@@ -722,16 +697,3 @@ class WCS:
             f"{self.ctype[i] or 'LINEAR'}({self.crval[i]:g} {self.cunit[i]})"
             for i in range(self.naxis))
         return f"<WCS naxis={self.naxis}: {rows}>"
-
-
-def _vector_converter(from_unit: Unit, to_unit: Unit, equivalencies):
-    """Build an elementwise converter usable with numpy or jnp arrays."""
-    if from_unit.dims == to_unit.dims:
-        f = from_unit.scale / to_unit.scale
-        return lambda v, xp=np: v * f
-    for dims_a, dims_b, fwd, bwd in equivalencies:
-        if from_unit.dims == dims_a and to_unit.dims == dims_b:
-            return lambda v, xp=np: fwd(v * from_unit.scale) / to_unit.scale
-        if from_unit.dims == dims_b and to_unit.dims == dims_a:
-            return lambda v, xp=np: bwd(v * from_unit.scale) / to_unit.scale
-    raise UnitConversionError(f"cannot convert {from_unit} -> {to_unit}")

@@ -153,3 +153,17 @@ def test_moment_spatial_axis(cube_adv):
     cube, data = cube_adv
     m0y = cube.moment0(axis=1)
     assert m0y.shape == (cube.shape[0], cube.shape[2])
+
+
+def test_moment_along_lon_axis(cube_adv):
+    cube, data = cube_adv
+    m0x = cube.moment0(axis=2)
+    assert m0x.shape == (cube.shape[0], cube.shape[1])
+    # dx along lon is the celestial pixel scale in degrees
+    from spectral_cube_tpu.units import Quantity
+    dx = abs(cube.wcs.proj_plane_pixel_scales()[0])
+    expected = np.nansum(data, axis=2) * dx
+    allnan = np.all(~np.isfinite(data), axis=2)
+    expected = np.where(allnan, np.nan, expected)
+    np.testing.assert_allclose(np.asarray(m0x.value), expected, rtol=1e-5,
+                               equal_nan=True)

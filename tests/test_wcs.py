@@ -196,3 +196,28 @@ def test_greisen2006_worked_example():
     # derivative: dVopt/df = -c*f0/f^2
     assert wv.cdelt[2] == pytest.approx(-299792458.0 * f0 / f ** 2
                                         * 9.765625e4, rel=1e-12)
+
+
+def test_projection_math_traces_in_jit(wcs3d):
+    """The projection functions are jnp-evaluable inside jit (device-side
+    world coordinates for regrid targets)."""
+    import jax
+    import jax.numpy as jnp
+    from spectral_cube_tpu.wcs import projections as prj
+
+    ap, dp, phip = wcs3d._celestial_pole()
+
+    @jax.jit
+    def roundtrip(x, y):
+        phi, theta = prj.proj_xy2native("SIN", x, y, xp=jnp)
+        lon, lat = prj.native_to_celestial(phi, theta, ap, dp, phip, xp=jnp)
+        phi2, theta2 = prj.celestial_to_native(lon, lat, ap, dp, phip,
+                                               xp=jnp)
+        return prj.proj_native2xy("SIN", phi2, theta2, xp=jnp)
+
+    x = jnp.asarray(np.linspace(-0.01, 0.01, 32))
+    y = jnp.asarray(np.linspace(-0.01, 0.01, 32))
+    x2, y2 = roundtrip(x, y)
+    # float32 trig chains: ~5e-6 deg roundtrip error
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=2e-5)
