@@ -18,6 +18,8 @@ from .lower_dimensional_structures import (Projection, Slice, OneDSpectrum,
                                            VaryingResolutionOneDSpectrum,
                                            LowerDimensionalObject)
 from .wcs import WCS
+from .parallel import CubeMesh, ShardedCube, use_mesh, default_mesh
+from .pipeline import run_pipeline
 
 __version__ = "0.1.0"
 
@@ -27,4 +29,5 @@ __all__ = ["SpectralCube", "VaryingResolutionSpectralCube",
            "LowerDimensionalObject", "MaskBase", "InvertedMask",
            "CompositeMask", "BooleanArrayMask", "LazyMask",
            "LazyComparisonMask", "FunctionMask", "Beam", "Beams", "WCS",
-           "Quantity", "Unit"]
+           "Quantity", "Unit", "CubeMesh", "ShardedCube", "use_mesh",
+           "default_mesh", "run_pipeline"]

@@ -231,6 +231,23 @@ class ShardedCube:
         # place the data once; all downstream jit calls keep the layout
         cube._data = self.cmesh.shard(cube._device_data, "spatial")
 
+    def __getattr__(self, name):
+        """Everything not explicitly overridden delegates to the wrapped
+        cube (whose data is mesh-sharded, so GSPMD partitions the work) —
+        the ShardedCube quacks like the cube, the way DaskSpectralCube
+        mirrors SpectralCube.  Methods returning a new cube re-wrap."""
+        attr = getattr(self.cube, name)
+        if callable(attr):
+            from ..cube import BaseSpectralCube
+
+            def wrapped(*args, **kwargs):
+                out = attr(*args, **kwargs)
+                if isinstance(out, BaseSpectralCube):
+                    return ShardedCube(out, self.cmesh)
+                return out
+            return wrapped
+        return attr
+
     def rechunk(self, layout="spatial", save_to_tmp_dir=False):
         """Move the cube between mesh layouts (the dask ``rechunk`` analog;
         reference dask_spectral_cube.py:349-384).  With

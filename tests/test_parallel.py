@@ -127,3 +127,22 @@ def test_use_mesh_context(cmesh):
         assert default_mesh() is small
         assert m.n_devices == 4
     assert default_mesh() is base
+
+
+def test_sharded_cube_delegation(tmp_path, cmesh):
+    """ShardedCube quacks like the cube (the DaskSpectralCube mirroring):
+    un-overridden methods delegate and cube-returning ops re-wrap."""
+    path, data = make_cube_file(tmp_path, shape=(8, 16, 16))
+    cube = SpectralCube.read(path)
+    sc = ShardedCube(cube, cmesh)
+    assert sc.unit == cube.unit
+    np.testing.assert_allclose(np.asarray(sc.spectral_axis.value),
+                               np.asarray(cube.spectral_axis.value))
+    sub = sc.spectral_slab(Quantity(-321.2, "km / s"),
+                           Quantity(-318.7, "km / s"))
+    assert isinstance(sub, ShardedCube)
+    assert sub.shape[0] == 3
+    m0 = sub.moment_maps()[0]
+    assert m0.shape == (16, 16)
+    st = sc.statistics()
+    assert st["npts"] == np.isfinite(data).sum()
