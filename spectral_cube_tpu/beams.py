@@ -15,12 +15,12 @@ the standard elliptical-Gaussian relations:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from . import units as u
-from .units import Quantity, Unit
+from .units import Quantity
 
 __all__ = ["Beam", "Beams", "NoBeamError", "BeamError", "commonbeam"]
 

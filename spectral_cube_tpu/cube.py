@@ -23,8 +23,6 @@ from __future__ import annotations
 
 import re
 import warnings
-from typing import Sequence
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -32,15 +30,14 @@ import jax.numpy as jnp
 from . import units as u
 from .units import Quantity, Unit, UnitConversionError
 from .wcs import WCS, convert_spectral_axis, determine_ctype_from_vconv
-from .masks import (MaskBase, BooleanArrayMask, LazyMask, LazyComparisonMask,
-                    CompositeMask, FunctionMask, InvertedMask, is_data_local)
+from .masks import (BooleanArrayMask, LazyComparisonMask, CompositeMask,
+                    is_data_local)
 from .beams import Beam, Beams, NoBeamError, BeamError
 from .lower_dimensional_structures import (Projection, Slice, OneDSpectrum,
                                            VaryingResolutionOneDSpectrum,
                                            LowerDimensionalObject)
 from .utils import (cached, warn_slow, MEMORY_THRESHOLD, VarianceWarning,
-                    BeamAverageWarning, BeamWarning, NonFiniteBeamsWarning,
-                    SliceWarning, SmoothingWarning, StokesWarning,
+                    BeamAverageWarning, NonFiniteBeamsWarning,
                     WCSMismatchWarning)
 from .ops import reductions as _red
 from .ops import moments as _mom
@@ -302,7 +299,6 @@ class BaseSpectralCube:
     def _nowcs_header(self):
         from .io.fits_low import Header
         h = Header(self._header) if self._header is not None else Header()
-        from .wcs.core import WCS as _W
         strip = set()
         for i in range(1, 6):
             for key in ("CTYPE", "CRVAL", "CRPIX", "CDELT", "CUNIT", "NAXIS",

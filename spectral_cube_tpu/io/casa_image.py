@@ -11,7 +11,6 @@ from ``imageinfo``, and the brightness unit from ``units``.
 from __future__ import annotations
 
 import os
-import warnings
 
 import numpy as np
 import jax.numpy as jnp
@@ -66,7 +65,6 @@ def load_casa_image(filename, skipdata=False, skipvalid=False, skipcs=False,
     if data.ndim == 3:
         return build_cube(data, valid, wcs, beams)
     if data.ndim == 4:
-        from ..io.fits_low import BinTableHDU
         arrays, wcs3 = split_stokes(data, wcs)
         valid_arrays = {}
         if valid is not None:

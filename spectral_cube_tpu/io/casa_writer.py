@@ -77,7 +77,6 @@ class _Block:
 
 
 def _field_type(value):
-    from collections import OrderedDict
     if isinstance(value, dict):
         return 25
     if isinstance(value, bool):
@@ -312,7 +311,6 @@ def _wcs_to_casa_coords(wcs, stokes_names=None):
     if wcs.spec >= 0:
         sp = wcs.spec
         # write the spectral axis as a (linear) frequency tabular record
-        from ..wcs.spectral import spectral_value_transform
         from ..units import Unit
         cunit = wcs.cunit[sp]
         if cunit.physical_type != "frequency":
@@ -364,7 +362,6 @@ def _beam_record(beam):
 
 def write_casa_image(cube, dirname, overwrite=False):
     """Write a cube (or StokesSpectralCube) as a CASA .image directory."""
-    from ..cube import BaseSpectralCube, VaryingResolutionSpectralCube
     from ..stokes import StokesSpectralCube
 
     if os.path.exists(dirname):

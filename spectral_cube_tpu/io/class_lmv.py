@@ -9,7 +9,6 @@ converted to FITS keywords and fed through the normal FITS cube path.
 
 from __future__ import annotations
 
-import struct
 import warnings
 
 import numpy as np

@@ -10,7 +10,6 @@ quirks, and writes stamp a history card (``:263-282``).
 from __future__ import annotations
 
 import os
-import warnings
 
 import numpy as np
 import jax.numpy as jnp
@@ -19,7 +18,7 @@ from .fits_low import (read_fits, write_fits, is_fits, Header, HDU,
                        BinTableHDU)
 from ..wcs import WCS
 from ..masks import LazyMask
-from ..utils import FITSWarning, FITSReadError
+from ..utils import FITSReadError
 from ..cube_utils import orient, split_stokes
 
 __all__ = ["load_fits_cube", "write_fits_cube", "is_fits"]

@@ -16,8 +16,6 @@ Data are returned as numpy arrays in native byte order.
 
 from __future__ import annotations
 
-import io as _io
-import mmap
 import os
 import re
 import warnings

@@ -16,7 +16,6 @@ Jy/beam data are rescaled by the beam-area ratio
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..beams import Beam

@@ -24,7 +24,6 @@ is never materialized in HBM.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

@@ -15,11 +15,7 @@ include & isfinite(data)``) so the caller controls mask fusion.
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["valid_mask", "masked_sum", "masked_mean", "masked_std",
            "masked_max", "masked_min", "masked_argmax", "masked_argmin",

@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from .mesh import CubeMesh
@@ -142,7 +142,6 @@ def halo_pad(local, halo_y, halo_x, axis_y="y", axis_x="x"):
 def sharded_spatial_convolve(data, kernel, cmesh: CubeMesh):
     """NaN-interpolating spatial convolution of a spatially-sharded cube
     with a (small) 2-D kernel, using halo exchange instead of resharding."""
-    from ..ops.smoothing import spatial_smooth_cube
     mesh = cmesh.mesh
     k = np.asarray(kernel, dtype=float)
     k = k / k.sum()

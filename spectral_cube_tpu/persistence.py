@@ -18,7 +18,6 @@ import tempfile
 import weakref
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 __all__ = ["save_cube", "load_cube", "checkpoint_to_tmp_dir"]

@@ -10,8 +10,6 @@ all-to-all round trip).
 from __future__ import annotations
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from .parallel import CubeMesh, ShardedCube, default_mesh
 from .units import Quantity

@@ -11,12 +11,10 @@ rasterizes them host-side into boolean masks.
 from __future__ import annotations
 
 import re
-import warnings
 
 import numpy as np
 
 from .masks import BooleanArrayMask
-from .units import Quantity
 
 __all__ = ["parse_ds9_region", "parse_crtf_region", "region_to_mask",
            "subcube_from_ds9region", "subcube_from_crtfregion",

@@ -12,7 +12,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from .masks import BooleanArrayMask, CompositeMask, MaskBase
-from .utils import StokesWarning
 
 __all__ = ["StokesSpectralCube", "STOKES_SYMBOLS", "STOKES_TYPE"]
 

@@ -19,14 +19,11 @@ Behavioral parity targets (re-derived, not copied):
 
 from __future__ import annotations
 
-import warnings
 from typing import Sequence
 
 import numpy as np
 
-from ..units import Unit, Quantity, UnitConversionError
-from ..units import (spectral as spectral_equiv, doppler_radio,
-                     doppler_optical, doppler_relativistic, c)
+from ..units import Unit, UnitConversionError, c
 from . import projections as prj
 
 __all__ = ["WCS", "WCSCelestialError"]

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..units import Unit, Quantity, UnitConversionError, c
-from .core import WCS, SPECTRAL_CTYPES
+from .core import WCS
 
 __all__ = [
     "convert_spectral_axis",
