@@ -781,7 +781,8 @@ class BaseSpectralCube:
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", VarianceWarning)
             mom2 = self.moment(order=2, axis=0, how=how)
-        vals = np.sqrt(np.asarray(mom2.value))
+        with np.errstate(invalid="ignore"):
+            vals = np.sqrt(np.asarray(mom2.value))
         return Projection(vals, unit=self.spectral_unit, wcs=mom2.wcs,
                           meta=mom2.meta, beam=getattr(self, "beam", None))
 

@@ -61,7 +61,12 @@ def parse_ds9_region(region_string):
     """Parse a ds9 region file/string into Region objects."""
     regions = []
     frame = "image"
+    # ds9 separates statements with newlines OR semicolons
+    # ("fk5; circle(...)" is the common inline form)
+    statements = []
     for line in str(region_string).splitlines():
+        statements.extend(line.split(";"))
+    for line in statements:
         line = line.strip()
         if not line or line.startswith("#"):
             continue

@@ -85,8 +85,16 @@ class Unit:
     # -- algebra ------------------------------------------------------------
     def __mul__(self, other):
         if isinstance(other, Unit):
+            name = None
+            if self.name and other.name:
+                name = f"{self.name} {other.name}"
+            elif other.name and self.dims == _ZERO and self.scale == 1.0:
+                name = other.name
+            elif self.name and other.dims == _ZERO and other.scale == 1.0:
+                name = self.name
             return Unit(self.scale * other.scale,
-                        tuple(a + b for a, b in zip(self.dims, other.dims)))
+                        tuple(a + b for a, b in zip(self.dims, other.dims)),
+                        name=name)
         if isinstance(other, (int, float)):
             return Quantity(other, self)
         if isinstance(other, np.ndarray):
@@ -100,8 +108,13 @@ class Unit:
 
     def __truediv__(self, other):
         if isinstance(other, Unit):
+            name = None
+            if self.name and other.name:
+                dn = other.name if " " not in other.name else f"({other.name})"
+                name = f"{self.name} / {dn}"
             return Unit(self.scale / other.scale,
-                        tuple(a - b for a, b in zip(self.dims, other.dims)))
+                        tuple(a - b for a, b in zip(self.dims, other.dims)),
+                        name=name)
         if isinstance(other, (int, float)):
             return Unit(self.scale / other, self.dims)
         return NotImplemented
