@@ -56,6 +56,26 @@ def numpy_reference_moments(data, coords, dx, threshold):
     return mom0, mom1, mom2
 
 
+def _timed_fetch(f, x):
+    t0 = time.perf_counter()
+    np.asarray(f(x))
+    return time.perf_counter() - t0
+
+
+def _rerun(one_pass, data, reps):
+    @jax.jit
+    def looped(d):
+        def body(i, acc):
+            d_dep, acc = jax.lax.optimization_barrier((d, acc))
+            mm0, mm1, mm2 = one_pass(d_dep)
+            return acc + mm0[0, 0] + mm1[1, 1] + mm2[2, 2]
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+    np.asarray(looped(data))
+    t0 = time.perf_counter()
+    np.asarray(looped(data))
+    return time.perf_counter() - t0
+
+
 def main():
     data_np, coords, dx = make_cube()
     gvox = data_np.size / 1e9
@@ -99,21 +119,26 @@ def main():
     @jax.jit
     def looped(d):
         def body(i, acc):
-            mm0, mm1, mm2 = one_pass(d + acc * 0)  # data dep: no hoisting
+            # optimization_barrier pins the kernel inside the loop
+            d_dep, acc = jax.lax.optimization_barrier((d, acc))
+            mm0, mm1, mm2 = one_pass(d_dep)
             return acc + mm0[0, 0] + mm1[1, 1] + mm2[2, 2]
         return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
 
     np.asarray(looped(data))  # compile + warm
+    # dispatch RTT (min of 3 — it jitters by several ms)
+    tiny = jax.jit(lambda d: d[0, 0, 0] * 1.0)
+    np.asarray(tiny(data))
+    rtt = min(_timed_fetch(tiny, data) for _ in range(3))
     t0 = time.perf_counter()
     np.asarray(looped(data))
     elapsed = time.perf_counter() - t0
-    # subtract one fixed dispatch RTT (measured separately)
-    tiny = jax.jit(lambda d: d[0, 0, 0] * 1.0)
-    np.asarray(tiny(data))
-    t1 = time.perf_counter()
-    np.asarray(tiny(data))
-    rtt = time.perf_counter() - t1
-    per_pass = max((elapsed - rtt) / REPS, 1e-9)
+    reps = REPS
+    while elapsed < 4 * rtt:
+        # compute must dominate the RTT subtraction; scale the loop up
+        reps *= 8
+        elapsed = _rerun(one_pass, data, reps)
+    per_pass = max((elapsed - rtt) / reps, 1e-9)
 
     throughput = gvox / per_pass
     baseline_throughput = gvox / t_numpy

@@ -76,8 +76,9 @@ class OpTimer:
             @jax.jit
             def looped(*a):
                 def body(i, acc):
-                    out = fn(*(x + acc * 0 if i2 == 0 else x
-                               for i2, x in enumerate(a)))
+                    pinned, acc = jax.lax.optimization_barrier(
+                        (a[0], acc))
+                    out = fn(pinned, *a[1:])
                     leaf = jax.tree_util.tree_leaves(out)[0]
                     return acc + jnp.asarray(leaf).ravel()[0].astype(
                         jnp.float32)
