@@ -8,8 +8,10 @@ Covers the BASELINE.json configs:
   plus sigma_clip_spectrally (the reference docs' headline timing,
   docs/dask.rst:188-212) and one-pass statistics.
 
-Each op is timed inside one jit with a lax.fori_loop (REPS passes with a
-data dependency) so fixed dispatch RTT doesn't swamp sub-ms kernels.
+Each op is timed inside one jit with a lax.fori_loop; reps scale up until
+compute dominates the (jittery) dispatch RTT.  NOTE: on a tunneled chip
+each rep escalation recompiles (minutes per op) — expect a long run there;
+on a locally attached chip the suite completes in well under a minute.
 Usage: python benchmarks/suite.py [N]
 """
 
