@@ -51,6 +51,12 @@ __all__ = ["BaseSpectralCube", "SpectralCube",
 
 SIGMA2FWHM = _mom.SIGMA2FWHM
 
+#: Sentinel for :meth:`BaseSpectralCube._new_cube_with`: "keep the current
+#: mask".  ``mask=None`` explicitly clears it — shape-changing ops must pass
+#: either a correctly-shaped mask or None, never inherit silently (the
+#: reference keeps masks consistent at spectral_cube.py:3503-3548).
+_INHERIT = object()
+
 
 def _world_to_pixel_range(wcs, axis, lo, hi, n):
     """Resolve mixed pixel/world bounds to a pixel slice along a celestial
@@ -217,12 +223,12 @@ class BaseSpectralCube:
     # copy-with-overrides (the reference's _new_cube_with,
     # spectral_cube.py:244-289)
     # ------------------------------------------------------------------
-    def _new_cube_with(self, data=None, wcs=None, mask=None, meta=None,
+    def _new_cube_with(self, data=None, wcs=None, mask=_INHERIT, meta=None,
                        fill_value=None, unit=None, wcs_tolerance=None,
                        **kwargs):
         data = data if data is not None else self._data
         wcs = wcs if wcs is not None else self._wcs
-        mask = mask if mask is not None else self._mask
+        mask = self._mask if mask is _INHERIT else mask
         meta = dict(meta) if meta is not None else dict(self._meta)
         fill = fill_value if fill_value is not None else self._fill_value
         unit = unit if unit is not None else self._unit
@@ -361,12 +367,33 @@ class BaseSpectralCube:
                                  f"shape: {mask.shape} vs {self.shape}")
             mask = BooleanArrayMask(np.asarray(mask), wcs=self._wcs,
                                     shape=self.shape)
+        self._validate_mask_wcs(mask, wcs_tolerance)
         if self._mask is not None and inherit_mask:
             new_mask = CompositeMask(self._mask, mask, operation="and")
         else:
             new_mask = mask
         return self._new_cube_with(mask=new_mask,
                                    wcs_tolerance=wcs_tolerance)
+
+    def _validate_mask_wcs(self, mask, wcs_tolerance=None):
+        """Validate an attached mask's WCS against the cube's, with a
+        per-cube whitelist cache so repeated attaches of the same mask stay
+        cheap (reference masks.py:425-435, :526-553).  Mismatches warn via
+        :class:`WCSMismatchWarning` rather than attaching silently."""
+        mwcs = getattr(mask, "_wcs", None)
+        if mwcs is None or self._wcs is None:
+            return
+        cache = self.__dict__.setdefault("_wcs_whitelist", set())
+        if id(mwcs) in cache:
+            return
+        tol = wcs_tolerance if wcs_tolerance is not None \
+            else self._wcs_tolerance
+        if not self._wcs.check_equality(mwcs, wcs_tolerance=tol):
+            warnings.warn(
+                "The mask's WCS does not match the cube's WCS; the mask "
+                "will be applied per-pixel regardless (pass a larger "
+                "wcs_tolerance to silence this).", WCSMismatchWarning)
+        cache.add(id(mwcs))
 
     def with_fill_value(self, fill_value):
         return self._new_cube_with(fill_value=fill_value)
@@ -458,9 +485,7 @@ class BaseSpectralCube:
     def unmasked_copy(self):
         """Copy with no mask: all data included (reference
         spectral_cube.py:1447-1453)."""
-        newcube = self._new_cube_with()
-        newcube._mask = None
-        return newcube
+        return self._new_cube_with(mask=None)
 
     def chunked(self, chunksize=1000):
         """Not Implemented (matching the reference,
@@ -725,19 +750,42 @@ class BaseSpectralCube:
     def _moment_coords(self, axis):
         if axis == 0:
             return self._spectral_offsets(), self._spectral_pix_size()
-        # spatial axes: offsets from the cube face in degrees
-        _, lat, lon = self.world[:, :, :]
-        if axis == 1:
-            coords = np.asarray(lat.value)[0] - np.asarray(lat.value)[0, 0:1]
-            coords = coords[:, 0]
-        else:
-            coords = np.asarray(lon.value)[0][0] - \
-                np.asarray(lon.value)[0, 0, 0]
-        # FITS axis index of the collapsed numpy axis: lat -> 1, lon -> 0
+        # spatial axes: per-pixel cumulative angular offsets, the reference's
+        # _pix_cen (spectral_cube.py:1455-1508) — correct under rotated PC
+        # matrices and projection distortion, unlike a 1-D spine.
+        y_off, x_off = self._spatial_pix_offsets()
+        coords = (y_off if axis == 1 else x_off)[None, :, :]
         dx = abs(self._wcs.proj_plane_pixel_scales()[2 - axis])
-        shape = [1, 1, 1]
-        shape[axis] = -1
-        return coords.reshape(-1), dx
+        return coords, dx
+
+    @cached
+    def _spatial_pix_offsets(self):
+        """Per-pixel cumulative angular-separation offsets (deg) from the
+        cube face, along y and x (reference _pix_cen,
+        spectral_cube.py:1472-1493)."""
+        _, lat, lon = self.world[0, :, :]
+        lon = np.radians(np.asarray(lon.value))
+        lat = np.radians(np.asarray(lat.value))
+
+        def angsep(lon1, lat1, lon2, lat2):
+            # Vincenty formula (astropy.coordinates.angular_separation)
+            sdlon = np.sin(lon2 - lon1)
+            cdlon = np.cos(lon2 - lon1)
+            num1 = np.cos(lat2) * sdlon
+            num2 = np.cos(lat1) * np.sin(lat2) \
+                - np.sin(lat1) * np.cos(lat2) * cdlon
+            den = np.sin(lat1) * np.sin(lat2) \
+                + np.cos(lat1) * np.cos(lat2) * cdlon
+            return np.arctan2(np.hypot(num1, num2), den)
+
+        dx = angsep(lon[:, :-1], lat[:, :-1], lon[:, 1:], lat[:, :-1])
+        dy = angsep(lon[:-1, :], lat[:-1, :], lon[1:, :], lat[1:, :])
+        ny, nx = lon.shape
+        x_off = np.zeros((ny, nx))
+        y_off = np.zeros((ny, nx))
+        x_off[:, 1:] = np.cumsum(np.degrees(dx), axis=1)
+        y_off[1:, :] = np.cumsum(np.degrees(dy), axis=0)
+        return y_off, x_off
 
     @cached
     def _moments012(self):
@@ -820,8 +868,6 @@ class BaseSpectralCube:
                        for v in norm)
         wcs_full = self._wcs.slice(slview, shape=self.shape)
         keep = [i for i in range(3) if not isinstance(norm[i], int)]
-        new_wcs = wcs_full.reindex([2 - i for i in reversed(keep)]) \
-            if keep else None
         new_wcs = wcs_full.reindex(sorted(2 - i for i in keep))
         mask = self._mask[view] if self._mask is not None else None
         arr = np.asarray(self._apply_mask_np(data, view))
@@ -941,6 +987,11 @@ class BaseSpectralCube:
                 unit = {"mul": self.unit * value.unit,
                         "truediv": self.unit / value.unit}[op]
         else:
+            if op in ("add", "sub") and not self.unit.dimensionless:
+                raise ValueError(
+                    "Can only add/subtract Quantity values with units "
+                    "matching the cube's (reference _val_to_own_unit, "
+                    "spectral_cube.py:2240-2261)")
             val = value
             unit = self.unit
         fn = {"add": jnp.add, "sub": jnp.subtract, "mul": jnp.multiply,
@@ -1263,8 +1314,16 @@ class BaseSpectralCube:
         view = [slice(None)] * 3
         view[axis] = slice(None, None, int(factor))
         new_wcs = self._wcs.slice(tuple(view), shape=self.shape)
-        return self._new_cube_with(data=out, wcs=new_wcs,
-                                   mask=None)
+        new_mask = None
+        if self._mask is not None:
+            # block-any of the include mask, matching the reference
+            # (spectral_cube.py:3503-3548: np.any over each factor-block)
+            include = self._mask.include(data=self._device_data)
+            inc_ds = _interp.downsample_include(include, factor, axis,
+                                                truncate=truncate)
+            new_mask = BooleanArrayMask(np.asarray(inc_ds), wcs=new_wcs,
+                                        shape=tuple(out.shape))
+        return self._new_cube_with(data=out, wcs=new_wcs, mask=new_mask)
 
     # ------------------------------------------------------------------
     # reprojection
@@ -1563,7 +1622,8 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
         kwargs.setdefault("fill_value", self._fill_value)
         data = kwargs.pop("data", self._data)
         wcs = kwargs.pop("wcs", self._wcs)
-        mask = kwargs.pop("mask", self._mask)
+        mask = kwargs.pop("mask", _INHERIT)
+        mask = self._mask if mask is _INHERIT else mask
         meta = kwargs.pop("meta", dict(self._meta))
         unit = kwargs.pop("unit", self._unit)
         cube = VaryingResolutionSpectralCube(

@@ -351,9 +351,23 @@ def _read_bintable(header: Header, buf: bytes) -> BinTableHDU:
             units[name] = str(header[f"TUNIT{i}"]).strip()
     dtype = np.dtype(dtypes)
     if dtype.itemsize != rowlen:
-        # fall back to a manual itemsize check; some writers pad rows
-        warnings.warn(f"row length mismatch: dtype {dtype.itemsize} vs "
-                      f"NAXIS1 {rowlen}")
+        # Rebuild with explicit offsets and itemsize=NAXIS1 so the row
+        # stride is always right even when the heap/extra columns are not
+        # modeled; raise if the modeled fields overrun the row.
+        if dtype.itemsize > rowlen:
+            raise ValueError(
+                f"BINTABLE row model ({dtype.itemsize} bytes) overruns "
+                f"NAXIS1={rowlen}; TFORM parsing mismatch")
+        fmt_names, formats, offsets = [], [], []
+        off = 0
+        for dt in dtypes:
+            fmt_names.append(dt[0])
+            fmt = dt[1] if len(dt) == 2 else (dt[1], dt[2])
+            formats.append(fmt)
+            offsets.append(off)
+            off += np.dtype(fmt).itemsize
+        dtype = np.dtype({"names": fmt_names, "formats": formats,
+                          "offsets": offsets, "itemsize": rowlen})
     rec = np.frombuffer(buf[:nrows * dtype.itemsize], dtype=dtype)
     cols = OrderedDict()
     logical = {str(header.get(f"TTYPE{i}", f"COL{i}")).strip()

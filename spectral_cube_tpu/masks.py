@@ -284,33 +284,21 @@ class BooleanArrayMask(MaskBase):
             else mask.shape
 
     def _include(self, data=None, view=()):
-        if self._mask.shape == self._shape:
-            m = self._mask
-            return m[view] if view not in ((), None) else m
-        # sub-dimensional: broadcast lazily, slice with the restricted view
-        subview = view_of_subset(view, self._shape, self._mask.shape)
-        m = self._mask[subview] if subview not in ((), None) else self._mask
-        # compute the post-view full shape for broadcasting
-        if view in ((), None):
-            out_shape = self._shape
-        else:
-            out_shape = np.empty(self._shape, dtype=np.uint8)[view].shape
+        m = self._full_mask()
+        return m[view] if view not in ((), None) else m
+
+    def _full_mask(self):
+        """The stored mask broadcast (zero-copy) to the full cube shape, so
+        any view — including integer indices — applies directly."""
+        m = self._mask
+        if m.shape == self._shape:
+            return m
         xp = np if isinstance(m, np.ndarray) else jnp
-        return xp.broadcast_to(m, _broadcast_target(m.shape, out_shape))
+        return xp.broadcast_to(m, self._shape)
 
     def __getitem__(self, view):
-        if self._mask.shape == self._shape:
-            new_mask = self._mask[view]
-            return BooleanArrayMask(new_mask, wcs=None, shape=new_mask.shape)
-        return _ViewMask(self, view)
-
-
-def _broadcast_target(small_shape, full_shape):
-    """Resolve the broadcast target shape (full_shape may have fewer dims
-    after integer indexing)."""
-    if len(small_shape) == len(full_shape):
-        return full_shape
-    return full_shape
+        new_mask = self._full_mask()[view]
+        return BooleanArrayMask(new_mask, wcs=None, shape=new_mask.shape)
 
 
 class LazyMask(MaskBase):

@@ -105,9 +105,11 @@ def _convolve_planes(data, transfers, group_idx, kernel_shape):
 
 
 def _conv_matrix_1d(n, taps):
-    """(n, n) banded correlation matrix for 1-D taps, zero-fill boundary."""
-    taps = np.asarray(taps, dtype=np.float32)
-    half = (len(taps) - 1) // 2
+    """(n, n) banded true-convolution matrix for 1-D taps, zero-fill
+    boundary (taps flipped, so the separable path matches the FFT path for
+    asymmetric kernels)."""
+    taps = np.asarray(taps, dtype=np.float32)[::-1]
+    half = len(taps) - 1 - (len(taps) - 1) // 2
     mat = np.zeros((n, n), dtype=np.float32)
     for o, kv in enumerate(taps):
         d = o - half

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..utils import SmoothingWarning
 
 __all__ = ["interp_weights", "interp_cube_spectral", "interp_spectrum",
-           "linear_spectral_wcs", "downsample_axis"]
+           "linear_spectral_wcs", "downsample_axis", "downsample_include"]
 
 
 def interp_weights(inaxis, outaxis):
@@ -148,3 +148,27 @@ def downsample_axis(data, factor, axis, estimator="mean", truncate=False):
     shape.insert(axis + 1, factor)
     blocked = data.reshape(shape)
     return est(blocked, axis=axis + 1)
+
+
+def downsample_include(include, factor, axis, truncate=False):
+    """Block-downsample a boolean include mask: a block is included if any
+    of its members is (reference spectral_cube.py:3497-3503 ``np.any`` over
+    each factor-block; the ragged tail pads with excluded)."""
+    include = jnp.asarray(include, dtype=bool)
+    factor = int(factor)
+    n = include.shape[axis]
+    if truncate:
+        keep = (n // factor) * factor
+        idx = [slice(None)] * include.ndim
+        idx[axis] = slice(0, keep)
+        include = include[tuple(idx)]
+        n = keep
+    pad = (-n) % factor
+    if pad:
+        pads = [(0, 0)] * include.ndim
+        pads[axis] = (0, pad)
+        include = jnp.pad(include, pads, constant_values=False)
+    shape = list(include.shape)
+    shape[axis] = include.shape[axis] // factor
+    shape.insert(axis + 1, factor)
+    return jnp.any(include.reshape(shape), axis=axis + 1)

@@ -217,9 +217,14 @@ def moment_generic(data, coords, dx, order, axis=0, include=None):
     order N>=2 the central moment about the order-1 centroid."""
     coords = jnp.asarray(coords, dtype=jnp.result_type(data.dtype,
                                                        jnp.float32))
-    shape = [1] * data.ndim
-    shape[axis] = -1
-    x = coords.reshape(shape)
+    if coords.ndim == 1:
+        shape = [1] * data.ndim
+        shape[axis] = -1
+        x = coords.reshape(shape)
+    else:
+        # per-pixel coordinate plane (spatial axes with rotation/distortion:
+        # reference _pix_cen, spectral_cube.py:1455-1508), broadcastable
+        x = coords if coords.ndim == data.ndim else coords[None]
     valid = jnp.isfinite(data)
     if include is not None:
         valid = jnp.logical_and(valid, include)

@@ -82,7 +82,15 @@ def masked_min(data, valid, axis=None):
 
 def masked_argmax(data, valid, axis=0):
     """nanargmax semantics with fill=-inf (reference spectral_cube.py:771-795):
-    ties break to the first index; all-invalid positions return 0."""
+    ties break to the first index.
+
+    All-invalid positions return index 0 — identical to the reference,
+    which fills *masked* voxels with -inf before np.nanargmax, so an
+    all-masked spaxel argmaxes over uniform -inf and also yields 0.  (The
+    one divergence: a spaxel of genuine included NaNs raises All-NaN in
+    numpy's nanargmax; here NaN data is folded into the validity predicate
+    and yields 0 as well — a deliberate choice, since data-dependent raises
+    cannot live inside jit.)"""
     return jnp.argmax(_fill(data, valid, -jnp.inf), axis=axis)
 
 
@@ -124,8 +132,18 @@ def masked_statistics(data, valid):
     mx = jnp.max(_fill(data, valid, -jnp.inf))
     npts = cnt.astype(jnp.float64 if data.dtype == jnp.float64
                       else jnp.float32)
-    mean = s / npts
-    sigma = jnp.sqrt((ss - s * s / npts) / (npts - 1))
-    rms = jnp.sqrt(ss / npts)
+    nan = jnp.asarray(jnp.nan, dtype=npts.dtype)
+    # npts in {0, 1}: NaN stats, not div-by-zero artifacts (reference
+    # tolerates all-NaN chunks, tests/test_dask.py:110-118)
+    mean = jnp.where(cnt > 0, s / jnp.maximum(npts, 1), nan)
+    sigma = jnp.where(
+        cnt > 1,
+        jnp.sqrt((ss - s * s / jnp.maximum(npts, 1))
+                 / jnp.maximum(npts - 1, 1)), nan)
+    rms = jnp.where(cnt > 0, jnp.sqrt(ss / jnp.maximum(npts, 1)), nan)
+    mn = jnp.where(cnt > 0, mn, nan)
+    mx = jnp.where(cnt > 0, mx, nan)
+    s = jnp.where(cnt > 0, s, nan)
+    ss = jnp.where(cnt > 0, ss, nan)
     return {"npts": cnt, "min": mn, "max": mx, "sum": s, "sumsq": ss,
             "mean": mean, "sigma": sigma, "rms": rms}

@@ -37,9 +37,12 @@ _MATMUL_CONV_MAX_N = 4096
 
 
 def _banded_conv_matrix(n, kernel):
-    """(n, n) banded correlation matrix with zero-fill boundary."""
-    k = np.asarray(kernel, dtype=np.float32)
-    half = (len(k) - 1) // 2
+    """(n, n) banded true-convolution matrix with zero-fill boundary.
+
+    The kernel is flipped so asymmetric kernels match np.convolve
+    'same' / astropy convolve semantics (convolution, not correlation)."""
+    k = np.asarray(kernel, dtype=np.float32)[::-1]
+    half = len(k) - 1 - (len(k) - 1) // 2
     mat = np.zeros((n, n), dtype=np.float32)
     for o, kv in enumerate(k):
         d = o - half
@@ -66,9 +69,10 @@ def _conv1d_along_axis0(data, kernel):
             preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST)
         return out.reshape(data.shape).astype(data.dtype)
-    # very long spectral axes: shifted-adds (K passes, still HBM-friendly)
-    k = np.asarray(kernel, dtype=float)
-    half = (len(k) - 1) // 2
+    # very long spectral axes: shifted-adds (K passes, still HBM-friendly);
+    # kernel flipped for true-convolution semantics like the matmul path
+    k = np.asarray(kernel, dtype=float)[::-1]
+    half = len(k) - 1 - (len(k) - 1) // 2
     out = jnp.zeros_like(data)
     for o, kv in enumerate(k):
         d = o - half

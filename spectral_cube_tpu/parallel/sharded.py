@@ -98,10 +98,16 @@ def sharded_statistics(data, cmesh: CubeMesh, include=None):
                    out_specs=(P(), P(), P(), P(), P()))
     cnt, mn, mx, s, ss = jax.jit(fn)(*args)
     npts = float(cnt)
+    # all-masked / single-point cubes: NaN stats, never ZeroDivisionError
+    # (reference handles all-NaN chunks, tests/test_dask.py:110-118)
+    if npts == 0:
+        return {"npts": 0, "min": np.nan, "max": np.nan, "sum": np.nan,
+                "sumsq": np.nan, "mean": np.nan, "sigma": np.nan,
+                "rms": np.nan}
     out = {"npts": int(cnt), "min": float(mn), "max": float(mx),
            "sum": float(s), "sumsq": float(ss), "mean": float(s) / npts}
     out["sigma"] = float(np.sqrt((out["sumsq"] - out["sum"] ** 2 / npts)
-                                 / (npts - 1)))
+                                 / (npts - 1))) if npts > 1 else np.nan
     out["rms"] = float(np.sqrt(out["sumsq"] / npts))
     return out
 
@@ -202,16 +208,26 @@ def sharded_sigma_clip(data, cmesh: CubeMesh, sigma=3.0, maxiters=5):
     return jax.jit(fn)(cmesh.shard(data, "spatial"))
 
 
-def sharded_spectral_interpolate(data, inaxis, outaxis, cmesh: CubeMesh):
+def sharded_spectral_interpolate(data, inaxis, outaxis, cmesh: CubeMesh,
+                                 include=None):
     """Spectral regrid: gather weights are shared, so each device regrids
-    its own spatial shard with zero communication."""
+    its own spatial shard with zero communication.  The include mask, if
+    given, interpolates alongside the data (reference
+    spectral_cube.py:3298-3315); returns ``(out, new_include_or_None)``."""
     from ..ops.interpolate import interp_cube_spectral
     mesh = cmesh.mesh
+    if include is None:
+        fn = shard_map(
+            lambda d: interp_cube_spectral(d, inaxis, outaxis)[0],
+            mesh=mesh, in_specs=(P(None, "y", "x"),),
+            out_specs=P(None, "y", "x"))
+        return jax.jit(fn)(cmesh.shard(data, "spatial")), None
     fn = shard_map(
-        lambda d: interp_cube_spectral(d, inaxis, outaxis)[0],
-        mesh=mesh, in_specs=(P(None, "y", "x"),),
-        out_specs=P(None, "y", "x"))
-    return jax.jit(fn)(cmesh.shard(data, "spatial"))
+        lambda d, i: interp_cube_spectral(d, inaxis, outaxis, include=i),
+        mesh=mesh, in_specs=(P(None, "y", "x"), P(None, "y", "x")),
+        out_specs=(P(None, "y", "x"), P(None, "y", "x")))
+    return jax.jit(fn)(cmesh.shard(data, "spatial"),
+                       cmesh.shard(jnp.asarray(include), "spatial"))
 
 
 # ---------------------------------------------------------------------------
@@ -225,10 +241,16 @@ class ShardedCube:
 
     def __init__(self, cube, cmesh: CubeMesh | None = None):
         from .mesh import default_mesh
-        self.cube = cube
         self.cmesh = cmesh if cmesh is not None else default_mesh()
-        # place the data once; all downstream jit calls keep the layout
-        cube._data = self.cmesh.shard(cube._device_data, "spatial")
+        # place the data once; all downstream jit calls keep the layout.
+        # The caller's cube object is never mutated: if placement changes,
+        # we wrap a shallow copy carrying the sharded array.
+        target = self.cmesh.sharding("spatial")
+        data = cube._device_data
+        if getattr(data, "sharding", None) != target:
+            cube = cube._new_cube_with(
+                data=self.cmesh.shard(data, "spatial"))
+        self.cube = cube
 
     def __getattr__(self, name):
         """Everything not explicitly overridden delegates to the wrapped
@@ -255,9 +277,8 @@ class ShardedCube:
         cube = self.cube
         if save_to_tmp_dir:
             cube = cube.checkpoint()
-        cube._data = self.cmesh.shard(cube._device_data, layout)
-        if cube is self.cube:
-            return self
+        cube = cube._new_cube_with(
+            data=self.cmesh.shard(cube._device_data, layout))
         out = object.__new__(ShardedCube)
         out.cube = cube
         out.cmesh = self.cmesh
@@ -324,17 +345,26 @@ class ShardedCube:
 
     def spectral_interpolate(self, spectral_grid):
         from ..units import Quantity
+        from ..masks import BooleanArrayMask
         from ..ops.interpolate import linear_spectral_wcs
         c = self.cube
         grid = spectral_grid.to_value(c.spectral_unit) \
             if isinstance(spectral_grid, Quantity) \
             else np.asarray(spectral_grid)
         inax = np.asarray(c.spectral_axis.value, dtype=float)
-        out = sharded_spectral_interpolate(
-            c._get_filled_data(fill=np.nan), inax, grid, self.cmesh)
+        include = c._mask.include(data=c._device_data) \
+            if c._mask is not None else None
+        out, new_include = sharded_spectral_interpolate(
+            c._get_filled_data(fill=np.nan), inax, grid, self.cmesh,
+            include=include)
         new_wcs = linear_spectral_wcs(c._wcs, grid)
+        # the interpolated mask replaces the old-shape one (the unsharded
+        # path's semantics, cube.py spectral_interpolate); stays sharded
+        mask = BooleanArrayMask(new_include, wcs=new_wcs,
+                                shape=tuple(out.shape)) \
+            if new_include is not None else None
         return ShardedCube(c._new_cube_with(data=out, wcs=new_wcs,
-                                            mask=False or None),
+                                            mask=mask),
                            self.cmesh)
 
     def convolve_to(self, beam):

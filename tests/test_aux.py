@@ -143,8 +143,14 @@ def test_to_sharded_facade(tmp_path):
     sc = cube.to_sharded()
     m0, m1, m2 = sc.moment_maps()
     assert m0.shape == (16, 16)
+    original_cube = sc.cube
     sc2 = sc.rechunk("spectral")
-    assert sc2 is sc
+    # rechunk never mutates: the original ShardedCube keeps its layout
+    assert sc2 is not sc
+    assert sc.cube is original_cube
+    m0b, _, _ = sc2.rechunk("spatial").moment_maps()
+    np.testing.assert_allclose(np.asarray(m0b.value), np.asarray(m0.value),
+                               rtol=1e-6, equal_nan=True)
 
 
 def test_device_memory_stats():

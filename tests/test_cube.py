@@ -309,3 +309,80 @@ def test_ldo_array_read_roundtrip(tmp_path, cube_adv):
                                np.asarray(m0.value), rtol=1e-7,
                                equal_nan=True)
     assert back.wcs.check_equality(m0.wcs, wcs_tolerance=1e-9)
+
+
+def test_mask_survives_downsample(cube_adv):
+    """Shape-changing ops must carry a correctly-shaped mask (regression:
+    BooleanArrayMask-masked cube -> downsample_axis -> filled_data raised
+    an incompatible-shapes TypeError)."""
+    cube, data = cube_adv
+    arr = np.ones(cube.shape, dtype=bool)
+    arr[0] = False
+    masked = cube.with_mask(arr)
+    ds = masked.downsample_axis(2, axis=0)
+    assert ds.shape[0] == cube.shape[0] // 2
+    filled = np.asarray(ds.filled_data[:].value)
+    assert filled.shape == ds.shape
+    # block-any: the first output channel still has channel 1 included,
+    # except where the fixture NaN (at [1,1,1]) kills the whole block
+    inc = np.asarray(ds.mask.include())
+    assert inc.shape == ds.shape
+    expected = np.ones(ds.shape, dtype=bool)
+    expected[0, 1, 1] = False  # ch0 excluded by arr, ch1 NaN
+    assert (inc == expected).all()
+    # fully-excluded blocks stay excluded
+    arr2 = np.zeros(cube.shape, dtype=bool)
+    arr2[3] = True
+    ds2 = cube.with_mask(arr2).downsample_axis(2, axis=0)
+    inc2 = np.asarray(ds2.mask.include())
+    assert not inc2[0].any() and inc2[1].all()
+
+
+def test_mask_survives_spectral_interpolate(cube_adv):
+    cube, data = cube_adv
+    arr = np.ones(cube.shape, dtype=bool)
+    arr[2] = False
+    masked = cube.with_mask(arr)
+    sv = np.asarray(masked.spectral_axis.value)
+    grid = np.linspace(sv.min(), sv.max(), 7)
+    out = masked.spectral_interpolate(grid * masked.spectral_axis.unit
+                                      if hasattr(masked.spectral_axis,
+                                                 "unit") else grid)
+    filled = np.asarray(out.filled_data[:].value)
+    assert filled.shape == out.shape == (7,) + cube.shape[1:]
+    assert out.mask is not None
+    assert np.asarray(out.mask.include()).shape == out.shape
+
+
+def test_new_cube_with_mask_clearing(cube_adv):
+    cube, data = cube_adv
+    arr = np.zeros(cube.shape, dtype=bool)
+    masked = cube.with_mask(arr)
+    assert masked.mask is not None
+    cleared = masked._new_cube_with(mask=None)
+    assert cleared.mask is None
+    inherited = masked._new_cube_with()
+    assert inherited.mask is masked.mask
+    assert masked.unmasked_copy().mask is None
+
+
+def test_scalar_add_requires_units(cube_adv):
+    cube, data = cube_adv
+    with pytest.raises(ValueError):
+        cube + 5
+    with pytest.raises(ValueError):
+        cube - 1.5
+    # mul/div by plain scalars stays fine
+    assert (cube * 2).unit == cube.unit
+    # dimensionless cubes accept plain scalars
+    assert np.isfinite(np.asarray(
+        (cube.unitless + 5).filled_data[:].value)).any()
+
+
+def test_statistics_all_masked(cube_adv):
+    cube, data = cube_adv
+    masked = cube.with_mask(np.zeros(cube.shape, dtype=bool))
+    stats = masked.statistics()
+    assert stats["npts"] == 0
+    assert np.isnan(stats["mean"].value)
+    assert np.isnan(stats["sigma"].value)

@@ -150,3 +150,29 @@ def test_masks_work_inside_jit(data):
     out = float(masked_sum(jnp.asarray(data)))
     expected = data[np.isfinite(data) & (data > 10)].sum()
     assert out == pytest.approx(expected, rel=1e-6)
+
+
+def test_boolean_mask_subdim_integer_views():
+    """Sub-dimensional stored masks must survive views with integer
+    indices (regression: 1-D spectral mask + cube[:, 2, :] raised)."""
+    shape = (4, 3, 2)
+    good = np.array([True, False, True, True])
+    m = BooleanArrayMask(good, shape=shape)
+    # integer index on a broadcast (spatial) axis
+    inc = np.asarray(m.include(view=(slice(None), 2, slice(None))))
+    assert inc.shape == (4, 2)
+    assert (inc == good[:, None]).all()
+    # integer index on the mask's own axis
+    inc2 = np.asarray(m.include(view=(1, slice(None), slice(None))))
+    assert inc2.shape == (3, 2)
+    assert not inc2.any()
+    # 2-D spatial mask, extract a single channel
+    spat = np.zeros((3, 2), dtype=bool)
+    spat[1, 1] = True
+    m2 = BooleanArrayMask(spat, shape=shape)
+    inc3 = np.asarray(m2.include(view=(3,)))
+    assert inc3.shape == (3, 2)
+    assert inc3[1, 1] and inc3.sum() == 1
+    # __getitem__ composes the same way
+    sub = m2[(3, slice(None), slice(None))]
+    assert np.asarray(sub.include()).shape == (3, 2)
