@@ -190,9 +190,9 @@ def sharded_spectral_convolve_fft(data, transfers, group_idx,
 
     @jax.jit
     def run(d, t):
-        d2 = cmesh.reshard(d, "spectral")
+        d2 = cmesh.reshard(d, "spectral", source="spatial")
         out = _convolve_planes(d2, t, group_idx, None)
-        return cmesh.reshard(out, "spatial")
+        return cmesh.reshard(out, "spatial", source="spectral")
 
     return run(cmesh.shard(data, "spatial"), jnp.asarray(transfers))
 

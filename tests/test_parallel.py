@@ -112,11 +112,51 @@ def test_reshard_roundtrip(cmesh, big_cube):
 
     @jax.jit
     def roundtrip(d):
-        d2 = cmesh.reshard(d, "spectral")
-        return cmesh.reshard(d2 * 2.0, "spatial")
+        d2 = cmesh.reshard(d, "spectral", source="spatial")
+        return cmesh.reshard(d2 * 2.0, "spatial", source="spectral")
 
     out = np.asarray(roundtrip(cmesh.shard(data, "spatial")))
     assert np.allclose(out, data * 2, rtol=1e-6, equal_nan=True)
+
+
+def test_reshard_is_identity_permutation(cmesh):
+    """The explicit all-to-all reshard is a pure layout change: every voxel
+    keeps its value, and channel blocks land y-major on the flattened mesh
+    (matching P(('y','x'), None, None))."""
+    my, mx = cmesh.grid
+    n = cmesh.n_devices
+    nchan, ny, nx = 2 * n, 4 * my, 4 * mx
+    data = np.arange(nchan * ny * nx, dtype=np.float32).reshape(
+        nchan, ny, nx)
+    out = cmesh.reshard(cmesh.shard(data, "spatial"), "spectral",
+                        source="spatial")
+    np.testing.assert_array_equal(np.asarray(out), data)
+    # each device's shard is a contiguous channel block in y-major order
+    for sh in out.addressable_shards:
+        local = np.asarray(sh.data)
+        assert local.shape == (nchan // n, ny, nx)
+        iy, ix = np.unravel_index(
+            np.argwhere(cmesh.mesh.devices.ravel() == sh.device)[0, 0],
+            (my, mx))
+        blk = iy * mx + ix
+        np.testing.assert_array_equal(
+            local, data[blk * (nchan // n):(blk + 1) * (nchan // n)])
+
+
+@pytest.mark.parametrize("shape", [(10, 13, 9), (7, 6, 8)])
+def test_reshard_roundtrip_uneven(cmesh, shape):
+    """Reshard stays correct when no axis divides the mesh evenly (the
+    pad-exchange-slice path)."""
+    rng = np.random.RandomState(3)
+    data = rng.rand(*shape).astype(np.float32)
+
+    @jax.jit
+    def roundtrip(d):
+        d2 = cmesh.reshard(d, "spectral", source="spatial")
+        return cmesh.reshard(d2 + 1.0, "spatial", source="spectral")
+
+    out = np.asarray(roundtrip(cmesh.shard(data, "spatial")))
+    assert np.allclose(out, data + 1, rtol=1e-6)
 
 
 def test_use_mesh_context(cmesh):
