@@ -285,10 +285,12 @@ class BaseSpectralCube:
     def unmasked_data(self, view):
         return Quantity(self._device_data[view], self.unit)
 
+    @warn_slow
     def filled(self, fill_value=None):
         return Quantity(
             np.asarray(self._get_filled_data(fill=fill_value)), self.unit)
 
+    @warn_slow
     def flattened(self, slice=(), weights=None):
         """1-D Quantity of all included values (host-side)."""
         data = np.asarray(self._get_filled_data(slice, fill=np.nan))
@@ -329,6 +331,7 @@ class BaseSpectralCube:
         return h
 
     @property
+    @warn_slow
     def hdu(self):
         from .io.fits_low import HDU
         return HDU(data=np.asarray(self._get_filled_data()),
@@ -562,13 +565,35 @@ class BaseSpectralCube:
         return self.world[0, :, :][1:]
 
     def world_spines(self):
-        """Not currently implemented; use ``world`` (reference
-        base_class.py:253-264)."""
-        raise NotImplementedError()
+        """1-D world coordinate arrays along each pixel axis (spec, lat,
+        lon), taken through the first pixel of the other axes.
 
+        The reference leaves this NotImplemented (base_class.py:253-264);
+        here it works whenever the operation is well-posed — each pixel
+        axis must map to a single world axis (no rotation, no projection
+        coupling), enforced by the axis-correlation gate.  Raises
+        WCSCelestialError otherwise."""
+        from .utils import WCSCelestialError
+        for ax in range(3):
+            if self._wcs.is_pixel_axis_correlated(2 - ax):
+                raise WCSCelestialError(
+                    "world_spines is ill-posed for correlated pixel/world "
+                    "axes (rotated or projected celestial coordinates); "
+                    "use `world` instead.")
+        spines = []
+        for ax in range(3):
+            view = [0, 0, 0]
+            view[ax] = slice(None)
+            q = self.world[tuple(view)][ax]
+            spines.append(Quantity(np.asarray(q.value), q.unit))
+        return spines
+
+    @warn_slow
     def flattened_world(self, view=()):
         """1-D world coordinate arrays for every voxel in a view
-        (reference base_class.py:243-270)."""
+        (reference base_class.py:243-270).  Unlike ``world`` (whose full
+        view stays a zero-stride broadcast), ravel() here materializes
+        O(cube) host memory, hence the huge-op guard."""
         spec, lat, lon = self.world[view if view else
                                     (slice(None),) * 3]
         return [Quantity(np.asarray(q.value).ravel(), q.unit)
@@ -674,26 +699,40 @@ class BaseSpectralCube:
                                  axis=axis)
         return np.asarray(out)
 
+    def _argmaxmin_world(self, axis, method, **kwargs):
+        """World coordinate of the max/min along any axis (reference
+        _argmaxmin_world, spectral_cube.py:820-889).  The axis-correlation
+        gate (wcs.is_pixel_axis_correlated / reference wcs_utils.py:493)
+        raises WCSCelestialError when the pixel axis couples to more than
+        one world axis — on celestial projections that is both spatial
+        axes, exactly as in the reference."""
+        from .cube_utils import world_take_along_axis
+        idx = (self.argmax if method == "argmax" else self.argmin)(
+            axis=axis, **kwargs)
+        out = world_take_along_axis(self, np.asarray(idx), axis)
+        vals = np.asarray(out.value, dtype=float).copy()
+        # positions with no valid data along the axis are NaN (reference
+        # collapsed-mask step)
+        any_valid = np.asarray(jnp.any(self._valid_view(), axis=axis))
+        vals[~any_valid] = np.nan
+        meta = {"collapse_axis": axis}
+        meta.update(self._meta)
+        new_wcs = self._wcs.dropaxis(2 - axis)
+        if axis == 0:
+            return Projection(vals, unit=out.unit, wcs=new_wcs, meta=meta,
+                              header=self._nowcs_header)
+        return LowerDimensionalObject(vals, unit=out.unit, wcs=new_wcs,
+                                      meta=meta)
+
     def argmax_world(self, axis=0, **kwargs):
         """World coordinate of the maximum along ``axis`` (reference
-        spectral_cube.py:857-889, via world_take_along_axis)."""
-        if axis != 0:
-            raise NotImplementedError(
-                "argmax_world is implemented for the spectral axis")
-        idx = self.argmax(axis=0)
-        sv = np.asarray(self.spectral_axis.value)
-        out = sv[idx]
-        return Projection(out, unit=self.spectral_unit,
-                          wcs=self._wcs.dropaxis(2), meta=dict(self._meta))
+        spectral_cube.py:857-873, via world_take_along_axis)."""
+        return self._argmaxmin_world(axis, "argmax", **kwargs)
 
     def argmin_world(self, axis=0, **kwargs):
-        if axis != 0:
-            raise NotImplementedError(
-                "argmin_world is implemented for the spectral axis")
-        idx = self.argmin(axis=0)
-        sv = np.asarray(self.spectral_axis.value)
-        return Projection(sv[idx], unit=self.spectral_unit,
-                          wcs=self._wcs.dropaxis(2), meta=dict(self._meta))
+        """World coordinate of the minimum along ``axis`` (reference
+        spectral_cube.py:875-889)."""
+        return self._argmaxmin_world(axis, "argmin", **kwargs)
 
     def statistics(self):
         """One-pass global statistics, CASA ia.statistics naming (reference
@@ -960,6 +999,7 @@ class BaseSpectralCube:
     # ------------------------------------------------------------------
     # unit conversion & arithmetic
     # ------------------------------------------------------------------
+    @warn_slow
     def to(self, unit, equivalencies=()):
         """Brightness-unit conversion, incl. per-channel factors (reference
         spectral_cube.py:2576-2601 via cube_utils.bunit_converters)."""
@@ -1189,6 +1229,7 @@ class BaseSpectralCube:
                                          else self.unit)
         return Quantity(out, unit) if unit is not None else out
 
+    @warn_slow
     def apply_numpy_function(self, function, fill=np.nan, projection=False,
                              unit=None, check_endian=False, axis=None,
                              how="cube", **kwargs):

@@ -190,18 +190,35 @@ def bunit_converters(obj, unit, equivalencies=(), freq=None):
 
 def world_take_along_axis(cube, position_plane, axis):
     """Convert a plane of pixel indices along ``axis`` into world coords
-    (reference cube_utils.py:510-555): used by argmax_world/argmin_world."""
+    (reference cube_utils.py:510-555): used by argmax_world/argmin_world.
+
+    Requires the pixel axis to map to exactly one world axis (the
+    axis-correlation gate, reference wcs_utils.py:493); raises
+    WCSCelestialError otherwise — on a celestial projection the spatial
+    pixel axes always couple through lon/lat, so like the reference this
+    works spatially only for separable WCS."""
+    from .utils import WCSCelestialError
+    if cube.wcs.is_pixel_axis_correlated(2 - axis):
+        raise WCSCelestialError(
+            "world_take_along_axis requires the celestial axes to be "
+            "aligned along image axes.")
+    pos = np.asarray(position_plane)
     if axis == 0:
         sv = cube.spectral_axis.value
-        out = np.asarray(sv)[np.asarray(position_plane)]
+        out = np.asarray(sv)[pos]
         return Quantity(out, cube.spectral_axis.unit)
-    # spatial axes: look up world coords of (plane index, other axes)
-    pos = np.asarray(position_plane)
-    ny, nx = pos.shape if axis == 0 else (
-        (cube.shape[2],) if False else pos.shape)
-    raise NotImplementedError(
-        "argmax_world/argmin_world along spatial axes requires uncorrelated "
-        "pixel/world axes; only the spectral axis is supported")
+    # spatial axes: 1-D world spine along the axis (separability holds by
+    # the gate above), indexed by the position plane
+    world_slice = [0, 0]
+    world_slice.insert(axis, slice(None))
+    coords = cube.world[tuple(world_slice)][axis]
+    spine = np.asarray(coords.value)
+    out = np.take_along_axis(
+        spine[tuple(np.newaxis if i != axis else slice(None)
+                    for i in range(3))],
+        pos[tuple(slice(None) if i != axis else np.newaxis
+                  for i in range(3))], axis=axis).squeeze(axis)
+    return Quantity(out, coords.unit)
 
 
 def mosaic_cubes(cubes, target_header=None, order="bilinear",

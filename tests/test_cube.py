@@ -386,3 +386,98 @@ def test_statistics_all_masked(cube_adv):
     assert stats["npts"] == 0
     assert np.isnan(stats["mean"].value)
     assert np.isnan(stats["sigma"].value)
+
+
+def test_argmax_world_spatial_gate(cube_adv):
+    """Spatial axes raise WCSCelestialError on celestial projections (the
+    axis-correlation gate; parity with reference
+    test_spectral_cube.py:768-792)."""
+    from spectral_cube_tpu.utils import WCSCelestialError
+    cube, data = cube_adv
+    for axis in (1, 2):
+        with pytest.raises(WCSCelestialError):
+            cube.argmax_world(axis=axis)
+        with pytest.raises(WCSCelestialError):
+            cube.argmin_world(axis=axis)
+
+
+def test_argmax_world_spectral(cube_adv):
+    cube, data = cube_adv
+    out = cube.argmax_world(axis=0)
+    sv = np.asarray(cube.spectral_axis.value)
+    idx = np.nanargmax(np.where(np.isfinite(data), data, -np.inf), axis=0)
+    np.testing.assert_allclose(np.asarray(out.value), sv[idx], rtol=1e-10)
+    # all-masked spaxels are NaN
+    arr = np.ones(cube.shape, dtype=bool)
+    arr[:, 0, 0] = False
+    masked = cube.with_mask(arr)
+    out2 = masked.argmax_world(axis=0)
+    assert np.isnan(np.asarray(out2.value)[0, 0])
+
+
+def test_argmax_world_spatial_car(tmp_path):
+    """A CAR (plate carree) projection with diagonal PC is separable, so
+    spatial argmax_world works; validates the world lookup itself."""
+    path, data = make_cube_file(tmp_path, shape=(4, 5, 6))
+    from spectral_cube_tpu.io.fits_low import read_fits, write_fits, HDU
+    hdus = read_fits(path)
+    h = hdus[0].header
+    h["CTYPE1"] = "RA---CAR"
+    h["CTYPE2"] = "DEC--CAR"
+    h["CRVAL2"] = 0.0  # CAR is linear only along the equator
+    path2 = str(tmp_path / "car.fits")
+    write_fits(path2, [HDU(data=hdus[0].data, header=h)])
+    cube = SpectralCube.read(path2)
+    out = cube.argmax_world(axis=1)
+    assert np.asarray(out.value).shape == (4, 6)
+    # spot check one spaxel against the world spine
+    _, lat, _ = cube.world[0, :, 0]
+    spine = np.asarray(lat.value)
+    d = np.where(np.isfinite(data), data, -np.inf)
+    idx = np.argmax(d[2, :, 3])
+    np.testing.assert_allclose(np.asarray(out.value)[2, 3], spine[idx],
+                               rtol=1e-10)
+
+
+def test_world_spines(tmp_path):
+    from spectral_cube_tpu.utils import WCSCelestialError
+    path, data = make_cube_file(tmp_path, shape=(4, 5, 6))
+    cube = SpectralCube.read(path)
+    with pytest.raises(WCSCelestialError):
+        cube.world_spines()  # SIN projection couples lon/lat
+    from spectral_cube_tpu.io.fits_low import read_fits, write_fits, HDU
+    hdus = read_fits(path)
+    h = hdus[0].header
+    h["CTYPE1"] = "RA---CAR"
+    h["CTYPE2"] = "DEC--CAR"
+    h["CRVAL2"] = 0.0
+    path2 = str(tmp_path / "car2.fits")
+    write_fits(path2, [HDU(data=hdus[0].data, header=h)])
+    car = SpectralCube.read(path2)
+    spec, lat, lon = car.world_spines()
+    assert np.asarray(spec.value).shape == (4,)
+    assert np.asarray(lat.value).shape == (5,)
+    assert np.asarray(lon.value).shape == (6,)
+    np.testing.assert_allclose(np.asarray(spec.value),
+                               np.asarray(car.spectral_axis.value))
+
+
+def test_huge_op_guards(cube_adv, monkeypatch):
+    """Every host/HBM-materializing path honors allow_huge_operations
+    (reference utils.py:41-75; previously only reproject was guarded)."""
+    import spectral_cube_tpu.utils as sutils
+    cube, data = cube_adv
+    monkeypatch.setattr(sutils, "MEMORY_THRESHOLD", 10)
+    monkeypatch.setattr("spectral_cube_tpu.cube.MEMORY_THRESHOLD", 10)
+    assert cube._is_huge
+    for call in (lambda: cube.filled(),
+                 lambda: cube.flattened(),
+                 lambda: cube.hdu,
+                 lambda: cube.flattened_world(),
+                 lambda: cube.to("K"),
+                 lambda: cube.apply_numpy_function(np.nansum)):
+        with pytest.raises(ValueError, match="huge"):
+            call()
+    cube.allow_huge_operations = True
+    assert cube.filled().shape == cube.shape
+    assert cube.to("K").unit == u.K
