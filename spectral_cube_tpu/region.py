@@ -4,8 +4,9 @@ The reference delegates to the external ``regions`` package
 (``/root/reference/spectral_cube/spectral_cube.py:2038-2235``); that package
 is not available here, so this module implements a native parser for the
 common region shapes the reference tests exercise (circle, ellipse, box /
-rotbox, polygon) in ``image`` or ``fk5``/``icrs``/``galactic`` frames, and
-rasterizes them host-side into boolean masks.
+rotbox, polygon, annulus, panda/sector, exclusion composites) in ``image``
+or ``fk5``/``icrs``/``galactic`` frames, and rasterizes them host-side into
+boolean masks.
 """
 
 from __future__ import annotations
@@ -16,16 +17,47 @@ import numpy as np
 
 from .masks import BooleanArrayMask
 
-__all__ = ["parse_ds9_region", "parse_crtf_region", "region_to_mask",
+__all__ = ["Region", "CompositeRegion", "parse_ds9_region",
+           "parse_crtf_region", "region_to_mask",
            "subcube_from_ds9region", "subcube_from_crtfregion",
            "subcube_from_regions"]
 
 
 class Region:
-    def __init__(self, shape, frame, params):
+    def __init__(self, shape, frame, params, exclude=False):
         self.shape = shape      # 'circle' | 'ellipse' | 'box' | 'polygon'
+                                # | 'annulus' | 'panda' (sector)
         self.frame = frame      # 'image' | 'fk5' | 'icrs' | 'galactic'
         self.params = params    # floats: pixels (image) or degrees (sky)
+        self.exclude = exclude  # ds9/CRTF '-' prefix: subtract this region
+
+    def __and__(self, other):
+        return CompositeRegion(self, other, "and")
+
+    def __or__(self, other):
+        return CompositeRegion(self, other, "or")
+
+    def __xor__(self, other):
+        return CompositeRegion(self, other, "xor")
+
+
+class CompositeRegion:
+    """Boolean combination of two regions (the regions-package
+    CompositeSkyRegion analog accepted by the reference at
+    spectral_cube.py:2038-2174)."""
+
+    exclude = False
+
+    def __init__(self, region1, region2, operation="or"):
+        if operation not in ("and", "or", "xor"):
+            raise ValueError(f"unknown composite operation {operation!r}")
+        self.region1 = region1
+        self.region2 = region2
+        self.operation = operation
+
+    __and__ = Region.__and__
+    __or__ = Region.__or__
+    __xor__ = Region.__xor__
 
 
 _ANGLE_RE = re.compile(r'([+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s*'
@@ -76,6 +108,9 @@ def parse_ds9_region(region_string):
             continue
         if low.startswith("global"):
             continue
+        exclude = low.startswith("-")
+        if exclude:
+            low = low[1:].lstrip()
         m = re.match(r"([a-z]+)\s*\(([^)]*)\)", low)
         if not m:
             continue
@@ -92,13 +127,13 @@ def parse_ds9_region(region_string):
                     vals[k] *= 15.0
         if frame == "image":
             # ds9 image coords are 1-based pixel centers
-            if shape == "circle":
-                vals = [vals[0] - 1, vals[1] - 1, vals[2]]
+            if shape in ("circle", "annulus", "panda"):
+                vals = [vals[0] - 1, vals[1] - 1] + vals[2:]
             elif shape in ("box", "ellipse"):
                 vals = [vals[0] - 1, vals[1] - 1] + vals[2:]
             elif shape == "polygon":
                 vals = [v - 1 for v in vals]
-        regions.append(Region(shape, frame, vals))
+        regions.append(Region(shape, frame, vals, exclude=exclude))
     return regions
 
 
@@ -109,8 +144,14 @@ def parse_crtf_region(region_string):
         line = line.strip()
         if not line or line.startswith("#CRTF") or line.startswith("#"):
             continue
-        m = re.match(r"(circle|ellipse|box|rotbox|centerbox|poly)\s*"
-                     r"\[\s*\[([^\]]*)\]\s*,?\s*(.*)", line, re.IGNORECASE)
+        exclude = line.startswith("-")
+        if exclude:
+            line = line[1:].lstrip()
+        elif line.startswith("+"):
+            line = line[1:].lstrip()
+        m = re.match(r"(circle|ellipse|box|rotbox|centerbox|poly|annulus)"
+                     r"\s*\[\s*\[([^\]]*)\]\s*,?\s*(.*)", line,
+                     re.IGNORECASE)
         if not m:
             continue
         shape = m.group(1).lower()
@@ -138,15 +179,25 @@ def parse_crtf_region(region_string):
                 params.append(_angle_to_deg(first)[0])
         name = {"rotbox": "box", "centerbox": "box", "poly": "polygon"}.get(
             shape, shape)
-        regions.append(Region(name, frame, params))
+        regions.append(Region(name, frame, params, exclude=exclude))
     return regions
 
 
-def region_to_mask(region: Region, wcs, shape):
+def region_to_mask(region, wcs, shape):
     """Rasterize one region into a (ny, nx) boolean array."""
+    if isinstance(region, CompositeRegion):
+        m1 = region_to_mask(region.region1, wcs, shape)
+        m2 = region_to_mask(region.region2, wcs, shape)
+        return {"and": m1 & m2, "or": m1 | m2,
+                "xor": m1 ^ m2}[region.operation]
     nchan, ny, nx = shape
     yy, xx = np.mgrid[0:ny, 0:nx].astype(float)
     cel = wcs.celestial
+    # which trailing params are lengths (to be converted from sky degrees
+    # to pixels); the rest (angles in deg, integer counts) pass through
+    _length_slots = {"circle": (0,), "annulus": None,  # all radii
+                     "ellipse": (0, 1), "box": (0, 1),
+                     "panda": (3, 4)}
     if region.frame == "image":
         px, py = xx, yy
         cx, cy = region.params[0], region.params[1]
@@ -163,11 +214,35 @@ def region_to_mask(region: Region, wcs, shape):
         cx, cy = float(np.asarray(cxp)[0]), float(np.asarray(cyp)[0])
         px, py = xx, yy
         pixscale = float(np.mean(np.abs(cel.proj_plane_pixel_scales())))
-        rest = [r / pixscale for r in region.params[2:]]
+        slots = _length_slots.get(region.shape, ())
+        rest = [r / pixscale
+                if (slots is None or i in slots) else r
+                for i, r in enumerate(region.params[2:])]
         scale = 1.0
     if region.shape == "circle":
         r = rest[0] * scale
         mask2d = (px - cx) ** 2 + (py - cy) ** 2 <= r ** 2
+    elif region.shape == "annulus":
+        # ds9 annulus(x, y, r1, r2[, r3 ...]): innermost..outermost ring
+        radii = sorted(r * scale for r in rest)
+        r_in, r_out = radii[0], radii[-1]
+        d2 = (px - cx) ** 2 + (py - cy) ** 2
+        mask2d = (d2 >= r_in ** 2) & (d2 <= r_out ** 2)
+    elif region.shape == "panda":
+        # ds9 panda(x, y, ang1, ang2, nang, r1, r2, nrad): a sector slice
+        # of an annulus; counts are ignored (single sector like ds9's
+        # bounding panda region)
+        ang1, ang2 = rest[0], rest[1]
+        r_in, r_out = sorted((rest[3] * scale, rest[4] * scale))
+        dx, dy = px - cx, py - cy
+        d2 = dx ** 2 + dy ** 2
+        theta = np.degrees(np.arctan2(dy, dx)) % 360.0
+        a1, a2 = ang1 % 360.0, ang2 % 360.0
+        if a2 >= a1:
+            in_ang = (theta >= a1) & (theta <= a2)
+        else:  # wraps through 0
+            in_ang = (theta >= a1) | (theta <= a2)
+        mask2d = (d2 >= r_in ** 2) & (d2 <= r_out ** 2) & in_ang
     elif region.shape == "ellipse":
         a, b = rest[0] * scale, rest[1] * scale
         theta = np.deg2rad(rest[2] if len(rest) > 2 else 0.0)
@@ -211,9 +286,15 @@ def _point_in_poly(px, py, vx, vy):
 
 
 def _extract(cube, regions, allow_empty=False, minimize=True):
+    """OR the include-regions, then subtract exclusion ('-'-prefixed)
+    regions — ds9/CRTF composite semantics."""
     mask2d = np.zeros(cube.shape[1:], dtype=bool)
     for reg in regions:
-        mask2d |= region_to_mask(reg, cube.wcs, cube.shape)
+        if not getattr(reg, "exclude", False):
+            mask2d |= region_to_mask(reg, cube.wcs, cube.shape)
+    for reg in regions:
+        if getattr(reg, "exclude", False):
+            mask2d &= ~region_to_mask(reg, cube.wcs, cube.shape)
     if not mask2d.any() and not allow_empty:
         raise ValueError("The derived subset is empty: the region does not "
                          "overlap with the cube")

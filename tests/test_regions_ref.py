@@ -59,3 +59,79 @@ def test_image_box_mask(tmp_path):
     assert m.any()
     ys, xs = np.where(m)
     assert xs.min() >= 0 and xs.max() <= 1  # centered at x=0.5 0-based
+
+
+def test_ds9_annulus(tmp_path):
+    path, data = make_cube_file(tmp_path, shape=(4, 21, 21))
+    cube = SpectralCube.read(path)
+    sub = cube.subcube_from_ds9region("image; annulus(11, 11, 3, 8)")
+    inc = np.asarray(sub.mask.include())
+    # center pixel excluded (r < 3), ring included
+    yy, xx = np.mgrid[0:sub.shape[1], 0:sub.shape[2]]
+    assert inc.any()
+    # rasterize directly for exactness
+    from spectral_cube_tpu.region import parse_ds9_region, region_to_mask
+    regs = parse_ds9_region("image; annulus(11, 11, 3, 8)")
+    m = region_to_mask(regs[0], cube.wcs, cube.shape)
+    yy, xx = np.mgrid[0:21, 0:21].astype(float)
+    d2 = (xx - 10) ** 2 + (yy - 10) ** 2
+    np.testing.assert_array_equal(m, (d2 >= 9) & (d2 <= 64))
+
+
+def test_ds9_panda_sector(tmp_path):
+    path, data = make_cube_file(tmp_path, shape=(4, 21, 21))
+    cube = SpectralCube.read(path)
+    from spectral_cube_tpu.region import parse_ds9_region, region_to_mask
+    regs = parse_ds9_region("image; panda(11, 11, 0, 90, 1, 0, 8, 1)")
+    m = region_to_mask(regs[0], cube.wcs, cube.shape)
+    # first-quadrant sector only
+    assert m[12, 12]          # up-right of center: inside
+    assert not m[8, 8]        # down-left: outside
+    assert not m[12, 8]       # second quadrant: outside
+
+
+def test_ds9_exclusion_composite(tmp_path):
+    path, data = make_cube_file(tmp_path, shape=(4, 21, 21))
+    cube = SpectralCube.read(path)
+    sub = cube.subcube_from_ds9region(
+        "image; circle(11, 11, 8); -circle(11, 11, 3)")
+    inc = np.asarray(sub.mask.include())[0]
+    # equivalent to an open-inner-boundary annulus: outer disk minus the
+    # full inner circle (boundary pixels at exactly r=3 are subtracted)
+    yy, xx = np.mgrid[0:21, 0:21].astype(float)
+    d2 = (xx - 10) ** 2 + (yy - 10) ** 2
+    full = (d2 <= 64) & ~(d2 <= 9)
+    ys, xs = np.where(full.any(axis=1))[0], np.where(full.any(axis=0))[0]
+    np.testing.assert_array_equal(inc,
+                                  full[ys[0]:ys[-1] + 1, xs[0]:xs[-1] + 1])
+
+
+def test_composite_region_objects(tmp_path):
+    path, data = make_cube_file(tmp_path, shape=(4, 21, 21))
+    cube = SpectralCube.read(path)
+    from spectral_cube_tpu.region import (Region, CompositeRegion,
+                                          region_to_mask)
+    c1 = Region("circle", "image", [10, 10, 5])
+    c2 = Region("circle", "image", [14, 10, 5])
+    both = c1 & c2
+    either = c1 | c2
+    m_and = region_to_mask(both, cube.wcs, cube.shape)
+    m_or = region_to_mask(either, cube.wcs, cube.shape)
+    m1 = region_to_mask(c1, cube.wcs, cube.shape)
+    m2 = region_to_mask(c2, cube.wcs, cube.shape)
+    np.testing.assert_array_equal(m_and, m1 & m2)
+    np.testing.assert_array_equal(m_or, m1 | m2)
+    sub = cube.subcube_from_regions([either])
+    assert sub.shape[1:] == (np.ptp(np.where(m_or.any(axis=1))[0]) + 1,
+                             np.ptp(np.where(m_or.any(axis=0))[0]) + 1)
+
+
+def test_crtf_annulus(tmp_path):
+    path, data = make_cube_file(tmp_path, shape=(4, 21, 21))
+    cube = SpectralCube.read(path)
+    from spectral_cube_tpu.region import parse_crtf_region, region_to_mask
+    regs = parse_crtf_region(
+        "#CRTFv0\nannulus[[11pix, 11pix], [3pix, 8pix]]")
+    assert len(regs) == 1 and regs[0].shape == "annulus"
+    m = region_to_mask(regs[0], cube.wcs, cube.shape)
+    assert m.any() and not m[10, 10]
