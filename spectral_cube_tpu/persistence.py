@@ -65,14 +65,18 @@ def save_cube(cube, store_dir, include_mask=True):
 
     shards = getattr(data, "addressable_shards", None)
     if shards is not None and len(shards) > 1:
+        # one file per device shard, and NO full data.npy: the whole cube
+        # never materializes on host (the analog of reference
+        # tests/test_performance.py:128-201's memory bound)
         meta["sharded"] = True
         meta["shards"] = []
+        shape = tuple(data.shape)
         for i, sh in enumerate(shards):
             np.save(os.path.join(store_dir, f"shard_{i}.npy"),
                     np.asarray(sh.data))
-            meta["shards"].append({"index": [list(sl_indices(s))
-                                             for s in sh.index]})
-        np.save(os.path.join(store_dir, "data.npy"), np.asarray(data))
+            meta["shards"].append(
+                {"index": [list(s.indices(n))
+                           for s, n in zip(sh.index, shape)]})
     else:
         meta["sharded"] = False
         np.save(os.path.join(store_dir, "data.npy"), np.asarray(data))
@@ -81,14 +85,43 @@ def save_cube(cube, store_dir, include_mask=True):
     return store_dir
 
 
-def sl_indices(s: slice):
-    return (s.start if s.start is not None else 0,
-            s.stop if s.stop is not None else -1,
-            s.step if s.step is not None else 1)
+def _load_sharded(store_dir, meta, cmesh):
+    """Rebuild a sharded array: each device pulls only its own shard file
+    via jax.make_array_from_single_device_arrays — no host-global array."""
+    import jax
+    from .parallel.mesh import default_mesh
+
+    cmesh = cmesh if cmesh is not None else default_mesh()
+    shape = tuple(meta["shape"])
+    # match the restore mesh's shard indices to the saved files
+    saved = {}
+    for i, entry in enumerate(meta["shards"]):
+        key = tuple(tuple(int(v) for v in sl) for sl in entry["index"])
+        saved[key] = os.path.join(store_dir, f"shard_{i}.npy")
+    for layout in ("spatial", "spectral", "plane", "replicated"):
+        sharding = cmesh.sharding(layout)
+        try:
+            idx_map = sharding.addressable_devices_indices_map(shape)
+        except Exception:
+            continue
+        keys = {d: tuple(s.indices(n) for s, n in zip(idx, shape))
+                for d, idx in idx_map.items()}
+        if all(k in saved for k in keys.values()):
+            arrays = [jax.device_put(np.load(saved[keys[d]]), d)
+                      for d in idx_map]
+            return jax.make_array_from_single_device_arrays(
+                shape, sharding, list(arrays))
+    raise ValueError(
+        "checkpoint shard layout does not match the current mesh; restore "
+        "with the mesh the cube was saved under")
 
 
-def load_cube(store_dir):
-    """Rebuild a cube from a store written by :func:`save_cube`."""
+def load_cube(store_dir, cmesh=None):
+    """Rebuild a cube from a store written by :func:`save_cube`.
+
+    Sharded stores restore shard-by-shard straight onto the mesh devices
+    (``cmesh`` or the default mesh) without ever building the full array on
+    host."""
     from .wcs import WCS
     from .cube import SpectralCube, VaryingResolutionSpectralCube
     from .beams import Beams
@@ -97,10 +130,12 @@ def load_cube(store_dir):
 
     with open(os.path.join(store_dir, "meta.json")) as f:
         meta = json.load(f)
-    data = np.load(os.path.join(store_dir, "data.npy"))
     wcs = WCS(header=meta["wcs"])
     unit = Unit.parse(meta["unit"])
-    djax = jnp.asarray(data)
+    if meta.get("sharded"):
+        djax = _load_sharded(store_dir, meta, cmesh)
+    else:
+        djax = jnp.asarray(np.load(os.path.join(store_dir, "data.npy")))
     mask = LazyMask(jnp.isfinite, data=djax, wcs=wcs)
     if "beams" in meta:
         beams = Beams(major=Quantity(np.array(meta["beams"]["major_deg"]),

@@ -171,3 +171,43 @@ def test_use_dask_shards_over_devices(tmp_path):
                                rtol=1e-5, equal_nan=True)
     st = cube.statistics()
     assert st["npts"] == np.isfinite(data).sum()
+
+
+def test_sharded_checkpoint_restore(tmp_path):
+    """Sharded save writes one file per shard and NO full data.npy;
+    restore feeds each device its own shard without a host-global array
+    (the analog of reference test_performance.py:128-201)."""
+    from spectral_cube_tpu.io.streaming import read_sharded_cube
+    path, data = make_cube_file(tmp_path, shape=(8, 16, 16))
+    cmesh = CubeMesh()
+    cube = read_sharded_cube(path, cmesh)
+    store = str(tmp_path / "sharded_store")
+    save_cube(cube, store)
+    files = os.listdir(store)
+    assert "data.npy" not in files
+    n_shards = sum(f.startswith("shard_") for f in files)
+    assert n_shards == cmesh.n_devices
+    back = load_cube(store, cmesh=cmesh)
+    # restored array is sharded over the same mesh
+    assert len(back._data.sharding.device_set) == cmesh.n_devices
+    np.testing.assert_allclose(np.asarray(back.unmasked_data[:].value),
+                               data, equal_nan=True, rtol=1e-6)
+    # per-device shards match byte-for-byte
+    for sh in back._data.addressable_shards:
+        orig = [s for s in cube._data.addressable_shards
+                if s.device == sh.device][0]
+        np.testing.assert_array_equal(np.asarray(sh.data),
+                                      np.asarray(orig.data))
+
+
+def test_streaming_spectral_layout_native_decode(tmp_path):
+    """Spectral-layout ingest takes the channel-contiguous native decode
+    path (native/fits_decode.cpp wired into streaming tiles)."""
+    from spectral_cube_tpu.io.streaming import read_sharded_cube
+    path, data = make_cube_file(tmp_path, shape=(16, 8, 8))
+    cmesh = CubeMesh()
+    cube = read_sharded_cube(path, cmesh, layout="spectral")
+    np.testing.assert_allclose(np.asarray(cube.unmasked_data[:].value),
+                               data, equal_nan=True, rtol=1e-7)
+    for sh in cube._data.addressable_shards:
+        assert np.asarray(sh.data).shape == (16 // cmesh.n_devices, 8, 8)
