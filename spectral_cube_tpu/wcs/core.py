@@ -114,6 +114,8 @@ class WCS:
         self.velosys = None
         self.zsource = None
         self.pixel_shape = None
+        # projection parameters: {(axis0, m): value} for PV{axis+1}_{m}
+        self.pv = {}
 
     # ------------------------------------------------------------------
     # construction
@@ -176,6 +178,11 @@ class WCS:
         lt = get("LATPOLE", None)
         self.latpole = float(lt) if lt is not None else None
         self.dateobs = str(get("DATE-OBS", "")).strip()
+        for i in range(n):
+            for m in range(0, 30):
+                key = f"PV{i + 1}_{m}"
+                if key in header:
+                    self.pv[(i, m)] = float(get(key))
         if "NAXIS1" in header:
             try:
                 self.pixel_shape = tuple(int(header[f"NAXIS{i + 1}"])
@@ -206,6 +213,7 @@ class WCS:
         for attr in _PRESERVED_ATTRS:
             setattr(out, attr, getattr(self, attr))
         out.pixel_shape = self.pixel_shape
+        out.pv = dict(self.pv)
         return out
 
     copy = deepcopy
@@ -282,6 +290,18 @@ class WCS:
     # ------------------------------------------------------------------
     # transforms
     # ------------------------------------------------------------------
+    def _lat_pv(self):
+        """PVi_m projection parameters of the latitude axis as a tuple
+        indexed by m-1 (FITS Paper II attaches projection params there)."""
+        bi = self.lat_axis
+        ms = [m for (ax, m) in self.pv if ax == bi and m >= 1]
+        if not ms:
+            return ()
+        out = [None] * max(ms)
+        for m in ms:
+            out[m - 1] = self.pv[(bi, m)]
+        return tuple(out)
+
     def _celestial_pole(self):
         code = self.projection_code
         return prj.celestial_pole(
@@ -322,7 +342,8 @@ class WCS:
                 world[li] = self.crval[li] + inter[li]
                 world[bi] = self.crval[bi] + inter[bi]
             else:
-                phi, theta = prj.proj_xy2native(code, x, y, xp=xp)
+                phi, theta = prj.proj_xy2native(code, x, y, xp=xp,
+                                                pv=self._lat_pv())
                 ap, dp, phip = self._celestial_pole()
                 lon, lat = prj.native_to_celestial(phi, theta, ap, dp, phip,
                                                    xp=xp)
@@ -357,7 +378,8 @@ class WCS:
                 ap, dp, phip = self._celestial_pole()
                 phi, theta = prj.celestial_to_native(lon, lat, ap, dp, phip,
                                                      xp=xp)
-                x, y = prj.proj_native2xy(code, phi, theta, xp=xp)
+                x, y = prj.proj_native2xy(code, phi, theta, xp=xp,
+                                          pv=self._lat_pv())
                 inter[li] = x / self.cunit[li].to("deg")
                 inter[bi] = y / self.cunit[bi].to("deg")
         for i in range(self.naxis):
@@ -492,6 +514,8 @@ class WCS:
         out.pc = self.pc[np.ix_(inds, inds)]
         for attr in _PRESERVED_ATTRS:
             setattr(out, attr, getattr(self, attr))
+        out.pv = {(inds.index(ax), m): v for (ax, m), v in self.pv.items()
+                  if ax in inds}
         if self.pixel_shape is not None:
             out.pixel_shape = tuple(self.pixel_shape[i] for i in inds)
         return out
@@ -647,6 +671,10 @@ class WCS:
             if (a or 0.0) != 0.0 or (b or 0.0) != 0.0:
                 if not close(a or 0.0, b or 0.0):
                     return False
+        keys = set(self.pv) | set(getattr(other, "pv", {}))
+        for k in keys:
+            if not close(self.pv.get(k, 0.0), other.pv.get(k, 0.0)):
+                return False
         return True
 
     def __eq__(self, other):
@@ -687,6 +715,8 @@ class WCS:
             h["LONPOLE"] = self.lonpole
         if self.latpole is not None:
             h["LATPOLE"] = self.latpole
+        for (ax, m), v in sorted(self.pv.items()):
+            h[f"PV{ax + 1}_{m}"] = float(v)
         return h
 
     def __repr__(self):

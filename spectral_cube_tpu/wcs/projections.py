@@ -6,9 +6,11 @@ numpy on the host and as pure-jnp functions usable inside jit on device
 (see :func:`make_pix2world_fn`).
 
 Supported codes: TAN, SIN (orthographic, no obliquity params), ARC, STG,
-ZEA, CAR, SFL/GLS, AIT.  All functions work on *intermediate world
-coordinates* (x, y) in **degrees** and native spherical coordinates
-(phi, theta) in **degrees**, matching wcslib conventions.
+ZEA, AZP (with PV2_1=mu), CAR, CEA (PV2_1=lambda), MER, MOL, SFL/GLS,
+AIT.  All functions work on *intermediate world coordinates* (x, y) in
+**degrees** and native spherical coordinates (phi, theta) in **degrees**,
+matching wcslib conventions.  ``pv`` is the tuple of PVi_m values on the
+latitude axis (m=1, 2, ...).
 """
 
 from __future__ import annotations
@@ -28,12 +30,19 @@ D2R = np.pi / 180.0
 R2D = 180.0 / np.pi
 
 SUPPORTED_PROJECTIONS = ("TAN", "SIN", "ARC", "STG", "ZEA", "AZP", "CAR",
-                         "SFL", "GLS", "AIT", "")
+                         "CEA", "MER", "MOL", "SFL", "GLS", "AIT", "")
 
 # Fiducial native coordinates (phi0, theta0) per projection family [deg].
-# AZP with mu=0 (the GILDAS default) is gnomonic, i.e. TAN
 _ZENITHAL = {"TAN", "SIN", "ARC", "STG", "ZEA", "AZP"}
-_CYLINDRICAL = {"CAR", "SFL", "GLS", "AIT", ""}
+_CYLINDRICAL = {"CAR", "CEA", "MER", "MOL", "SFL", "GLS", "AIT", ""}
+
+
+def _pv(pv, m, default):
+    try:
+        v = pv[m - 1]
+    except (IndexError, TypeError):
+        return default
+    return default if v is None else float(v)
 
 
 def fiducial_native(code: str):
@@ -42,9 +51,27 @@ def fiducial_native(code: str):
     return 0.0, 0.0
 
 
-def _zenithal_r_to_theta(code, r, xp):
+def _zenithal_r_to_theta(code, r, xp, pv=()):
     """R_theta [deg] -> theta [deg] for zenithal projections."""
-    if code in ("TAN", "AZP"):
+    if code == "AZP":
+        mu = _pv(pv, 1, 0.0)
+        if _pv(pv, 2, 0.0) != 0.0:
+            raise ValueError("AZP with nonzero gamma (PV2_2) is not "
+                             "supported")
+        if mu == 0.0:
+            return xp.arctan2(R2D, r) * R2D
+        # Calabretta & Greisen (2002) eq. 19-20
+        rho = r * D2R / (mu + 1.0)
+        psi = xp.arctan2(xp.ones_like(rho), rho)
+        omega = xp.arcsin(xp.clip(rho * mu / xp.sqrt(rho * rho + 1.0),
+                                  -1.0, 1.0))
+        theta1 = psi - omega
+        theta2 = psi + omega - np.pi
+        # pick the solution in [-90, 90] closest to +90 (wcslib convention)
+        ok1 = xp.abs(theta1) <= np.pi / 2 + 1e-12
+        theta = xp.where(ok1, theta1, theta2)
+        return theta * R2D
+    if code == "TAN":
         return xp.arctan2(R2D, r) * R2D
     if code == "SIN":
         return xp.arccos(xp.clip(r * D2R, -1.0, 1.0)) * R2D
@@ -57,9 +84,16 @@ def _zenithal_r_to_theta(code, r, xp):
     raise ValueError(f"unsupported zenithal projection {code!r}")
 
 
-def _zenithal_theta_to_r(code, theta, xp):
+def _zenithal_theta_to_r(code, theta, xp, pv=()):
     t = theta * D2R
-    if code in ("TAN", "AZP"):
+    if code == "AZP":
+        mu = _pv(pv, 1, 0.0)
+        if _pv(pv, 2, 0.0) != 0.0:
+            raise ValueError("AZP with nonzero gamma (PV2_2) is not "
+                             "supported")
+        # eq. 18: R = R2D (mu+1) cos(theta) / (mu + sin(theta))
+        return R2D * (mu + 1.0) * xp.cos(t) / (mu + xp.sin(t))
+    if code == "TAN":
         return R2D * xp.cos(t) / xp.maximum(xp.sin(t), 1e-300)
     if code == "SIN":
         return R2D * xp.cos(t)
@@ -72,16 +106,46 @@ def _zenithal_theta_to_r(code, theta, xp):
     raise ValueError(f"unsupported zenithal projection {code!r}")
 
 
-def proj_xy2native(code: str, x, y, xp=np):
+def _mol_gamma_from_theta(theta, xp):
+    """Solve 2g + sin 2g = pi sin(theta) by Newton iteration (Mollweide
+    forward auxiliary angle; wcslib prjs2x MOL)."""
+    t = theta * D2R
+    target = np.pi * xp.sin(t)
+    g = t  # good starting point; df >= 0 everywhere
+    for _ in range(20):
+        f = 2.0 * g + xp.sin(2.0 * g) - target
+        df = 2.0 + 2.0 * xp.cos(2.0 * g)
+        g = g - f / xp.maximum(df, 1e-9)
+    # at the exact poles Newton stalls (df -> 0); the solution is +-pi/2
+    g = xp.where(xp.abs(target) >= np.pi - 1e-14,
+                 xp.sign(target) * (np.pi / 2.0), g)
+    return g
+
+
+def proj_xy2native(code: str, x, y, xp=np, pv=()):
     """(x, y) [deg] -> native (phi, theta) [deg]."""
     code = code.upper()
     if code in _ZENITHAL:
         r = xp.sqrt(x * x + y * y)
         phi = xp.arctan2(x, -y) * R2D
-        theta = _zenithal_r_to_theta(code, r, xp)
+        theta = _zenithal_r_to_theta(code, r, xp, pv=pv)
         return phi, theta
     if code in ("CAR", ""):
         return x, y
+    if code == "CEA":
+        lam = _pv(pv, 1, 1.0)
+        theta = xp.arcsin(xp.clip(lam * y * D2R, -1.0, 1.0)) * R2D
+        return x, theta
+    if code == "MER":
+        theta = 2.0 * xp.arctan(xp.exp(y * D2R)) * R2D - 90.0
+        return x, theta
+    if code == "MOL":
+        g = xp.arcsin(xp.clip(y * D2R / np.sqrt(2.0), -1.0, 1.0))
+        theta = xp.arcsin(
+            xp.clip((2.0 * g + xp.sin(2.0 * g)) / np.pi, -1.0, 1.0)) * R2D
+        cg = xp.cos(g)
+        phi = np.pi * x / (2.0 * np.sqrt(2.0)) / xp.maximum(cg, 1e-12)
+        return phi, theta
     if code in ("SFL", "GLS"):
         return x / xp.cos(y * D2R), y
     if code == "AIT":
@@ -94,15 +158,26 @@ def proj_xy2native(code: str, x, y, xp=np):
     raise ValueError(f"unsupported projection {code!r}")
 
 
-def proj_native2xy(code: str, phi, theta, xp=np):
+def proj_native2xy(code: str, phi, theta, xp=np, pv=()):
     """native (phi, theta) [deg] -> (x, y) [deg]."""
     code = code.upper()
     if code in _ZENITHAL:
-        r = _zenithal_theta_to_r(code, theta, xp)
+        r = _zenithal_theta_to_r(code, theta, xp, pv=pv)
         p = phi * D2R
         return r * xp.sin(p), -r * xp.cos(p)
     if code in ("CAR", ""):
         return phi, theta
+    if code == "CEA":
+        lam = _pv(pv, 1, 1.0)
+        return phi, R2D * xp.sin(theta * D2R) / lam
+    if code == "MER":
+        t = theta * D2R
+        return phi, R2D * xp.log(xp.tan((np.pi / 2.0 + t) / 2.0))
+    if code == "MOL":
+        g = _mol_gamma_from_theta(theta, xp)
+        x = 2.0 * np.sqrt(2.0) / np.pi * phi * xp.cos(g)
+        y = np.sqrt(2.0) * R2D * xp.sin(g)
+        return x, y
     if code in ("SFL", "GLS"):
         return phi * xp.cos(theta * D2R), theta
     if code == "AIT":
