@@ -292,12 +292,21 @@ class BaseSpectralCube:
 
     @warn_slow
     def flattened(self, slice=(), weights=None):
-        """1-D Quantity of all included values (host-side)."""
-        data = np.asarray(self._get_filled_data(slice, fill=np.nan))
-        flat = data[np.isfinite(data)]
+        """1-D Quantity of all *included* values, as-is (reference
+        _flattened, masks.py:165-195: boolean-index by the include mask —
+        genuinely-NaN included values survive, and weights are flattened
+        by the same mask before multiplying)."""
+        view = slice if slice not in ((), None) else ()
+        data = np.asarray(self._device_data[view] if view != ()
+                          else self._device_data)
+        inc = np.broadcast_to(np.asarray(self._include_view(view)),
+                              data.shape)
+        flat = data[inc]
         if weights is not None:
-            w = np.asarray(weights)[slice]
-            flat = flat * w[np.isfinite(data)]
+            w = np.broadcast_to(np.asarray(weights)[view]
+                                if view != () else np.asarray(weights),
+                                data.shape)
+            flat = flat * w[inc]
         return Quantity(flat, self.unit)
 
     def get_mask_array(self):
@@ -1148,6 +1157,7 @@ class BaseSpectralCube:
     # ------------------------------------------------------------------
     def apply_function_parallel_spectral(self, function, *args,
                                          accepts_chunks=False,
+                                         return_new_cube=True,
                                          use_memmap=None, parallel=None,
                                          num_cores=None, verbose=0,
                                          **kwargs):
@@ -1158,8 +1168,31 @@ class BaseSpectralCube:
         vmapped over all spaxels inside one jit kernel (replacing the
         reference's joblib pool + memmap at spectral_cube.py:2900-3047).
         Non-traceable functions fall back to a host numpy loop.
+
+        Escape hatches matching the reference's dask path
+        (dask_spectral_cube.py:596-638):
+
+        - functions whose signature includes ``block_info`` receive a
+          dask-style block-location dict (one block spanning the cube);
+        - ``return_new_cube=False`` returns the raw output instead of
+          wrapping it in a cube — for fit results whose shape is not
+          cube-like.
         """
+        import inspect
         data = self._get_filled_data(fill=np.nan)
+        try:
+            params = inspect.signature(function).parameters
+        except (TypeError, ValueError):
+            params = {}
+        if "block_info" in params:
+            nchan, ny, nx = self.shape
+            kwargs["block_info"] = {0: {
+                "shape": self.shape,
+                "num-chunks": (1, 1, 1),
+                "chunk-location": (0, 0, 0),
+                "array-location": [(0, nchan), (0, ny), (0, nx)],
+                "chunk-shape": self.shape,
+            }}
         if accepts_chunks:
             out = function(data, *args, **kwargs)
         else:
@@ -1174,6 +1207,8 @@ class BaseSpectralCube:
                 out = np.apply_along_axis(
                     lambda s: np.asarray(function(s, *args, **kwargs)),
                     0, arr)
+        if not return_new_cube:
+            return out
         return self._new_cube_with(data=jnp.asarray(out))
 
     def apply_function_parallel_spatial(self, function, *args,
@@ -1408,14 +1443,58 @@ class BaseSpectralCube:
         from .ytcube import to_yt
         return to_yt(self, **kwargs)
 
-    def to_glue(self, **kwargs):
-        raise ImportError("glue is not available in this environment")
+    def to_glue(self, name=None, glue_app=None, dataset=None,
+                start_gui=True):
+        """Send the cube to a (new or existing) Glue application (reference
+        spectral_cube.py:2441-2504).  Raises ImportError where glue is not
+        installed, like the reference."""
+        from glue.app.qt import GlueApplication
+        from glue.core import DataCollection, Data
+        from glue.core.coordinates import coordinates_from_header
+        if name is None:
+            name = "SpectralCube"
+        data = Data(label=name)
+        data.coords = coordinates_from_header(self.header)
+        data["intensity"] = np.asarray(self._get_filled_data(fill=np.nan))
+        if dataset is not None:
+            dataset.add_component(data["intensity"], name)
+            return
+        glue_app = glue_app or getattr(self, "_glue_app", None)
+        if glue_app is None:
+            glue_app = GlueApplication(DataCollection([data]))
+            self._glue_app = glue_app
+        else:
+            glue_app.add_datasets([data])
+        if start_gui:
+            glue_app.start()
+        return glue_app
 
     def to_pvextractor(self):
-        raise ImportError("pvextractor is not available in this environment")
+        """Open the cube in pvextractor's PV-slice GUI (reference
+        spectral_cube.py:2506-2513)."""
+        from pvextractor.gui import PVSlicer
+        return PVSlicer(self)
 
     def to_ds9(self, ds9id=None, newframe=False):
-        raise ImportError("pyds9 is not available in this environment")
+        """Send the cube to a running ds9 via XPA (reference
+        spectral_cube.py:2515-2545).  The cube is written to a temporary
+        FITS file and loaded by path (works with both ds9 and pyds9)."""
+        try:
+            import ds9
+        except ImportError:
+            import pyds9 as ds9
+        import tempfile
+        if ds9id is None:
+            dd = ds9.DS9(start=True)
+        else:
+            dd = ds9.DS9(target=ds9id, start=False)
+        if newframe:
+            dd.set("frame new")
+        tmp = tempfile.NamedTemporaryFile(suffix=".fits", delete=False)
+        tmp.close()
+        self.write(tmp.name, overwrite=True)
+        dd.set(f"file {tmp.name}")
+        return dd
 
     def plot_channel_maps(self, nx, ny, channels, contourkwargs={},
                           output_file=None, fig=None, fig_smallest_dim_inches=8,

@@ -470,9 +470,27 @@ def read_casa_image_parts(image_dir):
 
     valid = None
     maskname = None
-    # the default mask is recorded in Image_defaultmask or as mask0
-    if os.path.isdir(os.path.join(image_dir, "mask0")):
+    # the default mask is recorded in Image_defaultmask or as mask0; any
+    # appended mask directory (make_casa_mask append_to_image) also counts
+    def _is_paged_bool(entry):
+        info_path = os.path.join(image_dir, entry, "table.info")
+        if not os.path.exists(info_path):
+            return False
+        with open(info_path) as fh:
+            return "Paged Array" in fh.read()
+
+    dm = kw.get("Image_defaultmask")
+    if isinstance(dm, str) and os.path.isdir(os.path.join(image_dir, dm)):
+        maskname = dm
+    elif os.path.isdir(os.path.join(image_dir, "mask0")):
         maskname = "mask0"
+    else:
+        # any appended lattice-mask subtable (make_casa_mask append path)
+        for entry in sorted(os.listdir(image_dir)):
+            if os.path.isdir(os.path.join(image_dir, entry)) and \
+                    _is_paged_bool(entry):
+                maskname = entry
+                break
     if maskname:
         try:
             valid = read_tiled_data(os.path.join(image_dir, maskname), 0)

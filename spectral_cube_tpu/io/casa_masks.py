@@ -16,17 +16,63 @@ __all__ = ["make_casa_mask"]
 
 def make_casa_mask(cube, outname, append_to_image=False, img=None,
                    add_stokes=True, stokes_posn=None, overwrite=False):
-    """Write the cube's include mask as a CASA image directory."""
+    """Write the cube's include mask as a CASA image directory; with
+    ``append_to_image=True`` the mask is also installed into the existing
+    CASA image ``img`` as a boolean mask subtable (the reference's
+    ``ia.maskhandler('copy', ...)`` path, io/casa_masks.py:113-127, done
+    natively: a bit-packed Bool PagedArray directory named after
+    ``outname`` inside the image, which is where CASA keeps lattice
+    masks)."""
+    import os
     import jax.numpy as jnp
     from .casa_writer import write_casa_image
 
     include = np.asarray(cube._include_view(())).astype("f4")
-    mask_cube = cube._new_cube_with(data=jnp.asarray(include))
-    mask_cube._mask = None  # the 1/0 image itself is the mask
+    mask_cube = cube._new_cube_with(data=jnp.asarray(include), mask=None)
     mask_cube._unit = None
     write_casa_image(mask_cube, outname, overwrite=overwrite)
-    if append_to_image and img is not None:
-        raise NotImplementedError(
-            "appending masks into an existing CASA image requires "
-            "casatools; the mask was written standalone instead")
+    if append_to_image:
+        if img is None:
+            raise TypeError(
+                "img argument must be specified to append the mask.")
+        maskname = os.path.split(outname)[1]
+        _append_mask_subtable(cube, img, maskname, overwrite=overwrite)
     return outname
+
+
+def _append_mask_subtable(cube, img, maskname, overwrite=False):
+    """Install the cube's include mask as ``<img>/<maskname>`` — a
+    bit-packed Bool PagedArray subtable, the on-disk form of a CASA
+    lattice mask (mirrors the mask0 layout casa_writer emits)."""
+    import os
+    import shutil
+    from .casa_writer import _write_table_dat, _write_tsm, _write_info, \
+        TP_BOOL
+    from .casa_low import read_tiled_stman
+
+    if not os.path.isdir(img):
+        raise OSError(f"{img} is not a CASA image directory")
+    _, cube_shape, _ = read_tiled_stman(os.path.join(img, "table.f0"))
+    casa_shape = list(cube_shape)  # [nx, ny, nstokes, nchan]
+    nchan, ny, nx = cube.shape
+    if casa_shape[0] != nx or casa_shape[1] != ny or casa_shape[3] != nchan:
+        raise ValueError(
+            f"mask shape {cube.shape} does not match image shape "
+            f"{casa_shape} (CASA order [x, y, stokes, chan])")
+    maskdir = os.path.join(img, maskname)
+    if os.path.exists(maskdir):
+        if not overwrite:
+            raise OSError(f"{maskdir} exists; use overwrite=True")
+        shutil.rmtree(maskdir)
+    os.makedirs(maskdir)
+    include = np.asarray(cube._include_view(()))           # [spec, y, x]
+    # CASA numpy layout is [freq, stokes, y, x]
+    arr = np.broadcast_to(include[:, None, :, :],
+                          (nchan, casa_shape[2], ny, nx))
+    bits = np.packbits(arr.ravel().astype("u1"),
+                       bitorder="little").tobytes()
+    _write_table_dat(os.path.join(maskdir, "table.dat"), {}, "PagedArray",
+                     TP_BOOL, 4)
+    _write_tsm(maskdir, "PagedArray", casa_shape, bits, TP_BOOL)
+    _write_info(maskdir, "Paged Array")
+    return maskdir

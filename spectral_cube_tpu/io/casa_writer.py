@@ -207,8 +207,43 @@ def _write_table_dat(path, keywords, colname, dtype_code, ndim):
         f.write(w.getvalue())
 
 
-def _write_tsm(dirpath, colname, data_casa_shape, payload, dtype_code):
-    """table.f0 header + table.f0_TSM0 payload (single tile = whole cube)."""
+def _encode_tiles(arr_np, casa_shape, tile_shape, dtype_code):
+    """Re-layout a numpy array (shape ``casa_shape[::-1]``) into CASA's
+    tiled payload: tiles traverse the tile grid in Fortran order over the
+    CASA dims, each tile Fortran-ordered (ragged edges zero-padded;
+    booleans bit-packed LSB-first per tile) — the exact inverse of
+    casa_low.read_tiled_data."""
+    ntiles = [-(-c // t) for c, t in zip(casa_shape, tile_shape)]
+    np_tile = tile_shape[::-1]
+    padded = [nt * t for nt, t in zip(ntiles, tile_shape)][::-1]
+    pads = [(0, p - s) for p, s in zip(padded, arr_np.shape)]
+    arrp = np.pad(arr_np, pads)
+    chunks = []
+    for flat in range(int(np.prod(ntiles))):
+        rem = flat
+        casa_idx = []
+        for n in ntiles:
+            casa_idx.append(rem % n)
+            rem //= n
+        np_idx = casa_idx[::-1]
+        sl = tuple(slice(i * t, (i + 1) * t)
+                   for i, t in zip(np_idx, np_tile))
+        tile = arrp[sl].ravel()
+        if dtype_code == TP_BOOL:
+            chunks.append(np.packbits(tile.astype("u1"),
+                                      bitorder="little").tobytes())
+        else:
+            chunks.append(tile.astype(">f4").tobytes())
+    return b"".join(chunks)
+
+
+def _write_tsm(dirpath, colname, data_casa_shape, payload, dtype_code,
+               tile_shape=None):
+    """table.f0 header + table.f0_TSM0 payload.  ``tile_shape`` (CASA
+    order) defaults to the whole cube (single tile); pass a smaller shape
+    to write genuinely multi-tile hypercubes."""
+    tile_shape = list(tile_shape) if tile_shape is not None \
+        else list(data_casa_shape)
     w = AipsIOWriter()
     w.u32(0xBEBEBEBE)
     with w.block("TiledCellStMan", 1):
@@ -236,7 +271,7 @@ def _write_tsm(dirpath, colname, data_casa_shape, payload, dtype_code):
                 with w.block("RecordDesc", 2):
                     w.u32(0)
                 w.u32(1)
-            for shape in (data_casa_shape, data_casa_shape):  # cube, tile
+            for shape in (data_casa_shape, tile_shape):  # cube, tile
                 with w.block("IPosition", 1):
                     w.u32(len(shape))
                     for d in shape:
@@ -360,8 +395,13 @@ def _beam_record(beam):
             "positionangle": q(beam.pa.to_value("deg"), "deg")}
 
 
-def write_casa_image(cube, dirname, overwrite=False):
-    """Write a cube (or StokesSpectralCube) as a CASA .image directory."""
+def write_casa_image(cube, dirname, overwrite=False, tile_shape=None):
+    """Write a cube (or StokesSpectralCube) as a CASA .image directory.
+
+    ``tile_shape`` (CASA order [x, y, stokes, chan]) controls the tiled
+    storage manager's tile size; the default is one tile spanning the
+    whole cube.  Smaller tiles produce genuinely multi-tile hypercubes
+    (what real CASA writes for large images)."""
     from ..stokes import StokesSpectralCube
 
     if os.path.exists(dirname):
@@ -389,7 +429,11 @@ def write_casa_image(cube, dirname, overwrite=False):
 
     # numpy order for the CASA layout is [freq, stokes, y, x]
     arr = np.ascontiguousarray(np.swapaxes(data_np, 0, 1))
-    payload = arr.astype(">f4").tobytes()
+    if tile_shape is not None:
+        payload = _encode_tiles(arr, casa_shape, list(tile_shape),
+                                TP_FLOAT)
+    else:
+        payload = arr.astype(">f4").tobytes()
 
     keywords = {
         "coords": _wcs_to_casa_coords(wcs4, stokes_names=stokes_names),
@@ -402,17 +446,23 @@ def write_casa_image(cube, dirname, overwrite=False):
     }
     _write_table_dat(os.path.join(dirname, "table.dat"), keywords, "map",
                      TP_FLOAT, 4)
-    _write_tsm(dirname, "map", casa_shape, payload, TP_FLOAT)
+    _write_tsm(dirname, "map", casa_shape, payload, TP_FLOAT,
+               tile_shape=tile_shape)
     _write_info(dirname, "Image")
 
     # validity mask as a Bool subtable (bit-packed, LSB-first)
     maskdir = os.path.join(dirname, "mask0")
     os.makedirs(maskdir)
-    valid = np.isfinite(arr).ravel()
-    bits = np.packbits(valid.astype("u1"), bitorder="little").tobytes()
+    valid = np.isfinite(arr)
+    if tile_shape is not None:
+        bits = _encode_tiles(valid, casa_shape, list(tile_shape), TP_BOOL)
+    else:
+        bits = np.packbits(valid.ravel().astype("u1"),
+                           bitorder="little").tobytes()
     _write_table_dat(os.path.join(maskdir, "table.dat"), {}, "PagedArray",
                      TP_BOOL, 4)
-    _write_tsm(maskdir, "PagedArray", casa_shape, bits, TP_BOOL)
+    _write_tsm(maskdir, "PagedArray", casa_shape, bits, TP_BOOL,
+               tile_shape=tile_shape)
     _write_info(maskdir, "Paged Array")
     return dirname
 

@@ -230,3 +230,44 @@ def test_make_casa_mask(tmp_path, cube_adv):
     vals = np.asarray(back.unmasked_data[:].value)
     expected = (np.isfinite(data) & (data > 0.5)).astype(float)
     np.testing.assert_allclose(vals, expected)
+
+
+def test_casa_multi_tile_roundtrip(tmp_path):
+    """Multi-tile hypercubes (what real CASA writes for large images):
+    write with a small tile shape, read back through the tiled-storage
+    reader's tile-assembly path."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu.io.casa_writer import write_casa_image
+    path, data = make_cube_file(tmp_path, shape=(6, 10, 14))
+    cube = SpectralCube.read(path)
+    out = str(tmp_path / "tiled.image")
+    # CASA-order tiles [x, y, stokes, chan]: ragged in every axis
+    write_casa_image(cube, out, tile_shape=(5, 4, 1, 4))
+    back = SpectralCube.read(out)
+    np.testing.assert_allclose(np.asarray(back.unmasked_data[:].value),
+                               data, rtol=1e-6, equal_nan=True)
+    # the NaN voxel must come back masked via the multi-tile bool mask
+    inc = np.asarray(back.mask.include())
+    assert not inc[1, 1, 1]
+    assert inc.sum() == np.isfinite(data).sum()
+
+
+def test_casa_append_mask(tmp_path, cube_adv):
+    """make_casa_mask(append_to_image=True) installs the mask inside an
+    existing image directory (reference io/casa_masks.py:113-127)."""
+    from spectral_cube_tpu.io.casa_masks import make_casa_mask
+    from spectral_cube_tpu.io.casa_writer import write_casa_image
+    import shutil
+    cube, data = cube_adv
+    img = str(tmp_path / "target.image")
+    write_casa_image(cube, img)
+    # remove the auto-written mask so the appended one is what's read
+    shutil.rmtree(os.path.join(img, "mask0"))
+    masked = cube.with_mask(cube > 0.5 * u.Jy / u.beam)
+    out = str(tmp_path / "newmask")
+    make_casa_mask(masked, out, append_to_image=True, img=img)
+    assert os.path.isdir(os.path.join(img, "newmask"))
+    back = SpectralCube.read(img)
+    inc = np.asarray(back.mask.include())
+    expected = np.isfinite(data) & (data > 0.5)
+    np.testing.assert_array_equal(inc, expected)

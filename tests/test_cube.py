@@ -481,3 +481,42 @@ def test_huge_op_guards(cube_adv, monkeypatch):
     cube.allow_huge_operations = True
     assert cube.filled().shape == cube.shape
     assert cube.to("K").unit == u.K
+
+
+def test_flattened_keeps_included_values(cube_adv):
+    """flattened() boolean-indexes by the include mask: included NaNs
+    survive, and weights multiply the matching values (reference
+    masks.py:165-195)."""
+    cube, data = cube_adv
+    arr = np.ones(cube.shape, dtype=bool)
+    arr[0, 0, 0] = False
+    masked = cube.unmasked_copy().with_mask(arr)
+    flat = np.asarray(masked.flattened().value)
+    assert flat.size == cube.size - 1
+    # the fixture NaN at [1,1,1] is included -> survives as NaN
+    assert np.isnan(flat).sum() == 1
+    w = np.full(cube.shape, 2.0)
+    flat_w = np.asarray(masked.flattened(weights=w).value)
+    np.testing.assert_allclose(flat_w, flat * 2.0, equal_nan=True)
+
+
+def test_parallel_spectral_escape_hatches(cube_adv):
+    cube, data = cube_adv
+
+    def with_info(block, block_info=None):
+        assert block_info is not None
+        assert block_info[0]["shape"] == cube.shape
+        assert block_info[0]["array-location"][0] == (0, cube.shape[0])
+        return block * 2
+
+    out = cube.apply_function_parallel_spectral(with_info,
+                                                accepts_chunks=True)
+    np.testing.assert_allclose(np.asarray(out.unmasked_data[:].value),
+                               np.where(np.isfinite(data), data * 2,
+                                        np.nan), equal_nan=True)
+
+    # return_new_cube=False: raw output, e.g. a per-spaxel fit result
+    raw = cube.apply_function_parallel_spectral(
+        lambda block, **k: jnp.sum(block, axis=0), accepts_chunks=True,
+        return_new_cube=False)
+    assert np.asarray(raw).shape == cube.shape[1:]
