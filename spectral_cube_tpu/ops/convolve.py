@@ -38,6 +38,21 @@ def fft_shape(n):
     return best
 
 
+def device_complex(arr):
+    """Move a host complex array to device as a real/imag pair recombined
+    on device.  Direct complex host<->device transfers are UNIMPLEMENTED
+    on some backends (notably the axon TPU tunnel); real transfers plus an
+    on-device lax.complex are universally supported."""
+    import jax
+    arr = np.asarray(arr)
+    if arr.dtype.kind != "c":
+        return jnp.asarray(arr)
+    real_dt = np.float64 if arr.dtype == np.complex128 else np.float32
+    re = jnp.asarray(np.ascontiguousarray(arr.real, dtype=real_dt))
+    im = jnp.asarray(np.ascontiguousarray(arr.imag, dtype=real_dt))
+    return jax.jit(jax.lax.complex)(re, im)
+
+
 def _kernel_transfer(kernel, fy, fx):
     """rfft2 of a centered, zero-padded kernel."""
     ky, kx = kernel.shape
@@ -58,7 +73,7 @@ def convolve2d_nan_fft(data, kernel):
     transfers = _kernel_transfer(np.asarray(kernel, dtype=float)
                                  / np.asarray(kernel, dtype=float).sum(),
                                  *_padded_shape(data.shape[1:], kernel.shape))
-    out = _convolve_planes(data, jnp.asarray(transfers[None]),
+    out = _convolve_planes(data, device_complex(transfers[None]),
                            np.zeros(data.shape[0], dtype=np.int32),
                            kernel.shape)
     return out[0] if single else out
@@ -70,11 +85,65 @@ def _padded_shape(img_shape, kernel_shape):
     return fft_shape(ny + ky - 1), fft_shape(nx + kx - 1)
 
 
+# Above this plane size the DFT matrices stop fitting nicely and XLA's FFT
+# wins back; below it, on TPU, spectral multiply via dense DFT matmuls runs
+# on the MXU at tens of TFLOP/s vs ~0.3 TFLOP/s for the FFT op (the
+# round-1 ROADMAP's 24 ms -> ~3 ms lever).
+_DFT_MATMUL_MAX_F = 1024
+
+
+def _use_dft_matmul(fy, fx):
+    import jax
+    return (jax.default_backend() == "tpu"
+            and fx % 2 == 0  # Hermitian expansion assumes a Nyquist column
+            and fy <= _DFT_MATMUL_MAX_F and fx <= _DFT_MATMUL_MAX_F)
+
+
+def _dft_mats(n, dtype):
+    """(n, n) forward DFT matrix and its inverse, complex."""
+    k = np.arange(n)
+    w = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    return (jnp.asarray(w, dtype=dtype),
+            jnp.asarray(np.conj(w) / n, dtype=dtype))
+
+
+def _full_transfer(transfers, fy, fx):
+    """Expand rfft2-format transfers (ngroup, fy, fx//2+1) to full
+    (ngroup, fy, fx) via Hermitian symmetry."""
+    half = transfers
+    u = (fy - np.arange(fy)) % fy
+    v = (fx - np.arange(fx)) % fx
+    # columns fx//2+1 .. fx-1 mirror conj(T[-u, -v])
+    tail = jnp.conj(half[:, u][:, :, v[fx // 2 + 1:] - 0])
+    return jnp.concatenate([half, tail], axis=2)
+
+
+def _spectral_apply_dft(planes, t_full, fy, fx, comp):
+    """out = iFy @ ((Fy @ X @ Fx^T) * T) @ iFx^T as batched complex
+    einsums — XLA lowers each to 4 real MXU matmuls, the whole chain is
+    3 passes over the (nbatch, fy, fx) workspace."""
+    import jax.lax as lax
+    Fy, iFy = _dft_mats(fy, comp)
+    Fx, iFx = _dft_mats(fx, comp)
+    prec = lax.Precision.HIGHEST
+    z = jnp.einsum("ab,cbx->cax", Fy, planes.astype(comp),
+                   precision=prec)
+    z = jnp.einsum("cax,vx->cav", z, Fx, precision=prec)
+    z = z * t_full
+    z = jnp.einsum("ab,cbx->cax", iFy, z, precision=prec)
+    z = jnp.einsum("cax,vx->cav", z, iFx, precision=prec)
+    return jnp.real(z)
+
+
 def _convolve_planes(data, transfers, group_idx, kernel_shape):
     """Convolve each channel with its group's transfer function.
 
     data: (nchan, ny, nx); transfers: (ngroup, fy, fx//2+1) complex;
     group_idx: (nchan,) int32.
+
+    On TPU with moderate padded plane sizes the circular convolution runs
+    as dense DFT matmuls on the MXU (see _use_dft_matmul); elsewhere as
+    batched rfft2/irfft2.
     """
     nchan, ny, nx = data.shape
     fy = (transfers.shape[1])
@@ -90,12 +159,22 @@ def _convolve_planes(data, transfers, group_idx, kernel_shape):
     invalid = (~valid).astype(real)
 
     pads = ((0, 0), (0, fy - ny), (0, fx - nx))
-    fdata = jnp.fft.rfft2(jnp.pad(filled, pads))
-    finv = jnp.fft.rfft2(jnp.pad(invalid, pads))
+    gidx = jnp.asarray(group_idx)
 
-    t = transfers.astype(comp)[jnp.asarray(group_idx)]
-    num = jnp.fft.irfft2(fdata * t, s=(fy, fx))[:, :ny, :nx]
-    den = 1.0 - jnp.fft.irfft2(finv * t, s=(fy, fx))[:, :ny, :nx]
+    if _use_dft_matmul(fy, fx):
+        t_full = _full_transfer(transfers.astype(comp), fy, fx)[gidx]
+        both = jnp.concatenate([jnp.pad(filled, pads),
+                                jnp.pad(invalid, pads)], axis=0)
+        t2 = jnp.concatenate([t_full, t_full], axis=0)
+        conv = _spectral_apply_dft(both, t2, fy, fx, comp)[:, :ny, :nx]
+        num, den_c = conv[:nchan], conv[nchan:]
+        den = 1.0 - den_c
+    else:
+        fdata = jnp.fft.rfft2(jnp.pad(filled, pads))
+        finv = jnp.fft.rfft2(jnp.pad(invalid, pads))
+        t = transfers.astype(comp)[gidx]
+        num = jnp.fft.irfft2(fdata * t, s=(fy, fx))[:, :ny, :nx]
+        den = 1.0 - jnp.fft.irfft2(finv * t, s=(fy, fx))[:, :ny, :nx]
     eps = 1e-8
     out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
     # all-NaN planes stay NaN
@@ -219,9 +298,13 @@ def convolve_cube_to_beam(data, beams, target: Beam, pixscale_rad,
         max_k = (max(max_k[0], k.shape[0]), max(max_k[1], k.shape[1]))
 
     out = None
-    if len(groups) <= 4:
-        # few distinct beams: SVD-separable banded matmuls on the MXU beat
-        # the four FFTs (Gaussian kernels have tiny numerical rank)
+    if len(groups) <= 32:
+        # distinct-beam groups up to a few dozen: SVD-separable banded
+        # matmuls on the MXU beat the spectral-multiply paths outright
+        # (measured on v5e, 256^3, 8 groups: 2.9 ms vs 16 ms DFT-matmul vs
+        # 28 ms XLA FFT, max rel err 3e-7 — Gaussian kernels have tiny
+        # numerical rank).  Beyond that the per-group gather/scatter loop
+        # bloats the program; the DFT-as-matmul path takes over.
         parts = []
         ok = True
         for gi, k in enumerate(kernels):
@@ -252,7 +335,7 @@ def convolve_cube_to_beam(data, beams, target: Beam, pixscale_rad,
                 transfers[gi] = 1.0  # delta function: identity convolution
             else:
                 transfers[gi] = _kernel_transfer(k, fy, fx)
-        out = _convolve_planes(jnp.asarray(data), jnp.asarray(transfers),
+        out = _convolve_planes(jnp.asarray(data), device_complex(transfers),
                                group_idx, max_k)
 
     factors = np.ones(nchan)

@@ -194,7 +194,8 @@ def sharded_spectral_convolve_fft(data, transfers, group_idx,
         out = _convolve_planes(d2, t, group_idx, None)
         return cmesh.reshard(out, "spatial", source="spectral")
 
-    return run(cmesh.shard(data, "spatial"), jnp.asarray(transfers))
+    from ..ops.convolve import device_complex
+    return run(cmesh.shard(data, "spatial"), device_complex(transfers))
 
 
 def sharded_sigma_clip(data, cmesh: CubeMesh, sigma=3.0, maxiters=5):

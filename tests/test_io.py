@@ -84,6 +84,17 @@ def test_read_cube_orients_any_permutation(tmp_path):
         np.testing.assert_allclose(
             np.asarray(cube.unmasked_data[:].value), data, err_msg=name)
         assert cube.wcs.ctype[2].startswith("VRAD")
+        # derived quantities must be permutation-invariant too (the
+        # reference's test_transpose / strategies-consistent invariant)
+        m0 = np.asarray(cube.moment0().value)
+        aw = np.asarray(cube.argmax_world(axis=0).value)
+        if name == "adv":
+            m0_ref, aw_ref = m0, aw
+        else:
+            np.testing.assert_allclose(m0, m0_ref, rtol=1e-7,
+                                       err_msg=name)
+            np.testing.assert_allclose(aw, aw_ref, rtol=1e-10,
+                                       err_msg=name)
 
 
 def test_cube_write_read_roundtrip(tmp_path, cube_adv):

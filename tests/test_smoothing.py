@@ -128,3 +128,42 @@ def test_jybeam_spatial_smooth_guard(cube_adv):
     out = cube.spatial_smooth(np.ones((3, 3)) / 9.0,
                               raise_error_jybm=False)
     assert out.shape == cube.shape
+
+
+def test_dft_matmul_convolution_matches_fft():
+    """The TPU DFT-as-matmul spectral-convolution path is numerically
+    interchangeable with the rfft2 path (forced here on CPU)."""
+    import jax.numpy as jnp
+    from spectral_cube_tpu.ops import convolve as cv
+
+    rng = np.random.RandomState(1)
+    nchan, ny, nx = 6, 20, 24
+    data = rng.rand(nchan, ny, nx).astype("f4")
+    data[2, 3, 4] = np.nan
+    k1 = np.outer(np.hanning(7), np.hanning(9)); k1 /= k1.sum()
+    k2 = np.outer(np.hanning(5), np.hanning(5)); k2 /= k2.sum()
+    fy, fx = cv._padded_shape((ny, nx), k1.shape)
+    assert fx % 2 == 0
+    transfers = np.stack([cv._kernel_transfer(k1, fy, fx),
+                          cv._kernel_transfer(k2, fy, fx)]).astype("c8")
+    gidx = (np.arange(nchan) % 2).astype(np.int32)
+
+    # FFT path (the CPU default)
+    ref = np.asarray(cv._convolve_planes(jnp.asarray(data),
+                                         jnp.asarray(transfers), gidx,
+                                         None))
+    # DFT-matmul internals, forced
+    valid = np.isfinite(data)
+    filled = np.where(valid, data, 0).astype("f4")
+    invalid = (~valid).astype("f4")
+    pads = ((0, 0), (0, fy - ny), (0, fx - nx))
+    t_full = cv._full_transfer(jnp.asarray(transfers), fy, fx)[
+        jnp.asarray(gidx)]
+    both = jnp.concatenate([jnp.asarray(np.pad(filled, pads)),
+                            jnp.asarray(np.pad(invalid, pads))], axis=0)
+    t2 = jnp.concatenate([t_full, t_full], axis=0)
+    conv = np.asarray(cv._spectral_apply_dft(both, t2, fy, fx,
+                                             jnp.complex64))[:, :ny, :nx]
+    num, den = conv[:nchan], 1.0 - conv[nchan:]
+    out = np.where(den > 1e-8, num / np.where(den > 1e-8, den, 1), np.nan)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
