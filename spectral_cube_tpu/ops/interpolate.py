@@ -48,16 +48,82 @@ def interp_weights(inaxis, outaxis):
     return idx.astype(np.int32), frac
 
 
+def _interp_matrix(idx, frac, nin):
+    """(nout, nin) 2-tap linear-interpolation matrix.  Zero-weight taps are
+    simply absent, preserving np.interp's exact-hit semantics (a NaN
+    zero-weight neighbor must not poison the result)."""
+    nout = idx.shape[0]
+    mat = np.zeros((nout, nin), dtype=np.float32)
+    rows = np.arange(nout)
+    np.add.at(mat, (rows, idx), (1.0 - frac).astype(np.float32))
+    np.add.at(mat, (rows, idx + 1), frac.astype(np.float32))
+    return mat
+
+
+# past this many channels the dense interp matrix stops paying for itself
+_MATMUL_INTERP_MAX_N = 4096
+
+
+def _use_matmul_interp(nin, nout):
+    import jax
+    return (jax.default_backend() == "tpu"
+            and nin <= _MATMUL_INTERP_MAX_N
+            and nout <= _MATMUL_INTERP_MAX_N)
+
+
+def _interp_by_matmul(data, idx, frac, include):
+    """Spectral lerp as one (nout, nin) banded matmul on the MXU — a flat
+    take along axis 0 is a slow dynamic-gather on TPU, while the same
+    2-tap sparse operator as a dense matmul runs at MXU speed (the trick
+    that makes spectral smoothing fast, ops/smoothing.py).
+
+    NaN semantics match the gather path: outputs whose *nonzero-weight*
+    neighbors include a NaN are NaN (np.interp propagation); zero-weight
+    NaN neighbors don't poison (the matrix has no tap there)."""
+    import jax.lax as lax
+    nin = data.shape[0]
+    spatial = int(np.prod(data.shape[1:]))
+    mat = jnp.asarray(_interp_matrix(idx, frac, nin))
+    flat = data.reshape(nin, spatial)
+    nanmask = jnp.isnan(flat)
+    filled = jnp.where(nanmask, 0, flat)
+
+    def mm(x, precision=lax.Precision.HIGHEST):
+        return lax.dot_general(mat, x.astype(jnp.float32),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+
+    out = mm(filled)
+    # flag matmuls only feed a >0 threshold: bf16 (DEFAULT) is exact enough
+    # and runs the MXU at full rate
+    poisoned = mm(nanmask.astype(jnp.float32),
+                  precision=lax.Precision.DEFAULT) > 0
+    out = jnp.where(poisoned, jnp.nan, out)
+    out = out.reshape((idx.shape[0],) + data.shape[1:]).astype(data.dtype)
+    new_include = None
+    if include is not None:
+        inc = jnp.asarray(include).astype(jnp.float32)
+        inc_b = jnp.broadcast_to(inc, data.shape).reshape(nin, spatial)
+        new_include = (mm(inc_b, precision=lax.Precision.DEFAULT) > 0) \
+            .reshape((idx.shape[0],) + data.shape[1:])
+    return out, new_include
+
+
 def interp_cube_spectral(data, inaxis, outaxis, include=None):
     """Interpolate a [spec, y, x] cube onto a new spectral grid.
 
     Returns (new_data, new_include_or_None).  The mask interpolates as a
     float and stays included where > 0 (reference spectral_cube.py:3308).
+    On TPU the lerp runs as a banded matmul (see _interp_by_matmul);
+    elsewhere as two gathers + a lerp.
     """
     idx, frac = interp_weights(inaxis, outaxis)
+    data = jnp.asarray(data)
+    if _use_matmul_interp(data.shape[0], idx.shape[0]):
+        return _interp_by_matmul(data, idx, frac, include)
     idxj = jnp.asarray(idx)
     fracj = jnp.asarray(frac, dtype=jnp.float32)[:, None, None]
-    data = jnp.asarray(data)
     lo = data[idxj]
     hi = data[idxj + 1]
     # exact grid hits return the exact sample (np.interp semantics: a NaN

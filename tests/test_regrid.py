@@ -260,3 +260,58 @@ def test_spectral_interpolate_from_descending_axis(cube_adv):
     got = np.asarray(out.unmasked_data[:].value)
     mask = np.isfinite(expected)
     np.testing.assert_allclose(got[mask], expected[mask], rtol=1e-6)
+
+
+def test_matmul_interp_matches_gather(monkeypatch):
+    """The TPU banded-matmul spectral interp path agrees with the gather
+    path incl. NaN propagation and mask interpolation (forced on CPU)."""
+    from spectral_cube_tpu.ops import interpolate as it
+    rng = np.random.RandomState(7)
+    data = rng.rand(32, 6, 5).astype("f4")
+    data[10, 2, 2] = np.nan
+    inaxis = np.linspace(0.0, 31.0, 32)
+    outaxis = np.linspace(-1.0, 33.0, 23)   # incl. out-of-range clamps
+    include = np.ones(data.shape, dtype=bool)
+    include[20] = False
+    ref, ref_inc = it.interp_cube_spectral(data, inaxis, outaxis,
+                                           include=include)
+    monkeypatch.setattr(it, "_use_matmul_interp", lambda a, b: True)
+    got, got_inc = it.interp_cube_spectral(data, inaxis, outaxis,
+                                           include=include)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6, equal_nan=True)
+    np.testing.assert_array_equal(np.asarray(got_inc), np.asarray(ref_inc))
+    # descending input axis too
+    ref2, _ = it.interp_cube_spectral(data, inaxis[::-1], outaxis)
+    monkeypatch.setattr(it, "_use_matmul_interp", lambda a, b: True)
+    got2, _ = it.interp_cube_spectral(data, inaxis[::-1], outaxis)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-6, equal_nan=True)
+
+
+def test_matmul_separable_resample_matches_gather(monkeypatch):
+    """The axis-aligned MXU resample path agrees with the 4-take gather
+    path (forced on CPU), incl. NaN poisoning and footprint NaNs."""
+    from spectral_cube_tpu.ops import regrid as rg
+    rng = np.random.RandomState(8)
+    data = rng.rand(5, 16, 14).astype("f4")
+    data[1, 4, 6] = np.nan
+    zs = np.arange(5, dtype=np.float64)
+    ys = np.broadcast_to(
+        np.linspace(-0.5, 15.2, 12)[:, None], (12, 10)).copy()
+    xs = np.broadcast_to(
+        np.linspace(0.3, 13.8, 10)[None, :], (12, 10)).copy()
+    ref = np.asarray(rg._bilinear_spatial_then_linear_z(
+        jnp.asarray(data), zs, ys, xs, 1))
+    monkeypatch.setattr(rg, "_use_matmul_resample", lambda: True)
+    got = np.asarray(rg._bilinear_spatial_then_linear_z(
+        jnp.asarray(data), zs, ys, xs, 1))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6,
+                               equal_nan=True)
+    # a rotated (non-separable) mapping silently keeps the gather path
+    ys_rot = ys + 0.01 * np.arange(10)[None, :]
+    ref_rot = np.asarray(rg._bilinear_spatial_then_linear_z(
+        jnp.asarray(data), zs, ys_rot, xs, 1))
+    got_rot = np.asarray(rg._bilinear_spatial_then_linear_z(
+        jnp.asarray(data), zs, ys_rot, xs, 1))
+    np.testing.assert_allclose(got_rot, ref_rot, equal_nan=True)
