@@ -1333,6 +1333,10 @@ class BaseSpectralCube:
                                             maxiters=maxiters)
         return self._new_cube_with(data=out)
 
+    def check_jybeam_smoothing(self, raise_error_jybm=True):
+        """Public alias (reference base_class.py:116-140)."""
+        return self._check_jybeam_smoothing(raise_error_jybm=raise_error_jybm)
+
     def _check_jybeam_smoothing(self, raise_error_jybm=True):
         """Jy/beam data cannot be spatially smoothed without changing the
         beam (reference base_class.py:116-140)."""

@@ -79,7 +79,14 @@ def _bilinear_spatial_then_linear_z(data, zs, ys, xs, order):
     nanmask = jnp.isnan(data).astype(jnp.float32)
     filled = jnp.nan_to_num(data)
 
+    z_identity = (nz == nchan_in and np.all(zc == np.arange(nchan_in))
+                  and zvalid.all())
+
     def zlerp(arr):
+        if z_identity:
+            # unchanged spectral axis (the common reprojection case): no
+            # gather at all
+            return arr
         lo = arr[jnp.asarray(z0)]
         if order == 0 or nchan_in == 1:
             return lo

@@ -36,6 +36,10 @@ def gaussian_kernel1d(stddev, size=None):
 _MATMUL_CONV_MAX_N = 4096
 
 
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
 def _banded_conv_matrix(n, kernel):
     """(n, n) banded true-convolution matrix with zero-fill boundary.
 
@@ -51,6 +55,35 @@ def _banded_conv_matrix(n, kernel):
     return mat
 
 
+def _block_banded_conv(data, kernel, block):
+    """Banded convolution as per-block (B, 3B) einsums: each output block
+    of B channels reads only its own and neighboring input blocks, cutting
+    the dense-matmul FLOPs by n/(3B) while staying on the MXU.  Exact same
+    operator as the dense banded matrix (zero-fill boundary)."""
+    n = data.shape[0]
+    spatial = int(np.prod(data.shape[1:])) if data.ndim > 1 else 1
+    nb = -(-n // block)
+    npad = nb * block
+    mat = _banded_conv_matrix(n, kernel)
+    # W_band[i, r, c] = mat[i*B + r, (i-1)*B + c], zero outside [0, n)
+    wband = np.zeros((nb, block, 3 * block), dtype=np.float32)
+    for i in range(nb):
+        lo = (i - 1) * block
+        for c in range(3 * block):
+            cg = lo + c
+            if 0 <= cg < n:
+                rows = slice(i * block, min((i + 1) * block, n))
+                wband[i, :rows.stop - rows.start, c] = mat[rows, cg]
+    flat = data.reshape(n, spatial)
+    xp = jnp.pad(flat, ((block, block + npad - n), (0, 0)))
+    z = xp.reshape(nb + 2, block, spatial)
+    windows = jnp.concatenate([z[:-2], z[1:-1], z[2:]], axis=1)
+    out = jnp.einsum("brc,bcs->brs", jnp.asarray(wband), windows,
+                     precision=lax.Precision.HIGHEST)
+    return out.reshape(npad, spatial)[:n].reshape(data.shape) \
+        .astype(data.dtype)
+
+
 def _conv1d_along_axis0(data, kernel):
     """Correlate data (n, ...) with kernel (k,) along axis 0, zero padding.
 
@@ -58,30 +91,27 @@ def _conv1d_along_axis0(data, kernel):
     (n_out x n_in) matrix product against the flattened spaxels — it runs
     on the MXU at full precision instead of crawling through XLA's
     channel-dim conv lowering (measured 0.1 ms vs 140 ms on a 256^3 cube).
+    Long spectral axes switch to a block-banded decomposition (same
+    operator, n/(3B) fewer FLOPs).
     """
     n = data.shape[0]
     spatial = int(np.prod(data.shape[1:])) if data.ndim > 1 else 1
-    if n <= _MATMUL_CONV_MAX_N:
-        mat = jnp.asarray(_banded_conv_matrix(n, kernel), dtype=data.dtype)
-        flat = data.reshape(n, spatial)
-        out = jax.lax.dot_general(
-            mat, flat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST)
-        return out.reshape(data.shape).astype(data.dtype)
-    # very long spectral axes: shifted-adds (K passes, still HBM-friendly);
-    # kernel flipped for true-convolution semantics like the matmul path
-    k = np.asarray(kernel, dtype=float)[::-1]
-    half = len(k) - 1 - (len(k) - 1) // 2
-    out = jnp.zeros_like(data)
-    for o, kv in enumerate(k):
-        d = o - half
-        src = jax.lax.slice_in_dim(data, max(0, d), min(n, n + d), axis=0)
-        pad_lo = max(0, -d)
-        pad_hi = n - src.shape[0] - pad_lo
-        pads = [(pad_lo, pad_hi)] + [(0, 0)] * (data.ndim - 1)
-        out = out + jnp.pad(src, pads) * kv
-    return out
+    half = (len(np.atleast_1d(kernel)) - 1) // 2
+    if n > _MATMUL_CONV_MAX_N:
+        # dense would be quadratic; the block decomposition is linear in n
+        # (n * 3B * S flops, one HBM pass) and replaces the old K-pass
+        # shifted-add fallback.  Below the cap the dense matmul wins on
+        # the MXU despite more FLOPs (measured: batched small einsums +
+        # the 3x window copy cost more than the big dense matmul saves).
+        block = max(128, _round_up(half + 1, 8))
+        return _block_banded_conv(data, kernel, block)
+    mat = jnp.asarray(_banded_conv_matrix(n, kernel), dtype=data.dtype)
+    flat = data.reshape(n, spatial)
+    out = jax.lax.dot_general(
+        mat, flat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST)
+    return out.reshape(data.shape).astype(data.dtype)
 
 
 def convolve1d_nan(data, kernel, axis=0):

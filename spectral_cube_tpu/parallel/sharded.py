@@ -270,6 +270,19 @@ class ShardedCube:
             return wrapped
         return attr
 
+    def use_dask_scheduler(self, scheduler=None, num_workers=None):
+        """API-compat shim for the reference's scheduler selection
+        (dask_spectral_cube.py:278-312).  The XLA runtime owns scheduling
+        here; use :func:`parallel.use_mesh` to change the device set.
+        Returns a no-op context manager."""
+        import contextlib
+        import warnings as _w
+        from ..utils import NotImplementedWarning
+        _w.warn("use_dask_scheduler has no effect: scheduling is owned by "
+                "the XLA runtime; pick a device set with use_mesh()",
+                NotImplementedWarning)
+        return contextlib.nullcontext(self)
+
     def rechunk(self, layout="spatial", save_to_tmp_dir=False):
         """Move the cube between mesh layouts (the dask ``rechunk`` analog;
         reference dask_spectral_cube.py:349-384).  With

@@ -167,3 +167,23 @@ def test_dft_matmul_convolution_matches_fft():
     num, den = conv[:nchan], 1.0 - conv[nchan:]
     out = np.where(den > 1e-8, num / np.where(den > 1e-8, den, 1), np.nan)
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_block_banded_conv_matches_dense():
+    """The long-axis block-banded decomposition is the exact same operator
+    as the dense banded matrix (and np.convolve 'same')."""
+    import jax.numpy as jnp
+    from spectral_cube_tpu.ops import smoothing as sm
+    rng = np.random.RandomState(11)
+    for n, klen in [(300, 17), (512, 9), (260, 33), (300, 4)]:
+        data = rng.rand(n, 3, 2).astype("f4")
+        k = rng.rand(klen).astype("f8")
+        block = max(128, -(-(((klen - 1) // 2) + 1) // 8) * 8)
+        out = np.asarray(sm._block_banded_conv(jnp.asarray(data), k,
+                                               block))
+        expected = np.empty_like(data)
+        for j in range(3):
+            for i in range(2):
+                expected[:, j, i] = np.convolve(data[:, j, i].astype("f8"),
+                                                k, mode="same")
+        np.testing.assert_allclose(out, expected, rtol=2e-5, atol=1e-6)

@@ -119,3 +119,22 @@ def test_stokes_write_read_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(back["Q"].unmasked_data[:].value),
         np.asarray(cubes["Q"].unmasked_data[:].value), rtol=1e-6)
+
+
+def test_stokes_region_delegation(tmp_path):
+    from conftest import make_cube_file
+    p1, d1 = make_cube_file(tmp_path, "si.fits", shape=(4, 21, 21),
+                            with_nan=False)
+    p2, d2 = make_cube_file(tmp_path, "sq.fits", shape=(4, 21, 21), seed=9,
+                            with_nan=False)
+    sc = StokesSpectralCube({"I": SpectralCube.read(p1),
+                             "Q": SpectralCube.read(p2)})
+    sub = sc.subcube_from_ds9region("image; circle(11, 11, 5)")
+    assert set(sub.components) == {"I", "Q"}
+    assert sub.shape[1] < 21 and sub.shape == sub["Q"].shape
+    # slices from a mask delegate to the first component
+    from spectral_cube_tpu import BooleanArrayMask
+    arr = np.zeros((4, 21, 21), dtype=bool)
+    arr[1:3, 5:9, 2:7] = True
+    slices = sc.subcube_slices_from_mask(BooleanArrayMask(arr))
+    assert slices == (slice(1, 3), slice(5, 9), slice(2, 7))
