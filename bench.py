@@ -172,23 +172,20 @@ def bench_config2():
 
 def bench_config3():
     """VRSC common-beam convolution: 64 distinct per-channel beam groups
-    (too many for the separable fast path, so this measures the many-beam
-    DFT-as-matmul spectral multiply — the worst case the API can take;
-    <=32 groups run ~5x faster via SVD-separable MXU matmuls)."""
+    through the API's batched group-indexed separable-MXU path (the
+    DFT-as-matmul spectral multiply covers non-separable kernels at
+    ~13.5 ms/256^3)."""
     from spectral_cube_tpu.ops import convolve as cv
     n = 256
     ngroups = 64
     rng = np.random.RandomState(2)
     data_np = rng.rand(n, n, n).astype(np.float32)
-    fy, fx = cv._padded_shape((n, n), (31, 31))
     kernels = []
     for g in range(ngroups):
         sig = 2.0 + 0.05 * g
         x = np.arange(31) - 15
         k = np.exp(-0.5 * (np.add.outer(x ** 2, x ** 2)) / sig ** 2)
         kernels.append(k / k.sum())
-    transfers = np.stack([cv._kernel_transfer(k, fy, fx)
-                          for k in kernels]).astype(np.complex64)
     group_idx = (np.arange(n) % ngroups).astype(np.int32)
 
     # host baseline: scipy fftconvolve per plane, scaled from 8 planes
@@ -198,11 +195,10 @@ def bench_config3():
         fftconvolve(data_np[i], kernels[i % ngroups], mode="same")
     t_base = (time.perf_counter() - t0) * (n / 8)
 
-    def one_pass(d, t):
-        return cv._convolve_planes(d, t, group_idx, None)
+    def one_pass(d):
+        return cv.convolve_per_channel_separable(d, kernels, group_idx)
 
-    per = _measure(one_pass, (jnp.asarray(data_np),
-                              cv.device_complex(transfers)), reps=20)
+    per = _measure(one_pass, (jnp.asarray(data_np),), reps=20)
     gvox = data_np.size / 1e9
     _note("config3 vrsc convolve", per, data_np.size * 4 * 2)
     return {"metric": "vrsc_common_beam_convolve_256cube_throughput",

