@@ -75,20 +75,6 @@ def _timed_fetch(f, x):
     return time.perf_counter() - t0
 
 
-def _rerun(one_pass, data, reps):
-    @jax.jit
-    def looped(d):
-        def body(i, acc):
-            d_dep, acc = jax.lax.optimization_barrier((d, acc))
-            mm0, mm1, mm2 = one_pass(d_dep)
-            return acc + mm0[0, 0] + mm1[1, 1] + mm2[2, 2]
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
-    np.asarray(looped(data))
-    t0 = time.perf_counter()
-    np.asarray(looped(data))
-    return time.perf_counter() - t0
-
-
 _HBM_GBPS = {"v5 lite": 819, "v5e": 819, "v5p": 2765, "v4": 1228,
              "v6e": 1640, "v6 lite": 1640}
 
@@ -348,29 +334,9 @@ def main():
         if worst > rtol:
             print(f"# WARNING: {name} exceeds {rtol:g}", file=sys.stderr)
 
-    @jax.jit
-    def looped(d):
-        def body(i, acc):
-            # optimization_barrier pins the kernel inside the loop
-            d_dep, acc = jax.lax.optimization_barrier((d, acc))
-            mm0, mm1, mm2 = one_pass(d_dep)
-            return acc + mm0[0, 0] + mm1[1, 1] + mm2[2, 2]
-        return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
-
-    np.asarray(looped(data))  # compile + warm
-    # dispatch RTT (min of 3 — it jitters by several ms)
-    tiny = jax.jit(lambda d: d[0, 0, 0] * 1.0)
-    np.asarray(tiny(data))
-    rtt = min(_timed_fetch(tiny, data) for _ in range(3))
-    t0 = time.perf_counter()
-    np.asarray(looped(data))
-    elapsed = time.perf_counter() - t0
-    reps = REPS
-    while elapsed < 4 * rtt:
-        # compute must dominate the RTT subtraction; scale the loop up
-        reps *= 8
-        elapsed = _rerun(one_pass, data, reps)
-    per_pass = max((elapsed - rtt) / reps, 1e-9)
+    # fixed reps large enough that compute dominates the ~29 ms dispatch
+    # RTT; min-of-2 runs (the tunnel jitters by tens of percent)
+    per_pass = _measure(lambda d: one_pass(d), (data,), reps=1000)
 
     throughput = gvox / per_pass
     baseline_throughput = gvox / t_numpy

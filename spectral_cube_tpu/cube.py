@@ -209,6 +209,18 @@ class BaseSpectralCube:
     def __len__(self):
         return self.shape[0]
 
+    # -- pickling ------------------------------------------------------------
+    def __getstate__(self):
+        """Cubes pickle with host-side data (device arrays don't cross
+        process boundaries); per-instance caches are dropped."""
+        state = {k: v for k, v in self.__dict__.items()
+                 if not k.startswith("_cache_") and k != "_wcs_whitelist"}
+        state["_data"] = np.asarray(self._data)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
     @property
     def base(self):
         return self._data

@@ -171,6 +171,30 @@ class MaskBase(ABC):
     def __invert__(self):
         return InvertedMask(self)
 
+    # -- pickling ------------------------------------------------------------
+    # jnp ufuncs (jnp.greater, jnp.isfinite, ...) don't pickle by
+    # reference, and bound device arrays shouldn't cross process
+    # boundaries raw; masks pickle like the reference's (masks.py
+    # pickle tests) by tokenizing jnp functions and np-converting data.
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        fn = state.get("_function")
+        name = getattr(fn, "__name__", "")
+        if fn is not None and getattr(jnp, name, None) is fn:
+            state["_function"] = ("__jnp__", name)
+        if state.get("_data") is not None:
+            state["_data"] = np.asarray(state["_data"])
+        if state.get("_mask") is not None and \
+                not isinstance(state["_mask"], (MaskBase, np.ndarray)):
+            state["_mask"] = np.asarray(state["_mask"])
+        return state
+
+    def __setstate__(self, state):
+        fn = state.get("_function")
+        if isinstance(fn, tuple) and len(fn) == 2 and fn[0] == "__jnp__":
+            state["_function"] = getattr(jnp, fn[1])
+        self.__dict__.update(state)
+
     # -- structure ---------------------------------------------------------
     def __getitem__(self, view):
         return _ViewMask(self, view)

@@ -114,7 +114,7 @@ def _full_transfer(transfers, fy, fx):
     u = (fy - np.arange(fy)) % fy
     v = (fx - np.arange(fx)) % fx
     # columns fx//2+1 .. fx-1 mirror conj(T[-u, -v])
-    tail = jnp.conj(half[:, u][:, :, v[fx // 2 + 1:] - 0])
+    tail = jnp.conj(half[:, u][:, :, v[fx // 2 + 1:]])
     return jnp.concatenate([half, tail], axis=2)
 
 

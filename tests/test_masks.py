@@ -176,3 +176,34 @@ def test_boolean_mask_subdim_integer_views():
     # __getitem__ composes the same way
     sub = m2[(3, slice(None), slice(None))]
     assert np.asarray(sub.include()).shape == (3, 2)
+
+
+def test_masks_and_cubes_pickle(tmp_path):
+    """Masks (incl. jnp-ufunc-backed lazy masks) and whole cubes pickle
+    and evaluate identically after a round trip (reference
+    test_masks.py pickle tests)."""
+    import pickle
+    import jax.numpy as jnp
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube, BooleanArrayMask
+    import spectral_cube_tpu.units as u
+    path, data = make_cube_file(tmp_path, shape=(4, 5, 6))
+    cube = SpectralCube.read(path)
+    masked = cube.with_mask(cube > 0.4 * u.Jy / u.beam)
+    # composite of LazyMask(isfinite) & LazyComparisonMask(greater)
+    m2 = pickle.loads(pickle.dumps(masked.mask))
+    np.testing.assert_array_equal(
+        np.asarray(m2.include(data=jnp.asarray(data))),
+        np.asarray(masked.mask.include(data=masked._device_data)))
+    # BooleanArrayMask with sub-dimensional storage
+    b = BooleanArrayMask(np.array([True, False, True, True]),
+                         shape=(4, 5, 6))
+    b2 = pickle.loads(pickle.dumps(b))
+    np.testing.assert_array_equal(np.asarray(b2.include()),
+                                  np.asarray(b.include()))
+    # the whole cube
+    c2 = pickle.loads(pickle.dumps(masked))
+    np.testing.assert_allclose(np.asarray(c2.filled_data[:].value),
+                               np.asarray(masked.filled_data[:].value),
+                               equal_nan=True)
+    assert c2.unit == masked.unit
