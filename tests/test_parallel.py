@@ -186,3 +186,20 @@ def test_sharded_cube_delegation(tmp_path, cmesh):
     assert m0.shape == (16, 16)
     st = sc.statistics()
     assert st["npts"] == np.isfinite(data).sum()
+
+
+def test_sharded_convolve_to_matches_unsharded(tmp_path, cmesh):
+    """ShardedCube.convolve_to (spectral-layout reshard + per-channel
+    spectral multiply) agrees with the single-device path."""
+    from conftest import make_vr_cube_file
+    from spectral_cube_tpu.units import Quantity
+    path, data = make_vr_cube_file(tmp_path, shape=(8, 16, 16))
+    cube = SpectralCube.read(path)
+    target = cube.common_beam()
+    expected = cube.convolve_to(target)
+    sc = ShardedCube(cube, cmesh).convolve_to(target)
+    np.testing.assert_allclose(
+        np.asarray(sc.cube.unmasked_data[:].value),
+        np.asarray(expected.unmasked_data[:].value),
+        rtol=2e-4, atol=2e-6, equal_nan=True)
+    assert sc.cube.beam == expected.beam
