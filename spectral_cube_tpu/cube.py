@@ -22,6 +22,7 @@ coefficients cross to the device.
 from __future__ import annotations
 
 import re
+import sys
 import warnings
 import numpy as np
 import jax
@@ -128,6 +129,14 @@ class BaseSpectralCube:
     def __init__(self, data, wcs, mask=None, meta=None, fill_value=np.nan,
                  header=None, allow_huge_operations=False, wcs_tolerance=0.0,
                  unit=None):
+        if isinstance(data, np.ndarray) and \
+                data.dtype.byteorder not in ("=", "|") and \
+                data.dtype.byteorder != ("<" if sys.byteorder == "little"
+                                         else ">"):
+            # non-native endianness (e.g. raw FITS payloads) — JAX only
+            # takes native arrays (reference fixes endianness in
+            # _get_filled_data, base_class.py:389-417)
+            data = data.astype(data.dtype.newbyteorder("="))
         self._data = data
         self._wcs = wcs
         self._wcs_tolerance = wcs_tolerance

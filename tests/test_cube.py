@@ -520,3 +520,14 @@ def test_parallel_spectral_escape_hatches(cube_adv):
         lambda block, **k: jnp.sum(block, axis=0), accepts_chunks=True,
         return_new_cube=False)
     assert np.asarray(raw).shape == cube.shape[1:]
+
+
+def test_nonnative_endian_ctor(cube_adv):
+    """Big-endian arrays (raw FITS payloads) are normalized at
+    construction (reference fixes endianness in _get_filled_data)."""
+    cube, data = cube_adv
+    be = data.astype(">f8")
+    c = SpectralCube(be, cube.wcs, unit="K")
+    np.testing.assert_allclose(np.asarray(c.unmasked_data[:].value), data,
+                               equal_nan=True)
+    assert float(c.sum().value) == pytest.approx(np.nansum(data), rel=1e-7)
