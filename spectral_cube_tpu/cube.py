@@ -416,8 +416,10 @@ class BaseSpectralCube:
         mwcs = getattr(mask, "_wcs", None)
         if mwcs is None or self._wcs is None:
             return
-        cache = self.__dict__.setdefault("_wcs_whitelist", set())
-        if id(mwcs) in cache:
+        # keep the objects themselves (an id()-only cache could wrongly
+        # whitelist a recycled id after garbage collection)
+        cache = self.__dict__.setdefault("_wcs_whitelist", [])
+        if any(entry is mwcs for entry in cache):
             return
         tol = wcs_tolerance if wcs_tolerance is not None \
             else self._wcs_tolerance
@@ -426,7 +428,7 @@ class BaseSpectralCube:
                 "The mask's WCS does not match the cube's WCS; the mask "
                 "will be applied per-pixel regardless (pass a larger "
                 "wcs_tolerance to silence this).", WCSMismatchWarning)
-        cache.add(id(mwcs))
+        cache.append(mwcs)
 
     def with_fill_value(self, fill_value):
         return self._new_cube_with(fill_value=fill_value)

@@ -35,7 +35,9 @@ def make_casa_mask(cube, outname, append_to_image=False, img=None,
         if img is None:
             raise TypeError(
                 "img argument must be specified to append the mask.")
-        maskname = os.path.split(outname)[1]
+        maskname = os.path.split(str(outname).rstrip(os.sep))[1]
+        if not maskname:
+            raise ValueError(f"cannot derive a mask name from {outname!r}")
         _append_mask_subtable(cube, img, maskname, overwrite=overwrite)
     return outname
 

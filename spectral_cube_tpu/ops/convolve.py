@@ -92,11 +92,19 @@ def _padded_shape(img_shape, kernel_shape):
 _DFT_MATMUL_MAX_F = 1024
 
 
-def _use_dft_matmul(fy, fx):
+# the DFT path's workspace (full per-channel complex transfers + the 2x
+# stacked planes + einsum temporaries) must leave HBM headroom; past this
+# the rfft2 path (half-width transfers, no per-channel expansion) wins
+_DFT_MATMUL_MAX_BYTES = 4 * 2**30
+
+
+def _use_dft_matmul(fy, fx, nchan=1):
     import jax
+    workspace = 3 * (2 * nchan) * fy * fx * 8  # complex64 planes, ~3 live
     return (jax.default_backend() == "tpu"
             and fx % 2 == 0  # Hermitian expansion assumes a Nyquist column
-            and fy <= _DFT_MATMUL_MAX_F and fx <= _DFT_MATMUL_MAX_F)
+            and fy <= _DFT_MATMUL_MAX_F and fx <= _DFT_MATMUL_MAX_F
+            and workspace <= _DFT_MATMUL_MAX_BYTES)
 
 
 def _dft_mats(n, dtype):
@@ -161,7 +169,7 @@ def _convolve_planes(data, transfers, group_idx, kernel_shape):
     pads = ((0, 0), (0, fy - ny), (0, fx - nx))
     gidx = jnp.asarray(group_idx)
 
-    if _use_dft_matmul(fy, fx):
+    if _use_dft_matmul(fy, fx, nchan):
         t_full = _full_transfer(transfers.astype(comp), fy, fx)[gidx]
         both = jnp.concatenate([jnp.pad(filled, pads),
                                 jnp.pad(invalid, pads)], axis=0)
@@ -308,8 +316,9 @@ def convolve_per_channel_separable(data, kernels, group_idx, max_rank=4,
         return jnp.einsum("crax,crvx->cav", t, mxc, precision=prec)
 
     num = apply(filled, lax.Precision.HIGHEST)
-    # the NaN-weight plane only feeds a threshold: bf16 rate suffices
-    den = 1.0 - apply(invalid, lax.Precision.DEFAULT)
+    # the denominator DIVIDES the output (normalized convolution), so it
+    # needs full precision too — unlike threshold-only flag matmuls
+    den = 1.0 - apply(invalid, lax.Precision.HIGHEST)
     eps = 1e-8
     out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
     any_valid = jnp.any(valid, axis=(1, 2), keepdims=True)

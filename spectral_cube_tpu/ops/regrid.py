@@ -153,16 +153,17 @@ def _separable_resample(fz, wz, y0, y1, wy, x0, x1, wx, order):
     if not (ysep and xsep):
         return None
     import jax.lax as lax
+    from .interpolate import _interp_matrix
 
-    def tap_matrix(n_in, i0, i1, w):
-        mat = np.zeros((w.shape[0], n_in), dtype=np.float32)
-        rows = np.arange(w.shape[0])
-        np.add.at(mat, (rows, i0), (1.0 - w).astype(np.float32))
-        np.add.at(mat, (rows, i1), w.astype(np.float32))
-        return jnp.asarray(mat)
+    def tap_matrix(n_in, i0, w):
+        # i0 is pre-clipped to n_in-2, so the shared 2-tap builder applies
+        # (single-column inputs collapse to an all-ones matrix)
+        if n_in == 1:
+            return jnp.ones((w.shape[0], 1), dtype=jnp.float32)
+        return jnp.asarray(_interp_matrix(i0.astype(np.int64), w, n_in))
 
-    my = tap_matrix(ny_in, y0[:, 0], y1[:, 0], wy[:, 0])
-    mx = tap_matrix(nx_in, x0[0, :], x1[0, :], wx[0, :])
+    my = tap_matrix(ny_in, y0[:, 0], wy[:, 0])
+    mx = tap_matrix(nx_in, x0[0, :], wx[0, :])
 
     def apply(arr, prec):
         t = jnp.einsum("ab,cbx->cax", my, arr.astype(jnp.float32),

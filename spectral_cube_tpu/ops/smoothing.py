@@ -64,16 +64,22 @@ def _block_banded_conv(data, kernel, block):
     spatial = int(np.prod(data.shape[1:])) if data.ndim > 1 else 1
     nb = -(-n // block)
     npad = nb * block
-    mat = _banded_conv_matrix(n, kernel)
-    # W_band[i, r, c] = mat[i*B + r, (i-1)*B + c], zero outside [0, n)
-    wband = np.zeros((nb, block, 3 * block), dtype=np.float32)
+    # W_band[i, r, c] = dense[i*B + r, (i-1)*B + c], built analytically
+    # from the flipped kernel (dense[row, col] = kf[col - row + half]) so
+    # the O(n^2) dense matrix never materializes on host
+    kf = np.asarray(kernel, dtype=np.float32)[::-1]
+    half = len(kf) - 1 - (len(kf) - 1) // 2
+    rr, cc = np.mgrid[0:block, 0:3 * block]
+    o = cc - block - rr + half                 # kernel tap index per cell
+    base = np.where((o >= 0) & (o < len(kf)),
+                    kf[np.clip(o, 0, len(kf) - 1)], 0.0).astype(np.float32)
+    wband = np.broadcast_to(base, (nb, block, 3 * block)).copy()
     for i in range(nb):
-        lo = (i - 1) * block
-        for c in range(3 * block):
-            cg = lo + c
-            if 0 <= cg < n:
-                rows = slice(i * block, min((i + 1) * block, n))
-                wband[i, :rows.stop - rows.start, c] = mat[rows, cg]
+        col = (i - 1) * block + cc            # global column per cell
+        row = i * block + rr                  # global row per cell
+        edge = (col < 0) | (col >= n) | (row >= n)
+        if edge.any():
+            wband[i][edge] = 0.0
     flat = data.reshape(n, spatial)
     xp = jnp.pad(flat, ((block, block + npad - n), (0, 0)))
     z = xp.reshape(nb + 2, block, spatial)

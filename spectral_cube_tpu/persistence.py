@@ -111,9 +111,16 @@ def _load_sharded(store_dir, meta, cmesh):
                       for d in idx_map]
             return jax.make_array_from_single_device_arrays(
                 shape, sharding, list(arrays))
-    raise ValueError(
-        "checkpoint shard layout does not match the current mesh; restore "
-        "with the mesh the cube was saved under")
+    # layout mismatch: fall back to a host assembly if a full data.npy
+    # exists (stores written by older versions), else assemble from the
+    # shard files by index — correct on any mesh, at host-memory cost
+    full = os.path.join(store_dir, "data.npy")
+    if os.path.exists(full):
+        return jnp.asarray(np.load(full))
+    out = np.empty(shape, dtype=np.dtype(meta["dtype"]))
+    for key, fname in saved.items():
+        out[tuple(slice(*k) for k in key)] = np.load(fname)
+    return jnp.asarray(out)
 
 
 def load_cube(store_dir, cmesh=None):

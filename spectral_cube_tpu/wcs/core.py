@@ -545,6 +545,9 @@ class WCS:
         out.ctype[add_before_ind] = "STOKES"
         for attr in _PRESERVED_ATTRS:
             setattr(out, attr, getattr(self, attr))
+        # projection parameters follow their (possibly shifted) axes
+        out.pv = {(ax + (1 if ax >= add_before_ind else 0), m): v
+                  for (ax, m), v in self.pv.items()}
         return out
 
     def is_pixel_axis_correlated(self, pixel_axis: int) -> bool:
