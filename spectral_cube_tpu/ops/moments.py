@@ -143,6 +143,7 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
     ty, tx = _pick_tiles(nchan, ny, nx, data.dtype.itemsize,
                          n_block_inputs=n_block_inputs)
     gy, gx = pl.cdiv(ny, ty), pl.cdiv(nx, tx)
+    ragged = (ny % ty != 0) or (nx % tx != 0)
 
     xc_col = jnp.asarray(coords_c, dtype=jnp.float32).reshape(nchan, 1)
 
@@ -164,11 +165,13 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
             valid = jnp.logical_and(valid, mask_expr._include(data=block))
         if use_mask_input:
             valid = jnp.logical_and(valid, inc_ref[:] != 0)
-        # guard spatial padding at the ragged edges
-        row = jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 1)
-        inb = jnp.logical_and(i * ty + row < ny, j * tx + col < nx)
-        valid = jnp.logical_and(valid, inb[None, :, :])
+        if ragged:
+            # guard spatial padding at the ragged edges (skipped entirely
+            # when the tiles divide the plane — one fewer VPU op/voxel)
+            row = jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 1)
+            inb = jnp.logical_and(i * ty + row < ny, j * tx + col < nx)
+            valid = jnp.logical_and(valid, inb[None, :, :])
         w = jnp.where(valid, block, 0).astype(jnp.float32)
         xc = xc_ref[:].reshape(nchan, 1, 1)
         # two-pass numerics over the VMEM-resident block (see _moment_stats)

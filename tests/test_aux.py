@@ -211,3 +211,24 @@ def test_streaming_spectral_layout_native_decode(tmp_path):
                                data, equal_nan=True, rtol=1e-7)
     for sh in cube._data.addressable_shards:
         assert np.asarray(sh.data).shape == (16 // cmesh.n_devices, 8, 8)
+
+
+def test_make_rgb_movie_frames(tmp_path, monkeypatch):
+    """Channel-movie frame rendering (reference visualization-tools);
+    ffmpeg assembly is stubbed out (not installed here)."""
+    import spectral_cube_tpu.visualization_tools as vt
+    path, data = make_cube_file(tmp_path, shape=(8, 6, 6))
+    cube = SpectralCube.read(path)
+    monkeypatch.setattr(vt, "check_ffmpeg", lambda *a, **k: None)
+    calls = []
+    monkeypatch.setattr(vt.subprocess, "run",
+                        lambda *a, **k: calls.append(a))
+    sv = cube.spectral_axis
+    frames = vt.make_rgb_movie(
+        cube, str(tmp_path / "mov"),
+        Quantity(float(np.asarray(sv.value)[0]), sv.unit),
+        Quantity(float(np.asarray(sv.value)[-1]), sv.unit))
+    assert len(frames) == 6
+    for f in frames:
+        assert os.path.exists(f)
+    assert len(calls) == 1  # ffmpeg invoked once

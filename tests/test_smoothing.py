@@ -217,3 +217,21 @@ def test_per_channel_separable_matches_fft():
                               cv.device_complex(transfers), gidx, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-6, equal_nan=True)
+
+
+def test_long_axis_conv_gate():
+    """Axes beyond the dense-matmul cap route through the block-banded
+    path end-to-end (spectral_smooth_cube on 5000 channels)."""
+    import jax.numpy as jnp
+    from spectral_cube_tpu.ops import smoothing as sm
+    rng = np.random.RandomState(12)
+    n = sm._MATMUL_CONV_MAX_N + 100
+    data = rng.rand(n, 2, 2).astype("f4")
+    k = sm.gaussian_kernel1d(2.0)
+    out = np.asarray(sm.spectral_smooth_cube(jnp.asarray(data), k))
+    expected = np.empty_like(data)
+    for j in range(2):
+        for i in range(2):
+            expected[:, j, i] = np.convolve(data[:, j, i].astype("f8"), k,
+                                            mode="same")
+    np.testing.assert_allclose(out, expected, rtol=2e-5, atol=1e-6)
