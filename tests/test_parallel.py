@@ -203,3 +203,55 @@ def test_sharded_convolve_to_matches_unsharded(tmp_path, cmesh):
         np.asarray(expected.unmasked_data[:].value),
         rtol=2e-4, atol=2e-6, equal_nan=True)
     assert sc.cube.beam == expected.beam
+
+
+def _hlo(fn, *args):
+    return jax.jit(fn).lower(*args).compile().as_text()
+
+
+def test_compiled_collective_structure(cmesh, big_cube):
+    """Compile-time guarantees on the SPMD programs (the properties that
+    make the TB-scale story work):
+
+    - moments in the spatial layout: NO collectives at all
+    - statistics: all-reduces only (the psum tree), no all-gathers
+    - reshard: all-to-alls only — never the 'involuntary full
+      rematerialization' all-gather+dynamic-slice pattern
+    """
+    data, coords, dx = big_cube
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from spectral_cube_tpu.parallel.sharded import (sharded_moments,
+                                                    sharded_statistics)
+
+    placed = cmesh.shard(data, "spatial")
+
+    mom_fn = shard_map(
+        lambda d: moments_012(d, coords, dx),
+        mesh=cmesh.mesh, in_specs=(P(None, "y", "x"),),
+        out_specs=(P("y", "x"),) * 3)
+    txt = _hlo(mom_fn, placed)
+    for coll in ("all-reduce", "all-gather", "all-to-all",
+                 "collective-permute"):
+        assert coll not in txt, f"moments HLO contains {coll}"
+
+    def stats_fn(d):
+        from spectral_cube_tpu.ops import reductions as red
+
+        def local(dd):
+            valid = red.valid_mask(dd)
+            return jax.lax.psum(jnp.sum(jnp.where(valid, dd, 0)),
+                                ("y", "x"))
+        return shard_map(local, mesh=cmesh.mesh,
+                         in_specs=(P(None, "y", "x"),),
+                         out_specs=P())(d)
+    txt = _hlo(stats_fn, placed)
+    assert "all-reduce" in txt
+    assert "all-gather" not in txt
+
+    def reshard_fn(d):
+        return cmesh.reshard(d, "spectral", source="spatial")
+    txt = _hlo(reshard_fn, placed)
+    assert "all-to-all" in txt
+    assert "all-gather" not in txt, \
+        "reshard fell back to replicate-and-slice"
