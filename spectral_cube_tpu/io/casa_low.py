@@ -296,6 +296,21 @@ def read_tiled_data(image_dir, f_index=0, dtype_code=None):
         raw = f.read()
 
     total_tiles = int(np.prod(ntiles))
+    # native multithreaded tile scatter (native/casa_tiles.cpp): fuses the
+    # byteswap and the per-tile slice assignment the Python loop below
+    # does one tile at a time — the difference between seconds and minutes
+    # on ~10^5-tile TB-scale images
+    from .native import assemble_casa_tiles
+    native_dtype = {TP_FLOAT: "f4", TP_DOUBLE: "f8",
+                    TP_INT: "i4"}.get(dt_code)
+    if dt_code == TP_BOOL or native_dtype is not None:
+        out_native = assemble_casa_tiles(
+            raw, casa_shape, tshape,
+            None if dt_code == TP_BOOL else native_dtype,
+            big_endian=(endian == ">"))
+        if out_native is not None:
+            np_cube_shape = casa_shape[::-1]
+            return out_native[tuple(slice(0, s) for s in np_cube_shape)]
     if dt is None:
         # booleans are bit-packed per tile, LSB-first within each byte
         tile_bytes = -(-tile_elems // 8)

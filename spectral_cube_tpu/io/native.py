@@ -15,7 +15,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["decode_payload", "native_available", "native_stats_f32"]
+__all__ = ["decode_payload", "native_available", "native_stats_f32",
+           "assemble_casa_tiles"]
 
 _LOCK = threading.Lock()
 _LIB = None
@@ -94,6 +95,72 @@ def decode_payload(path, offset, count, bitpix, bscale=1.0, bzero=0.0,
     if bscale != 1.0 or bzero != 0.0:
         arr = arr * bscale + bzero
     return arr
+
+
+_TILES_LOCK = threading.Lock()
+_TILES_LIB = None
+_TILES_TRIED = False
+_TILES_SRC = os.path.join(os.path.dirname(_SRC), "casa_tiles.cpp")
+_TILES_SO = os.path.join(os.path.dirname(_SRC), "_casa_tiles.so")
+
+
+def _load_tiles():
+    global _TILES_LIB, _TILES_TRIED
+    with _TILES_LOCK:
+        if _TILES_LIB is not None or _TILES_TRIED:
+            return _TILES_LIB
+        _TILES_TRIED = True
+        try:
+            if not os.path.exists(_TILES_SO) or (
+                    os.path.exists(_TILES_SRC)
+                    and os.path.getmtime(_TILES_SO)
+                    < os.path.getmtime(_TILES_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     "-pthread", "-o", _TILES_SO, _TILES_SRC],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(_TILES_SO)
+            lib.casa_assemble_tiles.restype = ctypes.c_int
+            lib.casa_assemble_tiles.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.c_long), ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int]
+            _TILES_LIB = lib
+        except Exception:
+            _TILES_LIB = None
+        return _TILES_LIB
+
+
+def assemble_casa_tiles(payload, casa_shape, tile_shape, dtype,
+                        big_endian, nthreads=0):
+    """Scatter a CASA tiled payload into a C-ordered padded numpy array
+    (numpy dims = reversed(ntiles*tile)); returns None when the native
+    library is unavailable.  ``dtype`` None means bit-packed Bool."""
+    lib = _load_tiles()
+    if lib is None:
+        return None
+    ndim = len(casa_shape)
+    np_padded = [(-(-c // t)) * t
+                 for c, t in zip(casa_shape, tile_shape)][::-1]
+    if dtype is None:
+        out = np.empty(np_padded, dtype=np.uint8)
+        code = 1
+    else:
+        dt = np.dtype(dtype)
+        if dt.itemsize not in (4, 8):
+            return None
+        out = np.empty(np_padded, dtype=dt.newbyteorder("="))
+        code = dt.itemsize
+    cshape = (ctypes.c_long * ndim)(*[int(v) for v in casa_shape])
+    tshape = (ctypes.c_long * ndim)(*[int(v) for v in tile_shape])
+    rc = lib.casa_assemble_tiles(
+        payload, len(payload), ndim, cshape, tshape, code,
+        1 if big_endian else 0, out.ctypes.data_as(ctypes.c_void_p),
+        int(nthreads))
+    if rc != 0:
+        return None
+    return out.astype(bool) if dtype is None else out
 
 
 def native_stats_f32(arr: np.ndarray, nthreads=0):

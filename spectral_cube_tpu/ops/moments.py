@@ -142,6 +142,18 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
     n_block_inputs = 2 if include is not None else 1
     ty, tx = _pick_tiles(nchan, ny, nx, data.dtype.itemsize,
                          n_block_inputs=n_block_inputs)
+    # the kernel holds the whole spectral axis of each tile in VMEM (the
+    # two-pass numerics need it); with temporaries (~4x the input block)
+    # and double buffering this stops fitting the ~16 MB/core VMEM around
+    # nchan ~ 1024 — fall back to the XLA expression (still one fused HBM
+    # pass, ~45% of the Pallas kernel's throughput)
+    block_bytes = nchan * ty * tx * data.dtype.itemsize * n_block_inputs
+    if block_bytes * (2 + 4) > 15 * 2 ** 20:
+        if mask_expr is not None:
+            inc2 = mask_expr._include(data=data)
+            include = inc2 if include is None \
+                else jnp.logical_and(include, inc2)
+        return moments_012(data, coords, dx, include=include)
     gy, gx = pl.cdiv(ny, ty), pl.cdiv(nx, tx)
     ragged = (ny % ty != 0) or (nx % tx != 0)
 
