@@ -101,15 +101,20 @@ def _note(name, per_pass, bytes_per_pass):
 def _measure(one_pass, args, reps):
     """Time one_pass (jittable, *args device arrays) with a fori_loop of
     ``reps`` inside a single jit; returns seconds per pass (RTT-corrected).
-    Device arrays are passed as jit arguments, never closure constants —
-    complex constants cannot be fetched back over the tunnel."""
+
+    Two hard-won rules: device arrays pass as jit ARGUMENTS, never closure
+    constants (complex constants cannot cross the tunnel), and the output
+    is consumed via a FULL sum — consuming a single element lets XLA push
+    the slice through dots and elementwise ops and dead-code-eliminate
+    the very work being measured (observed: a bare banded matmul
+    'running' 6x faster than physically possible)."""
     @jax.jit
     def looped(*a):
         def body(i, acc):
             dep = jax.lax.optimization_barrier((a[0], acc))
             out = one_pass(dep[0], *a[1:])
             leaf = jax.tree_util.tree_leaves(out)[0]
-            return dep[1] + jnp.real(leaf.ravel()[0]).astype(jnp.float32)
+            return dep[1] + jnp.sum(jnp.real(leaf)).astype(jnp.float32)
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
     np.asarray(looped(*args))  # compile + warm

@@ -1236,10 +1236,28 @@ class BaseSpectralCube:
 
     def apply_function_parallel_spatial(self, function, *args,
                                         accepts_chunks=False,
+                                        return_new_cube=True,
                                         use_memmap=None, parallel=None,
                                         num_cores=None, verbose=0, **kwargs):
-        """Apply ``function`` to every channel map, vmapped over channels."""
+        """Apply ``function`` to every channel map, vmapped over channels.
+        Supports the same ``block_info`` / ``return_new_cube`` escape
+        hatches as the spectral applicator (reference
+        dask_spectral_cube.py:501-552)."""
+        import inspect
         data = self._get_filled_data(fill=np.nan)
+        try:
+            params = inspect.signature(function).parameters
+        except (TypeError, ValueError):
+            params = {}
+        if "block_info" in params:
+            nchan, ny, nx = self.shape
+            kwargs["block_info"] = {0: {
+                "shape": self.shape,
+                "num-chunks": (1, 1, 1),
+                "chunk-location": (0, 0, 0),
+                "array-location": [(0, nchan), (0, ny), (0, nx)],
+                "chunk-shape": self.shape,
+            }}
         if accepts_chunks:
             out = function(data, *args, **kwargs)
         else:
@@ -1250,6 +1268,8 @@ class BaseSpectralCube:
                 arr = np.asarray(data)
                 out = np.stack([np.asarray(function(arr[i], *args, **kwargs))
                                 for i in range(arr.shape[0])])
+        if not return_new_cube:
+            return out
         return self._new_cube_with(data=jnp.asarray(out))
 
     def apply_function(self, function, axis=None, unit=None,

@@ -33,12 +33,11 @@ def gaussian_kernel1d(stddev, size=None):
     return k / k.sum()
 
 
-# below this channel count the single dense banded matmul beats the
-# chunked overlap-save form despite quadratic FLOPs (measured on v5e:
-# dense 3.3 ms vs chunked 13 ms even at n=1024 — XLA's large-K matmul
-# tiling is that much more efficient than batched windowed einsums);
-# past it the dense matrix itself becomes the problem
-_DENSE_CONV_MAX_N = 4096
+# crossover between the single dense banded matmul (quadratic FLOPs,
+# best MXU tiling) and the overlap-save chunked form (linear FLOPs):
+# measured on v5e with DCE-proof full-output consumption, n=512 dense
+# 1.3 ms ~ chunked 1.65 ms; n=1024 dense 21 ms vs chunked 13.3 ms
+_DENSE_CONV_MAX_N = 512
 _MATMUL_CONV_MAX_N = 4096  # kept for external references
 
 
@@ -222,15 +221,7 @@ def sigma_clip_spectrally(data, sigma=3.0, maxiters=5, cenfunc="median"):
     """Iterative per-spaxel sigma clipping along the spectral axis,
     astropy.stats.sigma_clip semantics (cenfunc=median, stdfunc=std;
     clipped values -> NaN); the reference workload at docs/dask.rst:188-212
-    and spectral_cube.py:3161.
-
-    Sorted-band algorithm: clipping only ever removes values outside a
-    symmetric interval around the center, so the survivors of every
-    iteration form a *contiguous band* of the per-spaxel sorted spectrum.
-    One sort + prefix sums up front, then each iteration is two fused
-    compare-reduce passes (median/mean/std come from gathers on the
-    band bounds) — ~5x faster than re-sorting per iteration and exactly
-    equivalent."""
+    and spectral_cube.py:3161."""
     data = jnp.asarray(data)
     comp = jnp.float64 if data.dtype == jnp.float64 else jnp.float32
     x = data.astype(comp)
