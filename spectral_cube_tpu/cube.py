@@ -675,12 +675,21 @@ class BaseSpectralCube:
             return Quantity(np.asarray(out).item(), unit)
         return self._wrap_projection(np.asarray(out), axis, unit)
 
+    def _result_beam(self):
+        """Beam to attach to spectral-reduction results (the reference's
+        _handle_beam_areas_wrapper, base_class.py:673-719: single-beam
+        cubes pass their beam; varying-resolution cubes attach the
+        average beam with a BeamAverageWarning)."""
+        return getattr(self, "beam", None)
+
     def _wrap_projection(self, out, axis, unit):
         new_wcs = self._wcs.dropaxis(2 - axis)
         meta = {"collapse_axis": axis}
         meta.update(self._meta)
         if axis == 0:
-            beam = getattr(self, "beam", None)
+            beam = self._result_beam()
+            if beam is not None:
+                meta["beam"] = beam
             return Projection(out, unit=unit, wcs=new_wcs, meta=meta,
                               beam=beam)
         # collapsing a spatial axis: 2-D [spec, spatial] product
@@ -814,9 +823,11 @@ class BaseSpectralCube:
         meta = {"moment_order": order, "moment_axis": axis,
                 "moment_method": how}
         meta.update(self._meta)
+        beam = self._result_beam() if axis == 0 else None
+        if beam is not None:
+            meta["beam"] = beam
         return Projection(out, unit=unit, wcs=new_wcs, meta=meta,
-                          header=self._nowcs_header,
-                          beam=getattr(self, "beam", None))
+                          header=self._nowcs_header, beam=beam)
 
     def _moment_coords(self, axis):
         if axis == 0:
@@ -903,13 +914,12 @@ class BaseSpectralCube:
         with np.errstate(invalid="ignore"):
             vals = np.sqrt(np.asarray(mom2.value))
         return Projection(vals, unit=self.spectral_unit, wcs=mom2.wcs,
-                          meta=mom2.meta, beam=getattr(self, "beam", None))
+                          meta=mom2.meta, beam=mom2.beam)
 
     def linewidth_fwhm(self, how="auto"):
         sig = self.linewidth_sigma(how=how)
         return Projection(np.asarray(sig.value) * SIGMA2FWHM, unit=sig.unit,
-                          wcs=sig.wcs, meta=sig.meta,
-                          beam=getattr(self, "beam", None))
+                          wcs=sig.wcs, meta=sig.meta, beam=sig.beam)
 
     # ------------------------------------------------------------------
     # slicing & subcubes (reference spectral_cube.py:1308-1381, 1881-2036)
@@ -1806,6 +1816,15 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
         return cube
 
     # beam-coupled overrides ------------------------------------------------
+    def _result_beam(self):
+        """Spectral reductions of a varying-resolution cube carry the
+        arithmetic-average beam, with the reference's warning
+        (base_class.py:599-670 via _handle_beam_areas_wrapper)."""
+        try:
+            return self.average_beams(warn=True)
+        except Exception:
+            return None
+
     def _reduce(self, fn, axis=None, **kwargs):
         """Spectral reductions require matched beams (reference
         __getattribute__ hook, spectral_cube.py:4077-4095)."""

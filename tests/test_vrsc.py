@@ -7,7 +7,8 @@ import spectral_cube_tpu.units as u
 from spectral_cube_tpu import (SpectralCube, VaryingResolutionSpectralCube,
                                Beam, Beams, Quantity,
                                VaryingResolutionOneDSpectrum, Slice)
-from spectral_cube_tpu.utils import NonFiniteBeamsWarning
+from spectral_cube_tpu.utils import (NonFiniteBeamsWarning,
+                                     BeamAverageWarning)
 
 from conftest import make_vr_cube_file
 
@@ -77,6 +78,7 @@ def test_moment_requires_matched_beams(cube_vr):
     cube.sum(axis=1)
 
 
+@pytest.mark.filterwarnings("ignore::spectral_cube_tpu.utils.BeamAverageWarning")
 def test_beam_threshold_override(cube_vr):
     cube, _ = cube_vr
     cube.beam_threshold = 2.0  # very loose: allow the variation
@@ -138,6 +140,7 @@ def test_to_kelvin_per_channel(cube_vr):
     np.testing.assert_allclose(got, expected, rtol=1e-5)
 
 
+@pytest.mark.filterwarnings("ignore::spectral_cube_tpu.utils.BeamAverageWarning")
 def test_with_beams(cube_vr):
     cube, _ = cube_vr
     nb = Beams(major=Quantity([2, 2, 2, 2], "arcsec"))
@@ -152,3 +155,21 @@ def test_with_beams(cube_vr):
 def test_casambm_header(cube_vr):
     cube, _ = cube_vr
     assert cube.header["CASAMBM"] is True
+
+
+def test_varyres_moment_attaches_average_beam(cube_vr):
+    """Spectral reductions of a VR cube attach the average beam with the
+    averaging warning (reference issue364 regression,
+    test_spectral_cube.py test_varyres_moment_logic_issue364)."""
+    cube, data = cube_vr
+    cube.beam_threshold = 1.0
+    with pytest.warns(BeamAverageWarning):
+        m0 = cube.moment(order=0)
+    assert m0.beam is not None
+    assert "beam" in m0.meta
+    expected = cube.average_beams()
+    assert m0.beam.major.to_value("deg") == pytest.approx(
+        expected.major.to_value("deg"))
+    with pytest.warns(BeamAverageWarning):
+        mx = cube.max(axis=0)
+    assert mx.beam is not None
