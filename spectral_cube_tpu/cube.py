@@ -683,6 +683,19 @@ class BaseSpectralCube:
         return getattr(self, "beam", None)
 
     def _wrap_projection(self, out, axis, unit):
+        if isinstance(axis, (tuple, list)):
+            axes = tuple(sorted(int(a) for a in axis))
+            meta = {"collapse_axis": axes}
+            meta.update(self._meta)
+            if axes == (1, 2):
+                # collapse over the sky -> 1-D spectrum (reference
+                # test_oned_collapse; beams carried by _1d_spectrum)
+                return self._1d_spectrum(out, self._wcs.spectral, meta,
+                                         None)
+            kept = [i for i in range(3) if i not in axes][0]
+            new_wcs = self._wcs.reindex([2 - kept])
+            return LowerDimensionalObject(out, unit=unit, wcs=new_wcs,
+                                          meta=meta)
         new_wcs = self._wcs.dropaxis(2 - axis)
         meta = {"collapse_axis": axis}
         meta.update(self._meta)

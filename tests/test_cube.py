@@ -531,3 +531,21 @@ def test_nonnative_endian_ctor(cube_adv):
     np.testing.assert_allclose(np.asarray(c.unmasked_data[:].value), data,
                                equal_nan=True)
     assert float(c.sum().value) == pytest.approx(np.nansum(data), rel=1e-7)
+
+
+def test_tuple_axis_collapse(cube_adv):
+    """Reducing over both sky axes yields a OneDSpectrum; over a mixed
+    pair, a 1-D LDO (reference test_oned_collapse)."""
+    cube, data = cube_adv
+    sp = cube.mean(axis=(1, 2))
+    assert isinstance(sp, OneDSpectrum)
+    np.testing.assert_allclose(np.asarray(sp.value),
+                               np.nanmean(data, axis=(1, 2)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sp.spectral_axis.value),
+                               np.asarray(cube.spectral_axis.value))
+    prof = cube.max(axis=(0, 1))
+    assert np.asarray(prof.value).shape == (cube.shape[2],)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        expected = np.nanmax(data, axis=(0, 1))
+    np.testing.assert_allclose(np.asarray(prof.value), expected, rtol=1e-6)

@@ -173,3 +173,12 @@ def test_varyres_moment_attaches_average_beam(cube_vr):
     with pytest.warns(BeamAverageWarning):
         mx = cube.max(axis=0)
     assert mx.beam is not None
+
+
+def test_vr_oned_collapse_carries_beams(cube_vr):
+    """Collapsing a VR cube over the sky keeps the per-channel beams on
+    the resulting spectrum (reference test_oned_collapse_beams)."""
+    cube, data = cube_vr
+    sp = cube.mean(axis=(1, 2))
+    assert hasattr(sp, "beams")
+    assert len(sp.beams) == cube.shape[0]
