@@ -273,8 +273,10 @@ def bench_config5():
         # single target beam: the API's SVD-separable MXU path
         conv = cv.convolve2d_separable(d, k / k.sum())
         rep = _bilinear_spatial_then_linear_z(conv, coords, ys, xs, 1)
-        return (m0[0, 0] + m1[0, 0] + m2[0, 0] + stats["mean"]
-                + rep[0, 0, 0])
+        # full-array outputs so _measure's sum consumption covers every
+        # stage (single elements would let XLA DCE the conv/reproject)
+        return (jnp.nan_to_num(rep)
+                + (m0 + m1 + m2 + stats["mean"])[None, :, :])
 
     # host baseline: the same chain with numpy/scipy on a 64^3 subcube,
     # scaled by voxel count (each stage is linear in voxels)

@@ -361,7 +361,6 @@ class BaseSpectralCube:
         return h
 
     @property
-    @warn_slow
     def hdu(self):
         from .io.fits_low import HDU
         return HDU(data=np.asarray(self._get_filled_data()),
@@ -1562,8 +1561,15 @@ class BaseSpectralCube:
             dd.set("frame new")
         tmp = tempfile.NamedTemporaryFile(suffix=".fits", delete=False)
         tmp.close()
-        self.write(tmp.name, overwrite=True)
-        dd.set(f"file {tmp.name}")
+        try:
+            self.write(tmp.name, overwrite=True)
+            dd.set(f"file {tmp.name}")  # XPA set returns after the load
+        finally:
+            import os as _os
+            try:
+                _os.unlink(tmp.name)
+            except OSError:
+                pass
         return dd
 
     def plot_channel_maps(self, nx, ny, channels, contourkwargs={},
@@ -1840,8 +1846,12 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
 
     def _reduce(self, fn, axis=None, **kwargs):
         """Spectral reductions require matched beams (reference
-        __getattribute__ hook, spectral_cube.py:4077-4095)."""
-        if axis == 0 or axis is None:
+        __getattribute__ hook, spectral_cube.py:4077-4095); tuple axes
+        that include the spectral axis count."""
+        involves_spectral = (axis == 0 or axis is None
+                             or (isinstance(axis, (tuple, list))
+                                 and 0 in axis))
+        if involves_spectral:
             self._check_beam_areas()
         return super()._reduce(fn, axis=axis, **kwargs)
 

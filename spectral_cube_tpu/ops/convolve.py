@@ -38,19 +38,25 @@ def fft_shape(n):
     return best
 
 
+_COMBINE_COMPLEX = None
+
+
 def device_complex(arr):
     """Move a host complex array to device as a real/imag pair recombined
     on device.  Direct complex host<->device transfers are UNIMPLEMENTED
     on some backends (notably the axon TPU tunnel); real transfers plus an
     on-device lax.complex are universally supported."""
     import jax
+    global _COMBINE_COMPLEX
     arr = np.asarray(arr)
     if arr.dtype.kind != "c":
         return jnp.asarray(arr)
     real_dt = np.float64 if arr.dtype == np.complex128 else np.float32
     re = jnp.asarray(np.ascontiguousarray(arr.real, dtype=real_dt))
     im = jnp.asarray(np.ascontiguousarray(arr.imag, dtype=real_dt))
-    return jax.jit(jax.lax.complex)(re, im)
+    if _COMBINE_COMPLEX is None:
+        _COMBINE_COMPLEX = jax.jit(jax.lax.complex)  # one cached wrapper
+    return _COMBINE_COMPLEX(re, im)
 
 
 def _kernel_transfer(kernel, fy, fx):
@@ -258,6 +264,11 @@ def convolve2d_separable(data, kernel, precision=None):
     return out.astype(data.dtype)
 
 
+# the per-channel matrix gathers ((nchan, r, n, n) per axis) must leave
+# HBM headroom; beyond this the spectral-multiply paths take over
+_PER_CHANNEL_SEP_MAX_BYTES = 4 * 2**30
+
+
 def convolve_per_channel_separable(data, kernels, group_idx, max_rank=4,
                                    max_plane=1024):
     """NaN-interpolating per-channel 2-D convolution via group-indexed
@@ -290,6 +301,10 @@ def convolve_per_channel_separable(data, kernels, group_idx, max_rank=4,
         ranks.append(fac[0].shape[1])
     r = max(ranks)
     ngroup = len(kernels)
+    # gathered per-channel matrices + the (nchan, r, ny, nx) temporary
+    gathered = nchan * r * (ny * ny + nx * nx + 2 * ny * nx) * 4
+    if gathered > _PER_CHANNEL_SEP_MAX_BYTES:
+        return None
     my = np.zeros((ngroup, r, ny, ny), dtype=np.float32)
     mx = np.zeros((ngroup, r, nx, nx), dtype=np.float32)
     eye_y = np.eye(ny, dtype=np.float32)

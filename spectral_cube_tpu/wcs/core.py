@@ -676,9 +676,22 @@ class WCS:
                     return False
         keys = set(self.pv) | set(getattr(other, "pv", {}))
         for k in keys:
-            if not close(self.pv.get(k, 0.0), other.pv.get(k, 0.0)):
+            d = self._pv_card_default(*k)
+            if not close(self.pv.get(k, d), other.pv.get(k, d)):
                 return False
         return True
+
+    def _pv_card_default(self, ax, m):
+        """The value an absent PV{ax+1}_{m} card implies (projection-
+        specific: CEA's lambda defaults to 1), so an explicit default
+        compares equal to an omitted card."""
+        try:
+            if ax == self.lat_axis and m == 1 \
+                    and self.projection_code == "CEA":
+                return 1.0
+        except Exception:
+            pass
+        return 0.0
 
     def __eq__(self, other):
         if not isinstance(other, WCS):

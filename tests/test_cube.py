@@ -472,12 +472,14 @@ def test_huge_op_guards(cube_adv, monkeypatch):
     assert cube._is_huge
     for call in (lambda: cube.filled(),
                  lambda: cube.flattened(),
-                 lambda: cube.hdu,
                  lambda: cube.flattened_world(),
                  lambda: cube.to("K"),
                  lambda: cube.apply_numpy_function(np.nansum)):
         with pytest.raises(ValueError, match="huge"):
             call()
+    # .hdu is deliberately NOT guarded (matching the reference,
+    # spectral_cube.py:2563-2574): write() of big cubes must work
+    assert cube.hdu is not None
     cube.allow_huge_operations = True
     assert cube.filled().shape == cube.shape
     assert cube.to("K").unit == u.K
