@@ -398,12 +398,13 @@ class FunctionMask(MaskBase):
     """mask = ``function(data, wcs, view)`` computed at call time
     (reference masks.py:760-801)."""
 
-    def __init__(self, function, shape=None):
+    def __init__(self, function, shape=None, wcs=None):
         self._function = function
         self._shape = shape
+        self._wcs = wcs
 
     def _include(self, data=None, view=()):
-        result = self._function(data, None, view)
+        result = self._function(data, self._wcs, view)
         sub = data[view] if view not in ((), None) else data
         if data is not None and np.shape(result) != np.shape(sub):
             raise ValueError("Function did not return mask with correct shape")
