@@ -308,7 +308,7 @@ class WCS:
             code,
             self.crval[self.lon_axis] * self.cunit[self.lon_axis].to("deg"),
             self.crval[self.lat_axis] * self.cunit[self.lat_axis].to("deg"),
-            self.lonpole, self.latpole)
+            self.lonpole, self.latpole, pv=self._lat_pv())
 
     def pix2world(self, *pixel_axes, xp=np):
         """0-based pixel coords (one array per FITS axis) -> world coords.

@@ -7,7 +7,7 @@ numpy on the host and as pure-jnp functions usable inside jit on device
 
 Supported codes: TAN, SIN (orthographic, no obliquity params), ARC, STG,
 ZEA, AZP (with PV2_1=mu), CAR, CEA (PV2_1=lambda), MER, MOL, SFL/GLS,
-AIT.  All functions work on *intermediate world coordinates* (x, y) in
+AIT, and the conic family COP/COE/COD/COO (PV2_1=theta_a, PV2_2=eta).  All functions work on *intermediate world coordinates* (x, y) in
 **degrees** and native spherical coordinates (phi, theta) in **degrees**,
 matching wcslib conventions.  ``pv`` is the tuple of PVi_m values on the
 latitude axis (m=1, 2, ...).
@@ -30,11 +30,13 @@ D2R = np.pi / 180.0
 R2D = 180.0 / np.pi
 
 SUPPORTED_PROJECTIONS = ("TAN", "SIN", "ARC", "STG", "ZEA", "AZP", "CAR",
-                         "CEA", "MER", "MOL", "SFL", "GLS", "AIT", "")
+                         "CEA", "MER", "MOL", "SFL", "GLS", "AIT",
+                         "COP", "COE", "COD", "COO", "")
 
 # Fiducial native coordinates (phi0, theta0) per projection family [deg].
 _ZENITHAL = {"TAN", "SIN", "ARC", "STG", "ZEA", "AZP"}
 _CYLINDRICAL = {"CAR", "CEA", "MER", "MOL", "SFL", "GLS", "AIT", ""}
+_CONIC = {"COP", "COE", "COD", "COO"}
 
 
 def _pv(pv, m, default):
@@ -45,10 +47,91 @@ def _pv(pv, m, default):
     return default if v is None else float(v)
 
 
-def fiducial_native(code: str):
+def fiducial_native(code: str, pv=()):
     if code in _ZENITHAL:
         return 0.0, 90.0
+    if code in _CONIC:
+        # conics put the fiducial point on the middle parallel theta_a
+        return 0.0, _pv(pv, 1, 0.0)
     return 0.0, 0.0
+
+
+def _conic_params(code, pv, xp):
+    """(C, R(theta) [deg], Y0 [deg]) for the conic family, derived from
+    the two standard parallels theta_1,2 = theta_a -+ eta (PV2_1, PV2_2):
+
+    - COP: perspective projection onto the cone tangent at theta_a,
+      scaled by cos(eta) (secant-cone convention),
+    - COE: equal-area (Albers): C and R from dA_map == dA_sphere plus
+      true scale at both standard parallels,
+    - COD: equidistant: |dR/dtheta| == 1 plus true scale at both,
+    - COO: conformal (Lambert): s_par == s_mer plus true scale at both.
+
+    Returns (C, R(theta_deg)->deg, Rinv(R_deg)->theta_deg, Y0).
+    """
+    ta = _pv(pv, 1, 0.0)
+    eta = _pv(pv, 2, 0.0)
+    ta_r, eta_r = ta * D2R, eta * D2R
+    t1, t2 = ta_r - eta_r, ta_r + eta_r
+    if code == "COP":
+        C = np.sin(ta_r)
+        cot_a = 1.0 / np.tan(ta_r)
+
+        def R(theta):
+            t = theta * D2R
+            return R2D * np.cos(eta_r) * (cot_a - xp.tan(t - ta_r))
+
+        def Rinv(r):
+            return ta + xp.arctan(cot_a - r * D2R / np.cos(eta_r)) * R2D
+    elif code == "COE":
+        gamma = np.sin(t1) + np.sin(t2)
+        C = gamma / 2.0
+        s1s2 = np.sin(t1) * np.sin(t2)
+
+        def R(theta):
+            t = theta * D2R
+            return (2.0 * R2D / gamma) * xp.sqrt(
+                xp.maximum(1.0 + s1s2 - gamma * xp.sin(t), 0.0))
+
+        def Rinv(r):
+            sin_t = (1.0 + s1s2 - (gamma * r * D2R / 2.0) ** 2) / gamma
+            return xp.arcsin(xp.clip(sin_t, -1.0, 1.0)) * R2D
+    elif code == "COD":
+        if eta == 0.0:
+            C = np.sin(ta_r)
+            R0 = R2D * np.cos(ta_r) / np.sin(ta_r)
+        else:
+            C = np.sin(ta_r) * np.sin(eta_r) / eta_r
+            R0 = eta * np.cos(ta_r) * np.cos(eta_r) / (np.sin(ta_r)
+                                                       * np.sin(eta_r))
+
+        def R(theta):
+            return R0 + (ta - theta)
+
+        def Rinv(r):
+            return ta + R0 - r
+    elif code == "COO":
+        c1, c2 = np.cos(t1), np.cos(t2)
+        tan1 = np.tan((np.pi / 2 - t1) / 2.0)
+        tan2 = np.tan((np.pi / 2 - t2) / 2.0)
+        if eta == 0.0 or abs(tan1 - tan2) < 1e-14:
+            C = np.sin(ta_r)
+        else:
+            C = np.log(c2 / c1) / np.log(tan2 / tan1)
+        psi = R2D * c1 / (C * tan1 ** C)
+
+        def R(theta):
+            t = theta * D2R
+            return psi * xp.tan((np.pi / 2 - t) / 2.0) ** C
+
+        def Rinv(r):
+            return 90.0 - 2.0 * xp.arctan(
+                xp.maximum(r / psi, 0.0) ** (1.0 / C)) * R2D
+    else:
+        raise ValueError(f"not a conic: {code!r}")
+    # fiducial point (0, theta_a) maps to (x, y) = (0, 0)
+    Y0 = float(np.asarray(R(np.float64(ta))))
+    return C, R, Rinv, Y0
 
 
 def _zenithal_r_to_theta(code, r, xp, pv=()):
@@ -130,6 +213,14 @@ def proj_xy2native(code: str, x, y, xp=np, pv=()):
         phi = xp.arctan2(x, -y) * R2D
         theta = _zenithal_r_to_theta(code, r, xp, pv=pv)
         return phi, theta
+    if code in _CONIC:
+        C, Rfn, Rinv, Y0 = _conic_params(code, pv, xp)
+        ta = _pv(pv, 1, 0.0)
+        sgn = 1.0 if ta >= 0 else -1.0
+        dy = Y0 - y
+        r = sgn * xp.sqrt(x * x + dy * dy)
+        phi = xp.arctan2(x / r, dy / r) * R2D / C
+        return phi, Rinv(r)
     if code in ("CAR", ""):
         return x, y
     if code == "CEA":
@@ -165,6 +256,11 @@ def proj_native2xy(code: str, phi, theta, xp=np, pv=()):
         r = _zenithal_theta_to_r(code, theta, xp, pv=pv)
         p = phi * D2R
         return r * xp.sin(p), -r * xp.cos(p)
+    if code in _CONIC:
+        C, Rfn, _, Y0 = _conic_params(code, pv, xp)
+        r = Rfn(theta)
+        pc = C * phi * D2R
+        return r * xp.sin(pc), -r * xp.cos(pc) + Y0
     if code in ("CAR", ""):
         return phi, theta
     if code == "CEA":
@@ -190,12 +286,12 @@ def proj_native2xy(code: str, phi, theta, xp=np, pv=()):
 
 
 def celestial_pole(code: str, crval1: float, crval2: float,
-                   lonpole: float | None, latpole: float | None):
+                   lonpole: float | None, latpole: float | None, pv=()):
     """Compute celestial coordinates of the native pole (alpha_p, delta_p)
     and the native longitude of the celestial pole phi_p.
 
     Implements eq. 8-10 of Calabretta & Greisen (2002)."""
-    phi0, theta0 = fiducial_native(code)
+    phi0, theta0 = fiducial_native(code, pv)
     a0, d0 = crval1 * D2R, crval2 * D2R
 
     if lonpole is None:

@@ -134,6 +134,93 @@ def rotation_matrix(alpha_p, delta_p, phi_p):
     return M
 
 
+def conic_native2xy(code, phi, theta, pv):
+    """Conics re-derived in mpmath from their DEFINING properties, each
+    asserted numerically below (true scale on both standard parallels,
+    plus the family property: perspective geometry / equal area /
+    equidistance / conformality).  These properties uniquely determine
+    the projection, so matching the production formulas certifies them."""
+    ta = mp.mpf(pv[0]) * D2R
+    eta = mp.mpf(pv[1]) * D2R
+    t1, t2 = ta - eta, ta + eta
+
+    if code == "COP":
+        # explicit 3-D perspective construction: ray from the sphere
+        # center to the cone tangent at theta_a, unrolled; secant cones
+        # scale by cos(eta)
+        C = mp.sin(ta)
+        apex = mp.matrix([0, 1 / mp.sin(ta)])
+        gdir = mp.matrix([mp.sin(ta), -mp.cos(ta)])  # unit generator
+
+        def Rfn(t):
+            p = mp.matrix([mp.cos(t), mp.sin(t)]) / mp.cos(t - ta)
+            return R2D * mp.cos(eta) * ((p - apex).T * gdir)[0]
+    elif code == "COE":
+        # equal-area: C*R^2/2 = const - sin(theta); true scale at t1, t2
+        s1, s2 = mp.sin(t1), mp.sin(t2)
+        C = (s1 + s2) / 2
+        const = (1 + s1 * s2) / (s1 + s2)
+
+        def Rfn(t):
+            return R2D * mp.sqrt(2 * (const - mp.sin(t)) / C)
+    elif code == "COD":
+        # equidistant: dR/dtheta = -1; true scale at t1, t2
+        s1, s2 = mp.sin(t1), mp.sin(t2)
+        if eta == 0:
+            C = mp.sin(ta)
+            R0 = mp.cos(ta) / mp.sin(ta)
+        else:
+            C = (mp.cos(t1) - mp.cos(t2)) / (2 * eta)
+            R0 = (mp.cos(t1) + mp.cos(t2)) / (2 * C)
+
+        def Rfn(t):
+            return R2D * (R0 + (ta - t))
+    elif code == "COO":
+        # conformal: R = psi * tan((pi/2-t)/2)^C; true scale at t1, t2
+        tn1 = mp.tan((mp.pi / 2 - t1) / 2)
+        tn2 = mp.tan((mp.pi / 2 - t2) / 2)
+        if eta == 0:
+            C = mp.sin(ta)
+        else:
+            C = mp.log(mp.cos(t2) / mp.cos(t1)) / mp.log(tn2 / tn1)
+        psi = mp.cos(t1) / (C * tn1 ** C)
+
+        def Rfn(t):
+            return R2D * psi * mp.tan((mp.pi / 2 - t) / 2) ** C
+    else:
+        raise ValueError(code)
+
+    # property assertions (scales dimensionless: R converted deg->rad)
+    h = mp.mpf("1e-12")
+
+    def s_par(t):
+        return C * Rfn(t) * D2R / mp.cos(t)
+
+    def s_mer(t):
+        return abs((Rfn(t + h) - Rfn(t - h)) / (2 * h)) * D2R
+
+    for ti in (t1, t2):
+        # true scale along both standard parallels
+        assert abs(s_par(ti) - 1) < mp.mpf("1e-18"), (code, float(s_par(ti)))
+    tprobe = ta + mp.mpf("0.2")
+    if code == "COE":
+        assert abs(s_par(tprobe) * s_mer(tprobe) - 1) < mp.mpf("1e-8")
+    if code == "COD":
+        assert abs(s_mer(tprobe) - 1) < mp.mpf("1e-8")
+    if code == "COO":
+        assert abs(s_par(tprobe) - s_mer(tprobe)) < mp.mpf("1e-8")
+
+    Y0 = Rfn(ta)
+    r = Rfn(mp.mpf(theta) * D2R)
+    pc = C * mp.mpf(phi) * D2R
+    return r * mp.sin(pc), -r * mp.cos(pc) + Y0
+
+
+CONIC_CASES = {"COP": [45.0, 10.0], "COE": [45.0, 20.0],
+               "COD": [-40.0, 15.0], "COO": [35.0, 12.0]}
+CONIC_POINTS = [(0, 45), (30, 60), (-120, 20), (179, 70), (-179, 10),
+                (15, -20), (0, 89.5)]
+
 ZENITHAL = ["TAN", "SIN", "STG", "ARC", "ZEA", "AZP"]
 CYL = ["CAR", "CEA", "MER", "SFL", "MOL", "AIT"]
 
@@ -161,6 +248,13 @@ def main():
         entries = []
         for phi, theta in pts:
             x, y = native2xy(code, phi, theta, pv)
+            entries.append({"phi": phi, "theta": theta,
+                            "x": mp.nstr(x, 25), "y": mp.nstr(y, 25)})
+        out["projections"][code] = {"pv": pv, "points": entries}
+    for code, pv in CONIC_CASES.items():
+        entries = []
+        for phi, theta in CONIC_POINTS:
+            x, y = conic_native2xy(code, phi, theta, pv)
             entries.append({"phi": phi, "theta": theta,
                             "x": mp.nstr(x, 25), "y": mp.nstr(y, 25)})
         out["projections"][code] = {"pv": pv, "points": entries}

@@ -162,10 +162,15 @@ def test_full_pix2world_with_pv(tmp_path):
             (("RA---CEA", "DEC--CEA"), {"PV2_1": 0.5}),
             (("RA---AZP", "DEC--AZP"), {"PV2_1": 2.0}),
             (("RA---MER", "DEC--MER"), {}),
+            (("RA---COE", "DEC--COE"), {"PV2_1": -30.0, "PV2_2": 20.0}),
+            (("RA---COP", "DEC--COP"), {"PV2_1": 45.0, "PV2_2": 10.0}),
+            (("RA---COD", "DEC--COD"), {"PV2_1": 40.0, "PV2_2": 15.0}),
+            (("RA---COO", "DEC--COO"), {"PV2_1": 35.0, "PV2_2": 12.0}),
             (("RA---MOL", "DEC--MOL"), {})]:
         h = {"CTYPE1": ctype_pair[0], "CTYPE2": ctype_pair[1],
-             "CRVAL1": 150.0, "CRVAL2": 0.0 if "M" in ctype_pair[0][-3:]
-             else -30.0,
+             "CRVAL1": 150.0,
+             "CRVAL2": (0.0 if "M" in ctype_pair[0][-3:]
+                        else pv_cards.get("PV2_1", -30.0)),
              "CRPIX1": 10.0, "CRPIX2": 12.0,
              "CDELT1": -0.01, "CDELT2": 0.01,
              "CUNIT1": "deg", "CUNIT2": "deg"}
