@@ -60,6 +60,32 @@ class CompositeRegion:
     __xor__ = Region.__xor__
 
 
+# IAU 1958 galactic frame w.r.t. FK5 J2000: the north galactic pole and
+# the galactic longitude of the equatorial north pole
+_NGP_RA = 192.85948
+_NGP_DEC = 27.12825
+_L_NCP = 122.93192
+
+
+def galactic_to_fk5(l, b):
+    """(l, b) [deg] -> (ra, dec) [deg].  The galactic frame is a pure
+    rotation of FK5: reuse the projection engine's pole-rotation math
+    with (alpha_p, delta_p, phi_p) = (NGP, l_NCP)."""
+    from .wcs import projections as prj
+    return prj.native_to_celestial(np.asarray(l, dtype=float),
+                                   np.asarray(b, dtype=float),
+                                   _NGP_RA, _NGP_DEC, _L_NCP)
+
+
+def fk5_to_galactic(ra, dec):
+    """(ra, dec) [deg] -> (l, b) [deg]."""
+    from .wcs import projections as prj
+    lon, lat = prj.celestial_to_native(np.asarray(ra, dtype=float),
+                                       np.asarray(dec, dtype=float),
+                                       _NGP_RA, _NGP_DEC, _L_NCP)
+    return lon % 360.0, lat
+
+
 _ANGLE_RE = re.compile(r'([+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s*'
                        r'("|\'|d|deg|arcsec|arcmin|r|rad|p|pix)?')
 
@@ -204,12 +230,17 @@ def region_to_mask(region, wcs, shape):
         rest = region.params[2:]
         scale = 1.0  # sizes in pixels
     else:
-        # sky frame: convert region center/size into pixels via the WCS
+        # sky frame: convert region center/size into pixels via the WCS;
+        # galactic<->equatorial mismatches go through the fixed IAU
+        # rotation (radii are rotation-invariant; box/ellipse position
+        # angles keep their value — exact for circles/annuli/polygons,
+        # a small-field approximation for rotated shapes)
         cxw, cyw = region.params[0], region.params[1]
-        if region.frame == "galactic" and not \
-                wcs.ctype[0].upper().startswith("GLON"):
-            raise ValueError("galactic regions on equatorial WCS are not "
-                             "supported without frame transforms")
+        wcs_galactic = wcs.ctype[0].upper().startswith("GLON")
+        if region.frame == "galactic" and not wcs_galactic:
+            cxw, cyw = (float(v) for v in galactic_to_fk5(cxw, cyw))
+        elif region.frame in ("fk5", "icrs") and wcs_galactic:
+            cxw, cyw = (float(v) for v in fk5_to_galactic(cxw, cyw))
         cxp, cyp = cel.world2pix(np.array([cxw]), np.array([cyw]))
         cx, cy = float(np.asarray(cxp)[0]), float(np.asarray(cyp)[0])
         px, py = xx, yy
@@ -264,6 +295,11 @@ def region_to_mask(region, wcs, shape):
         else:
             vxw = np.array(region.params[0::2])
             vyw = np.array(region.params[1::2])
+            wcs_galactic = wcs.ctype[0].upper().startswith("GLON")
+            if region.frame == "galactic" and not wcs_galactic:
+                vxw, vyw = galactic_to_fk5(vxw, vyw)
+            elif region.frame in ("fk5", "icrs") and wcs_galactic:
+                vxw, vyw = fk5_to_galactic(vxw, vyw)
             vxp, vyp = cel.world2pix(vxw, vyw)
             vx, vy = np.asarray(vxp), np.asarray(vyp)
         mask2d = _point_in_poly(px, py, vx, vy)

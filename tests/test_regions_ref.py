@@ -135,3 +135,42 @@ def test_crtf_annulus(tmp_path):
     assert len(regs) == 1 and regs[0].shape == "annulus"
     m = region_to_mask(regs[0], cube.wcs, cube.shape)
     assert m.any() and not m[10, 10]
+
+
+def test_galactic_fk5_rotation_anchors():
+    """The IAU galactic<->FK5 rotation hits the textbook anchors."""
+    from spectral_cube_tpu.region import galactic_to_fk5, fk5_to_galactic
+    # galactic center (l=0, b=0) -> Sgr A* region (J2000)
+    ra, dec = galactic_to_fk5(0.0, 0.0)
+    assert float(ra) == pytest.approx(266.40499, abs=2e-3)
+    assert float(dec) == pytest.approx(-28.93617, abs=2e-3)
+    # north galactic pole round trip
+    l, b = fk5_to_galactic(192.85948, 27.12825)
+    assert float(b) == pytest.approx(90.0, abs=1e-9)
+    # random roundtrip
+    rng = np.random.RandomState(2)
+    ras = rng.uniform(0, 360, 20)
+    decs = rng.uniform(-89, 89, 20)
+    l2, b2 = fk5_to_galactic(ras, decs)
+    ra2, dec2 = galactic_to_fk5(np.asarray(l2), np.asarray(b2))
+    np.testing.assert_allclose(np.asarray(ra2) % 360, ras % 360,
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dec2), decs, atol=1e-9)
+
+
+def test_galactic_region_on_equatorial_cube(tmp_path):
+    """A galactic-frame circle lands on the same pixels as the equivalent
+    fk5 circle (the reference gets this via astropy frame transforms)."""
+    from spectral_cube_tpu.region import (fk5_to_galactic, parse_ds9_region,
+                                          region_to_mask)
+    path, data = make_cube_file(tmp_path, shape=(4, 21, 21))
+    cube = SpectralCube.read(path)
+    # the cube's own center in galactic coordinates
+    lc, bc = fk5_to_galactic(23.1837, 30.5765)
+    reg_gal = parse_ds9_region(
+        f"galactic; circle({float(lc)}, {float(bc)}, 0.003)")[0]
+    reg_fk5 = parse_ds9_region("fk5; circle(23.1837, 30.5765, 0.003)")[0]
+    m_gal = region_to_mask(reg_gal, cube.wcs, cube.shape)
+    m_fk5 = region_to_mask(reg_fk5, cube.wcs, cube.shape)
+    assert m_fk5.any()
+    np.testing.assert_array_equal(m_gal, m_fk5)
