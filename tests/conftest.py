@@ -6,19 +6,25 @@ import os
 import sys
 
 # must run before jax initializes: tests run on a virtual 8-device CPU mesh
-# (force cpu even when the environment points JAX at a TPU tunnel)
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = \
-        flags + " --xla_force_host_platform_device_count=8"
+# (force cpu even when the environment points JAX at a TPU tunnel).
+# Set SCT_TEST_TPU=1 to run on the real accelerator instead (slow over a
+# tunnel — compiles dominate; multi-device tests auto-skip on 1 chip).
+_USE_TPU = os.environ.get("SCT_TEST_TPU", "") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = \
+            flags + " --xla_force_host_platform_device_count=8"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# the axon sitecustomize pre-configures the TPU tunnel platform; override it
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    # the axon sitecustomize pre-configures the TPU tunnel platform;
+    # override it
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

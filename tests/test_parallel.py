@@ -22,7 +22,8 @@ from conftest import make_cube_file
 
 @pytest.fixture(scope="module")
 def cmesh():
-    assert len(jax.devices()) == 8, "expected 8 virtual devices"
+    if len(jax.devices()) != 8:
+        pytest.skip("multi-device tests need the 8-device virtual mesh")
     return CubeMesh()
 
 
