@@ -26,10 +26,16 @@ from .lower_dimensional_structures import (OneDSpectrum,
 __all__ = ["fourier_shift", "stack_spectra", "stack_cube"]
 
 
+@jax.jit
 def _fourier_shift_batch(specs, shifts):
     """Shift each row of (nspec, nchan) by its own (fractional) pixel count
     via FFT phase ramps; NaNs shift with the data and re-mask the output
-    (reference fourier_shift semantics)."""
+    (reference fourier_shift semantics).
+
+    Jitted: eager op-by-op execution would dispatch a complex-scalar
+    constant transfer, which the axon tunnel backend cannot do (and a
+    failed transfer wedges the process); under jit the complex phase stays
+    entirely on device."""
     specs = jnp.asarray(specs)
     nanmask = ~jnp.isfinite(specs)
     filled = jnp.where(nanmask, 0.0, specs)

@@ -114,11 +114,15 @@ def _use_dft_matmul(fy, fx, nchan=1):
 
 
 def _dft_mats(n, dtype):
-    """(n, n) forward DFT matrix and its inverse, complex."""
+    """(n, n) forward DFT matrix and its inverse, complex — routed through
+    device_complex so eager (outside-jit) use never attempts a raw complex
+    host->device transfer (UNIMPLEMENTED on the tunnel, and a failed
+    transfer wedges the whole process's transfer path)."""
     k = np.arange(n)
     w = np.exp(-2j * np.pi * np.outer(k, k) / n)
-    return (jnp.asarray(w, dtype=dtype),
-            jnp.asarray(np.conj(w) / n, dtype=dtype))
+    cast = np.complex128 if dtype == jnp.complex128 else np.complex64
+    return (device_complex(w.astype(cast)),
+            device_complex((np.conj(w) / n).astype(cast)))
 
 
 def _full_transfer(transfers, fy, fx):

@@ -166,9 +166,11 @@ def spatial_smooth_cube(data, kernel2d):
     py_hi, px_hi = k.shape[0] - 1 - py, k.shape[1] - 1 - px
 
     def conv(x):
+        # HIGHEST: the TPU default runs conv at bf16 (~1e-3 rel error)
         return lax.conv_general_dilated(
             x[:, None], kj, window_strides=(1, 1),
             padding=((py_hi, py), (px_hi, px)),
+            precision=lax.Precision.HIGHEST,
             dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
 
     num = conv(filled)

@@ -167,6 +167,7 @@ def sharded_spatial_convolve(data, kernel, cmesh: CubeMesh):
         kj = jnp.asarray(k[::-1, ::-1], dtype=comp)[None, None]
         conv = lambda x: jax.lax.conv_general_dilated(
             x[:, None], kj, (1, 1), padding="VALID",
+            precision=jax.lax.Precision.HIGHEST,
             dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
         num = conv(pf)
         den = 1.0 - conv(pv)

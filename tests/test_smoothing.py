@@ -150,14 +150,14 @@ def test_dft_matmul_convolution_matches_fft():
 
     # FFT path (the CPU default)
     ref = np.asarray(cv._convolve_planes(jnp.asarray(data),
-                                         jnp.asarray(transfers), gidx,
-                                         None))
+                                         cv.device_complex(transfers),
+                                         gidx, None))
     # DFT-matmul internals, forced
     valid = np.isfinite(data)
     filled = np.where(valid, data, 0).astype("f4")
     invalid = (~valid).astype("f4")
     pads = ((0, 0), (0, fy - ny), (0, fx - nx))
-    t_full = cv._full_transfer(jnp.asarray(transfers), fy, fx)[
+    t_full = cv._full_transfer(cv.device_complex(transfers), fy, fx)[
         jnp.asarray(gidx)]
     both = jnp.concatenate([jnp.asarray(np.pad(filled, pads)),
                             jnp.asarray(np.pad(invalid, pads))], axis=0)
