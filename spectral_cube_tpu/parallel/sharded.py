@@ -57,9 +57,11 @@ def sharded_moments(data, coords, dx, cmesh: CubeMesh, include=None,
             inc = inc2 if inc is None else jnp.logical_and(inc, inc2)
         return _mom.moments_012(d, coords, dx, include=inc)
 
+    # check_vma=False: the Pallas call's out_shape carries no varying
+    # manual-axes annotation, which newer shard_map validation rejects
     fn = shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
                    out_specs=(P("y", "x"), P("y", "x"), P("y", "x")),
-                   )
+                   check_vma=False)
     return jax.jit(fn)(*args)
 
 
