@@ -23,6 +23,7 @@ from ..ops import moments as _mom
 from ..ops import reductions as _red
 
 __all__ = ["sharded_moments", "sharded_statistics", "halo_pad",
+           "sharded_convolve_per_channel_separable",
            "sharded_spatial_convolve", "sharded_spectral_convolve_fft",
            "sharded_sigma_clip", "sharded_spectral_interpolate",
            "ShardedCube"]
@@ -175,6 +176,100 @@ def sharded_spatial_convolve(data, kernel, cmesh: CubeMesh):
         den = 1.0 - conv(pv)
         out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.nan)
         return out.astype(d.dtype)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(None, "y", "x"),),
+                   out_specs=P(None, "y", "x"))
+    return jax.jit(fn)(cmesh.shard(data, "spatial"))
+
+
+def sharded_convolve_per_channel_separable(data, kernels, group_idx,
+                                           cmesh: CubeMesh, max_rank=4):
+    """Per-channel separable beam convolution in the SPATIAL layout with
+    halo exchange — zero all-to-alls.
+
+    The banded tap matrices are Toeplitz away from the global edges, so
+    every tile applies the SAME (local, local+2h) interior band window to
+    its halo-padded block; edge tiles see zero halos, which reproduces the
+    zero-fill boundary exactly.  NaN normalization runs like the other
+    convolution paths.  Returns None when the kernels aren't low-rank or
+    a tile is smaller than the kernel half-width (fall back to the
+    reshard + spectral-multiply path)."""
+    from ..ops.convolve import separable_factors
+    import jax.lax as lax
+
+    mesh = cmesh.mesh
+    my, mx = cmesh.grid
+    nchan, ny, nx = data.shape
+    if ny % my or nx % mx:
+        return None  # halo tiles need even shards
+    py, px = ny // my, nx // mx
+    ytaps_g, xtaps_g, ranks = [], [], []
+    hy = hx = 0
+    for k in kernels:
+        if k is None:
+            ytaps_g.append(None)
+            xtaps_g.append(None)
+            ranks.append(1)
+            continue
+        fac = separable_factors(k, max_rank=max_rank)
+        if fac is None:
+            return None
+        ytaps_g.append(fac[0])
+        xtaps_g.append(fac[1])
+        ranks.append(fac[0].shape[1])
+        hy = max(hy, (k.shape[0] - 1) // 2)
+        hx = max(hx, (k.shape[1] - 1) // 2)
+    if hy > py or hx > px:
+        return None
+    r = max(ranks)
+    ngroup = len(kernels)
+
+    def band(n_local, h, taps_list):
+        """(ngroup, r, n_local, n_local + 2h) interior band windows."""
+        out = np.zeros((ngroup, r, n_local, n_local + 2 * h),
+                       dtype=np.float32)
+        rows, cols = np.mgrid[0:n_local, 0:n_local + 2 * h]
+        for g in range(ngroup):
+            taps = taps_list[g]
+            if taps is None:  # identity
+                out[g, 0][cols == rows + h] = 1.0
+                continue
+            kf = taps[::-1, :]  # flip: true convolution
+            klen = kf.shape[0]
+            half_lo = klen - 1 - (klen - 1) // 2
+            o = cols - rows - h + half_lo
+            ok = (o >= 0) & (o < klen)
+            for i in range(taps.shape[1]):
+                out[g, i][ok] = kf[np.clip(o, 0, klen - 1), i][ok]
+        return out
+
+    myc = jnp.asarray(band(py, hy, ytaps_g))[jnp.asarray(group_idx)]
+    mxc = jnp.asarray(band(px, hx, xtaps_g))[jnp.asarray(group_idx)]
+    my2 = jnp.concatenate([myc, myc])
+    mx2 = jnp.concatenate([mxc, mxc])
+
+    def local(d):
+        valid = jnp.isfinite(d)
+        comp = jnp.float64 if d.dtype == jnp.float64 else jnp.float32
+        filled = jnp.where(valid, d, 0).astype(comp)
+        invalid = (~valid).astype(comp)
+        both = jnp.concatenate([filled, invalid], axis=0)
+        padded = halo_pad(both, hy, hx)
+
+        def apply(arr, prec):
+            t = jnp.einsum("crab,cbx->crax", my2, arr, precision=prec)
+            return jnp.einsum("crax,crvx->cav", t, mx2, precision=prec)
+
+        conv = apply(padded, lax.Precision.HIGHEST)
+        num, den_c = conv[:nchan], conv[nchan:]
+        den = 1.0 - den_c
+        eps = 1e-8
+        out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1),
+                        jnp.nan)
+        any_valid = jax.lax.psum(
+            jnp.any(valid, axis=(1, 2)).astype(jnp.int32), ("y", "x")) > 0
+        return jnp.where(any_valid[:, None, None], out, jnp.nan) \
+            .astype(d.dtype)
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(None, "y", "x"),),
                    out_specs=P(None, "y", "x"))
@@ -412,6 +507,22 @@ class ShardedCube:
             k = cb.as_kernel(pixscale)
             kernels.append(k)
             max_k = (max(max_k[0], k.shape[0]), max(max_k[1], k.shape[1]))
+        # separable kernels convolve in the spatial layout with halo
+        # exchange - no all-to-all at all; non-separable/oversized kernels
+        # fall through to the reshard + spectral-multiply path
+        out = sharded_convolve_per_channel_separable(
+            c._get_filled_data(fill=np.nan), kernels, group_idx,
+            self.cmesh)
+        if out is not None:
+            factors = np.array([_conv.beam_unit_factor(c.unit, b, beam)
+                                for b in beam_list])
+            if not np.allclose(factors, 1.0):
+                out = out * jnp.asarray(factors,
+                                        dtype=out.dtype)[:, None, None]
+            from ..cube import SpectralCube
+            new = SpectralCube(data=out, wcs=c._wcs, mask=c._mask,
+                               meta=dict(c._meta), unit=c._unit, beam=beam)
+            return ShardedCube(new, self.cmesh)
         fy, fx = _conv._padded_shape((ny, nx), max_k)
         transfers = np.zeros((len(groups), fy, fx // 2 + 1),
                              dtype=np.complex128)

@@ -256,3 +256,34 @@ def test_compiled_collective_structure(cmesh, big_cube):
     assert "all-to-all" in txt
     assert "all-gather" not in txt, \
         "reshard fell back to replicate-and-slice"
+
+
+def test_sharded_halo_convolve_matches_unsharded(tmp_path, cmesh):
+    """The halo-exchange per-channel separable convolution (no all-to-all)
+    agrees with the unsharded batched separable path."""
+    from spectral_cube_tpu.ops import convolve as cv
+    from spectral_cube_tpu.parallel.sharded import (
+        sharded_convolve_per_channel_separable)
+    rng = np.random.RandomState(5)
+    nchan, ny, nx = 6, 24, 32
+    data = rng.rand(nchan, ny, nx).astype("f4")
+    data[2, 10, 12] = np.nan
+    kernels = []
+    for g in range(3):
+        x = np.arange(9) - 4
+        k = np.exp(-0.5 * np.add.outer(x ** 2, x ** 2) / (1.2 + 0.4 * g) ** 2)
+        kernels.append(k / k.sum())
+    kernels.append(None)
+    gidx = (np.arange(nchan) % 4).astype(np.int32)
+    expected = cv.convolve_per_channel_separable(jnp.asarray(data), kernels,
+                                                 gidx)
+    got = sharded_convolve_per_channel_separable(data, kernels, gidx, cmesh)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-6, equal_nan=True)
+    # its compiled HLO contains only the halo collective-permutes
+    txt = jax.jit(lambda d: sharded_convolve_per_channel_separable(
+        d, kernels, gidx, cmesh)).lower(
+            cmesh.shard(jnp.asarray(data), "spatial")).compile().as_text()
+    assert "all-to-all" not in txt
+    assert "all-gather" not in txt
