@@ -3,8 +3,9 @@
 ``mask -> moments -> common-beam convolve -> reproject`` over a device
 mesh, in one place: the TB-scale workflow the reference runs through dask
 graphs (with rechunks between op families) runs here as a sequence of
-sharded jit programs with exactly two reshards (the convolution's
-all-to-all round trip).
+sharded jit programs — with ZERO reshards when the beams are separable
+(the halo-exchange convolution keeps the spatial layout), or exactly two
+(the spectral-multiply path's all-to-all round trip) otherwise.
 """
 
 from __future__ import annotations
