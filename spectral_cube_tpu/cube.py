@@ -115,6 +115,18 @@ class _SliceSyntax:
         raise TypeError("use slice syntax: obj.attr[...] ")
 
 
+def _dask_block_info(shape):
+    """A dask-style single-block block_info dict (the reference's
+    map_blocks passthrough, dask_spectral_cube.py:596-610)."""
+    return {0: {
+        "shape": tuple(shape),
+        "num-chunks": (1,) * len(shape),
+        "chunk-location": (0,) * len(shape),
+        "array-location": [(0, n) for n in shape],
+        "chunk-shape": tuple(shape),
+    }}
+
+
 def slice_syntax(f):
     @property
     def wrapper(self):
@@ -663,6 +675,10 @@ class BaseSpectralCube:
     # ------------------------------------------------------------------
     def _reduce(self, fn, axis=None, projection=True, unit=None, how=None,
                 **kwargs):
+        if isinstance(axis, (tuple, list)):
+            axis = tuple(sorted(a % 3 for a in axis))
+            if axis == (0, 1, 2):
+                axis = None
         data = self._device_data
         include = None
         if self._mask is not None:
@@ -683,7 +699,7 @@ class BaseSpectralCube:
 
     def _wrap_projection(self, out, axis, unit):
         if isinstance(axis, (tuple, list)):
-            axes = tuple(sorted(int(a) for a in axis))
+            axes = tuple(sorted(int(a) % 3 for a in axis))
             meta = {"collapse_axis": axes}
             meta.update(self._meta)
             if axes == (1, 2):
@@ -1230,14 +1246,7 @@ class BaseSpectralCube:
         except (TypeError, ValueError):
             params = {}
         if "block_info" in params:
-            nchan, ny, nx = self.shape
-            kwargs["block_info"] = {0: {
-                "shape": self.shape,
-                "num-chunks": (1, 1, 1),
-                "chunk-location": (0, 0, 0),
-                "array-location": [(0, nchan), (0, ny), (0, nx)],
-                "chunk-shape": self.shape,
-            }}
+            kwargs["block_info"] = _dask_block_info(self.shape)
         if accepts_chunks:
             out = function(data, *args, **kwargs)
         else:
@@ -1272,14 +1281,7 @@ class BaseSpectralCube:
         except (TypeError, ValueError):
             params = {}
         if "block_info" in params:
-            nchan, ny, nx = self.shape
-            kwargs["block_info"] = {0: {
-                "shape": self.shape,
-                "num-chunks": (1, 1, 1),
-                "chunk-location": (0, 0, 0),
-                "array-location": [(0, nchan), (0, ny), (0, nx)],
-                "chunk-shape": self.shape,
-            }}
+            kwargs["block_info"] = _dask_block_info(self.shape)
         if accepts_chunks:
             out = function(data, *args, **kwargs)
         else:

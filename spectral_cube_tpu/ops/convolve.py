@@ -39,6 +39,7 @@ def fft_shape(n):
 
 
 _COMBINE_COMPLEX = None
+_DFT_MAT_CACHE = {}
 
 
 def device_complex(arr):
@@ -118,11 +119,15 @@ def _dft_mats(n, dtype):
     device_complex so eager (outside-jit) use never attempts a raw complex
     host->device transfer (UNIMPLEMENTED on the tunnel, and a failed
     transfer wedges the whole process's transfer path)."""
-    k = np.arange(n)
-    w = np.exp(-2j * np.pi * np.outer(k, k) / n)
-    cast = np.complex128 if dtype == jnp.complex128 else np.complex64
-    return (device_complex(w.astype(cast)),
-            device_complex((np.conj(w) / n).astype(cast)))
+    key = (int(n), str(dtype))
+    if key not in _DFT_MAT_CACHE:
+        k = np.arange(n)
+        w = np.exp(-2j * np.pi * np.outer(k, k) / n)
+        cast = np.complex128 if dtype == jnp.complex128 else np.complex64
+        _DFT_MAT_CACHE[key] = (device_complex(w.astype(cast)),
+                               device_complex((np.conj(w) / n)
+                                              .astype(cast)))
+    return _DFT_MAT_CACHE[key]
 
 
 def _full_transfer(transfers, fy, fx):
@@ -202,17 +207,10 @@ def _convolve_planes(data, transfers, group_idx, kernel_shape):
 
 
 def _conv_matrix_1d(n, taps):
-    """(n, n) banded true-convolution matrix for 1-D taps, zero-fill
-    boundary (taps flipped, so the separable path matches the FFT path for
-    asymmetric kernels)."""
-    taps = np.asarray(taps, dtype=np.float32)[::-1]
-    half = len(taps) - 1 - (len(taps) - 1) // 2
-    mat = np.zeros((n, n), dtype=np.float32)
-    for o, kv in enumerate(taps):
-        d = o - half
-        idx = np.arange(max(0, -d), min(n, n - d))
-        mat[idx, idx + d] = kv
-    return mat
+    """(n, n) banded true-convolution matrix for 1-D taps (shared builder
+    with the spectral-smoothing path, ops/smoothing.py)."""
+    from .smoothing import _banded_conv_matrix
+    return _banded_conv_matrix(n, taps)
 
 
 def separable_factors(kernel, tol=1e-7, max_rank=8):

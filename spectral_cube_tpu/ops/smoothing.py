@@ -107,9 +107,10 @@ def _conv1d_along_axis0(data, kernel):
     n = data.shape[0]
     spatial = int(np.prod(data.shape[1:])) if data.ndim > 1 else 1
     half = (len(np.atleast_1d(kernel)) - 1) // 2
-    if n > _DENSE_CONV_MAX_N and n >= 4 * (half + 1):
+    if n > _DENSE_CONV_MAX_N:
         # dense is quadratic in n; overlap-save chunking is linear while
-        # keeping a dense MXU operand shape
+        # keeping a dense MXU operand shape (handles any kernel width:
+        # the chunk grows with the halo)
         return _block_banded_conv(data, kernel)
     mat = jnp.asarray(_banded_conv_matrix(n, kernel), dtype=data.dtype)
     flat = data.reshape(n, spatial)

@@ -141,15 +141,28 @@ class CubeMesh:
         return jax.device_put(array, NamedSharding(self.mesh, spec))
 
     def _compatible_spec(self, spec, shape):
+        import warnings
+        from ..utils import PossiblySlowWarning
         sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
         out = []
+        dropped = []
         for dim, entry in zip(shape, tuple(spec) + (None,) * len(shape)):
             if entry is None:
                 out.append(None)
                 continue
             names = entry if isinstance(entry, tuple) else (entry,)
             prod = math.prod(sizes[n] for n in names)
-            out.append(entry if dim % prod == 0 else None)
+            if dim % prod == 0:
+                out.append(entry)
+            else:
+                out.append(None)
+                dropped.append((dim, entry))
+        if dropped:
+            warnings.warn(
+                f"array dims {dropped} do not divide the mesh; those axes "
+                "are REPLICATED on every device (n_devices x the memory). "
+                "Pad the cube to mesh-aligned tiles (io.streaming does "
+                "this at ingest) for true sharding.", PossiblySlowWarning)
         return P(*out)
 
     def reshard(self, array, layout, source=None):

@@ -217,8 +217,10 @@ def sharded_convolve_per_channel_separable(data, kernels, group_idx,
         ytaps_g.append(fac[0])
         xtaps_g.append(fac[1])
         ranks.append(fac[0].shape[1])
-        hy = max(hy, (k.shape[0] - 1) // 2)
-        hx = max(hx, (k.shape[1] - 1) // 2)
+        # backward reach after the flip is ceil((klen-1)/2) — using the
+        # floor would drop a tap at tile boundaries for even kernels
+        hy = max(hy, k.shape[0] - 1 - (k.shape[0] - 1) // 2)
+        hx = max(hx, k.shape[1] - 1 - (k.shape[1] - 1) // 2)
     if hy > py or hx > px:
         return None
     r = max(ranks)

@@ -551,3 +551,15 @@ def test_tuple_axis_collapse(cube_adv):
         warnings.simplefilter("ignore")
         expected = np.nanmax(data, axis=(0, 1))
     np.testing.assert_allclose(np.asarray(prof.value), expected, rtol=1e-6)
+
+
+def test_tuple_axis_edge_cases(cube_adv):
+    cube, data = cube_adv
+    # all three axes == global reduction
+    s_all = cube.sum(axis=(0, 1, 2))
+    assert float(s_all.value) == pytest.approx(np.nansum(data), rel=1e-6)
+    # negative axes normalize
+    sp = cube.mean(axis=(-2, -1))
+    assert isinstance(sp, OneDSpectrum)
+    np.testing.assert_allclose(np.asarray(sp.value),
+                               np.nanmean(data, axis=(1, 2)), rtol=1e-6)

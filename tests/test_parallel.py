@@ -144,6 +144,8 @@ def test_reshard_is_identity_permutation(cmesh):
             local, data[blk * (nchan // n):(blk + 1) * (nchan // n)])
 
 
+@pytest.mark.filterwarnings(
+    "ignore::spectral_cube_tpu.utils.PossiblySlowWarning")
 @pytest.mark.parametrize("shape", [(10, 13, 9), (7, 6, 8)])
 def test_reshard_roundtrip_uneven(cmesh, shape):
     """Reshard stays correct when no axis divides the mesh evenly (the
@@ -287,3 +289,22 @@ def test_sharded_halo_convolve_matches_unsharded(tmp_path, cmesh):
             cmesh.shard(jnp.asarray(data), "spatial")).compile().as_text()
     assert "all-to-all" not in txt
     assert "all-gather" not in txt
+
+
+def test_sharded_halo_convolve_even_kernel(cmesh):
+    """Even-length kernels need the ceil half-width halo (regression: a
+    floor halo dropped one tap at every tile boundary)."""
+    from spectral_cube_tpu.ops import convolve as cv
+    from spectral_cube_tpu.parallel.sharded import (
+        sharded_convolve_per_channel_separable)
+    rng = np.random.RandomState(6)
+    data = rng.rand(4, 16, 16).astype("f4")
+    k = np.outer(np.hanning(6)[0:4] + 0.1, np.hanning(6)[0:4] + 0.1)
+    k /= k.sum()
+    gidx = np.zeros(4, dtype=np.int32)
+    expected = cv.convolve_per_channel_separable(jnp.asarray(data), [k],
+                                                 gidx)
+    got = sharded_convolve_per_channel_separable(data, [k], gidx, cmesh)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-6)
