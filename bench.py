@@ -305,11 +305,15 @@ def main():
     data_np, coords, dx = make_cube()
     gvox = data_np.size / 1e9
 
-    # ---- baseline: reference algorithm in numpy on the host --------------
+    # ---- baseline: reference algorithm in numpy on the host (min-of-2:
+    # host timings jitter heavily under contention) ------------------------
     numpy_reference_moments(data_np[:8], coords[:8], dx, THRESHOLD)  # warm
-    t0 = time.perf_counter()
-    e0, e1, e2 = numpy_reference_moments(data_np, coords, dx, THRESHOLD)
-    t_numpy = time.perf_counter() - t0
+    t_numpy = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        e0, e1, e2 = numpy_reference_moments(data_np, coords, dx,
+                                             THRESHOLD)
+        t_numpy = min(t_numpy, time.perf_counter() - t0)
 
     # ---- this framework: fused masked pass on device ----------------------
     from spectral_cube_tpu.masks import LazyComparisonMask
