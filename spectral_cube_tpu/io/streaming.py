@@ -20,7 +20,154 @@ from .fits import _find_image_hdu, _find_beam_table
 from ..cube_utils import orient
 from ..wcs import WCS
 
-__all__ = ["read_sharded_cube"]
+__all__ = ["read_sharded_cube", "read_sharded_casa"]
+
+
+def read_sharded_casa(image_dir, cmesh, layout="spatial", dtype=None):
+    """Read a CASA .image directory straight into a sharded array over
+    ``cmesh``: each device decodes ONLY the storage-manager tiles that
+    intersect its shard (CASA images are already tiled on disk, so this
+    is the natural TB-scale ingest path — the full cube never exists on
+    host).  Single-Stokes 3-D images; the bit-packed mask streams the
+    same way."""
+    import os
+    from ..cube import SpectralCube
+    from ..masks import LazyMask, BooleanArrayMask, CompositeMask
+    from .casa_low import (read_table_keywords, read_tiled_stman,
+                           casa_coords_to_wcs, TP_FLOAT, TP_DOUBLE,
+                           TP_BOOL)
+
+    kw = read_table_keywords(os.path.join(image_dir, "table.dat"))
+    _, endian = read_table_keywords(os.path.join(image_dir, "table.dat"),
+                                    return_endian=True)
+    dt_code, casa_shape, tile_shape = read_tiled_stman(
+        os.path.join(image_dir, "table.f0"))
+    casa_shape = list(casa_shape)
+    tile_shape = list(tile_shape)
+    if len(casa_shape) == 4 and casa_shape[2] != 1:
+        raise ValueError("read_sharded_casa supports single-Stokes images")
+    wcs4 = casa_coords_to_wcs(kw["coords"], len(casa_shape))
+    # numpy order of the casa layout is reversed; cube order [spec, y, x]
+    if len(casa_shape) == 4:
+        nchan, ny, nx = casa_shape[3], casa_shape[1], casa_shape[0]
+        wcs3 = wcs4.sub([1, 2, 4])  # 1-based FITS indices: lon, lat, spec
+    else:
+        nchan, ny, nx = casa_shape[2], casa_shape[1], casa_shape[0]
+        wcs3 = wcs4
+    shape = (nchan, ny, nx)
+    if dtype is None:
+        dtype = np.float64 if dt_code == TP_DOUBLE else np.float32
+
+    def stream_column(subdir, code):
+        elem = {TP_FLOAT: 4, TP_DOUBLE: 8}.get(code)
+        tile_elems = int(np.prod(tile_shape))
+        tile_bytes = (tile_elems + 7) // 8 if code == TP_BOOL \
+            else tile_elems * elem
+        ntiles = [-(-c // t) for c, t in zip(casa_shape, tile_shape)]
+        np_tile = tile_shape[::-1]
+        sharding = cmesh.sharding(layout)
+        idx_map = sharding.addressable_devices_indices_map(shape)
+        tsm = os.path.join(image_dir, subdir, "table.f0_TSM0") \
+            if subdir else os.path.join(image_dir, "table.f0_TSM0")
+        arrays = []
+        out_dt = bool if code == TP_BOOL else dtype
+        with open(tsm, "rb") as f:
+            for device, index in idx_map.items():
+                res = [s.indices(n) for s, n in zip(index, shape)]
+                (z0, z1, _), (y0, y1, _), (x0, x1, _) = res
+                local = np.empty((z1 - z0, y1 - y0, x1 - x0),
+                                 dtype=out_dt)
+                # cube axis -> casa axis: x->0, y->1, (stokes), spec->last
+                zi = len(casa_shape) - 1
+                trange = {0: (x0 // tile_shape[0],
+                              -(-x1 // tile_shape[0])),
+                          1: (y0 // tile_shape[1],
+                              -(-y1 // tile_shape[1])),
+                          zi: (z0 // tile_shape[zi],
+                               -(-z1 // tile_shape[zi]))}
+                spans = [trange.get(d, (0, ntiles[d]))
+                         for d in range(len(casa_shape))]
+                for flat in _tile_indices(spans, ntiles):
+                    f.seek(flat * tile_bytes)
+                    raw = f.read(tile_bytes)
+                    if code == TP_BOOL:
+                        bits = np.unpackbits(
+                            np.frombuffer(raw, "u1"),
+                            bitorder="little")[:tile_elems]
+                        tile = bits.astype(bool).reshape(np_tile)
+                    else:
+                        dt = np.dtype(
+                            endian + ("f4" if code == TP_FLOAT else "f8"))
+                        tile = np.frombuffer(raw, dt).reshape(np_tile)
+                        tile = tile.astype(out_dt)
+                    # tile origin in casa coords -> numpy cube coords
+                    cidx = _unflatten(flat, ntiles)
+                    oz = cidx[zi] * tile_shape[zi]
+                    oy = cidx[1] * tile_shape[1]
+                    ox = cidx[0] * tile_shape[0]
+                    # numpy tile layout reversed: [spec(,stokes),y,x]
+                    t3 = tile.reshape(np_tile)
+                    if len(casa_shape) == 4:
+                        t3 = t3[:, 0]  # drop the singleton stokes
+                        tz, ty, tx = (np_tile[0], np_tile[2], np_tile[3])
+                    else:
+                        tz, ty, tx = np_tile
+                    t3 = t3.reshape(tz, ty, tx)
+                    # intersect with the shard
+                    sz = slice(max(z0, oz), min(z1, oz + tz))
+                    sy = slice(max(y0, oy), min(y1, oy + ty))
+                    sx = slice(max(x0, ox), min(x1, ox + tx))
+                    if sz.start >= sz.stop or sy.start >= sy.stop \
+                            or sx.start >= sx.stop:
+                        continue
+                    local[sz.start - z0:sz.stop - z0,
+                          sy.start - y0:sy.stop - y0,
+                          sx.start - x0:sx.stop - x0] = \
+                        t3[sz.start - oz:sz.stop - oz,
+                           sy.start - oy:sy.stop - oy,
+                           sx.start - ox:sx.stop - ox]
+                arrays.append(jax.device_put(local, device))
+        return jax.make_array_from_single_device_arrays(shape, sharding,
+                                                        arrays)
+
+    data = stream_column(None, dt_code)
+    mask = LazyMask(jnp.isfinite, data=data, wcs=wcs3)
+    maskdir = os.path.join(image_dir, "mask0")
+    if os.path.isdir(maskdir):
+        mdt, mshape, mtile = read_tiled_stman(
+            os.path.join(maskdir, "table.f0"))
+        if list(mshape) == casa_shape and list(mtile) == tile_shape:
+            valid = stream_column("mask0", TP_BOOL)
+            mask = CompositeMask(
+                mask, BooleanArrayMask(valid, wcs=wcs3, shape=shape),
+                "and")
+    meta = {}
+    unit = kw.get("units", "") or None
+    return SpectralCube(data, wcs3, mask=mask, meta=meta, unit=unit)
+
+
+def _unflatten(flat, ntiles):
+    """Fortran-order tile-grid index from the flat tile number."""
+    idx = []
+    for n in ntiles:
+        idx.append(flat % n)
+        flat //= n
+    return idx
+
+
+def _tile_indices(spans, ntiles):
+    """Flat (Fortran-order) tile numbers covering the given per-dim
+    [lo, hi) tile ranges."""
+    import itertools
+    ranges = [range(lo, hi) for lo, hi in spans]
+    strides = []
+    acc = 1
+    for n in ntiles:
+        strides.append(acc)
+        acc *= n
+    for combo in itertools.product(*[list(r) for r in reversed(ranges)]):
+        combo = combo[::-1]
+        yield sum(c * s for c, s in zip(combo, strides))
 
 
 def read_sharded_cube(path, cmesh, hdu=0, layout="spatial", dtype=None):

@@ -299,3 +299,28 @@ def test_native_tile_assembler_matches_python(tmp_path):
         natmod.assemble_casa_tiles = orig
     np.testing.assert_array_equal(ref_native, ref_python)
     np.testing.assert_array_equal(mask_native, mask_python)
+
+
+def test_streaming_casa_loader(tmp_path):
+    """Per-device CASA tile streaming matches the eager reader, with the
+    bit-packed mask streamed the same way (multi-tile image)."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu.io.casa_writer import write_casa_image
+    from spectral_cube_tpu.io.streaming import read_sharded_casa
+    from spectral_cube_tpu.parallel import CubeMesh
+    path, data = make_cube_file(tmp_path, shape=(8, 16, 16))
+    cube = SpectralCube.read(path)
+    out = str(tmp_path / "stream.image")
+    write_casa_image(cube, out, tile_shape=(8, 4, 1, 4))
+    eager = SpectralCube.read(out)
+    cmesh = CubeMesh()
+    streamed = read_sharded_casa(out, cmesh)
+    assert streamed.shape == eager.shape
+    np.testing.assert_allclose(
+        np.asarray(streamed.unmasked_data[:].value),
+        np.asarray(eager.unmasked_data[:].value), rtol=1e-6,
+        equal_nan=True)
+    # the NaN voxel comes back masked via the streamed bit-packed mask
+    np.testing.assert_array_equal(np.asarray(streamed.mask.include()),
+                                  np.asarray(eager.mask.include()))
+    assert len(streamed._data.sharding.device_set) == cmesh.n_devices
