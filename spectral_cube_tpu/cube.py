@@ -811,10 +811,16 @@ class BaseSpectralCube:
             else None
         valid = _red.valid_mask(data, include)
         raw = _red.masked_statistics(data, valid)
-        stats = {"npts": int(raw["npts"])}
-        for key in ("min", "max", "sum", "mean", "sigma", "rms"):
-            stats[key] = Quantity(float(raw[key]), self.unit)
-        stats["sumsq"] = Quantity(float(raw["sumsq"]), self.unit ** 2)
+        # two fetches total (npts exact as int; the float stats stacked):
+        # per-scalar float() conversions would pay one dispatch round trip
+        # each (8x ~29 ms over a tunnel)
+        npts = int(np.asarray(raw["npts"]))
+        order = ("min", "max", "sum", "mean", "sigma", "rms", "sumsq")
+        vals = np.asarray(jnp.stack([raw[k] for k in order]))
+        stats = {"npts": npts}
+        for key, v in zip(order[:-1], vals[:-1]):
+            stats[key] = Quantity(float(v), self.unit)
+        stats["sumsq"] = Quantity(float(vals[-1]), self.unit ** 2)
         return stats
 
     # ------------------------------------------------------------------
@@ -908,22 +914,21 @@ class BaseSpectralCube:
                       and not sharded
                       and data.dtype in (jnp.float32, jnp.bfloat16))
         mask = self._mask
-        if use_pallas:
-            if mask is None or is_data_local(mask):
-                m0, m1, m2 = _mom.moments_012_pallas(data, coords, dx,
-                                                     mask_expr=mask)
-            else:
-                include = mask.include(data=data)
-                m0, m1, m2 = _mom.moments_012_pallas(data, coords, dx,
-                                                     include=include)
+        if mask is None or is_data_local(mask):
+            m0, m1, m2 = _mom.moments_012_cached(data, coords, dx,
+                                                 mask_expr=mask,
+                                                 use_pallas=use_pallas)
         else:
-            include = mask.include(data=data) if mask is not None else None
-            m0, m1, m2 = _mom.moments_012(data, coords, dx, include=include)
+            include = mask.include(data=data)
+            m0, m1, m2 = _mom.moments_012_cached(data, coords, dx,
+                                                 include=include,
+                                                 use_pallas=use_pallas)
         # mom1 from ops is relative to channel 0; reference adds the world
-        # value at channel 0 (spectral_cube.py:1709-1710)
+        # value at channel 0 (spectral_cube.py:1709-1710).  One stacked
+        # fetch for the three maps (3x fewer transfer round trips).
         sv0 = float(np.asarray(self.spectral_axis.value)[0])
-        m1 = m1 + sv0
-        return np.asarray(m0), np.asarray(m1), np.asarray(m2)
+        stacked = np.asarray(jnp.stack([m0, m1, m2]))
+        return stacked[0], stacked[1] + sv0, stacked[2]
 
     def moment0(self, axis=0, how="auto", **kwargs):
         return self.moment(order=0, axis=axis, how=how, **kwargs)

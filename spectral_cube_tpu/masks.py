@@ -51,6 +51,26 @@ def is_data_local(mask) -> bool:
     return False
 
 
+def expr_key(mask):
+    """A hashable structural key for a data-local mask expression, for
+    caching compiled kernels that fuse the predicate (same structure +
+    parameters => same lowered program)."""
+    if mask is None:
+        return None
+    if isinstance(mask, LazyComparisonMask):
+        return ("cmp", getattr(mask._function, "__name__", str(mask._function)),
+                float(mask._comparison_value))
+    if isinstance(mask, LazyMask):
+        return ("fn", getattr(mask._function, "__name__",
+                              str(mask._function)))
+    if isinstance(mask, InvertedMask):
+        return ("not", expr_key(mask._mask))
+    if isinstance(mask, CompositeMask):
+        return (mask._operation, expr_key(mask._mask1),
+                expr_key(mask._mask2))
+    return ("id", id(mask))
+
+
 def is_broadcastable_and_smaller(shape1, shape2):
     """True if an array of ``shape1`` can broadcast to ``shape2`` without
     expanding shape2 (reference masks.py:38-49)."""

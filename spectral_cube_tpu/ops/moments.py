@@ -226,6 +226,54 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
     return m0.astype(out_dtype), m1.astype(out_dtype), m2.astype(out_dtype)
 
 
+# compiled-program cache: eager pallas_call / jnp dispatch re-traces the
+# whole kernel on every invocation (~0.5-1 s host time per call); cubes of
+# the same shape/coords/mask structure reuse one jitted program
+_MOMENTS_JIT_CACHE = {}
+
+
+def moments_012_cached(data, coords, dx, mask_expr=None, include=None,
+                       use_pallas=False):
+    """Dispatch moments through a jit cache keyed on (shape, dtype,
+    coords, dx, mask structure) — repeated analyses of same-shaped cubes
+    skip retracing entirely."""
+    from ..masks import expr_key
+    coords = np.asarray(coords, dtype=np.float64)
+    key = (data.shape, str(data.dtype), coords.tobytes(), float(dx),
+           expr_key(mask_expr), include is not None, bool(use_pallas))
+    fn = _MOMENTS_JIT_CACHE.get(key)
+    if fn is None:
+        impl = moments_012_pallas if use_pallas else moments_012
+
+        if include is None:
+            if use_pallas:
+                fn = jax.jit(lambda d: impl(d, coords, dx,
+                                            mask_expr=mask_expr))
+            else:
+                def eval_inc(d):
+                    inc = mask_expr._include(data=d) \
+                        if mask_expr is not None else None
+                    return moments_012(d, coords, dx, include=inc)
+                fn = jax.jit(eval_inc)
+        else:
+            if use_pallas:
+                fn = jax.jit(lambda d, i: impl(d, coords, dx,
+                                               mask_expr=mask_expr,
+                                               include=i))
+            else:
+                def eval_both(d, i):
+                    inc = i
+                    if mask_expr is not None:
+                        inc = jnp.logical_and(inc,
+                                              mask_expr._include(data=d))
+                    return moments_012(d, coords, dx, include=inc)
+                fn = jax.jit(eval_both)
+        if len(_MOMENTS_JIT_CACHE) > 64:  # runaway-shape backstop
+            _MOMENTS_JIT_CACHE.clear()
+        _MOMENTS_JIT_CACHE[key] = fn
+    return fn(data) if include is None else fn(data, include)
+
+
 def moment_generic(data, coords, dx, order, axis=0, include=None):
     """General moment of arbitrary order along ``axis`` (reference
     ``_moments.py:170-193``): order 0 is the integral, order 1 the centroid,

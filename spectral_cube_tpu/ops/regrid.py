@@ -263,8 +263,11 @@ def reproject_cube(data, wcs_in: WCS, target_header, order="bilinear",
     out = _bilinear_spatial_then_linear_z(data, np.asarray(zs),
                                           np.asarray(ys), np.asarray(xs),
                                           _ORDERS[order])
+    # the footprint stays a device array: np.asarray here would fetch a
+    # cube-sized bool to host (hundreds of ms over a tunnel) for nothing —
+    # BooleanArrayMask holds jnp arrays fine
     footprint = jnp.isfinite(out)
-    return out, np.asarray(footprint), wcs_out
+    return out, footprint, wcs_out
 
 
 def mosaic_add(accum, weights, cube_data, wcs_in, target_header,

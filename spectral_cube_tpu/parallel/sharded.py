@@ -19,8 +19,19 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from .mesh import CubeMesh
+from ..masks import expr_key as _expr_key
 from ..ops import moments as _mom
 from ..ops import reductions as _red
+
+# compiled-program cache: rebuilding shard_map wrappers retraces the whole
+# kernel every call (~0.5-1 s host time); same-shaped cubes reuse programs
+_SHARDED_JIT_CACHE = {}
+
+
+def _cache_put(key, fn):
+    if len(_SHARDED_JIT_CACHE) > 64:  # runaway-shape backstop
+        _SHARDED_JIT_CACHE.clear()
+    _SHARDED_JIT_CACHE[key] = fn
 
 __all__ = ["sharded_moments", "sharded_statistics", "halo_pad",
            "sharded_convolve_per_channel_separable",
@@ -60,10 +71,18 @@ def sharded_moments(data, coords, dx, cmesh: CubeMesh, include=None,
 
     # check_vma=False: the Pallas call's out_shape carries no varying
     # manual-axes annotation, which newer shard_map validation rejects
-    fn = shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
-                   out_specs=(P("y", "x"), P("y", "x"), P("y", "x")),
-                   check_vma=False)
-    return jax.jit(fn)(*args)
+    key = (data.shape, str(getattr(data, "dtype", "f4")),
+           np.asarray(coords, dtype=np.float64).tobytes(), float(dx),
+           _expr_key(mask_expr), include is not None,
+           tuple(id(d) for d in mesh.devices.ravel()))
+    fn = _SHARDED_JIT_CACHE.get(("moments", key))
+    if fn is None:
+        fn = jax.jit(shard_map(
+            local, mesh=mesh, in_specs=tuple(in_specs),
+            out_specs=(P("y", "x"), P("y", "x"), P("y", "x")),
+            check_vma=False))
+        _cache_put(("moments", key), fn)
+    return fn(*args)
 
 
 # ---------------------------------------------------------------------------
@@ -97,18 +116,28 @@ def sharded_statistics(data, cmesh: CubeMesh, include=None):
         mx = jax.lax.pmax(mx, axes)
         return cnt, mn, mx, s, ss
 
-    fn = shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
-                   out_specs=(P(), P(), P(), P(), P()))
-    cnt, mn, mx, s, ss = jax.jit(fn)(*args)
-    npts = float(cnt)
+    key = ("stats", data.shape, str(getattr(data, "dtype", "f4")),
+           include is not None,
+           tuple(id(d) for d in mesh.devices.ravel()))
+    fn = _SHARDED_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                               out_specs=(P(), P(), P(), P(), P())))
+        _cache_put(key, fn)
+    cnt, mn, mx, s, ss = fn(*args)
+    # two fetches (npts exact + stacked floats), not five round trips
+    stacked = np.asarray(jnp.stack([mn, mx, s, ss]))
+    npts_i = int(np.asarray(cnt))
+    mn, mx, s, ss = (float(v) for v in stacked)
+    npts = float(npts_i)
     # all-masked / single-point cubes: NaN stats, never ZeroDivisionError
     # (reference handles all-NaN chunks, tests/test_dask.py:110-118)
     if npts == 0:
         return {"npts": 0, "min": np.nan, "max": np.nan, "sum": np.nan,
                 "sumsq": np.nan, "mean": np.nan, "sigma": np.nan,
                 "rms": np.nan}
-    out = {"npts": int(cnt), "min": float(mn), "max": float(mx),
-           "sum": float(s), "sumsq": float(ss), "mean": float(s) / npts}
+    out = {"npts": npts_i, "min": mn, "max": mx,
+           "sum": s, "sumsq": ss, "mean": s / npts}
     out["sigma"] = float(np.sqrt((out["sumsq"] - out["sum"] ** 2 / npts)
                                  / (npts - 1))) if npts > 1 else np.nan
     out["rms"] = float(np.sqrt(out["sumsq"] / npts))
