@@ -98,3 +98,17 @@ def test_pipeline_with_reproject(tmp_path):
                        target_header=cube.header)
     got = np.asarray(out["cube"].unmasked_data[:].value)
     np.testing.assert_allclose(got, data, rtol=1e-5, equal_nan=True)
+
+
+def test_moments_jit_cache_reused_across_cubes(tmp_path):
+    """Fresh cubes of the same shape/mask structure reuse one compiled
+    program (the 0.5-1 s/call retrace regression)."""
+    from spectral_cube_tpu.ops import moments as mom
+    import spectral_cube_tpu.units as u
+    mom._MOMENTS_JIT_CACHE.clear()
+    path, _ = make_cube_file(tmp_path, shape=(8, 8, 8))
+    for i in range(3):
+        cube = SpectralCube.read(path)
+        masked = cube.with_mask(cube > 0.3 * u.Jy / u.beam)
+        masked.moment0()
+    assert len(mom._MOMENTS_JIT_CACHE) == 1
