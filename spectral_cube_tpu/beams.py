@@ -43,18 +43,46 @@ def _angle_value(x, default_unit="deg") -> float:
     return float(Quantity(x, default_unit).to_value("rad"))
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, init=False)
 class Beam:
     """An elliptical Gaussian beam: FWHM major/minor axes + position angle.
 
-    Angles stored in radians internally; constructor accepts Quantities
-    (any angle unit) or floats interpreted as degrees for ``major/minor``
-    kwargs given as Quantity only.
+    Angles are stored in radians internally.  The constructor accepts the
+    internal radian floats positionally, Quantities (any angle unit) in
+    their place, or the radio_beam-style ``major=``/``minor=``/``pa=``
+    keywords (reference usage at spectral_cube.py:3364-3392), so code
+    written against radio_beam's ``Beam(major=1*u.deg, ...)`` works
+    unchanged.
     """
 
     major_rad: float
     minor_rad: float
     pa_rad: float = 0.0
+
+    def __init__(self, major_rad=None, minor_rad=None, pa_rad=None, *,
+                 major=None, minor=None, pa=None):
+        if major is not None:
+            major_rad = major
+        if minor is not None:
+            minor_rad = minor
+        if pa is not None:
+            pa_rad = pa
+        if major_rad is None:
+            raise TypeError("Beam requires a major axis")
+
+        def to_rad(v):
+            # bare floats are the internal radian representation;
+            # Quantities carry their own angle unit
+            if isinstance(v, Quantity):
+                return float(v.to_value("rad"))
+            return float(v)
+
+        maj = to_rad(major_rad)
+        mnr = to_rad(minor_rad) if minor_rad is not None else maj
+        object.__setattr__(self, "major_rad", maj)
+        object.__setattr__(self, "minor_rad", mnr)
+        object.__setattr__(self, "pa_rad",
+                           to_rad(pa_rad) if pa_rad is not None else 0.0)
 
     # -- constructors --------------------------------------------------------
     @staticmethod

@@ -50,7 +50,8 @@ def read_cube(filename, format=None, hdu=0, **kwargs):
     format = format or _detect_format(filename)
     if format == "fits":
         return load_fits_cube(filename, hdu=hdu, **kwargs)
-    if format == "casa_image":
+    if format in ("casa_image", "casa"):  # both names, like the
+        # reference registry (io/casa_image.py:230-231)
         from .casa_image import load_casa_image
         return load_casa_image(filename, **kwargs)
     if format in ("class_lmv", "lmv"):
@@ -65,7 +66,7 @@ def write_cube(cube, filename, overwrite=False, format=None):
         format = "casa_image" if name.endswith((".image", ".im")) else "fits"
     if format == "fits":
         write_fits_cube(cube, filename, overwrite=overwrite)
-    elif format == "casa_image":
+    elif format in ("casa_image", "casa"):
         from .casa_writer import write_casa_image
         write_casa_image(cube, filename, overwrite=overwrite)
     else:

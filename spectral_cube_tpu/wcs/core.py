@@ -291,16 +291,11 @@ class WCS:
     # transforms
     # ------------------------------------------------------------------
     def _lat_pv(self):
-        """PVi_m projection parameters of the latitude axis as a tuple
-        indexed by m-1 (FITS Paper II attaches projection params there)."""
+        """PVi_m projection parameters of the latitude axis as a dict
+        ``{m: value}`` (FITS Paper II attaches projection params there;
+        m = 0 is meaningful for ZPN)."""
         bi = self.lat_axis
-        ms = [m for (ax, m) in self.pv if ax == bi and m >= 1]
-        if not ms:
-            return ()
-        out = [None] * max(ms)
-        for m in ms:
-            out[m - 1] = self.pv[(bi, m)]
-        return tuple(out)
+        return {m: v for (ax, m), v in self.pv.items() if ax == bi}
 
     def _celestial_pole(self):
         code = self.projection_code
@@ -688,6 +683,9 @@ class WCS:
         try:
             if ax == self.lat_axis and m == 1 \
                     and self.projection_code == "CEA":
+                return 1.0
+            if ax == self.lat_axis and m in (1, 2) \
+                    and self.projection_code == "CYP":
                 return 1.0
         except Exception:
             pass

@@ -5,12 +5,17 @@ this framework implements the projections it needs natively, as vectorized
 numpy on the host and as pure-jnp functions usable inside jit on device
 (see :func:`make_pix2world_fn`).
 
-Supported codes: TAN, SIN (orthographic, no obliquity params), ARC, STG,
-ZEA, AZP (with PV2_1=mu), CAR, CEA (PV2_1=lambda), MER, MOL, SFL/GLS,
-AIT, and the conic family COP/COE/COD/COO (PV2_1=theta_a, PV2_2=eta).  All functions work on *intermediate world coordinates* (x, y) in
-**degrees** and native spherical coordinates (phi, theta) in **degrees**,
-matching wcslib conventions.  ``pv`` is the tuple of PVi_m values on the
-latitude axis (m=1, 2, ...).
+Supported codes: TAN, SIN (incl. slant orthographic with PV2_1=xi,
+PV2_2=eta — the radio-interferometry / AIPS NCP case), ARC, STG, ZEA,
+AZP (PV2_1=mu, PV2_2=gamma tilt), ZPN (zenithal polynomial PV2_0..PV2_29),
+CAR, CEA (PV2_1=lambda), MER, MOL, SFL/GLS, AIT, CYP (PV2_1=mu,
+PV2_2=lambda), PAR, the pseudoconics BON (PV2_1=theta_1) and PCO, and the
+conic family COP/COE/COD/COO (PV2_1=theta_a, PV2_2=eta).  All functions
+work on *intermediate world coordinates* (x, y) in **degrees** and native
+spherical coordinates (phi, theta) in **degrees**, matching wcslib
+conventions.  ``pv`` holds the PVi_m values of the latitude axis: either a
+tuple indexed by m-1 (m >= 1) or a dict ``{m: value}`` (which can carry
+m=0, needed by ZPN).
 """
 
 from __future__ import annotations
@@ -29,22 +34,41 @@ __all__ = [
 D2R = np.pi / 180.0
 R2D = 180.0 / np.pi
 
-SUPPORTED_PROJECTIONS = ("TAN", "SIN", "ARC", "STG", "ZEA", "AZP", "CAR",
-                         "CEA", "MER", "MOL", "SFL", "GLS", "AIT",
+SUPPORTED_PROJECTIONS = ("TAN", "SIN", "ARC", "STG", "ZEA", "AZP", "ZPN",
+                         "CAR", "CEA", "MER", "MOL", "SFL", "GLS", "AIT",
+                         "CYP", "PAR", "BON", "PCO",
                          "COP", "COE", "COD", "COO", "")
 
 # Fiducial native coordinates (phi0, theta0) per projection family [deg].
-_ZENITHAL = {"TAN", "SIN", "ARC", "STG", "ZEA", "AZP"}
-_CYLINDRICAL = {"CAR", "CEA", "MER", "MOL", "SFL", "GLS", "AIT", ""}
+_ZENITHAL = {"TAN", "SIN", "ARC", "STG", "ZEA", "AZP", "ZPN"}
+_CYLINDRICAL = {"CAR", "CEA", "MER", "MOL", "SFL", "GLS", "AIT",
+                "CYP", "PAR", "BON", "PCO", ""}
 _CONIC = {"COP", "COE", "COD", "COO"}
 
 
 def _pv(pv, m, default):
+    if isinstance(pv, dict):
+        v = pv.get(m)
+        return default if v is None else float(v)
     try:
         v = pv[m - 1]
     except (IndexError, TypeError):
         return default
     return default if v is None else float(v)
+
+
+def _zpn_coeffs(pv):
+    """ZPN polynomial coefficients P_0..P_K as a list (PV2_m, m=0..29)."""
+    if isinstance(pv, dict):
+        ms = [m for m in pv if pv[m] is not None]
+    else:
+        ms = [m + 1 for m, v in enumerate(pv) if v is not None]
+    k = max(ms, default=0)
+    coeffs = [_pv(pv, m, 0.0) for m in range(k + 1)]
+    if not any(coeffs):
+        raise ValueError("ZPN requires at least one nonzero PV2_m "
+                         "coefficient")
+    return coeffs
 
 
 def fiducial_native(code: str, pv=()):
@@ -135,25 +159,11 @@ def _conic_params(code, pv, xp):
 
 
 def _zenithal_r_to_theta(code, r, xp, pv=()):
-    """R_theta [deg] -> theta [deg] for zenithal projections."""
-    if code == "AZP":
-        mu = _pv(pv, 1, 0.0)
-        if _pv(pv, 2, 0.0) != 0.0:
-            raise ValueError("AZP with nonzero gamma (PV2_2) is not "
-                             "supported")
-        if mu == 0.0:
-            return xp.arctan2(R2D, r) * R2D
-        # Calabretta & Greisen (2002) eq. 19-20
-        rho = r * D2R / (mu + 1.0)
-        psi = xp.arctan2(xp.ones_like(rho), rho)
-        omega = xp.arcsin(xp.clip(rho * mu / xp.sqrt(rho * rho + 1.0),
-                                  -1.0, 1.0))
-        theta1 = psi - omega
-        theta2 = psi + omega - np.pi
-        # pick the solution in [-90, 90] closest to +90 (wcslib convention)
-        ok1 = xp.abs(theta1) <= np.pi / 2 + 1e-12
-        theta = xp.where(ok1, theta1, theta2)
-        return theta * R2D
+    """R_theta [deg] -> theta [deg] for radially-symmetric zenithals
+    (AZP and slant SIN are handled separately: their (x, y) maps are not
+    radially symmetric once the PV obliquity parameters are nonzero)."""
+    if code == "ZPN":
+        return _zpn_r_to_theta(r, xp, pv)
     if code == "TAN":
         return xp.arctan2(R2D, r) * R2D
     if code == "SIN":
@@ -169,13 +179,14 @@ def _zenithal_r_to_theta(code, r, xp, pv=()):
 
 def _zenithal_theta_to_r(code, theta, xp, pv=()):
     t = theta * D2R
-    if code == "AZP":
-        mu = _pv(pv, 1, 0.0)
-        if _pv(pv, 2, 0.0) != 0.0:
-            raise ValueError("AZP with nonzero gamma (PV2_2) is not "
-                             "supported")
-        # eq. 18: R = R2D (mu+1) cos(theta) / (mu + sin(theta))
-        return R2D * (mu + 1.0) * xp.cos(t) / (mu + xp.sin(t))
+    if code == "ZPN":
+        coeffs = _zpn_coeffs(pv)
+        zeta = (np.pi / 2.0) - t
+        r = coeffs[-1] * xp.ones_like(zeta) if len(coeffs) > 1 \
+            else coeffs[-1]
+        for c in coeffs[-2::-1]:
+            r = r * zeta + c
+        return R2D * r
     if code == "TAN":
         return R2D * xp.cos(t) / xp.maximum(xp.sin(t), 1e-300)
     if code == "SIN":
@@ -187,6 +198,134 @@ def _zenithal_theta_to_r(code, theta, xp, pv=()):
     if code == "ZEA":
         return 2.0 * R2D * xp.sin((np.pi / 2.0 - t) / 2.0)
     raise ValueError(f"unsupported zenithal projection {code!r}")
+
+
+def _zpn_r_to_theta(r, xp, pv):
+    """ZPN inverse: solve sum_k P_k zeta^k = r [rad] for zeta = 90 - theta
+    by Newton iteration (fixed count, jit-friendly).  The polynomial is
+    monotonic over the domain of any sane ZPN header (wcslib validates the
+    same way by locating the first turning point)."""
+    coeffs = _zpn_coeffs(pv)
+    target = r * D2R
+
+    def poly_and_deriv(z):
+        p = coeffs[-1] * xp.ones_like(z) if len(coeffs) > 1 else coeffs[-1]
+        dp = xp.zeros_like(z)
+        for c in coeffs[-2::-1]:
+            dp = dp * z + p
+            p = p * z + c
+        return p, dp
+
+    # start from the linear-term estimate (P1 ~ 1 for real headers), or
+    # the target itself when P1 is degenerate
+    p1 = coeffs[1] if len(coeffs) > 1 else 0.0
+    z = (target - coeffs[0]) / p1 if p1 != 0.0 else target
+    z = xp.clip(xp.asarray(z, dtype=xp.float64 if xp is np else None),
+                0.0, np.pi)
+    for _ in range(40):
+        f, df = poly_and_deriv(z)
+        step = (f - target) / xp.where(xp.abs(df) > 1e-14, df, 1e-14)
+        z = xp.clip(z - step, 0.0, np.pi)
+    return 90.0 - z * R2D
+
+
+def _azp_native2xy(phi, theta, xp, pv):
+    """AZP forward incl. the tilted-projector gamma (Calabretta & Greisen
+    2002 eq. 20-21): perspective from (0, 0, -mu) onto the plane through
+    (0, 0, 1) tilted by gamma about the native x = cos(theta)cos(phi)
+    direction."""
+    mu = _pv(pv, 1, 0.0)
+    gam = _pv(pv, 2, 0.0) * D2R
+    t, p = theta * D2R, phi * D2R
+    ct, st = xp.cos(t), xp.sin(t)
+    denom = mu + st + ct * xp.cos(p) * np.tan(gam)
+    rr = R2D * (mu + 1.0) * ct / denom
+    return rr * xp.sin(p), -rr * xp.cos(p) / np.cos(gam)
+
+
+def _azp_xy2native(x, y, xp, pv):
+    """AZP inverse as an exact ray-sphere intersection: the plane point of
+    (x, y) is joined to the projector at (0, 0, -mu) and intersected with
+    the unit sphere, taking the intersection nearer the native pole
+    (wcslib's branch convention).  Handles mu = 0 and nonzero gamma
+    uniformly."""
+    mu = _pv(pv, 1, 0.0)
+    gam = _pv(pv, 2, 0.0) * D2R
+    xr, yr = x * D2R, y * D2R
+    # plane point (0,0,1) + xr*e1 - yr*e2, e1=(0,1,0), e2=(cos g, 0, -sin g)
+    # => ray direction d from the projector (0, 0, -mu):
+    dx = -yr * np.cos(gam)
+    dy = xr
+    dz = 1.0 + mu + yr * np.sin(gam)
+    d2 = dx * dx + dy * dy + dz * dz
+    # |(0,0,-mu) + t d|^2 = 1
+    disc = mu * mu * dz * dz - d2 * (mu * mu - 1.0)
+    t = (mu * dz + xp.sqrt(xp.maximum(disc, 0.0))) / d2
+    xu, yu, zu = t * dx, t * dy, t * dz - mu
+    phi = xp.arctan2(yu, xu) * R2D
+    theta = xp.arctan2(zu, xp.sqrt(xu * xu + yu * yu)) * R2D
+    return phi, theta
+
+
+def _sin_native2xy(phi, theta, xp, pv):
+    """Slant orthographic (SIN with PV2_1 = xi, PV2_2 = eta): orthographic
+    projection along the direction (-eta, xi, 1) — the AIPS NCP geometry
+    when xi = 0, eta = cot(delta_0)."""
+    xi, eta = _pv(pv, 1, 0.0), _pv(pv, 2, 0.0)
+    t, p = theta * D2R, phi * D2R
+    ct, w = xp.cos(t), 1.0 - xp.sin(t)
+    x = R2D * (ct * xp.sin(p) + xi * w)
+    y = -R2D * (ct * xp.cos(p) - eta * w)
+    return x, y
+
+
+def _sin_xy2native(x, y, xp, pv):
+    """Slant orthographic inverse: with X = x rad, Y = y rad and
+    w = 1 - sin(theta), the forward map gives the quadratic
+    (xi^2+eta^2+1) w^2 - 2 (xi X + eta Y + 1) w + (X^2+Y^2) = 0, solved
+    in the cancellation-free form w = C / (B + sqrt(B^2 - A C))."""
+    xi, eta = _pv(pv, 1, 0.0), _pv(pv, 2, 0.0)
+    X, Y = x * D2R, y * D2R
+    A = xi * xi + eta * eta + 1.0
+    B = xi * X + eta * Y + 1.0
+    C = X * X + Y * Y
+    w = C / (B + xp.sqrt(xp.maximum(B * B - A * C, 0.0)))
+    # theta via atan2(sin, cos) with cos^2 = w (2 - w): arcsin(1 - w) would
+    # lose half the float64 digits near the pole (w -> 0)
+    theta = xp.arctan2(1.0 - w,
+                       xp.sqrt(xp.maximum(w * (2.0 - w), 0.0))) * R2D
+    phi = xp.arctan2(X - xi * w, -(Y - eta * w)) * R2D
+    return phi, theta
+
+
+def _theta_cot_theta(t, xp):
+    """theta * cot(theta), smooth through theta = 0."""
+    small = xp.abs(t) < 1e-4
+    safe = xp.where(small, 1.0, t)
+    return xp.where(small, 1.0 - t * t / 3.0,
+                    safe * xp.cos(safe) / xp.sin(safe))
+
+
+def _pco_theta_from_xy(xr, yr, xp):
+    """PCO inverse latitude: the point lies on the parallel's arc
+    xr^2 + (t + cot t - yr)^2 = cot^2 t.  Multiplying by t removes the
+    pole at t = 0 without introducing a spurious root:
+    g(t) = t (xr^2 + (t - yr)^2) + 2 (t cot t) (t - yr) = 0."""
+    t = yr
+    for _ in range(50):
+        tc = _theta_cot_theta(t, xp)
+        # d(t cot t)/dt, smooth through 0 (series: -2t/3 - 4t^3/45)
+        small = xp.abs(t) < 1e-4
+        safe = xp.where(small, 1.0, t)
+        s = xp.sin(safe)
+        dtc = xp.where(small, -2.0 * t / 3.0,
+                       xp.cos(safe) / s - safe / (s * s))
+        dy = t - yr
+        g = t * (xr * xr + dy * dy) + 2.0 * tc * dy
+        dg = xr * xr + dy * dy + 2.0 * t * dy + 2.0 * dtc * dy + 2.0 * tc
+        t = t - g / xp.where(xp.abs(dg) > 1e-14, dg, 1e-14)
+        t = xp.clip(t, -np.pi / 2 + 1e-12, np.pi / 2 - 1e-12)
+    return t
 
 
 def _mol_gamma_from_theta(theta, xp):
@@ -208,6 +347,10 @@ def _mol_gamma_from_theta(theta, xp):
 def proj_xy2native(code: str, x, y, xp=np, pv=()):
     """(x, y) [deg] -> native (phi, theta) [deg]."""
     code = code.upper()
+    if code == "AZP":
+        return _azp_xy2native(x, y, xp, pv)
+    if code == "SIN" and (_pv(pv, 1, 0.0) != 0.0 or _pv(pv, 2, 0.0) != 0.0):
+        return _sin_xy2native(x, y, xp, pv)
     if code in _ZENITHAL:
         r = xp.sqrt(x * x + y * y)
         phi = xp.arctan2(x, -y) * R2D
@@ -246,12 +389,51 @@ def proj_xy2native(code: str, x, y, xp=np, pv=()):
         theta = xp.arcsin(xp.clip(yr * z, -1.0, 1.0)) * R2D
         phi = 2.0 * xp.arctan2(z * xr / 2.0, 2.0 * z2 - 1.0) * R2D
         return phi, theta
+    if code == "CYP":
+        mu = _pv(pv, 1, 1.0)
+        lam = _pv(pv, 2, 1.0)
+        eta = y * D2R / (mu + lam)
+        theta = xp.arctan2(eta, xp.ones_like(eta)) + xp.arcsin(
+            xp.clip(eta * mu / xp.sqrt(eta * eta + 1.0), -1.0, 1.0))
+        return x / lam, theta * R2D
+    if code == "PAR":
+        s = xp.clip(y / 180.0, -1.0, 1.0)
+        theta = 3.0 * xp.arcsin(s) * R2D
+        return x / (1.0 - 4.0 * s * s), theta
+    if code == "BON":
+        t1 = _pv(pv, 1, 0.0)
+        if t1 == 0.0:
+            return x / xp.cos(y * D2R), y  # degenerates to SFL
+        t1r = t1 * D2R
+        c = 1.0 / np.tan(t1r) + t1r
+        sgn = 1.0 if t1 > 0 else -1.0
+        xr, dy = x * D2R, c - y * D2R
+        rho = sgn * xp.sqrt(xr * xr + dy * dy)
+        theta_r = c - rho
+        E = xp.arctan2(xr / rho, dy / rho)
+        phi = rho * E / xp.cos(theta_r)
+        return phi * R2D, theta_r * R2D
+    if code == "PCO":
+        xr, yr = x * D2R, y * D2R
+        t = _pco_theta_from_xy(xr, yr, xp)
+        tc = _theta_cot_theta(t, xp)
+        # E from the arc geometry; phi = E / sin(theta), -> x/theta->0
+        small = xp.abs(t) < 1e-7
+        safe = xp.where(small, 1.0, t)
+        cot = tc / safe
+        E = xp.arctan2(xr / cot, (safe + cot - yr) / cot)
+        phi = xp.where(small, x, E / xp.sin(safe) * R2D)
+        return phi, t * R2D
     raise ValueError(f"unsupported projection {code!r}")
 
 
 def proj_native2xy(code: str, phi, theta, xp=np, pv=()):
     """native (phi, theta) [deg] -> (x, y) [deg]."""
     code = code.upper()
+    if code == "AZP":
+        return _azp_native2xy(phi, theta, xp, pv)
+    if code == "SIN" and (_pv(pv, 1, 0.0) != 0.0 or _pv(pv, 2, 0.0) != 0.0):
+        return _sin_native2xy(phi, theta, xp, pv)
     if code in _ZENITHAL:
         r = _zenithal_theta_to_r(code, theta, xp, pv=pv)
         p = phi * D2R
@@ -281,6 +463,37 @@ def proj_native2xy(code: str, phi, theta, xp=np, pv=()):
         gamma = xp.sqrt(2.0 / (1.0 + xp.cos(t) * xp.cos(p)))
         x = 2.0 * gamma * xp.cos(t) * xp.sin(p) * R2D
         y = gamma * xp.sin(t) * R2D
+        return x, y
+    if code == "CYP":
+        mu = _pv(pv, 1, 1.0)
+        lam = _pv(pv, 2, 1.0)
+        t = theta * D2R
+        return lam * phi, R2D * (mu + lam) * xp.sin(t) / (mu + xp.cos(t))
+    if code == "PAR":
+        t = theta * D2R
+        return phi * (2.0 * xp.cos(2.0 * t / 3.0) - 1.0), \
+            180.0 * xp.sin(t / 3.0)
+    if code == "BON":
+        t1 = _pv(pv, 1, 0.0)
+        if t1 == 0.0:
+            return phi * xp.cos(theta * D2R), theta  # degenerates to SFL
+        t1r = t1 * D2R
+        c = 1.0 / np.tan(t1r) + t1r
+        t = theta * D2R
+        rho = c - t
+        E = phi * D2R * xp.cos(t) / rho
+        return R2D * rho * xp.sin(E), R2D * (c - rho * xp.cos(E))
+    if code == "PCO":
+        t = theta * D2R
+        tc = _theta_cot_theta(t, xp)
+        small = xp.abs(t) < 1e-7
+        safe = xp.where(small, 1.0, t)
+        cot = tc / safe
+        E = phi * D2R * xp.sin(safe)
+        x = xp.where(small, phi, R2D * cot * xp.sin(E))
+        sh = xp.sin(E / 2.0)
+        y = xp.where(small, 0.0 * t,
+                     R2D * (safe + cot * 2.0 * sh * sh))
         return x, y
     raise ValueError(f"unsupported projection {code!r}")
 

@@ -56,6 +56,12 @@ def native2xy(code, phi, theta, pv=()):
         return R2D * yu * f, -R2D * xu * f
     if code == "SIN":          # projector at infinity (orthographic)
         return R2D * yu, -R2D * xu
+    if code == "SIN:slant":    # orthographic along the direction
+        # D = (-eta, xi, 1): P + t D lands on the plane z = 1 at
+        # t = 1 - zu; plane axes e_x = y-hat, e_y = -x-hat as for SIN
+        xi, eta = mp.mpf(pv[0]), mp.mpf(pv[1])
+        t = 1 - zu
+        return R2D * (yu + xi * t), -R2D * (xu - eta * t)
     if code == "STG":          # projector at the antipode (0,0,-1)
         f = 2 / (1 + zu)
         return R2D * yu * f, -R2D * xu * f
@@ -63,6 +69,38 @@ def native2xy(code, phi, theta, pv=()):
         mu = mp.mpf(pv[0]) if pv else mp.mpf(0)
         f = (1 + mu) / (zu + mu)
         return R2D * yu * f, -R2D * xu * f
+    if code == "AZP:tilt":     # projector at (0,0,-mu), plane through
+        # (0,0,1) tilted by gamma about the native y axis: the ray
+        # p0 + t (P - p0) is intersected with the plane of normal
+        # n = (sin g, 0, cos g), then decomposed along the in-plane
+        # axes e1 = (0,1,0), e2 = (cos g, 0, -sin g)
+        mu, gam = mp.mpf(pv[0]), mp.mpf(pv[1]) * D2R
+        p0 = mp.matrix([0, 0, -mu])
+        d = u - p0
+        n = mp.matrix([mp.sin(gam), 0, mp.cos(gam)])
+        c0 = mp.matrix([0, 0, 1])
+        t = (n.T * (c0 - p0))[0] / (n.T * d)[0]
+        q = p0 + t * d - c0
+        e1 = mp.matrix([0, 1, 0])
+        e2 = mp.matrix([mp.cos(gam), 0, -mp.sin(gam)])
+        return R2D * (q.T * e1)[0], -R2D * (q.T * e2)[0]
+    if code == "ZPN":          # zenithal polynomial: the definition IS
+        # the polynomial in the pole distance; evaluated in mpmath
+        zeta = (90 - mp.mpf(theta)) * D2R
+        r = mp.mpf(0)
+        for k, c in enumerate(pv):
+            r += mp.mpf(c) * zeta ** k
+        r *= R2D
+        if rho == 0:
+            return r * mp.sin(mp.mpf(phi) * D2R), \
+                -r * mp.cos(mp.mpf(phi) * D2R)
+        return r * yu / rho, -r * xu / rho
+    if code == "CYP":          # meridian-plane perspective: projector on
+        # the axis opposite point (-mu, 0), image line at radius lambda
+        mu, lam = mp.mpf(pv[0]), mp.mpf(pv[1])
+        phi_d = mp.atan2(yu, xu) * R2D
+        t = (lam + mu) / (rho + mu)
+        return lam * phi_d, R2D * t * zu
     if code == "ARC":          # radial distance = arc length from pole
         dist = mp.acos(zu) * R2D
         if rho == 0:
@@ -216,13 +254,98 @@ def conic_native2xy(code, phi, theta, pv):
     return r * mp.sin(pc), -r * mp.cos(pc) + Y0
 
 
+def pseudo_native2xy(code, phi, theta, pv):
+    """PAR / BON / PCO re-derived from their DEFINING properties, each
+    asserted numerically: PAR is the equal-area pseudocylindrical whose
+    meridians are parabolas; BON is the pseudoconic with concentric
+    circular parallels, true scale along every parallel and along the
+    central meridian (equal-area follows and is asserted); PCO is the
+    pseudoconic whose every parallel is an arc of its own tangent cone
+    (radius cot(theta)) with true scale along every parallel and the
+    central meridian."""
+    p_r = mp.mpf(phi) * D2R
+    t_r = mp.mpf(theta) * D2R
+    h = mp.mpf("1e-12")
+    if code == "PAR":
+        def w(t):           # parallel half-width factor x = phi * w
+            return 2 * mp.cos(2 * t / 3) - 1
+
+        def yfn(t):
+            return mp.pi * mp.sin(t / 3)
+
+        # equal-area (up to the projection's constant global scale pi/3,
+        # since FITS PAR is not unit-normalized): w(t) * dy/dt ∝ cos t
+        for tp in (mp.mpf("0.3"), mp.mpf("-0.9"), mp.mpf("1.2")):
+            dy = (yfn(tp + h) - yfn(tp - h)) / (2 * h)
+            assert abs(w(tp) * dy / mp.cos(tp) - mp.pi / 3) < mp.mpf("1e-20")
+        # parabolic meridians: x(y) quadratic => second difference exact
+        ts = [mp.mpf("0.2"), mp.mpf("0.5"), mp.mpf("0.8"), mp.mpf("1.1")]
+        ys = [yfn(t) for t in ts]
+        xs = [w(t) for t in ts]  # phi = 1 meridian
+        # fit quadratic through first three, predict the fourth
+        import itertools
+        A = mp.matrix([[y ** 2, y, 1] for y in ys[:3]])
+        coef = mp.lu_solve(A, mp.matrix(xs[:3]))
+        pred = coef[0] * ys[3] ** 2 + coef[1] * ys[3] + coef[2]
+        assert abs(pred - xs[3]) < mp.mpf("1e-25")
+        return phi * w(t_r), R2D * yfn(t_r)
+    if code == "BON":
+        t1 = mp.mpf(pv[0]) * D2R
+        c = mp.cos(t1) / mp.sin(t1) + t1
+
+        def rho(t):
+            return c - t
+
+        # true scale along the central meridian: |d rho / dt| = 1 (exact)
+        # cone-tangency at the standard parallel: rho(t1) = cot(t1)
+        assert abs(rho(t1) - mp.cos(t1) / mp.sin(t1)) < mp.mpf("1e-30")
+        # equal-area: |J| / cos t == 1 with E = phi cos(t) / rho
+        def fwd(p, t):
+            E = p * mp.cos(t) / rho(t)
+            return rho(t) * mp.sin(E), c - rho(t) * mp.cos(E)
+        for (pp, tp) in ((mp.mpf("0.7"), mp.mpf("0.4")),
+                         (mp.mpf("-1.1"), mp.mpf("-0.6"))):
+            x0, y0 = fwd(pp, tp)
+            xp_, yp_ = fwd(pp + h, tp)
+            xt, yt = fwd(pp, tp + h)
+            J = ((xp_ - x0) * (yt - y0) - (xt - x0) * (yp_ - y0)) / h ** 2
+            assert abs(abs(J) / mp.cos(tp) - 1) < mp.mpf("1e-8")
+        E = p_r * mp.cos(t_r) / rho(t_r)
+        return R2D * rho(t_r) * mp.sin(E), R2D * (c - rho(t_r) * mp.cos(E))
+    if code == "PCO":
+        def cot(t):
+            return mp.cos(t) / mp.sin(t)
+
+        # each parallel: arc of radius cot(t) centered (0, t + cot(t));
+        # true scale along the parallel fixes the arc angle E = phi sin(t)
+        def fwd(p, t):
+            E = p * mp.sin(t)
+            return cot(t) * mp.sin(E), t + cot(t) * (1 - mp.cos(E))
+        # true scale along every parallel: |d(x,y)/d phi| == cos t
+        for (pp, tp) in ((mp.mpf("0.9"), mp.mpf("0.5")),
+                         (mp.mpf("-2.0"), mp.mpf("-1.1"))):
+            x0, y0 = fwd(pp, tp)
+            x1, y1 = fwd(pp + h, tp)
+            s = mp.hypot(x1 - x0, y1 - y0) / h
+            assert abs(s - mp.cos(tp)) < mp.mpf("1e-8")
+            # central meridian true scale: y(0, t) = t (exact)
+            assert abs(fwd(0, tp)[1] - tp) < mp.mpf("1e-30")
+        if t_r == 0:
+            return mp.mpf(phi), mp.mpf(0)
+        x, y = fwd(p_r, t_r)
+        return R2D * x, R2D * y
+    raise ValueError(code)
+
+
 CONIC_CASES = {"COP": [45.0, 10.0], "COE": [45.0, 20.0],
                "COD": [-40.0, 15.0], "COO": [35.0, 12.0]}
 CONIC_POINTS = [(0, 45), (30, 60), (-120, 20), (179, 70), (-179, 10),
                 (15, -20), (0, 89.5)]
 
-ZENITHAL = ["TAN", "SIN", "STG", "ARC", "ZEA", "AZP"]
-CYL = ["CAR", "CEA", "MER", "SFL", "MOL", "AIT"]
+ZENITHAL = ["TAN", "SIN", "SIN:slant", "STG", "ARC", "ZEA", "AZP",
+            "AZP:tilt", "ZPN"]
+CYL = ["CAR", "CEA", "MER", "SFL", "MOL", "AIT", "CYP"]
+PSEUDO = ["PAR", "BON", "BON:south", "PCO"]
 
 # native test points: generic, pole-adjacent, lon-wrap
 ZEN_POINTS = [(0, 89.0), (30, 60), (-120, 45), (179.5, 75), (-179.5, 80),
@@ -230,7 +353,16 @@ ZEN_POINTS = [(0, 89.0), (30, 60), (-120, 45), (179.5, 75), (-179.5, 80),
 CYL_POINTS = [(0, 0), (30, 45), (-120, -45), (179.5, 10), (-179.5, -10),
               (10, 89.5), (-10, -89.5), (45, 0.001)]
 
-PV = {"AZP": [2.0], "CEA": [0.5]}
+PV = {"AZP": [2.0], "CEA": [0.5],
+      "SIN:slant": [0.3, -0.5],          # xi, eta (slant orthographic)
+      "AZP:tilt": [2.0, 30.0],           # mu, gamma [deg]
+      # ZPN coefficients are indexed from m = 0 (P0..P5)
+      "ZPN": [0.0, 1.0, 0.0, 0.3, 0.0, 0.02],
+      "CYP": [1.0, 0.7071],              # mu, lambda
+      "BON": [45.0], "BON:south": [-35.0]}
+
+# codes whose pv list is indexed from m = 0 rather than m = 1
+PV_FROM_M0 = {"ZPN"}
 
 # rotation cases: (alpha_p, delta_p, phi_p) incl. pole-adjacent poles
 ROT_CASES = [(260.1083, -0.975, 180.0), (23.18, 30.57, 180.0),
@@ -242,15 +374,21 @@ ROT_POINTS = [(0, 89), (30, 60), (-120, 45), (179.5, 30), (-179.5, 30),
 
 def main():
     out = {"projections": {}, "rotations": []}
-    for code in ZENITHAL + CYL:
+    for code in ZENITHAL + CYL + PSEUDO:
         pts = ZEN_POINTS if code in ZENITHAL else CYL_POINTS
         pv = PV.get(code, [])
         entries = []
         for phi, theta in pts:
-            x, y = native2xy(code, phi, theta, pv)
+            if code.split(":")[0] in ("PAR", "BON", "PCO"):
+                x, y = pseudo_native2xy(code.split(":")[0], phi, theta, pv)
+            else:
+                x, y = native2xy(code, phi, theta, pv)
             entries.append({"phi": phi, "theta": theta,
                             "x": mp.nstr(x, 25), "y": mp.nstr(y, 25)})
-        out["projections"][code] = {"pv": pv, "points": entries}
+        entry = {"pv": pv, "points": entries}
+        if code in PV_FROM_M0:
+            entry["pv_from_m0"] = True
+        out["projections"][code] = entry
     for code, pv in CONIC_CASES.items():
         entries = []
         for phi, theta in CONIC_POINTS:

@@ -25,6 +25,24 @@ def test_minor_exceeds_major_raises():
         Beam.make(asec(2), asec(3))
 
 
+def test_radio_beam_style_constructor():
+    """radio_beam-compatible construction: Quantity keywords or positional
+    Quantities must normalize to radians (a positional Quantity used to
+    land un-converted in the float fields and corrupt the beam algebra)."""
+    kw = Beam(major=asec(4), minor=asec(3), pa=Quantity(30, "deg"))
+    pos = Beam(asec(4), asec(3), Quantity(30, "deg"))
+    ref = Beam.make(asec(4), asec(3), Quantity(30, "deg"))
+    assert kw == ref and pos == ref
+    assert isinstance(kw.major_rad, float)
+    # deconvolution (the path that used to crash) works on them
+    tgt = Beam(major=asec(6))
+    assert tgt.deconvolve(kw).isfinite
+    # minor defaults to major (circular beam)
+    assert Beam(major=asec(2)).minor.to_value("arcsec") == pytest.approx(2)
+    with pytest.raises(TypeError):
+        Beam(minor=asec(2))
+
+
 def test_convolve_deconvolve_roundtrip():
     b1 = Beam.make(asec(4), asec(3), Quantity(30, "deg"))
     b2 = Beam.make(asec(2), asec(2))

@@ -26,12 +26,20 @@ with open(os.path.join(HERE, "data", "wcs_golden.json")) as f:
 GREISEN = "/root/reference/spectral_cube/tests/data/greisen2006.hdr"
 
 
+def _entry_pv(entry):
+    """Golden pv as the production convention: tuple indexed by m-1, or a
+    {m: value} dict when the table is indexed from m = 0 (ZPN)."""
+    if entry.get("pv_from_m0"):
+        return {m: v for m, v in enumerate(entry["pv"])}
+    return tuple(entry["pv"])
+
+
 @pytest.mark.parametrize("code", sorted(GOLDEN["projections"]))
 def test_projection_forward_vs_golden(code):
     entry = GOLDEN["projections"][code]
-    pv = tuple(entry["pv"])
+    pv = _entry_pv(entry)
     for p in entry["points"]:
-        x, y = prj.proj_native2xy(code, np.float64(p["phi"]),
+        x, y = prj.proj_native2xy(code.split(":")[0], np.float64(p["phi"]),
                                   np.float64(p["theta"]), pv=pv)
         assert abs(float(x) - float(p["x"])) < 1e-10, (code, p)
         assert abs(float(y) - float(p["y"])) < 1e-10, (code, p)
@@ -40,9 +48,10 @@ def test_projection_forward_vs_golden(code):
 @pytest.mark.parametrize("code", sorted(GOLDEN["projections"]))
 def test_projection_inverse_vs_golden(code):
     entry = GOLDEN["projections"][code]
-    pv = tuple(entry["pv"])
+    pv = _entry_pv(entry)
     for p in entry["points"]:
-        phi, theta = prj.proj_xy2native(code, np.float64(p["x"]),
+        phi, theta = prj.proj_xy2native(code.split(":")[0],
+                                        np.float64(p["x"]),
                                         np.float64(p["y"]), pv=pv)
         dphi = (float(phi) - p["phi"] + 180.0) % 360.0 - 180.0
         # phi is undefined at the exact pole
@@ -166,6 +175,17 @@ def test_full_pix2world_with_pv(tmp_path):
             (("RA---COP", "DEC--COP"), {"PV2_1": 45.0, "PV2_2": 10.0}),
             (("RA---COD", "DEC--COD"), {"PV2_1": 40.0, "PV2_2": 15.0}),
             (("RA---COO", "DEC--COO"), {"PV2_1": 35.0, "PV2_2": 12.0}),
+            (("RA---SIN", "DEC--SIN"), {"PV2_1": 0.0, "PV2_2": -2.0}),
+            (("RA---AZP", "DEC--AZP"), {"PV2_1": 2.0, "PV2_2": 30.0}),
+            # P0 = 0: a nonzero P0 makes ZPN annular (no sky within
+            # r < P0 of the pole), which would put these pixels in the
+            # projection's hole
+            (("RA---ZPN", "DEC--ZPN"), {"PV2_0": 0.0, "PV2_1": 1.0,
+                                        "PV2_3": 0.3}),
+            (("RA---CYP", "DEC--CYP"), {"PV2_1": 1.0, "PV2_2": 0.7071}),
+            (("RA---PAR", "DEC--PAR"), {}),
+            (("RA---BON", "DEC--BON"), {"PV2_1": 45.0}),
+            (("RA---PCO", "DEC--PCO"), {}),
             (("RA---MOL", "DEC--MOL"), {})]:
         h = {"CTYPE1": ctype_pair[0], "CTYPE2": ctype_pair[1],
              "CRVAL1": 150.0,
