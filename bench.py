@@ -127,9 +127,12 @@ def _measure(one_pass, args, reps):
 
 
 def bench_config2():
-    """Spectral Gaussian smooth + 2x spectral_interpolate, 512 channels."""
+    """Spectral Gaussian smooth + 2x spectral_interpolate, 512 channels —
+    through the fused composed-operator path (smooth_interp_cube): both
+    band matrices compose on the host into one MXU matmul for all-finite
+    cubes; NaN cubes fall back to the exact two-stage chain in-jit."""
     from spectral_cube_tpu.ops import smoothing as sm
-    from spectral_cube_tpu.ops.interpolate import interp_cube_spectral
+    from spectral_cube_tpu.ops.interpolate import smooth_interp_cube
     nchan, ny, nx = 512, 256, 256
     rng = np.random.RandomState(1)
     data_np = rng.rand(nchan, ny, nx).astype(np.float32)
@@ -149,8 +152,7 @@ def bench_config2():
     t_base = (time.perf_counter() - t0) * (ny * nx) / (64 * 64)
 
     def one_pass(d):
-        smd = sm.spectral_smooth_cube(d, kern)
-        return interp_cube_spectral(smd, coords, outaxis)[0]
+        return smooth_interp_cube(d, kern, coords, outaxis)[0]
 
     data = jnp.asarray(data_np)
     per = _measure(one_pass, (data,), reps=30)

@@ -1425,10 +1425,17 @@ class BaseSpectralCube:
     def spectral_interpolate(self, spectral_grid,
                              suppress_smooth_warning=False,
                              fill_value=None, update_function=None,
-                             **kwargs):
+                             smooth_kernel=None, **kwargs):
         """Regrid onto a new (linear) spectral grid (reference
         spectral_cube.py:3224-3332): weights computed once from the shared
-        axis, applied as one fused gather+lerp kernel."""
+        axis, applied as one fused gather+lerp kernel.
+
+        ``smooth_kernel`` (1-D, optional): smooth spectrally before
+        regridding — the anti-aliasing workflow the reference documents as
+        separate ``spectral_smooth`` + ``spectral_interpolate`` calls.
+        Fusing them composes both band matrices into ONE MXU matmul for
+        all-finite cubes (ops/interpolate.smooth_interp_cube) and
+        suppresses the Nyquist warning."""
         if isinstance(spectral_grid, Quantity):
             grid = spectral_grid.to_value(self.spectral_unit)
         else:
@@ -1440,12 +1447,17 @@ class BaseSpectralCube:
                                              rtol=1e-6, atol=0):
             raise ValueError("spectral_grid must be linear")
         inaxis = np.asarray(self.spectral_axis.value, dtype=float)
-        if not suppress_smooth_warning:
+        if not suppress_smooth_warning and smooth_kernel is None:
             _interp.check_nyquist(inaxis, grid)
         include = self._mask.include(data=self._device_data) \
             if self._mask is not None else None
-        out, new_include = _interp.interp_cube_spectral(
-            self._device_data, inaxis, grid, include=include)
+        if smooth_kernel is not None:
+            out, new_include = _interp.smooth_interp_cube(
+                self._get_filled_data(fill=np.nan), smooth_kernel,
+                inaxis, grid, include=include)
+        else:
+            out, new_include = _interp.interp_cube_spectral(
+                self._device_data, inaxis, grid, include=include)
         if fill_value is not None:
             lo, hi = min(inaxis[0], inaxis[-1]), max(inaxis[0], inaxis[-1])
             oob = (grid < lo) | (grid > hi)

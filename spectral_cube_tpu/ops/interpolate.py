@@ -18,8 +18,9 @@ import jax.numpy as jnp
 
 from ..utils import SmoothingWarning
 
-__all__ = ["interp_weights", "interp_cube_spectral", "interp_spectrum",
-           "linear_spectral_wcs", "downsample_axis", "downsample_include"]
+__all__ = ["interp_weights", "interp_cube_spectral", "smooth_interp_cube",
+           "interp_spectrum", "linear_spectral_wcs", "downsample_axis",
+           "downsample_include"]
 
 
 def interp_weights(inaxis, outaxis):
@@ -138,6 +139,70 @@ def interp_cube_spectral(data, inaxis, outaxis, include=None):
                           jnp.where(fracj == 1, inc[idxj + 1], inc_lerp))
         new_include = inc_i > 0
     return out.astype(data.dtype), new_include
+
+
+def smooth_interp_cube(data, kernel, inaxis, outaxis, include=None):
+    """Fused spectral smooth + regrid of a [spec, ...] cube.
+
+    The workflow the reference documents as ``spectral_smooth`` then
+    ``spectral_interpolate`` (two full passes, docs/smoothing.rst) is a
+    composition of two *linear* operators along the spectral axis, so on
+    TPU the normalized smoothing band matrix S and the 2-tap interp matrix
+    I compose on the host into one (nout, nin) operator M = I @ S: an
+    all-finite cube runs ONE MXU matmul instead of the chain's four
+    (smooth numerator+denominator, interp output+poison).  Cubes that
+    contain NaN take the exact sequential chain inside ``lax.cond``
+    (normalized-convolution NaN semantics do not compose).
+
+    Returns (new_data, new_include_or_None) like interp_cube_spectral.
+    """
+    from .smoothing import spectral_smooth_cube, _banded_conv_matrix
+    import jax.lax as lax
+    data = jnp.asarray(data)
+    idx, frac = interp_weights(inaxis, outaxis)
+    nin, nout = data.shape[0], idx.shape[0]
+    # beyond this the chain's linear-FLOP block-banded smoothing beats the
+    # dense composed operator (quadratic in nin)
+    if not (_use_matmul_interp(nin, nout) and nin <= 2048):
+        sm = spectral_smooth_cube(data, kernel)
+        return interp_cube_spectral(sm, inaxis, outaxis, include=include)
+
+    k = np.asarray(kernel, dtype=np.float64)
+    k = k / k.sum()
+    S = _banded_conv_matrix(nin, k).astype(np.float64)
+    Imat = _interp_matrix(idx, frac, nin).astype(np.float64)
+    M = jnp.asarray((Imat @ S).astype(np.float32))
+    spatial = int(np.prod(data.shape[1:])) if data.ndim > 1 else 1
+    flat = data.reshape(nin, spatial)
+
+    def mm(mat, x, precision=lax.Precision.HIGHEST):
+        return lax.dot_general(mat, x.astype(jnp.float32),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+
+    def fused(x):
+        return mm(M, x)
+
+    def chain(x):
+        sm = spectral_smooth_cube(x, k)
+        out, _ = interp_cube_spectral(sm, inaxis, outaxis)
+        return out.astype(jnp.float32)
+
+    has_nan = jnp.any(~jnp.isfinite(flat))
+    out = lax.cond(has_nan, chain, fused, flat)
+    out = out.reshape((nout,) + data.shape[1:]).astype(data.dtype)
+
+    new_include = None
+    if include is not None:
+        # the smooth step leaves the include-mask unchanged; only the
+        # interp operator transforms it (reference spectral_cube.py:3308)
+        inc = jnp.asarray(include).astype(jnp.float32)
+        inc_b = jnp.broadcast_to(inc, data.shape).reshape(nin, spatial)
+        new_include = (mm(jnp.asarray(Imat.astype(np.float32)), inc_b,
+                          precision=lax.Precision.DEFAULT) > 0) \
+            .reshape((nout,) + data.shape[1:])
+    return out, new_include
 
 
 def check_nyquist(inaxis, outaxis):

@@ -315,3 +315,56 @@ def test_matmul_separable_resample_matches_gather(monkeypatch):
     got_rot = np.asarray(rg._bilinear_spatial_then_linear_z(
         jnp.asarray(data), zs, ys_rot, xs, 1))
     np.testing.assert_allclose(got_rot, ref_rot, equal_nan=True)
+
+
+def test_smooth_interp_fused_matches_chain(monkeypatch):
+    """smooth_interp_cube (composed single-matmul operator) must match the
+    sequential smooth -> interp chain: exactly on all-finite data (the
+    fused branch), and through the lax.cond fallback when NaNs are
+    present."""
+    from spectral_cube_tpu.ops import interpolate as itp
+    from spectral_cube_tpu.ops.smoothing import (spectral_smooth_cube,
+                                                 gaussian_kernel1d)
+    monkeypatch.setattr(itp, "_use_matmul_interp", lambda nin, nout: True)
+    rng = np.random.RandomState(11)
+    kern = gaussian_kernel1d(1.5)
+    inaxis = np.arange(32, dtype=np.float64)
+    outaxis = inaxis[::2] + 0.25
+    for poke_nan in (False, True):
+        data = rng.rand(32, 6, 5).astype("f4")
+        if poke_nan:
+            data[3, 2, 1] = np.nan
+            data[10:14, 0, 0] = np.nan
+        ref_sm = spectral_smooth_cube(jnp.asarray(data), kern)
+        ref, _ = itp.interp_cube_spectral(ref_sm, inaxis, outaxis)
+        got, _ = itp.smooth_interp_cube(jnp.asarray(data), kern,
+                                        inaxis, outaxis)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-6, equal_nan=True)
+    # include-mask transform matches the interp operator's
+    include = np.ones((32, 6, 5), bool)
+    include[5] = False
+    _, inc_ref = itp.interp_cube_spectral(
+        jnp.asarray(rng.rand(32, 6, 5).astype("f4")), inaxis, outaxis,
+        include=jnp.asarray(include))
+    _, inc_got = itp.smooth_interp_cube(
+        jnp.asarray(rng.rand(32, 6, 5).astype("f4")), kern, inaxis,
+        outaxis, include=jnp.asarray(include))
+    np.testing.assert_array_equal(np.asarray(inc_got), np.asarray(inc_ref))
+
+
+def test_cube_spectral_interpolate_smooth_kernel(cube_adv):
+    """cube.spectral_interpolate(grid, smooth_kernel=k) equals the chained
+    spectral_smooth(k).spectral_interpolate(grid) API calls."""
+    from spectral_cube_tpu.ops.smoothing import gaussian_kernel1d
+    cube, _ = cube_adv
+    kern = gaussian_kernel1d(1.0)
+    inaxis = cube.spectral_axis.value
+    mid = Quantity((inaxis[:-1] + inaxis[1:]) / 2.0, cube.spectral_unit)
+    ref = cube.spectral_smooth(kern).spectral_interpolate(
+        mid, suppress_smooth_warning=True)
+    got = cube.spectral_interpolate(mid, smooth_kernel=kern)
+    np.testing.assert_allclose(np.asarray(got.filled_data[:].value),
+                               np.asarray(ref.filled_data[:].value),
+                               rtol=2e-5, atol=1e-6, equal_nan=True)
+    assert got.shape == ref.shape
