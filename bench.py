@@ -272,9 +272,13 @@ def bench_config5():
         else:
             m0, m1, m2 = moments_012(d, coords, 1.0, include=include)
         stats = red.masked_statistics(d, red.valid_mask(d, include))
-        # single target beam: the API's SVD-separable MXU path
-        conv = cv.convolve2d_separable(d, k / k.sum())
-        rep = _bilinear_spatial_then_linear_z(conv, coords, ys, xs, 1)
+        # fused convolve+reproject: host-composed G = R @ M operators,
+        # exact chain fallback in-jit for NaN cubes
+        from spectral_cube_tpu.ops import regrid as rg
+        rep = rg.convolve_reproject_separable(d, k, ys, xs)
+        if rep is None:  # non-TPU backends: the two-stage path
+            conv = cv.convolve2d_separable(d, k / k.sum())
+            rep = _bilinear_spatial_then_linear_z(conv, coords, ys, xs, 1)
         # full-array outputs so _measure's sum consumption covers every
         # stage (single elements would let XLA DCE the conv/reproject)
         return (jnp.nan_to_num(rep)

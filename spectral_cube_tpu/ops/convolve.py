@@ -183,21 +183,31 @@ def _convolve_planes(data, transfers, group_idx, kernel_shape):
 
     pads = ((0, 0), (0, fy - ny), (0, fx - nx))
     gidx = jnp.asarray(group_idx)
+    import jax.lax as lax
+    all_finite = jnp.all(valid)
 
     if _use_dft_matmul(fy, fx, nchan):
         t_full = _full_transfer(transfers.astype(comp), fy, fx)[gidx]
-        both = jnp.concatenate([jnp.pad(filled, pads),
-                                jnp.pad(invalid, pads)], axis=0)
-        t2 = jnp.concatenate([t_full, t_full], axis=0)
-        conv = _spectral_apply_dft(both, t2, fy, fx, comp)[:, :ny, :nx]
-        num, den_c = conv[:nchan], conv[nchan:]
-        den = 1.0 - den_c
+        num = _spectral_apply_dft(jnp.pad(filled, pads), t_full,
+                                  fy, fx, comp)[:, :ny, :nx]
+        # all-finite cubes skip the denominator's DFT chain (lax.cond)
+        den = lax.cond(
+            all_finite,
+            lambda inv: jnp.ones_like(num),
+            lambda inv: 1.0 - _spectral_apply_dft(
+                jnp.pad(inv, pads), t_full, fy, fx, comp)[:, :ny, :nx],
+            invalid)
     else:
-        fdata = jnp.fft.rfft2(jnp.pad(filled, pads))
-        finv = jnp.fft.rfft2(jnp.pad(invalid, pads))
         t = transfers.astype(comp)[gidx]
+        fdata = jnp.fft.rfft2(jnp.pad(filled, pads))
         num = jnp.fft.irfft2(fdata * t, s=(fy, fx))[:, :ny, :nx]
-        den = 1.0 - jnp.fft.irfft2(finv * t, s=(fy, fx))[:, :ny, :nx]
+        den = lax.cond(
+            all_finite,
+            lambda inv: jnp.ones_like(num),
+            lambda inv: 1.0 - jnp.fft.irfft2(
+                jnp.fft.rfft2(jnp.pad(inv, pads)) * t,
+                s=(fy, fx))[:, :ny, :nx],
+            invalid)
     eps = 1e-8
     out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
     # all-NaN planes stay NaN
@@ -258,7 +268,11 @@ def convolve2d_separable(data, kernel, precision=None):
         return out
 
     num = apply(filled)
-    den = 1.0 - apply(invalid)
+    # all-finite cubes skip the denominator matmuls (lax.cond): den == 1
+    import jax.lax as lax
+    den = lax.cond(jnp.all(valid),
+                   lambda inv: jnp.ones_like(inv),
+                   lambda inv: 1.0 - apply(inv), invalid)
     eps = 1e-8
     out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
     any_valid = jnp.any(valid, axis=(1, 2), keepdims=True)
@@ -334,8 +348,12 @@ def convolve_per_channel_separable(data, kernels, group_idx, max_rank=4,
 
     num = apply(filled, lax.Precision.HIGHEST)
     # the denominator DIVIDES the output (normalized convolution), so it
-    # needs full precision too — unlike threshold-only flag matmuls
-    den = 1.0 - apply(invalid, lax.Precision.HIGHEST)
+    # needs full precision too — unlike threshold-only flag matmuls; an
+    # all-finite cube skips it entirely (lax.cond): den == 1
+    den = lax.cond(jnp.all(valid),
+                   lambda inv: jnp.ones_like(inv),
+                   lambda inv: 1.0 - apply(inv, lax.Precision.HIGHEST),
+                   invalid)
     eps = 1e-8
     out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
     any_valid = jnp.any(valid, axis=(1, 2), keepdims=True)

@@ -97,7 +97,10 @@ def _interp_by_matmul(data, idx, frac, include):
 
     out = mm(filled)
     # flag matmuls only feed a >0 threshold: bf16 (DEFAULT) is exact enough
-    # and runs the MXU at full rate
+    # and runs the MXU at full rate.  (NOT lax.cond-gated on cleanliness:
+    # for cheap bf16 flag matmuls the cond's materialized operands/outputs
+    # cost more than the matmul they skip — measured on the reproject
+    # nan-weight path.)
     poisoned = mm(nanmask.astype(jnp.float32),
                   precision=lax.Precision.DEFAULT) > 0
     out = jnp.where(poisoned, jnp.nan, out)

@@ -176,6 +176,83 @@ def _separable_resample(fz, wz, y0, y1, wy, x0, x1, wx, order):
             apply(wz, lax.Precision.DEFAULT))
 
 
+def convolve_reproject_separable(data, kernel, ys, xs):
+    """Fused common-beam convolve + axis-aligned reproject.
+
+    Both stages are linear maps along y and x — the SVD-separable
+    convolution factors M and the 2-tap resample matrices R compose on the
+    host into G = R @ M per axis and rank, so an all-finite cube runs one
+    pair of banded einsums per rank instead of the chain's six matmul
+    passes (convolution numerator+denominator on both axes, resample
+    output+nan-weight).  Cubes containing NaN take the exact sequential
+    chain inside ``lax.cond`` (normalized convolution is nonlinear there).
+
+    Applicable when the kernel SVD-separates, the (ys, xs) mapping is
+    axis-aligned, and the spectral axis is untouched; returns None
+    otherwise so callers fall back to the two-stage path.
+    """
+    import jax.lax as lax
+    from .convolve import separable_factors, _conv_matrix_1d
+    from .interpolate import _interp_matrix
+    data = jnp.asarray(data)
+    nchan, ny_in, nx_in = data.shape
+    ny, nx = np.asarray(ys).shape
+    if not _use_matmul_resample() \
+            or max(ny, nx, ny_in, nx_in) > _MATMUL_RESAMPLE_MAX_N:
+        return None
+    factors = separable_factors(np.asarray(kernel, dtype=np.float64)
+                                / np.asarray(kernel, dtype=np.float64).sum())
+    if factors is None:
+        return None
+    yvalid = np.isfinite(ys) & (ys >= -1e-6) & (ys <= ny_in - 1 + 1e-6)
+    xvalid = np.isfinite(xs) & (xs >= -1e-6) & (xs <= nx_in - 1 + 1e-6)
+    ycl = np.clip(np.nan_to_num(ys), 0, ny_in - 1)
+    xcl = np.clip(np.nan_to_num(xs), 0, nx_in - 1)
+    y0 = np.clip(ycl.astype(np.int64), 0, max(ny_in - 2, 0))
+    x0 = np.clip(xcl.astype(np.int64), 0, max(nx_in - 2, 0))
+    wy = (ycl - y0).astype(np.float64)
+    wx = (xcl - x0).astype(np.float64)
+    ysep = np.ptp(y0, axis=1).max() == 0 and np.ptp(wy, axis=1).max() == 0
+    xsep = np.ptp(x0, axis=0).max() == 0 and np.ptp(wx, axis=0).max() == 0
+    if not (ysep and xsep):
+        return None
+
+    ytaps, xtaps = factors
+    r = ytaps.shape[1]
+    Ry = _interp_matrix(y0[:, 0], wy[:, 0], ny_in).astype(np.float64)
+    Rx = _interp_matrix(x0[0, :], wx[0, :], nx_in).astype(np.float64)
+    Gy = [jnp.asarray((Ry @ _conv_matrix_1d(ny_in, ytaps[:, i])
+                       .astype(np.float64)).astype(np.float32))
+          for i in range(r)]
+    Gx = [jnp.asarray((Rx @ _conv_matrix_1d(nx_in, xtaps[:, i])
+                       .astype(np.float64)).astype(np.float32))
+          for i in range(r)]
+
+    def fused(x):
+        out = jnp.zeros((nchan, ny, nx), jnp.float32)
+        for i in range(r):
+            t = jnp.einsum("ab,cbx->cax", Gy[i], x.astype(jnp.float32),
+                           precision=lax.Precision.HIGHEST)
+            out = out + jnp.einsum("cax,vx->cav", t, Gx[i],
+                                   precision=lax.Precision.HIGHEST)
+        return out
+
+    def chain(x):
+        from .convolve import convolve2d_separable
+        conv = convolve2d_separable(x, np.asarray(kernel, dtype=np.float64)
+                                    / np.asarray(kernel,
+                                                 dtype=np.float64).sum())
+        zs = np.arange(nchan, dtype=np.float64)
+        return _bilinear_spatial_then_linear_z(
+            conv, zs, np.asarray(ys), np.asarray(xs), 1) \
+            .astype(jnp.float32)
+
+    has_nan = jnp.any(~jnp.isfinite(data))
+    out = lax.cond(has_nan, chain, fused, data)
+    valid = jnp.asarray(yvalid & xvalid)[None, :, :]
+    return jnp.where(valid, out, jnp.nan).astype(data.dtype)
+
+
 def _gather_with_footprint(data, coords, order):
     """map_coordinates with NaN outside the input footprint and
     weight-aware NaN propagation.

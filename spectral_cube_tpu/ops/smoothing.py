@@ -135,8 +135,14 @@ def convolve1d_nan(data, kernel, axis=0):
                                               else jnp.float64)
     num = _conv1d_along_axis0(filled, kernel)
     # astropy boundary='fill': zero padding counts as valid data, so the
-    # denominator only drops below 1 around NaN holes
-    den = 1.0 - _conv1d_along_axis0((~valid).astype(filled.dtype), kernel)
+    # denominator only drops below 1 around NaN holes — and an all-finite
+    # cube (checked at runtime, lax.cond) skips the denominator pass
+    # entirely: den == 1 exactly when no voxel is invalid
+    den = lax.cond(
+        jnp.all(valid),
+        lambda inv: jnp.ones_like(inv),
+        lambda inv: 1.0 - _conv1d_along_axis0(inv, kernel),
+        (~valid).astype(filled.dtype))
     out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.nan)
     out = jnp.where(jnp.any(valid, axis=0, keepdims=True), out, jnp.nan)
     # astropy keeps original NaNs NaN only when interpolation impossible;
@@ -175,8 +181,12 @@ def spatial_smooth_cube(data, kernel2d):
             dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
 
     num = conv(filled)
-    # zero-fill boundary counts as valid data (astropy boundary='fill')
-    den = 1.0 - conv((~valid).astype(comp))
+    # zero-fill boundary counts as valid data (astropy boundary='fill');
+    # all-finite cubes skip the denominator conv (lax.cond): den == 1
+    den = lax.cond(jnp.all(valid),
+                   lambda inv: jnp.ones_like(inv),
+                   lambda inv: 1.0 - conv(inv),
+                   (~valid).astype(comp))
     out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.nan)
     out = jnp.where(jnp.any(valid, axis=(1, 2), keepdims=True), out, jnp.nan)
     return out.astype(data.dtype)

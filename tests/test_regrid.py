@@ -368,3 +368,39 @@ def test_cube_spectral_interpolate_smooth_kernel(cube_adv):
                                np.asarray(ref.filled_data[:].value),
                                rtol=2e-5, atol=1e-6, equal_nan=True)
     assert got.shape == ref.shape
+
+
+def test_convolve_reproject_fused_matches_chain(monkeypatch):
+    """convolve_reproject_separable (host-composed G = R @ M operators)
+    matches the sequential convolve -> resample chain on all-finite data,
+    and falls back to the exact chain through lax.cond on NaN data."""
+    from spectral_cube_tpu.ops import regrid as rg
+    from spectral_cube_tpu.ops.convolve import convolve2d_separable
+    monkeypatch.setattr(rg, "_use_matmul_resample", lambda: True)
+    rng = np.random.RandomState(13)
+    x1 = np.arange(9) - 4
+    kern = np.exp(-0.5 * np.add.outer(x1 ** 2, x1 ** 2) / 1.5 ** 2)
+    ny_in, nx_in = 20, 18
+    ys = np.broadcast_to(
+        np.linspace(-0.4, ny_in - 0.7, 16)[:, None], (16, 14)).copy()
+    xs = np.broadcast_to(
+        np.linspace(0.3, nx_in - 0.2, 14)[None, :], (16, 14)).copy()
+    zs = np.arange(4, dtype=np.float64)
+    for poke_nan in (False, True):
+        data = rng.rand(4, ny_in, nx_in).astype("f4")
+        if poke_nan:
+            data[0, 3, 3] = np.nan
+            data[2, 10:12, 5] = np.nan
+        conv = convolve2d_separable(jnp.asarray(data), kern / kern.sum())
+        ref = np.asarray(rg._bilinear_spatial_then_linear_z(
+            conv, zs, ys, xs, 1))
+        got = rg.convolve_reproject_separable(jnp.asarray(data), kern,
+                                              ys, xs)
+        assert got is not None
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5,
+                                   atol=1e-6, equal_nan=True)
+    # a rotated mapping is not separable: the fused op declines
+    ys_rot = ys + 0.01 * np.arange(14)[None, :]
+    assert rg.convolve_reproject_separable(
+        jnp.asarray(rng.rand(4, ny_in, nx_in).astype("f4")), kern,
+        ys_rot, xs) is None
