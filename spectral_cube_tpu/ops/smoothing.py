@@ -240,23 +240,55 @@ def sigma_clip_spectrally(data, sigma=3.0, maxiters=5, cenfunc="median"):
     x = data.astype(comp)
     n = x.shape[0]
 
-    # NOTE on algorithm choice: a sort-once "contiguous band" formulation
-    # (survivors are a band of the sorted spectrum; medians/sums from
-    # prefix-sum gathers) looks optimal on paper, but per-column dynamic
-    # gathers are far slower than XLA's vectorized nanmedian on TPU, so
-    # the straightforward re-reduce-per-iteration loop wins.
-    def body(_, v):
-        valid = jnp.isfinite(v)
-        cnt = jnp.sum(valid, axis=0).astype(comp)
-        safe = jnp.maximum(cnt, 1)
-        med = jnp.nanmedian(v, axis=0)
-        # astropy stdfunc='std': deviation about the MEAN of survivors
-        mean = jnp.sum(jnp.where(valid, v, 0), axis=0) / safe
-        var = jnp.sum(jnp.where(valid, (v - mean[None]) ** 2, 0),
+    # Sort-once band algorithm, gather-free.  Each iteration's survivors
+    # are a contiguous band [i_lo, i_hi) of the per-spaxel SORTED spectrum
+    # (clipping by a value interval preserves contiguity; intersecting
+    # with the previous band keeps clipped values clipped, like astropy).
+    # Every per-iteration statistic — count, mean, variance, and the
+    # median itself — is an elementwise-masked SUM over the sorted array:
+    # the median hides behind indicator masks (iota == median_index), so
+    # no dynamic gather ever runs.  On v5e the old loop spent 4.9 ms per
+    # iteration re-sorting inside nanmedian (5x = 27 ms total); one sort
+    # is 2.8 ms and the masked sums are ~0.1 ms per iteration.
+    s = jnp.sort(x, axis=0)  # NaNs sort to the end
+    tail = (1,) * (x.ndim - 1)
+    iota = jnp.arange(n, dtype=jnp.int32).reshape((n,) + tail)
+    i_hi0 = jnp.sum(jnp.isfinite(x), axis=0).astype(jnp.int32)
+    # derived from data (not a constant) so the loop carry keeps the same
+    # varying-manual-axes type under shard_map
+    i_lo0 = i_hi0 * 0
+
+    def body(_, band):
+        i_lo, i_hi = band
+        cnt = i_hi - i_lo
+        safe = jnp.maximum(cnt, 1).astype(comp)
+        in_band = (iota >= i_lo[None]) & (iota < i_hi[None])
+        ssum = jnp.sum(jnp.where(in_band, s, 0), axis=0)
+        mean = ssum / safe
+        var = jnp.sum(jnp.where(in_band, (s - mean[None]) ** 2, 0),
                       axis=0) / safe
         std = jnp.sqrt(var)
-        keep = jnp.abs(v - med[None]) <= sigma * std[None]
-        return jnp.where(keep, v, jnp.nan)
+        m_lo = i_lo + (cnt - 1) // 2
+        m_hi = i_lo + cnt // 2
+        med = (jnp.sum(jnp.where(iota == m_lo[None], s, 0), axis=0)
+               + jnp.sum(jnp.where(iota == m_hi[None], s, 0), axis=0)) / 2
+        lo_v = med - sigma * std
+        hi_v = med + sigma * std
+        # counts of sorted values below/through the new interval (NaN
+        # comparisons are False, so the NaN tail never counts)
+        n_lt = jnp.sum((s < lo_v[None]).astype(jnp.int32), axis=0)
+        n_le = jnp.sum((s <= hi_v[None]).astype(jnp.int32), axis=0)
+        new_lo = jnp.where(cnt > 0, jnp.maximum(i_lo, n_lt), i_lo)
+        new_hi = jnp.where(cnt > 0, jnp.minimum(i_hi, n_le), i_hi)
+        return new_lo, new_hi
 
-    out = lax.fori_loop(0, int(maxiters), body, x)
-    return out.astype(data.dtype)
+    i_lo, i_hi = lax.fori_loop(0, int(maxiters), body, (i_lo0, i_hi0))
+    cnt = i_hi - i_lo
+    # band-edge values via the same indicator trick; the band is defined
+    # by value cuts, so duplicates never straddle an edge and the value
+    # test below reproduces the band membership exactly
+    lo_val = jnp.sum(jnp.where(iota == i_lo[None], s, 0), axis=0)
+    hi_val = jnp.sum(jnp.where(iota == (i_hi - 1)[None], s, 0), axis=0)
+    keep = (jnp.isfinite(x) & (cnt > 0)[None]
+            & (x >= lo_val[None]) & (x <= hi_val[None]))
+    return jnp.where(keep, x, jnp.nan).astype(data.dtype)
