@@ -4,9 +4,10 @@ The reference delegates to the external ``regions`` package
 (``/root/reference/spectral_cube/spectral_cube.py:2038-2235``); that package
 is not available here, so this module implements a native parser for the
 common region shapes the reference tests exercise (circle, ellipse, box /
-rotbox, polygon, annulus, panda/sector, exclusion composites) in ``image``
-or ``fk5``/``icrs``/``galactic`` frames, and rasterizes them host-side into
-boolean masks.
+rotbox, polygon, annulus, panda/sector, exclusion composites) in ``image``,
+``fk5``/``icrs``, ``fk4``/``b1950`` (full FK425 incl. E-terms),
+``galactic``, ``ecliptic``, and (CRTF) ``supergalactic`` frames, and
+rasterizes them host-side into boolean masks.
 """
 
 from __future__ import annotations
@@ -86,6 +87,117 @@ def fk5_to_galactic(ra, dec):
     return lon % 360.0, lat
 
 
+# J2000 mean obliquity (IAU 1976: 23 deg 26' 21.448"); the ecliptic frame
+# is a pure rotation of FK5 about the equinox
+_OBLIQUITY = 23.0 + 26.0 / 60.0 + 21.448 / 3600.0
+_ECL_POLE_RA = 270.0
+_ECL_POLE_DEC = 90.0 - _OBLIQUITY
+
+
+def ecliptic_to_fk5(lam, beta):
+    """Ecliptic (lambda, beta) [deg] -> FK5 J2000 (ra, dec) [deg]."""
+    from .wcs import projections as prj
+    return prj.native_to_celestial(np.asarray(lam, dtype=float),
+                                   np.asarray(beta, dtype=float),
+                                   _ECL_POLE_RA, _ECL_POLE_DEC, 90.0)
+
+
+def fk5_to_ecliptic(ra, dec):
+    """FK5 J2000 (ra, dec) [deg] -> ecliptic (lambda, beta) [deg]."""
+    from .wcs import projections as prj
+    lon, lat = prj.celestial_to_native(np.asarray(ra, dtype=float),
+                                       np.asarray(dec, dtype=float),
+                                       _ECL_POLE_RA, _ECL_POLE_DEC, 90.0)
+    return lon % 360.0, lat
+
+
+# FK4 B1950 -> FK5 J2000: the position part of the standard FK425
+# transformation (Aoki et al. 1983; SLALIB sla_fk45z, zero proper motion):
+# remove the FK4 E-terms of aberration, then rotate by the fixed
+# precession+equinox-correction matrix.
+_FK4_ETERMS = np.array([-1.62557e-6, -0.31919e-6, -0.13843e-6])
+_FK425_M = np.array([
+    [0.9999256782, -0.0111820611, -0.0048579477],
+    [0.0111820610, 0.9999374784, -0.0000271765],
+    [0.0048579479, -0.0000271474, 0.9999881997]])
+
+
+def _lonlat_to_vec(lon, lat):
+    lo, la = np.radians(np.asarray(lon, float)), np.radians(
+        np.asarray(lat, float))
+    return np.stack([np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo),
+                     np.sin(la)], axis=-1)
+
+
+def _vec_to_lonlat(v):
+    lon = np.degrees(np.arctan2(v[..., 1], v[..., 0])) % 360.0
+    lat = np.degrees(np.arctan2(v[..., 2],
+                                np.hypot(v[..., 0], v[..., 1])))
+    return lon, lat
+
+
+def fk4_to_fk5(ra, dec):
+    """FK4 B1950 (ra, dec) [deg] -> FK5 J2000, incl. E-term removal."""
+    r = _lonlat_to_vec(ra, dec)
+    r1 = r - _FK4_ETERMS + (r @ _FK4_ETERMS)[..., None] * r
+    return _vec_to_lonlat(r1 @ _FK425_M.T)
+
+
+def fk5_to_fk4(ra, dec):
+    """FK5 J2000 (ra, dec) [deg] -> FK4 B1950, incl. E-term re-addition."""
+    r = _lonlat_to_vec(ra, dec) @ _FK425_M  # M^T inverse (orthogonal)
+    r = r / np.linalg.norm(r, axis=-1, keepdims=True)
+    # first-order E-term re-addition, one fixed-point refinement
+    r1 = r
+    for _ in range(3):
+        r1 = r + _FK4_ETERMS - (r1 @ _FK4_ETERMS)[..., None] * r1
+    return _vec_to_lonlat(r1)
+
+
+# de Vaucouleurs supergalactic frame: a pure rotation of GALACTIC with
+# the pole at (l, b) = (47.37, +6.32) and SGL = 0 toward l = 137.37
+_SGP_L, _SGP_B = 47.37, 6.32
+
+
+def supergalactic_to_galactic(sgl, sgb):
+    """Supergalactic (SGL, SGB) [deg] -> galactic (l, b) [deg]."""
+    from .wcs import projections as prj
+    return prj.native_to_celestial(np.asarray(sgl, dtype=float),
+                                   np.asarray(sgb, dtype=float),
+                                   _SGP_L, _SGP_B, 90.0)
+
+
+def galactic_to_supergalactic(l, b):
+    """Galactic (l, b) [deg] -> supergalactic (SGL, SGB) [deg]."""
+    from .wcs import projections as prj
+    lon, lat = prj.celestial_to_native(np.asarray(l, dtype=float),
+                                       np.asarray(b, dtype=float),
+                                       _SGP_L, _SGP_B, 90.0)
+    return lon % 360.0, lat
+
+
+def _sky_to_wcs_frame(lon, lat, frame, wcs_galactic):
+    """Convert region sky coordinates from ``frame`` into the frame of the
+    target WCS (FK5/ICRS or galactic).  ICRS is treated as FK5 (they agree
+    to ~25 mas, far below a pixel)."""
+    lon = np.asarray(lon, dtype=float)
+    lat = np.asarray(lat, dtype=float)
+    if frame == "ecliptic":
+        lon, lat = ecliptic_to_fk5(lon, lat)
+        frame = "fk5"
+    elif frame in ("fk4", "b1950"):
+        lon, lat = fk4_to_fk5(lon, lat)
+        frame = "fk5"
+    elif frame == "supergalactic":
+        lon, lat = supergalactic_to_galactic(lon, lat)
+        frame = "galactic"
+    if frame == "galactic" and not wcs_galactic:
+        return galactic_to_fk5(lon, lat)
+    if frame in ("fk5", "icrs") and wcs_galactic:
+        return fk5_to_galactic(lon, lat)
+    return lon, lat
+
+
 _ANGLE_RE = re.compile(r'([+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s*'
                        r'("|\'|d|deg|arcsec|arcmin|r|rad|p|pix)?')
 
@@ -129,8 +241,10 @@ def parse_ds9_region(region_string):
         if not line or line.startswith("#"):
             continue
         low = line.lower()
-        if low in ("image", "fk5", "icrs", "galactic", "physical"):
-            frame = "image" if low == "physical" else low
+        if low in ("image", "fk5", "icrs", "galactic", "physical",
+                   "ecliptic", "fk4", "b1950", "j2000"):
+            frame = {"physical": "image", "b1950": "fk4",
+                     "j2000": "fk5"}.get(low, low)
             continue
         if low.startswith("global"):
             continue
@@ -144,10 +258,10 @@ def parse_ds9_region(region_string):
         raw = [p.strip() for p in m.group(2).split(",")]
         vals = [_angle_to_deg(p)[0] for p in raw]
         # ds9 equatorial frames write sexagesimal longitudes in HOURS
-        if frame in ("fk5", "icrs") and shape != "polygon" \
+        if frame in ("fk5", "icrs", "fk4") and shape != "polygon" \
                 and ":" in raw[0]:
             vals[0] *= 15.0
-        if frame in ("fk5", "icrs") and shape == "polygon":
+        if frame in ("fk5", "icrs", "fk4") and shape == "polygon":
             for k in range(0, len(raw), 2):
                 if ":" in raw[k]:
                     vals[k] *= 15.0
@@ -189,7 +303,9 @@ def parse_crtf_region(region_string):
             if fm:
                 frame = fm.group(1).lower()
                 frame = {"j2000": "fk5", "icrs": "icrs",
-                         "galactic": "galactic"}.get(frame, "fk5")
+                         "galactic": "galactic", "b1950": "fk4",
+                         "fk4": "fk4", "ecliptic": "ecliptic",
+                         "supergal": "supergalactic"}.get(frame, "fk5")
         cx, cxu = _angle_to_deg(center[0])
         cy, cyu = _angle_to_deg(center[1])
         if cxu == "pix":
@@ -235,12 +351,9 @@ def region_to_mask(region, wcs, shape):
         # rotation (radii are rotation-invariant; box/ellipse position
         # angles keep their value — exact for circles/annuli/polygons,
         # a small-field approximation for rotated shapes)
-        cxw, cyw = region.params[0], region.params[1]
         wcs_galactic = wcs.ctype[0].upper().startswith("GLON")
-        if region.frame == "galactic" and not wcs_galactic:
-            cxw, cyw = (float(v) for v in galactic_to_fk5(cxw, cyw))
-        elif region.frame in ("fk5", "icrs") and wcs_galactic:
-            cxw, cyw = (float(v) for v in fk5_to_galactic(cxw, cyw))
+        cxw, cyw = (float(v) for v in _sky_to_wcs_frame(
+            region.params[0], region.params[1], region.frame, wcs_galactic))
         cxp, cyp = cel.world2pix(np.array([cxw]), np.array([cyw]))
         cx, cy = float(np.asarray(cxp)[0]), float(np.asarray(cyp)[0])
         px, py = xx, yy
@@ -293,13 +406,10 @@ def region_to_mask(region, wcs, shape):
             vx = np.array(region.params[0::2])
             vy = np.array(region.params[1::2])
         else:
-            vxw = np.array(region.params[0::2])
-            vyw = np.array(region.params[1::2])
             wcs_galactic = wcs.ctype[0].upper().startswith("GLON")
-            if region.frame == "galactic" and not wcs_galactic:
-                vxw, vyw = galactic_to_fk5(vxw, vyw)
-            elif region.frame in ("fk5", "icrs") and wcs_galactic:
-                vxw, vyw = fk5_to_galactic(vxw, vyw)
+            vxw, vyw = _sky_to_wcs_frame(np.array(region.params[0::2]),
+                                         np.array(region.params[1::2]),
+                                         region.frame, wcs_galactic)
             vxp, vyp = cel.world2pix(vxw, vyw)
             vx, vy = np.asarray(vxp), np.asarray(vyp)
         mask2d = _point_in_poly(px, py, vx, vy)

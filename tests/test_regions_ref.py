@@ -174,3 +174,73 @@ def test_galactic_region_on_equatorial_cube(tmp_path):
     m_fk5 = region_to_mask(reg_fk5, cube.wcs, cube.shape)
     assert m_fk5.any()
     np.testing.assert_array_equal(m_gal, m_fk5)
+
+
+def test_ecliptic_fk4_supergalactic_anchors():
+    """The new frame rotations hit published anchor values."""
+    from spectral_cube_tpu.region import (
+        ecliptic_to_fk5, fk5_to_ecliptic, fk4_to_fk5, fk5_to_fk4,
+        supergalactic_to_galactic, galactic_to_supergalactic)
+    # ecliptic pole -> FK5 (270, 90 - obliquity); equinox is the origin
+    ra, dec = ecliptic_to_fk5(0.0, 90.0)
+    assert float(dec) == pytest.approx(66.56071, abs=1e-4)
+    assert float(ra) % 360 == pytest.approx(270.0, abs=1e-6)
+    ra0, dec0 = ecliptic_to_fk5(0.0, 0.0)
+    assert float(ra0) % 360 == pytest.approx(0.0, abs=1e-9)
+    assert float(dec0) == pytest.approx(0.0, abs=1e-9)
+    # ecliptic (90, 0) sits at dec = +obliquity
+    ra90, dec90 = ecliptic_to_fk5(90.0, 0.0)
+    assert float(ra90) == pytest.approx(90.0, abs=1e-9)
+    assert float(dec90) == pytest.approx(23.43929, abs=1e-4)
+    # FK4 B1950 origin -> J2000 00h02m33.78s +00d16'42.1" (textbook value)
+    ra4, dec4 = fk4_to_fk5(0.0, 0.0)
+    assert float(ra4) == pytest.approx(0.640745, abs=3e-5)
+    assert float(dec4) == pytest.approx(0.278374, abs=3e-5)
+    # supergalactic origin -> galactic (137.37, 0); SG pole at (47.37, 6.32)
+    l0, b0 = supergalactic_to_galactic(0.0, 0.0)
+    assert float(l0) == pytest.approx(137.37, abs=1e-9)
+    assert float(b0) == pytest.approx(0.0, abs=1e-9)
+    lp, bp = supergalactic_to_galactic(0.0, 90.0)
+    assert float(lp) == pytest.approx(47.37, abs=1e-6)
+    assert float(bp) == pytest.approx(6.32, abs=1e-9)
+    # roundtrips
+    rng = np.random.RandomState(5)
+    ras = rng.uniform(0, 360, 20)
+    decs = rng.uniform(-89, 89, 20)
+    for fwd, inv in ((fk5_to_ecliptic, ecliptic_to_fk5),
+                     (fk5_to_fk4, fk4_to_fk5),
+                     (galactic_to_supergalactic, supergalactic_to_galactic)):
+        a, b = fwd(ras, decs)
+        r2, d2 = inv(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(r2) % 360, ras % 360,
+                                   rtol=0, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(d2), decs, atol=1e-7)
+
+
+def test_ecliptic_and_b1950_regions_on_equatorial_cube(tmp_path):
+    """ds9 circles written in ecliptic / B1950 coordinates select the same
+    pixels as the equivalent fk5 circle (the reference gets this from
+    astropy frame transforms)."""
+    from spectral_cube_tpu.region import (fk5_to_ecliptic, fk5_to_fk4,
+                                          parse_ds9_region, region_to_mask)
+    from spectral_cube_tpu import SpectralCube
+    path, _ = make_cube_file(tmp_path, shape=(2, 24, 24))
+    cube = SpectralCube.read(path)
+    lon, lat = cube.wcs.celestial.pix2world(np.array([12.0]),
+                                            np.array([12.0]))
+    ra, dec = float(np.asarray(lon)[0]), float(np.asarray(lat)[0])
+    radius = 6.283 * abs(cube.wcs.cdelt[0]) * cube.wcs.cunit[0].to("deg")
+    ref = region_to_mask(parse_ds9_region(
+        f"fk5\ncircle({ra}, {dec}, {radius})\n")[0], cube.wcs,
+        cube.shape)
+    el, eb = fk5_to_ecliptic(ra, dec)
+    got_e = region_to_mask(parse_ds9_region(
+        f"ecliptic\ncircle({float(el)}, {float(eb)}, {radius})\n")[0],
+        cube.wcs, cube.shape)
+    r4, d4 = fk5_to_fk4(ra, dec)
+    got_4 = region_to_mask(parse_ds9_region(
+        f"b1950\ncircle({float(r4)}, {float(d4)}, {radius})\n")[0],
+        cube.wcs, cube.shape)
+    assert ref.sum() > 10
+    np.testing.assert_array_equal(got_e, ref)
+    np.testing.assert_array_equal(got_4, ref)
