@@ -115,19 +115,32 @@ def _use_dft_matmul(fy, fx, nchan=1):
 
 
 def _dft_mats(n, dtype):
-    """(n, n) forward DFT matrix and its inverse, complex — routed through
-    device_complex so eager (outside-jit) use never attempts a raw complex
-    host->device transfer (UNIMPLEMENTED on the tunnel, and a failed
-    transfer wedges the whole process's transfer path)."""
+    """(n, n) forward DFT matrix and its inverse, complex.
+
+    The cache stores the REAL/IMAG parts (concrete device arrays) and the
+    complex combine runs per call: combining inside the cache would store
+    a tracer whenever the first call happens during a jit trace, and any
+    later program reusing that DFT size would crash with
+    UnexpectedTracerError.  The combine itself goes through the jitted
+    lax.complex wrapper so eager use never dispatches an eager complex
+    primitive over the tunnel (UNIMPLEMENTED there)."""
+    import jax
+    global _COMBINE_COMPLEX
     key = (int(n), str(dtype))
     if key not in _DFT_MAT_CACHE:
         k = np.arange(n)
         w = np.exp(-2j * np.pi * np.outer(k, k) / n)
-        cast = np.complex128 if dtype == jnp.complex128 else np.complex64
-        _DFT_MAT_CACHE[key] = (device_complex(w.astype(cast)),
-                               device_complex((np.conj(w) / n)
-                                              .astype(cast)))
-    return _DFT_MAT_CACHE[key]
+        cast = np.float64 if dtype == jnp.complex128 else np.float32
+        wi = np.conj(w) / n
+        # HOST arrays only: any jnp value created here would be (or become)
+        # a tracer when the first call happens under jit
+        _DFT_MAT_CACHE[key] = tuple(
+            np.ascontiguousarray(part, dtype=cast)
+            for part in (w.real, w.imag, wi.real, wi.imag))
+    rw, iw, ri, ii = _DFT_MAT_CACHE[key]
+    if _COMBINE_COMPLEX is None:
+        _COMBINE_COMPLEX = jax.jit(jax.lax.complex)
+    return _COMBINE_COMPLEX(rw, iw), _COMBINE_COMPLEX(ri, ii)
 
 
 def _full_transfer(transfers, fy, fx):

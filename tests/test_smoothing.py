@@ -235,3 +235,27 @@ def test_long_axis_conv_gate():
             expected[:, j, i] = np.convolve(data[:, j, i].astype("f8"), k,
                                             mode="same")
     np.testing.assert_allclose(out, expected, rtol=2e-5, atol=1e-6)
+
+
+def test_dft_mats_reusable_across_traces():
+    """_dft_mats must be safe to call from two different jit programs: it
+    used to cache the combined complex matrix, which inside a trace is a
+    tracer — the second program then crashed with UnexpectedTracerError."""
+    import jax
+    from spectral_cube_tpu.ops.convolve import _dft_mats, _DFT_MAT_CACHE
+    _DFT_MAT_CACHE.clear()
+
+    @jax.jit
+    def prog_a(x):
+        f, i = _dft_mats(8, jnp.complex64)
+        return jnp.real(f @ x.astype(jnp.complex64))
+
+    @jax.jit
+    def prog_b(x):
+        f, i = _dft_mats(8, jnp.complex64)
+        return jnp.real(i @ x.astype(jnp.complex64))
+
+    x = jnp.ones(8, jnp.float32)
+    a = np.asarray(prog_a(x))
+    b = np.asarray(prog_b(x))   # crashed before the fix
+    assert np.isfinite(a).all() and np.isfinite(b).all()
