@@ -234,3 +234,35 @@ def test_make_rgb_movie_frames(tmp_path, monkeypatch):
     for f in frames:
         assert os.path.exists(f)
     assert len(calls) == 1  # ffmpeg invoked once
+
+
+def test_mask_array_properties():
+    """ndim/size/dtype on masks (reference masks.py:257-266)."""
+    from spectral_cube_tpu.masks import BooleanArrayMask
+    m = BooleanArrayMask(np.ones((4, 3, 2), bool), shape=(4, 3, 2))
+    assert m.ndim == 3
+    assert m.size == 24
+    assert m.dtype == np.dtype(bool)
+
+
+def test_get_chunks_matches_reference_splits():
+    from spectral_cube_tpu.analysis_utilities import get_chunks
+    # the reference's split points are [chunk*i for i in range(n//chunk)],
+    # so the LAST chunk absorbs the remainder: (10, 4) -> [4, 6]
+    chunks = get_chunks(10, 4)
+    assert [len(c) for c in chunks] == [4, 6]
+    assert np.concatenate(chunks).tolist() == list(range(10))
+    assert [len(c) for c in get_chunks(8, 8)] == [8]
+    assert [len(c) for c in get_chunks(12, 4)] == [4, 4, 4]
+
+
+def test_sharded_display(tmp_path, capsys):
+    from spectral_cube_tpu import SpectralCube
+    from spectral_cube_tpu.parallel import ShardedCube
+    from conftest import make_cube_file
+    path, _ = make_cube_file(tmp_path, shape=(4, 8, 8))
+    sc = ShardedCube(SpectralCube.read(path))
+    sharding = sc.display_dask_array()
+    out = capsys.readouterr().out
+    assert "mesh=" in out and "shape=(4, 8, 8)" in out
+    assert sharding is not None
