@@ -23,7 +23,26 @@ from .utils import BadVelocitiesWarning
 from .lower_dimensional_structures import (OneDSpectrum,
                                            VaryingResolutionOneDSpectrum)
 
-__all__ = ["fourier_shift", "stack_spectra", "stack_cube"]
+__all__ = ["fourier_shift", "stack_spectra", "stack_cube", "get_chunks"]
+
+
+def get_chunks(num_items, chunk):
+    """Split ``range(num_items)`` into arrays of ``chunk`` items plus a
+    remainder (reference analysis_utilities.py:97-126, same split points).
+    The reference feeds these to its joblib pool; here stacking is one
+    vmapped jit so the helper is kept only as an API-compatibility
+    utility."""
+    import numpy as _np
+    items = _np.arange(int(num_items))
+    if num_items == chunk:
+        return [items]
+    chunks = _np.array_split(items, [chunk * i for i in
+                                     range(int(num_items / chunk))])
+    if chunks and chunks[-1].size == 0:
+        chunks = chunks[:-1]
+    if chunks and chunks[0].size == 0:
+        chunks = chunks[1:]
+    return chunks
 
 
 @jax.jit

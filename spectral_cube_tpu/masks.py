@@ -133,6 +133,23 @@ class MaskBase(ABC):
     def shape(self):
         return getattr(self, "_shape", None)
 
+    @property
+    def ndim(self):
+        """Number of dimensions (reference masks.py:257)."""
+        shp = self.shape
+        return None if shp is None else len(shp)
+
+    @property
+    def size(self):
+        """Total element count (reference masks.py:261)."""
+        shp = self.shape
+        return None if shp is None else int(np.prod(shp))
+
+    @property
+    def dtype(self):
+        """Masks are boolean (reference masks.py:265)."""
+        return np.dtype("bool")
+
     # -- data access -------------------------------------------------------
     def _filled(self, data, wcs=None, fill=np.nan, view=(), xp=jnp):
         """Mask-filled data: data where included, ``fill`` elsewhere.

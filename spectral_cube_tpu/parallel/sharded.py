@@ -382,6 +382,24 @@ class ShardedCube:
                 data=self.cmesh.shard(data, "spatial"))
         self.cube = cube
 
+    def display_dask_array(self):
+        """Show the device layout of the wrapped array — the analog of the
+        reference's dask-graph HTML display (dask_spectral_cube.py:341):
+        here the 'graph' is the GSPMD sharding, rendered as jax's
+        per-device ASCII layout plus the mesh/spec summary."""
+        import jax
+        data = self.cube._device_data
+        try:
+            jax.debug.visualize_array_sharding(data[0])
+        except Exception:
+            pass
+        print(f"shape={tuple(data.shape)} dtype={data.dtype} "
+              f"mesh={dict(self.cmesh.mesh.shape)} "
+              f"sharding={data.sharding}")
+        return data.sharding
+
+    display_sharding = display_dask_array
+
     def __getattr__(self, name):
         """Everything not explicitly overridden delegates to the wrapped
         cube (whose data is mesh-sharded, so GSPMD partitions the work) —
