@@ -20,6 +20,12 @@ from .lower_dimensional_structures import (Projection, Slice, OneDSpectrum,
 from .wcs import WCS
 from .parallel import CubeMesh, ShardedCube, use_mesh, default_mesh
 from .pipeline import run_pipeline
+from .utils import enable_compilation_cache
+
+import os as _os
+if _os.environ.get("SCT_COMPILE_CACHE"):
+    enable_compilation_cache()
+del _os
 
 __version__ = "0.1.0"
 
@@ -30,4 +36,4 @@ __all__ = ["SpectralCube", "VaryingResolutionSpectralCube",
            "CompositeMask", "BooleanArrayMask", "LazyMask",
            "LazyComparisonMask", "FunctionMask", "Beam", "Beams", "WCS",
            "Quantity", "Unit", "CubeMesh", "ShardedCube", "use_mesh",
-           "default_mesh", "run_pipeline"]
+           "default_mesh", "run_pipeline", "enable_compilation_cache"]

@@ -134,3 +134,32 @@ def warn_slow(function):
             warnings.filterwarnings("once", category=PossiblySlowWarning)
         return function(self, *args, **kwargs)
     return wrapper
+
+
+def enable_compilation_cache(path=None, min_compile_secs=1.0):
+    """Turn on JAX's persistent compilation cache for this process.
+
+    TPU compiles of cube-sized kernels take tens of seconds to minutes
+    (measured 226 s for a fused reduce+matmul over the benchmark tunnel);
+    with the cache a second process reusing the same program drops to the
+    deserialization cost (measured 88 s there, far less on directly
+    attached chips).  The reference has no analog — its numpy path has no
+    compilation step — so this is opt-in: call this once per process, or
+    set the ``SCT_COMPILE_CACHE`` environment variable to a directory (or
+    to ``1`` for the default ``~/.cache/spectral_cube_tpu/xla``) before
+    importing the package.
+
+    Returns the cache directory in use.
+    """
+    import os
+    import jax
+    if path is None:
+        path = os.environ.get("SCT_COMPILE_CACHE") or "1"
+    if str(path) == "1":
+        path = os.path.expanduser("~/.cache/spectral_cube_tpu/xla")
+    path = os.path.abspath(os.path.expanduser(str(path)))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    return path

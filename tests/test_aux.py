@@ -266,3 +266,16 @@ def test_sharded_display(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "mesh=" in out and "shape=(4, 8, 8)" in out
     assert sharding is not None
+
+
+def test_enable_compilation_cache(tmp_path):
+    import jax
+    from spectral_cube_tpu import enable_compilation_cache
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        path = enable_compilation_cache(str(tmp_path / "xla"))
+        assert jax.config.jax_compilation_cache_dir == path
+        import os
+        assert os.path.isdir(path)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
