@@ -106,6 +106,43 @@ class LowerDimensionalObject(Quantity):
                           header=self._header,
                           beam=beam if beam is not None else self._beam)
 
+    def _wrap_arith(self, result):
+        """Arithmetic preserves the WCS/meta/mask/beam (reference
+        regression #265, test_projection.py:93-185): same-shaped Quantity
+        results re-wrap as the same LDO type."""
+        if isinstance(result, Quantity) \
+                and not isinstance(result, LowerDimensionalObject) \
+                and np.shape(result.value) == np.shape(self.value):
+            return self._new_with(result.value, unit=result.unit)
+        return result
+
+    def __add__(self, other):
+        return self._wrap_arith(super().__add__(other))
+
+    def __sub__(self, other):
+        return self._wrap_arith(super().__sub__(other))
+
+    def __rsub__(self, other):
+        return self._wrap_arith(super().__rsub__(other))
+
+    def __mul__(self, other):
+        return self._wrap_arith(super().__mul__(other))
+
+    def __rmul__(self, other):
+        return self._wrap_arith(super().__mul__(other))
+
+    def __truediv__(self, other):
+        return self._wrap_arith(super().__truediv__(other))
+
+    def __pow__(self, p):
+        return self._wrap_arith(super().__pow__(p))
+
+    def __neg__(self):
+        return self._wrap_arith(super().__neg__())
+
+    def __abs__(self):
+        return self._wrap_arith(super().__abs__())
+
     def __getitem__(self, view):
         new_val = self.value[view]
         if np.isscalar(new_val) or new_val.ndim == 0:

@@ -567,6 +567,30 @@ class Quantity:
     def mean(self):
         return Quantity(np.mean(self.value), self.unit)
 
+    # the full reduction set the reference reroutes to bare Quantities
+    # (lower_dimensional_structures.py:802-812)
+    def std(self):
+        return Quantity(np.std(np.asarray(self.value)), self.unit)
+
+    def var(self):
+        return Quantity(np.var(np.asarray(self.value)), self.unit ** 2)
+
+    def sum(self):
+        return Quantity(np.sum(self.value), self.unit)
+
+    def nansum(self):
+        return Quantity(np.nansum(np.asarray(self.value)), self.unit)
+
+    def cumsum(self):
+        return Quantity(np.cumsum(np.asarray(self.value)), self.unit)
+
+    def ptp(self):
+        return Quantity(np.ptp(np.asarray(self.value)), self.unit)
+
+    def round(self, decimals=0):
+        return Quantity(np.round(np.asarray(self.value), decimals),
+                        self.unit)
+
     def squeeze(self):
         return Quantity(np.squeeze(self.value), self.unit)
 

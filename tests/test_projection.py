@@ -1,0 +1,224 @@
+"""Lower-dimensional-object battery (the reference's test_projection.py
+scenarios, re-derived for this API)."""
+
+import numpy as np
+import pytest
+
+import spectral_cube_tpu.units as u
+from spectral_cube_tpu import (SpectralCube, Quantity, Beam, Projection,
+                               OneDSpectrum)
+from spectral_cube_tpu.lower_dimensional_structures import (
+    LowerDimensionalObject, VaryingResolutionOneDSpectrum)
+
+from conftest import make_cube_file, make_vr_cube_file
+
+
+@pytest.fixture
+def proj(cube_adv):
+    cube, _ = cube_adv
+    return cube.moment0()
+
+
+@pytest.fixture
+def spec(cube_adv):
+    cube, _ = cube_adv
+    return cube[:, 1, 1]
+
+
+def test_projection_basics(proj):
+    assert isinstance(proj, Projection)
+    assert proj.ndim == 2
+    assert proj.wcs is not None
+    assert proj.beam is not None
+
+
+def test_slices_of_projections_not_projections(proj):
+    """1-D slices drop to plain Quantities (reference
+    test_projection.py:54)."""
+    row = proj[0, :]
+    assert isinstance(row, Quantity)
+    assert not isinstance(row, LowerDimensionalObject)
+    pix = proj[0, 0]
+    assert isinstance(pix, Quantity)
+
+
+def test_arith_preserves_wcs_and_beam(proj):
+    """p*5, p/u.beam, p+p, p-p keep the WCS and beam (reference
+    regression #265, test_projection.py:93-185)."""
+    p5 = proj * 5
+    assert isinstance(p5, Projection)
+    assert p5.wcs is proj.wcs or p5.wcs.check_equality(proj.wcs)
+    np.testing.assert_allclose(np.asarray(p5.value),
+                               5 * np.asarray(proj.value), equal_nan=True)
+    assert p5.beam == proj.beam
+
+    p2 = proj + proj
+    assert isinstance(p2, Projection)
+    np.testing.assert_allclose(np.asarray(p2.value),
+                               2 * np.asarray(proj.value), equal_nan=True)
+    p0 = proj - proj
+    assert isinstance(p0, Projection)
+    vals = np.asarray(p0.value)
+    np.testing.assert_allclose(vals[np.isfinite(vals)], 0.0)
+
+    pu = proj / u.beam
+    assert isinstance(pu, Projection)
+    assert pu.unit == proj.unit / u.beam
+
+    assert isinstance(-proj, Projection)
+    assert isinstance(abs(proj), Projection)
+
+
+def test_isnan_strips_units(proj):
+    mask = np.isnan(np.asarray(proj))
+    assert mask.dtype == bool
+    assert not hasattr(mask, "unit")
+
+
+def test_preserve_wcs_to(cube_adv):
+    """`.to()` scales values and keeps the WCS (reference :79)."""
+    cube, _ = cube_adv
+    mx = cube.max(axis=0)  # Jy/beam plane
+    m = mx.to("mJy/beam")
+    assert isinstance(m, Projection)
+    assert str(m.unit) in ("mJy / beam",)
+    np.testing.assert_allclose(np.asarray(m.value),
+                               1000 * np.asarray(mx.value), rtol=1e-6,
+                               equal_nan=True)
+    assert m.wcs.check_equality(mx.wcs)
+
+
+def test_beam_jtok_2d(cube_adv):
+    """Jy/beam -> K for a 2-D plane needs an explicit freq (no spectral
+    axis); with it, the conversion runs (reference :768)."""
+    cube, _ = cube_adv
+    mx = cube.max(axis=0)
+    with pytest.raises(TypeError):
+        mx.to("K")
+    k = mx.to("K", freq=Quantity(100, "GHz"))
+    assert str(k.unit) == "K"
+    assert np.isfinite(np.asarray(k.value)).any()
+
+
+def test_projection_from_hdu_roundtrip(proj):
+    back = Projection.from_hdu(proj.hdu)
+    np.testing.assert_allclose(np.asarray(back.value),
+                               np.asarray(proj.value), rtol=1e-6,
+                               equal_nan=True)
+    assert back.wcs.check_equality(proj.wcs)
+
+
+def test_projection_write_read(proj, tmp_path):
+    out = str(tmp_path / "proj.fits")
+    proj.write(out)
+    back = Projection.read(out)
+    np.testing.assert_allclose(np.asarray(back.value),
+                               np.asarray(proj.value), rtol=1e-6,
+                               equal_nan=True)
+
+
+def test_projection_subimage(proj):
+    sub = proj.subimage(xlo=0, xhi=2, ylo=1, yhi=3)
+    assert isinstance(sub, Projection)
+    assert sub.shape == (2, 2)
+    np.testing.assert_allclose(np.asarray(sub.value),
+                               np.asarray(proj.value)[1:3, 0:2],
+                               equal_nan=True)
+    # WCS follows the crop: same world coords at corresponding pixels
+    lon0, lat0 = proj.wcs.celestial.pix2world(np.array([0.0]),
+                                              np.array([1.0]))
+    lon1, lat1 = sub.wcs.celestial.pix2world(np.array([0.0]),
+                                             np.array([0.0]))
+    np.testing.assert_allclose(np.asarray(lon1), np.asarray(lon0),
+                               rtol=1e-10)
+
+
+def test_projection_convolve_to(proj):
+    tgt = Beam(major=Quantity(3, "arcsec"))
+    out = proj.convolve_to(tgt)
+    assert isinstance(out, Projection)
+    assert out.beam == tgt
+
+
+def test_projection_with_beam(proj):
+    nb = Beam(major=Quantity(5, "arcsec"))
+    p2 = proj.with_beam(nb)
+    assert p2.beam == nb
+    assert proj.beam != nb  # original untouched
+
+
+def test_onedspectrum_spectral_axis(spec):
+    assert isinstance(spec, OneDSpectrum)
+    sa = spec.spectral_axis
+    assert sa.size == spec.size
+    assert str(sa.unit) in ("km / s",)
+
+
+def test_onedspectrum_with_spectral_unit(spec):
+    s2 = spec.with_spectral_unit("m / s")
+    np.testing.assert_allclose(np.asarray(s2.spectral_axis.value),
+                               1000 * np.asarray(spec.spectral_axis.value),
+                               rtol=1e-9)
+
+
+def test_onedspectrum_reductions_are_plain_quantities(spec):
+    """min/max/mean return bare Quantities (reference :721-756)."""
+    has_nan = bool(np.isnan(np.asarray(spec.value)).any())
+    for method in ("min", "max", "mean", "std", "sum", "nansum", "ptp",
+                   "var"):
+        out = getattr(spec, method)()
+        assert isinstance(out, Quantity)
+        assert not isinstance(out, LowerDimensionalObject)
+        # plain-numpy reductions propagate NaN, like the reference's
+        # Quantity reroute (base __getattribute__ hook)
+        if not has_nan:
+            assert np.isfinite(float(np.asarray(out.value)))
+
+
+def test_onedspectrum_interpolate_and_smooth(spec):
+    sa = np.asarray(spec.spectral_axis.value)
+    mid = Quantity((sa[:-1] + sa[1:]) / 2.0, spec.spectral_axis.unit)
+    out = spec.spectral_interpolate(mid, suppress_smooth_warning=True)
+    assert out.size == spec.size - 1
+    sm = spec.spectral_smooth(np.array([0.25, 0.5, 0.25]))
+    assert sm.size == spec.size
+    assert isinstance(sm, OneDSpectrum)
+
+
+def test_vr_onedspectrum_beams(cube_vr):
+    cube, _ = cube_vr
+    s = cube[:, 1, 1]
+    assert isinstance(s, VaryingResolutionOneDSpectrum)
+    assert len(s.beams) == s.size
+    # slicing keeps beams in sync (reference :210)
+    s2 = s[1:3]
+    assert len(s2.beams) == 2
+    assert s2.beams[0] == s.beams[1]
+    # arithmetic keeps the beams (reference :221)
+    s3 = s * 2
+    assert isinstance(s3, VaryingResolutionOneDSpectrum)
+    assert len(s3.beams) == s.size
+
+
+def test_array_and_quantity_properties(proj):
+    arr = proj.array
+    assert isinstance(arr, np.ndarray)
+    q = proj.quantity
+    assert isinstance(q, Quantity)
+    assert not isinstance(q, LowerDimensionalObject)
+
+
+def test_jybeam_without_beam_raises(cube_adv):
+    """Converting Jy/beam -> K on a beamless plane errors usefully
+    (reference test_ldo_attach_beam_jybm_error :448)."""
+    cube, _ = cube_adv
+    mx = cube.max(axis=0)
+    nb = mx._new_with(mx.value, beam=None)
+    nb._beam = None
+    with pytest.raises(Exception):
+        nb.to("K", freq=Quantity(100, "GHz"))
+
+
+def test_with_fill_value(proj):
+    p = proj.with_fill_value(0.0)
+    assert p.fill_value == 0.0 if hasattr(p, "fill_value") else True
