@@ -109,12 +109,17 @@ class StokesSpectralCube:
         return "MIXED"
 
     def __getitem__(self, key):
-        if key in self._stokes_data:
-            cube = self._stokes_data[key]
-            if self._mask is not None:
-                cube = cube.with_mask(self._mask)
-            return cube
-        raise KeyError(f"No Stokes component {key!r}")
+        if isinstance(key, str):
+            if key in self._stokes_data:
+                cube = self._stokes_data[key]
+                if self._mask is not None:
+                    cube = cube.with_mask(self._mask)
+                return cube
+            raise KeyError(f"No Stokes component {key!r}")
+        # numpy-style view: slice every component consistently (reference
+        # test_stokes_spectral_cube.py:335-347)
+        data = {k: self[k][key] for k in self.components}
+        return StokesSpectralCube(data, meta=self._meta)
 
     def __getattr__(self, attribute):
         if not attribute.startswith("_") and \

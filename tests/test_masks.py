@@ -207,3 +207,77 @@ def test_masks_and_cubes_pickle(tmp_path):
                                np.asarray(masked.filled_data[:].value),
                                equal_nan=True)
     assert c2.unit == masked.unit
+
+
+def test_mask_logic_chains(data):
+    """Compound boolean algebra matches numpy (reference
+    test_masks.py:183-236)."""
+    from spectral_cube_tpu.masks import LazyComparisonMask
+    import operator
+    arr = np.asarray(data)
+    m1 = LazyComparisonMask(jnp.greater, 0.2, shape=arr.shape)
+    m2 = LazyComparisonMask(jnp.less, 0.8, shape=arr.shape)
+    m3 = LazyComparisonMask(jnp.greater, 0.5, shape=arr.shape)
+    d = jnp.asarray(arr)
+    for mask, expect in [
+            ((m1 & m2) | ~m3, ((arr > 0.2) & (arr < 0.8)) | ~(arr > 0.5)),
+            (m1 ^ m2, (arr > 0.2) ^ (arr < 0.8)),
+            (~(m1 | m3) & m2, ~((arr > 0.2) | (arr > 0.5)) & (arr < 0.8)),
+            ((m1 & ~m2) ^ (m3 | m1),
+             ((arr > 0.2) & ~(arr < 0.8)) ^ ((arr > 0.5) | (arr > 0.2)))]:
+        got = np.asarray(mask.include(data=d))
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_mask_wcs_mismatch_warns(tmp_path):
+    """A mask carrying a different sky WCS warns on attach instead of
+    binding silently (reference masks.py:425-435; round-1 review item)."""
+    import warnings as _w
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube, BooleanArrayMask
+    from spectral_cube_tpu.utils import WCSMismatchWarning
+    path, d = make_cube_file(tmp_path, shape=(4, 3, 2))
+    cube = SpectralCube.read(path)
+    other = cube.wcs.copy()
+    other.crval[0] += 5.0  # a different sky position
+    bad = BooleanArrayMask(np.ones(cube.shape, bool), wcs=other,
+                           shape=cube.shape)
+    with pytest.warns(WCSMismatchWarning):
+        cube.with_mask(bad)
+    # same-WCS masks attach silently, and the whitelist cache keeps
+    # repeated attaches warning-free
+    good = BooleanArrayMask(np.ones(cube.shape, bool), wcs=cube.wcs.copy(),
+                            shape=cube.shape)
+    with _w.catch_warnings():
+        _w.simplefilter("error", WCSMismatchWarning)
+        cube.with_mask(good)
+        cube.with_mask(good)
+
+
+def test_flattened_sums_with_mask(tmp_path):
+    """flattened() returns exactly the included values (reference
+    test_flat_mask :376)."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube, Quantity
+    path, d = make_cube_file(tmp_path, shape=(4, 3, 2), with_nan=False)
+    cube = SpectralCube.read(path)
+    m = cube.with_mask(cube > Quantity(0.5, "Jy/beam"))
+    flat = np.asarray(m.flattened().value)
+    expect = d[d > 0.5]
+    assert flat.size == expect.size
+    np.testing.assert_allclose(np.sort(flat), np.sort(expect), rtol=1e-6)
+
+
+def test_mask_survives_spectral_unit_change(tmp_path):
+    """with_spectral_unit keeps the mask working (reference
+    test_mask_spectral_unit :237)."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube, Quantity
+    path, d = make_cube_file(tmp_path, shape=(4, 3, 2), with_nan=False)
+    cube = SpectralCube.read(path).with_mask(
+        SpectralCube.read(path) > Quantity(0.5, "Jy/beam"))
+    conv = cube.with_spectral_unit("m / s")
+    inc1 = np.asarray(cube.get_mask_array())
+    inc2 = np.asarray(conv.get_mask_array())
+    np.testing.assert_array_equal(inc1, inc2)
+    assert str(conv.spectral_axis.unit) == "m / s"

@@ -138,3 +138,113 @@ def test_stokes_region_delegation(tmp_path):
     arr[1:3, 5:9, 2:7] = True
     slices = sc.subcube_slices_from_mask(BooleanArrayMask(arr))
     assert slices == (slice(1, 3), slice(5, 9), slice(2, 7))
+
+
+def test_invalid_wcs_rejected(tmp_path):
+    """Components with mismatched WCS raise (reference :76)."""
+    cubes = _component_cubes(tmp_path, ["I", "Q"])
+    shifted = cubes["Q"]._new_cube_with(
+        wcs=cubes["Q"].wcs.copy())
+    shifted._wcs.crval[0] += 1.0
+    with pytest.raises(ValueError):
+        StokesSpectralCube({"I": cubes["I"], "Q": shifted})
+
+
+def test_stokes_type_classification(tmp_path):
+    """Feed classifications incl. partial linear (reference :98-131)."""
+    for names, expect in ((["I", "Q", "U", "V"], "SKY_STOKES"),
+                          (["RR", "LL"], "FEED_CIRCULAR"),
+                          (["XX", "XY", "YX", "YY"], "FEED_LINEAR"),
+                          (["XX"], "FEED_LINEAR")):
+        sc = StokesSpectralCube(_component_cubes(tmp_path, names,
+                                                 seeds=range(len(names))))
+        assert sc.stokes_type == expect
+
+
+def test_dir_contains_components(tmp_path):
+    sc = StokesSpectralCube(_component_cubes(tmp_path, ["I", "Q"]))
+    d = dir(sc)
+    assert "I" in d and "Q" in d
+
+
+def test_mask_invalid_type_and_shape(tmp_path):
+    """Bad masks raise on attach (reference :175-189)."""
+    cubes = _component_cubes(tmp_path, ["I", "Q"])
+    with pytest.raises(TypeError):
+        StokesSpectralCube(cubes, mask="not a mask")
+    sc = StokesSpectralCube(cubes)
+    wrong = np.ones((2, 2, 2), dtype=bool)
+    with pytest.raises(Exception):
+        sc.with_mask(wrong)[...]
+
+
+def test_separate_component_masks(tmp_path):
+    """Component masks layer under the common mask (reference :191-211)."""
+    cubes = _component_cubes(tmp_path, ["I", "Q"])
+    arr_i = np.zeros((4, 3, 2), bool)
+    arr_i[:2] = True
+    from spectral_cube_tpu import BooleanArrayMask
+    mi = BooleanArrayMask(arr_i, wcs=cubes["I"].wcs, shape=(4, 3, 2))
+    cubes = {"I": cubes["I"].with_mask(mi), "Q": cubes["Q"]}
+    common = np.zeros((4, 3, 2), bool)
+    common[1:] = True
+    sc = StokesSpectralCube(cubes).with_mask(common)
+    inc_i = np.asarray(sc.I.get_mask_array())
+    inc_q = np.asarray(sc.Q.get_mask_array())
+    # I: component AND common; Q: just common
+    assert inc_i[0].sum() == 0 and inc_i[2:].sum() == 0
+    assert inc_i[1].all()
+    assert inc_q[0].sum() == 0 and inc_q[1:].all()
+
+
+def test_getitem_slice_all_components(tmp_path):
+    """cube[:2] slices every component consistently (reference
+    :335-353)."""
+    cubes = _component_cubes(tmp_path, ["I", "Q"])
+    sc = StokesSpectralCube(cubes)
+    sliced = sc[:2]
+    assert isinstance(sliced, StokesSpectralCube)
+    assert sliced.shape == (2, 3, 2)
+    np.testing.assert_allclose(
+        np.asarray(sliced.I.unmasked_data[:].value),
+        np.asarray(sc.I.unmasked_data[:2].value), equal_nan=True)
+    # string access still works afterwards
+    assert sliced["Q"].shape == (2, 3, 2)
+
+
+def test_spectral_slab_preserves_data(tmp_path):
+    from spectral_cube_tpu import Quantity
+    cubes = _component_cubes(tmp_path, ["I", "Q"])
+    sc = StokesSpectralCube(cubes)
+    sv = sc.I.spectral_axis
+    lo, hi = sv[0], sv[2]
+    slab = sc.spectral_slab(min(lo, hi), max(lo, hi))
+    assert isinstance(slab, StokesSpectralCube)
+    assert slab.shape[0] == 3
+    np.testing.assert_allclose(
+        np.asarray(slab.Q.unmasked_data[:].value),
+        np.asarray(sc.Q.unmasked_data[:3].value), equal_nan=True)
+
+
+def test_minimal_subcube_consistent(tmp_path):
+    cubes = _component_cubes(tmp_path, ["I", "Q"])
+    sc = StokesSpectralCube(cubes)
+    mini = sc.minimal_subcube()
+    assert isinstance(mini, StokesSpectralCube)
+    assert mini.I.shape == mini.Q.shape
+
+
+def test_transform_basis_incomplete_raises(tmp_path):
+    """Linear basis needs I and Q at least (reference :292)."""
+    sc = StokesSpectralCube(_component_cubes(tmp_path, ["I"]))
+    with pytest.raises(Exception):
+        sc.transform_basis("Linear")
+    fl = StokesSpectralCube(_component_cubes(tmp_path, ["XX"]))
+    with pytest.raises(Exception):
+        fl.transform_basis("Sky")
+
+
+def test_transform_basis_noop(tmp_path):
+    sc = StokesSpectralCube(_component_cubes(tmp_path, ["I", "Q", "U",
+                                                        "V"]))
+    assert sc.transform_basis("Sky") is sc
