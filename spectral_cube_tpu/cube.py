@@ -366,7 +366,23 @@ class BaseSpectralCube:
         h["NAXIS"] = 3
         for i, n in enumerate(self.shape[::-1]):
             h[f"NAXIS{i + 1}"] = int(n)
-        h.update(self._wcs.to_header())
+        wcsheader = self._wcs.to_header()
+        # meta keys become header cards before the WCS copy so WCS cards
+        # win on collision (reference base_class.py:83-93); long keys turn
+        # into COMMENT lines
+        for key, val in (self._meta or {}).items():
+            if not isinstance(key, str) or key.lower() == "beam":
+                continue
+            if key.upper() in wcsheader:
+                continue
+            if len(key) <= 8:
+                try:
+                    h[key.upper()] = str(val)
+                except Exception:
+                    pass
+            else:
+                h.add_comment(f"{key}={val}")
+        h.update(wcsheader)
         if self._unit is not None:
             h["BUNIT"] = self._unit.to_string()
         h.add_history("Written by spectral_cube_tpu")

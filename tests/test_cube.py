@@ -563,3 +563,61 @@ def test_tuple_axis_edge_cases(cube_adv):
     assert isinstance(sp, OneDSpectrum)
     np.testing.assert_allclose(np.asarray(sp.value),
                                np.nanmean(data, axis=(1, 2)), rtol=1e-6)
+
+
+def test_header_preserves_meta_values(cube_adv):
+    """meta entries land in the regenerated header: short keys as cards,
+    long keys as COMMENTs; WCS cards win on collision (reference
+    test_preserves_header_meta_values, base_class.py:83-93)."""
+    cube, _ = cube_adv
+    c2 = cube._new_cube_with(meta={"OBJECT": "W51",
+                                   "very_long_meta_key": "kept",
+                                   "CRVAL1": "not-a-wcs-override"})
+    h = c2.header
+    assert h["OBJECT"] == "W51"
+    # the WCS value wins over the meta impostor
+    assert h["CRVAL1"] == cube.wcs.crval[0]
+    assert any("very_long_meta_key" in c for c in h.comments_log)
+
+
+def test_closest_spectral_channel_and_reversed_slab(cube_adv):
+    """closest_spectral_channel picks the nearest channel in any unit and
+    spectral_slab accepts reversed limits (reference
+    test_closest_spectral_channel/:slab_reverse_limits)."""
+    cube, _ = cube_adv
+    sv = cube.spectral_axis
+    idx = cube.closest_spectral_channel(sv[2])
+    assert idx == 2
+    # unit conversion in the lookup
+    idx_m = cube.closest_spectral_channel(sv[2].to("m / s"))
+    assert idx_m == 2
+    slab_fwd = cube.spectral_slab(sv[0], sv[2])
+    slab_rev = cube.spectral_slab(sv[2], sv[0])
+    assert slab_fwd.shape == slab_rev.shape
+    np.testing.assert_allclose(
+        np.asarray(slab_fwd.unmasked_data[:].value),
+        np.asarray(slab_rev.unmasked_data[:].value), equal_nan=True)
+
+
+def test_cube_pow_units(cube_adv):
+    cube, data = cube_adv
+    sq = cube ** 2
+    np.testing.assert_allclose(np.asarray(sq.unmasked_data[:].value),
+                               np.asarray(cube.unmasked_data[:].value) ** 2,
+                               equal_nan=True, rtol=1e-6)
+    assert sq.unit == cube.unit ** 2
+
+
+def test_bunit_case_and_whitespace_forgiveness(tmp_path):
+    """CASA/AIPS-style BUNIT spellings parse (reference
+    test_jybeam_upper/lower/whitespace)."""
+    from spectral_cube_tpu.io.fits_low import Header, HDU, write_fits
+    from conftest import base_header
+    import spectral_cube_tpu.units as u
+    for bunit in ("JY/BEAM", "Jy/beam", " Jy / beam ", "jy/beam"):
+        h = base_header(nx=2, ny=3, nchan=4)
+        h["BUNIT"] = bunit
+        path = str(tmp_path / f"b{abs(hash(bunit))}.fits")
+        write_fits(path, [HDU(data=np.ones((4, 3, 2), "f4"), header=h)])
+        cube = SpectralCube.read(path)
+        assert cube.unit == u.Jy / u.beam, bunit
