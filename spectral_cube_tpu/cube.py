@@ -141,6 +141,12 @@ class BaseSpectralCube:
     def __init__(self, data, wcs, mask=None, meta=None, fill_value=np.nan,
                  header=None, allow_huge_operations=False, wcs_tolerance=0.0,
                  unit=None):
+        if isinstance(data, Quantity):
+            # Quantity data carries its own unit (reference
+            # test_initialization_from_units); an explicit unit= wins
+            if unit is None:
+                unit = data.unit
+            data = data.value
         if isinstance(data, np.ndarray) and \
                 data.dtype.byteorder not in ("=", "|") and \
                 data.dtype.byteorder != ("<" if sys.byteorder == "little"

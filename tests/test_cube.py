@@ -621,3 +621,51 @@ def test_bunit_case_and_whitespace_forgiveness(tmp_path):
         write_fits(path, [HDU(data=np.ones((4, 3, 2), "f4"), header=h)])
         cube = SpectralCube.read(path)
         assert cube.unit == u.Jy / u.beam, bunit
+
+
+def test_initialization_from_quantity(cube_adv):
+    """Quantity data carries its unit into the cube (reference
+    test_initialization_from_units)."""
+    cube, data = cube_adv
+    import spectral_cube_tpu.units as u
+    c2 = SpectralCube(data=Quantity(data, "K"), wcs=cube.wcs)
+    assert c2.unit == u.K
+    np.testing.assert_allclose(np.asarray(c2.unmasked_data[:].value), data,
+                               equal_nan=True)
+    # explicit unit= wins over the Quantity's
+    c3 = SpectralCube(data=Quantity(data, "K"), wcs=cube.wcs, unit="Jy")
+    assert c3.unit == u.Jy
+
+
+def test_spatial_smooth_kernel_object_and_jybm_guard(tmp_path):
+    """Kernel objects with .array work; the Jy/beam beam-change guard
+    fires first and can be overridden (reference test_spatial_smooth_g2d,
+    test_spatial_smooth_jybm_error)."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu.beams import BeamError
+    path, data = make_cube_file(tmp_path, shape=(3, 6, 5), with_nan=False)
+    cube = SpectralCube.read(path)
+
+    class FakeKernel:
+        def __init__(self, a):
+            self.array = a
+
+    k = FakeKernel(np.ones((3, 3)) / 9.0)
+    with pytest.raises(BeamError):
+        cube.spatial_smooth(k)
+    out = cube.spatial_smooth(k, raise_error_jybm=False)
+    assert out.shape == cube.shape
+    # interior pixel equals the box average
+    got = np.asarray(out.unmasked_data[1].value)[2, 2]
+    assert got == pytest.approx(data[1, 1:4, 1:4].mean(), rel=1e-5)
+
+
+def test_mad_std_axis_and_median_2axis(cube_adv):
+    cube, data = cube_adv
+    ms = cube.mad_std(axis=0)
+    assert ms.shape == cube.shape[1:]
+    med = cube.median(axis=(1, 2))
+    assert med.shape == (cube.shape[0],)
+    finite = np.isfinite(data)
+    expect = np.nanmedian(np.where(finite, data, np.nan), axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(med.value), expect, rtol=1e-6)
