@@ -308,3 +308,32 @@ def test_sharded_halo_convolve_even_kernel(cmesh):
     assert got is not None
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_fused_ops_on_sharded_arrays(cmesh):
+    """The fused composed-operator paths (smooth+interp, conv+reproject)
+    run on GSPMD-sharded arrays: the clean-cube lax.cond predicate is a
+    global reduce, which the partitioner lowers to an all-reduce."""
+    from spectral_cube_tpu.ops.interpolate import smooth_interp_cube
+    from spectral_cube_tpu.ops import interpolate as itp
+    from spectral_cube_tpu.ops.smoothing import gaussian_kernel1d
+    rng = np.random.RandomState(3)
+    data_np = rng.rand(16, 16, 32).astype("f4")
+    data = cmesh.shard(jnp.asarray(data_np), "spatial")
+    kern = gaussian_kernel1d(1.0)
+    inaxis = np.arange(16, dtype=np.float64)
+    outaxis = inaxis[::2]
+    ref, _ = itp.interp_cube_spectral(
+        __import__("spectral_cube_tpu.ops.smoothing",
+                   fromlist=["spectral_smooth_cube"])
+        .spectral_smooth_cube(jnp.asarray(data_np), kern),
+        inaxis, outaxis)
+    # force the matmul path (CPU gates it off by default)
+    orig = itp._use_matmul_interp
+    itp._use_matmul_interp = lambda nin, nout: True
+    try:
+        got, _ = smooth_interp_cube(data, kern, inaxis, outaxis)
+    finally:
+        itp._use_matmul_interp = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=1e-6)
