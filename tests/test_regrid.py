@@ -404,3 +404,28 @@ def test_convolve_reproject_fused_matches_chain(monkeypatch):
     assert rg.convolve_reproject_separable(
         jnp.asarray(rng.rand(4, ny_in, nx_in).astype("f4")), kern,
         ys_rot, xs) is None
+
+
+def test_block_tap_interp_long_axis(monkeypatch):
+    """Long spectral axes take the block-windowed tap matmul; results
+    match the gather/lerp oracle incl. NaN poisoning and the include
+    transform."""
+    from spectral_cube_tpu.ops import interpolate as itp
+    rng = np.random.RandomState(19)
+    nin = 600  # > the 512 block threshold
+    data = rng.rand(nin, 5, 4).astype("f4")
+    data[100, 2, 2] = np.nan
+    inax = np.arange(nin, dtype=np.float64)
+    outax = np.linspace(0, nin - 1, 217)
+    include = np.ones((nin, 5, 4), bool)
+    include[50:60] = False
+    # oracle: the gather path (matmul gated off)
+    monkeypatch.setattr(itp, "_use_matmul_interp", lambda a, b: False)
+    ref, inc_ref = itp.interp_cube_spectral(jnp.asarray(data), inax, outax,
+                                            include=jnp.asarray(include))
+    monkeypatch.setattr(itp, "_use_matmul_interp", lambda a, b: True)
+    got, inc_got = itp.interp_cube_spectral(jnp.asarray(data), inax, outax,
+                                            include=jnp.asarray(include))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=1e-6, equal_nan=True)
+    np.testing.assert_array_equal(np.asarray(inc_got), np.asarray(inc_ref))
