@@ -105,6 +105,47 @@ def block_tap_matmul(flat, i0, frac, chunk=64,
     return out.reshape(nb * chunk, S)[:nout]
 
 
+def block_matmul_from_dense(M, flat, chunk=64, precision=None):
+    """Apply a host-side banded (nout, nin) operator in block-windowed
+    form: each chunk of output rows multiplies only the input window its
+    band touches.  Generalizes :func:`block_tap_matmul` to any banded
+    matrix (e.g. the composed smooth+interp operator)."""
+    import jax.lax as lax
+    if precision is None:
+        precision = lax.Precision.HIGHEST
+    M = np.asarray(M, dtype=np.float32)
+    nout, nin = M.shape
+    S = flat.shape[1]
+    nb = -(-nout // chunk)
+    starts = np.zeros(nb, np.int64)
+    widths = np.zeros(nb, np.int64)
+    for b in range(nb):
+        rows = M[b * chunk:min((b + 1) * chunk, nout)]
+        nz = np.nonzero(np.any(rows != 0.0, axis=0))[0]
+        if nz.size == 0:
+            starts[b], widths[b] = 0, 1
+            continue
+        starts[b] = nz[0]
+        widths[b] = nz[-1] + 1 - nz[0]
+    W = int(widths.max())
+    starts = np.minimum(starts, np.maximum(nin - W, 0))
+    mats = np.zeros((nb, chunk, W), np.float32)
+    for b in range(nb):
+        lo = b * chunk
+        hi = min(lo + chunk, nout)
+        w_hi = min(int(starts[b]) + W, nin)
+        mats[b, :hi - lo, :w_hi - int(starts[b])] = \
+            M[lo:hi, int(starts[b]):w_hi]
+    pad_hi = int(max(0, (starts + W).max() - nin))
+    xp = jnp.pad(flat.astype(jnp.float32), ((0, pad_hi), (0, 0)))
+    windows = jnp.stack([
+        lax.slice(xp, (int(starts[b]), 0), (int(starts[b]) + W, S))
+        for b in range(nb)])
+    out = jnp.einsum("brw,bws->brs", jnp.asarray(mats), windows,
+                     precision=precision)
+    return out.reshape(nb * chunk, S)[:nout]
+
+
 # past this many channels the dense interp matrix stops paying for itself
 _MATMUL_INTERP_MAX_N = 4096
 
@@ -216,9 +257,7 @@ def smooth_interp_cube(data, kernel, inaxis, outaxis, include=None):
     data = jnp.asarray(data)
     idx, frac = interp_weights(inaxis, outaxis)
     nin, nout = data.shape[0], idx.shape[0]
-    # beyond this the chain's linear-FLOP block-banded smoothing beats the
-    # dense composed operator (quadratic in nin)
-    if not (_use_matmul_interp(nin, nout) and nin <= 2048):
+    if not _use_matmul_interp(nin, nout):
         sm = spectral_smooth_cube(data, kernel)
         return interp_cube_spectral(sm, inaxis, outaxis, include=include)
 
@@ -226,9 +265,13 @@ def smooth_interp_cube(data, kernel, inaxis, outaxis, include=None):
     k = k / k.sum()
     S = _banded_conv_matrix(nin, k).astype(np.float64)
     Imat = _interp_matrix(idx, frac, nin).astype(np.float64)
-    M = jnp.asarray((Imat @ S).astype(np.float32))
+    M_host = (Imat @ S).astype(np.float32)
     spatial = int(np.prod(data.shape[1:])) if data.ndim > 1 else 1
     flat = data.reshape(nin, spatial)
+    # long axes apply the composed operator block-windowed (its band is
+    # only ~kernel+2 wide), keeping FLOPs linear in nin
+    use_block = nin > 512
+    M = None if use_block else jnp.asarray(M_host)
 
     def mm(mat, x, precision=lax.Precision.HIGHEST):
         return lax.dot_general(mat, x.astype(jnp.float32),
@@ -237,6 +280,8 @@ def smooth_interp_cube(data, kernel, inaxis, outaxis, include=None):
                                precision=precision)
 
     def fused(x):
+        if use_block:
+            return block_matmul_from_dense(M_host, x)
         return mm(M, x)
 
     def chain(x):
@@ -254,9 +299,13 @@ def smooth_interp_cube(data, kernel, inaxis, outaxis, include=None):
         # interp operator transforms it (reference spectral_cube.py:3308)
         inc = jnp.asarray(include).astype(jnp.float32)
         inc_b = jnp.broadcast_to(inc, data.shape).reshape(nin, spatial)
-        new_include = (mm(jnp.asarray(Imat.astype(np.float32)), inc_b,
-                          precision=lax.Precision.DEFAULT) > 0) \
-            .reshape((nout,) + data.shape[1:])
+        if use_block:
+            inc_i = block_tap_matmul(inc_b, idx.astype(np.int64), frac,
+                                     precision=lax.Precision.DEFAULT)
+        else:
+            inc_i = mm(jnp.asarray(Imat.astype(np.float32)), inc_b,
+                       precision=lax.Precision.DEFAULT)
+        new_include = (inc_i > 0).reshape((nout,) + data.shape[1:])
     return out, new_include
 
 

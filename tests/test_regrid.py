@@ -429,3 +429,32 @@ def test_block_tap_interp_long_axis(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=1e-6, equal_nan=True)
     np.testing.assert_array_equal(np.asarray(inc_got), np.asarray(inc_ref))
+
+
+def test_smooth_interp_fused_long_axis(monkeypatch):
+    """The composed operator's block-windowed form (long axes) matches the
+    sequential chain."""
+    from spectral_cube_tpu.ops import interpolate as itp
+    from spectral_cube_tpu.ops.smoothing import (spectral_smooth_cube,
+                                                 gaussian_kernel1d)
+    monkeypatch.setattr(itp, "_use_matmul_interp", lambda nin, nout: True)
+    rng = np.random.RandomState(23)
+    kern = gaussian_kernel1d(2.0)
+    nin = 700  # > the 512 block threshold
+    inaxis = np.arange(nin, dtype=np.float64)
+    outaxis = inaxis[::2] + 0.25
+    data = rng.rand(nin, 4, 3).astype("f4")
+    ref_sm = spectral_smooth_cube(jnp.asarray(data), kern)
+    ref, _ = itp.interp_cube_spectral(ref_sm, inaxis, outaxis)
+    got, _ = itp.smooth_interp_cube(jnp.asarray(data), kern, inaxis,
+                                    outaxis)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=1e-6)
+    include = np.ones((nin, 4, 3), bool)
+    include[100:150] = False
+    _, inc_ref = itp.interp_cube_spectral(
+        jnp.asarray(data), inaxis, outaxis, include=jnp.asarray(include))
+    _, inc_got = itp.smooth_interp_cube(
+        jnp.asarray(data), kern, inaxis, outaxis,
+        include=jnp.asarray(include))
+    np.testing.assert_array_equal(np.asarray(inc_got), np.asarray(inc_ref))
