@@ -179,10 +179,19 @@ def halo_pad(local, halo_y, halo_x, axis_y="y", axis_x="x"):
 
 def sharded_spatial_convolve(data, kernel, cmesh: CubeMesh):
     """NaN-interpolating spatial convolution of a spatially-sharded cube
-    with a (small) 2-D kernel, using halo exchange instead of resharding."""
-    mesh = cmesh.mesh
+    with a (small) 2-D kernel, using halo exchange instead of resharding.
+
+    Low-rank kernels delegate to the group-indexed separable band-matmul
+    path (one group): XLA's 2-D conv lowering measures ~100x slower than
+    the equivalent MXU matmuls on TPU (see ops/smoothing.py).  Full-rank
+    kernels keep the per-shard conv."""
     k = np.asarray(kernel, dtype=float)
     k = k / k.sum()
+    sep = sharded_convolve_per_channel_separable(
+        data, [k], np.zeros(np.asarray(data).shape[0], np.int32), cmesh)
+    if sep is not None:
+        return sep
+    mesh = cmesh.mesh
     hy, hx = k.shape[0] // 2, k.shape[1] // 2
 
     def local(d):
