@@ -7,10 +7,17 @@ numpy on the host and as pure-jnp functions usable inside jit on device
 
 Supported codes: TAN, SIN (incl. slant orthographic with PV2_1=xi,
 PV2_2=eta — the radio-interferometry / AIPS NCP case), ARC, STG, ZEA,
-AZP (PV2_1=mu, PV2_2=gamma tilt), ZPN (zenithal polynomial PV2_0..PV2_29),
-CAR, CEA (PV2_1=lambda), MER, MOL, SFL/GLS, AIT, CYP (PV2_1=mu,
-PV2_2=lambda), PAR, the pseudoconics BON (PV2_1=theta_1) and PCO, and the
-conic family COP/COE/COD/COO (PV2_1=theta_a, PV2_2=eta).  All functions
+AZP (PV2_1=mu, PV2_2=gamma tilt), SZP (PV2_1=mu, PV2_2=phi_c,
+PV2_3=theta_c), ZPN (zenithal polynomial PV2_0..PV2_29), AIR
+(PV2_1=theta_b), CAR, CEA (PV2_1=lambda), MER, MOL, SFL/GLS, AIT, CYP
+(PV2_1=mu, PV2_2=lambda), PAR, the pseudoconics BON (PV2_1=theta_1) and
+PCO, the conic family COP/COE/COD/COO (PV2_1=theta_a, PV2_2=eta), the
+HEALPix grid HPX (PV2_1=H, PV2_2=K — e.g. the HI4PI survey release), and
+the tangential quad-cube TSC.  CSC/QSC remain unimplemented: CSC is
+defined by the COBE polynomial coefficient tables (data, not math —
+~4e-4 deg approximation error by construction) and QSC by the
+O'Neill & Laubscher construction; neither appears in spectral-line
+radio data.  All functions
 work on *intermediate world coordinates* (x, y) in **degrees** and native
 spherical coordinates (phi, theta) in **degrees**, matching wcslib
 conventions.  ``pv`` holds the PVi_m values of the latitude axis: either a
@@ -34,15 +41,16 @@ __all__ = [
 D2R = np.pi / 180.0
 R2D = 180.0 / np.pi
 
-SUPPORTED_PROJECTIONS = ("TAN", "SIN", "ARC", "STG", "ZEA", "AZP", "ZPN",
+SUPPORTED_PROJECTIONS = ("TAN", "SIN", "ARC", "STG", "ZEA", "AZP", "SZP",
+                         "ZPN", "AIR",
                          "CAR", "CEA", "MER", "MOL", "SFL", "GLS", "AIT",
-                         "CYP", "PAR", "BON", "PCO",
-                         "COP", "COE", "COD", "COO", "")
+                         "CYP", "PAR", "BON", "PCO", "HPX",
+                         "COP", "COE", "COD", "COO", "TSC", "")
 
 # Fiducial native coordinates (phi0, theta0) per projection family [deg].
-_ZENITHAL = {"TAN", "SIN", "ARC", "STG", "ZEA", "AZP", "ZPN"}
+_ZENITHAL = {"TAN", "SIN", "ARC", "STG", "ZEA", "AZP", "SZP", "ZPN", "AIR"}
 _CYLINDRICAL = {"CAR", "CEA", "MER", "MOL", "SFL", "GLS", "AIT",
-                "CYP", "PAR", "BON", "PCO", ""}
+                "CYP", "PAR", "BON", "PCO", "HPX", "TSC", ""}
 _CONIC = {"COP", "COE", "COD", "COO"}
 
 
@@ -164,6 +172,8 @@ def _zenithal_r_to_theta(code, r, xp, pv=()):
     radially symmetric once the PV obliquity parameters are nonzero)."""
     if code == "ZPN":
         return _zpn_r_to_theta(r, xp, pv)
+    if code == "AIR":
+        return _air_r_to_theta(r, xp, pv)
     if code == "TAN":
         return xp.arctan2(R2D, r) * R2D
     if code == "SIN":
@@ -187,6 +197,8 @@ def _zenithal_theta_to_r(code, theta, xp, pv=()):
         for c in coeffs[-2::-1]:
             r = r * zeta + c
         return R2D * r
+    if code == "AIR":
+        return _air_theta_to_r(theta, xp, pv)
     if code == "TAN":
         return R2D * xp.cos(t) / xp.maximum(xp.sin(t), 1e-300)
     if code == "SIN":
@@ -298,6 +310,238 @@ def _sin_xy2native(x, y, xp, pv):
     return phi, theta
 
 
+def _szp_projector(pv):
+    """SZP projector point P in image-aligned 3-D coordinates.
+
+    Paper II specifies P by its distance mu from the sphere center
+    (PV2_1) and the native coordinates of the point *diametrically
+    opposite* it (phi_c = PV2_2, theta_c = PV2_3, default (0, 90)), so
+    P = -mu * u(phi_c, theta_c) and the defaults reduce SZP to
+    untilted AZP with the same mu (asserted in tests)."""
+    mu = _pv(pv, 1, 0.0)
+    pc = _pv(pv, 2, 0.0) * D2R
+    tc = _pv(pv, 3, 90.0) * D2R
+    # image frame: s1 = cos(t) sin(p), s2 = -cos(t) cos(p), s3 = sin(t)
+    return (-mu * np.cos(tc) * np.sin(pc),
+            mu * np.cos(tc) * np.cos(pc),
+            -mu * np.sin(tc))
+
+
+def _szp_native2xy(phi, theta, xp, pv):
+    """Slant zenithal perspective: project from P onto the plane z = 1
+    tangent at the native pole (Calabretta & Greisen 2002 sect. 5.1.2)."""
+    p1, p2, p3 = _szp_projector(pv)
+    t, p = theta * D2R, phi * D2R
+    ct = xp.cos(t)
+    s1, s2, s3 = ct * xp.sin(p), -ct * xp.cos(p), xp.sin(t)
+    f = (1.0 - p3) / (s3 - p3)
+    return R2D * (p1 + f * (s1 - p1)), R2D * (p2 + f * (s2 - p2))
+
+
+def _szp_xy2native(x, y, xp, pv):
+    """SZP inverse as an exact ray-sphere intersection (same branch
+    convention as AZP: the intersection farther along the ray from the
+    projector, i.e. nearer the native pole)."""
+    p1, p2, p3 = _szp_projector(pv)
+    d1, d2, d3 = x * D2R - p1, y * D2R - p2, 1.0 - p3
+    dd = d1 * d1 + d2 * d2 + d3 * d3
+    pd = p1 * d1 + p2 * d2 + p3 * d3
+    pp = p1 * p1 + p2 * p2 + p3 * p3
+    disc = pd * pd - dd * (pp - 1.0)
+    t = (-pd + xp.sqrt(xp.maximum(disc, 0.0))) / dd
+    s1, s2, s3 = p1 + t * d1, p2 + t * d2, p3 + t * d3
+    phi = xp.arctan2(s1, -s2) * R2D
+    theta = xp.arctan2(s3, xp.sqrt(s1 * s1 + s2 * s2)) * R2D
+    return phi, theta
+
+
+def _precise_log(x, xp):
+    """Natural log accurate to a few float32 ulp on every backend.
+
+    XLA lowers f32 ``log``/``log1p``/``atanh`` to a ~9e-5-relative-error
+    approximation on TPU (measured on v5e; CPU is the same) — far worse
+    than sin/cos/exp (~1e-7).  This extracts the exponent by bit
+    manipulation and sums the odd atanh series on the mantissa using
+    only mul/add, which are exactly rounded."""
+    if xp is np:
+        return np.log(x)
+    import jax
+    import jax.numpy as jnp
+    xf = jnp.asarray(x)
+    if xf.dtype == jnp.float64:
+        return jnp.log(xf)
+    xf = xf.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(xf, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127
+    m = jax.lax.bitcast_convert_type(
+        (bits & 0x007FFFFF) | (127 << 23), jnp.float32)   # m in [1, 2)
+    big = m > 1.4142135
+    m = jnp.where(big, m * 0.5, m)                        # [sqrt.5, sqrt2)
+    e = e + big.astype(jnp.int32)
+    t = (m - 1.0) / (m + 1.0)                             # |t| <= 0.1716
+    t2 = t * t
+    p = t * (2.0 + t2 * (2.0 / 3.0 + t2 * (2.0 / 5.0 + t2 * (
+        2.0 / 7.0 + t2 * (2.0 / 9.0)))))
+    return p + e.astype(jnp.float32) * 0.6931471805599453
+
+
+def _air_cb(pv):
+    """AIR boundary coefficient ln(cos xi_b)/tan^2(xi_b) for
+    xi_b = (90 - theta_b)/2, theta_b = PV2_1 (default 90 -> -1/2)."""
+    thb = _pv(pv, 1, 90.0)
+    xib = (90.0 - thb) * D2R / 2.0
+    if abs(xib) < 1e-6:
+        return -0.5 + xib * xib / 4.0
+    return float(np.log(np.cos(xib)) / np.tan(xib) ** 2)
+
+
+def _air_lncos_over_tan(xi, xp):
+    """ln(cos xi)/tan(xi), series-continued through xi = 0, using the
+    ulp-accurate ``_precise_log`` (ln cos = log(cos^2)/2)."""
+    small = xp.abs(xi) < 0.02
+    safe = xp.where(small, 1.0, xi)
+    s, c = xp.sin(safe), xp.cos(safe)
+    return xp.where(small, -xi / 2.0 + xi ** 3 / 12.0,
+                    0.5 * _precise_log(c * c, xp) * c / s)
+
+
+def _air_theta_to_r(theta, xp, pv):
+    """Airy projection (minimum total distortion inside theta_b):
+    R = -2 [ln(cos xi)/tan(xi) + c_b tan(xi)], xi = (90 - theta)/2.
+    The closed form satisfies the Euler-Lagrange equation of Airy's
+    least-squares criterion (asserted by the mpmath oracle generator)."""
+    cb = _air_cb(pv)
+    xi = (90.0 - theta) * D2R / 2.0
+    return -2.0 * R2D * (_air_lncos_over_tan(xi, xp)
+                         + cb * xp.sin(xi) / xp.cos(xi))
+
+
+def _air_r_to_theta(r, xp, pv):
+    """AIR inverse by Newton iteration on xi (R is monotonic in xi over
+    the domain of any sane header; fixed count, jit-friendly)."""
+    cb = _air_cb(pv)
+    target = r * D2R
+    xi = xp.clip(target / (1.0 - 2.0 * cb), 0.0, 1.45)
+    for _ in range(30):
+        s, c = xp.sin(xi), xp.cos(xi)
+        f = -2.0 * (_air_lncos_over_tan(xi, xp) + cb * s / c) - target
+        small = xp.abs(xi) < 0.02
+        s2 = xp.where(small, 0.5, s * s)
+        c2 = xp.where(small, 0.5, c * c)
+        dterm = xp.where(small, -0.5 + xi * xi / 4.0,
+                         -1.0 - 0.5 * _precise_log(c2, xp) / s2)
+        df = -2.0 * (dterm + cb / (c * c))
+        step = f / xp.where(xp.abs(df) > 1e-14, df, 1e-14)
+        xi = xp.clip(xi - step, 0.0, 1.5)
+    return 90.0 - 2.0 * xi * R2D
+
+
+def _hpx_params(pv):
+    h = _pv(pv, 1, 4.0)
+    k = _pv(pv, 2, 3.0)
+    return h, k
+
+
+def _hpx_facet_center(lon, h, k, south, xp):
+    """Longitude of the polar facet center containing ``lon`` [deg,
+    wrapped to [-180, 180)].  For even K the southern facets are offset
+    by half a facet width (Calabretta & Roukema 2007 sect. 2.2)."""
+    w = 180.0 / h
+    offs = w if int(round(k)) % 2 == 0 else 0.0
+    off = xp.where(south, offs, 0.0) if offs else 0.0
+    i = xp.floor((lon + 180.0 - off) / (2.0 * w))
+    i = xp.clip(i, 0.0, h - 1.0)
+    return -180.0 + (2.0 * i + 1.0) * w + off
+
+
+def _hpx_native2xy(phi, theta, xp, pv):
+    """HEALPix projection (Calabretta & Roukema 2007): equal-area hybrid
+    of interrupted Collignon polar facets over a cylindrical equal-area
+    equatorial belt.  H = PV2_1 (default 4), K = PV2_2 (default 3)."""
+    h, k = _hpx_params(pv)
+    w = 180.0 / h
+    lon = (phi + 180.0) % 360.0 - 180.0
+    st = xp.sin(theta * D2R)
+    polar = xp.abs(st) > (k - 1.0) / k
+    y_eq = (90.0 * k / h) * st
+    sigma = xp.sqrt(xp.maximum(k * (1.0 - xp.abs(st)), 0.0))
+    lon_c = _hpx_facet_center(lon, h, k, st < 0, xp)
+    x_pol = lon_c + (lon - lon_c) * sigma
+    y_pol = xp.where(st < 0, -1.0, 1.0) * w * ((k + 1.0) / 2.0 - sigma)
+    return xp.where(polar, x_pol, lon), xp.where(polar, y_pol, y_eq)
+
+
+def _hpx_xy2native(x, y, xp, pv):
+    h, k = _hpx_params(pv)
+    w = 180.0 / h
+    polar = xp.abs(y) > 90.0 * (k - 1.0) / h
+    st_eq = y * h / (90.0 * k)
+    sigma = (k + 1.0) / 2.0 - xp.abs(y) / w
+    st_pol = xp.where(y < 0, -1.0, 1.0) * (1.0 - sigma * sigma / k)
+    lon_c = _hpx_facet_center(x, h, k, y < 0, xp)
+    lon_pol = lon_c + (x - lon_c) / xp.maximum(sigma, 1e-12)
+    phi = xp.where(polar, lon_pol, x)
+    st = xp.where(polar, st_pol, st_eq)
+    theta = xp.arcsin(xp.clip(st, -1.0, 1.0)) * R2D
+    return phi, theta
+
+
+# TSC face tables: (zeta, xi, eta) direction-cosine picks and face-center
+# offsets, in the image-aligned frame e = cos(t)cos(p), f = cos(t)sin(p),
+# n = sin(t).  Layout: equatorial band faces 1-4 at x = 0/90/180/270,
+# north face above face 1, south face below it (Paper II fig. 4 unfold);
+# continuity across every shared edge is asserted in the tests.
+def _tsc_native2xy(phi, theta, xp):
+    """Tangential spherical cube: gnomonic projection onto the 6 faces
+    of the circumscribed cube (Calabretta & Greisen 2002 sect. 5.6.1)."""
+    p, t = phi * D2R, theta * D2R
+    n, ct = xp.sin(t), xp.cos(t)
+    e, f = ct * xp.cos(p), ct * xp.sin(p)
+    faces = ((n, f, -e, 0.0, 90.0),     # north
+             (e, f, n, 0.0, 0.0),       # phi = 0
+             (f, -e, n, 90.0, 0.0),     # phi = 90
+             (-e, -f, n, 180.0, 0.0),   # phi = 180
+             (-f, e, n, 270.0, 0.0),    # phi = 270
+             (-n, f, e, 0.0, -90.0))    # south
+    bz = bx = by = None
+    for zeta, xi, eta, x0, y0 in faces:
+        g = xp.where(xp.abs(zeta) > 1e-300, zeta, 1e-300)
+        x = x0 + 45.0 * xi / g
+        y = y0 + 45.0 * eta / g
+        if bz is None:
+            bz, bx, by = zeta, x, y
+        else:
+            better = zeta > bz
+            bx = xp.where(better, x, bx)
+            by = xp.where(better, y, by)
+            bz = xp.where(better, zeta, bz)
+    return bx, by
+
+
+def _tsc_xy2native(x, y, xp):
+    """TSC inverse: identify the face cell from (x, y) [x wrapped into
+    (-45, 315]], rebuild the direction cosines, and normalize."""
+    xw = (x + 45.0) % 360.0 - 45.0
+    top = y > 45.0
+    bot = y < -45.0
+    fi = xp.clip(xp.floor((xw + 45.0) / 90.0), 0.0, 3.0)
+    a_eq, b_eq = (xw - fi * 90.0) / 45.0, y / 45.0
+    a_cap = xw / 45.0
+    b_cap = xp.where(top, (y - 90.0) / 45.0, (y + 90.0) / 45.0)
+    cap = top | bot
+    a = xp.where(cap, a_cap, a_eq)
+    b = xp.where(cap, b_cap, b_eq)
+    inv = 1.0 / xp.sqrt(1.0 + a * a + b * b)
+    ang = fi * (np.pi / 2.0)
+    ca, sa = xp.cos(ang), xp.sin(ang)
+    e = xp.where(top, -b * inv, xp.where(bot, b * inv, (ca - a * sa) * inv))
+    f = xp.where(cap, a * inv, (sa + a * ca) * inv)
+    n = xp.where(top, inv, xp.where(bot, -inv, b * inv))
+    phi = xp.arctan2(f, e) * R2D
+    theta = xp.arctan2(n, xp.sqrt(e * e + f * f)) * R2D
+    return phi, theta
+
+
 def _theta_cot_theta(t, xp):
     """theta * cot(theta), smooth through theta = 0."""
     small = xp.abs(t) < 1e-4
@@ -349,6 +593,12 @@ def proj_xy2native(code: str, x, y, xp=np, pv=()):
     code = code.upper()
     if code == "AZP":
         return _azp_xy2native(x, y, xp, pv)
+    if code == "SZP":
+        return _szp_xy2native(x, y, xp, pv)
+    if code == "HPX":
+        return _hpx_xy2native(x, y, xp, pv)
+    if code == "TSC":
+        return _tsc_xy2native(x, y, xp)
     if code == "SIN" and (_pv(pv, 1, 0.0) != 0.0 or _pv(pv, 2, 0.0) != 0.0):
         return _sin_xy2native(x, y, xp, pv)
     if code in _ZENITHAL:
@@ -432,6 +682,12 @@ def proj_native2xy(code: str, phi, theta, xp=np, pv=()):
     code = code.upper()
     if code == "AZP":
         return _azp_native2xy(phi, theta, xp, pv)
+    if code == "SZP":
+        return _szp_native2xy(phi, theta, xp, pv)
+    if code == "HPX":
+        return _hpx_native2xy(phi, theta, xp, pv)
+    if code == "TSC":
+        return _tsc_native2xy(phi, theta, xp)
     if code == "SIN" and (_pv(pv, 1, 0.0) != 0.0 or _pv(pv, 2, 0.0) != 0.0):
         return _sin_native2xy(phi, theta, xp, pv)
     if code in _ZENITHAL:
@@ -450,7 +706,7 @@ def proj_native2xy(code: str, phi, theta, xp=np, pv=()):
         return phi, R2D * xp.sin(theta * D2R) / lam
     if code == "MER":
         t = theta * D2R
-        return phi, R2D * xp.log(xp.tan((np.pi / 2.0 + t) / 2.0))
+        return phi, R2D * _precise_log(xp.tan((np.pi / 2.0 + t) / 2.0), xp)
     if code == "MOL":
         g = _mol_gamma_from_theta(theta, xp)
         x = 2.0 * np.sqrt(2.0) / np.pi * phi * xp.cos(g)

@@ -134,7 +134,117 @@ def native2xy(code, phi, theta, pv=()):
         gam = mp.sqrt(2 / (1 + mp.cos(theta_r) * mp.cos(phi_d * D2R / 2)))
         return 2 * gam * mp.cos(theta_r) * mp.sin(phi_d * D2R / 2) * R2D, \
             gam * mp.sin(theta_r) * R2D
+    if code == "SZP":
+        # literal ray-plane perspective: projector P diametrically
+        # opposite (phi_c, theta_c) at distance mu, plane z = 1
+        mu, pc, tc = (mp.mpf(v) for v in pv)
+        P = -mu * unit(pc, tc)
+        d = u - P
+        t = (1 - P[2]) / d[2]
+        q = P + t * d
+        return R2D * q[1], -R2D * q[0]
+    if code == "TSC":
+        # gnomonic projection onto the circumscribed cube: find the face
+        # whose outward normal has the largest dot product with u, then
+        # intersect the ray from the center with that face's plane and
+        # decompose along the face's in-plane axes.  Face layout and
+        # orientations as documented in projections.py (continuity
+        # across every shared edge is asserted in test_wcs_golden).
+        faces = [
+            # (normal, e_x axis, e_y axis, x0, y0); frame: unit() above
+            (mp.matrix([0, 0, 1]), mp.matrix([0, 1, 0]),
+             mp.matrix([-1, 0, 0]), 0, 90),                    # north
+            (mp.matrix([1, 0, 0]), mp.matrix([0, 1, 0]),
+             mp.matrix([0, 0, 1]), 0, 0),                      # phi=0
+            (mp.matrix([0, 1, 0]), mp.matrix([-1, 0, 0]),
+             mp.matrix([0, 0, 1]), 90, 0),                     # phi=90
+            (mp.matrix([-1, 0, 0]), mp.matrix([0, -1, 0]),
+             mp.matrix([0, 0, 1]), 180, 0),                    # phi=180
+            (mp.matrix([0, -1, 0]), mp.matrix([1, 0, 0]),
+             mp.matrix([0, 0, 1]), 270, 0),                    # phi=270
+            (mp.matrix([0, 0, -1]), mp.matrix([0, 1, 0]),
+             mp.matrix([1, 0, 0]), 0, -90),                    # south
+        ]
+        best = max(faces, key=lambda f: (f[0].T * u)[0])
+        n_, ex, ey, x0, y0 = best
+        q = u / (n_.T * u)[0]          # ray hits the face plane n.q = 1
+        return x0 + 45 * (ex.T * q)[0], y0 + 45 * (ey.T * q)[0]
     raise ValueError(code)
+
+
+def hpx_native2xy(phi, theta, pv):
+    """HEALPix re-derived from its defining equal-area construction:
+    the map-region area above any parallel equals J times the spherical
+    cap area (J = pi K / 2H), computed here by mpmath quadrature — a
+    different route than the production closed form."""
+    H = mp.mpf(pv[0]) if pv else mp.mpf(4)
+    K = mp.mpf(pv[1]) if len(pv) > 1 else mp.mpf(3)
+    w = 180 / H
+    J = mp.pi * K / (2 * H)            # total map area / sphere area
+    t = mp.mpf(theta) * D2R
+    lon = (mp.mpf(phi) + 180) % 360 - 180
+    if abs(mp.sin(t)) <= (K - 1) / K:
+        # equatorial belt: straight parallels, x = phi; y from the
+        # equal-area condition 360 * y(theta) = J * band_area(0..theta)
+        band = mp.quad(lambda tt: 2 * mp.pi * mp.cos(tt) * R2D ** 2,
+                       [0, t])
+        return lon, J * band / 360
+    # polar zone: H 45-degree diamond facets; the region of the facets
+    # above y has map area H * d^2 with d the distance below the tip, so
+    # d = sqrt(J * cap_area / H)
+    s = 1 if t > 0 else -1
+    cap = mp.quad(lambda tt: 2 * mp.pi * mp.cos(tt) * R2D ** 2,
+                  [abs(t), mp.pi / 2])
+    d = mp.sqrt(J * cap / H)
+    y = s * (w * (K + 1) / 2 - d)
+    sigma = d * H / 180
+    # facet centers: boundaries at multiples of 2w from -180 (K odd;
+    # the even-K southern offset is asserted structurally in unit tests)
+    i = mp.floor((lon + 180) / (2 * w))
+    i = min(max(i, 0), H - 1)
+    lon_c = -180 + (2 * i + 1) * w
+    return lon_c + (lon - lon_c) * sigma, y
+
+
+def air_native2xy(phi, theta, pv):
+    """AIR: evaluate the Paper II closed form in mpmath, then CERTIFY it
+    as the solution of Airy's least-squares problem: the first variation
+    of E[R] = int_0^zeta_b [(R'-1)^2 + (R/sin z - 1)^2] sin z dz must
+    vanish for perturbations v with v(0) = 0 (checked by quadrature for
+    several v), and the natural boundary condition R'(zeta_b) = 1 must
+    hold.  A wrong sign/factor in the closed form cannot pass this."""
+    thb = mp.mpf(pv[0]) if pv else mp.mpf(90)
+    xib = (90 - thb) * D2R / 2
+    cb = mp.log(mp.cos(xib)) / mp.tan(xib) ** 2 if xib != 0 \
+        else mp.mpf(-0.5)
+
+    def R(z):                          # radians -> radians, z = 90-theta
+        xi = z / 2
+        if xi == 0:
+            return mp.mpf(0)
+        return -2 * (mp.log(mp.cos(xi)) / mp.tan(xi) + cb * mp.tan(xi))
+
+    zb = 2 * xib
+    if zb > 0:
+        # natural boundary condition of the variational problem
+        h = mp.mpf("1e-20")
+        Rp = (R(zb + h) - R(zb - h)) / (2 * h)
+        assert abs(Rp - 1) < mp.mpf("1e-15"), float(Rp)
+        # first variation for a basis of perturbations v(0)=0
+        for v, vp in [(lambda z: z, lambda z: 1),
+                      (lambda z: z ** 2, lambda z: 2 * z),
+                      (lambda z: mp.sin(3 * z), lambda z: 3 * mp.cos(3 * z))]:
+            dE = mp.quad(
+                lambda z: 2 * ((R(z) / mp.sin(z) - 1) * v(z) / mp.sin(z)
+                               + ((R(z + mp.mpf("1e-20")) -
+                                   R(z - mp.mpf("1e-20"))) /
+                                  mp.mpf("2e-20") - 1) * vp(z)) * mp.sin(z),
+                [mp.mpf("1e-12"), zb])
+            assert abs(dE) < mp.mpf("1e-10"), (float(dE),)
+    z = (90 - mp.mpf(theta)) * D2R
+    r = R(z) * R2D
+    p = mp.mpf(phi) * D2R
+    return r * mp.sin(p), -r * mp.cos(p)
 
 
 def rotation_matrix(alpha_p, delta_p, phi_p):
@@ -343,7 +453,7 @@ CONIC_POINTS = [(0, 45), (30, 60), (-120, 20), (179, 70), (-179, 10),
                 (15, -20), (0, 89.5)]
 
 ZENITHAL = ["TAN", "SIN", "SIN:slant", "STG", "ARC", "ZEA", "AZP",
-            "AZP:tilt", "ZPN"]
+            "AZP:tilt", "ZPN", "SZP", "AIR", "AIR:whole"]
 CYL = ["CAR", "CEA", "MER", "SFL", "MOL", "AIT", "CYP"]
 PSEUDO = ["PAR", "BON", "BON:south", "PCO"]
 
@@ -352,6 +462,12 @@ ZEN_POINTS = [(0, 89.0), (30, 60), (-120, 45), (179.5, 75), (-179.5, 80),
               (90, 89.999), (10, 30.5), (-45, 52.3)]
 CYL_POINTS = [(0, 0), (30, 45), (-120, -45), (179.5, 10), (-179.5, -10),
               (10, 89.5), (-10, -89.5), (45, 0.001)]
+# quad-cube / HEALPix points: cover every face / both zones and facet
+# interiors (exact face edges are seams; continuity is tested separately)
+QUAD_POINTS = [(0, 20), (100, 10), (185, -15), (265, 5), (-80, 3),
+               (20, 70), (-140, -75), (44, 0.5), (0.5, 44.5), (12, -89.9)]
+HPX_POINTS = [(10, 0), (30, 30), (-120, -35), (170.5, 10), (-179.5, -10),
+              (10, 89.5), (-100, -80), (60, 42), (130, 60), (-20, -55)]
 
 PV = {"AZP": [2.0], "CEA": [0.5],
       "SIN:slant": [0.3, -0.5],          # xi, eta (slant orthographic)
@@ -359,7 +475,11 @@ PV = {"AZP": [2.0], "CEA": [0.5],
       # ZPN coefficients are indexed from m = 0 (P0..P5)
       "ZPN": [0.0, 1.0, 0.0, 0.3, 0.0, 0.02],
       "CYP": [1.0, 0.7071],              # mu, lambda
-      "BON": [45.0], "BON:south": [-35.0]}
+      "BON": [45.0], "BON:south": [-35.0],
+      "SZP": [2.0, 25.0, 60.0],          # mu, phi_c, theta_c [deg]
+      "AIR": [45.0],                     # theta_b [deg]
+      "AIR:whole": [],                   # default theta_b = 90
+      "HPX:h6": [6.0, 3.0]}              # H, K
 
 # codes whose pv list is indexed from m = 0 rather than m = 1
 PV_FROM_M0 = {"ZPN"}
@@ -374,13 +494,25 @@ ROT_POINTS = [(0, 89), (30, 60), (-120, 45), (179.5, 30), (-179.5, 30),
 
 def main():
     out = {"projections": {}, "rotations": []}
-    for code in ZENITHAL + CYL + PSEUDO:
-        pts = ZEN_POINTS if code in ZENITHAL else CYL_POINTS
+    for code in ZENITHAL + CYL + PSEUDO + ["HPX", "HPX:h6", "TSC"]:
+        base = code.split(":")[0]
+        if base == "TSC":
+            pts = QUAD_POINTS
+        elif base == "HPX":
+            pts = HPX_POINTS
+        elif code in ZENITHAL:
+            pts = ZEN_POINTS
+        else:
+            pts = CYL_POINTS
         pv = PV.get(code, [])
         entries = []
         for phi, theta in pts:
-            if code.split(":")[0] in ("PAR", "BON", "PCO"):
-                x, y = pseudo_native2xy(code.split(":")[0], phi, theta, pv)
+            if base in ("PAR", "BON", "PCO"):
+                x, y = pseudo_native2xy(base, phi, theta, pv)
+            elif base == "HPX":
+                x, y = hpx_native2xy(phi, theta, pv)
+            elif base == "AIR":
+                x, y = air_native2xy(phi, theta, pv)
             else:
                 x, y = native2xy(code, phi, theta, pv)
             entries.append({"phi": phi, "theta": theta,

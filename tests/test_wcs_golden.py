@@ -202,3 +202,87 @@ def test_full_pix2world_with_pv(tmp_path):
         xb, yb = w.world2pix(np.asarray(lon), np.asarray(lat))
         np.testing.assert_allclose(np.asarray(xb), xs, atol=1e-8)
         np.testing.assert_allclose(np.asarray(yb), ys, atol=1e-8)
+
+
+def test_szp_reductions():
+    """SZP's documented reductions: defaults (mu, *, 90) == untilted AZP
+    with the same mu, and mu = 0 == TAN regardless of (phi_c, theta_c)
+    (Calabretta & Greisen 2002 sect. 5.1.2)."""
+    phi = np.array([0.0, 30, -120, 179.5, 10, -45])
+    th = np.array([89.0, 60, 45, 75, 30.5, 52.3])
+    for mu in (0.5, 2.0, 5.0):
+        xa, ya = prj.proj_native2xy("AZP", phi, th, pv=(mu,))
+        xs, ys = prj.proj_native2xy("SZP", phi, th, pv=(mu, 77.0, 90.0))
+        np.testing.assert_allclose(xs, xa, atol=1e-10)
+        np.testing.assert_allclose(ys, ya, atol=1e-10)
+    xt, yt = prj.proj_native2xy("TAN", phi, th)
+    xs, ys = prj.proj_native2xy("SZP", phi, th, pv=(0.0, 123.0, 4.0))
+    np.testing.assert_allclose(xs, xt, atol=1e-10)
+    np.testing.assert_allclose(ys, yt, atol=1e-10)
+
+
+def test_tsc_face_edge_continuity():
+    """The gnomonic face maps agree along every shared edge of the
+    unfolded cube (mod 360 at the layout's cut seam at phi = -45)."""
+    for p0, t0 in [(45.0, 0.0), (-45.0, 0.0), (135.0, 0.0), (225.0, 0.0),
+                   (0.0, 45.0), (0.0, -45.0), (30.0, 45.0), (-30.0, -45.0)]:
+        eps = 1e-9
+        x1, y1 = prj.proj_native2xy("TSC", p0 - eps, t0 - eps)
+        x2, y2 = prj.proj_native2xy("TSC", p0 + eps, t0 + eps)
+        dx = abs((float(x1) - float(x2) + 180.0) % 360.0 - 180.0)
+        assert dx < 1e-6 and abs(float(y1) - float(y2)) < 1e-6, (p0, t0)
+
+
+def test_hpx_equal_area_and_continuity():
+    """HPX is equal-area with |J| = pi K / (2 H) * (pi/180)^2 in both
+    zones, and continuous across the equatorial/polar transition."""
+    for pv in ((), (6.0, 3.0)):
+        h = pv[0] if pv else 4.0
+        k = pv[1] if pv else 3.0
+        jac_expect = np.pi * k / (2.0 * h) * (np.pi / 180.0) ** 2
+        eps = 1e-6
+        for phi, th in [(20.0, 10.0), (-100.0, -30.0), (33.0, 75.0),
+                        (150.0, -80.0), (57.0, 42.0)]:
+            x0, y0 = prj.proj_native2xy("HPX", phi, th, pv=pv)
+            xp_, yp_ = prj.proj_native2xy("HPX", phi + eps, th, pv=pv)
+            xt, yt = prj.proj_native2xy("HPX", phi, th + eps, pv=pv)
+            jac = ((float(xp_) - float(x0)) * (float(yt) - float(y0))
+                   - (float(xt) - float(x0)) * (float(yp_) - float(y0)))
+            jac /= eps * eps * np.cos(np.radians(th))  # per sphere area
+            assert abs(abs(jac) * (np.pi / 180.0) ** 2 - jac_expect) \
+                < 1e-5 * jac_expect, (pv, phi, th, jac)
+        tt = np.degrees(np.arcsin((k - 1.0) / k))
+        for ph in (10.0, -100.0, 170.0):
+            x1, y1 = prj.proj_native2xy("HPX", ph, tt - 1e-9, pv=pv)
+            x2, y2 = prj.proj_native2xy("HPX", ph, tt + 1e-9, pv=pv)
+            assert abs(float(x1) - float(x2)) < 1e-6
+            assert abs(float(y1) - float(y2)) < 1e-6
+
+
+def test_new_projection_device_path():
+    """SZP/AIR/HPX/TSC evaluate inside jit on the test backend and agree
+    with the float64 host path to f32 precision (AIR routes its logs
+    through _precise_log: XLA's native f32 log is ~9e-5 relative)."""
+    import jax
+    import jax.numpy as jnp
+    phi = np.array([10.0, -100.0, 170.0, 40.0])
+    th = np.array([20.0, 75.0, -50.0, 5.0])
+    # SZP points stay on the pole-side perspective sheet (theta = -50
+    # with this projector is past the limb, where the inverse correctly
+    # returns the near-pole branch)
+    th_szp = np.array([35.0, 75.0, 52.0, 60.0])
+    for code, pv in [("SZP", (2.0, 25.0, 60.0)), ("AIR", (45.0,)),
+                     ("HPX", ()), ("TSC", ())]:
+        tc = th_szp if code == "SZP" else th
+        xn, yn = prj.proj_native2xy(code, phi, tc, pv=pv)
+        xj, yj = jax.jit(
+            lambda a, b: prj.proj_native2xy(code, a, b, xp=jnp, pv=pv))(
+                phi, tc)
+        np.testing.assert_allclose(np.asarray(xj), xn, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(yj), yn, atol=5e-5)
+        pj, tj = jax.jit(
+            lambda a, b: prj.proj_xy2native(code, a, b, xp=jnp, pv=pv))(
+                np.asarray(xn), np.asarray(yn))
+        np.testing.assert_allclose(np.asarray(tj), tc, atol=1e-4)
+        dphi = (np.asarray(pj) - phi + 180.0) % 360.0 - 180.0
+        np.testing.assert_allclose(dphi, 0.0, atol=2e-4)
