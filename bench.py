@@ -166,8 +166,8 @@ def bench_config2():
 def bench_config3():
     """VRSC common-beam convolution: 64 distinct per-channel beam groups
     through the API's batched group-indexed separable-MXU path (the
-    DFT-as-matmul spectral multiply covers non-separable kernels at
-    ~13.5 ms/256^3)."""
+    rDFT real-matmul spectral multiply covers non-separable kernels at
+    ~4 ms/256^3)."""
     from spectral_cube_tpu.ops import convolve as cv
     n = 256
     ngroups = 64

@@ -259,3 +259,47 @@ def test_dft_mats_reusable_across_traces():
     a = np.asarray(prog_a(x))
     b = np.asarray(prog_b(x))   # crashed before the fix
     assert np.isfinite(a).all() and np.isfinite(b).all()
+
+
+def test_rdft_matmul_convolution_matches_fft():
+    """The TPU rDFT real-matmul path (_spectral_apply_rdft — 12
+    half-width real matmuls, the production branch of _convolve_planes
+    on TPU) matches the rfft2 reference path, including NaN-hole
+    normalization, kernel groups, and odd padded widths."""
+    import jax
+    import jax.numpy as jnp
+    from spectral_cube_tpu.ops import convolve as cv
+
+    rng = np.random.RandomState(1)
+    nchan, ny, nx = 6, 20, 24
+    data = rng.rand(nchan, ny, nx).astype("f4")
+    data[2, 3, 4] = np.nan
+    k1 = np.outer(np.hanning(7), np.hanning(9)); k1 /= k1.sum()
+    k2 = np.outer(np.hanning(5), np.hanning(5)); k2 /= k2.sum()
+    # padded sizes from fft_shape are always even (the rfft2-format
+    # transfer is ambiguous between fx = 2k and 2k+1, so _convolve_planes
+    # reconstructs fx = 2(half-1))
+    for fy, fx in [cv._padded_shape((ny, nx), k1.shape), (30, 34)]:
+        transfers = np.stack([cv._kernel_transfer(k1, fy, fx),
+                              cv._kernel_transfer(k2, fy, fx)]).astype("c8")
+        gidx = (np.arange(nchan) % 2).astype(np.int32)
+        ref = np.asarray(cv._convolve_planes(jnp.asarray(data),
+                                             cv.device_complex(transfers),
+                                             gidx, None))
+        valid = np.isfinite(data)
+        filled = np.where(valid, data, 0).astype("f4")
+        invalid = (~valid).astype("f4")
+        pads = ((0, 0), (0, fy - ny), (0, fx - nx))
+        tr = transfers.real.astype("f4")[gidx]
+        ti = transfers.imag.astype("f4")[gidx]
+        both = jnp.concatenate([jnp.asarray(np.pad(filled, pads)),
+                                jnp.asarray(np.pad(invalid, pads))], axis=0)
+        conv = np.asarray(jax.jit(
+            lambda p, a, b: cv._spectral_apply_rdft(
+                p, a, b, fy, fx, jnp.float32))(
+                    both, np.concatenate([tr, tr]),
+                    np.concatenate([ti, ti])))[:, :ny, :nx]
+        num, den = conv[:nchan], 1.0 - conv[nchan:]
+        out = np.where(den > 1e-8, num / np.where(den > 1e-8, den, 1),
+                       np.nan)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
