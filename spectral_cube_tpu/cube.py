@@ -32,7 +32,7 @@ from . import units as u
 from .units import Quantity, Unit, UnitConversionError
 from .wcs import WCS, convert_spectral_axis, determine_ctype_from_vconv
 from .masks import (BooleanArrayMask, LazyComparisonMask, CompositeMask,
-                    is_data_local)
+                    MaskBase, is_data_local)
 from .beams import Beam, Beams, NoBeamError, BeamError
 from .lower_dimensional_structures import (Projection, Slice, OneDSpectrum,
                                            VaryingResolutionOneDSpectrum,
@@ -57,6 +57,19 @@ SIGMA2FWHM = _mom.SIGMA2FWHM
 #: either a correctly-shaped mask or None, never inherit silently (the
 #: reference keeps masks consistent at spectral_cube.py:3503-3548).
 _INHERIT = object()
+
+
+def _kernel_array(kernel):
+    """Plain float array of a convolution kernel (ndarray or object with
+    ``.array``), rejecting unit-carrying kernels like the reference
+    (tests/test_regrid.py:174-183)."""
+    arr = getattr(kernel, "array", kernel)
+    if getattr(arr, "unit", None) is not None \
+            or getattr(kernel, "unit", None) is not None:
+        from .units import UnitsError
+        raise UnitsError("The convolution kernel should be defined "
+                         "without a unit.")
+    return np.asarray(arr, dtype=float)
 
 
 def _world_to_pixel_range(wcs, axis, lo, hi, n):
@@ -159,6 +172,13 @@ class BaseSpectralCube:
         self._wcs = wcs
         self._wcs_tolerance = wcs_tolerance
         self._meta = dict(meta) if meta else {}
+        if mask is not None and not isinstance(mask, MaskBase):
+            # catch e.g. mask=False/ndarray early with a usable message
+            # instead of an AttributeError inside the first mask compose
+            raise TypeError(
+                f"mask must be a MaskBase subclass or None, got "
+                f"{type(mask).__name__!r} (wrap boolean arrays in "
+                f"BooleanArrayMask)")
         self._mask = mask
         self._fill_value = fill_value
         self._header = header
@@ -798,6 +818,13 @@ class BaseSpectralCube:
         one world axis — on celestial projections that is both spatial
         axes, exactly as in the reference."""
         from .cube_utils import world_take_along_axis
+        from .utils import WCSCelestialError
+        if self._wcs.is_pixel_axis_correlated(2 - axis):
+            # the reference raises with the METHOD name in the message
+            # (spectral_cube.py:869-872), which its tests match on
+            raise WCSCelestialError(
+                f"{method}_world requires the celestial axes to be "
+                "aligned along image axes.")
         idx = (self.argmax if method == "argmax" else self.argmin)(
             axis=axis, **kwargs)
         out = world_take_along_axis(self, np.asarray(idx), axis)
@@ -1381,7 +1408,7 @@ class BaseSpectralCube:
     def spectral_smooth(self, kernel, convolve=None, verbose=0, **kwargs):
         """Smooth along the spectral axis with a 1-D kernel (array or object
         with ``.array``); reference spectral_cube.py:3146-3184."""
-        karr = np.asarray(getattr(kernel, "array", kernel), dtype=float)
+        karr = _kernel_array(kernel)
         data = self._get_filled_data(fill=np.nan)
         out = _smooth.spectral_smooth_cube(data, karr)
         return self._new_cube_with(data=out)
@@ -1401,7 +1428,7 @@ class BaseSpectralCube:
     def spatial_smooth(self, kernel, convolve=None, raise_error_jybm=True,
                        **kwargs):
         self._check_jybeam_smoothing(raise_error_jybm)
-        karr = np.asarray(getattr(kernel, "array", kernel), dtype=float)
+        karr = _kernel_array(kernel)
         data = self._get_filled_data(fill=np.nan)
         out = _smooth.spatial_smooth_cube(data, karr)
         return self._new_cube_with(data=out)
@@ -1475,7 +1502,8 @@ class BaseSpectralCube:
             if self._mask is not None else None
         if smooth_kernel is not None:
             out, new_include = _interp.smooth_interp_cube(
-                self._get_filled_data(fill=np.nan), smooth_kernel,
+                self._get_filled_data(fill=np.nan),
+                _kernel_array(smooth_kernel),
                 inaxis, grid, include=include)
         else:
             out, new_include = _interp.interp_cube_spectral(

@@ -318,9 +318,9 @@ class BaseOneDSpectrum(LowerDimensionalObject):
 
     def spectral_smooth(self, kernel, **kwargs):
         from .ops.smoothing import convolve1d_nan
-        karr = kernel if isinstance(kernel, np.ndarray) else kernel.array
+        from .cube import _kernel_array
         out = convolve1d_nan(np.asarray(self.value, dtype=float),
-                             np.asarray(karr, dtype=float))
+                             _kernel_array(kernel))
         return self._new_with(np.asarray(out))
 
     def __getitem__(self, view):

@@ -32,6 +32,7 @@ __all__ = [
     "Unit",
     "Quantity",
     "UnitConversionError",
+    "UnitsError",
     "spectral",
     "doppler_radio",
     "doppler_optical",
@@ -53,7 +54,11 @@ k_B = 1.380649e-23       # J / K
 h = 6.62607015e-34       # J s
 
 
-class UnitConversionError(ValueError):
+class UnitsError(ValueError):
+    """Base class for unit-related errors (astropy u.UnitsError analog)."""
+
+
+class UnitConversionError(UnitsError):
     """Raised when units cannot be converted into one another."""
 
 

@@ -303,3 +303,19 @@ def test_rdft_matmul_convolution_matches_fft():
         out = np.where(den > 1e-8, num / np.where(den > 1e-8, den, 1),
                        np.nan)
         np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_kernel_with_units_raises(cube_adv):
+    """Unit-carrying kernels are rejected like the reference
+    (test_regrid.py:174-183: u.UnitsError, same message)."""
+    from spectral_cube_tpu.units import Quantity, UnitsError
+    cube, _ = cube_adv
+    with pytest.raises(UnitsError, match="without a unit"):
+        cube.spectral_smooth(Quantity(np.hanning(5), "K"))
+    with pytest.raises(UnitsError, match="without a unit"):
+        cube.spatial_smooth(Quantity(np.ones((3, 3)) / 9.0, "K"),
+                            raise_error_jybm=False)
+    with pytest.raises(UnitsError, match="without a unit"):
+        cube.spectral_interpolate(cube.spectral_axis[::2],
+                                  smooth_kernel=Quantity(np.hanning(3),
+                                                         "Jy"))
