@@ -261,6 +261,49 @@ class Projection(LowerDimensionalObject):
             fig.savefig(filename)
         return ax
 
+    def _world_planes(self):
+        ny, nx = self.shape
+        yy, xx = np.mgrid[0:ny, 0:nx].astype(np.float64)
+        cel = self._wcs.celestial
+        lon, lat = cel.pix2world(xx.ravel(), yy.ravel())
+        return (np.asarray(lat).reshape(ny, nx),
+                np.asarray(lon).reshape(ny, nx), cel)
+
+    @property
+    def world(self):
+        """``plane.world[view]`` -> (lat, lon) Quantity planes, matching
+        the cube mixin's slice syntax (reference SpatialCoordMixinClass
+        on 2-D LDOs, base_class.py:179-241)."""
+        def get(view):
+            lat, lon, cel = self._world_planes()
+            return (Quantity(lat[view], cel.cunit[1]),
+                    Quantity(lon[view], cel.cunit[0]))
+
+        class _Indexer:
+            def __getitem__(_self, view):
+                return get(view)
+        return _Indexer()
+
+    def flattened_world(self, view=()):
+        lat, lon, cel = self._world_planes()
+        return [Quantity(lat[view].ravel(), cel.cunit[1]),
+                Quantity(lon[view].ravel(), cel.cunit[0])]
+
+    @property
+    def world_extrema(self):
+        lat, lon, _ = self._world_planes()
+        return Quantity(np.array(
+            [[float(lon.min()), float(lon.max())],
+             [float(lat.min()), float(lat.max())]]), "deg")
+
+    @property
+    def longitude_extrema(self):
+        return self.world_extrema[0]
+
+    @property
+    def latitude_extrema(self):
+        return self.world_extrema[1]
+
 
 class Slice(Projection):
     """A single channel map (reference class at

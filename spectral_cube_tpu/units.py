@@ -589,6 +589,13 @@ class Quantity:
     def cumsum(self):
         return Quantity(np.cumsum(np.asarray(self.value)), self.unit)
 
+    def argmax(self, axis=None):
+        # ndarray API: plain integer indices, no unit
+        return np.argmax(np.asarray(self.value), axis=axis)
+
+    def argmin(self, axis=None):
+        return np.argmin(np.asarray(self.value), axis=axis)
+
     def ptp(self):
         return Quantity(np.ptp(np.asarray(self.value)), self.unit)
 

@@ -222,3 +222,51 @@ def test_jybeam_without_beam_raises(cube_adv):
 def test_with_fill_value(proj):
     p = proj.with_fill_value(0.0)
     assert p.fill_value == 0.0 if hasattr(p, "fill_value") else True
+
+
+def test_spatial_world_extrema_2d(cube_adv):
+    """cube extrema == plane extrema (reference
+    test_projection.py:892-903)."""
+    cube, _ = cube_adv
+    plane = cube[0]
+    np.testing.assert_allclose(np.asarray(cube.world_extrema.value),
+                               np.asarray(plane.world_extrema.value))
+    np.testing.assert_allclose(np.asarray(cube.longitude_extrema.value),
+                               np.asarray(plane.longitude_extrema.value))
+    np.testing.assert_allclose(np.asarray(cube.latitude_extrema.value),
+                               np.asarray(plane.latitude_extrema.value))
+
+
+def test_spatial_world_2d_views(cube_adv):
+    """plane.world[view] and flattened_world match the cube's plane-0
+    world coordinates for strided/plain views (reference
+    test_projection.py:905-938)."""
+    cube, _ = cube_adv
+    plane = cube[0]
+    for view in (np.s_[:, :], np.s_[::2, :]):
+        lat2, lon2 = plane.world[view]
+        _, latc, lonc = cube.world[(0,) + view]
+        np.testing.assert_allclose(np.asarray(lat2.value),
+                                   np.asarray(latc.value))
+        np.testing.assert_allclose(np.asarray(lon2.value),
+                                   np.asarray(lonc.value))
+        flat = plane.flattened_world(view=view)
+        np.testing.assert_allclose(np.asarray(flat[0].value),
+                                   np.asarray(lat2.value).ravel())
+        np.testing.assert_allclose(np.asarray(flat[1].value),
+                                   np.asarray(lon2.value).ravel())
+
+
+def test_1d_slice_ndarray_reductions(cube_adv):
+    """OneDSpectrum supports the ndarray reduction API the reference
+    reroutes to bare Quantity (test_projection.py:714-738: min, max, std,
+    mean, sum, cumsum, var) plus argmax/argmin (plain ints)."""
+    cube, data = cube_adv
+    sp = cube[:, 1, 1]
+    vals = np.asarray(sp.value)
+    for m in ("min", "max", "std", "mean", "sum", "cumsum", "var"):
+        got = getattr(sp, m)()
+        np.testing.assert_allclose(np.asarray(got.value),
+                                   getattr(np, m)(vals), rtol=1e-6)
+    assert sp.argmax() == np.argmax(vals)
+    assert sp.argmin() == np.argmin(vals)
