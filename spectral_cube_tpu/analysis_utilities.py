@@ -149,6 +149,11 @@ def stack_spectra(cube, velocity_surface, v0=None, stack_function=None,
                       "will be masked out.", BadVelocitiesWarning)
         velv = np.where((velv < vmax) & (velv > vmin), velv, np.nan)
         xy_posns = np.where(np.isfinite(velv))
+        if xy_posns[0].size == 0:
+            raise ValueError(
+                "All velocities in velocity_surface are outside the "
+                f"cube's spectral range [{vmin:g}, {vmax:g}] "
+                f"{cube.spectral_axis.unit}; nothing to stack.")
 
     pix_shifts = vdiff_sign * (velv - v0v) / vdiff
     shifts = pix_shifts[xy_posns]

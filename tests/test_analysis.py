@@ -123,3 +123,15 @@ def test_stack_cube_two_lines(tmp_path):
     assert abs(sv[np.nanargmax(vals)]) < 5.0
     # stacking two identical lines: peak amplitude ~1 (each line ~1 + tail)
     assert np.nanmax(vals) == pytest.approx(1.0, rel=0.1)
+
+
+def test_stack_spectra_all_bad_velocities_raises(tmp_path):
+    """An entirely out-of-range velocity surface raises a clear
+    ValueError (not a zero-size reduction crash)."""
+    from spectral_cube_tpu.utils import BadVelocitiesWarning
+    cube, centers = make_shifted_gaussian_cube(tmp_path)
+    with pytest.warns(BadVelocitiesWarning):
+        with pytest.raises(ValueError, match="outside the cube's spectral"):
+            stack_spectra(cube, Quantity(np.full_like(centers, 1e6),
+                                         "km / s"),
+                          v0=Quantity(32.0, "km / s"))
