@@ -295,7 +295,13 @@ def _convolve_planes(data, transfers, group_idx, kernel_shape):
                 jnp.fft.rfft2(jnp.pad(inv, pads)) * t,
                 s=(fy, fx))[:, :ny, :nx],
             invalid)
-    eps = 1e-8
+    # den is the fraction of kernel weight drawn from valid data; the f32
+    # HIGHEST matmul/rDFT chains reconstruct an exact 0 only to ~1e-7, so
+    # anything below 1e-6 is numerically indistinguishable from "no valid
+    # weight" and must map to NaN CONSISTENTLY across the separable,
+    # rDFT, and rfft2 paths (a smaller eps made the NaN set depend on
+    # which path computed it).
+    eps = 1e-6
     out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
     # all-NaN planes stay NaN
     any_valid = jnp.any(valid, axis=(1, 2), keepdims=True)
@@ -360,7 +366,13 @@ def convolve2d_separable(data, kernel, precision=None):
     den = lax.cond(jnp.all(valid),
                    lambda inv: jnp.ones_like(inv),
                    lambda inv: 1.0 - apply(inv), invalid)
-    eps = 1e-8
+    # den is the fraction of kernel weight drawn from valid data; the f32
+    # HIGHEST matmul/rDFT chains reconstruct an exact 0 only to ~1e-7, so
+    # anything below 1e-6 is numerically indistinguishable from "no valid
+    # weight" and must map to NaN CONSISTENTLY across the separable,
+    # rDFT, and rfft2 paths (a smaller eps made the NaN set depend on
+    # which path computed it).
+    eps = 1e-6
     out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
     any_valid = jnp.any(valid, axis=(1, 2), keepdims=True)
     out = jnp.where(any_valid, out, jnp.nan)
@@ -441,7 +453,13 @@ def convolve_per_channel_separable(data, kernels, group_idx, max_rank=4,
                    lambda inv: jnp.ones_like(inv),
                    lambda inv: 1.0 - apply(inv, lax.Precision.HIGHEST),
                    invalid)
-    eps = 1e-8
+    # den is the fraction of kernel weight drawn from valid data; the f32
+    # HIGHEST matmul/rDFT chains reconstruct an exact 0 only to ~1e-7, so
+    # anything below 1e-6 is numerically indistinguishable from "no valid
+    # weight" and must map to NaN CONSISTENTLY across the separable,
+    # rDFT, and rfft2 paths (a smaller eps made the NaN set depend on
+    # which path computed it).
+    eps = 1e-6
     out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
     any_valid = jnp.any(valid, axis=(1, 2), keepdims=True)
     out = jnp.where(any_valid, out, jnp.nan)
