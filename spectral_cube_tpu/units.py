@@ -538,6 +538,74 @@ class Quantity:
     def __array__(self, dtype=None):
         return np.asarray(self.value, dtype=dtype)
 
+    # numpy ufunc protocol: keep units through np.abs(q), np.add(q, q),
+    # np.sqrt(q), ... like astropy Quantity (the reference's
+    # _apply_everywhere probes rely on exactly this,
+    # spectral_cube.py:936-938)
+    _UNIT_KEEPING_UFUNCS = {"absolute", "fabs", "negative", "positive",
+                            "rint", "floor", "ceil", "trunc", "conjugate",
+                            "minimum", "maximum", "fmin", "fmax",
+                            "nan_to_num"}
+    _UNIT_MATCHING_UFUNCS = {"add", "subtract", "hypot"}
+    _BOOL_UFUNCS = {"isfinite", "isnan", "isinf", "signbit",
+                    "greater", "greater_equal", "less", "less_equal",
+                    "equal", "not_equal"}
+    _DIMENSIONLESS_UFUNCS = {"exp", "exp2", "expm1", "log", "log2",
+                             "log10", "log1p", "sin", "cos", "tan",
+                             "arcsin", "arccos", "arctan", "sinh",
+                             "cosh", "tanh", "arcsinh", "arccosh",
+                             "arctanh"}
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        if method != "__call__" or kwargs.get("out") is not None:
+            return NotImplemented
+        name = ufunc.__name__
+
+        def val(x, unit=None):
+            if isinstance(x, Quantity):
+                return x.to_value(unit) if unit is not None else x.value
+            if unit is not None and not unit.dimensionless:
+                raise UnitConversionError(
+                    f"np.{name} needs {unit} operand, got a bare value")
+            return x
+
+        if name in self._UNIT_KEEPING_UFUNCS and len(inputs) == 1:
+            return Quantity(ufunc(val(inputs[0])), self.unit)
+        if name in self._UNIT_KEEPING_UFUNCS and len(inputs) == 2:
+            a, b = inputs
+            return Quantity(ufunc(val(a, self.unit), val(b, self.unit)),
+                            self.unit)
+        if name in self._UNIT_MATCHING_UFUNCS:
+            a, b = inputs
+            return Quantity(ufunc(val(a, self.unit), val(b, self.unit)),
+                            self.unit)
+        if name in self._BOOL_UFUNCS:
+            if len(inputs) == 1:
+                return ufunc(val(inputs[0]))
+            a, b = inputs
+            return ufunc(val(a, self.unit), val(b, self.unit))
+        if name == "multiply":
+            a, b = (x if isinstance(x, Quantity) else Quantity(x)
+                    for x in inputs)
+            return Quantity(ufunc(a.value, b.value), a.unit * b.unit)
+        if name in ("divide", "true_divide"):
+            a, b = (x if isinstance(x, Quantity) else Quantity(x)
+                    for x in inputs)
+            return Quantity(ufunc(a.value, b.value), a.unit / b.unit)
+        if name == "sqrt":
+            return Quantity(ufunc(val(inputs[0])), self.unit ** 0.5)
+        if name == "square":
+            return Quantity(ufunc(val(inputs[0])), self.unit ** 2)
+        if name in ("power", "float_power"):
+            a, p = inputs
+            p = float(p)
+            return Quantity(ufunc(val(a), p), self.unit ** p)
+        if name in self._DIMENSIONLESS_UFUNCS:
+            q = inputs[0]
+            v = q.to_value(Unit.parse("")) if isinstance(q, Quantity) else q
+            return ufunc(v)
+        return NotImplemented
+
     @property
     def shape(self):
         return np.shape(self.value)

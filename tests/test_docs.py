@@ -23,7 +23,8 @@ REF_LMV = "/root/reference/spectral_cube/tests/data/example_cube.lmv"
 # pages with executable blocks (design.md/api.md/migrating.md are prose)
 PAGES = ["quickstart.md", "accessing.md", "masking.md", "errors.md",
          "beams.md", "reprojection.md", "spectral_extraction.md",
-         "stokes.md", "big_data.md"]
+         "stokes.md", "big_data.md", "examples.md", "visualization.md",
+         "metadata.md"]
 
 
 def _blocks(page):

@@ -97,3 +97,41 @@ def test_physical_types():
     assert Unit.parse("km / s").physical_type == "speed"
     assert Unit.parse("um").physical_type == "length"
     assert Unit.parse("K").physical_type == "temperature"
+
+
+def test_quantity_array_ufunc_protocol():
+    """np.<ufunc>(Quantity) keeps units like astropy (the reference's
+    _apply_everywhere probe depends on it, spectral_cube.py:936-938)."""
+    import numpy as np
+    from spectral_cube_tpu.units import Quantity, UnitConversionError
+
+    q = Quantity(np.array([-1.0, 4.0, 9.0]), "K")
+    a = np.abs(q)
+    assert str(a.unit) == "K"
+    np.testing.assert_allclose(np.asarray(a.value), [1, 4, 9])
+    s = np.sqrt(Quantity(np.array([4.0, 9.0]), "m2" if False else "m / s") ** 2)
+    assert np.allclose(np.asarray(s.value), [4, 9])
+    m = np.multiply(q, Quantity(2.0, "s"))
+    assert np.allclose(np.asarray(m.value), [-2, 8, 18])
+    assert str(m.unit) in ("K s", "s K")
+    add = np.add(q, Quantity(1000.0, "mK"))
+    np.testing.assert_allclose(np.asarray(add.value), [0, 5, 10])
+    assert np.isfinite(q).all()
+    mx = np.maximum(q, Quantity(0.0, "K"))
+    np.testing.assert_allclose(np.asarray(mx.value), [0, 4, 9])
+    import pytest
+    with pytest.raises((UnitConversionError, ValueError)):
+        np.log(q)              # dimensionless required
+    d = np.log(q / Quantity(1.0, "K"))
+    np.testing.assert_allclose(d[1], np.log(4.0))
+
+
+def test_apply_everywhere_ufunc(cube_adv):
+    """cube.apply_everywhere(np.abs) works (was AttributeError before the
+    ufunc protocol) and keeps the cube's unit."""
+    import numpy as np
+    cube, data = cube_adv
+    out = cube.apply_everywhere(np.abs)
+    assert out.unit == cube.unit
+    np.testing.assert_allclose(np.asarray(out.unmasked_data[:]),
+                               np.abs(data), rtol=1e-6)
