@@ -557,9 +557,24 @@ class Quantity:
                              "arctanh"}
 
     def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
-        if method != "__call__" or kwargs.get("out") is not None:
+        if kwargs.get("out") is not None:
             return NotImplemented
         name = ufunc.__name__
+        if method == "reduce":
+            # np.min/max/sum/nanmin/nanmax(q) lower to <ufunc>.reduce;
+            # without this branch numpy would raise instead of falling
+            # back to __array__ once __array_ufunc__ exists
+            arr = np.asarray(inputs[0])
+            if name in ("minimum", "maximum", "fmin", "fmax", "add"):
+                return Quantity(ufunc.reduce(arr, **kwargs), self.unit)
+            if name in ("logical_or", "logical_and"):
+                return ufunc.reduce(arr, **kwargs)
+            return NotImplemented
+        if method == "accumulate" and name == "add":
+            return Quantity(ufunc.accumulate(np.asarray(inputs[0]),
+                                             **kwargs), self.unit)
+        if method != "__call__":
+            return NotImplemented
 
         def val(x, unit=None):
             if isinstance(x, Quantity):
@@ -631,31 +646,50 @@ class Quantity:
     def item(self):
         return np.asarray(self.value).item()
 
-    def min(self):
-        return Quantity(np.min(self.value), self.unit)
+    @staticmethod
+    def _redkw(kwargs):
+        """Keep only the reduction kwargs we forward (numpy's
+        _wrapreduction passes out=None / where=True / initial=_NoValue
+        defaults through to the method)."""
+        out = {}
+        kd = kwargs.get("keepdims")
+        if kd is not None and kd is not np._NoValue:
+            out["keepdims"] = kd
+        return out
 
-    def max(self):
-        return Quantity(np.max(self.value), self.unit)
+    def min(self, axis=None, **kwargs):
+        return Quantity(np.min(np.asarray(self.value), axis=axis,
+                               **self._redkw(kwargs)), self.unit)
 
-    def mean(self):
-        return Quantity(np.mean(self.value), self.unit)
+    def max(self, axis=None, **kwargs):
+        return Quantity(np.max(np.asarray(self.value), axis=axis,
+                               **self._redkw(kwargs)), self.unit)
+
+    def mean(self, axis=None, **kwargs):
+        return Quantity(np.mean(np.asarray(self.value), axis=axis,
+                                **self._redkw(kwargs)), self.unit)
 
     # the full reduction set the reference reroutes to bare Quantities
     # (lower_dimensional_structures.py:802-812)
-    def std(self):
-        return Quantity(np.std(np.asarray(self.value)), self.unit)
+    def std(self, axis=None, **kwargs):
+        return Quantity(np.std(np.asarray(self.value), axis=axis,
+                               **self._redkw(kwargs)), self.unit)
 
-    def var(self):
-        return Quantity(np.var(np.asarray(self.value)), self.unit ** 2)
+    def var(self, axis=None, **kwargs):
+        return Quantity(np.var(np.asarray(self.value), axis=axis,
+                               **self._redkw(kwargs)), self.unit ** 2)
 
-    def sum(self):
-        return Quantity(np.sum(self.value), self.unit)
+    def sum(self, axis=None, **kwargs):
+        return Quantity(np.sum(np.asarray(self.value), axis=axis,
+                               **self._redkw(kwargs)), self.unit)
 
-    def nansum(self):
-        return Quantity(np.nansum(np.asarray(self.value)), self.unit)
+    def nansum(self, axis=None, **kwargs):
+        return Quantity(np.nansum(np.asarray(self.value), axis=axis,
+                                  **self._redkw(kwargs)), self.unit)
 
-    def cumsum(self):
-        return Quantity(np.cumsum(np.asarray(self.value)), self.unit)
+    def cumsum(self, axis=None, **kwargs):
+        return Quantity(np.cumsum(np.asarray(self.value), axis=axis),
+                        self.unit)
 
     def argmax(self, axis=None):
         # ndarray API: plain integer indices, no unit
