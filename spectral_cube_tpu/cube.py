@@ -1275,6 +1275,8 @@ class BaseSpectralCube:
                                          return_new_cube=True,
                                          use_memmap=None, parallel=None,
                                          num_cores=None, verbose=0,
+                                         progressbar=False,
+                                         update_function=None,
                                          **kwargs):
         """Apply ``function`` along every spectrum.
 
@@ -1323,7 +1325,9 @@ class BaseSpectralCube:
                                         accepts_chunks=False,
                                         return_new_cube=True,
                                         use_memmap=None, parallel=None,
-                                        num_cores=None, verbose=0, **kwargs):
+                                        num_cores=None, verbose=0,
+                                        progressbar=False,
+                                        update_function=None, **kwargs):
         """Apply ``function`` to every channel map, vmapped over channels.
         Supports the same ``block_info`` / ``return_new_cube`` escape
         hatches as the spectral applicator (reference
