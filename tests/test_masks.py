@@ -281,3 +281,36 @@ def test_mask_survives_spectral_unit_change(tmp_path):
     inc2 = np.asarray(conv.get_mask_array())
     np.testing.assert_array_equal(inc1, inc2)
     assert str(conv.spectral_axis.unit) == "m / s"
+
+
+def test_mask_algebra_boolean_laws(data):
+    """Randomized check of the Boolean-algebra laws on the mask
+    expression tree: De Morgan, double negation, absorption,
+    distributivity, xor expansion — evaluated through ``include()`` on
+    random predicates and views (the reference relies on these
+    identities holding through its lazy composites)."""
+    rng = np.random.RandomState(7)
+    from spectral_cube_tpu.masks import BooleanArrayMask
+
+    shape = data.shape
+    for trial in range(5):
+        a = BooleanArrayMask(rng.rand(*shape) > 0.5, wcs=None, shape=shape)
+        b = BooleanArrayMask(rng.rand(*shape) > 0.3, wcs=None, shape=shape)
+        c = BooleanArrayMask(rng.rand(*shape) > 0.7, wcs=None, shape=shape)
+        view = [(), np.s_[1:, :, :], np.s_[:, 0, :]][trial % 3]
+
+        def inc(m):
+            return np.asarray(m.include(data=data, view=view))
+
+        np.testing.assert_array_equal(inc(~(a & b)), inc(~a | ~b))
+        np.testing.assert_array_equal(inc(~(a | b)), inc(~a & ~b))
+        np.testing.assert_array_equal(inc(~~a), inc(a))
+        np.testing.assert_array_equal(inc(a & (a | b)), inc(a))
+        np.testing.assert_array_equal(inc(a | (a & b)), inc(a))
+        np.testing.assert_array_equal(inc(a & (b | c)),
+                                      inc((a & b) | (a & c)))
+        np.testing.assert_array_equal(inc(a ^ b), inc((a | b) & ~(a & b)))
+        # exclude is the pointwise complement through any composite
+        m = (a & b) ^ ~c
+        np.testing.assert_array_equal(
+            np.asarray(m.exclude(data=data, view=view)), ~inc(m))

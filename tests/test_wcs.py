@@ -221,3 +221,55 @@ def test_projection_math_traces_in_jit(wcs3d):
     # float32 trig chains: ~5e-6 deg roundtrip error
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=2e-5)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=2e-5)
+
+
+def test_slice_composition_law(wcs3d):
+    """Randomized: slicing a WCS twice equals slicing once with the
+    composed view — pix2world agrees at every remaining pixel (the
+    reference accumulated years of crpix/cdelt edge-case fixes here;
+    composition closure catches sign/offset regressions).
+
+    Only one of the two slices may carry step > 1: the half-pixel
+    binned-block convention (reference wcs_utils.py:307-332) regroups
+    blocks under step-of-step, so step x step deliberately does not
+    compose — matching the reference."""
+    rng = np.random.RandomState(3)
+    n = 24
+    for trial in range(8):
+        step_first = trial % 2 == 0
+        s1 = slice(rng.randint(0, 4), n - rng.randint(0, 4),
+                   rng.choice([1, 2, 3]) if step_first else 1)
+        m = len(range(*s1.indices(n)))
+        if m < 3:
+            continue
+        s2 = slice(rng.randint(0, 2), m - rng.randint(0, 2),
+                   1 if step_first else rng.choice([1, 2]))
+        w1 = wcs3d.slice((s1, slice(None), slice(None)), shape=(n, 6, 8))
+        w12 = w1.slice((s2, slice(None), slice(None)), shape=(m, 6, 8))
+        idx = np.arange(n)[s1][s2].astype(float)
+        if idx.size == 0:
+            continue
+        # the binned-block convention centers a step-s view pixel on the
+        # middle of its s-pixel block: original pixel a + j*s + (s-1)/2
+        step = (s1.step or 1) * (s2.step or 1)
+        idx = idx + (step - 1) / 2.0
+        direct = wcs3d.pix2world(np.zeros(idx.size), np.zeros(idx.size),
+                                 idx)
+        composed = w12.pix2world(np.zeros(idx.size), np.zeros(idx.size),
+                                 np.arange(idx.size, dtype=float))
+        np.testing.assert_allclose(np.asarray(composed[2]),
+                                   np.asarray(direct[2]), rtol=1e-12)
+
+
+def test_reverse_slice_composition(wcs3d):
+    """Reversing twice is the identity on the spectral coordinate."""
+    n = 10
+    w = wcs3d.slice((slice(None, None, -1), slice(None), slice(None)),
+                    shape=(n, 6, 8))
+    w2 = w.slice((slice(None, None, -1), slice(None), slice(None)),
+                 shape=(n, 6, 8))
+    idx = np.arange(n, dtype=float)
+    a = wcs3d.pix2world(np.zeros(n), np.zeros(n), idx)
+    b = w2.pix2world(np.zeros(n), np.zeros(n), idx)
+    np.testing.assert_allclose(np.asarray(b[2]), np.asarray(a[2]),
+                               rtol=1e-12)
