@@ -500,6 +500,19 @@ class WCS:
     # ------------------------------------------------------------------
     def reindex(self, inds: Sequence[int]) -> "WCS":
         inds = list(inds)
+        kinds = self.axis_kinds
+        kept = {kinds[i] for i in inds}
+        for i, k in enumerate(kinds):
+            if i not in inds and k in ("lon", "lat") \
+                    and ("lat" if k == "lon" else "lon") in kept:
+                import warnings
+                from ..utils import WCSWarning
+                warnings.warn(
+                    f"One of the celestial axes ({self.ctype[i]}) is being "
+                    "removed while its partner is kept; the remaining "
+                    "coordinate is only valid at the dropped axis's "
+                    "reference pixel (reference wcs_utils.drop_axis).",
+                    WCSWarning)
         out = WCS(naxis=len(inds))
         out.ctype = [self.ctype[i] for i in inds]
         out.crval = self.crval[inds]

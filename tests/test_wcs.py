@@ -273,3 +273,17 @@ def test_reverse_slice_composition(wcs3d):
     b = w2.pix2world(np.zeros(n), np.zeros(n), idx)
     np.testing.assert_allclose(np.asarray(b[2]), np.asarray(a[2]),
                                rtol=1e-12)
+
+
+def test_celestial_partner_drop_warns(wcs3d):
+    """Removing one celestial axis while keeping the other warns (the
+    remaining coordinate is only valid at the dropped axis's reference
+    pixel — reference wcs_utils.drop_axis / test_wcs_utils.py:194-215)."""
+    import warnings
+    from spectral_cube_tpu.utils import WCSWarning
+    with pytest.warns(WCSWarning, match="is being removed"):
+        wcs3d.dropaxis(0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        wcs3d.dropaxis(2)          # non-celestial: silent
+        wcs3d.reindex([1, 0, 2])   # permutation keeps both: silent
