@@ -59,6 +59,21 @@ SIGMA2FWHM = _mom.SIGMA2FWHM
 _INHERIT = object()
 
 
+def _beams_from_bintable(beam_table):
+    """Beams from a FITS BEAMS bintable, honoring TUNITn column units
+    (AIPS writes degrees — reference regression #737,
+    tests/test_io.py:139-149; unitless tables default to the CASA
+    convention arcsec/arcsec/deg)."""
+    units = getattr(beam_table, "units", {}) or {}
+    return Beams(
+        major=Quantity(np.asarray(beam_table["BMAJ"], dtype=float),
+                       units.get("BMAJ", "arcsec")),
+        minor=Quantity(np.asarray(beam_table["BMIN"], dtype=float),
+                       units.get("BMIN", "arcsec")),
+        pa=Quantity(np.asarray(beam_table["BPA"], dtype=float),
+                    units.get("BPA", "deg")))
+
+
 def _kernel_array(kernel):
     """Plain float array of a convolution kernel (ndarray or object with
     ``.array``), rejecting unit-carrying kernels like the reference
@@ -1773,13 +1788,7 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
                          allow_huge_operations=allow_huge_operations,
                          wcs_tolerance=wcs_tolerance, unit=unit)
         if beams is None and beam_table is not None:
-            beams = Beams(
-                major=Quantity(np.asarray(beam_table["BMAJ"], dtype=float),
-                               "arcsec"),
-                minor=Quantity(np.asarray(beam_table["BMIN"], dtype=float),
-                               "arcsec"),
-                pa=Quantity(np.asarray(beam_table["BPA"], dtype=float),
-                            "deg"))
+            beams = _beams_from_bintable(beam_table)
         if beams is None:
             raise ValueError("VaryingResolutionSpectralCube requires beams")
         if len(beams) != self.shape[0]:

@@ -77,10 +77,27 @@ class LowerDimensionalObject(Quantity):
         if os.path.exists(filename) and not overwrite:
             raise OSError(f"{filename} exists; use overwrite=True")
         from .io.fits_low import write_fits
-        write_fits(filename, [self.hdu])
+        write_fits(filename, getattr(self, "hdulist", [self.hdu]))
 
     @classmethod
     def from_hdu(cls, hdu):
+        """Build from an HDU or an HDU list (the reference accepts a full
+        HDUList and upgrades to the VaryingResolution class when a BEAMS
+        bintable is present, tests/test_io.py:127-136)."""
+        if isinstance(hdu, (list, tuple)):
+            from .io.fits import _find_beam_table
+            beam_table = _find_beam_table(hdu)
+            image = next(h for h in hdu
+                         if getattr(h, "is_image", False) and h.shape)
+            if beam_table is not None and len(image.shape) == 1:
+                from .cube import _beams_from_bintable
+                w = WCS(header=image.header)
+                unit = Unit.parse(str(image.header.get("BUNIT", "")).strip())
+                return VaryingResolutionOneDSpectrum(
+                    image.data, unit=unit, wcs=w,
+                    meta={"header": image.header},
+                    beams=_beams_from_bintable(beam_table))
+            hdu = image
         w = WCS(header=hdu.header)
         unit = Unit.parse(str(hdu.header.get("BUNIT", "")).strip())
         beam = Beam.from_header(hdu.header)
@@ -180,10 +197,11 @@ class LowerDimensionalObject(Quantity):
     def read(cls, filename, **kwargs):
         from .io.fits_low import read_fits
         hdus = read_fits(str(filename))
-        for h in hdus:
-            if getattr(h, "is_image", False) and h.shape:
-                return cls.from_hdu(h)
-        raise IOError(f"no image HDU found in {filename}")
+        if not any(getattr(h, "is_image", False) and h.shape
+                   for h in hdus):
+            raise IOError(f"no image HDU found in {filename}")
+        # pass the full list so a BEAMS bintable upgrades the class
+        return cls.from_hdu(hdus)
 
     def with_fill_value(self, fill_value):
         new = self._new_with(self.value)
@@ -406,6 +424,20 @@ class VaryingResolutionOneDSpectrum(BaseOneDSpectrum):
     @property
     def unmasked_beams(self) -> Beams:
         return self._beams
+
+    @property
+    def hdulist(self):
+        """Data HDU + BEAMS bintable, like the reference's VR 1-D
+        hdulist (lower_dimensional_structures.py:1100-1141); write() and
+        from_hdu round-trip the beams through it."""
+        from .io.fits_low import BinTableHDU
+        bt = BinTableHDU(columns=self._beams.to_table_columns(),
+                         name="BEAMS",
+                         units={"BMAJ": "arcsec", "BMIN": "arcsec",
+                                "BPA": "deg"})
+        bt.header["NCHAN"] = len(np.atleast_1d(self.value))
+        bt.header["NPOL"] = 1
+        return [self.hdu, bt]
 
     def _new_with(self, value, unit=None, wcs=None, mask=None, beam=None):
         out = type(self)(value,

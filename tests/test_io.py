@@ -254,3 +254,47 @@ def test_mosaic_cubes_user_api(tmp_path):
     assert mosaic.shape[2] > 10  # wider than either input
     vals = np.asarray(mosaic.unmasked_data[:].value)
     assert np.isfinite(vals).sum() > 100
+
+
+def test_vr_onedspectrum_roundtrip(tmp_path, cube_vr):
+    """A VaryingResolutionOneDSpectrum writes its BEAMS bintable and
+    reads back as the VR class with the same beams (reference
+    tests/test_io.py:119-136)."""
+    from spectral_cube_tpu import OneDSpectrum
+    from spectral_cube_tpu.lower_dimensional_structures import (
+        VaryingResolutionOneDSpectrum)
+    cube, _ = cube_vr
+    spec = cube[:, 1, 1]
+    assert isinstance(spec, VaryingResolutionOneDSpectrum)
+    spec.write(str(tmp_path / "vrspec.fits"))
+    back = OneDSpectrum.read(str(tmp_path / "vrspec.fits"))
+    assert isinstance(back, VaryingResolutionOneDSpectrum)
+    np.testing.assert_allclose(np.asarray(back.value),
+                               np.asarray(spec.value), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.beams.major.value),
+                               np.asarray(spec.beams.major.value),
+                               rtol=1e-6)
+
+
+def test_beam_table_units_honored(tmp_path, cube_vr):
+    """TUNITn on the BEAMS bintable is honored: AIPS writes degrees
+    (reference regression #737, tests/test_io.py:139-149); unitless
+    tables default to arcsec/arcsec/deg."""
+    import spectral_cube_tpu.io.fits_low as fl
+    from spectral_cube_tpu.cube import _beams_from_bintable
+    cube, _ = cube_vr
+    spec = cube[:, 0, 0]
+    spec.write(str(tmp_path / "v.fits"))
+    hdus = fl.read_fits(str(tmp_path / "v.fits"))
+    bt = [h for h in hdus if isinstance(h, fl.BinTableHDU)][0]
+    arcsec_vals = np.asarray(bt["BMAJ"], dtype=float)
+    # degree units: values are interpreted 3600x larger
+    bt.units = {"BMAJ": "deg", "BMIN": "deg", "BPA": "deg"}
+    b_deg = _beams_from_bintable(bt)
+    np.testing.assert_allclose(np.asarray(b_deg.major.to("arcsec").value),
+                               arcsec_vals * 3600.0, rtol=1e-6)
+    # unitless: CASA default arcsec
+    bt.units = {}
+    b_def = _beams_from_bintable(bt)
+    np.testing.assert_allclose(np.asarray(b_def.major.to("arcsec").value),
+                               arcsec_vals, rtol=1e-6)
