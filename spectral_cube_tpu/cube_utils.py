@@ -85,7 +85,14 @@ def split_stokes(array, wcs: WCS, beam_table=None):
             sl[stokes_np_ax] = i
             arrays[name] = array[tuple(sl)]
             if beam_table is not None:
-                rows = np.asarray(beam_table["POL"]) == i
+                if "POL" in beam_table.columns:
+                    rows = np.asarray(beam_table["POL"]) == i
+                    if not rows.any():
+                        # one shared per-channel table (NPOL=1) serving
+                        # every stokes plane: reuse all rows
+                        rows = slice(None)
+                else:
+                    rows = slice(None)
                 tables[name] = {k: np.asarray(v)[rows]
                                 for k, v in beam_table.columns.items()}
     else:

@@ -97,14 +97,15 @@ def load_fits_cube(filename, hdu=0, meta=None, target_cls=None, use_dask=None,
                 from ..beams import Beams
                 from ..units import Quantity
                 t = tables[name]
+                units = getattr(beam_table, "units", {}) or {}
                 beams = Beams(major=Quantity(np.asarray(t["BMAJ"],
                                                         dtype=float),
-                                             "arcsec"),
+                                             units.get("BMAJ", "arcsec")),
                               minor=Quantity(np.asarray(t["BMIN"],
                                                         dtype=float),
-                                             "arcsec"),
+                                             units.get("BMIN", "arcsec")),
                               pa=Quantity(np.asarray(t["BPA"], dtype=float),
-                                          "deg"))
+                                          units.get("BPA", "deg")))
                 stokes_data[name] = VaryingResolutionSpectralCube(
                     djax, wcs_o, mask=mask, meta=dict(meta), header=header,
                     beams=beams)

@@ -298,3 +298,39 @@ def test_beam_table_units_honored(tmp_path, cube_vr):
     b_def = _beams_from_bintable(bt)
     np.testing.assert_allclose(np.asarray(b_def.major.to("arcsec").value),
                                arcsec_vals, rtol=1e-6)
+
+
+def test_4d_fullstokes_with_beams_table(tmp_path, cube_vr):
+    """A 4-D cube with a BEAMS bintable reads as a StokesSpectralCube of
+    VaryingResolutionSpectralCubes (reference
+    test_io.py:151 test_vrsc_fullstokes_read_fits); a shared NPOL=1
+    table applies to every stokes plane."""
+    import spectral_cube_tpu.io.fits_low as fl
+    from spectral_cube_tpu import SpectralCube, StokesSpectralCube
+    from spectral_cube_tpu.cube import VaryingResolutionSpectralCube
+    cube, _ = cube_vr
+    cube.write(str(tmp_path / "vr_4dsrc.fits"))
+    hdus = fl.read_fits(str(tmp_path / "vr_4dsrc.fits"))
+    img = hdus[0]
+    bt = [h for h in hdus if isinstance(h, fl.BinTableHDU)][0]
+    d3 = np.asarray(img.data)
+    d4 = np.stack([d3, d3 * 2.0])
+    h = fl.Header(img.header)
+    h["NAXIS"] = 4
+    h["NAXIS4"] = 2
+    h["CTYPE4"] = "STOKES"
+    h["CRVAL4"] = 1.0
+    h["CDELT4"] = 1.0
+    h["CRPIX4"] = 1.0
+    h["CUNIT4"] = ""
+    fl.write_fits(str(tmp_path / "full.fits"), [fl.HDU(d4, h), bt])
+    out = SpectralCube.read(str(tmp_path / "full.fits"))
+    assert isinstance(out, StokesSpectralCube)
+    assert sorted(out.components) == ["I", "Q"]
+    for comp in out.components:
+        c = out[comp]
+        assert isinstance(c, VaryingResolutionSpectralCube)
+        assert len(c.beams) == cube.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(c.beams.major.value),
+            np.asarray(cube.beams.major.value), rtol=1e-6)
