@@ -143,6 +143,8 @@ def test_4d_stokes_read(tmp_path):
     h = base_header()
     h["NAXIS"] = 4
     h["NAXIS4"] = 2
+    if "WCSAXES" in h:
+        h["WCSAXES"] = 4
     h["CTYPE4"] = "STOKES"
     h["CRVAL4"] = 1.0
     h["CDELT4"] = 1.0
@@ -318,6 +320,8 @@ def test_4d_fullstokes_with_beams_table(tmp_path, cube_vr):
     h = fl.Header(img.header)
     h["NAXIS"] = 4
     h["NAXIS4"] = 2
+    if "WCSAXES" in h:
+        h["WCSAXES"] = 4
     h["CTYPE4"] = "STOKES"
     h["CRVAL4"] = 1.0
     h["CDELT4"] = 1.0
