@@ -1579,6 +1579,32 @@ class BaseSpectralCube:
                               fill_value=self._fill_value,
                               allow_huge_operations=self.allow_huge_operations)
 
+    def rechunk(self, chunks=None, save_to_tmp_dir=False, **kwargs):
+        """Dask-API compat (reference DaskSpectralCube.rechunk,
+        dask_spectral_cube.py:349-384).  An unsharded cube has one
+        device-resident block, so the chunk layout is meaningless; with
+        ``save_to_tmp_dir=True`` it spills/reloads like the reference.
+        ShardedCube.rechunk moves between real mesh layouts."""
+        return self.checkpoint() if save_to_tmp_dir else self
+
+    def use_dask_scheduler(self, scheduler=None, num_workers=None):
+        """API-compat shim (reference dask_spectral_cube.py:278-312):
+        XLA owns scheduling; returns a no-op context manager."""
+        import contextlib
+        import warnings as _w
+        from .utils import NotImplementedWarning
+        _w.warn("use_dask_scheduler has no effect: scheduling is owned "
+                "by the XLA runtime; pick a device set with use_mesh()",
+                NotImplementedWarning)
+        return contextlib.nullcontext(self)
+
+    def display_dask_array(self):
+        """Show the array layout (the dask-graph display analog,
+        reference dask_spectral_cube.py:341)."""
+        d = self._device_data
+        print(f"shape={tuple(d.shape)} dtype={d.dtype} "
+              f"devices={[str(dv) for dv in d.devices()]}")
+
     def checkpoint(self, tmp_dir=None):
         """Compute and spill the current (lazily masked) state to a temp
         store, returning a reloaded cube whose lifetime owns the store —
