@@ -329,7 +329,12 @@ class Slice(Projection):
 
 
 class BaseOneDSpectrum(LowerDimensionalObject):
-    """A 1-D spectrum with a spectral WCS."""
+    """A 1-D spectrum with a spectral WCS.
+
+    Like the reference (BaseOneDSpectrum mixes in
+    MaskableArrayMixinClass, lower_dimensional_structures.py:582) this
+    exposes the mask-filled access path: ``filled_data[:]``,
+    ``unitless_filled_data[:]``."""
 
     def __init__(self, value, unit=None, wcs=None, meta=None, mask=None,
                  header=None, beam=None, spectral_unit=None):
@@ -338,6 +343,37 @@ class BaseOneDSpectrum(LowerDimensionalObject):
         if self.ndim != 1:
             raise ValueError("OneDSpectrum must be 1-dimensional")
         self._spectral_unit = spectral_unit
+
+    def _get_filled_data(self, view=(), fill=None):
+        data = np.asarray(self.value)
+        if fill is None:
+            fill = getattr(self, "fill_value", np.nan)
+        if self._mask is None:
+            return data[view] if view not in ((), None) else data
+        inc = np.asarray(self._mask.include(data=data, view=view))
+        sub = data[view] if view not in ((), None) else data
+        return np.where(inc, sub, fill)
+
+    @property
+    def filled_data(self):
+        """``spec.filled_data[:]`` — mask applied, fill elsewhere
+        (reference base_class.py:419-450 slice syntax)."""
+        outer = self
+
+        class _Indexer:
+            def __getitem__(_self, view):
+                return Quantity(outer._get_filled_data(view=view),
+                                outer.unit)
+        return _Indexer()
+
+    @property
+    def unitless_filled_data(self):
+        outer = self
+
+        class _Indexer:
+            def __getitem__(_self, view):
+                return outer._get_filled_data(view=view)
+        return _Indexer()
 
     @property
     def spectral_axis(self) -> Quantity:

@@ -1,0 +1,92 @@
+"""Randomized-but-seeded operation chains over the cube API.
+
+Round 1's headline defect was a crash family only reachable through a
+*sequence* of operations (shape-changing op then filled-data access with
+a non-data-local mask).  This fuzzes short chains of masked/slicing/
+regridding/reduction ops and asserts the filled-data invariant after
+every step.  Seeds are fixed so failures reproduce.
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from conftest import make_cube_file
+
+from spectral_cube_tpu import SpectralCube, BooleanArrayMask
+from spectral_cube_tpu.cube import BaseSpectralCube
+from spectral_cube_tpu.units import (Quantity, UnitsError,
+                                     UnitConversionError)
+from spectral_cube_tpu.beams import BeamError, NoBeamError
+from spectral_cube_tpu.utils import WCSCelestialError
+
+ALLOWED = (UnitsError, UnitConversionError, BeamError, NoBeamError,
+           WCSCelestialError, NotImplementedError)
+#: informative ValueErrors ops may raise on degenerate inputs
+VALUE_OK = ("monoton", "linear", "shape", "Nyquist", "size", "empty",
+            "too small", "at least", "within the range")
+
+
+def _menu(rng):
+    return [
+        lambda c: c.with_mask(c > Quantity(float(rng.normal(0.3, 0.2)),
+                                           c.unit)),
+        lambda c: c.with_mask(BooleanArrayMask(rng.random(c.shape) > 0.3,
+                                               wcs=c.wcs, shape=c.shape)),
+        lambda c: c.with_mask(BooleanArrayMask(
+            rng.random(c.shape[1:]) > 0.3, wcs=c.wcs, shape=c.shape)),
+        lambda c: c.mask_channels(rng.random(c.shape[0]) > 0.2),
+        lambda c: c[1:max(2, c.shape[0] - 1), 1:, :],
+        lambda c: c[::2],
+        lambda c: c[::-1],
+        lambda c: c.downsample_axis(2, axis=0),
+        lambda c: c.downsample_axis(2, axis=1),
+        lambda c: c.spectral_interpolate(c.spectral_axis[::2]),
+        lambda c: c.spectral_smooth(np.hanning(3) / np.hanning(3).sum()),
+        lambda c: c.spatial_smooth(np.ones((3, 3)) / 9.0,
+                                   raise_error_jybm=False),
+        lambda c: c.sigma_clip_spectrally(3.0),
+        lambda c: (c.moment0(), c.moment1()) and c,
+        lambda c: c.statistics() and c,
+        lambda c: c.minimal_subcube(),
+        lambda c: c.to("K") if "Jy" in str(c.unit) else c.to("Jy / beam"),
+        lambda c: c * 2 + Quantity(0.1, c.unit),
+        lambda c: c.with_spectral_unit("km/s", velocity_convention="radio"),
+        lambda c: c.median(axis=0) and c,
+        lambda c: c.spectral_slab(c.spectral_axis[1], c.spectral_axis[-2]),
+        lambda c: c.reproject(c.header),
+        lambda c: c.flattened() is not None and c,
+    ]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_op_chain(seed, tmp_path):
+    rng = np.random.default_rng(seed)
+    shape = (int(rng.integers(4, 10)), int(rng.integers(4, 8)),
+             int(rng.integers(4, 8)))
+    path, _ = make_cube_file(tmp_path, name=f"fz{seed}.fits",
+                             shape=shape, seed=seed)
+    cube = SpectralCube.read(str(path))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for _ in range(6):
+            menu = _menu(rng)
+            fn = menu[int(rng.integers(len(menu)))]
+            try:
+                out = fn(cube)
+            except ALLOWED:
+                continue
+            except ValueError as exc:
+                if any(s in str(exc) for s in VALUE_OK):
+                    continue
+                raise
+            if not isinstance(out, BaseSpectralCube):
+                continue
+            cube = out
+            if min(cube.shape) < 3:
+                break
+            # invariant: filled-data access works after every op (the
+            # round-1 stale-mask crash family)
+            view = tuple(slice(0, min(2, s)) for s in cube.shape)
+            np.asarray(cube.filled_data[view])
