@@ -382,7 +382,11 @@ def _precise_log(x, xp):
     t2 = t * t
     p = t * (2.0 + t2 * (2.0 / 3.0 + t2 * (2.0 / 5.0 + t2 * (
         2.0 / 7.0 + t2 * (2.0 / 9.0)))))
-    return p + e.astype(jnp.float32) * 0.6931471805599453
+    out = p + e.astype(jnp.float32) * 0.6931471805599453
+    # zero/subnormal inputs have zeroed exponent bits, which the mantissa
+    # reconstruction cannot represent: match np.log (-inf at 0, nan < 0)
+    out = jnp.where(xf < 1.17549435e-38, -jnp.inf, out)
+    return jnp.where(xf < 0, jnp.nan, out)
 
 
 def _air_cb(pv):
