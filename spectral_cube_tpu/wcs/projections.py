@@ -13,11 +13,14 @@ PV2_3=theta_c), ZPN (zenithal polynomial PV2_0..PV2_29), AIR
 (PV2_1=mu, PV2_2=lambda), PAR, the pseudoconics BON (PV2_1=theta_1) and
 PCO, the conic family COP/COE/COD/COO (PV2_1=theta_a, PV2_2=eta), the
 HEALPix grid HPX (PV2_1=H, PV2_2=K — e.g. the HI4PI survey release), and
-the tangential quad-cube TSC.  CSC/QSC remain unimplemented: CSC is
+the tangential quad-cube TSC.  CSC/QSC/XPH remain unimplemented: CSC is
 defined by the COBE polynomial coefficient tables (data, not math —
-~4e-4 deg approximation error by construction) and QSC by the
-O'Neill & Laubscher construction; neither appears in spectral-line
-radio data.  All functions
+~4e-4 deg approximation error by construction), QSC by the
+O'Neill & Laubscher construction, and XPH by a specific gore
+rearrangement of HPX whose layout we cannot validate without wcslib (a
+plausible-but-wrong layout would silently misread files, worse than an
+unsupported-projection error); none appears in spectral-line radio
+data.  All functions
 work on *intermediate world coordinates* (x, y) in **degrees** and native
 spherical coordinates (phi, theta) in **degrees**, matching wcslib
 conventions.  ``pv`` holds the PVi_m values of the latitude axis: either a
