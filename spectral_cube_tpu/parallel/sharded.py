@@ -40,6 +40,42 @@ __all__ = ["sharded_moments", "sharded_statistics", "halo_pad",
            "ShardedCube"]
 
 
+def _pad_spatial(data, cmesh, pad_value, include=None):
+    """Pad the spatial dims of a [spec, y, x] array up to multiples of the
+    mesh grid so shard_map's even-divisibility requirement always holds
+    (production ingest pads at read time; this covers ad-hoc cubes).
+
+    ``pad_value`` chooses the semantics: NaN = invalid (reductions,
+    clipping, interpolation — padded voxels never contribute), 0 = the
+    astropy ``boundary='fill'`` valid-zero convention (convolution).
+    Returns (padded, include_padded, crop) where ``crop`` slices the
+    padded output back to the true extent."""
+    my, mx = cmesh.grid
+    nchan, ny, nx = data.shape
+    py, px = (-ny) % my, (-nx) % mx
+    crop = (slice(None), slice(0, ny), slice(0, nx))
+    if py == 0 and px == 0:
+        return data, include, crop
+    pads = ((0, 0), (0, py), (0, px))
+    data = jnp.pad(jnp.asarray(data), pads, constant_values=pad_value)
+    if include is not None:
+        include = jnp.pad(jnp.asarray(include), pads, constant_values=False)
+    return data, include, crop
+
+
+def _pad_chan(data, cmesh, pad_value):
+    """Pad the spectral dim up to a multiple of the total device count so
+    the spectral layout (all planes of a channel on one device) divides.
+    Returns (padded, nchan_orig)."""
+    n_dev = int(np.prod(cmesh.grid))
+    nchan = data.shape[0]
+    pc = (-nchan) % n_dev
+    if pc == 0:
+        return data, nchan
+    pads = ((0, pc),) + ((0, 0),) * (data.ndim - 1)
+    return jnp.pad(jnp.asarray(data), pads, constant_values=pad_value), nchan
+
+
 # ---------------------------------------------------------------------------
 # moments: spatial layout, zero communication
 # ---------------------------------------------------------------------------
@@ -53,6 +89,7 @@ def sharded_moments(data, coords, dx, cmesh: CubeMesh, include=None,
     mesh = cmesh.mesh
     use_pallas = jax.default_backend() == "tpu"
 
+    data, include, crop = _pad_spatial(data, cmesh, jnp.nan, include)
     in_specs = [P(None, "y", "x")]
     args = [cmesh.shard(data, "spatial")]
     if include is not None:
@@ -82,7 +119,8 @@ def sharded_moments(data, coords, dx, cmesh: CubeMesh, include=None,
             out_specs=(P("y", "x"), P("y", "x"), P("y", "x")),
             check_vma=False))
         _cache_put(("moments", key), fn)
-    return fn(*args)
+    sp_crop = crop[1:]
+    return tuple(m[sp_crop] for m in fn(*args))
 
 
 # ---------------------------------------------------------------------------
@@ -94,6 +132,7 @@ def sharded_statistics(data, cmesh: CubeMesh, include=None):
     direct analog of the reference's per-chunk accumulation
     (dask_spectral_cube.py:769-814)."""
     mesh = cmesh.mesh
+    data, include, _ = _pad_spatial(data, cmesh, jnp.nan, include)
     in_specs = [P(None, "y", "x")]
     args = [cmesh.shard(data, "spatial")]
     if include is not None:
@@ -215,9 +254,10 @@ def sharded_spatial_convolve(data, kernel, cmesh: CubeMesh):
         out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.nan)
         return out.astype(d.dtype)
 
+    data, _, crop = _pad_spatial(data, cmesh, 0.0)
     fn = shard_map(local, mesh=mesh, in_specs=(P(None, "y", "x"),),
                    out_specs=P(None, "y", "x"))
-    return jax.jit(fn)(cmesh.shard(data, "spatial"))
+    return jax.jit(fn)(cmesh.shard(data, "spatial"))[crop]
 
 
 def sharded_convolve_per_channel_separable(data, kernels, group_idx,
@@ -237,6 +277,8 @@ def sharded_convolve_per_channel_separable(data, kernels, group_idx,
 
     mesh = cmesh.mesh
     my, mx = cmesh.grid
+    # mesh-align with valid zeros (the fill-boundary convention), crop after
+    data, _, crop = _pad_spatial(jnp.asarray(data), cmesh, 0.0)
     nchan, ny, nx = data.shape
     if ny % my or nx % mx:
         return None  # halo tiles need even shards
@@ -313,7 +355,7 @@ def sharded_convolve_per_channel_separable(data, kernels, group_idx,
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(None, "y", "x"),),
                    out_specs=P(None, "y", "x"))
-    return jax.jit(fn)(cmesh.shard(data, "spatial"))
+    return jax.jit(fn)(cmesh.shard(data, "spatial"))[crop]
 
 
 # ---------------------------------------------------------------------------
@@ -326,6 +368,13 @@ def sharded_spectral_convolve_fft(data, transfers, group_idx,
     channel, reshard back."""
     from ..ops.convolve import _convolve_planes
 
+    data, _, crop = _pad_spatial(jnp.asarray(data), cmesh, 0.0)
+    data, nchan0 = _pad_chan(data, cmesh, 0.0)
+    if data.shape[0] != nchan0:
+        group_idx = np.concatenate(
+            [np.asarray(group_idx),
+             np.zeros(data.shape[0] - nchan0, np.int32)])
+
     @jax.jit
     def run(d, t):
         d2 = cmesh.reshard(d, "spectral", source="spatial")
@@ -333,18 +382,20 @@ def sharded_spectral_convolve_fft(data, transfers, group_idx,
         return cmesh.reshard(out, "spatial", source="spectral")
 
     from ..ops.convolve import device_complex
-    return run(cmesh.shard(data, "spatial"), device_complex(transfers))
+    out = run(cmesh.shard(data, "spatial"), device_complex(transfers))
+    return out[(slice(0, nchan0),) + crop[1:]]
 
 
 def sharded_sigma_clip(data, cmesh: CubeMesh, sigma=3.0, maxiters=5):
     """Per-spaxel sigma clip: zero-communication in the spatial layout."""
     from ..ops.smoothing import sigma_clip_spectrally
     mesh = cmesh.mesh
+    data, _, crop = _pad_spatial(jnp.asarray(data), cmesh, jnp.nan)
     fn = shard_map(
         lambda d: sigma_clip_spectrally(d, sigma=sigma, maxiters=maxiters),
         mesh=mesh, in_specs=(P(None, "y", "x"),),
         out_specs=P(None, "y", "x"))
-    return jax.jit(fn)(cmesh.shard(data, "spatial"))
+    return jax.jit(fn)(cmesh.shard(data, "spatial"))[crop]
 
 
 def sharded_spectral_interpolate(data, inaxis, outaxis, cmesh: CubeMesh,
@@ -355,18 +406,21 @@ def sharded_spectral_interpolate(data, inaxis, outaxis, cmesh: CubeMesh,
     spectral_cube.py:3298-3315); returns ``(out, new_include_or_None)``."""
     from ..ops.interpolate import interp_cube_spectral
     mesh = cmesh.mesh
+    data, include, crop = _pad_spatial(jnp.asarray(data), cmesh, jnp.nan,
+                                       include)
     if include is None:
         fn = shard_map(
             lambda d: interp_cube_spectral(d, inaxis, outaxis)[0],
             mesh=mesh, in_specs=(P(None, "y", "x"),),
             out_specs=P(None, "y", "x"))
-        return jax.jit(fn)(cmesh.shard(data, "spatial")), None
+        return jax.jit(fn)(cmesh.shard(data, "spatial"))[crop], None
     fn = shard_map(
         lambda d, i: interp_cube_spectral(d, inaxis, outaxis, include=i),
         mesh=mesh, in_specs=(P(None, "y", "x"), P(None, "y", "x")),
         out_specs=(P(None, "y", "x"), P(None, "y", "x")))
-    return jax.jit(fn)(cmesh.shard(data, "spatial"),
-                       cmesh.shard(jnp.asarray(include), "spatial"))
+    out, inc = jax.jit(fn)(cmesh.shard(data, "spatial"),
+                           cmesh.shard(jnp.asarray(include), "spatial"))
+    return out[crop], inc[crop]
 
 
 # ---------------------------------------------------------------------------
@@ -524,9 +578,11 @@ class ShardedCube:
         inax = np.asarray(c.spectral_axis.value, dtype=float)
         include = c._mask.include(data=c._device_data) \
             if c._mask is not None else None
+        # RAW data, not filled: masked voxels must not poison neighbors —
+        # the mask interpolates separately, exactly like the unsharded
+        # path (cube.py spectral_interpolate passes _device_data)
         out, new_include = sharded_spectral_interpolate(
-            c._get_filled_data(fill=np.nan), inax, grid, self.cmesh,
-            include=include)
+            c._device_data, inax, grid, self.cmesh, include=include)
         new_wcs = linear_spectral_wcs(c._wcs, grid)
         # the interpolated mask replaces the old-shape one (the unsharded
         # path's semantics, cube.py spectral_interpolate); stays sharded

@@ -337,3 +337,48 @@ def test_fused_ops_on_sharded_arrays(cmesh):
         itp._use_matmul_interp = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_ops_mesh_unaligned_shapes(tmp_path):
+    """Sharded ops work on cubes whose dims do NOT divide the mesh (pad
+    to aligned tiles internally, crop after) and agree with the
+    unsharded results — including the interpolated mask, and the
+    spectral_interpolate semantics where masked voxels must not poison
+    neighbors (they interpolate from RAW data; the mask interpolates
+    separately, like the unsharded path)."""
+    import warnings
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube, ShardedCube, CubeMesh
+    from spectral_cube_tpu.units import Quantity
+
+    mesh = CubeMesh()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for shape, seed in [((9, 10, 10), 1), ((11, 5, 9), 2),
+                            ((6, 8, 13), 3)]:
+            p, _ = make_cube_file(tmp_path, name=f"u{seed}.fits",
+                                  shape=shape, seed=seed)
+            cube = SpectralCube.read(str(p))
+            m = cube.with_mask(cube > Quantity(0.3, cube.unit))
+            sc = ShardedCube(m, mesh)
+            m0s, m1s, _ = (np.asarray(x) for x in sc.moment_maps())
+            np.testing.assert_allclose(m0s, np.asarray(m.moment0()),
+                                       rtol=2e-5)
+            st_s, st = sc.statistics(), m.statistics()
+            for k in ("npts", "mean", "sigma", "sum", "max", "min"):
+                np.testing.assert_allclose(float(st_s[k]), float(st[k]),
+                                           rtol=1e-5)
+            kern = np.ones((3, 3)) / 9.0
+            np.testing.assert_allclose(
+                np.asarray(sc.spatial_smooth(kern).cube.unmasked_data[:]),
+                np.asarray(m.spatial_smooth(
+                    kern, raise_error_jybm=False).unmasked_data[:]),
+                rtol=3e-5, atol=1e-6)
+            g = m.spectral_axis[::2]
+            a = sc.spectral_interpolate(g).cube
+            b = m.spectral_interpolate(g)
+            np.testing.assert_allclose(np.asarray(a.unmasked_data[:]),
+                                       np.asarray(b.unmasked_data[:]),
+                                       rtol=3e-5, atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(a.get_mask_array()),
+                                          np.asarray(b.get_mask_array()))
