@@ -65,7 +65,7 @@ def read_sharded_casa(image_dir, cmesh, layout="spatial", dtype=None):
             else tile_elems * elem
         ntiles = [-(-c // t) for c, t in zip(casa_shape, tile_shape)]
         np_tile = tile_shape[::-1]
-        sharding = cmesh.sharding(layout)
+        sharding = cmesh.compatible_sharding(layout, shape)
         idx_map = sharding.addressable_devices_indices_map(shape)
         tsm = os.path.join(image_dir, subdir, "table.f0_TSM0") \
             if subdir else os.path.join(image_dir, "table.f0_TSM0")
@@ -204,8 +204,8 @@ def read_sharded_cube(path, cmesh, hdu=0, layout="spatial", dtype=None):
         dtype = np.float64 if fdtype.itemsize == 8 and fdtype.kind == "f" \
             else np.float32
 
-    sharding = cmesh.sharding(layout)
     shape = view.shape
+    sharding = cmesh.compatible_sharding(layout, shape)
     arrays = []
     idx_map = sharding.addressable_devices_indices_map(shape)
     _BITPIX = {("u", 1): 8, ("i", 2): 16, ("i", 4): 32, ("i", 8): 64,

@@ -127,6 +127,15 @@ class CubeMesh:
                 "plane": self.plane_sharding,
                 "replicated": self.replicated}[layout]()
 
+    def compatible_sharding(self, layout, shape) -> NamedSharding:
+        """The layout's sharding with mesh axes that don't divide
+        ``shape`` dropped (replicated) — the same fallback ``shard``
+        applies, for callers that need the sharding object itself
+        (e.g. the streaming loaders' per-device index maps)."""
+        sh = self.sharding(layout)
+        return NamedSharding(self.mesh,
+                             self._compatible_spec(sh.spec, shape))
+
     # -- placement ------------------------------------------------------------
     def shard(self, array, layout="spatial"):
         """device_put with the requested layout.
@@ -161,8 +170,9 @@ class CubeMesh:
             warnings.warn(
                 f"array dims {dropped} do not divide the mesh; those axes "
                 "are REPLICATED on every device (n_devices x the memory). "
-                "Pad the cube to mesh-aligned tiles (io.streaming does "
-                "this at ingest) for true sharding.", PossiblySlowWarning)
+                "Pad the cube to mesh-aligned tiles for true sharding "
+                "(sharded ops pad internally and stay correct either "
+                "way).", PossiblySlowWarning)
         return P(*out)
 
     def reshard(self, array, layout, source=None):

@@ -382,3 +382,29 @@ def test_sharded_ops_mesh_unaligned_shapes(tmp_path):
                                        rtol=3e-5, atol=1e-6)
             np.testing.assert_array_equal(np.asarray(a.get_mask_array()),
                                           np.asarray(b.get_mask_array()))
+
+
+def test_streaming_loaders_mesh_unaligned(tmp_path):
+    """The streaming FITS/CASA loaders fall back to replicating
+    non-dividing axes instead of crashing (same policy as
+    CubeMesh.shard) and read values exactly."""
+    import warnings
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube, CubeMesh
+    from spectral_cube_tpu.io import streaming
+
+    mesh = CubeMesh()
+    p, _ = make_cube_file(tmp_path, name="odd.fits", shape=(5, 9, 11),
+                          seed=3)
+    cube = SpectralCube.read(str(p))
+    ref = np.asarray(cube.unmasked_data[:])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = streaming.read_sharded_cube(str(p), mesh)
+        np.testing.assert_allclose(np.asarray(out.unmasked_data[:]), ref,
+                                   rtol=0, atol=0)
+        cube.write(str(tmp_path / "odd.image"), format="casa")
+        out2 = streaming.read_sharded_casa(str(tmp_path / "odd.image"),
+                                           mesh)
+        np.testing.assert_allclose(np.asarray(out2.unmasked_data[:]), ref,
+                                   rtol=1e-6)
