@@ -304,7 +304,16 @@ def _lookup_symbol(sym: str) -> Unit:
     for cand in (sym.lower(), sym.capitalize(), sym.upper()):
         if cand in _BASE_UNITS:
             return _BASE_UNITS[cand]
-    # SI prefix + known unit
+    # SI prefix + known unit.  In an ALL-CAPS symbol (AIPS/CASA headers)
+    # a leading 'M'/'P'/'E'... is ambiguous — "MJY" could be mega- or a
+    # shouted milli-Jy — so, like astropy, refuse those; prefixes whose
+    # lowercase twin is not a different prefix (K->k, D->d, C->c...)
+    # fold safely.
+    ambiguous_caps = set("MPEGTZY")
+    if sym.isupper() and len(sym) > 1 and sym[0] in ambiguous_caps:
+        raise UnitConversionError(
+            f"Unknown unit symbol: {sym!r} (all-caps prefixed units with "
+            f"'{sym[0]}' are ambiguous: mega- vs milli- etc.)")
     for plen in (2, 1):
         if len(sym) > plen and sym[:plen] in _SI_PREFIXES:
             rest = sym[plen:]
@@ -317,6 +326,12 @@ def _lookup_symbol(sym: str) -> Unit:
                     base = _BASE_UNITS[cand]
                     return Unit(base.scale * _SI_PREFIXES[sym[:plen]],
                                 base.dims, name=sym)
+    if sym.isupper() and len(sym) > 1:
+        # unambiguous all-caps prefixed unit: KM/S etc. — refold fully
+        try:
+            return _lookup_symbol(sym.lower())
+        except UnitConversionError:
+            pass
     raise UnitConversionError(f"Unknown unit symbol: {sym!r}")
 
 

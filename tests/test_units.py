@@ -135,3 +135,18 @@ def test_apply_everywhere_ufunc(cube_adv):
     assert out.unit == cube.unit
     np.testing.assert_allclose(np.asarray(out.unmasked_data[:]),
                                np.abs(data), rtol=1e-6)
+
+
+def test_all_caps_unit_forgiveness():
+    """AIPS/CASA all-caps headers: unambiguous symbols fold (KM/S, DEG,
+    JY/BEAM); all-caps symbols starting with a two-faced prefix letter
+    (MJY: mega- or shouted milli-?) are refused like astropy."""
+    import pytest
+    from spectral_cube_tpu.units import (Unit, Quantity,
+                                         UnitConversionError)
+    assert Quantity(1.0, "KM/S").to_value("m / s") == 1000.0
+    assert Unit.parse("DEG").to_string() == "deg"
+    assert Unit.parse("JY/BEAM").to_string() == "Jy / beam"
+    for bad in ("MJY", "MHZ", "GHZ"):
+        with pytest.raises(UnitConversionError):
+            Unit.parse(bad)
