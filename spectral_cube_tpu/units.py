@@ -325,7 +325,7 @@ def _lookup_symbol(sym: str) -> Unit:
                 if cand in _BASE_UNITS:
                     base = _BASE_UNITS[cand]
                     return Unit(base.scale * _SI_PREFIXES[sym[:plen]],
-                                base.dims, name=sym)
+                                base.dims, name=sym[:plen] + cand)
     if sym.isupper() and len(sym) > 1:
         # unambiguous all-caps prefixed unit: KM/S etc. — refold fully
         try:
