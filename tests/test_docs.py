@@ -24,7 +24,7 @@ REF_LMV = "/root/reference/spectral_cube/tests/data/example_cube.lmv"
 PAGES = ["quickstart.md", "accessing.md", "masking.md", "errors.md",
          "beams.md", "reprojection.md", "spectral_extraction.md",
          "stokes.md", "big_data.md", "examples.md", "visualization.md",
-         "metadata.md"]
+         "metadata.md", "developing.md"]
 
 
 def _blocks(page):
