@@ -458,3 +458,38 @@ def test_smooth_interp_fused_long_axis(monkeypatch):
         jnp.asarray(data), kern, inaxis, outaxis,
         include=jnp.asarray(include))
     np.testing.assert_array_equal(np.asarray(inc_got), np.asarray(inc_ref))
+
+
+def test_downsample_reference_values(tmp_path):
+    """Exact block-mean values, ragged-tail vs truncate semantics, and
+    the WCS half-pixel anchors of the reference's test_downsample /
+    test_downsample_wcs (tests/test_regrid.py:445-509)."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube
+
+    p, _ = make_cube_file(tmp_path, name="d255.fits", shape=(2, 5, 5),
+                          seed=0)
+    cube = SpectralCube.read(str(p))
+    data = np.asarray(cube.unmasked_data[:])
+
+    ds = cube.downsample_axis(2, axis=0)
+    np.testing.assert_allclose(np.asarray(ds.filled_data[:]),
+                               np.nanmean(data, axis=0)[None], rtol=1e-6)
+
+    ds1 = cube.downsample_axis(2, axis=1)
+    exp = np.array([np.nanmean(data[:, :2], axis=1),
+                    np.nanmean(data[:, 2:4], axis=1),
+                    np.nanmean(data[:, 4:], axis=1)]).swapaxes(0, 1)
+    np.testing.assert_allclose(np.asarray(ds1.filled_data[:]), exp,
+                               rtol=1e-6)
+
+    dst = cube.downsample_axis(2, axis=1, truncate=True)
+    np.testing.assert_allclose(np.asarray(dst.filled_data[:]), exp[:, :2],
+                               rtol=1e-6)
+
+    # pixel [0,0] downsampled 2x2 sits at [0.5, 0.5] of the original
+    ds2 = cube.downsample_axis(2, axis=1).downsample_axis(2, axis=2)
+    lon, lat = ds2.wcs.celestial.pix2world(np.array([0.0]), np.array([0.0]))
+    old = np.asarray(cube.wcs.celestial.world2pix(np.asarray(lon),
+                                                  np.asarray(lat)))
+    np.testing.assert_allclose(old.ravel(), (0.5, 0.5), atol=1e-6)
