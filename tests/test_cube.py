@@ -669,3 +669,39 @@ def test_mad_std_axis_and_median_2axis(cube_adv):
     finite = np.isfinite(data)
     expect = np.nanmedian(np.where(finite, data, np.nan), axis=(1, 2))
     np.testing.assert_allclose(np.asarray(med.value), expect, rtol=1e-6)
+
+
+def test_statistics_reference_anchor(tmp_path):
+    """Exact cross-implementation anchor: the reference's published
+    statistics() values for np.random.seed(96); random((4,3,2))
+    (tests/test_dask.py:97-107, also quoted in BASELINE.md).  Agreement
+    at 1e-6 rtol (our device path computes in float32; the residuals
+    measure ~1e-7)."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube
+
+    np.random.seed(96)
+    d = np.random.random((4, 3, 2))
+    p, _ = make_cube_file(tmp_path, name="anchor.fits", shape=(4, 3, 2))
+    cube = SpectralCube.read(str(p))._new_cube_with(data=d, mask=None)
+    st = cube.statistics()
+    expected = {"npts": 24, "mean": 0.4941651776136591,
+                "sigma": 0.3021908870982011, "sum": 11.85996426272782,
+                "sumsq": 7.961125988022091, "min": 0.0363300285196364,
+                "max": 0.9662900439556562, "rms": 0.5759458158839716}
+    for key, val in expected.items():
+        np.testing.assert_allclose(float(st[key]), val, rtol=1e-6)
+
+    # all-NaN leading channels: stats skip them and match the reductions
+    # (reference test_statistics_withnans, tests/test_dask.py:110-118)
+    d2 = d.copy()
+    d2[:2] = np.nan
+    cube2 = cube._new_cube_with(data=d2, mask=None)
+    st2 = cube2.statistics()
+    np.testing.assert_allclose(float(st2["min"]),
+                               float(np.asarray(cube2.min())), rtol=1e-6)
+    np.testing.assert_allclose(float(st2["max"]),
+                               float(np.asarray(cube2.max())), rtol=1e-6)
+    np.testing.assert_allclose(float(st2["sum"]),
+                               float(np.asarray(cube2.sum())), rtol=1e-6)
+    assert st2["npts"] == 12
