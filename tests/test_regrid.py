@@ -493,3 +493,38 @@ def test_downsample_reference_values(tmp_path):
     old = np.asarray(cube.wcs.celestial.world2pix(np.asarray(lon),
                                                   np.asarray(lat)))
     np.testing.assert_allclose(old.ravel(), (0.5, 0.5), atol=1e-6)
+
+
+def test_reproject_new_projection_codes(tmp_path):
+    """End-to-end reproject onto SZP/AIR/HPX/TSC target grids and back:
+    a smooth blob survives the roundtrip to bilinear-resampling accuracy
+    (a few % of peak through strongly skewed pixelizations)."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube
+
+    p, _ = make_cube_file(tmp_path, name="blob.fits", shape=(3, 24, 24))
+    base = SpectralCube.read(str(p))
+    yy, xx = np.mgrid[0:24, 0:24]
+    blob = np.exp(-((yy - 12) ** 2 + (xx - 12) ** 2) / 40.0)
+    data = np.broadcast_to(blob.astype(np.float32), (3, 24, 24)).copy()
+    cube = base._new_cube_with(data=data, mask=None)
+    for code, pv in [("HPX", {}), ("TSC", {}),
+                     ("AIR", {"PV2_1": 60.0}),
+                     ("SZP", {"PV2_1": 2.0, "PV2_2": 10.0,
+                              "PV2_3": 60.0})]:
+        hdr = cube.header.copy()
+        hdr["CTYPE1"] = f"RA---{code}"
+        hdr["CTYPE2"] = f"DEC--{code}"
+        for k in list(hdr.keys()):
+            if str(k).startswith("PV2_"):
+                del hdr[k]
+        for k, v in pv.items():
+            hdr[k] = v
+        back = cube.reproject(hdr).reproject(cube.header)
+        b = np.asarray(back.unmasked_data[:])
+        sel = np.isfinite(b)
+        sel[:, :6] = sel[:, -6:] = False
+        sel[:, :, :6] = sel[:, :, -6:] = False
+        assert sel.any(), code
+        err = np.max(np.abs(b[sel] - data[sel]))
+        assert err < 0.05, (code, err)
