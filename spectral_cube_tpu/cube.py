@@ -32,7 +32,7 @@ from . import units as u
 from .units import Quantity, Unit, UnitConversionError
 from .wcs import WCS, convert_spectral_axis, determine_ctype_from_vconv
 from .masks import (BooleanArrayMask, LazyComparisonMask, CompositeMask,
-                    MaskBase, is_data_local)
+                    MaskBase, is_data_local, trivial_view)
 from .beams import Beam, Beams, NoBeamError, BeamError
 from .lower_dimensional_structures import (Projection, Slice, OneDSpectrum,
                                            VaryingResolutionOneDSpectrum,
@@ -325,13 +325,13 @@ class BaseSpectralCube:
         """Boolean include array for a view (device array)."""
         if self._mask is None:
             shape = np.empty(self.shape, dtype=np.uint8)[view].shape \
-                if view not in ((), None) else self.shape
+                if not trivial_view(view) else self.shape
             return jnp.ones(shape, dtype=bool)
         return self._mask.include(data=self._device_data, view=view)
 
     def _valid_view(self, view=()):
-        d = self._device_data[view] if view not in ((), None) \
-            else self._device_data
+        d = self._device_data if trivial_view(view) \
+            else self._device_data[view]
         return _red.valid_mask(d, self._mask.include(
             data=self._device_data, view=view) if self._mask is not None
             else None)
@@ -339,8 +339,8 @@ class BaseSpectralCube:
     def _get_filled_data(self, view=(), fill=None, check_endian=False,
                          use_memmap=None):
         fill = self._fill_value if fill is None else fill
-        d = self._device_data[view] if view not in ((), None) \
-            else self._device_data
+        d = self._device_data if trivial_view(view) \
+            else self._device_data[view]
         if self._mask is None:
             return d
         inc = self._mask.include(data=self._device_data, view=view)
@@ -370,7 +370,7 @@ class BaseSpectralCube:
         _flattened, masks.py:165-195: boolean-index by the include mask —
         genuinely-NaN included values survive, and weights are flattened
         by the same mask before multiplying)."""
-        view = slice if slice not in ((), None) else ()
+        view = () if trivial_view(slice) else slice
         data = np.asarray(self._device_data[view] if view != ()
                           else self._device_data)
         inc = np.broadcast_to(np.asarray(self._include_view(view)),
@@ -703,9 +703,12 @@ class BaseSpectralCube:
     @cached
     def world_extrema(self):
         _, lat, lon = self.world[0, :, :]
+        # label with the celestial CUNIT (headers occasionally use
+        # arcsec); the reference's wcslib normalizes to deg, we keep raw
         return Quantity(np.array(
             [[float(lon.value.min()), float(lon.value.max())],
-             [float(lat.value.min()), float(lat.value.max())]]), "deg")
+             [float(lat.value.min()), float(lat.value.max())]]),
+            lon.unit)
 
     @property
     def longitude_extrema(self):

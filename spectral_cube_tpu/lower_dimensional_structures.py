@@ -87,8 +87,11 @@ class LowerDimensionalObject(Quantity):
         if isinstance(hdu, (list, tuple)):
             from .io.fits import _find_beam_table
             beam_table = _find_beam_table(hdu)
-            image = next(h for h in hdu
-                         if getattr(h, "is_image", False) and h.shape)
+            image = next((h for h in hdu
+                          if getattr(h, "is_image", False) and h.shape),
+                         None)
+            if image is None:
+                raise IOError("no image HDU found in the HDU list")
             if beam_table is not None and len(image.shape) == 1:
                 from .cube import _beams_from_bintable
                 w = WCS(header=image.header)
@@ -279,13 +282,18 @@ class Projection(LowerDimensionalObject):
             fig.savefig(filename)
         return ax
 
-    def _world_planes(self):
+    def _world_planes(self, view=()):
+        """(lat, lon) planes for a view — pix2world runs only over the
+        viewed pixels, not the whole plane."""
         ny, nx = self.shape
         yy, xx = np.mgrid[0:ny, 0:nx].astype(np.float64)
+        from .masks import trivial_view
+        if not trivial_view(view):
+            yy, xx = yy[view], xx[view]
         cel = self._wcs.celestial
         lon, lat = cel.pix2world(xx.ravel(), yy.ravel())
-        return (np.asarray(lat).reshape(ny, nx),
-                np.asarray(lon).reshape(ny, nx), cel)
+        return (np.asarray(lat).reshape(yy.shape),
+                np.asarray(lon).reshape(xx.shape), cel)
 
     @property
     def world(self):
@@ -293,9 +301,9 @@ class Projection(LowerDimensionalObject):
         the cube mixin's slice syntax (reference SpatialCoordMixinClass
         on 2-D LDOs, base_class.py:179-241)."""
         def get(view):
-            lat, lon, cel = self._world_planes()
-            return (Quantity(lat[view], cel.cunit[1]),
-                    Quantity(lon[view], cel.cunit[0]))
+            lat, lon, cel = self._world_planes(view)
+            return (Quantity(lat, cel.cunit[1]),
+                    Quantity(lon, cel.cunit[0]))
 
         class _Indexer:
             def __getitem__(_self, view):
@@ -303,16 +311,23 @@ class Projection(LowerDimensionalObject):
         return _Indexer()
 
     def flattened_world(self, view=()):
-        lat, lon, cel = self._world_planes()
-        return [Quantity(lat[view].ravel(), cel.cunit[1]),
-                Quantity(lon[view].ravel(), cel.cunit[0])]
+        lat, lon, cel = self._world_planes(view)
+        return [Quantity(lat.ravel(), cel.cunit[1]),
+                Quantity(lon.ravel(), cel.cunit[0])]
 
     @property
     def world_extrema(self):
-        lat, lon, _ = self._world_planes()
-        return Quantity(np.array(
+        """[[lon_min, lon_max], [lat_min, lat_max]] in the celestial
+        CUNIT (cached: the full-plane transform runs once)."""
+        cached = getattr(self, "_world_extrema_cache", None)
+        if cached is not None:
+            return cached
+        lat, lon, cel = self._world_planes()
+        out = Quantity(np.array(
             [[float(lon.min()), float(lon.max())],
-             [float(lat.min()), float(lat.max())]]), "deg")
+             [float(lat.min()), float(lat.max())]]), cel.cunit[0])
+        self._world_extrema_cache = out
+        return out
 
     @property
     def longitude_extrema(self):
@@ -348,10 +363,12 @@ class BaseOneDSpectrum(LowerDimensionalObject):
         data = np.asarray(self.value)
         if fill is None:
             fill = getattr(self, "fill_value", np.nan)
+        from .masks import trivial_view
+        trivial = trivial_view(view)
         if self._mask is None:
-            return data[view] if view not in ((), None) else data
+            return data if trivial else data[view]
         inc = np.asarray(self._mask.include(data=data, view=view))
-        sub = data[view] if view not in ((), None) else data
+        sub = data if trivial else data[view]
         return np.where(inc, sub, fill)
 
     @property

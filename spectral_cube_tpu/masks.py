@@ -31,6 +31,12 @@ __all__ = ["MaskBase", "InvertedMask", "CompositeMask", "BooleanArrayMask",
            "is_broadcastable_and_smaller", "dims_to_skip", "view_of_subset"]
 
 
+def trivial_view(view) -> bool:
+    """True when ``view`` selects everything.  Must NOT be written as
+    ``view in ((), None)``: an ndarray view would broadcast-compare."""
+    return view is None or (isinstance(view, tuple) and len(view) == 0)
+
+
 def is_data_local(mask) -> bool:
     """True if the mask expression depends only on the data values at each
     voxel (no stored boolean arrays, no wcs/view-dependent functions).
@@ -346,7 +352,7 @@ class BooleanArrayMask(MaskBase):
 
     def _include(self, data=None, view=()):
         m = self._full_mask()
-        return m[view] if view not in ((), None) else m
+        return m if trivial_view(view) else m[view]
 
     def _full_mask(self):
         """The stored mask broadcast (zero-copy) to the full cube shape, so
@@ -385,7 +391,7 @@ class LazyMask(MaskBase):
         d = data if data is not None else self._data
         if d is None:
             raise ValueError("LazyMask has no bound data and none was given")
-        sub = d[view] if view not in ((), None) else d
+        sub = d if trivial_view(view) else d[view]
         return self._function(sub)
 
     def __getitem__(self, view):
@@ -419,7 +425,7 @@ class LazyComparisonMask(MaskBase):
         d = data if data is not None else self._data
         if d is None:
             raise ValueError("mask has no bound data and none was given")
-        sub = d[view] if view not in ((), None) else d
+        sub = d if trivial_view(view) else d[view]
         return self._function(sub, self._comparison_value)
 
     def __getitem__(self, view):
@@ -442,7 +448,7 @@ class FunctionMask(MaskBase):
 
     def _include(self, data=None, view=()):
         result = self._function(data, self._wcs, view)
-        sub = data[view] if view not in ((), None) else data
+        sub = data if trivial_view(view) else data[view]
         if data is not None and np.shape(result) != np.shape(sub):
             raise ValueError("Function did not return mask with correct shape")
         return result

@@ -26,9 +26,13 @@ __all__ = ["convolve2d_nan_fft", "convolve_cube_to_beam",
 
 
 def fft_shape(n):
-    """Next fast FFT size >= n (products of 2/3/5, TPU-friendly)."""
-    best = 1 << (int(n) - 1).bit_length()
-    m = 1
+    """Next fast EVEN FFT size >= n (2 * products of 2/3/5,
+    TPU-friendly).  Must be even: the rfft2-format transfers carry
+    fx//2+1 columns, from which _convolve_planes reconstructs
+    fx = 2*(half-1) — an odd size would silently transform the data on
+    a different frequency grid than the kernel."""
+    best = 1 << max((int(n) - 1).bit_length(), 1)
+    m = 2
     while m < n * 2:
         for f in (1, 3, 5, 9, 15):
             c = m * f

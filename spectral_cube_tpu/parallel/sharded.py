@@ -277,11 +277,10 @@ def sharded_convolve_per_channel_separable(data, kernels, group_idx,
 
     mesh = cmesh.mesh
     my, mx = cmesh.grid
-    # mesh-align with valid zeros (the fill-boundary convention), crop after
+    # mesh-align with valid zeros (the fill-boundary convention), crop
+    # after — _pad_spatial guarantees ny % my == nx % mx == 0 below
     data, _, crop = _pad_spatial(jnp.asarray(data), cmesh, 0.0)
     nchan, ny, nx = data.shape
-    if ny % my or nx % mx:
-        return None  # halo tiles need even shards
     py, px = ny // my, nx // mx
     ytaps_g, xtaps_g, ranks = [], [], []
     hy = hx = 0

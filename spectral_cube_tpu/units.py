@@ -613,7 +613,16 @@ class Quantity:
             if len(inputs) == 1:
                 return ufunc(val(inputs[0]))
             a, b = inputs
-            return ufunc(val(a, self.unit), val(b, self.unit))
+            try:
+                return ufunc(val(a, self.unit), val(b, self.unit))
+            except UnitConversionError:
+                if name in ("equal", "not_equal"):
+                    # match the == operator: incompatible units compare
+                    # unequal instead of raising
+                    shape = np.broadcast_shapes(np.shape(a), np.shape(b))
+                    out = np.full(shape, name == "not_equal", dtype=bool)
+                    return out if shape else bool(out)
+                raise
         if name == "multiply":
             a, b = (x if isinstance(x, Quantity) else Quantity(x)
                     for x in inputs)

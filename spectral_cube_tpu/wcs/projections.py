@@ -386,10 +386,12 @@ def _precise_log(x, xp):
     p = t * (2.0 + t2 * (2.0 / 3.0 + t2 * (2.0 / 5.0 + t2 * (
         2.0 / 7.0 + t2 * (2.0 / 9.0)))))
     out = p + e.astype(jnp.float32) * 0.6931471805599453
-    # zero/subnormal inputs have zeroed exponent bits, which the mantissa
-    # reconstruction cannot represent: match np.log (-inf at 0, nan < 0)
+    # the bit-level reconstruction cannot represent the special encodings:
+    # match np.log at 0/subnormal (-inf), negative (nan), inf, and nan
     out = jnp.where(xf < 1.17549435e-38, -jnp.inf, out)
-    return jnp.where(xf < 0, jnp.nan, out)
+    out = jnp.where(xf < 0, jnp.nan, out)
+    out = jnp.where(xf == jnp.inf, jnp.inf, out)
+    return jnp.where(jnp.isnan(xf), jnp.nan, out)
 
 
 def _air_cb(pv):
@@ -452,12 +454,15 @@ def _hpx_params(pv):
 def _hpx_facet_center(lon, h, k, south, xp):
     """Longitude of the polar facet center containing ``lon`` [deg,
     wrapped to [-180, 180)].  For even K the southern facets are offset
-    by half a facet width (Calabretta & Roukema 2007 sect. 2.2)."""
+    by half a facet width (Calabretta & Roukema 2007 sect. 2.2); the
+    facet index wraps modulo H so longitudes within the offset of -180
+    land on the facet that straddles the +-180 seam (clipping would
+    put them ~180 deg away)."""
     w = 180.0 / h
     offs = w if int(round(k)) % 2 == 0 else 0.0
     off = xp.where(south, offs, 0.0) if offs else 0.0
     i = xp.floor((lon + 180.0 - off) / (2.0 * w))
-    i = xp.clip(i, 0.0, h - 1.0)
+    i = i - xp.floor(i / h) * h            # i mod h, jnp-safe
     return -180.0 + (2.0 * i + 1.0) * w + off
 
 
@@ -473,7 +478,8 @@ def _hpx_native2xy(phi, theta, xp, pv):
     y_eq = (90.0 * k / h) * st
     sigma = xp.sqrt(xp.maximum(k * (1.0 - xp.abs(st)), 0.0))
     lon_c = _hpx_facet_center(lon, h, k, st < 0, xp)
-    x_pol = lon_c + (lon - lon_c) * sigma
+    dlon = (lon - lon_c + 180.0) % 360.0 - 180.0   # wrap across the seam
+    x_pol = lon_c + dlon * sigma
     y_pol = xp.where(st < 0, -1.0, 1.0) * w * ((k + 1.0) / 2.0 - sigma)
     return xp.where(polar, x_pol, lon), xp.where(polar, y_pol, y_eq)
 
@@ -486,7 +492,8 @@ def _hpx_xy2native(x, y, xp, pv):
     sigma = (k + 1.0) / 2.0 - xp.abs(y) / w
     st_pol = xp.where(y < 0, -1.0, 1.0) * (1.0 - sigma * sigma / k)
     lon_c = _hpx_facet_center(x, h, k, y < 0, xp)
-    lon_pol = lon_c + (x - lon_c) / xp.maximum(sigma, 1e-12)
+    dx = (x - lon_c + 180.0) % 360.0 - 180.0
+    lon_pol = lon_c + dx / xp.maximum(sigma, 1e-12)
     phi = xp.where(polar, lon_pol, x)
     st = xp.where(polar, st_pol, st_eq)
     theta = xp.arcsin(xp.clip(st, -1.0, 1.0)) * R2D

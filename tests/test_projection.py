@@ -270,3 +270,19 @@ def test_1d_slice_ndarray_reductions(cube_adv):
                                    getattr(np, m)(vals), rtol=1e-6)
     assert sp.argmax() == np.argmax(vals)
     assert sp.argmin() == np.argmin(vals)
+
+
+def test_filled_data_fancy_views(cube_adv):
+    """filled_data accepts boolean/integer index arrays (the
+    `view in ((), None)` membership test used to broadcast-compare
+    arrays and raise)."""
+    from spectral_cube_tpu.units import Quantity
+    cube, _ = cube_adv
+    spec = cube.with_mask(cube > Quantity(0.4, cube.unit))[:, 1, 1]
+    sel = np.zeros(len(np.atleast_1d(spec.value)), dtype=bool)
+    sel[::2] = True
+    out = spec.filled_data[sel]
+    assert np.asarray(out.value).shape == (sel.sum(),)
+    idx = np.array([0, 2])
+    out2 = spec.unitless_filled_data[idx]
+    assert out2.shape == (2,)

@@ -319,3 +319,21 @@ def test_kernel_with_units_raises(cube_adv):
         cube.spectral_interpolate(cube.spectral_axis[::2],
                                   smooth_kernel=Quantity(np.hanning(3),
                                                          "Jy"))
+
+
+def test_odd_padded_sizes_are_never_generated():
+    """fft_shape must return EVEN sizes: the rfft2-format transfer is
+    reconstructed as fx = 2*(half-1), so an odd padded size silently
+    convolves on the wrong frequency grid (review finding: 12x12 image
+    + 3x3 kernel gave fx=15 -> 0.036 abs error)."""
+    from scipy.signal import fftconvolve
+    from spectral_cube_tpu.ops.convolve import fft_shape, convolve2d_nan_fft
+    for n in range(1, 64):
+        assert fft_shape(n) % 2 == 0 and fft_shape(n) >= n
+    rng = np.random.RandomState(0)
+    img = rng.normal(size=(12, 12)).astype("f4")
+    k = rng.normal(size=(3, 3)); k = k - k.min() + 0.1
+    out = np.asarray(convolve2d_nan_fft(img, k))
+    ref = fftconvolve(img.astype(float), (k / k.sum()).astype(float),
+                      mode="same")
+    np.testing.assert_allclose(out, ref, atol=2e-6)

@@ -150,3 +150,14 @@ def test_all_caps_unit_forgiveness():
     for bad in ("MJY", "MHZ", "GHZ"):
         with pytest.raises(UnitConversionError):
             Unit.parse(bad)
+
+
+def test_np_equal_matches_operator_on_incompatible_units():
+    """np.equal/np.not_equal agree with ==/!= for incompatible units
+    (False/True, not UnitConversionError)."""
+    import numpy as np
+    from spectral_cube_tpu.units import Quantity
+    q1, q2 = Quantity(1.0, "K"), Quantity(1.0, "m")
+    assert (q1 == q2) is False or (q1 == q2) == False  # noqa: E712
+    assert bool(np.equal(q1, q2)) is False
+    assert bool(np.not_equal(q1, q2)) is True

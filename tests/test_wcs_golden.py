@@ -286,3 +286,23 @@ def test_new_projection_device_path():
         np.testing.assert_allclose(np.asarray(tj), tc, atol=1e-4)
         dphi = (np.asarray(pj) - phi + 180.0) % 360.0 - 180.0
         np.testing.assert_allclose(dphi, 0.0, atol=2e-4)
+
+
+def test_hpx_even_k_seam():
+    """Even-K HPX: southern facets are offset by half a facet width and
+    the facet index wraps at the +-180 seam (review finding: clipping
+    placed lon=-179 on a facet ~180 deg away).  Roundtrip + equal-area
+    hold across the seam."""
+    pv = (4.0, 2.0)
+    for lon, th in [(-179.0, -75.0), (179.0, -80.0), (-135.5, -70.0)]:
+        x, y = prj.proj_native2xy("HPX", lon, th, pv=pv)
+        p2, t2 = prj.proj_xy2native("HPX", float(x), float(y), pv=pv)
+        dlon = (float(p2) - lon + 180.0) % 360.0 - 180.0
+        assert abs(dlon) < 1e-9 and abs(float(t2) - th) < 1e-9
+    # precise_log special values propagate on the device path
+    import jax
+    import jax.numpy as jnp
+    specials = np.array([np.nan, np.inf, 0.0, -1.0], dtype=np.float32)
+    out = np.asarray(jax.jit(lambda v: prj._precise_log(v, jnp))(specials))
+    assert np.isnan(out[0]) and out[1] == np.inf
+    assert out[2] == -np.inf and np.isnan(out[3])
