@@ -370,15 +370,16 @@ class BaseSpectralCube:
         _flattened, masks.py:165-195: boolean-index by the include mask —
         genuinely-NaN included values survive, and weights are flattened
         by the same mask before multiplying)."""
-        view = () if trivial_view(slice) else slice
-        data = np.asarray(self._device_data[view] if view != ()
-                          else self._device_data)
+        trivial = trivial_view(slice)
+        view = () if trivial else slice
+        data = np.asarray(self._device_data if trivial
+                          else self._device_data[view])
         inc = np.broadcast_to(np.asarray(self._include_view(view)),
                               data.shape)
         flat = data[inc]
         if weights is not None:
-            w = np.broadcast_to(np.asarray(weights)[view]
-                                if view != () else np.asarray(weights),
+            w = np.broadcast_to(np.asarray(weights) if trivial
+                                else np.asarray(weights)[view],
                                 data.shape)
             flat = flat * w[inc]
         return Quantity(flat, self.unit)
@@ -703,11 +704,13 @@ class BaseSpectralCube:
     @cached
     def world_extrema(self):
         _, lat, lon = self.world[0, :, :]
-        # label with the celestial CUNIT (headers occasionally use
-        # arcsec); the reference's wcslib normalizes to deg, we keep raw
+        # label with the longitude CUNIT (headers occasionally use
+        # arcsec); the latitude row converts to it when the two
+        # celestial axes carry different units
+        latv = lat.to(lon.unit) if lat.unit != lon.unit else lat
         return Quantity(np.array(
             [[float(lon.value.min()), float(lon.value.max())],
-             [float(lat.value.min()), float(lat.value.max())]]),
+             [float(latv.value.min()), float(latv.value.max())]]),
             lon.unit)
 
     @property

@@ -78,7 +78,8 @@ def load_casa_image(filename, skipdata=False, skipvalid=False, skipcs=False,
     if data.ndim == 2:
         from ..lower_dimensional_structures import Projection
         from ..units import Unit
-        return Projection(data, unit=Unit.parse(unit) if unit else None,
+        from ..units import parse_bunit
+        return Projection(data, unit=parse_bunit(unit) if unit else None,
                           wcs=wcs, meta=meta,
                           beam=beams if isinstance(beams, Beam) else None)
     raise FITSReadError(f"unsupported CASA image dimensionality "

@@ -58,6 +58,8 @@ def read_sharded_casa(image_dir, cmesh, layout="spatial", dtype=None):
     if dtype is None:
         dtype = np.float64 if dt_code == TP_DOUBLE else np.float32
 
+    sharding = cmesh.compatible_sharding(layout, shape)
+
     def stream_column(subdir, code):
         elem = {TP_FLOAT: 4, TP_DOUBLE: 8}.get(code)
         tile_elems = int(np.prod(tile_shape))
@@ -65,7 +67,6 @@ def read_sharded_casa(image_dir, cmesh, layout="spatial", dtype=None):
             else tile_elems * elem
         ntiles = [-(-c // t) for c, t in zip(casa_shape, tile_shape)]
         np_tile = tile_shape[::-1]
-        sharding = cmesh.compatible_sharding(layout, shape)
         idx_map = sharding.addressable_devices_indices_map(shape)
         tsm = os.path.join(image_dir, subdir, "table.f0_TSM0") \
             if subdir else os.path.join(image_dir, "table.f0_TSM0")

@@ -16,7 +16,7 @@ import numpy as np
 from . import units as u
 from .units import Quantity, Unit
 from .beams import Beam, Beams
-from .utils import SliceWarning, BeamWarning
+from .utils import SliceWarning, BeamWarning, cached
 from .wcs import WCS, convert_spectral_axis, determine_ctype_from_vconv
 
 __all__ = ["LowerDimensionalObject", "Projection", "Slice", "OneDSpectrum",
@@ -95,14 +95,14 @@ class LowerDimensionalObject(Quantity):
             if beam_table is not None and len(image.shape) == 1:
                 from .cube import _beams_from_bintable
                 w = WCS(header=image.header)
-                unit = Unit.parse(str(image.header.get("BUNIT", "")).strip())
+                unit = u.parse_bunit(image.header.get("BUNIT", ""))
                 return VaryingResolutionOneDSpectrum(
                     image.data, unit=unit, wcs=w,
                     meta={"header": image.header},
                     beams=_beams_from_bintable(beam_table))
             hdu = image
         w = WCS(header=hdu.header)
-        unit = Unit.parse(str(hdu.header.get("BUNIT", "")).strip())
+        unit = u.parse_bunit(hdu.header.get("BUNIT", ""))
         beam = Beam.from_header(hdu.header)
         meta = {"header": hdu.header}
         return cls(hdu.data, unit=unit, wcs=w, meta=meta, beam=beam)
@@ -316,18 +316,18 @@ class Projection(LowerDimensionalObject):
                 Quantity(lon.ravel(), cel.cunit[0])]
 
     @property
+    @cached
     def world_extrema(self):
-        """[[lon_min, lon_max], [lat_min, lat_max]] in the celestial
-        CUNIT (cached: the full-plane transform runs once)."""
-        cached = getattr(self, "_world_extrema_cache", None)
-        if cached is not None:
-            return cached
+        """[[lon_min, lon_max], [lat_min, lat_max]] in the longitude
+        CUNIT (cached: the full-plane transform runs once); a
+        different-unit latitude axis converts to it."""
         lat, lon, cel = self._world_planes()
-        out = Quantity(np.array(
+        lon_u = cel.cunit[0]
+        if cel.cunit[1] != lon_u:
+            lat = Quantity(lat, cel.cunit[1]).to_value(lon_u)
+        return Quantity(np.array(
             [[float(lon.min()), float(lon.max())],
-             [float(lat.min()), float(lat.max())]]), cel.cunit[0])
-        self._world_extrema_cache = out
-        return out
+             [float(lat.min()), float(lat.max())]]), lon_u)
 
     @property
     def longitude_extrema(self):

@@ -33,6 +33,7 @@ __all__ = [
     "Quantity",
     "UnitConversionError",
     "UnitsError",
+    "parse_bunit",
     "spectral",
     "doppler_radio",
     "doppler_optical",
@@ -320,12 +321,13 @@ def _lookup_symbol(sym: str) -> Unit:
             if rest in _BASE_UNITS:
                 base = _BASE_UNITS[rest]
                 return Unit(base.scale * _SI_PREFIXES[sym[:plen]], base.dims,
-                            name=sym)
+                            name=sym[:plen] + (base.name or rest))
             for cand in (rest.lower(), rest.capitalize()):
                 if cand in _BASE_UNITS:
                     base = _BASE_UNITS[cand]
                     return Unit(base.scale * _SI_PREFIXES[sym[:plen]],
-                                base.dims, name=sym[:plen] + cand)
+                                base.dims,
+                                name=sym[:plen] + (base.name or cand))
     if sym.isupper() and len(sym) > 1:
         # unambiguous all-caps prefixed unit: KM/S etc. — refold fully
         try:
@@ -416,6 +418,21 @@ def _parse_unit_string(s: str) -> Unit:
 # ----------------------------------------------------------------------------
 # Quantity
 # ----------------------------------------------------------------------------
+def parse_bunit(text):
+    """Forgiving BUNIT parse for read paths: unparseable strings warn and
+    return None (the reference's convert_bunit behavior,
+    cube_utils.py:478-505) instead of refusing to load the file."""
+    text = str(text).strip()
+    if not text:
+        return None
+    try:
+        return Unit.parse(text)
+    except UnitConversionError:
+        import warnings
+        warnings.warn(f"Could not parse unit {text!r}")
+        return None
+
+
 class Quantity:
     """A value (scalar or numpy array) with a unit.
 
