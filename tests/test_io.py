@@ -338,3 +338,24 @@ def test_4d_fullstokes_with_beams_table(tmp_path, cube_vr):
         np.testing.assert_allclose(
             np.asarray(c.beams.major.value),
             np.asarray(cube.beams.major.value), rtol=1e-6)
+
+
+def test_native_stats_matches_numpy():
+    """The C++ one-pass stats binding agrees with numpy (NaN-aware)."""
+    from spectral_cube_tpu.io import native
+    if not native.native_available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(5)
+    arr = rng.rand(10000).astype(np.float32)
+    arr[::97] = np.nan
+    out = native.native_stats_f32(arr)
+    valid = arr[np.isfinite(arr)]
+    assert int(out["npts"]) == valid.size
+    np.testing.assert_allclose(out["min"], valid.min(), rtol=1e-6)
+    np.testing.assert_allclose(out["max"], valid.max(), rtol=1e-6)
+    np.testing.assert_allclose(out["sum"], valid.sum(dtype=np.float64),
+                               rtol=1e-5)
+    np.testing.assert_allclose(out["sumsq"],
+                               (valid.astype(np.float64) ** 2).sum(),
+                               rtol=1e-5)
