@@ -215,7 +215,9 @@ class Unit:
         body = " ".join(parts) if parts else ""
         if math.isclose(self.scale, 1.0, rel_tol=1e-12):
             return body or ""
-        return f"{self.scale:g} {body}".strip()
+        # full repr precision: to_string/parse must round-trip exactly
+        # (headers write BUNIT from to_string and reparse it)
+        return f"{self.scale!r} {body}".strip()
 
     def __repr__(self):
         return f"Unit('{self.to_string()}')"

@@ -161,3 +161,21 @@ def test_np_equal_matches_operator_on_incompatible_units():
     assert (q1 == q2) is False or (q1 == q2) == False  # noqa: E712
     assert bool(np.equal(q1, q2)) is False
     assert bool(np.not_equal(q1, q2)) is True
+
+
+def test_unit_tostring_parse_roundtrip_exact():
+    """to_string/parse round-trips exactly for random composite units
+    (headers write BUNIT from to_string and reparse it; the numeric
+    fallback previously printed only 6 significant digits)."""
+    import numpy as np
+    from spectral_cube_tpu.units import Unit
+    rng = np.random.RandomState(3)
+    bases = ["Jy", "K", "beam", "m", "s", "Hz", "rad", "deg", "arcsec",
+             "pix", "W", "mJy", "km", "GHz"]
+    for _ in range(100):
+        u = Unit.parse("")
+        for _ in range(int(rng.randint(1, 4))):
+            b = Unit.parse(bases[rng.randint(len(bases))])
+            p = int(rng.randint(-2, 3)) or 1
+            u = u * (b ** p)
+        assert Unit.parse(u.to_string()) == u, u.to_string()
