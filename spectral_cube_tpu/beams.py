@@ -169,7 +169,14 @@ class Beam:
         if abs(gamma) + abs(alpha - beta) == 0:
             pa = 0.0
         else:
-            pa = 0.5 * math.atan2(gamma, alpha - beta)
+            # inverse of _abc's east-of-north convention:
+            # alpha - beta = -(maj^2 - min^2) cos(2 pa),
+            # gamma = (maj^2 - min^2) sin(2 pa)
+            # => pa = atan2(gamma, beta - alpha) / 2.  (atan2(gamma,
+            # alpha - beta) returns the complement 90 - pa: the output
+            # convention then disagrees with the input's and
+            # convolve -> deconvolve round-trips distort the axes.)
+            pa = 0.5 * math.atan2(gamma, beta - alpha)
         return Beam(maj, mnr, pa)
 
     def convolve(self, other: "Beam") -> "Beam":

@@ -142,3 +142,89 @@ def test_beams_table_roundtrip():
                 pa=Quantity(np.asarray(cols["BPA"], dtype=float), "deg"))
     assert bs2[0].major.to_value("arcsec") == pytest.approx(1, rel=1e-6)
     assert bs2[1].pa.to_value("deg") == pytest.approx(20, rel=1e-5)
+
+
+def test_beam_convolve_deconvolve_roundtrip_rotated():
+    """Gaussian beam algebra round-trips exactly for rotated elliptical
+    beams, and convolution matches the covariance-matrix oracle.
+
+    Regression: _from_abc returned the COMPLEMENT angle (90 - pa), so
+    convolve -> deconvolve distorted the axes by up to several percent
+    for any rotated beam (caught by fuzzing; fixtures used pa=0)."""
+    from spectral_cube_tpu.beams import Beam
+    from spectral_cube_tpu.units import Quantity
+
+    def cov(maj, mnr, pa_deg):
+        th = np.radians(pa_deg)
+        c, s = np.sin(th), np.cos(th)   # major axis = (sin pa, cos pa)
+        R = np.array([[c, -s], [s, c]])
+        return R @ np.diag([maj ** 2, mnr ** 2]) @ R.T
+
+    a = Beam(Quantity(3.0, "arcsec"), Quantity(1.5, "arcsec"),
+             Quantity(30.0, "deg"))
+    b = Beam(Quantity(2.0, "arcsec"), Quantity(1.0, "arcsec"),
+             Quantity(-40.0, "deg"))
+    c = a.convolve(b)
+    M = cov(3.0, 1.5, 30.0) + cov(2.0, 1.0, -40.0)
+    evals, evecs = np.linalg.eigh(M)
+    np.testing.assert_allclose(float(c.major.to_value("arcsec")),
+                               np.sqrt(evals[1]), rtol=1e-12)
+    np.testing.assert_allclose(float(c.minor.to_value("arcsec")),
+                               np.sqrt(evals[0]), rtol=1e-12)
+    pa_oracle = np.degrees(np.arctan2(evecs[0, 1], evecs[1, 1]))
+    dpa = (float(c.pa.to_value("deg")) - pa_oracle + 90) % 180 - 90
+    assert abs(dpa) < 1e-9
+
+    rng = np.random.RandomState(4)
+    for _ in range(50):
+        maj1 = rng.uniform(0.5, 5.0)
+        min1 = rng.uniform(0.2, maj1)
+        pa1 = rng.uniform(-90, 90)
+        maj2 = rng.uniform(0.5, 5.0)
+        min2 = rng.uniform(0.2, maj2)
+        pa2 = rng.uniform(-90, 90)
+        a = Beam(Quantity(maj1, "arcsec"), Quantity(min1, "arcsec"),
+                 Quantity(pa1, "deg"))
+        b = Beam(Quantity(maj2, "arcsec"), Quantity(min2, "arcsec"),
+                 Quantity(pa2, "deg"))
+        d = a.convolve(b).deconvolve(b)
+        np.testing.assert_allclose(float(d.major.to_value("arcsec")),
+                                   maj1, rtol=1e-9)
+        np.testing.assert_allclose(float(d.minor.to_value("arcsec")),
+                                   min1, rtol=1e-9)
+        if abs(maj1 - min1) > 1e-3:
+            dpa = (float(d.pa.to_value("deg")) - pa1 + 90) % 180 - 90
+            assert abs(dpa) < 1e-6
+
+
+def test_rotated_beam_kernel_orientation():
+    """as_kernel of a rotated elliptical beam is elongated along the
+    right direction: second moments of the kernel match the beam's
+    covariance (east-of-north pa, x = +east in pixel coords)."""
+    from spectral_cube_tpu.beams import Beam, SIGMA_TO_FWHM
+    from spectral_cube_tpu.units import Quantity
+
+    pa = 30.0
+    beam = Beam(Quantity(6.0, "arcsec"), Quantity(2.0, "arcsec"),
+                Quantity(pa, "deg"))
+    pix = Quantity(0.5, "arcsec")
+    k = np.asarray(beam.as_kernel(pix, x_size=101, y_size=101))
+    y, x = np.mgrid[0:101, 0:101].astype(float)
+    x -= 50.0
+    y -= 50.0
+    w = k / k.sum()
+    Mxx = (w * x * x).sum()
+    Myy = (w * y * y).sum()
+    Mxy = (w * x * y).sum()
+    pa_meas = 0.5 * np.degrees(np.arctan2(2 * Mxy, Mxx - Myy))
+    # radio_beam convention (reference parity): kernel theta = pa + 90
+    # from +x — correct for standard CDELT1 < 0 images where +x points
+    # WEST (east-of-north pa mirrors to 90 + pa in pixel coords)
+    dpa = (pa_meas - (90.0 + pa) + 90) % 180 - 90
+    assert abs(dpa) < 1.0, (pa_meas, pa)
+    # axis lengths: eigenvalues of the moment matrix = sigma^2 in pixels
+    evals = np.linalg.eigvalsh(np.array([[Mxx, Mxy], [Mxy, Myy]]))
+    sig_maj = 6.0 / 0.5 / SIGMA_TO_FWHM
+    sig_min = 2.0 / 0.5 / SIGMA_TO_FWHM
+    np.testing.assert_allclose(np.sqrt(evals[1]), sig_maj, rtol=0.02)
+    np.testing.assert_allclose(np.sqrt(evals[0]), sig_min, rtol=0.02)
