@@ -57,24 +57,38 @@ def is_data_local(mask) -> bool:
     return False
 
 
+def _fn_key(fn, fallback):
+    """Key a predicate function by OBJECT (identity hash + a pinned
+    strong reference via the cache key).  Keying by __name__ collided
+    two different lambdas (both '<lambda>') and served the first
+    cube's compiled mask to the second; keying by bare id() could
+    silently alias after garbage collection."""
+    try:
+        hash(fn)
+        return fn
+    except TypeError:
+        return fallback
+
+
 def expr_key(mask):
     """A hashable structural key for a data-local mask expression, for
     caching compiled kernels that fuse the predicate (same structure +
-    parameters => same lowered program)."""
+    parameters => same lowered program).  Shared singletons like
+    ``jnp.greater``/``np.isfinite`` still share cache entries; distinct
+    function objects never collide."""
     if mask is None:
         return None
     if isinstance(mask, LazyComparisonMask):
-        return ("cmp", getattr(mask._function, "__name__", str(mask._function)),
+        return ("cmp", _fn_key(mask._function, mask),
                 float(mask._comparison_value))
     if isinstance(mask, LazyMask):
-        return ("fn", getattr(mask._function, "__name__",
-                              str(mask._function)))
+        return ("fn", _fn_key(mask._function, mask))
     if isinstance(mask, InvertedMask):
         return ("not", expr_key(mask._mask))
     if isinstance(mask, CompositeMask):
         return (mask._operation, expr_key(mask._mask1),
                 expr_key(mask._mask2))
-    return ("id", id(mask))
+    return ("obj", mask)
 
 
 def is_broadcastable_and_smaller(shape1, shape2):

@@ -31,6 +31,9 @@ def interp_weights(inaxis, outaxis):
     *linear* output grid (checks at spectral_cube.py:3253-3285)."""
     inaxis = np.asarray(inaxis, dtype=np.float64)
     outaxis = np.asarray(outaxis, dtype=np.float64)
+    if inaxis.size < 2:
+        raise ValueError("spectral interpolation needs at least 2 input "
+                         f"channels, got {inaxis.size}")
     flip_in = False
     if inaxis.size > 1 and inaxis[1] < inaxis[0]:
         inaxis = inaxis[::-1]
@@ -345,7 +348,11 @@ def interp_spectrum(value, inaxis, outaxis, wcs, suppress_smooth_warning=False,
     if not suppress_smooth_warning:
         check_nyquist(inaxis, outaxis)
     idx, frac = interp_weights(inaxis, outaxis)
-    out = value[idx] * (1 - frac) + value[idx + 1] * frac
+    lerp = value[idx] * (1 - frac) + value[idx + 1] * frac
+    # np.interp semantics: exact grid hits and edge clamps return the
+    # sample itself — a zero-weight NaN neighbor must not poison them
+    out = np.where(frac == 0, value[idx],
+                   np.where(frac == 1, value[idx + 1], lerp))
     if fill_value is not None:
         lo, hi = min(inaxis[0], inaxis[-1]), max(inaxis[0], inaxis[-1])
         out = np.where((outaxis < lo) | (outaxis > hi), fill_value, out)

@@ -35,10 +35,6 @@ def _fill(data, valid, fill):
     return jnp.where(valid, data, jnp.asarray(fill, dtype=data.dtype))
 
 
-def _nan_like(data, axis):
-    return jnp.asarray(jnp.nan, dtype=_float_dtype(data))
-
-
 def _float_dtype(data):
     return data.dtype if jnp.issubdtype(data.dtype, jnp.floating) \
         else jnp.float32
@@ -136,10 +132,16 @@ def masked_statistics(data, valid):
     # npts in {0, 1}: NaN stats, not div-by-zero artifacts (reference
     # tolerates all-NaN chunks, tests/test_dask.py:110-118)
     mean = jnp.where(cnt > 0, s / jnp.maximum(npts, 1), nan)
-    sigma = jnp.where(
-        cnt > 1,
-        jnp.sqrt((ss - s * s / jnp.maximum(npts, 1))
-                 / jnp.maximum(npts - 1, 1)), nan)
+    # sigma via a second, mean-centered pass: the one-pass
+    # (ss - s^2/n)/(n-1) form catastrophically cancels in float32 for
+    # data with a large DC offset (mean ~1e3, std ~0.01 leaves pure
+    # rounding noise, sometimes negative under the sqrt) — the same
+    # reason the moments kernel uses two-pass numerics (ops/moments.py)
+    mean_safe = jnp.where(cnt > 0, mean, 0)
+    dev = _fill(data - mean_safe, valid, 0)
+    s2c = jnp.sum(dev * dev)
+    sigma = jnp.where(cnt > 1,
+                      jnp.sqrt(s2c / jnp.maximum(npts - 1, 1)), nan)
     rms = jnp.where(cnt > 0, jnp.sqrt(ss / jnp.maximum(npts, 1)), nan)
     mn = jnp.where(cnt > 0, mn, nan)
     mx = jnp.where(cnt > 0, mx, nan)

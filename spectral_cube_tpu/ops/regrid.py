@@ -44,7 +44,7 @@ def _bilinear_spatial_then_linear_z(data, zs, ys, xs, order):
     (measured ~2 s for a 256^3 cube); exploiting separability — the channel
     mapping depends only on z, the spatial mapping only on (y, x) — brings
     it to a handful of HBM passes.  NaN poisoning follows nonzero-weight
-    semantics like :func:`_gather_with_footprint`.
+    semantics: zero-weight NaN neighbors never poison outputs.
     """
     nchan_in, ny_in, nx_in = data.shape
     nz = zs.shape[0]
@@ -219,6 +219,8 @@ def convolve_reproject_separable(data, kernel, ys, xs):
 
     ytaps, xtaps = factors
     r = ytaps.shape[1]
+    if ny_in < 2 or nx_in < 2:
+        return None   # singleton spatial dim: _interp_matrix needs 2 taps
     Ry = _interp_matrix(y0[:, 0], wy[:, 0], ny_in).astype(np.float64)
     Rx = _interp_matrix(x0[0, :], wx[0, :], nx_in).astype(np.float64)
     Gy = [jnp.asarray((Ry @ _conv_matrix_1d(ny_in, ytaps[:, i])
@@ -251,31 +253,6 @@ def convolve_reproject_separable(data, kernel, ys, xs):
     out = lax.cond(has_nan, chain, fused, data)
     valid = jnp.asarray(yvalid & xvalid)[None, :, :]
     return jnp.where(valid, out, jnp.nan).astype(data.dtype)
-
-
-def _gather_with_footprint(data, coords, order):
-    """map_coordinates with NaN outside the input footprint and
-    weight-aware NaN propagation.
-
-    Naive map_coordinates poisons in-bounds points whose *zero-weight*
-    neighbor is NaN (0*NaN=NaN) — both for cval=NaN at the edges and for
-    NaN voxels in the data.  Here coordinates are clipped, NaN data is
-    zeroed for the value gather, and a parallel gather of the NaN indicator
-    marks outputs whose stencil touches NaN with nonzero weight."""
-    eps = 1e-6
-    valid = None
-    clipped = []
-    for c, n in zip(coords, data.shape):
-        v = (c >= -eps) & (c <= n - 1 + eps)  # False for NaN coords
-        valid = v if valid is None else (valid & v)
-        clipped.append(jnp.clip(jnp.nan_to_num(c), 0.0, n - 1))
-    nanmask = jnp.isnan(data).astype(data.dtype)
-    out = map_coordinates(jnp.nan_to_num(data), clipped, order=order,
-                          mode="constant", cval=0.0)
-    wnan = map_coordinates(nanmask, clipped, order=order, mode="constant",
-                           cval=0.0)
-    out = jnp.where(wnan > 1e-6, jnp.nan, out)
-    return jnp.where(valid, out, jnp.nan)
 
 
 def _resample_planes(data, ys, xs, order):
@@ -330,8 +307,6 @@ def reproject_cube(data, wcs_in: WCS, target_header, order="bilinear",
                        np.arange(len(inax), dtype=np.float64)[order_in],
                        left=np.nan, right=np.nan)
     else:
-        pixv = [np.full(nz, wcs_in.crpix[j] - 1.0)
-                for j in range(wcs_in.naxis)]
         zs = np.asarray(wcs_in._spectral_world2inter(sv_out_in_units)
                         / wcs_in.cdelt[wcs_in.spec]
                         + wcs_in.crpix[wcs_in.spec] - 1.0)

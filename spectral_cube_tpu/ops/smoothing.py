@@ -148,7 +148,11 @@ def convolve1d_nan(data, kernel, axis=0):
         lambda inv: jnp.ones_like(inv),
         lambda inv: 1.0 - _conv1d_along_axis0(inv, kernel),
         (~valid).astype(filled.dtype))
-    out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.nan)
+    # den floor 1e-6 like every other normalized-convolution path
+    # (CLAUDE.md): f32 HIGHEST reconstructs a true 0 only to ~1e-7, and
+    # `> 0` let all-NaN windows emit fake 0.0 instead of NaN
+    eps = 1e-6
+    out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
     out = jnp.where(jnp.any(valid, axis=0, keepdims=True), out, jnp.nan)
     # astropy keeps original NaNs NaN only when interpolation impossible;
     # with nan_treatment='interpolate' NaN positions get interpolated values
@@ -203,7 +207,8 @@ def spatial_smooth_cube(data, kernel2d):
                    lambda inv: jnp.ones_like(inv),
                    lambda inv: 1.0 - conv(inv),
                    (~valid).astype(comp))
-    out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.nan)
+    eps = 1e-6   # same den floor as the separable/rDFT paths
+    out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
     out = jnp.where(jnp.any(valid, axis=(1, 2), keepdims=True), out, jnp.nan)
     return out.astype(data.dtype)
 
@@ -251,6 +256,10 @@ def sigma_clip_spectrally(data, sigma=3.0, maxiters=5, cenfunc="median"):
     astropy.stats.sigma_clip semantics (cenfunc=median, stdfunc=std;
     clipped values -> NaN); the reference workload at docs/dask.rst:188-212
     and spectral_cube.py:3161."""
+    if cenfunc not in ("median", np.median, np.nanmedian):
+        raise NotImplementedError(
+            "the sorted-band sigma-clip implements cenfunc='median' only "
+            f"(got {cenfunc!r})")
     data = jnp.asarray(data)
     comp = jnp.float64 if data.dtype == jnp.float64 else jnp.float32
     x = data.astype(comp)

@@ -153,7 +153,14 @@ def sharded_statistics(data, cmesh: CubeMesh, include=None):
         ss = jax.lax.psum(ss, axes)
         mn = jax.lax.pmin(mn, axes)
         mx = jax.lax.pmax(mx, axes)
-        return cnt, mn, mx, s, ss
+        # second, mean-centered pass for sigma: the one-pass
+        # (ss - s^2/n) form catastrophically cancels in f32 for data
+        # with a large DC offset (same fix as ops/reductions.py)
+        npts = jnp.maximum(cnt, 1).astype(d.dtype)
+        mean = s / npts
+        s2c = jax.lax.psum(
+            jnp.sum(jnp.where(valid, (d - mean) ** 2, 0)), axes)
+        return cnt, mn, mx, s, ss, s2c
 
     key = ("stats", data.shape, str(getattr(data, "dtype", "f4")),
            include is not None,
@@ -161,13 +168,13 @@ def sharded_statistics(data, cmesh: CubeMesh, include=None):
     fn = _SHARDED_JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
-                               out_specs=(P(), P(), P(), P(), P())))
+                               out_specs=(P(),) * 6))
         _cache_put(key, fn)
-    cnt, mn, mx, s, ss = fn(*args)
-    # two fetches (npts exact + stacked floats), not five round trips
-    stacked = np.asarray(jnp.stack([mn, mx, s, ss]))
+    cnt, mn, mx, s, ss, s2c = fn(*args)
+    # two fetches (npts exact + stacked floats), not six round trips
+    stacked = np.asarray(jnp.stack([mn, mx, s, ss, s2c]))
     npts_i = int(np.asarray(cnt))
-    mn, mx, s, ss = (float(v) for v in stacked)
+    mn, mx, s, ss, s2c = (float(v) for v in stacked)
     npts = float(npts_i)
     # all-masked / single-point cubes: NaN stats, never ZeroDivisionError
     # (reference handles all-NaN chunks, tests/test_dask.py:110-118)
@@ -177,8 +184,7 @@ def sharded_statistics(data, cmesh: CubeMesh, include=None):
                 "rms": np.nan}
     out = {"npts": npts_i, "min": mn, "max": mx,
            "sum": s, "sumsq": ss, "mean": s / npts}
-    out["sigma"] = float(np.sqrt((out["sumsq"] - out["sum"] ** 2 / npts)
-                                 / (npts - 1))) if npts > 1 else np.nan
+    out["sigma"] = float(np.sqrt(s2c / (npts - 1))) if npts > 1 else np.nan
     out["rms"] = float(np.sqrt(out["sumsq"] / npts))
     return out
 

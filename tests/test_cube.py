@@ -705,3 +705,45 @@ def test_statistics_reference_anchor(tmp_path):
     np.testing.assert_allclose(float(st2["sum"]),
                                float(np.asarray(cube2.sum())), rtol=1e-6)
     assert st2["npts"] == 12
+
+
+def test_statistics_dc_offset_sigma(tmp_path):
+    """sigma survives a large DC offset in float32 (the naive
+    (sumsq - sum^2/n) form cancels to rounding noise; both the fused and
+    the sharded kernels use a mean-centered second pass)."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube
+
+    rng = np.random.RandomState(0)
+    data = (1000.0 + 0.01 * rng.randn(8, 8, 8)).astype(np.float32)
+    p, _ = make_cube_file(tmp_path, name="dc.fits", shape=(8, 8, 8))
+    cube = SpectralCube.read(str(p))._new_cube_with(data=data, mask=None)
+    exact = np.std(data.astype(np.float64), ddof=1)
+    np.testing.assert_allclose(float(cube.statistics()["sigma"]), exact,
+                               rtol=1e-3)
+
+
+def test_moments_cache_distinct_lambda_masks(tmp_path):
+    """Two different lambda masks on same-shaped cubes must not share a
+    compiled-moments cache entry (mask functions were keyed by __name__,
+    so every lambda collided and the second cube got the first's mask)."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube, LazyMask
+
+    p, _ = make_cube_file(tmp_path, name="lm.fits", shape=(6, 5, 5),
+                          seed=1)
+    c1 = SpectralCube.read(str(p))
+    c2 = SpectralCube.read(str(p))
+    m1 = c1.with_mask(LazyMask(lambda d: d > 0.5, cube=c1))
+    m2 = c2.with_mask(LazyMask(lambda d: d < 0.5, cube=c2))
+    a = np.asarray(m1.moment0())
+    b = np.asarray(m2.moment0())
+    assert not np.allclose(a, b, equal_nan=True)
+    d = np.asarray(c1.unmasked_data[:])
+    sv = np.asarray(c1.spectral_axis.value)
+    dx = abs(sv[1] - sv[0])
+    for got, pred in ((a, d > 0.5), (b, d < 0.5)):
+        sel = np.isfinite(d) & pred
+        exp = np.where(np.any(sel, axis=0),
+                       np.nansum(np.where(sel, d, 0), axis=0) * dx, np.nan)
+        np.testing.assert_allclose(got, exp, rtol=1e-5, equal_nan=True)

@@ -528,3 +528,27 @@ def test_reproject_new_projection_codes(tmp_path):
         assert sel.any(), code
         err = np.max(np.abs(b[sel] - data[sel]))
         assert err < 0.05, (code, err)
+
+
+def test_onedspectrum_interp_exact_hits_ignore_nan_neighbor(cube_adv):
+    """np.interp semantics on the 1-D path: exact grid hits and edge
+    clamps return the sample even when the zero-weight neighbor is NaN."""
+    from spectral_cube_tpu.ops.interpolate import interp_spectrum
+    from spectral_cube_tpu.wcs import WCS
+    from spectral_cube_tpu.units import Unit
+
+    w = WCS(naxis=1)
+    w.ctype[0] = "FREQ"
+    w.crval[0] = 0.0
+    w.cdelt[0] = 1.0
+    w.crpix[0] = 1.0
+    w.cunit[0] = Unit.parse("Hz")
+    val = np.array([10.0, 20.0, np.nan, 40.0])
+    ax = np.array([0.0, 1.0, 2.0, 3.0])
+    out, _ = interp_spectrum(val, ax, np.array([1.0, 3.5, -2.0]), w,
+                             suppress_smooth_warning=True)
+    np.testing.assert_array_equal(out, [20.0, 40.0, 10.0])
+    import pytest
+    from spectral_cube_tpu.ops.interpolate import interp_weights
+    with pytest.raises(ValueError, match="at least 2"):
+        interp_weights(np.array([5.0]), np.array([5.0, 6.0]))

@@ -337,3 +337,26 @@ def test_odd_padded_sizes_are_never_generated():
     ref = fftconvolve(img.astype(float), (k / k.sum()).astype(float),
                       mode="same")
     np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
+def test_allnan_window_stays_nan_1d_smooth():
+    """An interior all-NaN window wider than the kernel smooths to NaN,
+    not a fake 0.0 (the 1-D path used den > 0 where the f32 residual of
+    a true-zero denominator is usually ~+1e-7; now the same 1e-6 floor
+    as the 2-D paths)."""
+    from spectral_cube_tpu.ops.smoothing import spectral_smooth_cube
+    import jax.numpy as jnp
+    data = np.ones((40, 2, 2), dtype=np.float32)
+    data[10:30] = np.nan             # hole much wider than the kernel
+    k = np.hanning(5); k /= k.sum()
+    out = np.asarray(spectral_smooth_cube(jnp.asarray(data), k))
+    assert np.isnan(out[15:25]).all()
+    assert np.isfinite(out[:5]).all()
+
+
+def test_sigma_clip_rejects_unsupported_cenfunc():
+    import pytest
+    from spectral_cube_tpu.ops.smoothing import sigma_clip_spectrally
+    with pytest.raises(NotImplementedError):
+        sigma_clip_spectrally(np.ones((8, 2, 2), np.float32),
+                              cenfunc="mean")
