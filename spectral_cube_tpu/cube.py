@@ -324,16 +324,16 @@ class BaseSpectralCube:
     def _include_view(self, view=()):
         """Boolean include array for a view (device array)."""
         if self._mask is None:
-            shape = np.empty(self.shape, dtype=np.uint8)[view].shape \
-                if not trivial_view(view) else self.shape
-            return jnp.ones(shape, dtype=bool)
-        return self._mask.include(data=self._device_data, view=view)
+            from .masks import view_shape
+            return jnp.ones(view_shape(self.shape, view), dtype=bool)
+        return self._mask.include(data=self._device_data,
+                                  wcs=self._wcs, view=view)
 
     def _valid_view(self, view=()):
         d = self._device_data if trivial_view(view) \
             else self._device_data[view]
         return _red.valid_mask(d, self._mask.include(
-            data=self._device_data, view=view) if self._mask is not None
+            data=self._device_data, view=view, wcs=self._wcs) if self._mask is not None
             else None)
 
     def _get_filled_data(self, view=(), fill=None, check_endian=False,
@@ -343,7 +343,7 @@ class BaseSpectralCube:
             else self._device_data[view]
         if self._mask is None:
             return d
-        inc = self._mask.include(data=self._device_data, view=view)
+        inc = self._mask.include(data=self._device_data, view=view, wcs=self._wcs)
         return jnp.where(inc, d, jnp.asarray(fill, dtype=d.dtype))
 
     @slice_syntax
@@ -877,7 +877,7 @@ class BaseSpectralCube:
         """One-pass global statistics, CASA ia.statistics naming (reference
         dask_spectral_cube.py:769-814)."""
         data = self._device_data
-        include = self._mask.include(data=data) if self._mask is not None \
+        include = self._mask.include(data=data, wcs=self._wcs) if self._mask is not None \
             else None
         valid = _red.valid_mask(data, include)
         raw = _red.masked_statistics(data, valid)
@@ -908,7 +908,7 @@ class BaseSpectralCube:
             out = {0: m0, 1: m1, 2: m2}[order]
         else:
             coords, dx = self._moment_coords(axis)
-            include = self._mask.include(data=self._device_data) \
+            include = self._mask.include(data=self._device_data, wcs=self._wcs) \
                 if self._mask is not None else None
             out = np.asarray(_mom.moment_generic(
                 self._device_data, coords, dx, order, axis=axis,
@@ -1070,7 +1070,7 @@ class BaseSpectralCube:
     def _apply_mask_np(self, data, view):
         if self._mask is None:
             return data
-        inc = self._mask.include(data=self._device_data, view=view)
+        inc = self._mask.include(data=self._device_data, view=view, wcs=self._wcs)
         return jnp.where(inc, data, jnp.asarray(self._fill_value,
                                                 dtype=data.dtype))
 
@@ -1523,7 +1523,7 @@ class BaseSpectralCube:
         inaxis = np.asarray(self.spectral_axis.value, dtype=float)
         if not suppress_smooth_warning and smooth_kernel is None:
             _interp.check_nyquist(inaxis, grid)
-        include = self._mask.include(data=self._device_data) \
+        include = self._mask.include(data=self._device_data, wcs=self._wcs) \
             if self._mask is not None else None
         if smooth_kernel is not None:
             out, new_include = _interp.smooth_interp_cube(
@@ -1557,7 +1557,7 @@ class BaseSpectralCube:
         if self._mask is not None:
             # block-any of the include mask, matching the reference
             # (spectral_cube.py:3503-3548: np.any over each factor-block)
-            include = self._mask.include(data=self._device_data)
+            include = self._mask.include(data=self._device_data, wcs=self._wcs)
             inc_ds = _interp.downsample_include(include, factor, axis,
                                                 truncate=truncate)
             new_mask = BooleanArrayMask(np.asarray(inc_ds), wcs=new_wcs,

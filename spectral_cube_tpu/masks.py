@@ -114,10 +114,19 @@ def dims_to_skip(shape1, shape2):
     return skip
 
 
+def view_shape(shape, view):
+    """Shape of ``full_array[view]`` computed allocation-free (a real
+    np.empty(shape)[view] would malloc the whole cube just to read
+    .shape; a fancy-index view would even touch the pages)."""
+    probe = np.broadcast_to(np.empty((), dtype=bool), tuple(shape))
+    return np.asarray(probe[view]).shape if not trivial_view(view) \
+        else tuple(shape)
+
+
 def view_of_subset(view, shape_full, shape_sub):
     """Restrict a cube view to the axes present in a smaller mask array
     (reference masks.py:79-99)."""
-    if view is None or view == ():
+    if trivial_view(view):
         return ()
     skip = dims_to_skip(shape_sub, shape_full)
     view = _normalize_view(view, len(shape_full))
@@ -141,7 +150,16 @@ class MaskBase(ABC):
         """Return the boolean *include* array for ``data[view]``."""
 
     def include(self, data=None, wcs=None, view=()):
+        """Boolean include array.  ``wcs`` flows through to nodes whose
+        predicate wants it (FunctionMask, reference masks.py:788-792);
+        other node types ignore it."""
+        if wcs is not None and self._wants_wcs():
+            return self._include(data=data, view=view, wcs=wcs)
         return self._include(data=data, view=view)
+
+    def _wants_wcs(self):
+        """True if this node (or a child) takes a call-time wcs."""
+        return False
 
     def exclude(self, data=None, wcs=None, view=()):
         inc = self._include(data=data, view=view)
@@ -179,14 +197,15 @@ class MaskBase(ABC):
         XLA fuses into whatever kernel consumes it.
         """
         view = () if view is None else view
-        sub = data[view] if view != () else data
+        sub = data if trivial_view(view) else data[view]
         inc = self._include(data=data, view=view)
         return xp.where(inc, sub, xp.asarray(fill, dtype=sub.dtype))
 
     def _flattened(self, data, wcs=None, view=()):
         """1-D array of included values (host-side; dynamic shape)."""
         view = () if view is None else view
-        sub = np.asarray(data[view] if view != () else data)
+        sub = np.asarray(data if trivial_view(view)
+                         else data[view])
         inc = np.asarray(self._include(data=data, view=view))
         inc = np.broadcast_to(inc, sub.shape)
         return sub[inc]
@@ -271,12 +290,12 @@ class _ViewMask(MaskBase):
         self._view = view
         pshape = parent.shape
         if pshape is not None:
-            self._shape = np.empty(pshape, dtype=bool)[view].shape
+            self._shape = view_shape(pshape, view)
 
     def _include(self, data=None, view=()):
         # compose views: evaluate parent on its own view, then slice
         inc = self._parent._include(data=data, view=self._view)
-        if view == () or view is None:
+        if trivial_view(view):
             return inc
         return inc[view]
 
@@ -286,11 +305,16 @@ class InvertedMask(MaskBase):
         self._mask = mask
         self._shape = mask.shape
 
-    def _include(self, data=None, view=()):
-        inc = self._mask._include(data=data, view=view)
+    def _include(self, data=None, view=(), wcs=None):
+        inc = self._mask._include(data=data, view=view, wcs=wcs) \
+            if self._mask._wants_wcs() \
+            else self._mask._include(data=data, view=view)
         if isinstance(inc, np.ndarray):
             return ~inc
         return jnp.logical_not(inc)
+
+    def _wants_wcs(self):
+        return self._mask._wants_wcs()
 
     def __getitem__(self, view):
         return InvertedMask(self._mask[view])
@@ -313,11 +337,19 @@ class CompositeMask(MaskBase):
             raise ValueError(f"unknown operation {operation!r}")
         self._operation = operation
         shapes = [m.shape for m in (mask1, mask2) if m.shape is not None]
-        self._shape = max(shapes, key=len) if shapes else None
+        # the composite's extent is the BROADCAST of its operands (a
+        # max-by-ndim pick returned whichever operand came first on
+        # equal ndim, making shape order-dependent)
+        self._shape = tuple(np.broadcast_shapes(*shapes)) if shapes \
+            else None
 
-    def _include(self, data=None, view=()):
-        i1 = self._mask1._include(data=data, view=view)
-        i2 = self._mask2._include(data=data, view=view)
+    def _include(self, data=None, view=(), wcs=None):
+        i1 = self._mask1._include(data=data, view=view, wcs=wcs) \
+            if self._mask1._wants_wcs() \
+            else self._mask1._include(data=data, view=view)
+        i2 = self._mask2._include(data=data, view=view, wcs=wcs) \
+            if self._mask2._wants_wcs() \
+            else self._mask2._include(data=data, view=view)
         xp = np if (isinstance(i1, np.ndarray)
                     and isinstance(i2, np.ndarray)) else jnp
         if self._operation == "and":
@@ -325,6 +357,9 @@ class CompositeMask(MaskBase):
         if self._operation == "or":
             return xp.logical_or(i1, i2)
         return xp.logical_xor(i1, i2)
+
+    def _wants_wcs(self):
+        return self._mask1._wants_wcs() or self._mask2._wants_wcs()
 
     def __getitem__(self, view):
         return CompositeMask(self._mask1[view], self._mask2[view],
@@ -412,7 +447,7 @@ class LazyMask(MaskBase):
         """Slicing a data-local mask just tracks shape: the cube slices its
         data in lockstep, so evaluation applies the function to whatever
         (already-sliced) data it receives."""
-        new_shape = np.empty(self._shape, dtype=bool)[view].shape \
+        new_shape = view_shape(self._shape, view) \
             if self._shape is not None else None
         return LazyMask(self._function,
                         data=self._data[view] if self._data is not None
@@ -443,7 +478,7 @@ class LazyComparisonMask(MaskBase):
         return self._function(sub, self._comparison_value)
 
     def __getitem__(self, view):
-        new_shape = np.empty(self._shape, dtype=bool)[view].shape \
+        new_shape = view_shape(self._shape, view) \
             if self._shape is not None else None
         return LazyComparisonMask(
             self._function, self._comparison_value,
@@ -460,9 +495,13 @@ class FunctionMask(MaskBase):
         self._shape = shape
         self._wcs = wcs
 
-    def _include(self, data=None, view=()):
-        result = self._function(data, self._wcs, view)
+    def _include(self, data=None, view=(), wcs=None):
+        result = self._function(data, wcs if wcs is not None else self._wcs,
+                                view)
         sub = data if trivial_view(view) else data[view]
         if data is not None and np.shape(result) != np.shape(sub):
             raise ValueError("Function did not return mask with correct shape")
         return result
+
+    def _wants_wcs(self):
+        return True

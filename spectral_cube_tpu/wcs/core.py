@@ -150,17 +150,27 @@ class WCS:
                      for i in range(n) for j in range(n))
         if has_cd:
             cd = np.zeros((n, n))
+            cd_rows = np.zeros(n, dtype=bool)
             for i in range(n):
                 for j in range(n):
-                    cd[i, j] = float(get(f"CD{i + 1}_{j + 1}", 0.0))
-            # factor CD into cdelt (diagonal) * pc
+                    key = f"CD{i + 1}_{j + 1}"
+                    if key in header:
+                        cd_rows[i] = True
+                    cd[i, j] = float(get(key, 0.0))
+            # factor CD into cdelt (diagonal) * pc — ONLY for axes that
+            # actually have CD cards: mixed headers (CD for celestial,
+            # CDELT3 for the spectral axis) keep their CDELT/identity-pc
+            # rows instead of a zeroed, singular row
             cdelt = np.sqrt((cd ** 2).sum(axis=1))
             cdelt = np.where(cdelt == 0, 1.0, cdelt)
             sign = np.sign(np.diag(cd))
             sign = np.where(sign == 0, 1.0, sign)
             cdelt = cdelt * sign
-            self.cdelt = cdelt
-            self.pc = cd / cdelt[:, None]
+            pc = cd / cdelt[:, None]
+            for i in range(n):
+                if cd_rows[i]:
+                    self.cdelt[i] = cdelt[i]
+                    self.pc[i, :] = pc[i, :]
         else:
             for i in range(n):
                 for j in range(n):
@@ -172,7 +182,19 @@ class WCS:
         self.specsys = str(get("SPECSYS", "")).strip()
         self.radesys = str(get("RADESYS", "")).strip()
         eq = get("EQUINOX", get("EPOCH", None))
-        self.equinox = float(eq) if eq is not None else None
+        if eq is not None:
+            # tolerate archival string forms like 'J2000.0'/'B1950'
+            # (astropy/wcslib apply the same fix)
+            try:
+                self.equinox = float(eq)
+            except (TypeError, ValueError):
+                s_eq = str(eq).strip().lstrip("JBjb")
+                try:
+                    self.equinox = float(s_eq)
+                except ValueError:
+                    self.equinox = None
+        else:
+            self.equinox = None
         lp = get("LONPOLE", None)
         self.lonpole = float(lp) if lp is not None else None
         lt = get("LATPOLE", None)
@@ -482,11 +504,15 @@ class WCS:
 
     @property
     def spectral_unit(self) -> Unit:
+        if self.spec < 0:
+            raise ValueError("WCS has no spectral axis")
         return self.cunit[self.spec]
 
     def spectral_axis_values(self, n: int) -> np.ndarray:
         """World values of the spectral axis for pixels 0..n-1, in CUNIT."""
         i = self.spec
+        if i < 0:
+            raise ValueError("WCS has no spectral axis")
         pix = [np.zeros(n)] * self.naxis
         pix[i] = np.arange(n, dtype=float)
         # use crpix-centered zeros for other axes so projections are valid
@@ -592,6 +618,8 @@ class WCS:
 
     @property
     def spectral(self) -> "WCS":
+        if self.spec < 0:
+            raise ValueError("WCS has no spectral axis")
         return self.reindex([self.spec])
 
     def slice(self, view, shape=None, numpy_order=True) -> "WCS":
@@ -609,7 +637,10 @@ class WCS:
             raise ValueError("integer indices not allowed; use dropaxis")
         out = self.deepcopy()
         for i, iview in enumerate(view):
-            if iview.step is not None and iview.start is None:
+            if iview.step is not None and iview.step > 0 \
+                    and iview.start is None:
+                # positive steps default start to 0; for negative steps
+                # the omitted start means the LAST pixel (n-1)
                 iview = slice(0, iview.stop, iview.step)
             wi = self.naxis - 1 - i if numpy_order else i
             if iview.step is not None and iview.step < 0:
@@ -618,11 +649,16 @@ class WCS:
                         "simultaneous resampling & reversing not supported")
                 if shape is None:
                     raise ValueError("reverse slicing requires a shape")
-                refpix = iview.stop if iview.stop is not None else shape[i]
-                # world value at the last kept pixel becomes the new crval
+                # the FIRST element of arr[start:stop:-1] is old pixel
+                # ``start`` (or n-1 when omitted); anchoring at stop-1
+                # (as the reference's slice_wcs does) is only right for
+                # full reversals and misassigns partial ones —
+                # documented divergence, fixed here
+                refpix0 = iview.start if iview.start is not None \
+                    else shape[i] - 1
                 pixv = [np.array([self.crpix[j] - 1.0])
                         for j in range(self.naxis)]
-                pixv[wi] = np.array([float(refpix - 1)])
+                pixv[wi] = np.array([float(refpix0)])
                 crval = float(np.asarray(self.pix2world(*pixv)[wi])[0])
                 out.crpix[wi] = 1.0
                 out.crval[wi] = crval
@@ -659,9 +695,6 @@ class WCS:
                 return np.allclose(a, b, rtol=1e-12, atol=0)
             return np.allclose(a, b, rtol=tol, atol=0)
 
-        if [c0.split("-")[0] for c0 in self.ctype] != \
-           [c1.split("-")[0] for c1 in other.ctype]:
-            return False
         if self.ctype != other.ctype:
             return False
         # compare crval/cdelt in SI so unit spellings don't matter

@@ -813,9 +813,15 @@ def celestial_pole(code: str, crval1: float, crval2: float,
             raise ValueError("no valid native pole solution")
         dp = min(cands, key=lambda v: abs(v - latpole * D2R))
 
-    # alpha_p (eq. 9-10)
+    # alpha_p (eq. 9-10); the dp = +-90 degenerate cases carry the
+    # Paper II phase terms — 'ap = a0' alone put every longitude 180 deg
+    # off for cylindrical/conic projections with crval2 at the fiducial
+    # latitude (the standard all-sky / galactic-plane setup)
     if abs(np.cos(dp)) < 1e-12:
-        ap = a0
+        if dp > 0:
+            ap = a0 + phip - phi0 * D2R - np.pi
+        else:
+            ap = a0 - phip + phi0 * D2R
     elif abs(d0 - np.pi / 2) < 1e-12:
         ap = a0
     else:

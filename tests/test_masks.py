@@ -314,3 +314,45 @@ def test_mask_algebra_boolean_laws(data):
         m = (a & b) ^ ~c
         np.testing.assert_array_equal(
             np.asarray(m.exclude(data=data, view=view)), ~inc(m))
+
+
+def test_composite_mask_broadcast_shape(data):
+    """CompositeMask.shape is the broadcast of its operands, independent
+    of operand order (max-by-ndim returned whichever came first)."""
+    from spectral_cube_tpu.masks import BooleanArrayMask, LazyMask
+    bam = BooleanArrayMask(np.ones((1,) + data.shape[1:], bool), wcs=None,
+                           shape=(1,) + data.shape[1:])
+    lm = LazyMask(np.isfinite, data=data)
+    assert (bam & lm).shape == data.shape
+    assert (lm & bam).shape == data.shape
+
+
+def test_mask_fancy_views(data):
+    """_filled/_flattened/include accept index-array views."""
+    from spectral_cube_tpu.masks import LazyMask
+    m = LazyMask(lambda d: np.asarray(d) > 0.3, data=data)
+    idx = np.array([0, 2])
+    filled = np.asarray(m._filled(data, view=idx, xp=np))
+    assert filled.shape == (2,) + data.shape[1:]
+    flat = m._flattened(data, view=idx)
+    assert flat.ndim == 1
+
+
+def test_function_mask_receives_call_time_wcs(tmp_path):
+    """FunctionMask's predicate gets the cube's WCS at evaluation time
+    (reference masks.py:788-792), including through composites."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube, FunctionMask
+    from spectral_cube_tpu.masks import trivial_view
+
+    p, _ = make_cube_file(tmp_path, name="fw.fits", shape=(4, 4, 4))
+    cube = SpectralCube.read(str(p))
+    seen = {}
+
+    def fn(d, wcs, view):
+        seen["wcs"] = wcs
+        return np.asarray(d if trivial_view(view) else d[view]) > 0
+
+    masked = cube.with_mask(FunctionMask(fn))   # AND-composite with the
+    np.asarray(masked.filled_data[:])           # reader's finite mask
+    assert seen["wcs"] is cube.wcs

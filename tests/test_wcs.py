@@ -287,3 +287,84 @@ def test_celestial_partner_drop_warns(wcs3d):
         warnings.simplefilter("error")
         wcs3d.dropaxis(2)          # non-celestial: silent
         wcs3d.reindex([1, 0, 2])   # permutation keeps both: silent
+
+
+def test_cylindrical_crval2_zero_longitudes():
+    """Regression: cylindrical/conic projections with CRVAL2 at the
+    fiducial latitude (the all-sky / galactic-plane setup) had every
+    longitude 180 deg off — celestial_pole's dp=+-90 case dropped the
+    Paper II eq. 9-10 phase terms."""
+    from spectral_cube_tpu.wcs import WCS
+    for code in ("CAR", "SFL", "MER", "AIT", "CEA"):
+        h = {"NAXIS": 2, "CTYPE1": f"RA---{code}",
+             "CTYPE2": f"DEC--{code}", "CRVAL1": 45.0, "CRVAL2": 0.0,
+             "CRPIX1": 10.0, "CRPIX2": 10.0, "CDELT1": -0.5,
+             "CDELT2": 0.5, "CUNIT1": "deg", "CUNIT2": "deg"}
+        w = WCS(header=h)
+        lon, lat = w.pix2world(np.array([9.0]), np.array([9.0]))
+        assert abs(float(np.asarray(lon)[0]) - 45.0) < 1e-9, code
+        assert abs(float(np.asarray(lat)[0])) < 1e-9, code
+    # galactic all-sky anchor: pixel offsets map linearly in CAR
+    h2 = {"NAXIS": 2, "CTYPE1": "GLON-CAR", "CTYPE2": "GLAT-CAR",
+          "CRVAL1": 0.0, "CRVAL2": 0.0, "CRPIX1": 180.5, "CRPIX2": 90.5,
+          "CDELT1": -1.0, "CDELT2": 1.0, "CUNIT1": "deg", "CUNIT2": "deg"}
+    w2 = WCS(header=h2)
+    lon, _ = w2.pix2world(np.array([0.0]), np.array([89.5]))
+    assert abs((float(np.asarray(lon)[0]) - 179.5) % 360.0) < 1e-6
+
+
+def test_mixed_cd_cdelt_header():
+    """CD cards for the celestial axes + CDELT3 for the spectral axis (a
+    common archival layout): the spectral CDELT must survive instead of
+    being zeroed into a singular pc row."""
+    from spectral_cube_tpu.wcs import WCS
+    h = {"NAXIS": 3, "CTYPE1": "RA---TAN", "CTYPE2": "DEC--TAN",
+         "CTYPE3": "FREQ", "CRVAL1": 50.0, "CRVAL2": 30.0,
+         "CRVAL3": 1.4e9, "CRPIX1": 5.0, "CRPIX2": 5.0, "CRPIX3": 1.0,
+         "CD1_1": -1e-3, "CD1_2": 1e-5, "CD2_1": 1e-5, "CD2_2": 1e-3,
+         "CDELT3": 1e6, "CUNIT1": "deg", "CUNIT2": "deg", "CUNIT3": "Hz"}
+    w = WCS(header=h)
+    assert w.cdelt[2] == 1e6
+    sv = w.spectral_axis_values(3)
+    np.testing.assert_allclose(np.asarray(sv),
+                               [1.4e9, 1.4e9 + 1e6, 1.4e9 + 2e6])
+    # world2pix must not hit a singular matrix
+    lon, lat, sp = w.pix2world(np.array([2.0]), np.array([3.0]),
+                               np.array([1.0]))
+    x, y, z = w.world2pix(np.asarray(lon), np.asarray(lat), np.asarray(sp))
+    np.testing.assert_allclose([float(np.asarray(x)[0]),
+                                float(np.asarray(y)[0]),
+                                float(np.asarray(z)[0])],
+                               [2.0, 3.0, 1.0], atol=1e-8)
+
+
+def test_partial_reverse_slice_world_values(wcs3d):
+    """Every element of arr[start:stop:-1] keeps its world coordinate
+    (the reference's slice_wcs anchors at stop-1, which is only right
+    for full reversals — documented divergence, we track numpy)."""
+    n = 10
+    sv = np.asarray(wcs3d.spectral_axis_values(n))
+    for sl in (slice(None, None, -1), slice(8, 2, -1),
+               slice(None, 3, -1), slice(7, None, -1)):
+        ref = sv[sl]
+        ws = wcs3d.slice((sl, slice(None), slice(None)), shape=(n, 6, 8))
+        got = np.asarray(ws.spectral_axis_values(len(ref)))
+        np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_equinox_string_tolerated():
+    from spectral_cube_tpu.wcs import WCS
+    h = {"NAXIS": 2, "CTYPE1": "RA---TAN", "CTYPE2": "DEC--TAN",
+         "CRVAL1": 10.0, "CRVAL2": 10.0, "CRPIX1": 1.0, "CRPIX2": 1.0,
+         "CDELT1": -0.1, "CDELT2": 0.1, "CUNIT1": "deg", "CUNIT2": "deg",
+         "EQUINOX": "J2000.0"}
+    assert WCS(header=h).equinox == 2000.0
+
+
+def test_no_spectral_axis_raises(wcs3d):
+    import pytest
+    cel = wcs3d.celestial
+    for call in (lambda: cel.spectral, lambda: cel.spectral_unit,
+                 lambda: cel.spectral_axis_values(4)):
+        with pytest.raises(ValueError, match="no spectral axis"):
+            call()
