@@ -306,6 +306,10 @@ class Beams:
             pa_v = np.atleast_1d(np.asarray(
                 pa.to_value("deg") if isinstance(pa, Quantity)
                 else (pa if pa is not None else np.zeros(n)), dtype=float))
+            # broadcast scalar minor/pa against a vector major like
+            # radio_beam (a bare zip truncated the list to length 1)
+            major, minor_v, pa_v = np.broadcast_arrays(major, minor_v,
+                                                       pa_v)
             self._beams = [
                 Beam(m * math.pi / 180, mn * math.pi / 180,
                      p * math.pi / 180)

@@ -552,9 +552,13 @@ class BaseSpectralCube:
                                                shape=self.shape))
 
     def sigma_clip(self, threshold):
-        """Mask out |data| > threshold*mad_std (global clip)."""
+        """Mask out |data - median| > threshold*mad_std (global clip,
+        BOTH tails — a one-sided `<` let negative spikes survive)."""
         s = float(self.mad_std().value)
-        return self.with_mask(self < Quantity(threshold * s, self.unit))
+        med = float(self.median().value)
+        lo = Quantity(med - threshold * s, self.unit)
+        hi = Quantity(med + threshold * s, self.unit)
+        return self.with_mask((self > lo) & (self < hi))
 
     # ------------------------------------------------------------------
     # spectral axis & world coordinates
@@ -742,6 +746,10 @@ class BaseSpectralCube:
             axis = tuple(sorted(a % 3 for a in axis))
             if axis == (0, 1, 2):
                 axis = None
+        elif axis is not None:
+            # normalize scalar negative axes too: dropaxis(2 - (-1))
+            # would drop a nonexistent axis and keep the 3-axis WCS
+            axis = int(axis) % 3
         data = self._device_data
         include = None
         if self._mask is not None:
@@ -897,6 +905,7 @@ class BaseSpectralCube:
     # moments (reference spectral_cube.py:1614-1779, _moments.py)
     # ------------------------------------------------------------------
     def moment(self, order=0, axis=0, how="auto", **kwargs):
+        axis = int(axis) % 3
         if axis == 0 and order == 2:
             warnings.warn("Note that the second moment returned will be a "
                           "variance map. To get a linewidth map, use the "
@@ -950,8 +959,10 @@ class BaseSpectralCube:
         cube face, along y and x (reference _pix_cen,
         spectral_cube.py:1472-1493)."""
         _, lat, lon = self.world[0, :, :]
-        lon = np.radians(np.asarray(lon.value))
-        lat = np.radians(np.asarray(lat.value))
+        # pix2world returns values in each axis's CUNIT (arcsec headers
+        # exist): convert to degrees before the trig
+        lon = np.radians(np.asarray(lon.to_value("deg")))
+        lat = np.radians(np.asarray(lat.to_value("deg")))
 
         def angsep(lon1, lat1, lon2, lat2):
             # Vincenty formula (astropy.coordinates.angular_separation)
@@ -1039,6 +1050,18 @@ class BaseSpectralCube:
         meta["slice"] = [(v.start, v.stop, v.step) if isinstance(v, slice)
                          else int(v) for v in view]
         if not ints:
+            # canonicalize negative/None starts and stops against the
+            # shape: WCS.slice treats start as a raw pixel offset, so
+            # cube[-4:] would shift crpix the wrong way by ~n pixels.
+            # (indices() returns stop=-1 for a full negative-step slice,
+            # which would re-read as empty — map it back to None.)
+            def _canon(v, n):
+                start, stop, step = v.indices(n)
+                if step < 0 and stop < 0:
+                    stop = None
+                return slice(start, stop, step)
+            view = tuple(_canon(v, n) if isinstance(v, slice) else v
+                         for v, n in zip(view, self.shape))
             new_wcs = self._wcs.slice(view, shape=self.shape)
             newmask = self._mask[view] if self._mask is not None else None
             return self._new_cube_with(data=self._device_data[view],
@@ -1217,9 +1240,9 @@ class BaseSpectralCube:
             return self._cube_on_cube(op, other)
         if isinstance(other, (int, float, Quantity, np.ndarray)):
             if reflected and op in ("sub", "truediv"):
-                tmp = self._cube_op_scalar(op, other)
                 if op == "sub":
-                    return tmp._cube_op_scalar("mul", -1.0)
+                    return self._cube_op_scalar(op, other) \
+                        ._cube_op_scalar("mul", -1.0)
                 # value / cube
                 data = jnp.true_divide(
                     other.value if isinstance(other, Quantity) else other,
@@ -1283,7 +1306,10 @@ class BaseSpectralCube:
                     f"input: {exc}")
             out = function(Quantity(self._get_filled_data(fill=np.nan),
                                     self.unit), *args)
-            return self._new_cube_with(data=out.value, unit=out.unit)
+            if isinstance(out, Quantity):
+                return self._new_cube_with(data=out.value, unit=out.unit)
+            # function stripped the unit: use the probe-derived one
+            return self._new_cube_with(data=out, unit=unit)
         data = function(self._get_filled_data(fill=np.nan), *args)
         return self._new_cube_with(data=data)
 
@@ -1834,10 +1860,17 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
             self._goodbeams_mask = np.asarray(goodbeams_mask) & finite
         else:
             self._goodbeams_mask = finite
-        if not self._goodbeams_mask.all():
+        # compose the channel-exclusion mask + warn only for NEWLY bad
+        # beams: channels the passed goodbeams_mask still marks good but
+        # whose beams are non-finite (fresh table reads, with_beams).
+        # Derived cubes pass a goodbeams_mask that already reflects the
+        # exclusions and carry the channel mask — re-composing added an
+        # N-deep mask tree plus a warning per operation.
+        newly_bad = ~finite if goodbeams_mask is None \
+            else (~finite) & np.asarray(goodbeams_mask)
+        if newly_bad.any():
             warnings.warn("Non-finite beams were automatically masked out",
                           NonFiniteBeamsWarning)
-            bad = ~self._goodbeams_mask
             chan_mask = BooleanArrayMask(self._goodbeams_mask,
                                          shape=self.shape)
             self._mask = CompositeMask(self._mask, chan_mask, "and") \
@@ -1945,7 +1978,9 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
             goodbeams_mask=(goodbeams_mask if goodbeams_mask is not None
                             else self._goodbeams_mask),
             beam_threshold=self.beam_threshold,
-            wcs_tolerance=self._wcs_tolerance)
+            wcs_tolerance=kwargs.pop("wcs_tolerance",
+                                     self._wcs_tolerance),
+            **kwargs)
         return cube
 
     # beam-coupled overrides ------------------------------------------------
@@ -2040,7 +2075,12 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
         pixscale = float(np.mean(np.abs(
             self._wcs.celestial.proj_plane_pixel_scales()))) * np.pi / 180.0
         data = self._get_filled_data(fill=np.nan)
-        beams = list(self._beams)
+        # channels with bad beams never contribute (their output is NaN
+        # via goodchannels) — substitute the target beam so a NaN or
+        # oversized bad beam cannot crash the kernel builder (reference
+        # semantics: bad channels are skipped, spectral_cube.py:4216-4231)
+        beams = [b if good else beam
+                 for b, good in zip(self._beams, self._goodbeams_mask)]
         if not allow_smaller:
             for i, b in enumerate(beams):
                 if self._goodbeams_mask[i]:

@@ -747,3 +747,48 @@ def test_moments_cache_distinct_lambda_masks(tmp_path):
         exp = np.where(np.any(sel, axis=0),
                        np.nansum(np.where(sel, d, 0), axis=0) * dx, np.nan)
         np.testing.assert_allclose(got, exp, rtol=1e-5, equal_nan=True)
+
+
+def test_negative_slice_wcs(cube_adv):
+    """Numpy-idiomatic negative slice bounds keep world coordinates
+    (WCS.slice treats start as a raw pixel offset, so cube[-2:] used to
+    shift crpix the wrong way)."""
+    cube, _ = cube_adv
+    sa = np.asarray(cube.spectral_axis.value)
+    for sl in (np.s_[-2:], np.s_[1:-1], np.s_[-3:-1], np.s_[::-1]):
+        sub = cube[sl, :, :]
+        np.testing.assert_allclose(np.asarray(sub.spectral_axis.value),
+                                   sa[sl], rtol=1e-10)
+
+
+def test_sigma_clip_two_tailed(cube_adv):
+    """sigma_clip masks BOTH tails about the median (a one-sided < let
+    negative spikes survive)."""
+    cube, data = cube_adv
+    d = data.copy()
+    d[0, 0, 0] = 100.0
+    d[1, 1, 1] = -100.0
+    c2 = cube._new_cube_with(data=d, mask=None)
+    inc = np.asarray(c2.sigma_clip(3.0).get_mask_array())
+    assert not inc[0, 0, 0] and not inc[1, 1, 1]
+    assert inc.sum() >= inc.size - 4
+
+
+def test_negative_reduction_axis(cube_adv):
+    """Scalar negative axes normalize (axis=-1 used to keep the 3-axis
+    WCS on a 2-D result; moment(axis=-3) crashed)."""
+    cube, _ = cube_adv
+    r = cube.sum(axis=-1)
+    assert r.wcs.naxis == 2 and r.shape == cube.shape[:2]
+    np.testing.assert_allclose(np.asarray(cube.moment(order=0, axis=-3)),
+                               np.asarray(cube.moment(order=0, axis=0)),
+                               equal_nan=True)
+
+
+def test_apply_everywhere_plain_return(cube_adv):
+    """apply_everywhere tolerates functions that strip the unit."""
+    cube, data = cube_adv
+    out = cube.apply_everywhere(lambda q: np.asarray(q.value) * 2.0)
+    np.testing.assert_allclose(np.asarray(out.unmasked_data[:]),
+                               np.asarray(cube.unmasked_data[:]) * 2,
+                               equal_nan=True, rtol=1e-6)

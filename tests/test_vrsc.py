@@ -182,3 +182,45 @@ def test_vr_oned_collapse_carries_beams(cube_vr):
     sp = cube.mean(axis=(1, 2))
     assert hasattr(sp, "beams")
     assert len(sp.beams) == cube.shape[0]
+
+
+def test_convolve_to_with_nan_beam(tmp_path):
+    """Channels whose beams are non-finite are skipped (NaN output)
+    instead of crashing the kernel builder (reference
+    spectral_cube.py:4216-4231 skips bad channels), and the bad-beam
+    warning fires once at attach, not per derived operation."""
+    import warnings
+    from conftest import make_vr_cube_file
+    from spectral_cube_tpu import SpectralCube, Beams
+    from spectral_cube_tpu.units import Quantity
+
+    pv, _ = make_vr_cube_file(tmp_path, shape=(5, 8, 8))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vr = SpectralCube.read(str(pv))
+    majs = np.asarray(vr.unmasked_beams.major.to("arcsec").value).copy()
+    majs[2] = np.nan
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        vr2 = vr.with_beams(Beams(major=Quantity(majs, "arcsec")))
+    assert sum("Non-finite" in str(w.message) for w in rec) == 1
+    assert not np.asarray(vr2.get_mask_array())[2].any()
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        derived = vr2[1:, :, :] * 2
+        np.asarray(derived.filled_data[:2])
+    assert sum("Non-finite" in str(w.message) for w in rec2) == 0
+    out = vr2.convolve_to(vr2.beams.common_beam())
+    a = np.asarray(out.unmasked_data[:])
+    assert np.isnan(a[2]).all()
+    assert np.isfinite(a[0]).any()
+
+
+def test_beams_scalar_broadcast():
+    from spectral_cube_tpu import Beams
+    from spectral_cube_tpu.units import Quantity
+    b = Beams(major=Quantity([1.0, 2.0, 3.0], "arcsec"),
+              minor=Quantity(0.5, "arcsec"))
+    assert len(b) == 3
+    np.testing.assert_allclose(np.asarray(b.minor.to("arcsec").value),
+                               [0.5, 0.5, 0.5])
