@@ -61,8 +61,7 @@ def _fourier_shift_batch(specs, shifts):
     n = specs.shape[1]
     m = jnp.fft.fftfreq(n)
     phase = jnp.exp(-2j * np.pi * m[None, :]
-                    * jnp.asarray(shifts, dtype=jnp.float64
-                                  if False else jnp.float32)[:, None])
+                    * jnp.asarray(shifts, dtype=jnp.float32)[:, None])
     shifted = jnp.real(jnp.fft.ifft(jnp.fft.fft(filled, axis=1) * phase,
                                     axis=1))
     mask_shift = jnp.real(jnp.fft.ifft(
@@ -86,8 +85,9 @@ def fourier_shift(x, shift, axis=0, add_pad=False, pad_size=None):
             pad_size = (pad, 0) if shift > 0 else (0, pad)
         pads = [(0, 0)] * x.ndim
         pads[axis] = pad_size
-        x = np.pad(x, pads, mode="constant", constant_values=np.nan)
-        x[np.isnan(x) & ~np.isfinite(x)] = np.nan
+        # pad with valid zeros (reference analysis_utilities.py:59-63):
+        # NaN padding would shift INTO the data and blank edge channels
+        x = np.pad(x, pads, mode="constant", constant_values=0.0)
         nanmask = ~np.isfinite(x)
     if nanmask.all():
         return np.full(x.shape, np.nan)
@@ -174,12 +174,21 @@ def stack_spectra(cube, velocity_surface, v0=None, stack_function=None,
         specs = jnp.pad(specs, ((0, 0), (pad_lo, pad_hi)),
                         constant_values=0.0)
     shifted = _fourier_shift_batch(specs, jnp.asarray(shifts))
-    if weights is not None:
-        wv = np.asarray(weights)[xy_posns]
-        shifted = shifted * jnp.asarray(wv)[:, None]
 
     arr = np.asarray(shifted)
-    if stack_function is None:
+    if weights is not None:
+        # weighted MEAN: sum(w*s)/sum(w) per channel, NaN-aware — a bare
+        # multiply fed zero-weight rows into nanmean as valid zeros and
+        # scaled the stack by the mean weight
+        wv = np.asarray(weights, dtype=float)[xy_posns][:, None]
+        wmask = np.where(np.isfinite(arr), wv, 0.0)
+        num = np.nansum(arr * wv, axis=0)
+        den = wmask.sum(axis=0)
+        stacked = np.where(den > 0, num / np.where(den > 0, den, 1),
+                           np.nan)
+        if stack_function is not None:
+            stacked = stack_function(arr * wv, axis=0)
+    elif stack_function is None:
         stacked = np.nanmean(arr, axis=0)
     else:
         stacked = stack_function(arr, axis=0)

@@ -55,12 +55,16 @@ def _append_mask_subtable(cube, img, maskname, overwrite=False):
     if not os.path.isdir(img):
         raise OSError(f"{img} is not a CASA image directory")
     _, cube_shape, _ = read_tiled_stman(os.path.join(img, "table.f0"))
-    casa_shape = list(cube_shape)  # [nx, ny, nstokes, nchan]
+    casa_shape = list(cube_shape)  # [nx, ny(, nstokes), nchan]
     nchan, ny, nx = cube.shape
-    if casa_shape[0] != nx or casa_shape[1] != ny or casa_shape[3] != nchan:
+    # 3-axis CASA images have no Stokes axis; their spectral axis sits
+    # at index 2 (unconditional [3] crashed with IndexError)
+    chan_ax = 3 if len(casa_shape) == 4 else 2
+    if len(casa_shape) < 3 or casa_shape[0] != nx \
+            or casa_shape[1] != ny or casa_shape[chan_ax] != nchan:
         raise ValueError(
             f"mask shape {cube.shape} does not match image shape "
-            f"{casa_shape} (CASA order [x, y, stokes, chan])")
+            f"{casa_shape} (CASA order [x, y(, stokes), chan])")
     maskdir = os.path.join(img, maskname)
     if os.path.exists(maskdir):
         if not overwrite:

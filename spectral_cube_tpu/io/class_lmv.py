@@ -281,7 +281,9 @@ def _read_type2(buf: _Buf):
     _apply_projection(header, ptyp)
 
     # spectroscopy + resolution sections
-    buf.seek((proj_start - 1 + proj_words + 2) * 4 if False else buf.pos)
+    # type-2 sections are read sequentially; the section table's
+    # projection offset is informational here (matches the reference
+    # reader's sequential layout, class_lmv.py:241-672)
     spec_words = buf.i32()
     buf.i32()            # next section start
     if spec_words == 14:

@@ -428,7 +428,16 @@ def read_fits(path, memmap=True) -> list:
                 nbytes = int(header["NAXIS1"]) * int(header["NAXIS2"])
                 nbytes += int(header.get("PCOUNT", 0))
                 buf = f.read(nbytes)
-                hdus.append(_read_bintable(header, buf))
+                try:
+                    hdus.append(_read_bintable(header, buf))
+                except (ValueError, KeyError) as exc:
+                    # an auxiliary table with an unsupported TFORM (e.g.
+                    # a variable-length provenance array) must not abort
+                    # loading the image HDU and the BEAMS table
+                    import warnings
+                    warnings.warn(
+                        f"skipping unreadable BINTABLE "
+                        f"{header.get('EXTNAME', '?')!r}: {exc}")
             else:
                 offset = f.tell()
                 if naxis and nbytes:

@@ -218,12 +218,28 @@ def _angle_to_deg(token):
             return np.degrees(val), "deg"
         if unit in ("p", "pix"):
             return val, "pix"
+    # CASA hms/dms forms: 18h12m24.5s (hours -> x15), -23d11m00s /
+    # -23d11'00" (degrees)
+    hm = re.fullmatch(
+        r"([+-]?\d+(?:\.\d*)?)h(?:(\d+(?:\.\d*)?)m"
+        r"(?:(\d+(?:\.\d*)?)s?)?)?", token)
+    dm = re.fullmatch(
+        r"([+-]?\d+(?:\.\d*)?)d(?:(\d+(?:\.\d*)?)[m']"
+        r"(?:(\d+(?:\.\d*)?)(?:s|\"|'')?)?)?", token)
+    for m2, factor in ((hm, 15.0), (dm, 1.0)):
+        if m2:
+            sign = -1.0 if m2.group(1).startswith("-") else 1.0
+            val = abs(float(m2.group(1)))
+            val += float(m2.group(2) or 0.0) / 60.0
+            val += float(m2.group(3) or 0.0) / 3600.0
+            return sign * val * factor, ("hour" if factor == 15.0
+                                         else "deg")
     if ":" in token:  # sexagesimal
         parts = [float(p) for p in token.split(":")]
         sign = -1.0 if token.strip().startswith("-") else 1.0
         val = abs(parts[0]) + parts[1] / 60.0 + (parts[2] if len(parts) > 2
                                                  else 0.0) / 3600.0
-        return sign * val, "deg"
+        return sign * val, "sex"
     return float(token), "deg"
 
 
@@ -306,21 +322,60 @@ def parse_crtf_region(region_string):
                          "galactic": "galactic", "b1950": "fk4",
                          "fk4": "fk4", "ecliptic": "ecliptic",
                          "supergal": "supergalactic"}.get(frame, "fk5")
-        cx, cxu = _angle_to_deg(center[0])
-        cy, cyu = _angle_to_deg(center[1])
+        def coord_pair(tokens):
+            vx, ux = _angle_to_deg(tokens[0])
+            vy, uy = _angle_to_deg(tokens[1])
+            # CRTF hms / colon-form longitudes are hours (x15); the dms
+            # and explicit-unit forms are already degrees
+            if ux in ("hour",):
+                pass  # already multiplied
+            elif ux == "sex" and frame in ("fk5", "icrs", "fk4"):
+                vx *= 15.0
+            return vx, vy, ux
+
+        groups = [center] + [
+            [p.strip() for p in g.split(",")]
+            for g in re.findall(r"\[([^\]]*)\]", rest)]
+        # a bare trailing token after the last bracket is the rotation
+        # angle (rotbox/ellipse): "..., [2arcmin,1arcmin], 45deg"
+        tail = re.sub(r"\[[^\]]*\]", "", rest)
+        tail_tokens = [t.strip().rstrip("]").strip()
+                       for t in tail.split(",")
+                       if t.strip().rstrip("]").strip()
+                       and "=" not in t]
+        cx, cy, cxu = coord_pair(groups[0])
         if cxu == "pix":
             frame = "image"
-        sizes = re.findall(r"\[([^\]]*)\]", rest)
+        if shape == "poly":
+            params = []
+            for g in groups:
+                vx, vy, _ = coord_pair(g)
+                params.extend([vx, vy])
+            regions.append(Region("polygon", frame, params,
+                                  exclude=exclude))
+            continue
+        if shape == "box" and len(groups) > 1:
+            # plain CRTF box is corner-specified [[blc],[trc]]; convert
+            # to the center+size form the rasterizer uses
+            x2, y2, _ = coord_pair(groups[1])
+            params = [(cx + x2) / 2.0, (cy + y2) / 2.0,
+                      abs(x2 - cx), abs(y2 - cy)]
+            regions.append(Region("box", frame, params, exclude=exclude))
+            continue
         params = [cx, cy]
-        if sizes:
-            for s in sizes[0].split(","):
-                params.append(_angle_to_deg(s)[0])
-        else:
-            first = rest.split(",")[0].strip().rstrip("]")
-            if first:
-                params.append(_angle_to_deg(first)[0])
-        name = {"rotbox": "box", "centerbox": "box", "poly": "polygon"}.get(
-            shape, shape)
+        if len(groups) > 1:
+            for tok in groups[1]:
+                params.append(_angle_to_deg(tok)[0])
+        elif tail_tokens:
+            params.append(_angle_to_deg(tail_tokens[0])[0])
+            tail_tokens = tail_tokens[1:]
+        if shape in ("rotbox", "ellipse", "centerbox") and tail_tokens:
+            # rotation angle (degrees) after the size bracket
+            try:
+                params.append(_angle_to_deg(tail_tokens[0])[0])
+            except ValueError:
+                pass
+        name = {"rotbox": "box", "centerbox": "box"}.get(shape, shape)
         regions.append(Region(name, frame, params, exclude=exclude))
     return regions
 
@@ -363,6 +418,28 @@ def region_to_mask(region, wcs, shape):
                 if (slots is None or i in slots) else r
                 for i, r in enumerate(region.params[2:])]
         scale = 1.0
+        if region.shape in ("box", "ellipse") and len(rest) > 2:
+            # sky position angles are east-of-north; convert to the
+            # pixel-frame math angle via the local north/east directions
+            # (handles mirrored x (CDELT1<0) and rotated PC exactly —
+            # keeping the raw value flipped the rotation's handedness)
+            eps_deg = pixscale
+            nxp, nyp = cel.world2pix(np.array([cxw]),
+                                     np.array([cyw + eps_deg]))
+            north = np.array([float(np.asarray(nxp)[0]) - cx,
+                              float(np.asarray(nyp)[0]) - cy])
+            exp_, eyp_ = cel.world2pix(
+                np.array([cxw + eps_deg / max(np.cos(np.radians(cyw)),
+                                              1e-6)]),
+                np.array([cyw]))
+            east = np.array([float(np.asarray(exp_)[0]) - cx,
+                             float(np.asarray(eyp_)[0]) - cy])
+            north /= max(np.hypot(*north), 1e-12)
+            east /= max(np.hypot(*east), 1e-12)
+            pa = np.radians(rest[2])
+            direction = np.cos(pa) * north + np.sin(pa) * east
+            rest[2] = float(np.degrees(np.arctan2(direction[1],
+                                                  direction[0])))
     if region.shape == "circle":
         r = rest[0] * scale
         mask2d = (px - cx) ** 2 + (py - cy) ** 2 <= r ** 2

@@ -135,3 +135,34 @@ def test_stack_spectra_all_bad_velocities_raises(tmp_path):
             stack_spectra(cube, Quantity(np.full_like(centers, 1e6),
                                          "km / s"),
                           v0=Quantity(32.0, "km / s"))
+
+
+def test_fourier_shift_pad_with_valid_zeros():
+    """add_pad pads with valid zeros like the reference
+    (analysis_utilities.py:59-63): NaN padding shifted into the data
+    and blanked real edge channels."""
+    from spectral_cube_tpu.analysis_utilities import fourier_shift
+    out = fourier_shift(np.ones(8), 2.5, add_pad=True)
+    assert out.size == 11
+    assert np.isfinite(out).all()
+
+
+def test_stack_spectra_weighted_mean(tmp_path):
+    """weights= computes sum(w*s)/sum(w): uniform weights leave the
+    stack unchanged and zero-weight spaxels drop out entirely."""
+    cube, centers = make_shifted_gaussian_cube(tmp_path)
+    vmap = Quantity(centers, "km / s")
+    base = stack_spectra(cube, vmap, v0=Quantity(32.0, "km / s"))
+    w2 = np.full(centers.shape, 2.0)
+    doubled_w = stack_spectra(cube, vmap, v0=Quantity(32.0, "km / s"),
+                              weights=w2)
+    np.testing.assert_allclose(np.asarray(doubled_w.value),
+                               np.asarray(base.value), rtol=1e-5,
+                               atol=1e-7)
+    # zero-weight half: result equals stacking only the weighted half
+    wsel = np.ones(centers.shape)
+    wsel[:, : centers.shape[1] // 2] = 0.0
+    sel = stack_spectra(cube, vmap, v0=Quantity(32.0, "km / s"),
+                        weights=wsel)
+    assert np.isfinite(np.asarray(sel.value)).any()
+    assert not np.allclose(np.nanmax(np.asarray(sel.value)), 0.0)

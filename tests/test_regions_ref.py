@@ -244,3 +244,51 @@ def test_ecliptic_and_b1950_regions_on_equatorial_cube(tmp_path):
     assert ref.sum() > 10
     np.testing.assert_array_equal(got_e, ref)
     np.testing.assert_array_equal(got_4, ref)
+
+
+def test_crtf_parser_full_forms():
+    """CRTF forms the parser previously mangled: multi-vertex polygons
+    (only the first bracket was read), hms/dms sexagesimal centers,
+    corner-specified plain boxes, and rotbox/ellipse rotation angles."""
+    from spectral_cube_tpu.region import parse_crtf_region
+
+    r = parse_crtf_region(
+        "poly[[10deg,10deg],[11deg,10deg],[11deg,11deg],[10deg,11deg]]")[0]
+    assert r.shape == "polygon" and len(r.params) == 8
+
+    r = parse_crtf_region("circle[[18h12m24s, -23d11m00s], 4arcsec]")[0]
+    np.testing.assert_allclose(r.params[0], 273.1, atol=1e-6)
+    np.testing.assert_allclose(r.params[1], -23.1833, atol=1e-3)
+
+    r = parse_crtf_region("box[[272deg,-23deg],[273deg,-22deg]]")[0]
+    np.testing.assert_allclose(r.params, [272.5, -22.5, 1.0, 1.0])
+
+    r = parse_crtf_region(
+        "rotbox[[12deg,-1deg],[2arcmin,1arcmin],45deg]")[0]
+    assert len(r.params) == 5 and r.params[4] == 45.0
+
+    r = parse_crtf_region(
+        "ellipse[[12deg,-1deg],[40arcsec,20arcsec],30deg]")[0]
+    assert len(r.params) == 5 and r.params[4] == 30.0
+
+
+def test_sky_rotated_box_handedness(tmp_path):
+    """A rotated fk5 box rasterizes with the correct handedness on a
+    standard CDELT1<0 image: 45 deg east of north = 135 deg from pixel
+    +x (the raw angle previously mirrored the rotation)."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube
+    from spectral_cube_tpu.region import parse_ds9_region, region_to_mask
+
+    p, _ = make_cube_file(tmp_path, name="rb.fits", shape=(2, 40, 40))
+    cube = SpectralCube.read(str(p))
+    ext = cube.world_extrema
+    lonc = float(ext[0].value.mean())
+    latc = float(ext[1].value.mean())
+    reg = parse_ds9_region(f'fk5; box({lonc}, {latc}, 80", 20", 45)')[0]
+    m2d = region_to_mask(reg, cube.wcs, cube.shape)
+    yy, xx = np.nonzero(m2d)
+    cov = np.cov(np.stack([xx - xx.mean(), yy - yy.mean()]))
+    v = np.linalg.eigh(cov)[1][:, 1]
+    ang = np.degrees(np.arctan2(v[1], v[0])) % 180
+    assert abs(ang - 135) < 8, ang
