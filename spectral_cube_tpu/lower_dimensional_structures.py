@@ -139,6 +139,27 @@ class LowerDimensionalObject(Quantity):
     def __add__(self, other):
         return self._wrap_arith(super().__add__(other))
 
+    def __radd__(self, other):
+        # Quantity aliases __radd__ = __add__ BEFORE this class's
+        # override exists, so reflected ops bypassed _wrap_arith and
+        # returned bare Quantities (regression #265 shape)
+        return self._wrap_arith(Quantity.__add__(self, other))
+
+    def __rmul__(self, other):
+        return self._wrap_arith(Quantity.__mul__(self, other))
+
+    def __rtruediv__(self, other):
+        return self._wrap_arith(Quantity.__rtruediv__(self, other))
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        # numpy-dispatched arithmetic (np.float64 * proj, np.add(p, q))
+        # otherwise returns bare Quantities, dropping wcs/beam/meta
+        out = Quantity.__array_ufunc__(self, ufunc, method, *inputs,
+                                       **kwargs)
+        if isinstance(out, Quantity):
+            return self._wrap_arith(out)
+        return out
+
     def __sub__(self, other):
         return self._wrap_arith(super().__sub__(other))
 
@@ -146,9 +167,6 @@ class LowerDimensionalObject(Quantity):
         return self._wrap_arith(super().__rsub__(other))
 
     def __mul__(self, other):
-        return self._wrap_arith(super().__mul__(other))
-
-    def __rmul__(self, other):
         return self._wrap_arith(super().__mul__(other))
 
     def __truediv__(self, other):
@@ -358,6 +376,19 @@ class BaseOneDSpectrum(LowerDimensionalObject):
         if self.ndim != 1:
             raise ValueError("OneDSpectrum must be 1-dimensional")
         self._spectral_unit = spectral_unit
+
+    def _new_with(self, value, unit=None, wcs=None, mask=None, beam=None):
+        out = type(self)(value,
+                         unit=unit if unit is not None else self.unit,
+                         wcs=wcs if wcs is not None else self._wcs,
+                         meta=self._meta,
+                         mask=mask if mask is not None else self._mask,
+                         header=self._header,
+                         spectral_unit=self._spectral_unit)
+        # the display spectral unit survives to()/smooth/arithmetic (the
+        # base _new_with dropped it, reverting spectral_axis to the
+        # WCS-native unit)
+        return out
 
     def _get_filled_data(self, view=(), fill=None):
         data = np.asarray(self.value)

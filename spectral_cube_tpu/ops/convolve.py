@@ -69,8 +69,11 @@ def _kernel_transfer(kernel, fy, fx):
     ky, kx = kernel.shape
     pad = np.zeros((fy, fx), dtype=np.float64)
     pad[:ky, :kx] = kernel
-    # center the kernel at (0,0) so convolution does not translate the image
-    pad = np.roll(pad, (-(ky // 2), -(kx // 2)), axis=(0, 1))
+    # center the kernel at (0,0) so convolution does not translate the
+    # image; (k-1)//2 matches np.convolve 'same' and the direct-conv/
+    # banded paths for EVEN kernels (astropy rejects those outright, so
+    # the convention is ours to fix — it must agree across paths)
+    pad = np.roll(pad, (-((ky - 1) // 2), -((kx - 1) // 2)), axis=(0, 1))
     return np.fft.rfft2(pad)
 
 

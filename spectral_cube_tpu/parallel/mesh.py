@@ -152,6 +152,13 @@ class CubeMesh:
     def _compatible_spec(self, spec, shape):
         import warnings
         from ..utils import PossiblySlowWarning
+        if len(shape) < len(tuple(spec)):
+            # zip truncation would pair dim 0 with the spec's leading
+            # entry and shard the wrong dims — demand the right layout
+            raise ValueError(
+                f"array rank {len(shape)} is smaller than the layout "
+                f"spec {tuple(spec)}; use the 'plane' layout for 2-D "
+                "maps")
         sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
         out = []
         dropped = []

@@ -232,12 +232,27 @@ def sharded_spatial_convolve(data, kernel, cmesh: CubeMesh):
     kernels keep the per-shard conv."""
     k = np.asarray(kernel, dtype=float)
     k = k / k.sum()
+    nchan0 = int(np.shape(data)[0])   # never np.asarray a device cube
     sep = sharded_convolve_per_channel_separable(
-        data, [k], np.zeros(np.asarray(data).shape[0], np.int32), cmesh)
+        data, [k], np.zeros(nchan0, np.int32), cmesh)
     if sep is not None:
         return sep
     mesh = cmesh.mesh
     hy, hx = k.shape[0] // 2, k.shape[1] // 2
+    my, mx = cmesh.grid
+    _, ny0, nx0 = np.shape(data)
+    py0 = -(-max(ny0, 1) // my)
+    px0 = -(-max(nx0, 1) // mx)
+    if (hy > py0 or hx > px0          # halo wider than a tile
+            or k.shape[0] % 2 == 0 or k.shape[1] % 2 == 0):
+        # even kernels would emit py+1 VALID rows per shard (misaligned
+        # reassembly); both cases take the reshard + spectral-multiply
+        # path instead
+        from ..ops.convolve import _kernel_transfer, _padded_shape
+        fy, fx = _padded_shape((ny0, nx0), k.shape)
+        transfers = _kernel_transfer(k, fy, fx)[None]
+        return sharded_spectral_convolve_fft(
+            data, transfers, np.zeros(nchan0, np.int32), cmesh)
 
     def local(d):
         valid = jnp.isfinite(d)
@@ -257,13 +272,22 @@ def sharded_spatial_convolve(data, kernel, cmesh: CubeMesh):
             dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
         num = conv(pf)
         den = 1.0 - conv(pv)
-        out = jnp.where(den > 0, num / jnp.where(den > 0, den, 1), jnp.nan)
+        eps = 1e-6   # the codebase-wide normalized-convolution floor
+        out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1),
+                        jnp.nan)
         return out.astype(d.dtype)
 
     data, _, crop = _pad_spatial(data, cmesh, 0.0)
-    fn = shard_map(local, mesh=mesh, in_specs=(P(None, "y", "x"),),
-                   out_specs=P(None, "y", "x"))
-    return jax.jit(fn)(cmesh.shard(data, "spatial"))[crop]
+    key = ("spatconv", k.tobytes(), data.shape,
+           str(getattr(data, "dtype", "f4")),
+           tuple(id(d) for d in mesh.devices.ravel()))
+    fn = _SHARDED_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(shard_map(local, mesh=mesh,
+                               in_specs=(P(None, "y", "x"),),
+                               out_specs=P(None, "y", "x")))
+        _cache_put(key, fn)
+    return fn(cmesh.shard(data, "spatial"))[crop]
 
 
 def sharded_convolve_per_channel_separable(data, kernels, group_idx,
@@ -350,7 +374,7 @@ def sharded_convolve_per_channel_separable(data, kernels, group_idx,
         conv = apply(padded, lax.Precision.HIGHEST)
         num, den_c = conv[:nchan], conv[nchan:]
         den = 1.0 - den_c
-        eps = 1e-8
+        eps = 1e-6   # codebase-wide normalized-convolution floor
         out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1),
                         jnp.nan)
         any_valid = jax.lax.psum(
@@ -358,9 +382,18 @@ def sharded_convolve_per_channel_separable(data, kernels, group_idx,
         return jnp.where(any_valid[:, None, None], out, jnp.nan) \
             .astype(d.dtype)
 
-    fn = shard_map(local, mesh=mesh, in_specs=(P(None, "y", "x"),),
-                   out_specs=P(None, "y", "x"))
-    return jax.jit(fn)(cmesh.shard(data, "spatial"))[crop]
+    key = ("sepconv", data.shape, str(getattr(data, "dtype", "f4")),
+           tuple(kk.tobytes() if kk is not None else None
+                 for kk in kernels),
+           np.asarray(group_idx, np.int32).tobytes(), max_rank,
+           tuple(id(d) for d in mesh.devices.ravel()))
+    fn = _SHARDED_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(shard_map(local, mesh=mesh,
+                               in_specs=(P(None, "y", "x"),),
+                               out_specs=P(None, "y", "x")))
+        _cache_put(key, fn)
+    return fn(cmesh.shard(data, "spatial"))[crop]
 
 
 # ---------------------------------------------------------------------------
@@ -380,11 +413,19 @@ def sharded_spectral_convolve_fft(data, transfers, group_idx,
             [np.asarray(group_idx),
              np.zeros(data.shape[0] - nchan0, np.int32)])
 
-    @jax.jit
-    def run(d, t):
-        d2 = cmesh.reshard(d, "spectral", source="spatial")
-        out = _convolve_planes(d2, t, group_idx, None)
-        return cmesh.reshard(out, "spatial", source="spectral")
+    mesh = cmesh.mesh
+    key = ("fftconv", data.shape, str(getattr(data, "dtype", "f4")),
+           np.asarray(group_idx, np.int32).tobytes(),
+           np.shape(transfers),
+           tuple(id(d) for d in mesh.devices.ravel()))
+    run = _SHARDED_JIT_CACHE.get(key)
+    if run is None:
+        @jax.jit
+        def run(d, t):
+            d2 = cmesh.reshard(d, "spectral", source="spatial")
+            out = _convolve_planes(d2, t, group_idx, None)
+            return cmesh.reshard(out, "spatial", source="spectral")
+        _cache_put(key, run)
 
     from ..ops.convolve import device_complex
     out = run(cmesh.shard(data, "spatial"), device_complex(transfers))
@@ -396,11 +437,18 @@ def sharded_sigma_clip(data, cmesh: CubeMesh, sigma=3.0, maxiters=5):
     from ..ops.smoothing import sigma_clip_spectrally
     mesh = cmesh.mesh
     data, _, crop = _pad_spatial(jnp.asarray(data), cmesh, jnp.nan)
-    fn = shard_map(
-        lambda d: sigma_clip_spectrally(d, sigma=sigma, maxiters=maxiters),
-        mesh=mesh, in_specs=(P(None, "y", "x"),),
-        out_specs=P(None, "y", "x"))
-    return jax.jit(fn)(cmesh.shard(data, "spatial"))[crop]
+    key = ("sclip", data.shape, str(getattr(data, "dtype", "f4")),
+           float(sigma), int(maxiters),
+           tuple(id(d) for d in mesh.devices.ravel()))
+    fn = _SHARDED_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(shard_map(
+            lambda d: sigma_clip_spectrally(d, sigma=sigma,
+                                            maxiters=maxiters),
+            mesh=mesh, in_specs=(P(None, "y", "x"),),
+            out_specs=P(None, "y", "x")))
+        _cache_put(key, fn)
+    return fn(cmesh.shard(data, "spatial"))[crop]
 
 
 def sharded_spectral_interpolate(data, inaxis, outaxis, cmesh: CubeMesh,
@@ -413,18 +461,29 @@ def sharded_spectral_interpolate(data, inaxis, outaxis, cmesh: CubeMesh,
     mesh = cmesh.mesh
     data, include, crop = _pad_spatial(jnp.asarray(data), cmesh, jnp.nan,
                                        include)
+    axkey = (np.asarray(inaxis, np.float64).tobytes(),
+             np.asarray(outaxis, np.float64).tobytes())
+    key = ("interp", data.shape, str(getattr(data, "dtype", "f4")),
+           axkey, include is not None,
+           tuple(id(d) for d in mesh.devices.ravel()))
+    fn = _SHARDED_JIT_CACHE.get(key)
     if include is None:
-        fn = shard_map(
-            lambda d: interp_cube_spectral(d, inaxis, outaxis)[0],
-            mesh=mesh, in_specs=(P(None, "y", "x"),),
-            out_specs=P(None, "y", "x"))
-        return jax.jit(fn)(cmesh.shard(data, "spatial"))[crop], None
-    fn = shard_map(
-        lambda d, i: interp_cube_spectral(d, inaxis, outaxis, include=i),
-        mesh=mesh, in_specs=(P(None, "y", "x"), P(None, "y", "x")),
-        out_specs=(P(None, "y", "x"), P(None, "y", "x")))
-    out, inc = jax.jit(fn)(cmesh.shard(data, "spatial"),
-                           cmesh.shard(jnp.asarray(include), "spatial"))
+        if fn is None:
+            fn = jax.jit(shard_map(
+                lambda d: interp_cube_spectral(d, inaxis, outaxis)[0],
+                mesh=mesh, in_specs=(P(None, "y", "x"),),
+                out_specs=P(None, "y", "x")))
+            _cache_put(key, fn)
+        return fn(cmesh.shard(data, "spatial"))[crop], None
+    if fn is None:
+        fn = jax.jit(shard_map(
+            lambda d, i: interp_cube_spectral(d, inaxis, outaxis,
+                                              include=i),
+            mesh=mesh, in_specs=(P(None, "y", "x"), P(None, "y", "x")),
+            out_specs=(P(None, "y", "x"), P(None, "y", "x"))))
+        _cache_put(key, fn)
+    out, inc = fn(cmesh.shard(data, "spatial"),
+                  cmesh.shard(jnp.asarray(include), "spatial"))
     return out[crop], inc[crop]
 
 

@@ -154,6 +154,16 @@ class StokesSpectralCube:
         Circular feeds: I=(RR+LL)/2, Q=(RL+LR)/2, U=i(LR-RL)/2... following
         the standard conventions; complex cross-hands are kept as the
         real/imag parts when inputs are real cubes.
+
+        DELIBERATE DIVERGENCES from the reference
+        (stokes_spectral_cube.py:240-313): (1) the reference applies /2
+        in BOTH directions, so its feed->sky->feed round-trip halves the
+        data; here sky->feed uses XX=I+Q etc. so the round-trip is the
+        identity (the physically consistent CASA convention).  (2) the
+        reference forms complex cross-hand cubes (XY = (U+iV)/2); complex
+        cube payloads cannot cross the axon device boundary, so the
+        real-valued combinations carry the same information in real
+        cubes.
         """
         if stokes_basis in ("Sky", "SKY_STOKES"):
             if self.stokes_type == "FEED_LINEAR":

@@ -446,13 +446,18 @@ class Quantity:
 
     __array_priority__ = 10000  # beat ndarray in mixed ops
 
-    def __init__(self, value, unit: "Unit | str" = dimensionless):
+    def __init__(self, value, unit: "Unit | str | None" = None):
         if isinstance(value, Quantity):
-            unit0 = Unit.parse(unit)
+            # copy-construction: no unit given -> inherit (astropy
+            # semantics; defaulting to dimensionless raised for any
+            # dimensional quantity)
+            unit0 = value.unit if unit is None else Unit.parse(unit)
             value = value.to_value(unit0)
             self.value = value
             self.unit = unit0
             return
+        if unit is None:
+            unit = dimensionless
         if np.isscalar(value) or hasattr(value, "dtype"):
             # keep device (jax) arrays as-is; only coerce plain sequences
             self.value = value

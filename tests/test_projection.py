@@ -286,3 +286,30 @@ def test_filled_data_fancy_views(cube_adv):
     idx = np.array([0, 2])
     out2 = spec.unitless_filled_data[idx]
     assert out2.shape == (2,)
+
+
+def test_spectral_unit_survives_derived_spectra(cube_adv):
+    """with_spectral_unit's display unit survives smoothing/arithmetic
+    on a OneDSpectrum (the base _new_with dropped _spectral_unit)."""
+    cube, _ = cube_adv
+    sp = cube[:, 1, 1].with_spectral_unit("km/s",
+                                          velocity_convention="radio")
+    sm = sp.spectral_smooth(np.hanning(3) / 2.0)
+    assert str(sm.spectral_axis.unit) == "km / s"
+    tw = sp * 2
+    assert str(tw.spectral_axis.unit) == "km / s"
+
+
+def test_reflected_arithmetic_keeps_wcs(cube_adv):
+    """5 + projection / np scalar * projection keep WCS/beam/meta (the
+    reflected dunders previously bypassed _wrap_arith and returned bare
+    Quantities — regression #265 shape)."""
+    from spectral_cube_tpu import Projection
+    from spectral_cube_tpu.units import Quantity
+    cube, _ = cube_adv
+    mom0 = cube.moment0()
+    for out in (Quantity(5.0, mom0.unit) + mom0,
+                np.float64(2.0) * mom0,
+                1.0 / (mom0 / mom0)):
+        assert isinstance(out, Projection), type(out)
+        assert out.wcs is not None
