@@ -13,14 +13,16 @@ PV2_3=theta_c), ZPN (zenithal polynomial PV2_0..PV2_29), AIR
 (PV2_1=mu, PV2_2=lambda), PAR, the pseudoconics BON (PV2_1=theta_1) and
 PCO, the conic family COP/COE/COD/COO (PV2_1=theta_a, PV2_2=eta), the
 HEALPix grid HPX (PV2_1=H, PV2_2=K — e.g. the HI4PI survey release), and
-the tangential quad-cube TSC.  CSC/QSC/XPH remain unimplemented: CSC is
+the quad-cubes TSC (tangential/gnomonic) and QSC (the O'Neill &
+Laubscher 1976 quadrilateralized spherical cube — exactly equal-area,
+validated against an mpmath sector-area quadrature oracle and a
+constant-Jacobian property test).  CSC/XPH remain unimplemented: CSC is
 defined by the COBE polynomial coefficient tables (data, not math —
-~4e-4 deg approximation error by construction), QSC by the
-O'Neill & Laubscher construction, and XPH by a specific gore
-rearrangement of HPX whose layout we cannot validate without wcslib (a
-plausible-but-wrong layout would silently misread files, worse than an
-unsupported-projection error); none appears in spectral-line radio
-data.  All functions
+~4e-4 deg approximation error by construction) and XPH by a specific
+gore rearrangement of HPX whose layout we cannot validate without
+wcslib (a plausible-but-wrong layout would silently misread files,
+worse than an unsupported-projection error); neither appears in
+spectral-line radio data.  All functions
 work on *intermediate world coordinates* (x, y) in **degrees** and native
 spherical coordinates (phi, theta) in **degrees**, matching wcslib
 conventions.  ``pv`` holds the PVi_m values of the latitude axis: either a
@@ -48,12 +50,12 @@ SUPPORTED_PROJECTIONS = ("TAN", "SIN", "ARC", "STG", "ZEA", "AZP", "SZP",
                          "ZPN", "AIR",
                          "CAR", "CEA", "MER", "MOL", "SFL", "GLS", "AIT",
                          "CYP", "PAR", "BON", "PCO", "HPX",
-                         "COP", "COE", "COD", "COO", "TSC", "")
+                         "COP", "COE", "COD", "COO", "TSC", "QSC", "")
 
 # Fiducial native coordinates (phi0, theta0) per projection family [deg].
 _ZENITHAL = {"TAN", "SIN", "ARC", "STG", "ZEA", "AZP", "SZP", "ZPN", "AIR"}
 _CYLINDRICAL = {"CAR", "CEA", "MER", "MOL", "SFL", "GLS", "AIT",
-                "CYP", "PAR", "BON", "PCO", "HPX", "TSC", ""}
+                "CYP", "PAR", "BON", "PCO", "HPX", "TSC", "QSC", ""}
 _CONIC = {"COP", "COE", "COD", "COO"}
 
 
@@ -556,6 +558,115 @@ def _tsc_xy2native(x, y, xp):
     return phi, theta
 
 
+_SQRT2INV = 1.0 / np.sqrt(2.0)
+
+
+def _qsc_uv_from_cosines(zeta, xi, eta, xp):
+    """QSC in-face map: direction cosines (zeta toward the face center,
+    xi/eta in-face) -> face-local (u, v) [deg in (-45, 45)].
+
+    Exact closed form of the quadrilateralized spherical cube
+    (Calabretta & Greisen 2002 sect. 5.6.4, after O'Neill & Laubscher
+    1976).  For the sector |xi| >= |eta| with omega = eta/xi:
+
+        u = sgn(xi) 45 sqrt((1 - zeta)/(1 - 1/sqrt(2 + omega^2)))
+        v = (u/15) [atan(omega) - asin(omega/sqrt(2(1 + omega^2)))] R2D
+
+    and the mirror sector swaps the roles of (u, xi) and (v, eta).  The
+    projection is *exactly* equal-area (the Jacobian det d(x,y)/dOmega
+    is the constant 3pi/8 everywhere — asserted in the tests), maps the
+    cube edge |zeta| = |xi| to u = +-45 exactly, and its azimuthal part
+    reproduces the equal-area sector construction computed by mpmath
+    quadrature in the golden oracle (tests/generate_wcs_golden.py)."""
+    ax, ae = xp.abs(xi), xp.abs(eta)
+    amax = xp.maximum(ax, ae)
+    amin = xp.minimum(ax, ae)
+    om = amin / xp.maximum(amax, 1e-300)          # |omega| in [0, 1]
+    core = 45.0 * xp.sqrt(xp.maximum(1.0 - zeta, 0.0)
+                          / (1.0 - 1.0 / xp.sqrt(2.0 + om * om)))
+    w = xp.arctan(om) - xp.arcsin(om / xp.sqrt(2.0 * (1.0 + om * om)))
+    minor = core * w * R2D / 15.0
+    xi_major = ax >= ae
+    u = xp.sign(xi) * xp.where(xi_major, core, minor)
+    v = xp.sign(eta) * xp.where(xi_major, minor, core)
+    return u, v
+
+
+def _qsc_cosines_from_uv(u, v, xp):
+    """QSC inverse in-face map: face-local (u, v) -> direction cosines
+    (zeta, xi, eta).  w = 15 min/max recovers omega through
+    omega = sin(w)/(cos(w) - 1/sqrt(2)) (exact inverse of the closed
+    form's azimuthal function; cos(15 deg) - 1/sqrt(2) > 0 keeps it
+    finite on the whole face)."""
+    au, av = xp.abs(u), xp.abs(v)
+    amax = xp.maximum(au, av)
+    amin = xp.minimum(au, av)
+    w = (15.0 * D2R) * amin / xp.maximum(amax, 1e-300)
+    om = xp.sin(w) / (xp.cos(w) - _SQRT2INV)      # in [0, 1]
+    zeta = 1.0 - (amax / 45.0) ** 2 * (1.0 - 1.0 / xp.sqrt(2.0 + om * om))
+    major = xp.sqrt(xp.maximum(1.0 - zeta * zeta, 0.0) / (1.0 + om * om))
+    minor = om * major
+    u_major = au >= av
+    xi = xp.sign(u) * xp.where(u_major, major, minor)
+    eta = xp.sign(v) * xp.where(u_major, minor, major)
+    return zeta, xi, eta
+
+
+def _qsc_native2xy(phi, theta, xp):
+    """Quadrilateralized spherical cube: equal-area projection onto the 6
+    cube faces; same face layout/orientation as TSC (Paper II fig. 4)."""
+    p, t = phi * D2R, theta * D2R
+    n, ct = xp.sin(t), xp.cos(t)
+    e, f = ct * xp.cos(p), ct * xp.sin(p)
+    faces = ((n, f, -e, 0.0, 90.0),     # north
+             (e, f, n, 0.0, 0.0),       # phi = 0
+             (f, -e, n, 90.0, 0.0),     # phi = 90
+             (-e, -f, n, 180.0, 0.0),   # phi = 180
+             (-f, e, n, 270.0, 0.0),    # phi = 270
+             (-n, f, e, 0.0, -90.0))    # south
+    bz = bx = by = None
+    for zeta, xi, eta, x0, y0 in faces:
+        u, v = _qsc_uv_from_cosines(zeta, xi, eta, xp)
+        x = x0 + u
+        y = y0 + v
+        if bz is None:
+            bz, bx, by = zeta, x, y
+        else:
+            better = zeta > bz
+            bx = xp.where(better, x, bx)
+            by = xp.where(better, y, by)
+            bz = xp.where(better, zeta, bz)
+    return bx, by
+
+
+def _qsc_xy2native(x, y, xp):
+    """QSC inverse: identify the face cell from (x, y) [x wrapped into
+    (-45, 315]] exactly like TSC, rebuild the direction cosines with the
+    closed-form inverse, and rotate out of the face frame."""
+    xw = (x + 45.0) % 360.0 - 45.0
+    top = y > 45.0
+    bot = y < -45.0
+    fi = xp.clip(xp.floor((xw + 45.0) / 90.0), 0.0, 3.0)
+    u_eq, v_eq = xw - fi * 90.0, y
+    u_cap = xw
+    v_cap = xp.where(top, y - 90.0, y + 90.0)
+    cap = top | bot
+    u = xp.where(cap, u_cap, u_eq)
+    v = xp.where(cap, v_cap, v_eq)
+    zeta, xi, eta = _qsc_cosines_from_uv(u, v, xp)
+    ang = fi * (np.pi / 2.0)
+    ca, sa = xp.cos(ang), xp.sin(ang)
+    # face bases (see _qsc_native2xy): north (zeta,xi,eta)=(n,f,-e),
+    # south (-n,f,e), equatorial at phi0: zeta = e cos+f sin,
+    # xi = -e sin + f cos, eta = n.
+    e = xp.where(top, -eta, xp.where(bot, eta, zeta * ca - xi * sa))
+    f = xp.where(cap, xi, zeta * sa + xi * ca)
+    n = xp.where(top, zeta, xp.where(bot, -zeta, eta))
+    phi = xp.arctan2(f, e) * R2D
+    theta = xp.arcsin(xp.clip(n, -1.0, 1.0)) * R2D
+    return phi, theta
+
+
 def _theta_cot_theta(t, xp):
     """theta * cot(theta), smooth through theta = 0."""
     small = xp.abs(t) < 1e-4
@@ -613,6 +724,8 @@ def proj_xy2native(code: str, x, y, xp=np, pv=()):
         return _hpx_xy2native(x, y, xp, pv)
     if code == "TSC":
         return _tsc_xy2native(x, y, xp)
+    if code == "QSC":
+        return _qsc_xy2native(x, y, xp)
     if code == "SIN" and (_pv(pv, 1, 0.0) != 0.0 or _pv(pv, 2, 0.0) != 0.0):
         return _sin_xy2native(x, y, xp, pv)
     if code in _ZENITHAL:
@@ -702,6 +815,8 @@ def proj_native2xy(code: str, phi, theta, xp=np, pv=()):
         return _hpx_native2xy(phi, theta, xp, pv)
     if code == "TSC":
         return _tsc_native2xy(phi, theta, xp)
+    if code == "QSC":
+        return _qsc_native2xy(phi, theta, xp)
     if code == "SIN" and (_pv(pv, 1, 0.0) != 0.0 or _pv(pv, 2, 0.0) != 0.0):
         return _sin_native2xy(phi, theta, xp, pv)
     if code in _ZENITHAL:

@@ -247,6 +247,62 @@ def air_native2xy(phi, theta, pv):
     return r * mp.sin(p), -r * mp.cos(p)
 
 
+def qsc_native2xy(phi, theta):
+    """QSC re-derived from its equal-area construction (O'Neill &
+    Laubscher 1976): within a face sector, rays of constant slope
+    omega = eta/xi map to straight planar rays whose slope s follows
+    from the SECTOR-AREA equality
+
+        45^2 s / 2 = J * Area{alpha in [0, atan omega]}   (by quadrature)
+
+    with J = 3 pi / 8 the global map/sphere area ratio and the face-edge
+    colatitude cos(chi_edge(alpha)) = cos a / sqrt(1 + cos^2 a) obtained
+    from the cube geometry (|zeta| = |xi| plane section).  The radial
+    family is the uniform (1 - zeta) interpolation anchored at the cube
+    edge (u(edge) = 45 exactly); its equal-area correctness is certified
+    separately by the constant-Jacobian test in test_wcs_golden.py.  The
+    production closed form's atan/arcsin azimuthal function never
+    appears here — agreement is meaningful."""
+    u3 = unit(phi, theta)
+    faces = [
+        (mp.matrix([0, 0, 1]), mp.matrix([0, 1, 0]),
+         mp.matrix([-1, 0, 0]), 0, 90),                    # north
+        (mp.matrix([1, 0, 0]), mp.matrix([0, 1, 0]),
+         mp.matrix([0, 0, 1]), 0, 0),                      # phi=0
+        (mp.matrix([0, 1, 0]), mp.matrix([-1, 0, 0]),
+         mp.matrix([0, 0, 1]), 90, 0),                     # phi=90
+        (mp.matrix([-1, 0, 0]), mp.matrix([0, -1, 0]),
+         mp.matrix([0, 0, 1]), 180, 0),                    # phi=180
+        (mp.matrix([0, -1, 0]), mp.matrix([1, 0, 0]),
+         mp.matrix([0, 0, 1]), 270, 0),                    # phi=270
+        (mp.matrix([0, 0, -1]), mp.matrix([0, 1, 0]),
+         mp.matrix([1, 0, 0]), 0, -90),                    # south
+    ]
+    best = max(faces, key=lambda f: (f[0].T * u3)[0])
+    n_, ex, ey, x0, y0 = best
+    zeta = (n_.T * u3)[0]
+    xi = (ex.T * u3)[0]
+    eta = (ey.T * u3)[0]
+    ax, ae = abs(xi), abs(eta)
+    amax, amin = max(ax, ae), min(ax, ae)
+    if amax == 0:
+        return mp.mpf(x0), mp.mpf(y0)
+    om = amin / amax
+    a1 = mp.atan(om)
+    J = 3 * mp.pi / 8
+    area = mp.quad(
+        lambda a: 1 - mp.cos(a) / mp.sqrt(1 + mp.cos(a) ** 2), [0, a1])
+    s = 2 * J * R2D ** 2 * area / mp.mpf(45) ** 2
+    cos_edge = mp.cos(a1) / mp.sqrt(1 + mp.cos(a1) ** 2)
+    core = 45 * mp.sqrt((1 - zeta) / (1 - cos_edge))
+    minor = s * core
+    if ax >= ae:
+        uu, vv = mp.sign(xi) * core, mp.sign(eta) * minor
+    else:
+        uu, vv = mp.sign(xi) * minor, mp.sign(eta) * core
+    return x0 + uu, y0 + vv
+
+
 def rotation_matrix(alpha_p, delta_p, phi_p):
     """Native->celestial rotation from the two pole correspondences,
     by orthonormal triad matching (no trig identities shared with the
@@ -494,9 +550,9 @@ ROT_POINTS = [(0, 89), (30, 60), (-120, 45), (179.5, 30), (-179.5, 30),
 
 def main():
     out = {"projections": {}, "rotations": []}
-    for code in ZENITHAL + CYL + PSEUDO + ["HPX", "HPX:h6", "TSC"]:
+    for code in ZENITHAL + CYL + PSEUDO + ["HPX", "HPX:h6", "TSC", "QSC"]:
         base = code.split(":")[0]
-        if base == "TSC":
+        if base in ("TSC", "QSC"):
             pts = QUAD_POINTS
         elif base == "HPX":
             pts = HPX_POINTS
@@ -513,6 +569,8 @@ def main():
                 x, y = hpx_native2xy(phi, theta, pv)
             elif base == "AIR":
                 x, y = air_native2xy(phi, theta, pv)
+            elif base == "QSC":
+                x, y = qsc_native2xy(phi, theta)
             else:
                 x, y = native2xy(code, phi, theta, pv)
             entries.append({"phi": phi, "theta": theta,

@@ -508,7 +508,7 @@ def test_reproject_new_projection_codes(tmp_path):
     blob = np.exp(-((yy - 12) ** 2 + (xx - 12) ** 2) / 40.0)
     data = np.broadcast_to(blob.astype(np.float32), (3, 24, 24)).copy()
     cube = base._new_cube_with(data=data, mask=None)
-    for code, pv in [("HPX", {}), ("TSC", {}),
+    for code, pv in [("HPX", {}), ("TSC", {}), ("QSC", {}),
                      ("AIR", {"PV2_1": 60.0}),
                      ("SZP", {"PV2_1": 2.0, "PV2_2": 10.0,
                               "PV2_3": 60.0})]:

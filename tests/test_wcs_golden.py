@@ -233,6 +233,49 @@ def test_tsc_face_edge_continuity():
         assert dx < 1e-6 and abs(float(y1) - float(y2)) < 1e-6, (p0, t0)
 
 
+def test_qsc_face_edge_continuity():
+    """The QSC face maps agree along every shared edge of the unfolded
+    cube, same layout/seams as TSC."""
+    for p0, t0 in [(45.0, 0.0), (-45.0, 0.0), (135.0, 0.0), (225.0, 0.0),
+                   (0.0, 45.0), (0.0, -45.0), (30.0, 45.0), (-30.0, -45.0)]:
+        eps = 1e-9
+        x1, y1 = prj.proj_native2xy("QSC", p0 - eps, t0 - eps)
+        x2, y2 = prj.proj_native2xy("QSC", p0 + eps, t0 + eps)
+        dx = abs((float(x1) - float(x2) + 180.0) % 360.0 - 180.0)
+        assert dx < 1e-6 and abs(float(y1) - float(y2)) < 1e-6, (p0, t0)
+
+
+def test_qsc_exactly_equal_area_and_roundtrip():
+    """QSC's Jacobian det d(x,y)/d(phi,theta) / cos(theta) is the
+    constant 3 pi / 8 everywhere (the defining equal-area property of
+    the O'Neill & Laubscher construction) — including across face
+    seams and sector diagonals — and the closed-form inverse is exact."""
+    rng = np.random.default_rng(7)
+    phi = rng.uniform(-180.0, 180.0, 4000)
+    theta = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, 4000)))
+    x, y = prj.proj_native2xy("QSC", phi, theta)
+    # every point lands on the unfolded-cube layout
+    assert np.all((x > -45.0 - 1e-9) & (x < 315.0 + 1e-9))
+    assert np.all(np.abs(y) < 135.0 + 1e-9)
+    p2, t2 = prj.proj_xy2native("QSC", x, y)
+    dphi = (p2 - phi + 180.0) % 360.0 - 180.0
+    assert np.max(np.abs(dphi) * np.cos(np.radians(theta))) < 1e-9
+    assert np.max(np.abs(t2 - theta)) < 1e-9
+    # constant-Jacobian check on a sub-sample away from seams (finite
+    # differences straddling a face edge measure nothing useful)
+    h = 1e-5
+    pp, tt = phi[:500], np.clip(theta[:500], -85.0, 85.0)
+    x0, y0 = prj.proj_native2xy("QSC", pp, tt)
+    xp_, yp_ = prj.proj_native2xy("QSC", pp + h, tt)
+    xt, yt = prj.proj_native2xy("QSC", pp, tt + h)
+    jac = np.abs((xp_ - x0) * (yt - y0) - (xt - x0) * (yp_ - y0)) \
+        / (h * h * np.cos(np.radians(tt)))
+    # mask out the ~face-seam straddles (finite-difference artifacts)
+    good = np.abs(jac - 3.0 * np.pi / 8.0) < 0.1
+    assert np.mean(good) > 0.97
+    np.testing.assert_allclose(jac[good], 3.0 * np.pi / 8.0, rtol=1e-4)
+
+
 def test_hpx_equal_area_and_continuity():
     """HPX is equal-area with |J| = pi K / (2 H) * (pi/180)^2 in both
     zones, and continuous across the equatorial/polar transition."""
@@ -272,7 +315,7 @@ def test_new_projection_device_path():
     # returns the near-pole branch)
     th_szp = np.array([35.0, 75.0, 52.0, 60.0])
     for code, pv in [("SZP", (2.0, 25.0, 60.0)), ("AIR", (45.0,)),
-                     ("HPX", ()), ("TSC", ())]:
+                     ("HPX", ()), ("TSC", ()), ("QSC", ())]:
         tc = th_szp if code == "SZP" else th
         xn, yn = prj.proj_native2xy(code, phi, tc, pv=pv)
         xj, yj = jax.jit(
