@@ -139,8 +139,7 @@ def main():
     group_idx = (np.arange(N) % 4).astype(np.int32)
     results.append(timed(
         "common-beam FFT convolution",
-        lambda d: _convolve_planes(d, jnp.asarray(transfers), group_idx,
-                                   None),
+        lambda d: _convolve_planes(d, jnp.asarray(transfers), group_idx),
         data, bytes_per_pass=nbytes * 2, reps=10))
 
     # reprojection: separable trilinear resample (half-pixel offset grid)

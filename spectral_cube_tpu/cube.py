@@ -2085,6 +2085,19 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
             for i, b in enumerate(beams):
                 if self._goodbeams_mask[i]:
                     beam.deconvolve(b)  # raises BeamError if impossible
+        else:
+            # reference semantics (spectral_cube.py:4195-4204): channels
+            # whose beam cannot be deconvolved from the target pass
+            # through unconvolved with unit factor 1 — substituting the
+            # target beam yields exactly that (identity kernel, factor 1)
+            def _deconvolvable(b):
+                try:
+                    beam.deconvolve(b)
+                    return True
+                except BeamError:
+                    return False
+            beams = [b if not good or _deconvolvable(b) else beam
+                     for b, good in zip(beams, self._goodbeams_mask)]
         out, factors = _conv.convolve_cube_to_beam(
             data, beams, beam, pixscale, unit=self.unit,
             goodchannels=self._goodbeams_mask)

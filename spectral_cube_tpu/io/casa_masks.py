@@ -72,13 +72,17 @@ def _append_mask_subtable(cube, img, maskname, overwrite=False):
         shutil.rmtree(maskdir)
     os.makedirs(maskdir)
     include = np.asarray(cube._include_view(()))           # [spec, y, x]
-    # CASA numpy layout is [freq, stokes, y, x]
-    arr = np.broadcast_to(include[:, None, :, :],
-                          (nchan, casa_shape[2], ny, nx))
+    if len(casa_shape) == 4:
+        # CASA numpy layout is [freq, stokes, y, x]
+        arr = np.broadcast_to(include[:, None, :, :],
+                              (nchan, casa_shape[2], ny, nx))
+    else:
+        # 3-axis image (no Stokes axis): payload is [freq, y, x] directly
+        arr = include
     bits = np.packbits(arr.ravel().astype("u1"),
                        bitorder="little").tobytes()
     _write_table_dat(os.path.join(maskdir, "table.dat"), {}, "PagedArray",
-                     TP_BOOL, 4)
+                     TP_BOOL, len(casa_shape))
     _write_tsm(maskdir, "PagedArray", casa_shape, bits, TP_BOOL)
     _write_info(maskdir, "Paged Array")
     return maskdir

@@ -244,6 +244,13 @@ def _write_tsm(dirpath, colname, data_casa_shape, payload, dtype_code,
     to write genuinely multi-tile hypercubes."""
     tile_shape = list(tile_shape) if tile_shape is not None \
         else list(data_casa_shape)
+    if len(payload) > 0xFFFFFFFF:
+        # the TiledStMan v2 header stores the total byte count as u32;
+        # silently masking it would write an image casacore cannot read
+        raise ValueError(
+            f"CASA TiledStMan payload is {len(payload)} bytes (> 4 GiB, "
+            "the u32 limit of the version-2 header); write the cube as "
+            "FITS or split it before export")
     w = AipsIOWriter()
     w.u32(0xBEBEBEBE)
     with w.block("TiledCellStMan", 1):
@@ -395,13 +402,16 @@ def _beam_record(beam):
             "positionangle": q(beam.pa.to_value("deg"), "deg")}
 
 
-def write_casa_image(cube, dirname, overwrite=False, tile_shape=None):
+def write_casa_image(cube, dirname, overwrite=False, tile_shape=None,
+                     with_stokes=True):
     """Write a cube (or StokesSpectralCube) as a CASA .image directory.
 
     ``tile_shape`` (CASA order [x, y, stokes, chan]) controls the tiled
     storage manager's tile size; the default is one tile spanning the
     whole cube.  Smaller tiles produce genuinely multi-tile hypercubes
-    (what real CASA writes for large images)."""
+    (what real CASA writes for large images).  ``with_stokes=False``
+    writes a genuine 3-axis image (no degenerate Stokes axis — the form
+    real CASA emits after ``imsubimage(dropdeg=True)``)."""
     from ..stokes import StokesSpectralCube
 
     if os.path.exists(dirname):
@@ -417,18 +427,24 @@ def write_casa_image(cube, dirname, overwrite=False, tile_shape=None):
                             for c in comps], axis=0)
         ref = cube[comps[0]]
         stokes_names = comps
+        with_stokes = True
     else:
         ref = cube
         data_np = np.asarray(cube.filled().value)[None]
         stokes_names = ["I"]
     nstokes, nchan, ny, nx = data_np.shape
     wcs3 = ref.wcs
-    # CASA pixel order: [x, y, stokes, freq]
-    casa_shape = [nx, ny, nstokes, nchan]
-    wcs4 = wcs3.add_stokes_axis(2)  # lon, lat, stokes, spec (FITS order)
-
-    # numpy order for the CASA layout is [freq, stokes, y, x]
-    arr = np.ascontiguousarray(np.swapaxes(data_np, 0, 1))
+    if with_stokes:
+        # CASA pixel order: [x, y, stokes, freq]
+        casa_shape = [nx, ny, nstokes, nchan]
+        wcs_w = wcs3.add_stokes_axis(2)  # lon, lat, stokes, spec
+        # numpy order for the CASA layout is [freq, stokes, y, x]
+        arr = np.ascontiguousarray(np.swapaxes(data_np, 0, 1))
+    else:
+        casa_shape = [nx, ny, nchan]
+        wcs_w = wcs3
+        stokes_names = None
+        arr = np.ascontiguousarray(data_np[0])     # [freq, y, x]
     if tile_shape is not None:
         payload = _encode_tiles(arr, casa_shape, list(tile_shape),
                                 TP_FLOAT)
@@ -436,7 +452,7 @@ def write_casa_image(cube, dirname, overwrite=False, tile_shape=None):
         payload = arr.astype(">f4").tobytes()
 
     keywords = {
-        "coords": _wcs_to_casa_coords(wcs4, stokes_names=stokes_names),
+        "coords": _wcs_to_casa_coords(wcs_w, stokes_names=stokes_names),
         "units": ref.unit.to_string(),
         "miscinfo": {k.lower(): v for k, v in ref.meta.items()
                      if isinstance(v, (str, int, float, bool))
@@ -445,7 +461,7 @@ def write_casa_image(cube, dirname, overwrite=False, tile_shape=None):
         "Image_defaultmask": "mask0",
     }
     _write_table_dat(os.path.join(dirname, "table.dat"), keywords, "map",
-                     TP_FLOAT, 4)
+                     TP_FLOAT, len(casa_shape))
     _write_tsm(dirname, "map", casa_shape, payload, TP_FLOAT,
                tile_shape=tile_shape)
     _write_info(dirname, "Image")
@@ -460,7 +476,7 @@ def write_casa_image(cube, dirname, overwrite=False, tile_shape=None):
         bits = np.packbits(valid.ravel().astype("u1"),
                            bitorder="little").tobytes()
     _write_table_dat(os.path.join(maskdir, "table.dat"), {}, "PagedArray",
-                     TP_BOOL, 4)
+                     TP_BOOL, len(casa_shape))
     _write_tsm(maskdir, "PagedArray", casa_shape, bits, TP_BOOL,
                tile_shape=tile_shape)
     _write_info(maskdir, "Paged Array")

@@ -37,11 +37,15 @@ ANGULAR_CODES = ("RA", "DEC", "LII", "BII", "GLON", "GLAT", "L", "B",
 
 
 class _Buf:
-    """Little cursor over the file bytes with typed reads."""
+    """Little cursor over the file bytes with typed reads.
 
-    def __init__(self, data: bytes):
+    ``endian`` is '<' (little, the GILDAS IEEE code) or '>' (big, the
+    EEEI code used by HPUX/SPARC-era files)."""
+
+    def __init__(self, data: bytes, endian: str = "<"):
         self.data = data
         self.pos = 0
+        self.endian = endian
 
     def seek(self, pos):
         self.pos = pos
@@ -57,19 +61,19 @@ class _Buf:
         return out
 
     def i32(self, count=1):
-        out = np.frombuffer(self._take(4 * count), dtype="<i4")
+        out = np.frombuffer(self._take(4 * count), dtype=self.endian + "i4")
         return int(out[0]) if count == 1 else out
 
     def i64(self, count=1):
-        out = np.frombuffer(self._take(8 * count), dtype="<i8")
+        out = np.frombuffer(self._take(8 * count), dtype=self.endian + "i8")
         return int(out[0]) if count == 1 else out
 
     def f32(self, count=1):
-        out = np.frombuffer(self._take(4 * count), dtype="<f4")
+        out = np.frombuffer(self._take(4 * count), dtype=self.endian + "f4")
         return float(out[0]) if count == 1 else out
 
     def f64(self, count=1):
-        out = np.frombuffer(self._take(8 * count), dtype="<f8")
+        out = np.frombuffer(self._take(8 * count), dtype=self.endian + "f8")
         return float(out[0]) if count == 1 else out
 
     def string(self, nbytes):
@@ -186,7 +190,7 @@ def _read_type1(buf: _Buf):
     n1, n2, n3 = (header[f"NAXIS{i}"] for i in (1, 2, 3))
     n4 = max(header.get("NAXIS4", 1), 1)
     count = n1 * n2 * n3 * n4
-    data = np.frombuffer(buf._take(4 * count), dtype="<f4").copy()
+    data = np.frombuffer(buf._take(4 * count), dtype=buf.endian + "f4").copy()
     data[data == bval] = np.nan
     return data.reshape([n4, n3, n2, n1]), header
 
@@ -313,7 +317,7 @@ def _read_type2(buf: _Buf):
     shape = [header.get(f"NAXIS{i + 1}", 1) for i in range(max(valid) + 1)]
     count = int(np.prod(shape))
     buf.seek(nhb_offset)
-    data = np.frombuffer(buf._take(4 * count), dtype="<f4").copy()
+    data = np.frombuffer(buf._take(4 * count), dtype=buf.endian + "f4").copy()
     data[data == bval] = np.nan
     return data.reshape(shape[::-1]), header
 
@@ -329,7 +333,10 @@ def read_lmv(path):
     imcode = magic[6] if len(magic) > 6 else "-"
     if imcode in ("<", ">"):
         if imcode == ">":
-            warnings.warn("big-endian LMV files are byte-swapped on read")
+            # EEEI (big-endian) file: decode every numeric field
+            # big-endian (the reference only warns and mis-reads,
+            # class_lmv.py:73-77)
+            buf.endian = ">"
         return _read_type2(buf)
     return _read_type1(buf)
 

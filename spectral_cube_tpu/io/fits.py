@@ -148,8 +148,18 @@ def write_fits_stokes(stokes_cube, filename, overwrite=False):
     h["CTYPE4"] = "STOKES"
     from ..stokes import STOKES_SYMBOLS
     sym_by_name = {v: k for k, v in STOKES_SYMBOLS.items()}
-    h["CRVAL4"] = float(sym_by_name.get(comps[0], 1))
-    h["CDELT4"] = 1.0
+    codes = [float(sym_by_name.get(c, 1)) for c in comps]
+    # a FITS STOKES axis is linear (code = CRVAL4 + CDELT4*(i+1-CRPIX4));
+    # non-arithmetic component sets (e.g. {I, V}) cannot be labeled on one
+    # axis — refuse rather than silently relabel them on read-back
+    steps = np.diff(codes)
+    if len(codes) > 1 and not np.all(steps == steps[0]):
+        raise ValueError(
+            f"Stokes components {comps} have codes {codes} that do not "
+            "form an arithmetic sequence and cannot share a linear FITS "
+            "STOKES axis; write the components separately")
+    h["CRVAL4"] = codes[0]
+    h["CDELT4"] = float(steps[0]) if len(codes) > 1 else 1.0
     h["CRPIX4"] = 1.0
     h["CUNIT4"] = ""
     write_fits(filename, [HDU(data=data4, header=h)])

@@ -177,10 +177,38 @@ def _format_value(value) -> str:
     return f"'{s:<8s}'"
 
 
+def _format_long_string_cards(key, s, comment=None) -> str:
+    """FITS long-string (OGIP 1.0 CONTINUE) convention: the value is
+    split over a KEY card plus CONTINUE cards, each chunk but the last
+    ending with '&' inside the quotes."""
+    chunks, cur, cur_len = [], "", 0
+    for ch in s:
+        el = 2 if ch == "'" else 1       # quotes escape to ''
+        if cur_len + el > 66:            # leave room for the '&'
+            chunks.append(cur)
+            cur, cur_len = "", 0
+        cur += ch
+        cur_len += el
+    chunks.append(cur)
+    cards = []
+    for i, c in enumerate(chunks):
+        esc = c.replace("'", "''")
+        last = i == len(chunks) - 1
+        head = f"{key[:8]:<8s}= " if i == 0 else "CONTINUE  "
+        card = head + f"'{esc}{'' if last else '&'}'"
+        if last and comment and len(card) + 3 + len(comment) <= CARD:
+            card += f" / {comment}"
+        cards.append(card[:CARD].ljust(CARD))
+    return "".join(cards)
+
+
 def _format_card(key, value, comment=None) -> str:
     if key in ("COMMENT", "HISTORY"):
         card = f"{key:<8s}{str(value)[:72]}"
     else:
+        if isinstance(value, str) and \
+                len(value.replace("'", "''")) > 68:
+            return _format_long_string_cards(key, value, comment)
         vs = _format_value(value)
         card = f"{key[:8]:<8s}= {vs}"
         if comment:
@@ -191,6 +219,7 @@ def _format_card(key, value, comment=None) -> str:
 def parse_header(block_bytes: bytes) -> Header:
     h = Header()
     text = block_bytes.decode("ascii", errors="replace")
+    last_key = None
     for i in range(0, len(text), CARD):
         card = text[i:i + CARD]
         key, value, comment = _parse_card(card)
@@ -202,8 +231,19 @@ def parse_header(block_bytes: bytes) -> Header:
             h.comments_log.append(value or "")
         elif key == "HISTORY":
             h.history.append(value or "")
+        elif key == "CONTINUE":
+            # long-string convention: append to the previous card's
+            # value, dropping its trailing '&'
+            m = _string_re.match(card[8:].strip())
+            prev = h._cards.get(last_key) if last_key else None
+            if m and isinstance(prev, str) and prev.endswith("&"):
+                h._cards[last_key] = \
+                    prev[:-1] + m.group(1).replace("''", "'").rstrip()
+                if m.group(2):
+                    h._comments[last_key] = m.group(2)
         else:
             h._cards[key] = value
+            last_key = key
             if comment:
                 h._comments[key] = comment
     return h

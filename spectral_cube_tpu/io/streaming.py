@@ -35,7 +35,7 @@ def read_sharded_casa(image_dir, cmesh, layout="spatial", dtype=None):
     from ..masks import LazyMask, BooleanArrayMask, CompositeMask
     from .casa_low import (read_table_keywords, read_tiled_stman,
                            casa_coords_to_wcs, TP_FLOAT, TP_DOUBLE,
-                           TP_BOOL)
+                           TP_INT, TP_BOOL)
 
     kw = read_table_keywords(os.path.join(image_dir, "table.dat"))
     _, endian = read_table_keywords(os.path.join(image_dir, "table.dat"),
@@ -61,7 +61,11 @@ def read_sharded_casa(image_dir, cmesh, layout="spatial", dtype=None):
     sharding = cmesh.compatible_sharding(layout, shape)
 
     def stream_column(subdir, code):
-        elem = {TP_FLOAT: 4, TP_DOUBLE: 8}.get(code)
+        elem = {TP_FLOAT: 4, TP_DOUBLE: 8, TP_INT: 4}.get(code)
+        if elem is None and code != TP_BOOL:
+            raise ValueError(
+                f"unsupported CASA tile dtype code {code} for sharded "
+                "streaming (float/double/int/bool images are supported)")
         tile_elems = int(np.prod(tile_shape))
         tile_bytes = (tile_elems + 7) // 8 if code == TP_BOOL \
             else tile_elems * elem
@@ -97,8 +101,9 @@ def read_sharded_casa(image_dir, cmesh, layout="spatial", dtype=None):
                             bitorder="little")[:tile_elems]
                         tile = bits.astype(bool).reshape(np_tile)
                     else:
-                        dt = np.dtype(
-                            endian + ("f4" if code == TP_FLOAT else "f8"))
+                        dt = np.dtype(endian + {TP_FLOAT: "f4",
+                                                TP_DOUBLE: "f8",
+                                                TP_INT: "i4"}[code])
                         tile = np.frombuffer(raw, dt).reshape(np_tile)
                         tile = tile.astype(out_dt)
                     # tile origin in casa coords -> numpy cube coords

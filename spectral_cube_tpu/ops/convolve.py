@@ -88,8 +88,7 @@ def convolve2d_nan_fft(data, kernel):
                                  / np.asarray(kernel, dtype=float).sum(),
                                  *_padded_shape(data.shape[1:], kernel.shape))
     out = _convolve_planes(data, device_complex(transfers[None]),
-                           np.zeros(data.shape[0], dtype=np.int32),
-                           kernel.shape)
+                           np.zeros(data.shape[0], dtype=np.int32))
     return out[0] if single else out
 
 
@@ -132,18 +131,8 @@ def _dft_mats(n, dtype):
     primitive over the tunnel (UNIMPLEMENTED there)."""
     import jax
     global _COMBINE_COMPLEX
-    key = (int(n), str(dtype))
-    if key not in _DFT_MAT_CACHE:
-        k = np.arange(n)
-        w = np.exp(-2j * np.pi * np.outer(k, k) / n)
-        cast = np.float64 if dtype == jnp.complex128 else np.float32
-        wi = np.conj(w) / n
-        # HOST arrays only: any jnp value created here would be (or become)
-        # a tracer when the first call happens under jit
-        _DFT_MAT_CACHE[key] = tuple(
-            np.ascontiguousarray(part, dtype=cast)
-            for part in (w.real, w.imag, wi.real, wi.imag))
-    rw, iw, ri, ii = _DFT_MAT_CACHE[key]
+    cast = np.float64 if dtype == jnp.complex128 else np.float32
+    rw, iw, ri, ii = _dft_parts(n, cast)
     if _COMBINE_COMPLEX is None:
         _COMBINE_COMPLEX = jax.jit(jax.lax.complex)
     return _COMBINE_COMPLEX(rw, iw), _COMBINE_COMPLEX(ri, ii)
@@ -236,8 +225,10 @@ def _spectral_apply_rdft(planes, tr, ti, fy, fx, real):
 
 
 def _dft_parts(n, cast):
-    """Real/imag parts of the full forward/inverse DFT matrices as host
-    numpy arrays (shares the _DFT_MAT_CACHE entries)."""
+    """Real/imag parts of the full forward/inverse DFT matrices as HOST
+    numpy arrays (the single fill point for _DFT_MAT_CACHE; host arrays
+    only — any jnp value created here would be, or become, a tracer when
+    the first call happens under jit)."""
     key = (int(n), str(jnp.complex128 if cast == np.float64
                        else jnp.complex64))
     if key not in _DFT_MAT_CACHE:
@@ -250,7 +241,7 @@ def _dft_parts(n, cast):
     return _DFT_MAT_CACHE[key]
 
 
-def _convolve_planes(data, transfers, group_idx, kernel_shape):
+def _convolve_planes(data, transfers, group_idx):
     """Convolve each channel with its group's transfer function.
 
     data: (nchan, ny, nx); transfers: (ngroup, fy, fx//2+1) complex;
@@ -508,7 +499,6 @@ def convolve_cube_to_beam(data, beams, target: Beam, pixscale_rad,
             groups.append(b)
             group_idx[i] = len(groups) - 1
 
-    fy, fx = None, None
     kernels = []
     max_k = (1, 1)
     for b in groups:
@@ -552,7 +542,7 @@ def convolve_cube_to_beam(data, beams, target: Beam, pixscale_rad,
             else:
                 transfers[gi] = _kernel_transfer(k, fy, fx)
         out = _convolve_planes(jnp.asarray(data), device_complex(transfers),
-                               group_idx, max_k)
+                               group_idx)
 
     factors = np.ones(nchan)
     if unit is not None:

@@ -232,7 +232,11 @@ def interp_cube_spectral(data, inaxis, outaxis, include=None):
     out = jnp.where(fracj == 0, lo, jnp.where(fracj == 1, hi, lerp))
     new_include = None
     if include is not None:
-        inc = jnp.asarray(include).astype(jnp.float32)
+        # broadcast sub-dimensional includes (1-D spectral / 2-D spatial)
+        # to the cube shape BEFORE gathering along axis 0, matching the
+        # matmul path above
+        inc = jnp.broadcast_to(
+            jnp.asarray(include).astype(jnp.float32), data.shape)
         inc_lerp = inc[idxj] * (1 - fracj) + inc[idxj + 1] * fracj
         inc_i = jnp.where(fracj == 0, inc[idxj],
                           jnp.where(fracj == 1, inc[idxj + 1], inc_lerp))

@@ -113,7 +113,7 @@ def _pick_tiles(nchan, ny, nx, itemsize=4, n_block_inputs=1,
     variant reaches 128 Gvox/s at bf16 precision (fails the 1e-6 target)
     and 89 Gvox/s at HIGHEST precision (operand-splitting VPU cost), so
     the two-pass VPU form is the best accuracy/speed point."""
-    tx = 128 if nx >= 128 else max(_round_up(nx, 128), 128)
+    tx = 128  # lane width; narrower planes still occupy one 128-lane tile
     ty = 8
     per_row = nchan * tx * itemsize * n_block_inputs * 2  # 2x: double buffer
     while ty < 256 and per_row * (ty * 2) <= vmem_budget \

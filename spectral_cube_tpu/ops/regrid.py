@@ -298,12 +298,34 @@ def reproject_cube(data, wcs_in: WCS, target_header, order="bilinear",
     sv_out = wcs_out.spectral_axis_values(nz)
     out_unit = wcs_out.spectral_unit
     in_unit = wcs_in.spectral_unit
-    sv_out_in_units = out_unit.to(in_unit, np.asarray(sv_out))
+    in_root = wcs_in.ctype[wcs_in.spec].strip().upper()[:4]
+    out_root = wcs_out.ctype[wcs_out.spec].strip().upper()[:4]
+    if in_root == out_root:
+        sv_out_in_units = out_unit.to(in_unit, np.asarray(sv_out))
+    else:
+        # cross-type spectral axes (e.g. a FREQ cube onto a WAVE or
+        # velocity template): route through the spectral conversion
+        # engine in SI (reference handles this via astropy world
+        # coordinates inside the reproject package)
+        from ..wcs.spectral import spectral_value_transform, _rest_freq_si
+        rest = _rest_freq_si(wcs_out) or _rest_freq_si(wcs_in)
+        val, _ = spectral_value_transform(out_root, in_root, rest)
+        si = np.asarray(sv_out, dtype=np.float64) * out_unit.scale
+        sv_out_in_units = np.asarray(val(si)) / in_unit.scale
     if spectral_values_in is not None:
         # invert via the actual input axis (handles nonlinear sampling)
         inax = np.asarray(spectral_values_in, dtype=np.float64)
         order_in = np.argsort(inax)
-        zs = np.interp(sv_out_in_units, inax[order_in],
+        srt = inax[order_in]
+        # snap float-epsilon overshoots onto the endpoint channels: a
+        # unit/ctype conversion roundtrip perturbs the edge values by
+        # ~1e-16 relative, which would otherwise NaN the edge channels
+        sv = np.asarray(sv_out_in_units, dtype=np.float64)
+        tol = min(1e-9 * max(abs(srt[0]), abs(srt[-1])),
+                  1e-3 * np.min(np.diff(srt))) if len(srt) > 1 else 0.0
+        sv = np.where((sv < srt[0]) & (sv > srt[0] - tol), srt[0], sv)
+        sv = np.where((sv > srt[-1]) & (sv < srt[-1] + tol), srt[-1], sv)
+        zs = np.interp(sv, srt,
                        np.arange(len(inax), dtype=np.float64)[order_in],
                        left=np.nan, right=np.nan)
     else:

@@ -275,7 +275,11 @@ def sigma_clip_spectrally(data, sigma=3.0, maxiters=5, cenfunc="median"):
     # no dynamic gather ever runs.  On v5e the old loop spent 4.9 ms per
     # iteration re-sorting inside nanmedian (5x = 27 ms total); one sort
     # is 2.8 ms and the masked sums are ~0.1 ms per iteration.
-    s = jnp.sort(x, axis=0)  # NaNs sort to the end
+    # non-finite values are treated as missing: +-inf would otherwise sort
+    # inside/adjacent to the finite band while i_hi0 counts only finite
+    # values, corrupting the band statistics (a -inf at sorted index 0
+    # would shift the whole band and NaN the spaxel)
+    s = jnp.sort(jnp.where(jnp.isfinite(x), x, jnp.nan), axis=0)
     tail = (1,) * (x.ndim - 1)
     iota = jnp.arange(n, dtype=jnp.int32).reshape((n,) + tail)
     i_hi0 = jnp.sum(jnp.isfinite(x), axis=0).astype(jnp.int32)

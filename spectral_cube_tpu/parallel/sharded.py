@@ -26,6 +26,8 @@ from ..ops import reductions as _red
 # compiled-program cache: rebuilding shard_map wrappers retraces the whole
 # kernel every call (~0.5-1 s host time); same-shaped cubes reuse programs
 _SHARDED_JIT_CACHE = {}
+# cache sentinel: kernels known to be unsupported by the separable path
+_SEP_UNSUPPORTED = object()
 
 
 def _cache_put(key, fn):
@@ -249,7 +251,10 @@ def sharded_spatial_convolve(data, kernel, cmesh: CubeMesh):
         # reassembly); both cases take the reshard + spectral-multiply
         # path instead
         from ..ops.convolve import _kernel_transfer, _padded_shape
-        fy, fx = _padded_shape((ny0, nx0), k.shape)
+        # size the FFT planes from the MESH-PADDED extent: the fft path
+        # pads (ny0, nx0) up to mesh-grid multiples before convolving
+        fy, fx = _padded_shape((ny0 + (-ny0) % my, nx0 + (-nx0) % mx),
+                               k.shape)
         transfers = _kernel_transfer(k, fy, fx)[None]
         return sharded_spectral_convolve_fft(
             data, transfers, np.zeros(nchan0, np.int32), cmesh)
@@ -312,6 +317,19 @@ def sharded_convolve_per_channel_separable(data, kernels, group_idx,
     data, _, crop = _pad_spatial(jnp.asarray(data), cmesh, 0.0)
     nchan, ny, nx = data.shape
     py, px = ny // my, nx // mx
+    # consult the cache BEFORE any host-side SVD/band construction: the
+    # factors and band windows are fully determined by the key, and for
+    # many-beam cubes their numpy cost dominates a jit-cache hit
+    key = ("sepconv", data.shape, str(getattr(data, "dtype", "f4")),
+           tuple(kk.tobytes() if kk is not None else None
+                 for kk in kernels),
+           np.asarray(group_idx, np.int32).tobytes(), max_rank,
+           tuple(id(d) for d in mesh.devices.ravel()))
+    fn = _SHARDED_JIT_CACHE.get(key)
+    if fn is _SEP_UNSUPPORTED:
+        return None
+    if fn is not None:
+        return fn(cmesh.shard(data, "spatial"))[crop]
     ytaps_g, xtaps_g, ranks = [], [], []
     hy = hx = 0
     for k in kernels:
@@ -322,6 +340,7 @@ def sharded_convolve_per_channel_separable(data, kernels, group_idx,
             continue
         fac = separable_factors(k, max_rank=max_rank)
         if fac is None:
+            _cache_put(key, _SEP_UNSUPPORTED)
             return None
         ytaps_g.append(fac[0])
         xtaps_g.append(fac[1])
@@ -331,6 +350,7 @@ def sharded_convolve_per_channel_separable(data, kernels, group_idx,
         hy = max(hy, k.shape[0] - 1 - (k.shape[0] - 1) // 2)
         hx = max(hx, k.shape[1] - 1 - (k.shape[1] - 1) // 2)
     if hy > py or hx > px:
+        _cache_put(key, _SEP_UNSUPPORTED)
         return None
     r = max(ranks)
     ngroup = len(kernels)
@@ -382,17 +402,10 @@ def sharded_convolve_per_channel_separable(data, kernels, group_idx,
         return jnp.where(any_valid[:, None, None], out, jnp.nan) \
             .astype(d.dtype)
 
-    key = ("sepconv", data.shape, str(getattr(data, "dtype", "f4")),
-           tuple(kk.tobytes() if kk is not None else None
-                 for kk in kernels),
-           np.asarray(group_idx, np.int32).tobytes(), max_rank,
-           tuple(id(d) for d in mesh.devices.ravel()))
-    fn = _SHARDED_JIT_CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(shard_map(local, mesh=mesh,
-                               in_specs=(P(None, "y", "x"),),
-                               out_specs=P(None, "y", "x")))
-        _cache_put(key, fn)
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P(None, "y", "x"),),
+                           out_specs=P(None, "y", "x")))
+    _cache_put(key, fn)
     return fn(cmesh.shard(data, "spatial"))[crop]
 
 
@@ -423,7 +436,7 @@ def sharded_spectral_convolve_fft(data, transfers, group_idx,
         @jax.jit
         def run(d, t):
             d2 = cmesh.reshard(d, "spectral", source="spatial")
-            out = _convolve_planes(d2, t, group_idx, None)
+            out = _convolve_planes(d2, t, group_idx)
             return cmesh.reshard(out, "spatial", source="spectral")
         _cache_put(key, run)
 
@@ -701,7 +714,9 @@ class ShardedCube:
             new = SpectralCube(data=out, wcs=c._wcs, mask=c._mask,
                                meta=dict(c._meta), unit=c._unit, beam=beam)
             return ShardedCube(new, self.cmesh)
-        fy, fx = _conv._padded_shape((ny, nx), max_k)
+        my, mx = self.cmesh.grid
+        fy, fx = _conv._padded_shape((ny + (-ny) % my, nx + (-nx) % mx),
+                                     max_k)
         transfers = np.zeros((len(groups), fy, fx // 2 + 1),
                              dtype=np.complex128)
         for gi, k in enumerate(kernels):

@@ -53,30 +53,41 @@ def _meta_for(cube):
 
 
 def save_cube(cube, store_dir, include_mask=True):
-    """Spill a cube's (mask-filled) data + metadata to ``store_dir``.
+    """Spill a cube's data + metadata to ``store_dir``.
 
-    Sharded arrays write one ``shard_<n>.npy`` per addressable device shard
-    (each device pulls only its own shard on restore); unsharded arrays
-    write a single ``data.npy``.
+    With ``include_mask=True`` (default) the data is mask-filled with NaN
+    so the restored cube's ``LazyMask(isfinite)`` reproduces the mask;
+    ``include_mask=False`` spills the raw unmasked data instead.  Sharded
+    arrays write one ``shard_<n>.npy`` per distinct device shard (each
+    device pulls only its own shard on restore); unsharded arrays write a
+    single ``data.npy``.
     """
     os.makedirs(store_dir, exist_ok=True)
-    data = cube._get_filled_data(fill=np.nan)
+    data = cube._get_filled_data(fill=np.nan) if include_mask \
+        else cube._device_data
     meta = _meta_for(cube)
 
     shards = getattr(data, "addressable_shards", None)
     if shards is not None and len(shards) > 1:
         # one file per device shard, and NO full data.npy: the whole cube
         # never materializes on host (the analog of reference
-        # tests/test_performance.py:128-201's memory bound)
+        # tests/test_performance.py:128-201's memory bound).  Replicated
+        # layouts present every device's shard with the same index — write
+        # each distinct index once, not once per device.
         meta["sharded"] = True
         meta["shards"] = []
         shape = tuple(data.shape)
+        seen = set()
         for i, sh in enumerate(shards):
+            key = tuple(tuple(s.indices(n))
+                        for s, n in zip(sh.index, shape))
+            if key in seen:
+                continue
+            seen.add(key)
             np.save(os.path.join(store_dir, f"shard_{i}.npy"),
                     np.asarray(sh.data))
             meta["shards"].append(
-                {"index": [list(s.indices(n))
-                           for s, n in zip(sh.index, shape)]})
+                {"index": [list(k) for k in key], "file": f"shard_{i}.npy"})
     else:
         meta["sharded"] = False
         np.save(os.path.join(store_dir, "data.npy"), np.asarray(data))
@@ -97,7 +108,8 @@ def _load_sharded(store_dir, meta, cmesh):
     saved = {}
     for i, entry in enumerate(meta["shards"]):
         key = tuple(tuple(int(v) for v in sl) for sl in entry["index"])
-        saved[key] = os.path.join(store_dir, f"shard_{i}.npy")
+        saved[key] = os.path.join(store_dir,
+                                  entry.get("file", f"shard_{i}.npy"))
     for layout in ("spatial", "spectral", "plane", "replicated"):
         sharding = cmesh.sharding(layout)
         try:
@@ -139,6 +151,8 @@ def load_cube(store_dir, cmesh=None):
         meta = json.load(f)
     wcs = WCS(header=meta["wcs"])
     unit = Unit.parse(meta["unit"])
+    fill_value = meta.get("fill_value")
+    fill_value = np.nan if fill_value is None else float(fill_value)
     if meta.get("sharded"):
         djax = _load_sharded(store_dir, meta, cmesh)
     else:
@@ -152,10 +166,12 @@ def load_cube(store_dir, cmesh=None):
                       pa=Quantity(np.array(meta["beams"]["pa_deg"]), "deg"))
         return VaryingResolutionSpectralCube(
             djax, wcs, mask=mask, unit=unit, beams=beams,
+            fill_value=fill_value,
             goodbeams_mask=np.array(meta.get("goodbeams"), dtype=bool))
     from .beams import Beam
     beam = Beam.from_header(meta["beam"]) if "beam" in meta else None
-    return SpectralCube(djax, wcs, mask=mask, unit=unit, beam=beam)
+    return SpectralCube(djax, wcs, mask=mask, unit=unit, beam=beam,
+                        fill_value=fill_value)
 
 
 def checkpoint_to_tmp_dir(cube, tmp_dir=None):

@@ -279,3 +279,51 @@ def test_enable_compilation_cache(tmp_path):
         assert os.path.isdir(path)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_save_load_restores_fill_value(tmp_path, cube_adv):
+    """load_cube restores the saved fill_value (meta carries it; the
+    constructors must receive it, not default back to NaN)."""
+    cube, data = cube_adv
+    masked = cube.with_mask(cube > 0.5 * u.Jy / u.beam).with_fill_value(0.0)
+    store = str(tmp_path / "fv_store")
+    save_cube(masked, store)
+    back = load_cube(store)
+    filled = np.asarray(back.filled_data[:].value)
+    excluded = ~(np.isfinite(data) & (data > 0.5))
+    assert excluded.any()
+    assert np.all(filled[excluded] == 0.0)
+
+
+def test_save_cube_without_mask_spills_raw_data(tmp_path, cube_adv):
+    """include_mask=False spills the raw unmasked data: masked-but-finite
+    values survive the roundtrip instead of being folded into NaN."""
+    cube, data = cube_adv
+    masked = cube.with_mask(cube > 0.5 * u.Jy / u.beam)
+    store = str(tmp_path / "raw_store")
+    save_cube(masked, store, include_mask=False)
+    back = load_cube(store)
+    np.testing.assert_allclose(np.asarray(back.unmasked_data[:].value),
+                               data, equal_nan=True, rtol=1e-7)
+
+
+def test_replicated_layout_saves_each_shard_once(tmp_path):
+    """A replicated sharded array presents every device's shard with the
+    same index — save_cube writes ONE file, and restore still works."""
+    from spectral_cube_tpu import SpectralCube
+
+    cmesh = CubeMesh()
+    if cmesh.n_devices < 2:
+        pytest.skip("needs a multi-device mesh")
+    path, data = make_cube_file(tmp_path, shape=(4, 8, 8), with_nan=False)
+    cube = SpectralCube.read(str(path))
+    arr = jax.device_put(jnp.asarray(np.asarray(cube.unmasked_data[:].value)),
+                         cmesh.sharding("replicated"))
+    rep = cube._new_cube_with(data=arr)
+    store = str(tmp_path / "rep_store")
+    save_cube(rep, store)
+    files = [f for f in os.listdir(store) if f.startswith("shard_")]
+    assert len(files) == 1, files
+    back = load_cube(store, cmesh=cmesh)
+    np.testing.assert_allclose(np.asarray(back.unmasked_data[:].value),
+                               data, equal_nan=True, rtol=1e-6)

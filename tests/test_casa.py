@@ -324,3 +324,34 @@ def test_streaming_casa_loader(tmp_path):
     np.testing.assert_array_equal(np.asarray(streamed.mask.include()),
                                   np.asarray(eager.mask.include()))
     assert len(streamed._data.sharding.device_set) == cmesh.n_devices
+
+
+def test_casa_3axis_image_roundtrip_and_append_mask(tmp_path, cube_adv):
+    """3-axis CASA images (no degenerate Stokes axis, the
+    imsubimage(dropdeg=True) form): write/read roundtrip, and
+    make_casa_mask(append_to_image=True) writes a correctly-sized 3-D
+    bit-packed payload (regression: the Stokes broadcast used
+    casa_shape[2] = nchan, repeating channel 0's mask everywhere)."""
+    import shutil
+    from spectral_cube_tpu.io.casa_masks import make_casa_mask
+    from spectral_cube_tpu.io.casa_writer import write_casa_image
+
+    cube, data = cube_adv
+    img = str(tmp_path / "c3.image")
+    write_casa_image(cube, img, with_stokes=False)
+    back = SpectralCube.read(img)
+    assert back.shape == cube.shape
+    np.testing.assert_allclose(np.asarray(back.unmasked_data[:].value),
+                               np.where(np.isfinite(data), data, np.nan),
+                               rtol=1e-6, equal_nan=True)
+    shutil.rmtree(os.path.join(img, "mask0"))
+    masked = cube.with_mask(cube > 0.5 * u.Jy / u.beam)
+    make_casa_mask(masked, str(tmp_path / "m3"), append_to_image=True,
+                   img=img)
+    back2 = SpectralCube.read(img)
+    inc = np.asarray(back2.mask.include())
+    expected = np.isfinite(data) & (data > 0.5)
+    # the per-channel masks must differ across channels (the old bug
+    # repeated channel 0 everywhere)
+    assert not np.array_equal(expected[0], expected[1])
+    np.testing.assert_array_equal(inc, expected)

@@ -359,3 +359,114 @@ def test_native_stats_matches_numpy():
     np.testing.assert_allclose(out["sumsq"],
                                (valid.astype(np.float64) ** 2).sum(),
                                rtol=1e-5)
+
+def _build_type2_lmv(endian):
+    """Minimal valid GDF type-2 file (2x2x2 cube) in either endianness,
+    mirroring exactly the field walk of class_lmv._read_type2."""
+    import struct
+
+    e = endian
+    out = bytearray(1024 + 4 * 8)
+
+    def put(off, fmt, *vals):
+        struct.pack_into(e + fmt, out, off, *vals)
+        return off + struct.calcsize(e + fmt)
+
+    out[0:12] = b"GILDAS" + (b"<" if e == "<" else b">") + b"IMAGE"
+    o = 12
+    o = put(o, "i", 0)          # data format code
+    o = put(o, "q", 1)          # number of data blocks
+    o = put(o, "i", 2)          # header blocks
+    o = put(o, "i", 0)          # trailing blocks
+    o = put(o, "i", 20)         # version
+    o = put(o, "i", 0)          # gdf type
+    o = put(o, "i", 0)          # dim section start
+    o = put(o, "i", 0)          # padding
+
+    o = 64
+    o = put(o, "i", 0)          # dim section words
+    o = put(o, "i", 0)          # blanking section start
+    o = put(o, "i", 7)          # mdim
+    o = put(o, "i", 3)          # ndim
+    o = put(o, "7q", 2, 2, 2, 0, 0, 0, 0)
+    o = put(o, "i", 0)          # blanking words
+    o = put(o, "i", 0)          # extrema section start
+    o = put(o, "f", -999.0)     # bval
+    o = put(o, "f", 0.0)        # tolerance
+    o = put(o, "i", 0)          # extrema words
+    o = put(o, "i", 0)          # coordinate section start
+    o = put(o, "2f", 0.0, 1.0)  # min/max
+    o = put(o, "2q", 0, 7)      # min/max locations
+    o = put(o, "i", 0)          # coordinate words
+    o = put(o, "i", 0)          # description section start
+    conv = [1.0, 0.1, 0.001,    # RA: ref, val [rad], inc [rad]
+            1.0, -0.5, 0.001,   # DEC
+            1.0, -10.0, 1.0]    # VELOCITY [km/s]
+    o = put(o, "21d", *(conv + [0.0] * 12))
+    o = put(o, "i", 0)          # description words
+    o = put(o, "i", 0)          # null section start
+    for s in ["K", "RA", "DEC", "VELOCITY", "", "", "", ""]:
+        out[o:o + 12] = s.ljust(12).encode("ascii")
+        o += 12
+
+    o = 512
+    o = put(o, "i", 0)          # position words
+    o = put(o, "i", 0)          # projection section start
+    out[o:o + 12] = b"TESTOBJ     "
+    out[o + 12:o + 24] = b"EQUATORIAL  "
+    o += 24
+    o = put(o, "2d", 0.1, -0.5)   # ra, dec [rad]
+    o = put(o, "2d", 0.0, 0.0)    # lii, bii
+    o = put(o, "f", 2000.0)       # equinox
+    o = put(o, "i", 0)            # projection words (none)
+    o = put(o, "i", 0)            # spectroscopy section start
+    o = put(o, "i", 0)            # spectroscopy words (none)
+    o = put(o, "i", 0)            # next section start
+    o = put(o, "i", 0)            # resolution words (none)
+    o = put(o, "i", 0)
+
+    vals = [float(i) for i in range(8)]
+    vals[3] = -999.0              # one blanked voxel
+    put(1024, "8f", *vals)
+    return bytes(out)
+
+
+def test_lmv_big_endian_type2_reads_identically(tmp_path):
+    """EEEI (big-endian) type-2 GDF files decode correctly (regression:
+    the old reader warned 'byte-swapped on read' but decoded every field
+    little-endian, so version read as 335544320 and parsing failed)."""
+    import spectral_cube_tpu.io.class_lmv as lmv_mod
+
+    ple = tmp_path / "little.lmv"
+    pbe = tmp_path / "big.lmv"
+    ple.write_bytes(_build_type2_lmv("<"))
+    pbe.write_bytes(_build_type2_lmv(">"))
+    data_le, hdr_le = lmv_mod.read_lmv(str(ple))
+    data_be, hdr_be = lmv_mod.read_lmv(str(pbe))
+    assert hdr_le["NAXIS"] == 3 and hdr_le["OBJECT"] == "TESTOBJ"
+    assert np.isnan(data_le).sum() == 1
+    np.testing.assert_array_equal(data_be, data_le)
+    assert hdr_be == hdr_le
+
+
+def test_fits_long_string_continue_roundtrip(tmp_path):
+    """Header string values longer than one card round-trip via the
+    OGIP 1.0 CONTINUE convention (regression: they were truncated past
+    the closing quote, corrupting the card)."""
+    from spectral_cube_tpu.io.fits_low import (
+        Header, parse_header, format_header)
+
+    long_val = ("/data/surveys/alma/band6/" + "x" * 80 +
+                "/final_cube_v2.image.fits")
+    quoted = "it's a cube with 'quoted' segments " * 4
+    h = Header()
+    h["SIMPLE"] = True
+    h["BITPIX"] = -32
+    h["NAXIS"] = 0
+    h["ORIGIN"] = long_val
+    h["OBJECT"] = quoted
+    h["SHORT"] = "plain"
+    back = parse_header(format_header(h))
+    assert back["ORIGIN"] == long_val
+    assert back["OBJECT"] == quoted.rstrip()
+    assert back["SHORT"] == "plain"

@@ -408,3 +408,28 @@ def test_streaming_loaders_mesh_unaligned(tmp_path):
                                            mesh)
         np.testing.assert_allclose(np.asarray(out2.unmasked_data[:]), ref,
                                    rtol=1e-6)
+
+
+@pytest.mark.parametrize("shape,ksize", [((3, 10, 17), 6),
+                                         ((3, 10, 17), 2)])
+def test_sharded_fft_fallback_uneven_shape(cmesh, shape, ksize):
+    """The reshard+FFT fallback (full-rank EVEN kernel, routed off the
+    halo path) works on mesh-unaligned spatial shapes: the FFT transfer
+    planes must be sized from the MESH-PADDED extent, not the raw
+    (ny, nx).  The (nx=17, k=2) case is the sharp regression: on a 2x4 mesh
+    fft_shape(17+2-1)=18 < padded nx 20, which produced a negative pad
+    width inside _convolve_planes when transfers were sized unpadded."""
+    from spectral_cube_tpu.ops import convolve as cv
+    from spectral_cube_tpu.parallel.sharded import sharded_spatial_convolve
+
+    rng = np.random.RandomState(8)
+    nchan, ny, nx = shape
+    data = rng.rand(nchan, ny, nx).astype("f4")
+    data[1, 4, 9] = np.nan
+    k = rng.rand(ksize, ksize) + 0.05
+    k /= k.sum()
+    expected = np.asarray(cv.convolve2d_nan_fft(jnp.asarray(data), k))
+    got = np.asarray(sharded_spatial_convolve(data, k, cmesh))
+    assert got.shape == (nchan, ny, nx)
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5,
+                               equal_nan=True)

@@ -552,3 +552,52 @@ def test_onedspectrum_interp_exact_hits_ignore_nan_neighbor(cube_adv):
     from spectral_cube_tpu.ops.interpolate import interp_weights
     with pytest.raises(ValueError, match="at least 2"):
         interp_weights(np.array([5.0]), np.array([5.0, 6.0]))
+
+
+def test_reproject_cross_type_spectral_axis(tmp_path):
+    """Reprojecting onto a template whose spectral axis is a different
+    physical type (VRAD cube -> FREQ template, and FREQ -> WAVE) routes
+    through the spectral conversion engine instead of raising
+    UnitConversionError.  VRAD->FREQ is exactly linear (f = f0 (1 - v/c))
+    so the channel mapping must be the identity to float precision."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube
+
+    p, data = make_cube_file(tmp_path, name="xtype.fits",
+                             shape=(6, 8, 8), with_nan=False)
+    cube = SpectralCube.read(str(p))          # VRAD [km/s] + RESTFRQ
+    freq_hdr = cube.with_spectral_unit("Hz").header
+    assert freq_hdr["CTYPE3"].startswith("FREQ")
+    out = cube.reproject(freq_hdr)
+    b = np.asarray(out.unmasked_data[:].value)
+    np.testing.assert_allclose(b, data, rtol=1e-5, equal_nan=True)
+    # FREQ cube onto a WAVE template (nonlinear map, narrow band):
+    fcube = cube.with_spectral_unit("Hz")
+    wave_hdr = fcube.with_spectral_unit("m").header
+    assert wave_hdr["CTYPE3"].startswith("WAVE")
+    out2 = fcube.reproject(wave_hdr)
+    b2 = np.asarray(out2.unmasked_data[:].value)
+    sel = np.isfinite(b2)
+    assert sel[1:-1].all()
+    np.testing.assert_allclose(b2[sel], data[sel], rtol=1e-3)
+
+
+def test_spectral_interp_2d_include_gather_path():
+    """interp_cube_spectral's gather fallback must broadcast a 2-D
+    (ny, nx) include to the cube shape before gathering along the
+    spectral axis (the TPU matmul path already does)."""
+    from spectral_cube_tpu.ops.interpolate import interp_cube_spectral
+
+    rng = np.random.RandomState(1)
+    data = rng.rand(8, 3, 4).astype(np.float32)
+    inax = np.arange(8, dtype=np.float64)
+    outax = np.linspace(0.5, 6.5, 5)
+    inc2d = np.zeros((3, 4), dtype=bool)
+    inc2d[1, 2] = True
+    out, new_inc = interp_cube_spectral(data, inax, outax, include=inc2d)
+    assert out.shape == (5, 3, 4)
+    assert new_inc.shape == (5, 3, 4)
+    ni = np.array(new_inc)
+    assert ni[:, 1, 2].all()
+    ni[:, 1, 2] = False
+    assert not ni.any()

@@ -151,7 +151,7 @@ def test_dft_matmul_convolution_matches_fft():
     # FFT path (the CPU default)
     ref = np.asarray(cv._convolve_planes(jnp.asarray(data),
                                          cv.device_complex(transfers),
-                                         gidx, None))
+                                         gidx))
     # DFT-matmul internals, forced
     valid = np.isfinite(data)
     filled = np.where(valid, data, 0).astype("f4")
@@ -214,7 +214,7 @@ def test_per_channel_separable_matches_fft():
                           if k is None else cv._kernel_transfer(k, fy, fx)
                           for k in kernels])
     ref = cv._convolve_planes(jnp.asarray(data),
-                              cv.device_complex(transfers), gidx, None)
+                              cv.device_complex(transfers), gidx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-6, equal_nan=True)
 
@@ -285,7 +285,7 @@ def test_rdft_matmul_convolution_matches_fft():
         gidx = (np.arange(nchan) % 2).astype(np.int32)
         ref = np.asarray(cv._convolve_planes(jnp.asarray(data),
                                              cv.device_complex(transfers),
-                                             gidx, None))
+                                             gidx))
         valid = np.isfinite(data)
         filled = np.where(valid, data, 0).astype("f4")
         invalid = (~valid).astype("f4")
@@ -360,3 +360,26 @@ def test_sigma_clip_rejects_unsupported_cenfunc():
     with pytest.raises(NotImplementedError):
         sigma_clip_spectrally(np.ones((8, 2, 2), np.float32),
                               cenfunc="mean")
+
+
+def test_sigma_clip_treats_nonfinite_as_missing():
+    """A +-inf voxel must not corrupt the sorted-band statistics (a -inf
+    at sorted index 0 would shift the band and NaN the whole spaxel);
+    non-finite values come out NaN and finite values are judged on the
+    finite population only."""
+    from spectral_cube_tpu.ops.smoothing import sigma_clip_spectrally
+
+    rng = np.random.RandomState(0)
+    spec = rng.normal(0.0, 1.0, 33).astype(np.float32)
+    x = np.stack([spec, spec, spec], axis=1)[:, :, None]  # (33, 3, 1)
+    x[5, 1, 0] = -np.inf
+    x[9, 2, 0] = np.inf
+    out = np.asarray(sigma_clip_spectrally(x, sigma=6.0, maxiters=5))
+    # clean spaxel: nothing clipped at 6 sigma
+    np.testing.assert_allclose(out[:, 0, 0], spec, rtol=1e-6)
+    # inf voxels -> NaN, all finite voxels in the same spaxel survive
+    assert np.isnan(out[5, 1, 0]) and np.isnan(out[9, 2, 0])
+    keep1 = np.delete(np.arange(33), 5)
+    keep2 = np.delete(np.arange(33), 9)
+    np.testing.assert_allclose(out[keep1, 1, 0], spec[keep1], rtol=1e-6)
+    np.testing.assert_allclose(out[keep2, 2, 0], spec[keep2], rtol=1e-6)

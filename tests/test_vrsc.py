@@ -224,3 +224,33 @@ def test_beams_scalar_broadcast():
     assert len(b) == 3
     np.testing.assert_allclose(np.asarray(b.minor.to("arcsec").value),
                                [0.5, 0.5, 0.5])
+
+
+def test_convolve_to_allow_smaller_passes_channels_through(tmp_path):
+    """allow_smaller=True: channels whose beam cannot be deconvolved from
+    the target pass through unconvolved with unit factor 1 (reference
+    spectral_cube.py:4195-4204 appends kernel=None/factor 1); with
+    allow_smaller=False the same call raises BeamError."""
+    import warnings
+    from conftest import make_vr_cube_file
+    from spectral_cube_tpu import SpectralCube, Beams
+    from spectral_cube_tpu.beams import BeamError
+    from spectral_cube_tpu.units import Quantity
+
+    pv, data = make_vr_cube_file(tmp_path, shape=(4, 16, 16))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vr = SpectralCube.read(str(pv))
+    majs = np.asarray(vr.unmasked_beams.major.to("arcsec").value).copy()
+    majs[1] = majs.max() * 3.0  # bigger than any target we pick below
+    vr = vr.with_beams(Beams(major=Quantity(majs, "arcsec")))
+    # target: slightly larger than every beam EXCEPT channel 1
+    target = vr.unmasked_beams[0].convolve(vr.unmasked_beams[0])
+    with pytest.raises(BeamError):
+        vr.convolve_to(target)
+    out = vr.convolve_to(target, allow_smaller=True)
+    a = np.asarray(out.unmasked_data[:])
+    # the undeconvolvable channel passed through unchanged
+    np.testing.assert_allclose(a[1], data[1], rtol=1e-6, equal_nan=True)
+    # the other channels were genuinely convolved (changed)
+    assert not np.allclose(a[0], data[0], rtol=1e-4, equal_nan=True)
