@@ -926,7 +926,9 @@ class BaseSpectralCube:
         if axis == 0:
             axunit = self.spectral_unit
         else:
-            axunit = self._wcs.cunit[2 - axis]
+            # _moment_coords returns spatial offsets in DEGREES regardless
+            # of the header CUNIT (arcsec headers exist) — label to match
+            axunit = Unit.parse("deg")
         if order == 0:
             unit = self.unit * axunit
         else:
@@ -1050,18 +1052,8 @@ class BaseSpectralCube:
         meta["slice"] = [(v.start, v.stop, v.step) if isinstance(v, slice)
                          else int(v) for v in view]
         if not ints:
-            # canonicalize negative/None starts and stops against the
-            # shape: WCS.slice treats start as a raw pixel offset, so
-            # cube[-4:] would shift crpix the wrong way by ~n pixels.
-            # (indices() returns stop=-1 for a full negative-step slice,
-            # which would re-read as empty — map it back to None.)
-            def _canon(v, n):
-                start, stop, step = v.indices(n)
-                if step < 0 and stop < 0:
-                    stop = None
-                return slice(start, stop, step)
-            view = tuple(_canon(v, n) if isinstance(v, slice) else v
-                         for v, n in zip(view, self.shape))
+            from .cube_utils import canon_view
+            view = canon_view(view, self.shape)
             new_wcs = self._wcs.slice(view, shape=self.shape)
             newmask = self._mask[view] if self._mask is not None else None
             return self._new_cube_with(data=self._device_data[view],
@@ -1978,8 +1970,8 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
             goodbeams_mask=(goodbeams_mask if goodbeams_mask is not None
                             else self._goodbeams_mask),
             beam_threshold=self.beam_threshold,
-            wcs_tolerance=kwargs.pop("wcs_tolerance",
-                                     self._wcs_tolerance),
+            wcs_tolerance=(lambda v: self._wcs_tolerance if v is None
+                           else v)(kwargs.pop("wcs_tolerance", None)),
             **kwargs)
         return cube
 
@@ -1997,15 +1989,17 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
         """Spectral reductions require matched beams (reference
         __getattribute__ hook, spectral_cube.py:4077-4095); tuple axes
         that include the spectral axis count."""
-        involves_spectral = (axis == 0 or axis is None
+        def _norm(a):
+            return a % 3 if isinstance(a, (int, np.integer)) else a
+        involves_spectral = (axis is None or _norm(axis) == 0
                              or (isinstance(axis, (tuple, list))
-                                 and 0 in axis))
+                                 and 0 in [_norm(a) for a in axis]))
         if involves_spectral:
             self._check_beam_areas()
         return super()._reduce(fn, axis=axis, **kwargs)
 
     def moment(self, order=0, axis=0, **kwargs):
-        if axis == 0:
+        if isinstance(axis, (int, np.integer)) and axis % 3 == 0:
             self._check_beam_areas()
         return super().moment(order=order, axis=axis, **kwargs)
 
@@ -2028,7 +2022,11 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
                 "(reference spectral_cube.py:3937-3943)")
         if all(isinstance(v, slice) for v in view):
             # slice data/wcs/mask and beams together so the constructor's
-            # length check sees consistent inputs
+            # length check sees consistent inputs; canonicalize negative
+            # bounds first (same rule as the base __getitem__)
+            from .cube_utils import canon_view
+            view = canon_view(view, self.shape)
+            spec_idx = view[0]
             new_wcs = self._wcs.slice(view, shape=self.shape)
             newmask = self._mask[view] if self._mask is not None else None
             meta = dict(self._meta)

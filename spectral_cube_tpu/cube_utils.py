@@ -17,6 +17,22 @@ from . import units as u
 from .units import Quantity, Unit, UnitConversionError
 from .wcs import WCS
 
+
+def canon_view(view, shape):
+    """Canonicalize negative/None slice bounds against ``shape``.
+
+    ``WCS.slice`` treats ``start`` as a raw pixel offset, so ``arr[-4:]``
+    would shift crpix the wrong way by ~n pixels without this.
+    ``indices()`` returns stop=-1 for a full negative-step slice, which
+    would re-read as empty — map it back to None."""
+    def _canon(v, n):
+        start, stop, step = v.indices(n)
+        if step < 0 and stop < 0:
+            stop = None
+        return slice(start, stop, step)
+    return tuple(_canon(v, n) if isinstance(v, slice) else v
+                 for v, n in zip(view, shape))
+
 __all__ = ["orient", "split_stokes", "bunit_converters",
            "world_take_along_axis", "combine_headers"]
 
@@ -128,8 +144,15 @@ def bunit_converters(obj, unit, equivalencies=(), freq=None):
     has_perangarea = cur.is_equivalent(jysr) or unit.is_equivalent(jysr)
     has_perpix = cur.is_equivalent(jypix) or unit.is_equivalent(jypix)
 
-    beams = getattr(obj, "unmasked_beams", None)
-    beam = getattr(obj, "beam", None)
+    def _safe(name):
+        # Projection.beam / OneDSpectrum.beam raise ValueError (not
+        # AttributeError) when unset — getattr's default won't catch it
+        try:
+            return getattr(obj, name, None)
+        except Exception:
+            return None
+    beams = _safe("unmasked_beams")
+    beam = _safe("beam")
     has_beams = beams is not None
     has_beam = beam is not None or has_beams
 
@@ -137,15 +160,20 @@ def bunit_converters(obj, unit, equivalencies=(), freq=None):
     if has_btemp or has_perbeam or has_perangarea:
         if freq is None:
             if not hasattr(obj, "with_spectral_unit"):
-                raise TypeError(
-                    "`freq` must be provided for unit conversion involving "
-                    "brightness temperature on an object without a spectral "
-                    "axis")
-            # convert via the WCS (handles velocity axes using RESTFRQ,
-            # like the reference's obj.with_spectral_unit(u.Hz))
-            freqs = np.atleast_1d(np.asarray(
-                obj.with_spectral_unit(u.Hz).spectral_axis.value,
-                dtype=float))
+                if has_btemp:
+                    raise TypeError(
+                        "`freq` must be provided for unit conversion "
+                        "involving brightness temperature on an object "
+                        "without a spectral axis")
+                # beam/solid-angle-only conversions (Jy/pix <-> Jy/sr,
+                # Jy/beam <-> Jy/sr) never evaluate the frequency
+                freqs = np.array([np.nan])
+            else:
+                # convert via the WCS (handles velocity axes using
+                # RESTFRQ, like the reference obj.with_spectral_unit(Hz))
+                freqs = np.atleast_1d(np.asarray(
+                    obj.with_spectral_unit(u.Hz).spectral_axis.value,
+                    dtype=float))
         else:
             if isinstance(freq, Quantity):
                 freqs = np.atleast_1d(freq.to_value(

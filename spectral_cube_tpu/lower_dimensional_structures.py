@@ -186,13 +186,17 @@ class LowerDimensionalObject(Quantity):
         if np.isscalar(new_val) or new_val.ndim == 0:
             return Quantity(new_val, self.unit)
         new_wcs = None
+        from .cube_utils import canon_view
         if self._wcs is not None:
             try:
                 if isinstance(view, tuple) and \
                         all(isinstance(v, slice) for v in view):
-                    new_wcs = self._wcs.slice(view, shape=self.shape)
+                    new_wcs = self._wcs.slice(canon_view(view, self.shape),
+                                              shape=self.shape)
                 elif isinstance(view, slice):
-                    new_wcs = self._wcs.slice((view,), shape=self.shape)
+                    new_wcs = self._wcs.slice(canon_view((view,),
+                                                         self.shape),
+                                              shape=self.shape)
             except Exception:
                 new_wcs = None
         new_mask = self._mask[view] if self._mask is not None else None
@@ -384,10 +388,12 @@ class BaseOneDSpectrum(LowerDimensionalObject):
                          meta=self._meta,
                          mask=mask if mask is not None else self._mask,
                          header=self._header,
+                         beam=beam if beam is not None
+                         else getattr(self, "_beam", None),
                          spectral_unit=self._spectral_unit)
         # the display spectral unit survives to()/smooth/arithmetic (the
         # base _new_with dropped it, reverting spectral_axis to the
-        # WCS-native unit)
+        # WCS-native unit), and so does the beam
         return out
 
     def _get_filled_data(self, view=(), fill=None):

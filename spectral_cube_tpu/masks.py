@@ -79,8 +79,15 @@ def expr_key(mask):
     if mask is None:
         return None
     if isinstance(mask, LazyComparisonMask):
-        return ("cmp", _fn_key(mask._function, mask),
-                float(mask._comparison_value))
+        cv = mask._comparison_value
+        try:
+            cv_key = float(cv)
+        except (TypeError, ValueError):
+            # array-valued comparisons (per-channel thresholds): key on
+            # the bytes so equal arrays share compiled kernels
+            cva = np.asarray(cv)
+            cv_key = (cva.shape, str(cva.dtype), cva.tobytes())
+        return ("cmp", _fn_key(mask._function, mask), cv_key)
     if isinstance(mask, LazyMask):
         return ("fn", _fn_key(mask._function, mask))
     if isinstance(mask, InvertedMask):
@@ -162,7 +169,10 @@ class MaskBase(ABC):
         return False
 
     def exclude(self, data=None, wcs=None, view=()):
-        inc = self._include(data=data, view=view)
+        if wcs is not None and self._wants_wcs():
+            inc = self._include(data=data, view=view, wcs=wcs)
+        else:
+            inc = self._include(data=data, view=view)
         if isinstance(inc, np.ndarray):
             return ~inc
         return jnp.logical_not(inc)
@@ -292,9 +302,21 @@ class _ViewMask(MaskBase):
         if pshape is not None:
             self._shape = view_shape(pshape, view)
 
-    def _include(self, data=None, view=()):
-        # compose views: evaluate parent on its own view, then slice
-        inc = self._parent._include(data=data, view=self._view)
+    def _wants_wcs(self):
+        return self._parent._wants_wcs()
+
+    def _include(self, data=None, view=(), wcs=None):
+        kw = {"wcs": wcs} if (wcs is not None
+                              and self._parent._wants_wcs()) else {}
+        if data is not None:
+            # the cube slices data and mask in lockstep, so the provided
+            # data is ALREADY restricted to this mask's view — evaluate
+            # the parent on it directly (the same convention LazyMask
+            # uses when it drops its view on slicing) and forward only
+            # the residual view
+            return self._parent._include(data=data, view=view, **kw)
+        # shape-only evaluation: compose the stored view, then slice
+        inc = self._parent._include(view=self._view, **kw)
         if trivial_view(view):
             return inc
         return inc[view]

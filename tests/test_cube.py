@@ -792,3 +792,81 @@ def test_apply_everywhere_plain_return(cube_adv):
     np.testing.assert_allclose(np.asarray(out.unmasked_data[:]),
                                np.asarray(cube.unmasked_data[:]) * 2,
                                equal_nan=True, rtol=1e-6)
+
+
+def test_vrsc_negative_slice_wcs_and_tolerance(tmp_path):
+    """vrsc[-4:] canonicalizes the slice before WCS bookkeeping (same rule
+    as the base class), and _new_cube_with treats wcs_tolerance=None as
+    inherit instead of poisoning derived cubes."""
+    import warnings
+    from conftest import make_vr_cube_file
+
+    pv, vdata = make_vr_cube_file(tmp_path, shape=(5, 8, 8))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vr = SpectralCube.read(str(pv))
+    np.testing.assert_allclose(np.asarray(vr[-4:].spectral_axis.value),
+                               np.asarray(vr[1:5].spectral_axis.value),
+                               rtol=1e-12)
+    derived = vr.with_mask(np.isfinite(vdata))
+    assert derived._wcs_tolerance is not None
+    # a second mask attach exercises check_equality with the tolerance
+    derived.with_mask(np.isfinite(vdata))
+
+
+def test_vrsc_negative_axis_beam_guard(tmp_path):
+    """Beam-homogeneity guards normalize negative axes: sum(axis=-3) must
+    hit the same check as sum(axis=0)."""
+    import warnings
+    from conftest import make_vr_cube_file
+    from spectral_cube_tpu import Beams
+    from spectral_cube_tpu.units import Quantity
+
+    pv, _ = make_vr_cube_file(tmp_path, shape=(5, 8, 8))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vr = SpectralCube.read(str(pv))
+    majs = np.asarray(vr.unmasked_beams.major.to("arcsec").value).copy()
+    majs[0] *= 10
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        bad = vr.with_beams(Beams(major=Quantity(majs, "arcsec")))
+    with pytest.raises(ValueError):
+        bad.sum(axis=-3)
+
+
+def test_spatial_moment_units_match_values_arcsec_header(tmp_path, cube_adv):
+    """Spatial moments compute offsets in degrees; the Projection's unit
+    must say so even when the header CUNIT is arcsec (regression: values
+    in deg labeled arcsec — off by 3600x)."""
+    import spectral_cube_tpu.io.fits_low as fl
+    cube, data = cube_adv
+    h = cube.header.copy()
+    h["CUNIT1"] = "arcsec"
+    h["CDELT1"] = -2.0
+    h["CUNIT2"] = "arcsec"
+    h["CDELT2"] = 2.0
+    p2 = str(tmp_path / "arcsec.fits")
+    fl.write_fits(p2, [fl.HDU(data=data, header=h)])
+    c = SpectralCube.read(p2)
+    m1 = c.moment(order=1, axis=2)
+    vals = np.asarray(m1.to("arcsec").value)
+    # intensity-weighted mean offset along x: within [0, nx * 2 arcsec]
+    assert np.nanmax(vals) > 1.0 and np.nanmax(vals) < 2.0 * c.shape[2]
+
+
+def test_array_valued_comparison_mask_moment(cube_adv):
+    """Per-channel threshold masks (cube > array-Quantity) work through
+    the cached moment path (regression: expr_key called float() on the
+    array)."""
+    from spectral_cube_tpu.units import Quantity
+    cube, data = cube_adv
+    thr = np.linspace(0.1, 0.5, cube.shape[0])[:, None, None]
+    mm = cube.with_mask(cube > Quantity(thr, cube.unit)).moment(order=0)
+    dx = abs(float(cube.header["CDELT3"]))
+    sel = np.isfinite(data) & (data > thr)
+    ref = np.where(sel.any(axis=0),
+                   np.nansum(np.where(sel, data, 0), axis=0), np.nan)
+    got = np.asarray(mm.value) / dx
+    np.testing.assert_allclose(np.where(np.isfinite(got), got, np.nan),
+                               ref, rtol=1e-5, equal_nan=True)

@@ -356,3 +356,36 @@ def test_function_mask_receives_call_time_wcs(tmp_path):
     masked = cube.with_mask(FunctionMask(fn))   # AND-composite with the
     np.asarray(masked.filled_data[:])           # reader's finite mask
     assert seen["wcs"] is cube.wcs
+
+
+def test_function_mask_survives_cube_slicing(cube_adv):
+    """A FunctionMask-backed cube slices in lockstep with its data: the
+    _ViewMask wrapper must not re-apply the stored view to the already-
+    sliced data (regression: ValueError 'Function did not return mask
+    with correct shape' and wrong masks on in-range views)."""
+    from spectral_cube_tpu.masks import FunctionMask
+    cube, data = cube_adv
+    fm = FunctionMask(lambda d, wcs=None, view=():
+                      np.asarray(d) > 0.5)
+    sub = cube.with_mask(fm)[2:4]
+    got = np.asarray(sub.filled_data[:].value)
+    assert got.shape == data[2:4].shape
+    expected = np.where(np.isfinite(data[2:4]) & (data[2:4] > 0.5),
+                        data[2:4], np.nan)
+    np.testing.assert_allclose(got, expected, equal_nan=True, rtol=1e-6)
+
+
+def test_exclude_routes_wcs_like_include(cube_adv):
+    """include/exclude are complements for wcs-dependent FunctionMasks
+    (regression: exclude dropped the wcs argument)."""
+    from spectral_cube_tpu.masks import FunctionMask
+    cube, data = cube_adv
+
+    def f(d, wcs=None, view=()):
+        assert wcs is not None
+        return np.asarray(d) > 0.4
+
+    fm = FunctionMask(f)
+    inc = np.asarray(fm.include(data=data, wcs=cube.wcs))
+    exc = np.asarray(fm.exclude(data=data, wcs=cube.wcs))
+    np.testing.assert_array_equal(exc, ~inc)

@@ -313,3 +313,39 @@ def test_reflected_arithmetic_keeps_wcs(cube_adv):
                 1.0 / (mom0 / mom0)):
         assert isinstance(out, Projection), type(out)
         assert out.wcs is not None
+
+
+def test_onedspectrum_keeps_beam_through_ops(cube_adv):
+    """with_beam/arithmetic/to() preserve a OneDSpectrum's beam
+    (regression: _new_with dropped it)."""
+    from spectral_cube_tpu import Beam
+    from spectral_cube_tpu.units import Quantity
+    cube, _ = cube_adv
+    spec = cube[:, 1, 1]
+    b = Beam.make(Quantity(3, "arcsec"))
+    s2 = spec.with_beam(b)
+    assert (s2 * 2).beam == b
+    assert s2[1:3].beam == b
+
+
+def test_beamless_jypix_to_jysr(cube_adv):
+    """Jy/pix -> Jy/sr needs only the pixel area: a beam-less Projection
+    converts without raising (regression: the .beam property raised
+    ValueError through getattr, and freq was demanded needlessly)."""
+    from spectral_cube_tpu.lower_dimensional_structures import Projection
+    cube, _ = cube_adv
+    p = Projection(np.ones((4, 4)), unit="Jy/pix", wcs=cube.wcs.celestial)
+    q = p.to("Jy/sr")
+    pix_sr = cube.wcs.proj_plane_pixel_area() * (np.pi / 180.0) ** 2
+    np.testing.assert_allclose(float(q.value[0, 0]), 1.0 / pix_sr,
+                               rtol=1e-6)
+
+
+def test_onedspectrum_negative_slice_wcs(cube_adv):
+    """spec[-5:] shifts the WCS the right way (canonicalized bounds)."""
+    cube, _ = cube_adv
+    spec = cube[:, 1, 1]
+    n = len(np.atleast_1d(spec.value))
+    np.testing.assert_allclose(
+        np.asarray(spec[-2:].spectral_axis.value),
+        np.asarray(spec[n - 2:n].spectral_axis.value), rtol=1e-12)
