@@ -187,7 +187,14 @@ def stack_spectra(cube, velocity_surface, v0=None, stack_function=None,
         stacked = np.where(den > 0, num / np.where(den > 0, den, 1),
                            np.nan)
         if stack_function is not None:
-            stacked = stack_function(arr * wv, axis=0)
+            # a bare stack_function(arr * w) is biased (zero-weight rows
+            # enter nanmean as valid zeros; the result scales with the
+            # mean weight instead of normalizing by sum(w)) — refuse the
+            # ambiguous combination rather than silently mis-stack
+            raise ValueError(
+                "weights are only supported with the default "
+                "weighted-mean stacking; fold your weighting into "
+                "stack_function instead")
     elif stack_function is None:
         stacked = np.nanmean(arr, axis=0)
     else:

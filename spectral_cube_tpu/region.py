@@ -356,10 +356,16 @@ def parse_crtf_region(region_string):
             continue
         if shape == "box" and len(groups) > 1:
             # plain CRTF box is corner-specified [[blc],[trc]]; convert
-            # to the center+size form the rasterizer uses
+            # to the center+size form the rasterizer uses.  The width the
+            # rasterizer wants is an ARC length: a longitude-coordinate
+            # difference must shrink by cos(dec) (at dec=60 a raw RA
+            # difference is 2x too wide)
             x2, y2, _ = coord_pair(groups[1])
-            params = [(cx + x2) / 2.0, (cy + y2) / 2.0,
-                      abs(x2 - cx), abs(y2 - cy)]
+            wx = abs(x2 - cx)
+            ctr_y = (cy + y2) / 2.0
+            if frame != "image":
+                wx *= abs(np.cos(np.radians(ctr_y)))
+            params = [(cx + x2) / 2.0, ctr_y, wx, abs(y2 - cy)]
             regions.append(Region("box", frame, params, exclude=exclude))
             continue
         params = [cx, cy]

@@ -665,7 +665,16 @@ class Quantity:
             return Quantity(ufunc(val(a), p), self.unit ** p)
         if name in self._DIMENSIONLESS_UFUNCS:
             q = inputs[0]
-            v = q.to_value(Unit.parse("")) if isinstance(q, Quantity) else q
+            if isinstance(q, Quantity):
+                if name in ("sin", "cos", "tan") and \
+                        q.unit.dims == _dims(rad=1):
+                    # trig of an angle Quantity: convert to radians
+                    # (np.sin(Quantity(90, 'deg')) -> 1.0, like astropy)
+                    v = q.to_value(Unit.parse("rad"))
+                else:
+                    v = q.to_value(Unit.parse(""))
+            else:
+                v = q
             return ufunc(v)
         return NotImplemented
 

@@ -20,10 +20,12 @@ Behavioral parity targets (re-derived, not copied):
 from __future__ import annotations
 
 from typing import Sequence
+import warnings
 
 import numpy as np
 
 from ..units import Unit, UnitConversionError, c
+from ..utils import WCSWarning
 from . import projections as prj
 
 __all__ = ["WCS", "WCSCelestialError"]
@@ -144,6 +146,10 @@ class WCS:
             try:
                 self.cunit[i] = Unit.parse(cu)
             except UnitConversionError:
+                warnings.warn(
+                    f"could not parse CUNIT{a} {cu!r}; treating the axis "
+                    "as dimensionless — world coordinates on this axis "
+                    "may be scaled wrongly", WCSWarning)
                 self.cunit[i] = Unit.parse("")
         # PC / CD matrix
         has_cd = any(f"CD{i + 1}_{j + 1}" in header
@@ -172,11 +178,30 @@ class WCS:
                     self.cdelt[i] = cdelt[i]
                     self.pc[i, :] = pc[i, :]
         else:
+            has_pc = False
             for i in range(n):
                 for j in range(n):
                     key = f"PC{i + 1}_{j + 1}"
                     if key in header:
                         self.pc[i, j] = float(get(key))
+                        has_pc = True
+            if not has_pc:
+                # legacy AIPS rotation: CROTAi (of the latitude axis) with
+                # no PC/CD matrix.  CD1_1 = CDELT1 cos r, CD1_2 = -CDELT2
+                # sin r, CD2_1 = CDELT1 sin r, CD2_2 = CDELT2 cos r
+                # (Calabretta & Greisen 2002 eq. 186-189) -> factor out
+                # cdelt to get the pc block.
+                li, bi = self.lon_axis, self.lat_axis
+                if li >= 0 and bi >= 0:
+                    rot = get(f"CROTA{bi + 1}", get(f"CROTA{li + 1}", None))
+                    if rot not in (None, 0, 0.0) and float(rot) != 0.0 \
+                            and self.cdelt[li] != 0 and self.cdelt[bi] != 0:
+                        r = np.radians(float(rot))
+                        cl, cb = self.cdelt[li], self.cdelt[bi]
+                        self.pc[li, li] = np.cos(r)
+                        self.pc[li, bi] = -cb / cl * np.sin(r)
+                        self.pc[bi, li] = cl / cb * np.sin(r)
+                        self.pc[bi, bi] = np.cos(r)
         self.restfrq = float(get("RESTFRQ", get("RESTFREQ", 0.0)) or 0.0)
         self.restwav = float(get("RESTWAV", 0.0) or 0.0)
         self.specsys = str(get("SPECSYS", "")).strip()
@@ -672,9 +697,9 @@ class WCS:
                 else:
                     out.crpix[wi] = self.crpix[wi] - iview.start
         if out.pixel_shape is not None and shape is not None:
-            new_shape = list(shape[::-1])
+            new_shape = list(shape[::-1]) if numpy_order else list(shape)
             for i, iview in enumerate(view):
-                wi = self.naxis - 1 - i
+                wi = self.naxis - 1 - i if numpy_order else i
                 start, stop, step = iview.indices(shape[i])
                 new_shape[wi] = max(0, -(-(stop - start) // step))
             out.pixel_shape = tuple(new_shape)
@@ -710,11 +735,26 @@ class WCS:
             return False
         if not close(self.pc, other.pc):
             return False
+        # reference frames are part of the coordinate system: LSRK vs
+        # BARYCENT grids are NOT interchangeable (reference compares all
+        # header cards, wcs_utils.py:341-441)
+        if (self.specsys or "") != (other.specsys or ""):
+            return False
+        if (self.radesys or "") != (other.radesys or ""):
+            return False
+        if (self.equinox or None) != (other.equinox or None):
+            return False
         for attr in ("restfrq", "restwav"):
             a, b = getattr(self, attr), getattr(other, attr)
             if (a or 0.0) != 0.0 or (b or 0.0) != 0.0:
                 if not close(a or 0.0, b or 0.0):
-                    return False
+                    # the reference deliberately tolerates differing rest
+                    # frequencies "under the assumption that you want to
+                    # compare velocity cubes" (wcs_utils.py:404-412)
+                    warnings.warn(
+                        f"{attr.upper()} differs between the WCSes; "
+                        "ignoring under the assumption that you want to "
+                        "compare velocity cubes.", WCSWarning)
         keys = set(self.pv) | set(getattr(other, "pv", {}))
         for k in keys:
             d = self._pv_card_default(*k)

@@ -154,6 +154,18 @@ def _from_freq(root, rest_freq):
         return (lambda f: f * h), (lambda f: np.full_like(np.asarray(f, float), h))
     if root == "WAVE":
         return (lambda f: c / f), (lambda f: -c / np.asarray(f, float) ** 2)
+    if root == "AWAV":
+        # needed to EVALUATE air-wavelength-sampled ctypes (XXXX-A2Y):
+        # lambda_air = vac_to_air(c/f); d(lambda_air)/df via the Greisen
+        # (2006) eq. 66 derivative of the vac<->air map
+        def g(f):
+            return vac_to_air(c / np.asarray(f, float))
+
+        def d(f):
+            fa = np.asarray(f, float)
+            lam_air = vac_to_air(c / fa)
+            return (-c / fa ** 2) / air_to_vac_deriv(lam_air)
+        return g, d
     if rest_freq is None:
         raise ValueError("rest frequency required for velocity conversions")
     f0 = rest_freq
@@ -172,8 +184,6 @@ def _from_freq(root, rest_freq):
             f = np.asarray(f, float)
             return -4.0 * c * f0 ** 2 * f / (f0 ** 2 + f ** 2) ** 2
         return g, d
-    if root == "AWAV":
-        raise NotImplementedError("conversion to air wavelength not supported")
     raise ValueError(f"unknown spectral root {root!r}")
 
 
@@ -232,9 +242,22 @@ def convert_spectral_axis(wcs: WCS, outunit, out_ctype: str,
 
     rest_freq = _rest_freq_si(wcs, rest_value)
 
-    # speed -> speed with no rest value: nothing changes but the unit scale
+    # speed -> speed with no rest value: the sampled variable cannot
+    # change convention, but the unit scale must still be applied
+    # (m/s -> km/s previously returned the WCS untouched, leaving the
+    # axis a factor of 1000 off the requested unit)
     if in_phys == "speed" and out_phys == "speed" and rest_freq is None:
-        return wcs.deepcopy()
+        if in_root != out_root:
+            raise ValueError(
+                "a rest frequency/wavelength is required to convert "
+                f"between velocity conventions ({in_root} -> {out_root})")
+        new = wcs.deepcopy()
+        scale = inunit.scale / outunit.scale
+        new.crval[i] = wcs.crval[i] * scale
+        new.cdelt[i] = wcs.pixel_scale_matrix[i, i] * scale
+        new.pc[i, i] = 1.0
+        new.cunit[i] = outunit
+        return new
 
     if rest_freq is None and (out_phys == "speed" or in_phys == "speed"):
         raise ValueError(

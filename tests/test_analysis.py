@@ -166,3 +166,14 @@ def test_stack_spectra_weighted_mean(tmp_path):
                         weights=wsel)
     assert np.isfinite(np.asarray(sel.value)).any()
     assert not np.allclose(np.nanmax(np.asarray(sel.value)), 0.0)
+
+
+def test_stack_spectra_weights_with_custom_function_refused(cube_adv):
+    """weights + a custom stack_function is ambiguous (a bare multiply is
+    biased by the mean weight) — refuse instead of silently mis-stacking."""
+    from spectral_cube_tpu.analysis_utilities import stack_spectra
+    cube, data = cube_adv
+    vel = np.zeros(cube.shape[1:])
+    w = np.ones(cube.shape[1:])
+    with pytest.raises(ValueError):
+        stack_spectra(cube, vel, weights=w, stack_function=np.nanmean)

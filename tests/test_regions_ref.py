@@ -261,7 +261,12 @@ def test_crtf_parser_full_forms():
     np.testing.assert_allclose(r.params[1], -23.1833, atol=1e-3)
 
     r = parse_crtf_region("box[[272deg,-23deg],[273deg,-22deg]]")[0]
-    np.testing.assert_allclose(r.params, [272.5, -22.5, 1.0, 1.0])
+    # the width is an ARC length: the 1-deg RA span shrinks by
+    # cos(-22.5 deg) (regression: raw coordinate difference, 1/cos(dec)
+    # too wide)
+    np.testing.assert_allclose(
+        r.params, [272.5, -22.5, np.cos(np.radians(22.5)), 1.0],
+        rtol=1e-6)
 
     r = parse_crtf_region(
         "rotbox[[12deg,-1deg],[2arcmin,1arcmin],45deg]")[0]

@@ -179,3 +179,17 @@ def test_unit_tostring_parse_roundtrip_exact():
             p = int(rng.randint(-2, 3)) or 1
             u = u * (b ** p)
         assert Unit.parse(u.to_string()) == u, u.to_string()
+
+
+def test_trig_of_angle_quantities():
+    """np.sin/cos/tan convert angle Quantities to radians (astropy
+    behavior); other dimensionless ufuncs still require dimensionless."""
+    from spectral_cube_tpu.units import Quantity, UnitConversionError
+    np.testing.assert_allclose(np.sin(Quantity(90.0, "deg")), 1.0,
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.cos(Quantity(np.pi, "rad")), -1.0,
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.tan(Quantity(45.0, "deg")), 1.0,
+                               rtol=1e-12)
+    with pytest.raises(UnitConversionError):
+        np.exp(Quantity(1.0, "deg"))

@@ -164,12 +164,20 @@ def test_velocity_roundtrip_through_wave(wcs3d):
     assert w_back.cdelt[2] == pytest.approx(wcs3d.cdelt[2], rel=1e-10)
 
 
-def test_speed_to_speed_no_rest_returns_copy():
+def test_speed_to_speed_no_rest_rescales_unit():
+    """Same velocity convention, no rest value: the unit scale still
+    applies (regression: km/s -> m/s returned the WCS untouched, leaving
+    the axis a factor of 1000 off the requested unit)."""
     h = base_header(ctype3="VRAD", cunit3="km/s")
     del h["RESTFRQ"]
     w = WCS(header=h)
     out = convert_spectral_axis(w, Unit.parse("m / s"), "VRAD")
-    assert out.crval[2] == w.crval[2]
+    assert str(out.cunit[2]) == "m / s"
+    assert out.crval[2] == pytest.approx(w.crval[2] * 1000.0)
+    assert out.cdelt[2] == pytest.approx(w.cdelt[2] * 1000.0)
+    # changing convention without a rest value is impossible
+    with pytest.raises(ValueError):
+        convert_spectral_axis(w, Unit.parse("m / s"), "VOPT")
 
 
 def test_air_vac_roundtrip():
@@ -368,3 +376,91 @@ def test_no_spectral_axis_raises(wcs3d):
                  lambda: cel.spectral_axis_values(4)):
         with pytest.raises(ValueError, match="no spectral axis"):
             call()
+
+
+def test_crota_legacy_rotation():
+    """Legacy CDELT+CROTA2 headers load with the AIPS rotation folded
+    into the pc matrix (regression: silently identity => all coordinates
+    rotated wrong)."""
+    h = base_header()
+    h["CROTA2"] = 30.0
+    w = WCS(header=h)
+    r = np.radians(30.0)
+    cl, cb = w.cdelt[0], w.cdelt[1]
+    np.testing.assert_allclose(w.pc[0, 0], np.cos(r), rtol=1e-12)
+    np.testing.assert_allclose(w.pc[1, 1], np.cos(r), rtol=1e-12)
+    np.testing.assert_allclose(w.pc[0, 1], -cb / cl * np.sin(r),
+                               rtol=1e-12)
+    np.testing.assert_allclose(w.pc[1, 0], cl / cb * np.sin(r), rtol=1e-12)
+    # a PC/CD header with CROTA present must NOT double-apply
+    h2 = base_header()
+    h2["CROTA2"] = 30.0
+    h2["PC1_1"] = 1.0
+    w2 = WCS(header=h2)
+    np.testing.assert_allclose(w2.pc, np.eye(3), atol=1e-12)
+
+
+def test_check_equality_reference_frames():
+    """WCSes in different velocity/celestial frames are NOT equal, while
+    differing rest frequencies warn and compare equal (the reference's
+    velocity-cube allowance, wcs_utils.py:404-412)."""
+    import warnings
+    from spectral_cube_tpu.utils import WCSWarning
+
+    h = base_header()
+    w1 = WCS(header=h)
+    h2 = base_header()
+    w2 = WCS(header=h2)
+    assert w1.check_equality(w2)
+    w2.specsys = "LSRK"
+    w1.specsys = "BARYCENT"
+    assert not w1.check_equality(w2)
+    w2.specsys = "BARYCENT"
+    w2.restfrq = w1.restfrq * 1.1
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert w1.check_equality(w2)
+    assert any("RESTFRQ" in str(r.message) for r in rec)
+
+
+def test_air_sampled_ctype_evaluates():
+    """CTYPE axes sampled linearly in air wavelength (XXXX-A2Y codes)
+    evaluate: _from_freq('AWAV') exists and inverts air_to_vac to the
+    ~4e-9 relative residual of the Greisen division-form inverse."""
+    from spectral_cube_tpu.wcs.spectral import spectral_value_transform
+    lam_air = 5000e-10
+    val, deriv = spectral_value_transform("AWAV", "AWAV", None)
+    np.testing.assert_allclose(val(lam_air), lam_air, rtol=1e-8)
+    # FREQ -> AWAV roundtrip through vacuum
+    to_f, _ = spectral_value_transform("AWAV", "FREQ", None)
+    from_f, dfrom = spectral_value_transform("FREQ", "AWAV", None)
+    f = to_f(lam_air)
+    np.testing.assert_allclose(from_f(f), lam_air, rtol=1e-8)
+    # analytic derivative vs finite difference (h large enough that the
+    # float64 wavelength quantization ~5e-23 m stays below the signal)
+    h = 1e6
+    fd = (from_f(f + h) - from_f(f - h)) / (2 * h)
+    np.testing.assert_allclose(dfrom(f), fd, rtol=1e-5)
+
+
+def test_unparseable_cunit_warns():
+    import warnings
+    from spectral_cube_tpu.utils import WCSWarning
+    h = base_header()
+    h["CUNIT3"] = "MHZ"
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        WCS(header=h)
+    assert any(isinstance(r.message, WCSWarning)
+               and "CUNIT" in str(r.message) for r in rec)
+
+
+def test_slice_pixel_shape_fits_order():
+    """WCS.slice(numpy_order=False) writes the new pixel_shape to the
+    FITS-order axes (regression: hardcoded numpy-order transposed it)."""
+    h = base_header(nx=10, ny=6, nchan=4)
+    w = WCS(header=h)
+    w.pixel_shape = (10, 6, 4)  # FITS order (x, y, chan)
+    out = w.slice((slice(0, 5), slice(0, 3), slice(0, 2)),
+                  shape=(10, 6, 4), numpy_order=False)
+    assert out.pixel_shape == (5, 3, 2)
