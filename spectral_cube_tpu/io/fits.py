@@ -33,9 +33,11 @@ def _find_image_hdu(hdus, hdu_index=0):
             n = int(h.header.get("NAXIS", 0))
             if n >= 3:
                 return h
-    # fall back to the first HDU with data
+    # fall back to the first HDU that actually HAS data (an empty
+    # primary HDU followed by tables must not be returned dataless)
     for h in hdus:
-        if getattr(h, "is_image", False):
+        if getattr(h, "is_image", False) and \
+                (h._lazy is not None or h._data is not None):
             return h
     raise FITSReadError("No image HDU found")
 

@@ -303,7 +303,11 @@ class HDU:
                 from .native import decode_payload
                 bitpix = {"u1": 8, "i2": 16, "i4": 32, "i8": 64,
                           "f4": -32, "f8": -64}[dtype.str[1:]]
-                out_dtype = np.float64 if bitpix == -64 else np.float32
+                # scaled 32/64-bit integers promote to float64 (astropy
+                # behavior): the unsigned convention BZERO=2**31 would
+                # lose up to +-128 counts in float32
+                out_dtype = np.float64 if bitpix in (-64, 32, 64) \
+                    else np.float32
                 if dtype.kind == "i" and bscale == 1.0 and bzero == 0.0:
                     out_dtype = None
                 arr = decode_payload(path, offset, count, bitpix,
@@ -536,6 +540,14 @@ def write_fits(path, hdus):
                 h["NAXIS"] = data.ndim
                 for i, n in enumerate(data.shape[::-1]):
                     h[f"NAXIS{i + 1}"] = int(n)
+                # a float payload holds DECODED values; stale scaling
+                # cards from a scaled source would be re-applied on
+                # read-back (raw integer payloads keep their cards —
+                # astropy's passthrough semantics)
+                if data.dtype.kind == "f":
+                    for k in ("BSCALE", "BZERO", "BLANK"):
+                        if k in h:
+                            del h[k]
             else:
                 h["BITPIX"] = 8
                 h["NAXIS"] = 0
@@ -555,11 +567,14 @@ def _write_bintable(f, hdu: BinTableHDU, h: Header):
     dtypes = []
     for name in names:
         arr = np.asarray(cols[name])
+        sub = arr.shape[1:] if arr.ndim > 1 else ()
         if arr.dtype.kind == "S":
-            dtypes.append((name, arr.dtype))
+            dtypes.append((name, arr.dtype, sub) if sub
+                          else (name, arr.dtype))
         else:
             code = _COL_TFORM[arr.dtype.name]
-            dtypes.append((name, np.dtype(_TFORM_DTYPE[code])))
+            base = np.dtype(_TFORM_DTYPE[code])
+            dtypes.append((name, base, sub) if sub else (name, base))
     rec_dtype = np.dtype(dtypes)
     nrows = len(np.asarray(cols[names[0]]))
     rec = np.zeros(nrows, dtype=rec_dtype)
@@ -580,10 +595,13 @@ def _write_bintable(f, hdu: BinTableHDU, h: Header):
     for i, name in enumerate(names, start=1):
         arr = np.asarray(cols[name])
         h[f"TTYPE{i}"] = name
+        rep = int(np.prod(arr.shape[1:])) if arr.ndim > 1 else 1
         if arr.dtype.kind == "S":
-            h[f"TFORM{i}"] = f"{arr.dtype.itemsize}A"
+            h[f"TFORM{i}"] = f"{rep * arr.dtype.itemsize}A" if rep > 1 \
+                else f"{arr.dtype.itemsize}A"
         else:
-            h[f"TFORM{i}"] = _COL_TFORM[arr.dtype.name]
+            code = _COL_TFORM[arr.dtype.name]
+            h[f"TFORM{i}"] = f"{rep}{code}" if rep > 1 else code
         if name in hdu.units:
             h[f"TUNIT{i}"] = hdu.units[name]
     if hdu.name:

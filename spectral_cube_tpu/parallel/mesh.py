@@ -198,7 +198,11 @@ class CubeMesh:
             return self._a2a_spatial_to_spectral(array)
         if source == "spectral" and layout == "spatial":
             return self._a2a_spectral_to_spatial(array)
-        return jax.lax.with_sharding_constraint(array, self.sharding(layout))
+        # generic path: degrade to the same divisibility-checked spec that
+        # shard() uses, so any array shard() accepted also reshards (the
+        # raw layout spec would crash on mesh-unaligned shapes)
+        return jax.lax.with_sharding_constraint(
+            array, self.compatible_sharding(layout, np.shape(array)))
 
     def _a2a_spatial_to_spectral(self, array):
         """[spec local, y/my, x/mx] -> [spec/(my*mx), y, x] via two tiled

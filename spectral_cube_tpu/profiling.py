@@ -79,9 +79,14 @@ class OpTimer:
                     pinned, acc = jax.lax.optimization_barrier(
                         (a[0], acc))
                     out = fn(pinned, *a[1:])
-                    leaf = jax.tree_util.tree_leaves(out)[0]
-                    return acc + jnp.asarray(leaf).ravel()[0].astype(
-                        jnp.float32)
+                    # consume EVERY output element: summing one element
+                    # lets XLA slice through dots and DCE the measured
+                    # work (see bench.py _measure and CLAUDE.md)
+                    tot = jnp.float32(0)
+                    for leaf in jax.tree_util.tree_leaves(out):
+                        tot = tot + jnp.sum(
+                            jnp.real(jnp.asarray(leaf))).astype(jnp.float32)
+                    return acc + tot
                 return jax.lax.fori_loop(0, loop_reps, body,
                                          jnp.float32(0))
             np.asarray(looped(*args))  # compile

@@ -131,7 +131,10 @@ def warn_slow(function):
                 "entire cube into memory/device and may slow down or crash. "
                 "Set `cube.allow_huge_operations=True` to override.")
         elif not self._is_huge:
-            warnings.filterwarnings("once", category=PossiblySlowWarning)
+            warnings.warn(
+                f"This function ({function.__name__}) requires loading "
+                "the entire cube into memory and may therefore be slow.",
+                PossiblySlowWarning)
         return function(self, *args, **kwargs)
     return wrapper
 

@@ -42,6 +42,7 @@ def make_rgb_movie(cube, prefix, v1, v2, vmin=None, vmax=None, fps=10,
     z1 = cube.closest_spectral_channel(v1)
     z2 = cube.closest_spectral_channel(v2)
     lo, hi = min(z1, z2), max(z1, z2)
+    check_ffmpeg(ffmpeg_cmd)   # fail fast, before the render loop
     frames = []
     for ii in range(lo + 1, hi):
         rgb = np.stack([
@@ -51,9 +52,12 @@ def make_rgb_movie(cube, prefix, v1, v2, vmin=None, vmax=None, fps=10,
         fname = f"{prefix}_v{ii:04d}.png"
         plt.imsave(fname, rgb, origin="lower")
         frames.append(fname)
-    check_ffmpeg(ffmpeg_cmd)
+    # -start_number: frames are numbered by CHANNEL index; ffmpeg's
+    # image2 demuxer only probes start numbers 0-4 by default, so any
+    # velocity range starting past channel 4 found no input at all
     subprocess.run(
-        [ffmpeg_cmd, "-y", "-r", str(fps), "-i", f"{prefix}_v%04d.png",
+        [ffmpeg_cmd, "-y", "-r", str(fps), "-start_number", str(lo + 1),
+         "-i", f"{prefix}_v%04d.png",
          "-c:v", "libx264", "-pix_fmt", "yuv420p", f"{prefix}.mp4"],
         check=True, capture_output=True)
     return frames
@@ -69,6 +73,7 @@ def make_multispecies_rgb(cube_r, cube_g, cube_b, prefix, v1, v2, vmin=None,
     z1 = cube_r.closest_spectral_channel(v1)
     z2 = cube_r.closest_spectral_channel(v2)
     lo, hi = min(z1, z2), max(z1, z2)
+    check_ffmpeg(ffmpeg_cmd)   # fail fast, before the render loop
     frames = []
     for ii in range(lo, hi + 1):
         rgb = np.stack([
@@ -78,9 +83,9 @@ def make_multispecies_rgb(cube_r, cube_g, cube_b, prefix, v1, v2, vmin=None,
         fname = f"{prefix}_v{ii:04d}.png"
         plt.imsave(fname, rgb, origin="lower")
         frames.append(fname)
-    check_ffmpeg(ffmpeg_cmd)
     subprocess.run(
-        [ffmpeg_cmd, "-y", "-r", str(fps), "-i", f"{prefix}_v%04d.png",
+        [ffmpeg_cmd, "-y", "-r", str(fps), "-start_number", str(lo),
+         "-i", f"{prefix}_v%04d.png",
          "-c:v", "libx264", "-pix_fmt", "yuv420p", f"{prefix}.mp4"],
         check=True, capture_output=True)
     return frames

@@ -18,9 +18,14 @@ def to_yt(cube, spectral_factor=1.0, nprocs=None, **kwargs):
     from yt.loaders import load_uniform_grid
     data = {"flux": np.asarray(cube.filled().value).T}
     nz, ny, nx = cube.shape
-    dims = np.array([nx, ny, nz * spectral_factor], dtype=int)
-    ds = load_uniform_grid(data, dims, length_unit="pc", nprocs=nprocs or 1,
-                           **kwargs)
+    # dims must match the data shape; spectral_factor stretches the
+    # BBOX, not the grid (reference spectral_cube.py:2430-2437)
+    bbox = np.array([[0.5, float(nx) + 0.5],
+                     [0.5, float(ny) + 0.5],
+                     [0.5, spectral_factor * float(nz) + 0.5]])
+    ds = load_uniform_grid(data, [nx, ny, nz], 1.0, bbox=bbox,
+                           nprocs=nprocs or 1,
+                           periodicity=(False, False, False), **kwargs)
     return ytCube(cube, ds, spectral_factor=spectral_factor)
 
 
@@ -36,12 +41,14 @@ class ytCube:
 
     def world2yt(self, world_coord, first_index=0):
         pix = self.wcs.wcs_world2pix([world_coord], first_index)[0]
-        pix[2] = pix[2] * self.spectral_factor
+        # pixel-CENTER scaling (reference ytcube.py:36-37): the stretch
+        # is about the half-pixel bbox origin, not about zero
+        pix[2] = (pix[2] - 0.5) * self.spectral_factor + 0.5
         return pix
 
     def yt2world(self, yt_coord, first_index=0):
         yt_coord = list(yt_coord)
-        yt_coord[2] = yt_coord[2] / self.spectral_factor
+        yt_coord[2] = (yt_coord[2] - 0.5) / self.spectral_factor + 0.5
         return self.wcs.wcs_pix2world([yt_coord], first_index)[0]
 
     def auto_transfer_function(self, cmap_range, log=False, colormap="doom"):

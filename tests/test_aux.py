@@ -327,3 +327,18 @@ def test_replicated_layout_saves_each_shard_once(tmp_path):
     back = load_cube(store, cmesh=cmesh)
     np.testing.assert_allclose(np.asarray(back.unmasked_data[:].value),
                                data, equal_nan=True, rtol=1e-6)
+
+
+def test_warn_slow_emits_possibly_slow_warning(cube_adv):
+    """Non-huge whole-cube materializations warn PossiblySlowWarning
+    (reference utils.py:68-73); the wrapper must not mutate the global
+    warning-filter state."""
+    import warnings
+    from spectral_cube_tpu.utils import PossiblySlowWarning
+    cube, _ = cube_adv
+    n_before = len(warnings.filters)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        cube.filled()
+    assert any(isinstance(r.message, PossiblySlowWarning) for r in rec)
+    assert len(warnings.filters) == n_before

@@ -470,3 +470,64 @@ def test_fits_long_string_continue_roundtrip(tmp_path):
     assert back["ORIGIN"] == long_val
     assert back["OBJECT"] == quoted.rstrip()
     assert back["SHORT"] == "plain"
+
+
+def test_bscale_roundtrip_no_double_scaling(tmp_path):
+    """Re-writing a cube read from a scaled file must not re-apply
+    BSCALE/BZERO on the next read (regression: 100 came back as 150)."""
+    h = Header()
+    h["BSCALE"] = 0.5
+    h["BZERO"] = 100.0
+    raw = np.zeros((3, 4), dtype="i2")
+    p1 = str(tmp_path / "s1.fits")
+    write_fits(p1, [HDU(data=raw, header=h)])
+    first = read_fits(p1)[0]
+    np.testing.assert_allclose(first.data, 100.0)
+    p2 = str(tmp_path / "s2.fits")
+    write_fits(p2, [HDU(data=first.data, header=first.header)])
+    again = read_fits(p2)[0]
+    np.testing.assert_allclose(again.data, 100.0)
+
+
+def test_scaled_bitpix32_promotes_to_float64(tmp_path):
+    """The unsigned-int convention (BITPIX=32, BZERO=2**31) must decode
+    in float64: float32 quantizes to +-128 counts near 2**31."""
+    h = Header()
+    h["BZERO"] = float(2 ** 31)
+    raw = np.array([[-2147483648 + 5, -2147483648 + 131]], dtype="i4")
+    p = str(tmp_path / "u32.fits")
+    write_fits(p, [HDU(data=raw, header=h)])
+    back = read_fits(p)[0]
+    assert back.data.dtype == np.float64
+    np.testing.assert_allclose(back.data, [[5.0, 131.0]])
+
+
+def test_bintable_array_column_roundtrip(tmp_path):
+    """Fixed-length array columns (TFORM '2E') write back out — the
+    module docstring's promise (regression: broadcast error)."""
+    from spectral_cube_tpu.io.fits_low import BinTableHDU
+    cols = {"VEC": np.arange(10, dtype=np.float32).reshape(5, 2),
+            "SCAL": np.arange(5, dtype=np.float64)}
+    bt = BinTableHDU(columns=cols, name="TEST")
+    p = str(tmp_path / "bt.fits")
+    write_fits(p, [HDU(data=None, header=Header()), bt])
+    back = read_fits(p)
+    tbl = [x for x in back if isinstance(x, BinTableHDU)][0]
+    np.testing.assert_allclose(np.asarray(tbl.columns["VEC"]),
+                               cols["VEC"])
+    np.testing.assert_allclose(np.asarray(tbl.columns["SCAL"]),
+                               cols["SCAL"])
+
+
+def test_find_image_hdu_skips_dataless_primary(tmp_path):
+    """An empty primary followed by a table raises FITSReadError, not
+    AttributeError on NoneType."""
+    from spectral_cube_tpu.io.fits_low import BinTableHDU
+    from spectral_cube_tpu.io.fits import _find_image_hdu
+    from spectral_cube_tpu.utils import FITSReadError
+    bt = BinTableHDU(columns={"X": np.arange(3, dtype=np.float32)},
+                     name="T")
+    p = str(tmp_path / "empty.fits")
+    write_fits(p, [HDU(data=None, header=Header()), bt])
+    with pytest.raises(FITSReadError):
+        _find_image_hdu(read_fits(p))

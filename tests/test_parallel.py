@@ -433,3 +433,13 @@ def test_sharded_fft_fallback_uneven_shape(cmesh, shape, ksize):
     assert got.shape == (nchan, ny, nx)
     np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5,
                                equal_nan=True)
+
+
+def test_reshard_generic_path_mesh_unaligned(cmesh):
+    """reshard without source= degrades to the divisibility-checked spec
+    like shard() (regression: raw layout spec crashed on shapes shard()
+    accepted)."""
+    data = np.ones((5, 7, 8), dtype="f4")
+    b = cmesh.shard(jnp.asarray(data), "spatial")
+    out = cmesh.reshard(b, "spectral")
+    np.testing.assert_allclose(np.asarray(out), data)
