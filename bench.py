@@ -113,8 +113,12 @@ def _measure(one_pass, args, reps):
         def body(i, acc):
             dep = jax.lax.optimization_barrier((a[0], acc))
             out = one_pass(dep[0], *a[1:])
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return dep[1] + jnp.sum(jnp.real(leaf)).astype(jnp.float32)
+            tot = dep[1]
+            # EVERY leaf: summing only the first lets XLA DCE the other
+            # outputs' computation (multi-output ops like moments/stats)
+            for leaf in jax.tree_util.tree_leaves(out):
+                tot = tot + jnp.sum(jnp.real(leaf)).astype(jnp.float32)
+            return tot
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
     np.asarray(looped(*args))  # compile + warm
@@ -233,7 +237,10 @@ def bench_config4():
         q = 0.5 * (xx_ - yy_)
         u = 0.5 * (xy + yx)
         v = 0.5 * (xy - yx)  # (imag part is zero for real feeds)
-        return i + q[0, 0, 0] * 0 + u[0, 0, 0] * 0 + v[0, 0, 0] * 0
+        # distinct NONZERO weights on every component: zero or equal
+        # weights let XLA cancel/DCE the yy/yx planes of the batched
+        # reproject matmul (up to 2x inflation was measured possible)
+        return i + 2.0 * q + 3.0 * u + 5.0 * v
 
     per = _measure(one_pass, (jnp.asarray(data_np),), reps=20)
     gvox = data_np.size / 1e9
@@ -282,7 +289,9 @@ def bench_config5():
         # full-array outputs so _measure's sum consumption covers every
         # stage (single elements would let XLA DCE the conv/reproject)
         return (jnp.nan_to_num(rep)
-                + (m0 + m1 + m2 + stats["mean"])[None, :, :])
+                + (m0 + m1 + m2)[None, :, :]
+                + (stats["mean"] + stats["sigma"] + stats["min"]
+                   + stats["max"]))
 
     # host baseline: the same chain with numpy/scipy on a 64^3 subcube,
     # scaled by voxel count (each stage is linear in voxels)
@@ -343,6 +352,13 @@ def main():
     for got, exp, rtol, name in ((m0, e0, 3e-6, "mom0"),
                                  (m1, e1, 3e-6, "mom1"),
                                  (m2, e2, 5e-5, "mom2")):
+        # the NaN patterns must agree BEFORE the relative-error gate: a
+        # nanmax over rel silently skips pixels where got is NaN but the
+        # oracle is finite (an all-NaN output would pass unnoticed)
+        if not np.array_equal(np.isnan(got), np.isnan(exp)):
+            print(f"# accuracy {name}: NaN-pattern MISMATCH vs oracle "
+                  f"({int(np.isnan(got).sum())} vs "
+                  f"{int(np.isnan(exp).sum())} NaNs)", file=sys.stderr)
         scale = np.nanmax(np.abs(exp))
         rel = np.abs(got - exp) / np.maximum(np.abs(exp), 1e-3 * scale)
         worst = float(np.nanmax(np.where(np.isfinite(exp), rel, np.nan)))

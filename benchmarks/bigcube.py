@@ -32,10 +32,12 @@ def _timed(fn, *args, reps=REPS):
         def body(i, acc):
             dep = jax.lax.optimization_barrier((a[0], acc))
             out = fn(dep[0], *a[1:])
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            # full-sum consumption: a single-element slice lets XLA push
-            # the slice through dots and DCE the measured work
-            return dep[1] + jnp.sum(jnp.real(leaf)).astype(jnp.float32)
+            # full-sum consumption of EVERY leaf: a single-element slice
+            # (or skipping leaves) lets XLA DCE the measured work
+            tot = dep[1]
+            for leaf in jax.tree_util.tree_leaves(out):
+                tot = tot + jnp.sum(jnp.real(leaf)).astype(jnp.float32)
+            return tot
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
     t0 = time.perf_counter()

@@ -42,20 +42,28 @@ def rtt():
     return best
 
 
-def timed(name, one_pass, data, reps=REPS, bytes_per_pass=None):
+def timed(name, one_pass, data, reps=REPS, bytes_per_pass=None,
+          extra_args=()):
+    # device arrays (esp. complex transfers) must enter as jit ARGUMENTS:
+    # a device-array closure constant is fetched to host at trace time,
+    # which wedges the tunneled backend for complex dtypes (CLAUDE.md)
     def run(nreps):
         @jax.jit
-        def looped(d):
+        def looped(d, *extra):
             def body(i, acc):
                 # optimization_barrier pins the op inside the loop
                 d_dep, acc = jax.lax.optimization_barrier((d, acc))
-                out = one_pass(d_dep)
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                return acc + jnp.real(leaf.ravel()[0]).astype(jnp.float32)
+                out = one_pass(d_dep, *extra)
+                # consume the FULL output of EVERY leaf: a single-element
+                # slice lets XLA push it through the banded/tap matmuls
+                # and DCE the measured work (CLAUDE.md hard-won rule)
+                for leaf in jax.tree_util.tree_leaves(out):
+                    acc = acc + jnp.sum(jnp.real(leaf)).astype(jnp.float32)
+                return acc
             return jax.lax.fori_loop(0, nreps, body, jnp.float32(0))
-        np.asarray(looped(data))
+        np.asarray(looped(data, *extra_args))
         t0 = time.perf_counter()
-        np.asarray(looped(data))
+        np.asarray(looped(data, *extra_args))
         return time.perf_counter() - t0
 
     elapsed = run(reps)
@@ -133,14 +141,19 @@ def main():
         lambda d: interp_cube_spectral(d, coords, outaxis)[0], data,
         bytes_per_pass=nbytes * 1.5))
 
-    # FFT beam convolution: 4 distinct beams grouped over N channels
+    # FFT beam convolution: 4 distinct beams grouped over N channels.
+    # device_complex, NOT jnp.asarray: a complex64 host constant inside
+    # the jit closure wedges the tunneled TPU backend (CLAUDE.md)
+    from spectral_cube_tpu.ops.convolve import device_complex
     fy, fx = _padded_shape((N, N), (31, 31))
-    transfers = np.ones((4, fy, fx // 2 + 1), dtype=np.complex64)
+    transfers = device_complex(
+        np.ones((4, fy, fx // 2 + 1), dtype=np.complex64))
     group_idx = (np.arange(N) % 4).astype(np.int32)
     results.append(timed(
         "common-beam FFT convolution",
-        lambda d: _convolve_planes(d, jnp.asarray(transfers), group_idx),
-        data, bytes_per_pass=nbytes * 2, reps=10))
+        lambda d, t: _convolve_planes(d, t, group_idx),
+        data, bytes_per_pass=nbytes * 2, reps=10,
+        extra_args=(transfers,)))
 
     # reprojection: separable trilinear resample (half-pixel offset grid)
     from spectral_cube_tpu.ops.regrid import _bilinear_spatial_then_linear_z

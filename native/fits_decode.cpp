@@ -59,6 +59,15 @@ Mapped map_range(const char* path, size_t offset, size_t nbytes) {
     Mapped m;
     m.fd = ::open(path, O_RDONLY);
     if (m.fd < 0) return m;
+    // refuse to map past EOF: touching a page beyond the last
+    // file-backed page raises SIGBUS and kills the process (a truncated
+    // FITS payload must fail over to the numpy path instead)
+    struct stat st;
+    if (::fstat(m.fd, &st) != 0 ||
+        offset + nbytes > static_cast<size_t>(st.st_size)) {
+        ::close(m.fd);
+        return m;
+    }
     long page = sysconf(_SC_PAGESIZE);
     size_t aligned = offset & ~size_t(page - 1);
     size_t shift = offset - aligned;
@@ -158,6 +167,12 @@ extern "C" {
 int fits_decode_payload(const char* path, size_t offset, size_t count,
                         int bitpix, double bscale, double bzero, void* out,
                         int out_double, int nthreads) {
+#if defined(__BYTE_ORDER__) && (__BYTE_ORDER__ != __ORDER_LITTLE_ENDIAN__)
+    // the decode kernels unconditionally byteswap the big-endian FITS
+    // payload, which is only correct on little-endian hosts; on a
+    // big-endian host fail over to the (endian-correct) numpy path
+    return 3;
+#endif
     if (nthreads <= 0) nthreads = std::thread::hardware_concurrency();
     if (out_double) {
         double* o = static_cast<double*>(out);
@@ -199,7 +214,9 @@ void fits_stats_f32(const float* data, size_t count, double* out5,
             double n = 0, mn = 1e300, mx = -1e300, s = 0, ss = 0;
             for (size_t i = lo; i < hi; ++i) {
                 float v = data[i];
-                if (v == v) {  // finite-enough: not NaN
+                // FINITE only: +-inf must not poison sum/sumsq or count
+                // into npts (the documented contract)
+                if (v - v == 0.0f) {
                     n += 1;
                     if (v < mn) mn = v;
                     if (v > mx) mx = v;

@@ -63,6 +63,8 @@ def load_casa_image(filename, skipdata=False, skipvalid=False, skipcs=False,
                             beam=cube_beams)
 
     if data.ndim == 3:
+        if isinstance(beams, list):
+            beams = beams[0]
         return build_cube(data, valid, wcs, beams)
     if data.ndim == 4:
         arrays, wcs3 = split_stokes(data, wcs)
@@ -70,8 +72,15 @@ def load_casa_image(filename, skipdata=False, skipvalid=False, skipcs=False,
         if valid is not None:
             varrays, _ = split_stokes(valid, wcs)
             valid_arrays = varrays
-        cubes = {name: build_cube(arr, valid_arrays.get(name), wcs3, beams)
-                 for name, arr in arrays.items()}
+        # per-plane beams are per-Stokes (stokes-major keys); a single
+        # Beams applies to every component
+        def _beams_for(i):
+            if isinstance(beams, list):
+                return beams[i] if i < len(beams) else None
+            return beams
+        cubes = {name: build_cube(arr, valid_arrays.get(name), wcs3,
+                                  _beams_for(i))
+                 for i, (name, arr) in enumerate(arrays.items())}
         if len(cubes) == 1:
             return next(iter(cubes.values()))
         return StokesSpectralCube(cubes, meta=meta)

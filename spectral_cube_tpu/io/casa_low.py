@@ -139,8 +139,20 @@ def read_aips_array(a: AipsIO):
     if kind == "String":
         vals = np.array([a.string() for _ in range(nel)], dtype=object)
     elif kind == "Bool":
-        vals = np.frombuffer(a.b, "u1", nel, a.p).astype(bool)
-        a.p += nel
+        nbytes_left = (p0 + ln) - a.p
+        if nbytes_left == nel:
+            vals = np.frombuffer(a.b, "u1", nel, a.p).astype(bool)
+            a.p += nel
+        else:
+            # bit-packed Bool stream (8 per byte): some casacore AipsIO
+            # writers pack Bool arrays; accept either layout
+            nb = (nel + 7) // 8
+            if nbytes_left != nb:
+                raise ValueError("Array<Bool> length mismatch")
+            bits = np.unpackbits(np.frombuffer(a.b, "u1", nb, a.p),
+                                 bitorder="little")[:nel]
+            vals = bits.astype(bool)
+            a.p += nb
     else:
         dt = _ARRAY_DTYPES[kind]
         vals = np.frombuffer(a.b, dt, nel, a.p).copy()
@@ -149,7 +161,10 @@ def read_aips_array(a: AipsIO):
     if a.p != p0 + ln:
         raise ValueError(f"Array<{kind}> length mismatch")
     if kind != "String" and ndim > 1:
-        vals = vals.reshape(dims[::-1])
+        # casacore Array streams are Fortran-ordered with dims as
+        # written: a C-order reshape of reversed dims would TRANSPOSE
+        # 2-D records (the pc matrix — a rotation read as its inverse)
+        vals = vals.reshape(dims, order="F")
     return vals
 
 
@@ -362,8 +377,12 @@ _DIR_SYSTEMS = {
     "ECLIPTIC": ("ELON", "ELAT", None, None),
 }
 
-_SPECTRAL_SYSTEMS = {0: "REST", 1: "LSRK", 2: "LSRD", 3: "BARY", 4: "GEO",
-                     5: "TOPO", 6: "GALACTO", 7: "LGROUP", 8: "CMB"}
+# casacore MFrequency::Types enum -> FITS SPECSYS names
+# (REST=0, LSRD=1, LSRK=2, BARY=3, GEO=4, TOPO=5, GALACTO=6, LGROUP=7,
+# CMB=8)
+_SPECTRAL_SYSTEMS = {0: "SOURCE", 1: "LSRD", 2: "LSRK", 3: "BARYCENT",
+                     4: "GEOCENTR", 5: "TOPOCENT", 6: "GALACTOC",
+                     7: "LOCALGRP", 8: "CMBDIPOL"}
 
 R2D = 180.0 / np.pi
 
@@ -455,7 +474,10 @@ def _apply_coord(w, kind, rec, pixmap):
                                           str(rec.get("system", "")))
         if isinstance(rec.get("system"), str):
             w.specsys = {"BARY": "BARYCENT", "LSRK": "LSRK",
-                         "TOPO": "TOPOCENT", "LSRD": "LSRD"}.get(
+                         "TOPO": "TOPOCENT", "LSRD": "LSRD",
+                         "GEO": "GEOCENTR", "GALACTO": "GALACTOC",
+                         "LGROUP": "LOCALGRP", "CMB": "CMBDIPOL",
+                         "REST": "SOURCE"}.get(
                              rec["system"], rec["system"])
     elif kind in ("linear", "tabular"):
         for k, ax in enumerate(int(p) for p in pixmap):
@@ -519,12 +541,18 @@ def read_casa_image_parts(image_dir):
         from ..beams import Beams
         pp = info["perplanebeams"]
         nchan = int(pp.get("nChannels", 0))
-        beam_list = []
-        for c in range(nchan):
-            key = f"*{c}"
-            if key in pp:
-                beam_list.append(_beam_from_record(pp[key]))
-        beams = Beams(beams=beam_list) if beam_list else None
+        nstokes = max(int(pp.get("nStokes", 1) or 1), 1)
+        # keys are STOKES-MAJOR: *{istokes*nchan + chan} (reference
+        # casa_image.py:116-127); reading only *0..*(nchan-1) would hand
+        # every Stokes component the Stokes-I beams
+        per_stokes = []
+        for s in range(nstokes):
+            beam_list = [
+                _beam_from_record(pp[f"*{s * nchan + c}"])
+                for c in range(nchan) if f"*{s * nchan + c}" in pp]
+            per_stokes.append(Beams(beams=beam_list) if beam_list
+                              else None)
+        beams = per_stokes[0] if nstokes == 1 else per_stokes
     elif "restoringbeam" in info and "major" in info["restoringbeam"]:
         beams = _beam_from_record(info["restoringbeam"])
 

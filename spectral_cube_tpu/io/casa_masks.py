@@ -14,7 +14,7 @@ import numpy as np
 __all__ = ["make_casa_mask"]
 
 
-def make_casa_mask(cube, outname, append_to_image=False, img=None,
+def make_casa_mask(cube, outname, append_to_image=True, img=None,
                    add_stokes=True, stokes_posn=None, overwrite=False):
     """Write the cube's include mask as a CASA image directory; with
     ``append_to_image=True`` the mask is also installed into the existing
@@ -27,10 +27,15 @@ def make_casa_mask(cube, outname, append_to_image=False, img=None,
     import jax.numpy as jnp
     from .casa_writer import write_casa_image
 
+    if stokes_posn is not None:
+        raise NotImplementedError(
+            "custom Stokes-axis positions are not supported; the Stokes "
+            "axis is written at the standard CASA position")
     include = np.asarray(cube._include_view(())).astype("f4")
     mask_cube = cube._new_cube_with(data=jnp.asarray(include), mask=None)
     mask_cube._unit = None
-    write_casa_image(mask_cube, outname, overwrite=overwrite)
+    write_casa_image(mask_cube, outname, overwrite=overwrite,
+                     with_stokes=bool(add_stokes))
     if append_to_image:
         if img is None:
             raise TypeError(
@@ -85,4 +90,21 @@ def _append_mask_subtable(cube, img, maskname, overwrite=False):
                      TP_BOOL, len(casa_shape))
     _write_tsm(maskdir, "PagedArray", casa_shape, bits, TP_BOOL)
     _write_info(maskdir, "Paged Array")
+    # the reference's ia.maskhandler('set', maskname) step: point
+    # Image_defaultmask at the new mask so readers actually use it
+    # (without this, a pre-existing mask0 keeps winning)
+    try:
+        from .casa_low import read_table_keywords
+        from .casa_writer import TP_FLOAT
+        kw = read_table_keywords(os.path.join(img, "table.dat"))
+        kw.pop("Image_defaultmask", None)
+        kw["Image_defaultmask"] = maskname
+        _write_table_dat(os.path.join(img, "table.dat"), kw, "map",
+                         TP_FLOAT, len(casa_shape))
+    except Exception as exc:
+        import warnings
+        warnings.warn(
+            f"could not update Image_defaultmask in {img}: {exc}; the "
+            "appended mask exists but a pre-existing default mask will "
+            "still be preferred on read")
     return maskdir

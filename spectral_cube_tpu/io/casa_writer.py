@@ -21,6 +21,14 @@ from .casa_low import TP_BOOL, TP_FLOAT
 
 __all__ = ["write_casa_image"]
 
+# FITS SPECSYS -> casacore MFrequency frame names (inverse of
+# casa_low._SPECTRAL_SYSTEMS); unknown frames degrade to TOPO with the
+# mapping below rather than silently — extendable as needed
+_SPECSYS_TO_CASA = {"BARYCENT": "BARY", "LSRK": "LSRK", "LSRD": "LSRD",
+                    "TOPOCENT": "TOPO", "GEOCENTR": "GEO",
+                    "GALACTOC": "GALACTO", "LOCALGRP": "LGROUP",
+                    "CMBDIPOL": "CMB", "SOURCE": "REST"}
+
 
 class AipsIOWriter:
     def __init__(self):
@@ -123,16 +131,19 @@ def write_aips_array(w, value, tp):
     arr = np.asarray(value)
     with w.block(f"Array<{name}>", 3):
         w.u32(arr.ndim if arr.ndim else 1)
-        for d in (arr.shape[::-1] if arr.ndim else (1,)):
+        # casacore Array streams carry dims as-is with Fortran-ordered
+        # payloads (reversed-dims + C-ravel wrote the TRANSPOSE of 2-D
+        # records like the pc matrix)
+        for d in (arr.shape if arr.ndim else (1,)):
             w.u32(d)
         w.u32(arr.size)
         if tp == 24:
-            for s in arr.ravel():
+            for s in arr.ravel(order="F"):
                 w.string(str(s))
         elif tp == 13:
-            w.raw(arr.ravel().astype("u1").tobytes())
+            w.raw(arr.ravel(order="F").astype("u1").tobytes())
         else:
-            w.raw(arr.ravel().astype(dt).tobytes())
+            w.raw(arr.ravel(order="F").astype(dt).tobytes())
 
 
 def write_tablerecord(w, record):
@@ -365,8 +376,7 @@ def _wcs_to_casa_coords(wcs, stokes_names=None):
         cdelt = fwcs.cdelt[sp] * fwcs.cunit[sp].to("Hz")
         coords[f"spectral{ci}"] = {
             "version": 2,
-            "system": {"BARYCENT": "BARY", "LSRK": "LSRK",
-                       "TOPOCENT": "TOPO"}.get(wcs.specsys, "TOPO"),
+            "system": _SPECSYS_TO_CASA.get(wcs.specsys, "TOPO"),
             "restfreq": float(wcs.restfrq or 0.0),
             "restfreqs": np.array([float(wcs.restfrq or 0.0)]),
             "velType": 0,
@@ -457,7 +467,8 @@ def write_casa_image(cube, dirname, overwrite=False, tile_shape=None,
         "miscinfo": {k.lower(): v for k, v in ref.meta.items()
                      if isinstance(v, (str, int, float, bool))
                      and k.upper() not in ("BUNIT",)},
-        "imageinfo": _imageinfo(ref),
+        "imageinfo": _imageinfo(ref, cube if isinstance(
+            cube, StokesSpectralCube) else None),
         "Image_defaultmask": "mask0",
     }
     _write_table_dat(os.path.join(dirname, "table.dat"), keywords, "map",
@@ -466,10 +477,26 @@ def write_casa_image(cube, dirname, overwrite=False, tile_shape=None,
                tile_shape=tile_shape)
     _write_info(dirname, "Image")
 
-    # validity mask as a Bool subtable (bit-packed, LSB-first)
+    # validity mask as a Bool subtable (bit-packed, LSB-first): the
+    # cube's INCLUDE mask (isfinite alone drops the mask whenever the
+    # fill value is finite — masked voxels would reload as valid data)
     maskdir = os.path.join(dirname, "mask0")
     os.makedirs(maskdir)
-    valid = np.isfinite(arr)
+
+    def _inc(c):
+        if getattr(c, "_mask", None) is not None:
+            return np.asarray(c._include_view(())) & \
+                np.isfinite(np.asarray(c.unmasked_data[:].value))
+        return np.isfinite(np.asarray(c.unmasked_data[:].value))
+
+    if isinstance(cube, StokesSpectralCube):
+        inc_np = np.stack([_inc(cube[c]) for c in comps], axis=0)
+    else:
+        inc_np = _inc(cube)[None]
+    if with_stokes:
+        valid = np.ascontiguousarray(np.swapaxes(inc_np, 0, 1))
+    else:
+        valid = np.ascontiguousarray(inc_np[0])
     if tile_shape is not None:
         bits = _encode_tiles(valid, casa_shape, list(tile_shape), TP_BOOL)
     else:
@@ -483,11 +510,22 @@ def write_casa_image(cube, dirname, overwrite=False, tile_shape=None,
     return dirname
 
 
-def _imageinfo(ref):
+def _imageinfo(ref, stokes_cube=None):
     info = {"imagetype": "Intensity",
             "objectname": str(ref.meta.get("OBJECT", ""))}
     beams = getattr(ref, "unmasked_beams", None)
-    if beams is not None:
+    if stokes_cube is not None and beams is not None:
+        # stokes-major per-plane beams: key = *{istokes*nchan + chan}
+        comps = stokes_cube.components
+        nchan = len(beams)
+        pp = {"nChannels": nchan, "nStokes": len(comps)}
+        for s, name in enumerate(comps):
+            comp_beams = getattr(stokes_cube[name], "unmasked_beams",
+                                 beams)
+            for c, b in enumerate(comp_beams):
+                pp[f"*{s * nchan + c}"] = _beam_record(b)
+        info["perplanebeams"] = pp
+    elif beams is not None:
         pp = {"nChannels": len(beams), "nStokes": 1}
         for i, b in enumerate(beams):
             pp[f"*{i}"] = _beam_record(b)

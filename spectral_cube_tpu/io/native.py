@@ -76,6 +76,11 @@ def decode_payload(path, offset, count, bitpix, bscale=1.0, bzero=0.0,
     if out_dtype is None:
         out_dtype = np.float64 if bitpix == -64 else np.float32
     out_dtype = np.dtype(out_dtype)
+    if out_dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+        # the C++ writer emits exactly count*4 or count*8 bytes; any
+        # other out_dtype would overflow or underfill the numpy buffer
+        raise ValueError(
+            f"decode_payload writes float32/float64, got {out_dtype}")
     lib = _load() if count >= _MIN_NATIVE_ELEMENTS else None
     if lib is not None:
         out = np.empty(count, dtype=out_dtype)
@@ -172,5 +177,9 @@ def native_stats_f32(arr: np.ndarray, nthreads=0):
     out = np.empty(5, dtype=np.float64)
     lib.fits_stats_f32(arr.ctypes.data_as(ctypes.c_void_p), arr.size,
                        out.ctypes.data_as(ctypes.c_void_p), int(nthreads))
+    if out[0] == 0:
+        # no finite values: NaN extrema, not the +-1e300 fold sentinels
+        return {"npts": 0, "min": np.nan, "max": np.nan,
+                "sum": 0.0, "sumsq": 0.0}
     return {"npts": int(out[0]), "min": out[1], "max": out[2],
             "sum": out[3], "sumsq": out[4]}

@@ -225,7 +225,7 @@ def test_make_casa_mask(tmp_path, cube_adv):
     cube, data = cube_adv
     masked = cube.with_mask(cube > 0.5 * u.Jy / u.beam)
     out = str(tmp_path / "mask.image")
-    make_casa_mask(masked, out)
+    make_casa_mask(masked, out, append_to_image=False)
     back = SpectralCube.read(out)
     vals = np.asarray(back.unmasked_data[:].value)
     expected = (np.isfinite(data) & (data > 0.5)).astype(float)
@@ -354,4 +354,109 @@ def test_casa_3axis_image_roundtrip_and_append_mask(tmp_path, cube_adv):
     # the per-channel masks must differ across channels (the old bug
     # repeated channel 0 everywhere)
     assert not np.array_equal(expected[0], expected[1])
+    np.testing.assert_array_equal(inc, expected)
+
+
+def test_casa_pc_matrix_serialized_column_major(tmp_path, cube_adv):
+    """The pc record must serialize in casacore's Fortran (column-major)
+    layout with dims as-is.  Roundtrip tests can't see this (a transpose
+    on write cancels a transpose on read), so pin the BYTES: for
+    pc = [[c, -s], [s, c]] the payload must read c, s, -s, c."""
+    import struct
+    import spectral_cube_tpu.io.fits_low as fl
+    from spectral_cube_tpu.io.casa_writer import write_casa_image
+
+    cube, data = cube_adv
+    h = cube.header.copy()
+    c, s = np.cos(np.radians(30.0)), np.sin(np.radians(30.0))
+    h["PC1_1"] = c
+    h["PC1_2"] = -s
+    h["PC2_1"] = s
+    h["PC2_2"] = c
+    p = str(tmp_path / "rot.fits")
+    fl.write_fits(p, [fl.HDU(data=data, header=h)])
+    rot = SpectralCube.read(p)
+    img = str(tmp_path / "rot.image")
+    write_casa_image(rot, img)
+    raw = open(os.path.join(img, "table.dat"), "rb").read()
+    tag = b"Array<double>"
+    found = None
+    i = raw.find(tag)
+    while i != -1:
+        # block: u32 len + str + u32 ver + u32 ndim + dims + u32 nel
+        j = i + len(tag)
+        ver, ndim = struct.unpack(">II", raw[j:j + 8])
+        if ndim == 2:
+            d0, d1, nel = struct.unpack(">III", raw[j + 8:j + 20])
+            if (d0, d1, nel) == (2, 2, 4):
+                vals = struct.unpack(">4d", raw[j + 20:j + 52])
+                if abs(vals[0] - c) < 1e-12 and \
+                        any(abs(v - s) < 1e-12 for v in vals):
+                    found = vals
+                    break
+        i = raw.find(tag, i + 1)
+    assert found is not None, "pc Array<double> record not found"
+    # column-major of [[c, -s], [s, c]]: c, s, -s, c
+    np.testing.assert_allclose(found, [c, s, -s, c], atol=1e-12)
+    # and the full roundtrip preserves the rotation SENSE
+    back = SpectralCube.read(img)
+    np.testing.assert_allclose(np.asarray(back.wcs.pc[:2, :2]),
+                               np.asarray(rot.wcs.pc[:2, :2]), atol=1e-12)
+
+
+def test_casa_multistokes_per_plane_beams_roundtrip(tmp_path):
+    """Per-plane beams in a multi-Stokes image are stokes-major
+    (*{istokes*nchan+chan}, reference casa_image.py:116-127): each
+    component must get ITS OWN beams, not Stokes I's."""
+    import warnings
+    from conftest import make_vr_cube_file
+    from spectral_cube_tpu import SpectralCube, Beams, StokesSpectralCube
+    from spectral_cube_tpu.io.casa_writer import write_casa_image
+    from spectral_cube_tpu.units import Quantity
+
+    pv, _ = make_vr_cube_file(tmp_path, shape=(4, 8, 8))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vr_i = SpectralCube.read(str(pv))
+        majs = np.asarray(vr_i.unmasked_beams.major.to("arcsec").value)
+        vr_q = vr_i.with_beams(Beams(major=Quantity(majs * 2.0, "arcsec")))
+    sc = StokesSpectralCube({"I": vr_i, "Q": vr_q})
+    img = str(tmp_path / "iq.image")
+    write_casa_image(sc, img)
+    back = SpectralCube.read(img)
+    bi = np.asarray(back["I"].unmasked_beams.major.to("arcsec").value)
+    bq = np.asarray(back["Q"].unmasked_beams.major.to("arcsec").value)
+    np.testing.assert_allclose(bi, majs, rtol=1e-6)
+    np.testing.assert_allclose(bq, majs * 2.0, rtol=1e-6)
+
+
+def test_casa_write_preserves_mask_with_finite_fill(tmp_path, cube_adv):
+    """mask0 comes from the INCLUDE mask: with a finite fill value the
+    old isfinite(filled) marked masked voxels valid (silently dropping
+    the mask on every write)."""
+    from spectral_cube_tpu.io.casa_writer import write_casa_image
+    cube, data = cube_adv
+    masked = cube.with_mask(cube > 0.5 * u.Jy / u.beam).with_fill_value(0.0)
+    img = str(tmp_path / "ff.image")
+    write_casa_image(masked, img)
+    back = SpectralCube.read(img)
+    inc = np.asarray(back.mask.include())
+    expected = np.isfinite(data) & (data > 0.5)
+    np.testing.assert_array_equal(inc, expected)
+
+
+def test_casa_append_mask_updates_defaultmask(tmp_path, cube_adv):
+    """Appending a mask updates Image_defaultmask (the reference's
+    ia.maskhandler('set') step) so it wins over a pre-existing mask0."""
+    from spectral_cube_tpu.io.casa_masks import make_casa_mask
+    from spectral_cube_tpu.io.casa_writer import write_casa_image
+    cube, data = cube_adv
+    img = str(tmp_path / "keepmask0.image")
+    write_casa_image(cube, img)   # mask0 = isfinite stays in place
+    masked = cube.with_mask(cube > 0.5 * u.Jy / u.beam)
+    make_casa_mask(masked, str(tmp_path / "newm"), append_to_image=True,
+                   img=img)
+    back = SpectralCube.read(img)
+    inc = np.asarray(back.mask.include())
+    expected = np.isfinite(data) & (data > 0.5)
     np.testing.assert_array_equal(inc, expected)

@@ -531,3 +531,40 @@ def test_find_image_hdu_skips_dataless_primary(tmp_path):
     write_fits(p, [HDU(data=None, header=Header()), bt])
     with pytest.raises(FITSReadError):
         _find_image_hdu(read_fits(p))
+
+
+def test_truncated_fits_payload_no_crash(tmp_path):
+    """A payload shorter than the header promises must fail over to the
+    numpy path (which raises cleanly) — the native mmap previously read
+    past EOF, which is a SIGBUS process kill."""
+    from spectral_cube_tpu.io import native as natmod
+    h = Header()
+    h["BSCALE"] = 2.0  # force the scaled/native decode path
+    data = np.arange(2 ** 21, dtype="i2").reshape(1, -1)
+    p = str(tmp_path / "trunc.fits")
+    write_fits(p, [HDU(data=data, header=h)])
+    size = os.path.getsize(p)
+    with open(p, "r+b") as f:
+        f.truncate(size - 4096)
+    # direct native call: must return gracefully (numpy fallback raises
+    # ValueError or returns short), never SIGBUS
+    try:
+        out = natmod.decode_payload(p, 2880, 2 ** 21, 16, bscale=2.0)
+        assert len(out) <= 2 ** 21
+    except ValueError:
+        pass
+
+
+def test_native_stats_all_nan_and_inf(tmp_path):
+    """npts counts FINITE values only (inf excluded), and an all-NaN
+    array reports NaN extrema instead of the +-1e300 fold sentinels."""
+    from spectral_cube_tpu.io.native import native_stats_f32
+    arr = np.array([1.0, np.inf, -np.inf, np.nan, 3.0], dtype=np.float32)
+    st = native_stats_f32(np.ascontiguousarray(arr))
+    if st is None:
+        pytest.skip("native library unavailable")
+    assert st["npts"] == 2
+    assert st["min"] == 1.0 and st["max"] == 3.0
+    assert st["sum"] == 4.0
+    st2 = native_stats_f32(np.full(8, np.nan, dtype=np.float32))
+    assert st2["npts"] == 0 and np.isnan(st2["min"]) and np.isnan(st2["max"])
