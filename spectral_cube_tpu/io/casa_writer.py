@@ -229,23 +229,26 @@ def _encode_tiles(arr_np, casa_shape, tile_shape, dtype_code):
     padded = [nt * t for nt, t in zip(ntiles, tile_shape)][::-1]
     pads = [(0, p - s) for p, s in zip(padded, arr_np.shape)]
     arrp = np.pad(arr_np, pads)
-    chunks = []
-    for flat in range(int(np.prod(ntiles))):
-        rem = flat
-        casa_idx = []
-        for n in ntiles:
-            casa_idx.append(rem % n)
-            rem //= n
-        np_idx = casa_idx[::-1]
-        sl = tuple(slice(i * t, (i + 1) * t)
-                   for i, t in zip(np_idx, np_tile))
-        tile = arrp[sl].ravel()
-        if dtype_code == TP_BOOL:
-            chunks.append(np.packbits(tile.astype("u1"),
-                                      bitorder="little").tobytes())
-        else:
-            chunks.append(tile.astype(">f4").tobytes())
-    return b"".join(chunks)
+    # vectorized tile re-layout (the per-tile Python loop took minutes
+    # and 3x transient memory for realistically-tiled near-4-GiB cubes):
+    # split every np axis into (grid, tile) pairs, bring the grid axes to
+    # the front — grid C-order over the reversed-casa axes IS the casa
+    # Fortran tile traversal, and each tile C-ravels in np order exactly
+    # like arrp[sl].ravel() did.
+    n = arrp.ndim
+    split = []
+    for g, t in zip(ntiles[::-1], np_tile):
+        split.extend([g, t])
+    interleaved = arrp.reshape(split)
+    perm = list(range(0, 2 * n, 2)) + list(range(1, 2 * n, 2))
+    tiles2d = interleaved.transpose(perm).reshape(
+        int(np.prod(ntiles)), int(np.prod(np_tile)))
+    if dtype_code == TP_BOOL:
+        # per-tile bit packing: packbits(axis=1) pads each TILE to a
+        # byte boundary, matching the reader's per-tile layout
+        return np.packbits(tiles2d.astype("u1"), axis=1,
+                           bitorder="little").tobytes()
+    return np.ascontiguousarray(tiles2d, dtype=">f4").tobytes()
 
 
 def _write_tsm(dirpath, colname, data_casa_shape, payload, dtype_code,

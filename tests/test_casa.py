@@ -460,3 +460,42 @@ def test_casa_append_mask_updates_defaultmask(tmp_path, cube_adv):
     inc = np.asarray(back.mask.include())
     expected = np.isfinite(data) & (data > 0.5)
     np.testing.assert_array_equal(inc, expected)
+
+
+def test_encode_tiles_vectorized_matches_loop():
+    """The vectorized tile re-layout is byte-identical to the per-tile
+    loop it replaced, including ragged edges and per-tile bit packing."""
+    from spectral_cube_tpu.io.casa_writer import _encode_tiles
+    from spectral_cube_tpu.io.casa_low import TP_BOOL, TP_FLOAT
+
+    def loop(arr_np, casa_shape, tile_shape, dtype_code):
+        ntiles = [-(-c // t) for c, t in zip(casa_shape, tile_shape)]
+        np_tile = tile_shape[::-1]
+        padded = [nt * t for nt, t in zip(ntiles, tile_shape)][::-1]
+        pads = [(0, p - s) for p, s in zip(padded, arr_np.shape)]
+        arrp = np.pad(arr_np, pads)
+        chunks = []
+        for flat in range(int(np.prod(ntiles))):
+            rem, casa_idx = flat, []
+            for n in ntiles:
+                casa_idx.append(rem % n)
+                rem //= n
+            sl = tuple(slice(i * t, (i + 1) * t)
+                       for i, t in zip(casa_idx[::-1], np_tile))
+            tile = arrp[sl].ravel()
+            if dtype_code == TP_BOOL:
+                chunks.append(np.packbits(tile.astype("u1"),
+                                          bitorder="little").tobytes())
+            else:
+                chunks.append(tile.astype(">f4").tobytes())
+        return b"".join(chunks)
+
+    rng = np.random.RandomState(0)
+    for casa_shape, tile in [([7, 5, 3, 11], [4, 2, 2, 3]),
+                             ([9, 6, 5], [4, 4, 2])]:
+        arr = rng.rand(*casa_shape[::-1]).astype("f4")
+        assert _encode_tiles(arr, casa_shape, tile, TP_FLOAT) == \
+            loop(arr, casa_shape, tile, TP_FLOAT)
+        ab = arr > 0.5
+        assert _encode_tiles(ab, casa_shape, tile, TP_BOOL) == \
+            loop(ab, casa_shape, tile, TP_BOOL)
