@@ -977,7 +977,10 @@ class BaseSpectralCube:
                 + np.cos(lat1) * np.cos(lat2) * cdlon
             return np.arctan2(np.hypot(num1, num2), den)
 
-        dx = angsep(lon[:, :-1], lat[:, :-1], lon[:, 1:], lat[:, :-1])
+        # NOTE both coordinates advance: under a rotated PC matrix the
+        # lat changes along x too (reusing lat[:, :-1] measured only the
+        # longitude component of the step)
+        dx = angsep(lon[:, :-1], lat[:, :-1], lon[:, 1:], lat[:, 1:])
         dy = angsep(lon[:-1, :], lat[:-1, :], lon[1:, :], lat[1:, :])
         ny, nx = lon.shape
         x_off = np.zeros((ny, nx))

@@ -48,7 +48,11 @@ def is_data_local(mask) -> bool:
     """
     if mask is None:
         return True
-    if isinstance(mask, (LazyMask, LazyComparisonMask)):
+    if isinstance(mask, LazyComparisonMask):
+        # array-valued thresholds (per-channel cuts) are positional, not
+        # per-voxel: a Pallas block would compare against the wrong slice
+        return np.ndim(mask._comparison_value) == 0
+    if isinstance(mask, LazyMask):
         return True
     if isinstance(mask, InvertedMask):
         return is_data_local(mask._mask)
@@ -497,13 +501,23 @@ class LazyComparisonMask(MaskBase):
         if d is None:
             raise ValueError("mask has no bound data and none was given")
         sub = d if trivial_view(view) else d[view]
-        return self._function(sub, self._comparison_value)
+        cv = self._comparison_value
+        if np.ndim(cv) > 0 and not trivial_view(view):
+            # array-valued thresholds (per-channel cuts) are positional:
+            # slice them in lockstep with the data view
+            cv = np.broadcast_to(np.asarray(cv), np.shape(d))[view]
+        return self._function(sub, cv)
 
     def __getitem__(self, view):
         new_shape = view_shape(self._shape, view) \
             if self._shape is not None else None
+        cv = self._comparison_value
+        if np.ndim(cv) > 0 and self._shape is not None \
+                and not trivial_view(view):
+            cv = np.ascontiguousarray(
+                np.broadcast_to(np.asarray(cv), self._shape)[view])
         return LazyComparisonMask(
-            self._function, self._comparison_value,
+            self._function, cv,
             data=self._data[view] if self._data is not None else None,
             wcs=self._wcs, shape=new_shape)
 

@@ -332,7 +332,10 @@ class WCS:
         m = cel.pixel_scale_matrix
         for i in range(2):
             m[i] = m[i] * cel.cunit[i].to(Unit.parse("deg"))
-        return np.sqrt((m ** 2).sum(axis=1))
+        # per-PIXEL-axis scale = COLUMN norm (the world displacement of a
+        # unit pixel step is matrix column j), matching astropy; the row
+        # norm is only equal for diagonal/equal-scale matrices
+        return np.sqrt((m ** 2).sum(axis=0))
 
     # ------------------------------------------------------------------
     # transforms

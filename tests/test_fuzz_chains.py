@@ -57,6 +57,21 @@ def _menu(rng):
         lambda c: c.spectral_slab(c.spectral_axis[1], c.spectral_axis[-2]),
         lambda c: c.reproject(c.header),
         lambda c: c.flattened() is not None and c,
+        # negative slice bounds (late-round fix: crpix shifted wrongly)
+        lambda c: c[-max(3, c.shape[0] - 1):],
+        lambda c: c[:, -3:, :],
+        # per-channel (array-valued) comparison threshold
+        lambda c: c.with_mask(c > Quantity(
+            rng.normal(0.3, 0.1, (c.shape[0], 1, 1)), c.unit)),
+        # FunctionMask survives slicing (late-round fix); per the
+        # reference contract the function must apply the view itself
+        lambda c: c.with_mask(__import__(
+            "spectral_cube_tpu").FunctionMask(
+                lambda d, wcs=None, view=():
+                np.asarray(d)[view if view else ()] > 0.2)),
+        lambda c: c.spectral_slab(c.spectral_axis[-2],
+                                  c.spectral_axis[1]),
+        lambda c: abs(c) ** 1.0,
     ]
 
 

@@ -389,3 +389,24 @@ def test_exclude_routes_wcs_like_include(cube_adv):
     inc = np.asarray(fm.include(data=data, wcs=cube.wcs))
     exc = np.asarray(fm.exclude(data=data, wcs=cube.wcs))
     np.testing.assert_array_equal(exc, ~inc)
+
+
+def test_array_threshold_mask_slices_with_view(cube_adv):
+    """Array-valued comparison thresholds (per-channel cuts) are
+    positional: slicing the cube must slice the threshold in lockstep
+    (regression: the full-shape threshold broadcast against the sliced
+    data and crashed, or silently compared the wrong channels)."""
+    from spectral_cube_tpu.units import Quantity
+    cube, data = cube_adv
+    thr = np.array([0.1, 0.3, 0.5, 0.7])[:, None, None]
+    masked = cube.with_mask(cube > Quantity(thr, cube.unit))
+    sub = masked[1:3]
+    got = np.asarray(sub.filled_data[:].value)
+    expected = np.where(np.isfinite(data[1:3]) & (data[1:3] > thr[1:3]),
+                        data[1:3], np.nan)
+    np.testing.assert_allclose(got, expected, equal_nan=True, rtol=1e-6)
+    # filled_data with a non-trivial view on the UNSLICED cube too
+    got2 = np.asarray(masked.filled_data[2:4, :, :].value)
+    expected2 = np.where(np.isfinite(data[2:4]) & (data[2:4] > thr[2:4]),
+                         data[2:4], np.nan)
+    np.testing.assert_allclose(got2, expected2, equal_nan=True, rtol=1e-6)

@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import pytest
 
 import spectral_cube_tpu.units as u
-from spectral_cube_tpu import SpectralCube, Quantity
+from spectral_cube_tpu import (SpectralCube, Quantity,
+                               BooleanArrayMask)
 from spectral_cube_tpu.masks import LazyComparisonMask
 from spectral_cube_tpu.ops.moments import (moments_012, moments_012_pallas,
                                            moment_generic, SIGMA2FWHM)
@@ -106,8 +107,11 @@ def test_gaussian_cube_recovers_parameters(tmp_path):
     assert np.allclose(np.asarray(m1.value), 0.0, atol=0.05)
     # discrete second moment of a truncated gaussian: close to sigma
     assert np.allclose(np.asarray(lw.value), 8.0, rtol=0.05)
+    # INDEPENDENT constant 2*sqrt(2 ln 2) — comparing against the
+    # implementation's own SIGMA2FWHM would pass for any wrong value
     assert np.allclose(np.asarray(fwhm.value),
-                       np.asarray(lw.value) * SIGMA2FWHM, rtol=1e-6)
+                       np.asarray(lw.value) * 2.3548200450309493,
+                       rtol=1e-6)
 
 
 def test_cube_moment_units_and_wcs(cube_adv):
@@ -153,17 +157,112 @@ def test_moment_spatial_axis(cube_adv):
     cube, data = cube_adv
     m0y = cube.moment0(axis=1)
     assert m0y.shape == (cube.shape[0], cube.shape[2])
+    # value check with the literal header pixel scale (deg): the y-offset
+    # branch of _moment_coords was previously shape-checked only
+    dy = 5.55555561268e-4
+    expected = np.nansum(data, axis=1) * dy
+    allnan = np.all(~np.isfinite(data), axis=1)
+    expected = np.where(allnan, np.nan, expected)
+    np.testing.assert_allclose(np.asarray(m0y.value), expected, rtol=1e-5,
+                               equal_nan=True)
 
 
 def test_moment_along_lon_axis(cube_adv):
     cube, data = cube_adv
     m0x = cube.moment0(axis=2)
     assert m0x.shape == (cube.shape[0], cube.shape[1])
-    # dx along lon is the celestial pixel scale in degrees
-    from spectral_cube_tpu.units import Quantity
-    dx = abs(cube.wcs.proj_plane_pixel_scales()[0])
+    # dx along lon: the LITERAL header value (5.55555561268e-4 deg) —
+    # calling proj_plane_pixel_scales() here would be circular with the
+    # implementation (cube.py _moment_coords)
+    dx = 5.55555561268e-4
     expected = np.nansum(data, axis=2) * dx
     allnan = np.all(~np.isfinite(data), axis=2)
     expected = np.where(allnan, np.nan, expected)
     np.testing.assert_allclose(np.asarray(m0x.value), expected, rtol=1e-5,
                                equal_nan=True)
+
+
+def test_masked_moment12_nondatalocal_mask_oracle(cube_adv):
+    """Masked moment1/2 through the cube plumbing with a
+    BooleanArrayMask (NOT a data-local comparison): values against the
+    independent float64 oracle, absolute spectral offset included."""
+    cube, data = cube_adv
+    rng = np.random.RandomState(3)
+    inc = rng.rand(*cube.shape) > 0.3
+    masked = cube.with_mask(BooleanArrayMask(inc, wcs=cube.wcs,
+                                             shape=cube.shape))
+    sv = np.asarray(cube.spectral_axis.value)
+    w = np.where(np.isfinite(data) & inc, data, np.nan)
+    dx = abs(sv[1] - sv[0])
+    e0 = np.nansum(w, axis=0) * dx
+    allnan = np.all(~np.isfinite(w), axis=0)
+    e0 = np.where(allnan, np.nan, e0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        e1 = np.nansum(w * sv[:, None, None], axis=0) / np.nansum(w, axis=0)
+        e2 = np.nansum(w * (sv[:, None, None] - e1) ** 2, axis=0) \
+            / np.nansum(w, axis=0)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        m0 = np.asarray(masked.moment0().value)
+        m1 = np.asarray(masked.moment1().value)
+        m2 = np.asarray(masked.moment2().value)
+    np.testing.assert_allclose(m0, e0, rtol=2e-5, equal_nan=True)
+    sel = np.isfinite(e1) & np.isfinite(m1)
+    np.testing.assert_allclose(m1[sel], e1[sel], rtol=2e-4)
+    sel2 = np.isfinite(e2) & np.isfinite(m2) & (e2 > 1e-3)
+    np.testing.assert_allclose(m2[sel2], e2[sel2], rtol=1e-3)
+
+
+def test_spatial_moment_rotated_wcs_unequal_scales(tmp_path):
+    """Spatial moments under a ROTATED PC matrix with unequal pixel
+    scales, against an independent spherical-separation oracle (every
+    other fixture is axis-aligned with |CDELT1| == |CDELT2|, so a
+    transposed pixel_scale_matrix or wrong-axis index was invisible)."""
+    import spectral_cube_tpu.io.fits_low as fl
+    from conftest import base_header
+
+    rng = np.random.RandomState(7)
+    nchan, ny, nx = 3, 10, 12
+    data = rng.rand(nchan, ny, nx)
+    h = base_header(nx=nx, ny=ny, nchan=nchan)
+    h["CDELT1"] = -2.0e-4
+    h["CDELT2"] = 3.0e-4
+    r = np.radians(25.0)
+    h["PC1_1"] = np.cos(r)
+    h["PC1_2"] = -np.sin(r)
+    h["PC2_1"] = np.sin(r)
+    h["PC2_2"] = np.cos(r)
+    p = str(tmp_path / "rot.fits")
+    fl.write_fits(p, [fl.HDU(data=data, header=h)])
+    cube = SpectralCube.read(p)
+
+    def sep(lon1, lat1, lon2, lat2):
+        """Great-circle separation [deg] (haversine, independent of the
+        WCS pixel-scale machinery)."""
+        p1, p2 = np.radians(lat1), np.radians(lat2)
+        dl = np.radians(lon2 - lon1)
+        dp = p2 - p1
+        a = np.sin(dp / 2) ** 2 + np.cos(p1) * np.cos(p2) \
+            * np.sin(dl / 2) ** 2
+        return np.degrees(2 * np.arcsin(np.sqrt(np.clip(a, 0, 1))))
+
+    _, lat, lon = (np.asarray(q.value) for q in cube.world[0, :, :])
+    # pixel scale along x from adjacent-pixel separations
+    dx_har = sep(lon[:, :-1], lat[:, :-1], lon[:, 1:], lat[:, 1:])
+    dx = float(dx_har.mean())
+    assert dx_har.std() / dx < 1e-3  # flat field: separations uniform
+    # the WCS's own pixel scale agrees with the independent construction
+    np.testing.assert_allclose(
+        abs(cube.wcs.proj_plane_pixel_scales()[0]), dx, rtol=1e-6)
+    m0x = np.asarray(cube.moment0(axis=2).value)
+    e0 = np.nansum(data, axis=2) * dx
+    np.testing.assert_allclose(m0x, e0, rtol=1e-4)
+    # moment1 along x: intensity-weighted mean of the CUMULATIVE
+    # separations from column 0 (the reference _pix_cen definition)
+    x_off = np.concatenate([np.zeros((ny, 1)),
+                            np.cumsum(dx_har, axis=1)], axis=1)
+    e1 = (np.nansum(data * x_off[None], axis=2)
+          / np.nansum(data, axis=2))
+    m1x = np.asarray(cube.moment1(axis=2).value)
+    np.testing.assert_allclose(m1x, e1, rtol=1e-4)

@@ -443,3 +443,32 @@ def test_reshard_generic_path_mesh_unaligned(cmesh):
     b = cmesh.shard(jnp.asarray(data), "spatial")
     out = cmesh.reshard(b, "spectral")
     np.testing.assert_allclose(np.asarray(out), data)
+
+
+def test_reshard_uneven_placement_not_just_roundtrip(cmesh):
+    """The UNEVEN-shape reshard's device placement is asserted directly:
+    a self-inverse roundtrip alone cannot see a symmetric layout bug
+    (e.g. swapped all-to-all axis order in both directions)."""
+    my, mx = cmesh.grid
+    n = cmesh.n_devices
+    # spatially uneven (the pad-exchange-slice path), channel axis even
+    # so the post-crop sharding survives and placement is observable
+    nchan, ny, nx = 2 * n, 4 * my - 1, 4 * mx - 3
+    data = np.arange(nchan * ny * nx, dtype=np.float32).reshape(
+        nchan, ny, nx)
+    out = cmesh.reshard(cmesh.shard(data, "spatial"), "spectral",
+                        source="spatial")
+    got = np.asarray(out)
+    np.testing.assert_array_equal(got[:nchan, :ny, :nx], data)
+    per = nchan // n
+    for sh in out.addressable_shards:
+        iy, ix = np.unravel_index(
+            np.argwhere(cmesh.mesh.devices.ravel() == sh.device)[0, 0],
+            (my, mx))
+        blk = iy * mx + ix
+        s0, s1, _ = sh.index[0].indices(nchan)
+        assert (s0, s1) == (blk * per, (blk + 1) * per), \
+            (sh.device, sh.index)
+        local = np.asarray(sh.data)
+        np.testing.assert_array_equal(local[:, :ny, :nx],
+                                      data[blk * per:(blk + 1) * per])
