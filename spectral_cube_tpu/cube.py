@@ -409,21 +409,8 @@ class BaseSpectralCube:
         for i, n in enumerate(self.shape[::-1]):
             h[f"NAXIS{i + 1}"] = int(n)
         wcsheader = self._wcs.to_header()
-        # meta keys become header cards before the WCS copy so WCS cards
-        # win on collision (reference base_class.py:83-93); long keys turn
-        # into COMMENT lines
-        for key, val in (self._meta or {}).items():
-            if not isinstance(key, str) or key.lower() == "beam":
-                continue
-            if key.upper() in wcsheader:
-                continue
-            if len(key) <= 8:
-                try:
-                    h[key.upper()] = str(val)
-                except Exception:
-                    pass
-            else:
-                h.add_comment(f"{key}={val}")
+        from .io.fits_low import fold_meta_into_header
+        fold_meta_into_header(h, self._meta, wcsheader)
         h.update(wcsheader)
         if self._unit is not None:
             h["BUNIT"] = self._unit.to_string()
@@ -781,7 +768,8 @@ class BaseSpectralCube:
             kept = [i for i in range(3) if i not in axes][0]
             new_wcs = self._wcs.reindex([2 - kept])
             return LowerDimensionalObject(out, unit=unit, wcs=new_wcs,
-                                          meta=meta)
+                                          meta=meta,
+                                          header=self._nowcs_header)
         new_wcs = self._wcs.dropaxis(2 - axis)
         meta = {"collapse_axis": axis}
         meta.update(self._meta)
@@ -790,9 +778,10 @@ class BaseSpectralCube:
             if beam is not None:
                 meta["beam"] = beam
             return Projection(out, unit=unit, wcs=new_wcs, meta=meta,
-                              beam=beam)
+                              header=self._nowcs_header, beam=beam)
         # collapsing a spatial axis: 2-D [spec, spatial] product
-        return LowerDimensionalObject(out, unit=unit, wcs=new_wcs, meta=meta)
+        return LowerDimensionalObject(out, unit=unit, wcs=new_wcs, meta=meta,
+                                      header=self._nowcs_header)
 
     def sum(self, axis=None, how=None, **kwargs):
         return self._reduce(_red.masked_sum, axis=axis)
@@ -869,7 +858,7 @@ class BaseSpectralCube:
             return Projection(vals, unit=out.unit, wcs=new_wcs, meta=meta,
                               header=self._nowcs_header)
         return LowerDimensionalObject(vals, unit=out.unit, wcs=new_wcs,
-                                      meta=meta)
+                                      meta=meta, header=self._nowcs_header)
 
     def argmax_world(self, axis=0, **kwargs):
         """World coordinate of the maximum along ``axis`` (reference
@@ -1033,12 +1022,14 @@ class BaseSpectralCube:
         with np.errstate(invalid="ignore"):
             vals = np.sqrt(np.asarray(mom2.value))
         return Projection(vals, unit=self.spectral_unit, wcs=mom2.wcs,
-                          meta=mom2.meta, beam=mom2.beam)
+                          meta=mom2.meta, header=mom2._header,
+                          beam=mom2.beam)
 
     def linewidth_fwhm(self, how="auto"):
         sig = self.linewidth_sigma(how=how)
         return Projection(np.asarray(sig.value) * SIGMA2FWHM, unit=sig.unit,
-                          wcs=sig.wcs, meta=sig.meta, beam=sig.beam)
+                          wcs=sig.wcs, meta=sig.meta, header=sig._header,
+                          beam=sig.beam)
 
     # ------------------------------------------------------------------
     # slicing & subcubes (reference spectral_cube.py:1308-1381, 1881-2036)
@@ -1075,15 +1066,18 @@ class BaseSpectralCube:
         arr = np.asarray(self._apply_mask_np(data, view))
         if len(ints) == 1 and ints[0] == 0:
             return Slice(arr, unit=self.unit, wcs=new_wcs, meta=meta,
-                         mask=mask, beam=getattr(self, "beam", None))
+                         mask=mask, header=self._nowcs_header,
+                         beam=getattr(self, "beam", None))
         if len(ints) == 2 and 0 not in ints:
             return self._1d_spectrum(arr, new_wcs, meta, mask)
         return LowerDimensionalObject(arr, unit=self.unit, wcs=new_wcs,
-                                      meta=meta, mask=mask)
+                                      meta=meta, mask=mask,
+                                      header=self._nowcs_header)
 
     def _1d_spectrum(self, arr, wcs, meta, mask):
         return OneDSpectrum(arr, unit=self.unit, wcs=wcs, meta=meta,
-                            mask=mask, beam=getattr(self, "beam", None))
+                            mask=mask, header=self._nowcs_header,
+                            beam=getattr(self, "beam", None))
 
     def _apply_mask_np(self, data, view):
         if self._mask is None:
@@ -2046,7 +2040,7 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
     def _1d_spectrum(self, arr, wcs, meta, mask):
         return VaryingResolutionOneDSpectrum(
             arr, unit=self.unit, wcs=wcs, meta=meta, mask=mask,
-            beams=self._beams)
+            header=self._nowcs_header, beams=self._beams)
 
     @property
     def header(self):

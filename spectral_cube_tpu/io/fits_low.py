@@ -64,7 +64,12 @@ class Header:
                     self[k] = v
 
     def __getitem__(self, key):
-        return self._cards[key.upper()]
+        k = key.upper()
+        if k == "COMMENT":
+            return list(self.comments_log)
+        if k == "HISTORY":
+            return list(self.history)
+        return self._cards[k]
 
     def __setitem__(self, key, value):
         comment = None
@@ -86,7 +91,12 @@ class Header:
         self._comments.pop(key.upper(), None)
 
     def __contains__(self, key):
-        return key.upper() in self._cards
+        k = key.upper()
+        if k == "COMMENT":
+            return bool(self.comments_log)
+        if k == "HISTORY":
+            return bool(self.history)
+        return k in self._cards
 
     def __iter__(self):
         return iter(self._cards)
@@ -95,7 +105,10 @@ class Header:
         return len(self._cards)
 
     def get(self, key, default=None):
-        return self._cards.get(key.upper(), default)
+        k = key.upper()
+        if k in ("COMMENT", "HISTORY"):
+            return self[k] if k in self else default
+        return self._cards.get(k, default)
 
     def pop(self, key, *default):
         self._comments.pop(key.upper(), None)
@@ -130,6 +143,23 @@ class Header:
 
     def __repr__(self):
         return "\n".join(f"{k:8s}= {v!r}" for k, v in self._cards.items())
+
+
+def fold_meta_into_header(header, meta, wcsheader=()):
+    """Copy metadata dict entries into a Header before the WCS cards are
+    applied, so WCS formatting wins on collision (reference
+    base_class.py:80-93): string keys <= 8 chars become cards (value
+    stringified), longer keys become ``key=value`` COMMENT lines."""
+    for key in (meta or {}):
+        if not isinstance(key, str) or key.upper() in wcsheader:
+            continue
+        if len(key) <= 8:
+            try:
+                header[key.upper()] = str(meta[key])
+            except ValueError:
+                pass
+        else:
+            header.add_comment(f"{key}={meta[key]}")
 
 
 _string_re = re.compile(r"^'((?:[^']|'')*)'\s*(?:/\s?(.*))?$")

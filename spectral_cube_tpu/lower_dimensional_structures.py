@@ -52,10 +52,14 @@ class LowerDimensionalObject(Quantity):
 
     @property
     def header(self):
-        from .io.fits_low import Header
+        from .io.fits_low import Header, fold_meta_into_header
         h = Header(self._header) if self._header is not None else Header()
+        wcsheader = self._wcs.to_header() if self._wcs is not None else {}
+        # meta folds in before the WCS copy so WCS cards win on collision
+        # (reference base_class.py:75-96 — LDOs share the cube's mixin)
+        fold_meta_into_header(h, self._meta, wcsheader)
         if self._wcs is not None:
-            h.update(self._wcs.to_header())
+            h.update(wcsheader)
         h["NAXIS"] = self.ndim
         for i, n in enumerate(self.shape[::-1]):
             h[f"NAXIS{i + 1}"] = int(n)

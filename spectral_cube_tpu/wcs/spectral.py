@@ -210,8 +210,13 @@ def _rest_freq_si(wcs: WCS, rest_value=None):
             if pt == "length":
                 return c / float(rest_value.to_value("m"))
             raise UnitConversionError(
-                "rest value must be a frequency or length")
-        return float(rest_value)
+                "Rest value must be specified as an astropy quantity with "
+                "spectral equivalence.")
+        # bare numbers are ambiguous (Hz? m?) — the reference refuses them
+        # (spectral_cube.py:1410-1413, test_invalid_rest)
+        raise ValueError(
+            "Rest value must be specified as an astropy quantity with "
+            "spectral equivalence.")
     if wcs.restfrq:
         return wcs.restfrq
     if wcs.restwav:

@@ -900,3 +900,61 @@ def test_array_valued_comparison_mask_moment(cube_adv):
     got = np.asarray(mm.value) / dx
     np.testing.assert_allclose(np.where(np.isfinite(got), got, np.nan),
                                ref, rtol=1e-5, equal_nan=True)
+
+
+def test_meta_to_header_propagation(cube_adv):
+    """Meta entries become header cards (<=8 chars) or key=value COMMENT
+    lines (>8 chars), and propagate into projection/spectrum headers
+    (reference base_class.py:75-96, test_preserves_header_meta_values)."""
+    cube, _ = cube_adv
+    cube.meta["foo"] = "bar"
+    cube.meta["too_long_keyword"] = "too_long_information"
+    cube._header["OBJECT"] = "TestName"
+    assert cube.header["FOO"] == "bar"
+    assert "too_long_keyword=too_long_information" in str(
+        cube.header["COMMENT"])
+    proj = cube.sum(axis=0)
+    assert proj.header["FOO"] == "bar"
+    assert proj.hdu.header["FOO"] == "bar"
+    assert proj.header["OBJECT"] == "TestName"
+    spec = cube[:, 0, 0]
+    assert spec.header["FOO"] == "bar"
+    assert "too_long_keyword=too_long_information" in str(
+        spec.header["COMMENT"])
+    # meta mutation on the LDO itself is visible in its header too
+    spec.meta["bar"] = "foo"
+    assert spec.header["BAR"] == "foo"
+
+
+def test_invalid_rest_value_raises(cube_adv):
+    """Bare numbers and non-spectral Quantities are refused as rest
+    values (reference spectral_cube.py:1410-1413, test_invalid_rest)."""
+    from spectral_cube_tpu.units import Quantity, Unit
+    cube, _ = cube_adv
+    for rest in (50, Quantity(50, "K")):
+        with pytest.raises(ValueError,
+                           match="spectral equivalence"):
+            cube.with_spectral_unit(Unit.parse("km/s"),
+                                    velocity_convention="radio",
+                                    rest_value=rest)
+
+
+def test_spectral_unit_convention_zero_at_rest(tmp_path):
+    """With rest_value = first channel, all three velocity conventions
+    give exactly 0 km/s there and differ at the next channel (reference
+    test_spectral_unit_conventions)."""
+    from spectral_cube_tpu import SpectralCube
+    from spectral_cube_tpu.units import Unit
+    path, _ = make_cube_file(tmp_path, ctype3="FREQ", cunit3="Hz",
+                             crval3=1.4e9, cdelt3=1e6)
+    cube = SpectralCube.read(path)
+    rest = cube.spectral_axis[0]
+    firsts, seconds = [], []
+    for conv in ("optical", "radio", "relativistic"):
+        cc = cube.with_spectral_unit(Unit.parse("km/s"), rest_value=rest,
+                                     velocity_convention=conv)
+        sv = np.asarray(cc.spectral_axis.value)
+        firsts.append(sv[0])
+        seconds.append(sv[1])
+    np.testing.assert_allclose(firsts, 0, atol=1e-7)
+    assert len({round(v, 9) for v in seconds}) == 3
