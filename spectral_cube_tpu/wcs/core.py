@@ -90,6 +90,22 @@ def _axis_kind(ctype: str) -> str:
 class WCS:
     """A world coordinate system over ``naxis`` FITS axes."""
 
+    def __setattr__(self, name, value):
+        # normalize astropy-style assignments (w.wcs.cdelt = [-1e-4, 1e-4])
+        # so downstream fancy indexing / matmuls see ndarrays, and string
+        # cunits parse to Unit
+        if value is not None:
+            if name in ("crval", "crpix", "cdelt"):
+                value = np.asarray(value, dtype=float)
+            elif name == "pc":
+                value = np.asarray(value, dtype=float)
+            elif name == "ctype":
+                value = [str(v) for v in value]
+            elif name == "cunit":
+                value = [v if isinstance(v, Unit) else Unit.parse(str(v))
+                         for v in value]
+        object.__setattr__(self, name, value)
+
     def __init__(self, naxis=None, header=None):
         if header is not None:
             self._from_header(header, naxis=naxis)
@@ -304,6 +320,14 @@ class WCS:
         parts = self.ctype[self.lon_axis].split("-")
         return parts[-1].upper() if len(parts) > 1 and parts[-1] else ""
 
+    def _deg_factor(self, i) -> float:
+        """CUNITi -> deg factor; a blank celestial CUNIT defaults to deg
+        (FITS WCS Paper I sec 2.3 / wcslib wcsset behavior)."""
+        un = self.cunit[i]
+        if un.dimensionless:
+            return 1.0
+        return un.to("deg")
+
     @property
     def wcs(self):
         """Self-reference so astropy-style ``wcs.wcs.crval`` call sites work."""
@@ -324,14 +348,14 @@ class WCS:
         m = cel.pixel_scale_matrix
         # convert to degrees
         for i in range(2):
-            m[i] = m[i] * cel.cunit[i].to(Unit.parse("deg"))
+            m[i] = m[i] * cel._deg_factor(i)
         return abs(np.linalg.det(m))
 
     def proj_plane_pixel_scales(self) -> np.ndarray:
         cel = self.celestial
         m = cel.pixel_scale_matrix
         for i in range(2):
-            m[i] = m[i] * cel.cunit[i].to(Unit.parse("deg"))
+            m[i] = m[i] * cel._deg_factor(i)
         # per-PIXEL-axis scale = COLUMN norm (the world displacement of a
         # unit pixel step is matrix column j), matching astropy; the row
         # norm is only equal for diagonal/equal-scale matrices
@@ -351,8 +375,8 @@ class WCS:
         code = self.projection_code
         return prj.celestial_pole(
             code,
-            self.crval[self.lon_axis] * self.cunit[self.lon_axis].to("deg"),
-            self.crval[self.lat_axis] * self.cunit[self.lat_axis].to("deg"),
+            self.crval[self.lon_axis] * self._deg_factor(self.lon_axis),
+            self.crval[self.lat_axis] * self._deg_factor(self.lat_axis),
             self.lonpole, self.latpole, pv=self._lat_pv())
 
     def pix2world(self, *pixel_axes, xp=np):
@@ -380,8 +404,8 @@ class WCS:
         # celestial pair
         if self.has_celestial:
             li, bi = self.lon_axis, self.lat_axis
-            x = inter[li] * self.cunit[li].to("deg")
-            y = inter[bi] * self.cunit[bi].to("deg")
+            x = inter[li] * self._deg_factor(li)
+            y = inter[bi] * self._deg_factor(bi)
             code = self.projection_code
             if code == "":
                 world[li] = self.crval[li] + inter[li]
@@ -392,8 +416,8 @@ class WCS:
                 ap, dp, phip = self._celestial_pole()
                 lon, lat = prj.native_to_celestial(phi, theta, ap, dp, phip,
                                                    xp=xp)
-                world[li] = lon / self.cunit[li].to("deg")
-                world[bi] = lat / self.cunit[bi].to("deg")
+                world[li] = lon / self._deg_factor(li)
+                world[bi] = lat / self._deg_factor(bi)
         for i in range(self.naxis):
             if world[i] is not None:
                 continue
@@ -418,15 +442,15 @@ class WCS:
                 inter[li] = wld[li] - self.crval[li]
                 inter[bi] = wld[bi] - self.crval[bi]
             else:
-                lon = wld[li] * self.cunit[li].to("deg")
-                lat = wld[bi] * self.cunit[bi].to("deg")
+                lon = wld[li] * self._deg_factor(li)
+                lat = wld[bi] * self._deg_factor(bi)
                 ap, dp, phip = self._celestial_pole()
                 phi, theta = prj.celestial_to_native(lon, lat, ap, dp, phip,
                                                      xp=xp)
                 x, y = prj.proj_native2xy(code, phi, theta, xp=xp,
                                           pv=self._lat_pv())
-                inter[li] = x / self.cunit[li].to("deg")
-                inter[bi] = y / self.cunit[bi].to("deg")
+                inter[li] = x / self._deg_factor(li)
+                inter[bi] = y / self._deg_factor(bi)
         for i in range(self.naxis):
             if inter[i] is not None:
                 continue

@@ -464,3 +464,44 @@ def test_slice_pixel_shape_fits_order():
     out = w.slice((slice(0, 5), slice(0, 3), slice(0, 2)),
                   shape=(10, 6, 4), numpy_order=False)
     assert out.pixel_shape == (5, 3, 2)
+
+
+def test_manual_wcs_list_assignment_and_blank_cunit():
+    """Hand-built WCS with astropy-style list assignment and blank CUNIT:
+    lists normalize to ndarrays (reindex/celestial use fancy indexing) and
+    blank celestial CUNIT defaults to deg (FITS Paper I sec 2.3; reference
+    tests build such WCSes all over, e.g. test_projection.py:477-533)."""
+    w = WCS(naxis=2)
+    w.wcs.ctype = ['RA---TAN', 'DEC--TAN']
+    w.wcs.cdelt = [-1e-4, 1e-4]
+    w.wcs.crval = [10.0, 20.0]
+    assert isinstance(w.cdelt, np.ndarray)
+    cel = w.celestial            # exercises fancy-index reindex
+    lon, lat = cel.pix2world(np.array([0.0]), np.array([0.0]))
+    np.testing.assert_allclose([lon[0], lat[0]], [10.0, 20.0], atol=1e-9)
+    # string cunit assignment parses to Unit
+    w.wcs.cunit = ['deg', 'deg']
+    lon2, lat2 = w.pix2world(np.array([0.0]), np.array([0.0]))
+    np.testing.assert_allclose([lon2[0], lat2[0]], [10.0, 20.0], atol=1e-9)
+
+
+def test_projection_convolve_and_world_with_manual_wcs():
+    """Projection ops work on a hand-built (headerless) celestial WCS
+    (reference test_projection.py:591-599, :908-941)."""
+    import jax
+    from spectral_cube_tpu import Projection
+    from spectral_cube_tpu.units import Quantity
+    from spectral_cube_tpu.beams import Beam
+    w = WCS(naxis=2)
+    w.wcs.ctype = ['RA---TAN', 'DEC--TAN']
+    w.wcs.cdelt = [-1e-4, 1e-4]
+    data = np.arange(25.0).reshape(5, 5)
+    p = Projection(data, unit="Jy / beam", wcs=w,
+                   beam=Beam(Quantity(1.0, "arcsec"), Quantity(1.0, "arcsec"),
+                             Quantity(0.0, "deg")))
+    out = p.convolve_to(Beam(Quantity(2.0, "arcsec"), Quantity(2.0, "arcsec"),
+                             Quantity(0.0, "deg")))
+    assert isinstance(out, Projection) and out.shape == (5, 5)
+    # flux conserved for Jy/beam under beam-area rescale: peak grows
+    lat, lon = p.world[:]
+    assert np.asarray(lat.value).shape == (5, 5)
