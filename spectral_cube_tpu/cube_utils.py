@@ -306,8 +306,11 @@ def combine_headers(header1, header2):
         nx = int(h["NAXIS1"])
         ny = int(h["NAXIS2"])
         cel = w.celestial
-        xs = np.array([0.0, nx - 1.0, 0.0, nx - 1.0])
-        ys = np.array([0.0, 0.0, ny - 1.0, ny - 1.0])
+        # pixel-EDGE corners so the footprint covers whole pixels (like
+        # reproject.find_optimal_celestial_wcs); center-corner footprints
+        # plus padding grew identical inputs by 2 pixels per axis
+        xs = np.array([-0.5, nx - 0.5, -0.5, nx - 0.5])
+        ys = np.array([-0.5, -0.5, ny - 0.5, ny - 0.5])
         lon, lat = cel.pix2world(xs, ys)
         lons.append(np.asarray(lon))
         lats.append(np.asarray(lat))
@@ -318,12 +321,25 @@ def combine_headers(header1, header2):
     lon_all = (lon_all - lon0 + 180.0) % 360.0 - 180.0 + lon0
     cd = min(abs(w1.cdelt[0]), abs(w2.cdelt[0]))
     cd_lat = min(abs(w1.cdelt[1]), abs(w2.cdelt[1]))
-    pad = 1
-    lon_min, lon_max = lon_all.min(), lon_all.max()
-    lat_min, lat_max = lat_all.min(), lat_all.max()
-    cosd = np.cos(np.deg2rad((lat_min + lat_max) / 2))
-    nx = int(np.ceil((lon_max - lon_min) * cosd / cd)) + 2 * pad
-    ny = int(np.ceil((lat_max - lat_min) / cd_lat)) + 2 * pad
+    # size the grid in the OUTPUT projection plane, not in raw lon/lat
+    # (a lon/lat bounding box mis-sizes by ~dec-span * tan(dec) pixels):
+    # anchor a candidate WCS at the rough footprint center and take the
+    # extent of all corner pixels through it, like
+    # reproject.find_optimal_celestial_wcs does
+    tmp = WCS(naxis=2)
+    tmp.ctype = [w1.ctype[0], w1.ctype[1]]
+    tmp.crval = np.array([(lon_all.min() + lon_all.max()) / 2,
+                          (lat_all.min() + lat_all.max()) / 2])
+    tmp.cdelt = np.array([-cd, cd_lat])
+    tmp.crpix = np.array([1.0, 1.0])
+    tmp.cunit = [Unit.parse("deg"), Unit.parse("deg")]
+    px, py = (np.asarray(a) for a in tmp.world2pix(lon_all, lat_all))
+    # milli-pixel slack absorbs the real projection-distortion residue of
+    # re-centering the footprints (~1e-4 px for arcmin fields), so inputs
+    # that tile an existing grid reproduce its pixel count exactly; a
+    # genuinely larger footprint still rounds up
+    nx = max(1, int(np.ceil(px.max() - px.min() - 1e-3)))
+    ny = max(1, int(np.ceil(py.max() - py.min() - 1e-3)))
     out = Header()
     for key in ("NAXIS3", "CTYPE3", "CRVAL3", "CDELT3", "CRPIX3", "CUNIT3",
                 "RESTFRQ", "SPECSYS", "BUNIT"):
@@ -336,10 +352,11 @@ def combine_headers(header1, header2):
     out["CTYPE2"] = w1.ctype[1]
     out["CUNIT1"] = "deg"
     out["CUNIT2"] = "deg"
-    out["CRVAL1"] = (lon_min + lon_max) / 2
-    out["CRVAL2"] = (lat_min + lat_max) / 2
+    out["CRVAL1"] = float(tmp.crval[0])
+    out["CRVAL2"] = float(tmp.crval[1])
     out["CDELT1"] = -cd
     out["CDELT2"] = cd_lat
-    out["CRPIX1"] = nx / 2 + 0.5
-    out["CRPIX2"] = ny / 2 + 0.5
+    # first output pixel center sits half a pixel inside the min corner
+    out["CRPIX1"] = 1.0 - (float(px.min()) + 0.5)
+    out["CRPIX2"] = 1.0 - (float(py.min()) + 0.5)
     return out

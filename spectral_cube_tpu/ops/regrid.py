@@ -50,7 +50,7 @@ def _bilinear_spatial_then_linear_z(data, zs, ys, xs, order):
     nz = zs.shape[0]
     ny, nx = ys.shape
 
-    zvalid = np.isfinite(zs) & (zs >= -1e-6) & (zs <= nchan_in - 1 + 1e-6)
+    zvalid = np.isfinite(zs) & (zs >= -1e-3) & (zs <= nchan_in - 1 + 1e-3)
     zc = np.clip(np.nan_to_num(zs), 0, nchan_in - 1)
     z0 = np.clip(zc.astype(np.int32), 0, nchan_in - 2) \
         if nchan_in > 1 else np.zeros(nz, np.int32)
@@ -59,8 +59,8 @@ def _bilinear_spatial_then_linear_z(data, zs, ys, xs, order):
         z0 = np.clip(np.round(zc).astype(np.int32), 0, nchan_in - 1)
         zf = jnp.zeros((nz, 1, 1), jnp.float32)
 
-    yvalid = np.isfinite(ys) & (ys >= -1e-6) & (ys <= ny_in - 1 + 1e-6)
-    xvalid = np.isfinite(xs) & (xs >= -1e-6) & (xs <= nx_in - 1 + 1e-6)
+    yvalid = np.isfinite(ys) & (ys >= -1e-3) & (ys <= ny_in - 1 + 1e-3)
+    xvalid = np.isfinite(xs) & (xs >= -1e-3) & (xs <= nx_in - 1 + 1e-3)
     ycl = np.clip(np.nan_to_num(ys), 0, ny_in - 1)
     xcl = np.clip(np.nan_to_num(xs), 0, nx_in - 1)
     if order == 0:
@@ -204,8 +204,8 @@ def convolve_reproject_separable(data, kernel, ys, xs):
                                 / np.asarray(kernel, dtype=np.float64).sum())
     if factors is None:
         return None
-    yvalid = np.isfinite(ys) & (ys >= -1e-6) & (ys <= ny_in - 1 + 1e-6)
-    xvalid = np.isfinite(xs) & (xs >= -1e-6) & (xs <= nx_in - 1 + 1e-6)
+    yvalid = np.isfinite(ys) & (ys >= -1e-3) & (ys <= ny_in - 1 + 1e-3)
+    xvalid = np.isfinite(xs) & (xs >= -1e-3) & (xs <= nx_in - 1 + 1e-3)
     ycl = np.clip(np.nan_to_num(ys), 0, ny_in - 1)
     xcl = np.clip(np.nan_to_num(xs), 0, nx_in - 1)
     y0 = np.clip(ycl.astype(np.int64), 0, max(ny_in - 2, 0))

@@ -470,19 +470,39 @@ class WCS:
             pix.append(acc + self.crpix[j] - 1.0)
         return pix
 
-    # astropy-compatible aliases operating on stacked coordinate arrays
-    def wcs_pix2world(self, coords, origin=0):
-        coords = np.atleast_2d(np.asarray(coords, dtype=float))
-        cols = [coords[:, i] - origin for i in range(self.naxis)]
-        out = self.pix2world(*cols)
-        return np.stack([np.asarray(o, dtype=float) for o in out], axis=-1)
+    # astropy-compatible aliases: either one stacked (N, naxis) array +
+    # origin, or naxis per-axis scalars/arrays + origin (astropy's two
+    # calling conventions); per-axis input returns per-axis outputs
+    def _axis_args(self, args):
+        if len(args) == self.naxis + 1:
+            origin = args[-1]
+            cols = [np.atleast_1d(np.asarray(a, dtype=float))
+                    for a in args[:-1]]
+            scalar = all(np.ndim(a) == 0 for a in args[:-1])
+            return cols, origin, scalar
+        if len(args) > 2:
+            raise TypeError(
+                f"expected a stacked (N, {self.naxis}) array + origin or "
+                f"{self.naxis} per-axis arrays + origin")
+        coords = np.atleast_2d(np.asarray(args[0], dtype=float))
+        origin = args[1] if len(args) == 2 else 0
+        return [coords[:, i] for i in range(self.naxis)], origin, None
 
-    def wcs_world2pix(self, coords, origin=0):
-        coords = np.atleast_2d(np.asarray(coords, dtype=float))
-        cols = [coords[:, i] for i in range(self.naxis)]
+    def wcs_pix2world(self, *args):
+        cols, origin, scalar = self._axis_args(args)
+        out = self.pix2world(*[col - origin for col in cols])
+        out = [np.asarray(o, dtype=float) for o in out]
+        if scalar is None:
+            return np.stack(out, axis=-1)
+        return [o[0] if scalar else o for o in out]
+
+    def wcs_world2pix(self, *args):
+        cols, origin, scalar = self._axis_args(args)
         out = self.world2pix(*cols)
-        return np.stack([np.asarray(o, dtype=float) + origin for o in out],
-                        axis=-1)
+        out = [np.asarray(o, dtype=float) + origin for o in out]
+        if scalar is None:
+            return np.stack(out, axis=-1)
+        return [o[0] if scalar else o for o in out]
 
     # ------------------------------------------------------------------
     # spectral axis machinery

@@ -601,3 +601,54 @@ def test_spectral_interp_2d_include_gather_path():
     assert ni[:, 1, 2].all()
     ni[:, 1, 2] = False
     assert not ni.any()
+
+
+def test_mosaic_identity_and_signature(tmp_path):
+    """Mosaicking two overlapping slices of a cube reassembles the exact
+    original grid — shape, alignment, and values (reference
+    test_regrid.test_mosaic_cubes); a previous footprint computation grew
+    the grid by 2 px/axis and dropped edge rows to a too-strict bounds
+    test."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube
+    from spectral_cube_tpu.cube_utils import mosaic_cubes, combine_headers
+    path, data = make_cube_file(tmp_path, shape=(2, 5, 5), with_nan=False)
+    cube = SpectralCube.read(path)
+    part1 = cube[:, :4, :]
+    part2 = cube[:, 2:, :]
+    hdr = combine_headers(part1.header, part2.header)
+    assert (hdr["NAXIS1"], hdr["NAXIS2"]) == (5, 5)
+    for order in ("nearest-neighbor", "bilinear"):
+        res = mosaic_cubes([part1, part2], order=order)
+        assert res.shape == cube.shape
+        np.testing.assert_almost_equal(
+            np.asarray(res.filled_data[:].value),
+            np.asarray(cube.filled_data[:].value), decimal=3)
+    # disjoint parts: union footprint with a NaN gap row
+    res2 = mosaic_cubes([cube[:, :2, :], cube[:, 3:, :]],
+                        order="nearest-neighbor")
+    v = np.asarray(res2.filled_data[:].value)
+    assert res2.shape == cube.shape
+    np.testing.assert_almost_equal(v[:, :2, :], data[:, :2, :], decimal=3)
+    np.testing.assert_almost_equal(v[:, 3:, :], data[:, 3:, :], decimal=3)
+    assert np.isnan(v[:, 2, :]).all()
+
+
+def test_wcs_pix2world_per_axis_signature(cube_adv):
+    """astropy's per-axis calling convention (x, y, origin) works on the
+    celestial WCS, scalars in -> scalars out, arrays in -> arrays out
+    (used throughout the reference tests, e.g. test_regrid.py:497-508)."""
+    cube, _ = cube_adv
+    cel = cube.wcs.celestial
+    lon, lat = cel.wcs_pix2world(0, 0, 0)
+    assert np.ndim(lon) == 0 and np.ndim(lat) == 0
+    x, y = cel.wcs_world2pix(lon, lat, 0)
+    np.testing.assert_allclose([x, y], [0.0, 0.0], atol=1e-6)
+    lon1, lat1 = cel.wcs_pix2world(1, 1, 1)
+    x1, y1 = cel.wcs_world2pix(lon1, lat1, 1)
+    np.testing.assert_allclose([x1, y1], [1.0, 1.0], atol=1e-6)
+    lons, lats = cel.wcs_pix2world(np.array([0.0, 1.0]), np.array([0.0, 0.0]), 0)
+    assert lons.shape == (2,)
+    stacked = cel.wcs_pix2world(np.array([[0.0, 0.0], [1.0, 0.0]]), 0)
+    assert stacked.shape == (2, 2)
+    np.testing.assert_allclose(stacked[:, 0], lons, atol=1e-9)
