@@ -39,6 +39,8 @@ __all__ = [
     "doppler_optical",
     "doppler_relativistic",
     "doppler_z",
+    "doppler_beta",
+    "doppler_gamma",
     "brightness_temperature",
     "beam_solid_angle",
     "pixel_scale",
@@ -858,6 +860,32 @@ def doppler_z(rest_value):
         (_FREQ, _SPEED,
          lambda nu: c * (f0 - nu) / nu,
          lambda v: f0 / (1.0 + v / c)),
+    ]
+
+
+def doppler_beta(rest_value):
+    """Relativistic beta convention v = c (f0^2-nu^2)/(f0^2+nu^2)
+    (reference spectral_axis.py:181-188)."""
+    f0 = _rest_freq_si(rest_value)
+
+    def v2f(v):
+        b = v / c
+        return f0 * np.sqrt((1.0 - b) / (1.0 + b))
+
+    return [
+        (_FREQ, _SPEED,
+         lambda nu: c * (f0 ** 2 - nu ** 2) / (f0 ** 2 + nu ** 2), v2f),
+    ]
+
+
+def doppler_gamma(rest_value):
+    """Lorentz-gamma convention v = c (f0^2+nu^2)/(2 f0 nu)
+    (reference spectral_axis.py:190-197)."""
+    f0 = _rest_freq_si(rest_value)
+    return [
+        (_FREQ, _SPEED,
+         lambda nu: c * (f0 ** 2 + nu ** 2) / (2.0 * f0 * nu),
+         lambda v: f0 * (v / c + np.sqrt((v / c) ** 2 - 1.0))),
     ]
 
 

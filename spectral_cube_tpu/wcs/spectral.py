@@ -18,6 +18,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..units import Unit, Quantity, UnitConversionError, c
+# re-exported here for parity with the reference's spectral_axis module
+# (reference spectral_axis.py:172-197)
+from ..units import doppler_z, doppler_beta, doppler_gamma  # noqa: F401
 from .core import WCS
 
 __all__ = [

@@ -193,3 +193,19 @@ def test_trig_of_angle_quantities():
                                rtol=1e-12)
     with pytest.raises(UnitConversionError):
         np.exp(Quantity(1.0, "deg"))
+
+
+def test_doppler_z_beta_gamma_roundtrip():
+    """Round-trip conversions through the z / beta / gamma doppler
+    conventions (reference test_spectral_axis.test_equivalencies)."""
+    from spectral_cube_tpu.units import (doppler_radio, doppler_z,
+                                         doppler_beta, doppler_gamma)
+    rest = Quantity(100.0, "GHz")
+    rng = Quantity(np.array([-318.0, -320.0]), "km / s")
+    r1 = Quantity(np.asarray(rng.to_value(
+        "GHz", equivalencies=doppler_radio(rest))), "GHz")
+    for conv in (doppler_z, doppler_beta, doppler_gamma):
+        r2 = Quantity(np.asarray(r1.to_value(
+            "km / s", equivalencies=conv(rest))), "km / s")
+        r3 = np.asarray(r2.to_value("GHz", equivalencies=conv(rest)))
+        np.testing.assert_allclose(r3, np.asarray(r1.value), rtol=1e-12)
