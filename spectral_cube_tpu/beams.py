@@ -405,6 +405,25 @@ class Beams:
         return f"<Beams n={len(self)} major={self.major.value} deg>"
 
 
+def beams_to_bintable(beams, pols=None):
+    """Build a FITS BEAMS BinTableHDU from a Beams collection or a plain
+    list of Beam (reference cube_utils.beams_to_bintable via radio_beam):
+    BMAJ/BMIN in arcsec, BPA in deg, CHAN/POL columns, NCHAN set, NPOL = 0
+    for a bare beam list or the number of distinct polarizations."""
+    from .io.fits_low import BinTableHDU
+    if not isinstance(beams, Beams):
+        beams = Beams(beams=list(beams))
+    cols = beams.to_table_columns()
+    if pols is not None:
+        cols["POL"] = np.asarray(pols, dtype="i4")
+    bt = BinTableHDU(columns=cols, name="BEAMS",
+                     units={"BMAJ": "arcsec", "BMIN": "arcsec", "BPA": "deg"})
+    bt.header["NCHAN"] = len(beams)
+    bt.header["NPOL"] = len(set(np.asarray(cols["POL"]).tolist())) \
+        if pols is not None else 0
+    return bt
+
+
 def commonbeam(beams: Beams, tolerance: float = 1e-5, epsilon: float = 5e-4
                ) -> Beam:
     """Smallest beam from which every beam in the set can be deconvolved.

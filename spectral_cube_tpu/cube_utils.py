@@ -34,7 +34,8 @@ def canon_view(view, shape):
                  for v, n in zip(view, shape))
 
 __all__ = ["orient", "split_stokes", "bunit_converters",
-           "world_take_along_axis", "combine_headers"]
+           "world_take_along_axis", "combine_headers",
+           "largest_beam", "smallest_beam"]
 
 
 def orient(array, wcs: WCS):
@@ -360,3 +361,21 @@ def combine_headers(header1, header2):
     out["CRPIX1"] = 1.0 - (float(px.min()) + 0.5)
     out["CRPIX2"] = 1.0 - (float(py.min()) + 0.5)
     return out
+
+
+def largest_beam(beams, include_mask=None):
+    """Largest beam (by area) in a collection (reference
+    cube_utils.largest_beam)."""
+    from .beams import Beams
+    if not isinstance(beams, Beams):
+        beams = Beams(beams=list(beams))
+    return beams.largest_beam(include_mask)
+
+
+def smallest_beam(beams, include_mask=None):
+    """Smallest beam (by area) in a collection (reference
+    cube_utils.smallest_beam)."""
+    from .beams import Beams
+    if not isinstance(beams, Beams):
+        beams = Beams(beams=list(beams))
+    return beams.smallest_beam(include_mask)

@@ -342,3 +342,36 @@ def test_warn_slow_emits_possibly_slow_warning(cube_adv):
         cube.filled()
     assert any(isinstance(r.message, PossiblySlowWarning) for r in rec)
     assert len(warnings.filters) == n_before
+
+
+def test_plot_channel_maps_renders(cube_adv):
+    """plot_channel_maps draws a grid of channel images (reference
+    spectral_cube.py:3559-3687); exercised with the Agg backend."""
+    import matplotlib
+    matplotlib.use("Agg")
+    cube, _ = cube_adv
+    out = cube.plot_channel_maps(2, 2, [0, 1, 2, 3])
+    assert out is not None
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
+def test_rgb_movie_frames(tmp_path, cube_adv):
+    """make_rgb_movie / make_multispecies_rgb render per-channel RGB PNG
+    frames (reference visualization-tools.py); mp4 assembly is exercised
+    only when ffmpeg exists."""
+    import shutil
+    import matplotlib
+    matplotlib.use("Agg")
+    from spectral_cube_tpu import visualization_tools as vt
+    cube, _ = cube_adv
+    v1 = cube.spectral_axis[0]
+    v2 = cube.spectral_axis[-1]
+    prefix = str(tmp_path / "mov")
+    if shutil.which("ffmpeg") is None:
+        with pytest.raises(OSError):
+            vt.make_rgb_movie(cube, prefix, v1, v2)
+        return
+    frames = vt.make_rgb_movie(cube, prefix, v1, v2)
+    assert frames and all(os.path.exists(f) for f in frames)
+    assert os.path.exists(prefix + ".mp4")

@@ -228,3 +228,26 @@ def test_rotated_beam_kernel_orientation():
     sig_min = 2.0 / 0.5 / SIGMA_TO_FWHM
     np.testing.assert_allclose(np.sqrt(evals[1]), sig_maj, rtol=0.02)
     np.testing.assert_allclose(np.sqrt(evals[0]), sig_min, rtol=0.02)
+
+
+def test_module_level_beam_utils():
+    """cube_utils.largest_beam/smallest_beam and beams.beams_to_bintable
+    (reference test_cube_utils.py:10-50)."""
+    from spectral_cube_tpu.cube_utils import largest_beam, smallest_beam
+    from spectral_cube_tpu.beams import Beam, Beams, beams_to_bintable
+    from spectral_cube_tpu.units import Quantity
+    blist = [Beam(Quantity(v, "arcsec"), Quantity(v * 0.8, "arcsec"),
+                  Quantity(0.0, "deg")) for v in (1.0, 1.5, 2.0)]
+    bs = Beams(beams=blist)
+    assert largest_beam(bs) == blist[2]
+    assert smallest_beam(bs) == blist[0]
+    # plain lists accepted too
+    assert largest_beam(blist) == blist[2]
+    bt = beams_to_bintable(bs)
+    assert bt.header["NCHAN"] == 3
+    assert bt.header["NPOL"] == 0
+    np.testing.assert_allclose(np.asarray(bt.columns["BMAJ"]),
+                               [1.0, 1.5, 2.0], rtol=1e-6)
+    assert bt.units["BMAJ"] == "arcsec"
+    bt2 = beams_to_bintable(bs, pols=[0, 0, 0])
+    assert bt2.header["NPOL"] == 1
