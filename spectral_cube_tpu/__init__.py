@@ -18,6 +18,8 @@ from .lower_dimensional_structures import (Projection, Slice, OneDSpectrum,
                                            VaryingResolutionOneDSpectrum,
                                            LowerDimensionalObject)
 from .wcs import WCS
+from .convolution import (CustomKernel, Gaussian1DKernel, Gaussian2DKernel,
+                          Box1DKernel, Box2DKernel, Tophat2DKernel)
 from .parallel import CubeMesh, ShardedCube, use_mesh, default_mesh
 from .pipeline import run_pipeline
 from .utils import enable_compilation_cache
@@ -36,4 +38,6 @@ __all__ = ["SpectralCube", "VaryingResolutionSpectralCube",
            "CompositeMask", "BooleanArrayMask", "LazyMask",
            "LazyComparisonMask", "FunctionMask", "Beam", "Beams", "WCS",
            "Quantity", "Unit", "CubeMesh", "ShardedCube", "use_mesh",
-           "default_mesh", "run_pipeline", "enable_compilation_cache"]
+           "default_mesh", "run_pipeline", "enable_compilation_cache",
+           "CustomKernel", "Gaussian1DKernel", "Gaussian2DKernel",
+           "Box1DKernel", "Box2DKernel", "Tophat2DKernel"]

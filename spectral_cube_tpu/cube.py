@@ -1480,9 +1480,13 @@ class BaseSpectralCube:
             data=_smooth.spatial_median_filter_cube(data, ksize))
 
     def spatial_filter(self, ksize, filter, raise_error_jybm=True, **kwargs):
+        """Arbitrary scipy.ndimage filter over each spatial plane
+        (reference spectral_cube.py:2776-2806 applies ``filter(im,
+        size=ksize)`` per plane, so ksize may be an int or a 2-sequence)."""
         self._check_jybeam_smoothing(raise_error_jybm)
         data = np.asarray(self._get_filled_data(fill=np.nan))
-        out = filter(data, size=(1, ksize, ksize), **kwargs)
+        ky, kx = (ksize, ksize) if np.isscalar(ksize) else tuple(ksize)
+        out = filter(data, size=(1, ky, kx), **kwargs)
         return self._new_cube_with(data=jnp.asarray(out))
 
     def sigma_clip_spectrally(self, threshold, verbose=0, maxiters=5,

@@ -383,3 +383,39 @@ def test_sigma_clip_treats_nonfinite_as_missing():
     keep2 = np.delete(np.arange(33), 9)
     np.testing.assert_allclose(out[keep1, 1, 0], spec[keep1], rtol=1e-6)
     np.testing.assert_allclose(out[keep2, 2, 0], spec[keep2], rtol=1e-6)
+
+
+def test_kernel_classes_match_astropy_discretization():
+    """Kernel objects (convolution.py) reproduce astropy's discretized
+    arrays: Box fractional edges, Gaussian center sampling, unit sums.
+    The 2-D Gaussian/Tophat discretizations are pinned to the reference
+    suite's expected smoothing outputs in test_ref_values.py."""
+    from spectral_cube_tpu.convolution import (
+        Gaussian1DKernel, Gaussian2DKernel, Box1DKernel, Box2DKernel,
+        Tophat2DKernel, CustomKernel)
+    np.testing.assert_allclose(Box1DKernel(3).array, np.ones(3) / 3)
+    np.testing.assert_allclose(Box1DKernel(2).array, [0.25, 0.5, 0.25])
+    g = Gaussian1DKernel(1)
+    assert g.shape == (9,)
+    np.testing.assert_allclose(g.array.sum(), 1.0, rtol=1e-12)
+    # center sampling: ratio of adjacent taps is exp(-0.5 * (1 - 0)) etc.
+    np.testing.assert_allclose(g.array[4] / g.array[3], np.exp(0.5),
+                               rtol=1e-10)
+    g2 = Gaussian2DKernel(3)
+    assert g2.shape == (25, 25)
+    t = Tophat2DKernel(3)
+    assert t.shape == (7, 7)
+    # disc of radius 3 sampled at centers covers 29 pixels
+    assert int((t.array > 0).sum()) == 29
+    np.testing.assert_allclose(t.array.max(), 1 / 29)
+    assert Box2DKernel(3).shape == (3, 3)
+    with pytest.raises(ValueError):
+        CustomKernel(np.ones((2, 2)))
+    # kernels feed straight into the smoothing API
+    from spectral_cube_tpu.ops.smoothing import spectral_smooth_cube
+    data = np.random.RandomState(0).rand(8, 3, 3).astype(np.float32)
+    out = np.asarray(spectral_smooth_cube(jnp.asarray(data),
+                                          np.asarray(Box1DKernel(3))))
+    import scipy.ndimage as ndi
+    exp = ndi.convolve1d(data, np.ones(3) / 3, axis=0, mode="constant")
+    np.testing.assert_allclose(out, exp, rtol=2e-6, atol=2e-7)
