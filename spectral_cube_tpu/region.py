@@ -25,12 +25,16 @@ __all__ = ["Region", "CompositeRegion", "parse_ds9_region",
 
 
 class Region:
-    def __init__(self, shape, frame, params, exclude=False):
+    def __init__(self, shape, frame, params, exclude=False, meta=None):
         self.shape = shape      # 'circle' | 'ellipse' | 'box' | 'polygon'
                                 # | 'annulus' | 'panda' (sector)
         self.frame = frame      # 'image' | 'fk5' | 'icrs' | 'galactic'
         self.params = params    # floats: pixels (image) or degrees (sky)
         self.exclude = exclude  # ds9/CRTF '-' prefix: subtract this region
+        # regions-package-style metadata: 'range' (2 spectral Quantities),
+        # 'veltype' (RADIO|OPTICAL|Z|BETA|GAMMA|RELATIVISTIC), 'restfreq'
+        # (reference spectral_cube.py:2125-2151)
+        self.meta = dict(meta or {})
 
     def __and__(self, other):
         return CompositeRegion(self, other, "and")
@@ -514,9 +518,57 @@ def _point_in_poly(px, py, vx, vy):
     return inside
 
 
+def _region_spectral_slab(cube, regions):
+    """Spectral slab selected by the regions' ``meta['range']`` entries
+    (reference spectral_cube.py:2143-2151 + the veltype/restfreq
+    conversion of _velocity_freq_conversion_regions, :2176-2235).
+    Returns the cube unchanged when any region lacks a range."""
+    metas = [dict(getattr(r, "meta", None) or {}) for r in regions]
+    if not metas or any(m.get("range") is None for m in metas):
+        return cube
+    from .units import (Quantity, doppler_radio, doppler_optical, doppler_z,
+                        doppler_beta, doppler_gamma, doppler_relativistic,
+                        spectral)
+    from .wcs.spectral import determine_vconv_from_ctype, _rest_freq_si
+    eqv = {"RADIO": doppler_radio, "OPTICAL": doppler_optical,
+           "Z": doppler_z, "BETA": doppler_beta, "GAMMA": doppler_gamma,
+           "RELATIVISTIC": doppler_relativistic,
+           # our internal convention names too
+           "radio": doppler_radio, "optical": doppler_optical,
+           "relativistic": doppler_relativistic}
+    vconv_cube = determine_vconv_from_ctype(cube._wcs.ctype[2])
+    cube_eqv = eqv.get(str(vconv_cube), doppler_radio)
+    restfreq_cube = Quantity(_rest_freq_si(cube._wcs), "Hz")
+    spec_unit = cube.spectral_unit
+    endpoints = []
+    for meta in metas:
+        rng = meta["range"]
+        veltype = meta.get("veltype")
+        if veltype is not None and str(veltype).upper() not in eqv:
+            raise ValueError(
+                f"Spectral Cube doesn't support the {veltype} type of "
+                "velocity")
+        region_eqv = eqv[str(veltype).upper()] if veltype is not None \
+            else cube_eqv
+        restfreq = meta.get("restfreq")
+        restfreq = restfreq_cube if restfreq is None \
+            else restfreq.to("Hz", equivalencies=spectral())
+        lo_hi = []
+        for val in rng:
+            q = val if isinstance(val, Quantity) else Quantity(val, spec_unit)
+            f = q.to("Hz", equivalencies=region_eqv(restfreq))
+            lo_hi.append(f.to(spec_unit,
+                              equivalencies=cube_eqv(restfreq_cube)))
+        endpoints.extend(lo_hi)
+    vals = np.array([float(q.value) for q in endpoints])
+    return cube.spectral_slab(Quantity(vals.min(), spec_unit),
+                              Quantity(vals.max(), spec_unit))
+
+
 def _extract(cube, regions, allow_empty=False, minimize=True):
     """OR the include-regions, then subtract exclusion ('-'-prefixed)
     regions — ds9/CRTF composite semantics."""
+    cube = _region_spectral_slab(cube, regions)
     mask2d = np.zeros(cube.shape[1:], dtype=bool)
     for reg in regions:
         if not getattr(reg, "exclude", False):

@@ -209,3 +209,46 @@ def test_moments_book_values(tmp_path, order, axis):
     rtol = 2e-7 if axis == 0 else 1e-5
     np.testing.assert_allclose(np.asarray(got.value), expected, rtol=rtol,
                                atol=1e-30)
+
+
+def test_regions_spectral_range(tmp_path):
+    """reference test_subcubes.py:160-206 test_regions_spectral: a region
+    meta['range'] selects a spectral slab, and veltype GAMMA/BETA/Z
+    ranges (converted through the matching doppler convention) select the
+    same channels as the plain velocity range."""
+    from spectral_cube_tpu.region import Region
+    from spectral_cube_tpu.units import (doppler_optical, doppler_z,
+                                         doppler_beta, doppler_gamma,
+                                         spectral)
+    from spectral_cube_tpu.wcs.spectral import _rest_freq_si
+
+    cube, data = cube_and_raw(tmp_path)
+    rf = Quantity(_rest_freq_si(cube._wcs), "Hz").to(
+        "GHz", equivalencies=spectral())
+
+    def box(**meta):
+        return Region("box", "image", [0.5, 1.0, 2.0, 1.0], meta=meta)
+
+    vel_range = [Quantity(-318.0, "km/s"), Quantity(-320.0, "km/s")]
+    sc1 = cube.subcube_from_regions([box(range=vel_range)])
+    dsum = np.nansum(data[1:-1, 1, :])
+    np.testing.assert_allclose(float(sc1.sum().value), dsum, rtol=1e-7)
+
+    # the same range expressed as frequencies (cube is VOPT)
+    freq_range = [v.to("GHz", equivalencies=doppler_optical(rf))
+                  for v in vel_range]
+    sc2 = cube.subcube_from_regions([box(range=freq_range)])
+    np.testing.assert_allclose(float(sc2.sum().value), dsum, rtol=1e-7)
+
+    # and as GAMMA / BETA / Z velocities with the veltype declared
+    for veltype, conv in [("GAMMA", doppler_gamma), ("BETA", doppler_beta),
+                          ("Z", doppler_z)]:
+        rng = [f.to("km/s", equivalencies=conv(rf)) for f in freq_range]
+        sc = cube.subcube_from_regions(
+            [box(range=rng, veltype=veltype, restfreq=rf)])
+        np.testing.assert_allclose(float(sc.sum().value), dsum, rtol=1e-7)
+
+    # unsupported veltype raises like the reference
+    with pytest.raises(ValueError):
+        cube.subcube_from_regions(
+            [box(range=vel_range, veltype="BOGUS")])
