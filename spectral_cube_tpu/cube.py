@@ -467,8 +467,10 @@ class BaseSpectralCube:
     def _validate_mask_wcs(self, mask, wcs_tolerance=None):
         """Validate an attached mask's WCS against the cube's, with a
         per-cube whitelist cache so repeated attaches of the same mask stay
-        cheap (reference masks.py:425-435, :526-553).  Mismatches warn via
-        :class:`WCSMismatchWarning` rather than attaching silently."""
+        cheap (reference masks.py:425-435, :526-553).  Mismatches raise
+        ``ValueError("WCS does not match mask WCS")`` exactly like the
+        reference (tests/test_masks.py:263-295); pass ``wcs_tolerance`` to
+        accept close-but-unequal WCSes."""
         mwcs = getattr(mask, "_wcs", None)
         if mwcs is None or self._wcs is None:
             return
@@ -480,10 +482,7 @@ class BaseSpectralCube:
         tol = wcs_tolerance if wcs_tolerance is not None \
             else self._wcs_tolerance
         if not self._wcs.check_equality(mwcs, wcs_tolerance=tol):
-            warnings.warn(
-                "The mask's WCS does not match the cube's WCS; the mask "
-                "will be applied per-pixel regardless (pass a larger "
-                "wcs_tolerance to silence this).", WCSMismatchWarning)
+            raise ValueError("WCS does not match mask WCS")
         cache.append(mwcs)
 
     def with_fill_value(self, fill_value):

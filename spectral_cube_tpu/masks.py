@@ -153,6 +153,18 @@ def _normalize_view(view, ndim):
     return view
 
 
+def _convert_wcs_spectral(wcs, unit, velocity_convention, rest_value):
+    """Convert a mask's stored WCS spectral axis (the cube
+    with_spectral_unit math, reference masks.py:313-334 _get_new_wcs)."""
+    from .units import Unit
+    from .wcs.spectral import (determine_ctype_from_vconv,
+                               convert_spectral_axis)
+    unit = Unit.parse(unit) if isinstance(unit, str) else unit
+    out_ctype = determine_ctype_from_vconv(
+        wcs.ctype[2], unit, velocity_convention=velocity_convention)
+    return convert_spectral_axis(wcs, unit, out_ctype, rest_value=rest_value)
+
+
 class MaskBase(ABC):
     """Boolean include/exclude semantics over cube-shaped data."""
 
@@ -249,14 +261,49 @@ class MaskBase(ABC):
         return bool(np.any(np.asarray(self._include(data=data, view=view))))
 
     # -- composition ---------------------------------------------------------
+    # make `bool_array & mask` dispatch to __rand__ instead of numpy's
+    # elementwise bitwise_and over the mask object
+    __array_ufunc__ = None
+
+    @staticmethod
+    def _as_mask(other):
+        """Coerce a bool array operand into a BooleanArrayMask so
+        ``cubemask & (projection > threshold)`` works like the reference
+        (test_masks.py:569-583 composes a mask with a plain 2-D bool
+        array)."""
+        if isinstance(other, MaskBase):
+            return other
+        arr = np.asarray(other)
+        if arr.dtype == np.bool_:
+            return BooleanArrayMask(arr)
+        return NotImplemented
+
     def __and__(self, other):
+        other = self._as_mask(other)
+        if other is NotImplemented:
+            return NotImplemented
         return CompositeMask(self, other, operation="and")
 
     def __or__(self, other):
+        other = self._as_mask(other)
+        if other is NotImplemented:
+            return NotImplemented
         return CompositeMask(self, other, operation="or")
 
     def __xor__(self, other):
+        other = self._as_mask(other)
+        if other is NotImplemented:
+            return NotImplemented
         return CompositeMask(self, other, operation="xor")
+
+    def __rand__(self, other):
+        return self.__and__(other)
+
+    def __ror__(self, other):
+        return self.__or__(other)
+
+    def __rxor__(self, other):
+        return self.__xor__(other)
 
     def __invert__(self):
         return InvertedMask(self)
@@ -291,9 +338,24 @@ class MaskBase(ABC):
 
     def with_spectral_unit(self, unit, velocity_convention=None,
                            rest_value=None):
-        """Masks carry no unit state in this framework; WCS lives on the
-        cube, so this is the identity (kept for API parity)."""
-        return self
+        """Copy of this mask with its stored WCS (if any) converted to the
+        new spectral unit (reference masks.py:574-584 for
+        BooleanArrayMask, :797-803 for WCS-less FunctionMask which simply
+        copies; Inverted/Composite delegate to their children via the
+        shared __dict__ walk below)."""
+        import copy as _copy
+        new = _copy.copy(self)
+        wcs = getattr(new, "_wcs", None)
+        if wcs is not None and wcs.naxis >= 3:
+            new._wcs = _convert_wcs_spectral(wcs, unit, velocity_convention,
+                                             rest_value)
+        for attr in ("_mask1", "_mask2", "_mask", "_parent"):
+            child = getattr(new, attr, None)
+            if isinstance(child, MaskBase):
+                setattr(new, attr, child.with_spectral_unit(
+                    unit, velocity_convention=velocity_convention,
+                    rest_value=rest_value))
+        return new
 
 
 class _ViewMask(MaskBase):

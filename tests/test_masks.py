@@ -229,9 +229,11 @@ def test_mask_logic_chains(data):
         np.testing.assert_array_equal(got, expect)
 
 
-def test_mask_wcs_mismatch_warns(tmp_path):
-    """A mask carrying a different sky WCS warns on attach instead of
-    binding silently (reference masks.py:425-435; round-1 review item)."""
+def test_mask_wcs_mismatch_raises(tmp_path):
+    """A mask carrying a different sky WCS raises on attach instead of
+    binding silently, matching the reference's ValueError("WCS does not
+    match mask WCS") (masks.py:526-553, test_masks.py:263-295); a
+    wcs_tolerance big enough to cover the offset accepts it."""
     import warnings as _w
     from conftest import make_cube_file
     from spectral_cube_tpu import SpectralCube, BooleanArrayMask
@@ -239,13 +241,17 @@ def test_mask_wcs_mismatch_warns(tmp_path):
     path, d = make_cube_file(tmp_path, shape=(4, 3, 2))
     cube = SpectralCube.read(path)
     other = cube.wcs.copy()
-    other.crval[0] += 5.0  # a different sky position
+    other.crval[0] += 1e-5  # a slightly different sky position
     bad = BooleanArrayMask(np.ones(cube.shape, bool), wcs=other,
                            shape=cube.shape)
-    with pytest.warns(WCSMismatchWarning):
+    with pytest.raises(ValueError, match="WCS does not match mask WCS"):
         cube.with_mask(bad)
+    # an explicit tolerance covering the offset accepts the mask and is
+    # recorded on the new cube (reference test_wcs_validity_check_failure)
+    c2 = cube.with_mask(bad, wcs_tolerance=1e-4)
+    assert c2._wcs_tolerance == 1e-4
     # same-WCS masks attach silently, and the whitelist cache keeps
-    # repeated attaches warning-free
+    # repeated attaches cheap
     good = BooleanArrayMask(np.ones(cube.shape, bool), wcs=cube.wcs.copy(),
                             shape=cube.shape)
     with _w.catch_warnings():

@@ -252,3 +252,82 @@ def test_regions_spectral_range(tmp_path):
     with pytest.raises(ValueError):
         cube.subcube_from_regions(
             [box(range=vel_range, veltype="BOGUS")])
+
+
+def test_mask_spectral_unit_ref(tmp_path):
+    """reference test_masks.py:237-251 + :296-325: masks carrying a WCS
+    convert their spectral axis; the VOPT->Hz crval matches the
+    header-derived value; FunctionMask copies; composites delegate."""
+    from spectral_cube_tpu import (BooleanArrayMask, FunctionMask, LazyMask,
+                                   CompositeMask)
+    cube, data = cube_and_raw(tmp_path)
+    mask = BooleanArrayMask(data > 0, cube._wcs)
+    mf = mask.with_spectral_unit("Hz")
+    assert mf._wcs.ctype[2] == "FREQ-W2F"
+    rest = 1.42040571841e9
+    c = 299792458.0
+    outcv = c / (c / rest * (1 + (-321214.698632) / c))
+    np.testing.assert_allclose(mf._wcs.crval[2], outcv, rtol=1e-12)
+    m2 = LazyMask(lambda x: x > 0, cube=cube)
+    assert m2.with_spectral_unit("Hz")._wcs.ctype[2] == "FREQ-W2F"
+    m1 = FunctionMask(lambda x: x > 0)
+    m1.with_spectral_unit("Hz")
+    comp = CompositeMask(m1, m2).with_spectral_unit("Hz")
+    assert comp._mask2._wcs.ctype[2] == "FREQ-W2F"
+
+
+def test_wcs_validity_check_failure_ref(tmp_path):
+    """reference test_masks.py:263-295: a 5th-decimal crval difference
+    raises ValueError("WCS does not match mask WCS"); wcs_tolerance=1e-4
+    accepts it and the downstream slab/convert/moment flow works."""
+    import copy
+    from spectral_cube_tpu import BooleanArrayMask
+    cube, data = cube_and_raw(tmp_path)
+    wcs2 = copy.deepcopy(cube._wcs)
+    wcs2.crval[2] += 0.00001
+    mask = BooleanArrayMask(data > 0, wcs2)
+    with pytest.raises(ValueError, match="WCS does not match mask WCS"):
+        cube.with_mask(mask)
+    c2 = cube.with_mask(mask, wcs_tolerance=1e-4)
+    assert c2._wcs_tolerance == 1e-4
+    s2 = c2.spectral_slab(Quantity(-2, "km/s"), Quantity(2, "km/s"))
+    s3 = s2.with_spectral_unit("km/s", velocity_convention="radio")
+    s3.moment(order=1)
+
+
+def test_boolean_array_composite_mask_ref(tmp_path):
+    """reference test_masks.py:569-583: composing a lazy mask with a
+    plain 2-D bool array broadcasts, and the masked sum lands in the
+    reference's (9.0, 9.1) K window."""
+    cube, data = cube_and_raw(tmp_path)
+    med = cube.median()
+    arrmask = np.asarray(cube.max(axis=0).value) > float(med.value)
+    mcube = cube.with_mask((cube > med) & arrmask)
+    s = float(mcube.sum().value)
+    assert 9.0 < s < 9.1
+    # reflected composition works too
+    mcube2 = cube.with_mask(arrmask & (cube > med))
+    np.testing.assert_allclose(float(mcube2.sum().value), s, rtol=1e-7)
+
+
+def test_numpy_ma_tools_ref(tmp_path):
+    """reference test_masks.py:520-548: np.ma.is_masked/getmask work on
+    masked cubes and their 1-D/2-D slices."""
+    cube, data = cube_and_raw(tmp_path)
+    mcube = cube.with_mask(cube > cube.median())
+    assert np.ma.core.is_masked(mcube)
+    assert np.ma.core.getmask(mcube) is not None
+    assert np.ma.core.is_masked(mcube[:, 0, 0])
+    assert np.ma.core.is_masked(mcube[0, :, :])
+
+
+def test_filled_ref(tmp_path):
+    """reference test_masks.py:551-566: filled() equals filled(nan) and
+    NaN positions equal the exclusion mask."""
+    cube, data = cube_and_raw(tmp_path)
+    mcube = cube.with_mask(cube > cube.median())
+    assert np.isnan(mcube._fill_value)
+    f1 = np.asarray(mcube.filled(np.nan))
+    f2 = np.asarray(mcube.filled())
+    np.testing.assert_allclose(f1, f2, equal_nan=True)
+    assert (np.isnan(f1) == np.asarray(mcube.mask.exclude())).all()
