@@ -216,45 +216,83 @@ def stack_spectra(cube, velocity_surface, v0=None, stack_function=None,
 
 
 def stack_cube(cube, linelist, vmin, vmax, average=None, convolve_beam=None,
-               return_cutouts=False):
-    """Stack multiple spectral lines in one cube onto a common velocity grid
-    (reference analysis_utilities.py:321-432): per-line velocity reslab,
-    optional common-beam convolution for varying-resolution cubes,
-    interpolation onto the first line's grid, then averaging."""
+               return_hdu=False, return_cutouts=False):
+    """Stack multiple spectral lines onto a common velocity grid
+    (reference analysis_utilities.py:321-432): per-(line, cube) velocity
+    reslab, lines whose slab has <= 1 channel are skipped, per-slab
+    common-beam convolution for varying-resolution cubes, interpolation
+    onto the first slab's grid, then averaging.  ``cube`` may be a list of
+    cubes sharing the spatial grid; the result clears the rest frequency
+    and records ``meta['stacked_lines']``."""
     from .cube import VaryingResolutionSpectralCube
 
+    if isinstance(cube, (list, tuple)):
+        cubes = list(cube)
+        cube = cubes[0]
+        for cb in cubes[1:]:
+            if cb.shape[1:] != cube.shape[1:]:
+                raise ValueError("If you pass multiple cubes, they must "
+                                 "have the same spatial shape.")
+        if convolve_beam is None:
+            try:
+                beams_differ = not all(cb.beam == cube.beam
+                                       for cb in cubes[1:])
+            except (ValueError, AttributeError):
+                beams_differ = False  # beam-less cubes stack as-is
+            if any(hasattr(cb, "beams") for cb in cubes) or beams_differ:
+                raise ValueError("If the cubes have different resolution, "
+                                 "`convolve_beam` must be specified.")
+    else:
+        cubes = [cube]
     if not hasattr(linelist, "__len__"):
         linelist = [linelist]
-    if isinstance(cube, VaryingResolutionSpectralCube):
-        if convolve_beam is None:
-            raise ValueError("When stacking VaryingResolutionSpectralCubes, "
-                             "you must specify a target beam with "
-                             "convolve_beam")
-        cube = cube.convolve_to(convolve_beam)
 
-    cutouts = []
-    reference_grid = None
-    for line in linelist:
-        vcube = cube.with_spectral_unit(u.km_s,
-                                        velocity_convention="radio",
-                                        rest_value=line)
-        slab = vcube.spectral_slab(vmin, vmax)
-        if reference_grid is None:
-            reference_grid = Quantity(
-                np.asarray(slab.spectral_axis.value),
-                slab.spectral_axis.unit)
-            cutouts.append(slab)
-        else:
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore")
-                cutouts.append(slab.spectral_interpolate(reference_grid))
+    slabs = []
+    included_lines = []
+    for restval in linelist:
+        for cb in cubes:
+            line_cube = cb.with_spectral_unit(u.km_s,
+                                              velocity_convention="radio",
+                                              rest_value=restval)
+            line_cutout = line_cube.spectral_slab(vmin, vmax)
+            if line_cutout.shape[0] <= 1:
+                # out-of-band line for this cube: skip (reference :390)
+                continue
+            included_lines.append(restval)
+            if isinstance(line_cutout, VaryingResolutionSpectralCube):
+                if convolve_beam is None:
+                    raise ValueError(
+                        "If any of the input cubes have varying resolution,"
+                        " a target `convolve_beam` must be specified.")
+                line_cutout = line_cutout.convolve_to(convolve_beam)
+            slabs.append(line_cutout)
+    if not slabs:
+        raise ValueError("No line in linelist falls inside any cube's "
+                         "spectral range.")
+
+    reference_cube = slabs[0]
+    reference_grid = Quantity(
+        np.asarray(reference_cube.spectral_axis.value),
+        reference_cube.spectral_axis.unit)
+    cutouts = [reference_cube]
+    for slab in slabs[1:]:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            cutouts.append(slab.spectral_interpolate(reference_grid))
 
     stacked = jnp.stack([c._get_filled_data(fill=np.nan) for c in cutouts])
     if average is None:
         out = jnp.nanmean(stacked, axis=0)
     else:
         out = average(np.asarray(stacked), axis=0)
-    result = cutouts[0]._new_cube_with(data=jnp.asarray(out), mask=None)
+    new_wcs = reference_cube._wcs.copy()
+    new_wcs.restfrq = 0.0  # rest frequency is no longer defined
+    meta = dict(reference_cube.meta)
+    meta["stacked_lines"] = included_lines
+    result = reference_cube._new_cube_with(data=jnp.asarray(out), mask=None,
+                                           wcs=new_wcs, meta=meta)
+    retval = result.hdu if return_hdu else result
     if return_cutouts:
-        return result, cutouts
-    return result
+        return retval, [np.asarray(c._get_filled_data(fill=np.nan))
+                        for c in cutouts]
+    return retval

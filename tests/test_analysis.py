@@ -177,3 +177,94 @@ def test_stack_spectra_weights_with_custom_function_refused(cube_adv):
     w = np.ones(cube.shape[1:])
     with pytest.raises(ValueError):
         stack_spectra(cube, vel, weights=w, stack_function=np.nanmean)
+
+
+def make_vrad_cube(tmp_path, nchan=64, ny=3, nx=4, sigma=8.0):
+    """Gaussian-line cube on a VRAD axis centered on v=0 (the reference's
+    generate_gaussian_cube layout, tests/utilities.py:52-111)."""
+    data, v = gaussian_line_cube(shape=(nchan, ny, nx), sigma=sigma)
+    h = base_header(nx=nx, ny=ny, nchan=nchan, ctype3="VRAD",
+                    cunit3="km/s", crval3=float(v[0]), cdelt3=1.0)
+    path = str(tmp_path / "vrad_gauss.fits")
+    write_fits(path, [HDU(data=data, header=h)])
+    return SpectralCube.read(path)
+
+
+def test_cube_stacking_list_and_out_of_band(tmp_path):
+    """reference test_analysis_functions.py:89-131 test_cube_stacking:
+    stacking two frequency-labeled copies of one cube over their own rest
+    frequencies reproduces the plain velocity slab, and an out-of-band
+    line in the linelist is skipped rather than crashing."""
+    cube = make_vrad_cube(tmp_path)
+    c1 = cube.with_spectral_unit("GHz", velocity_convention="radio",
+                                 rest_value=Quantity(1.0, "GHz"))
+    c2 = cube.with_spectral_unit("GHz", velocity_convention="radio",
+                                 rest_value=Quantity(2.0, "GHz"))
+    vmin, vmax = Quantity(-10.0, "km/s"), Quantity(10.0, "km/s")
+    linelist = [Quantity(1.0, "GHz"), Quantity(2.0, "GHz")]
+
+    stacked = stack_cube([c1, c2], linelist=linelist, vmin=vmin, vmax=vmax,
+                         average=np.nanmean, convolve_beam=None,
+                         return_cutouts=False)
+    expected = np.asarray(cube.spectral_slab(vmin, vmax).filled_data[:].value)
+    np.testing.assert_allclose(np.asarray(stacked.filled_data[:].value),
+                               expected, rtol=1e-5, atol=1e-6)
+    assert stacked.meta["stacked_lines"] == linelist
+    # rest frequency is no longer defined on the stacked cube
+    assert not stacked._wcs.restfrq
+
+    # one cube, two lines, one out of band: same answer
+    stacked2 = stack_cube(c1, linelist=linelist, vmin=vmin, vmax=vmax,
+                          average=np.nanmean, convolve_beam=None)
+    np.testing.assert_allclose(np.asarray(stacked2.filled_data[:].value),
+                               expected, rtol=1e-5, atol=1e-6)
+    assert stacked2.meta["stacked_lines"] == [linelist[0]]
+
+    # mismatched spatial shapes refuse
+    small = make_vrad_cube(tmp_path, ny=2, nx=2)
+    with pytest.raises(ValueError, match="same spatial shape"):
+        stack_cube([c1, small.with_spectral_unit(
+            "GHz", velocity_convention="radio",
+            rest_value=Quantity(1.0, "GHz"))],
+            linelist=linelist, vmin=vmin, vmax=vmax)
+
+    # return_hdu / return_cutouts plumbing
+    hdu, cuts = stack_cube(c1, linelist=[Quantity(1.0, "GHz")], vmin=vmin,
+                           vmax=vmax, return_hdu=True, return_cutouts=True)
+    assert hasattr(hdu, "header") and len(cuts) == 1
+
+
+def test_stacking_padding_direction(tmp_path):
+    """reference test_analysis_functions.py:249-282: with all shifts
+    non-positive the padded spectral axis extends to exactly
+    [-60, 49] km/s for a 100-channel cube and the stacked profile matches
+    the true Gaussian to std(resid) <= 1e-3."""
+    vel = np.array([[0.0, 5.0], [5.0, 10.0]])
+    nchan = 100
+    v = (np.arange(nchan) - nchan // 2) * 1.0
+    data = np.exp(-0.5 * ((v[:, None, None] - vel[None]) / 8.0) ** 2)
+    h = base_header(nx=2, ny=2, nchan=nchan, ctype3="VRAD",
+                    cunit3="km/s", crval3=float(v[0]), cdelt3=1.0)
+    p = str(tmp_path / "paddir.fits")
+    write_fits(p, [HDU(data=data, header=h)])
+    cube = SpectralCube.read(p)
+    st = stack_spectra(cube, Quantity(vel, "km/s"), v0=Quantity(0, "km/s"),
+                       stack_function=np.nanmean, pad_edges=True)
+    sv = np.asarray(st.spectral_axis.value)
+    assert sv.min() == -60.0 and sv.max() == 49.0
+    true_spectrum = np.exp(-0.5 * (sv / 8.0) ** 2)
+    assert np.std(np.abs(np.asarray(st.value) - true_spectrum)) <= 1e-3
+
+
+def test_stacking_shape_failure(tmp_path):
+    """reference test_analysis_functions.py:325-361 (issue 466): wrong
+    surface shape and all-NaN surfaces raise the reference's messages."""
+    cube, centers = make_shifted_gaussian_cube(tmp_path)
+    with pytest.raises(ValueError,
+                       match="Velocity surface map does not match"):
+        stack_spectra(cube, Quantity(centers[:-1, :-1], "km/s"),
+                      v0=Quantity(32.0, "km/s"))
+    with pytest.raises(ValueError,
+                       match="velocity_surface contains no finite values"):
+        stack_spectra(cube, Quantity(np.full(centers.shape, np.nan), "km/s"),
+                      v0=Quantity(32.0, "km/s"))
