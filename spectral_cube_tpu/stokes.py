@@ -55,6 +55,9 @@ class StokesSpectralCube:
                 raise ValueError(
                     f"Invalid Stokes component: {component} - should be one "
                     f"of I, Q, U, V, RR, LL, RL, LR, XX, XY, YX, YY")
+            if not hasattr(self._stokes_data[component], "wcs"):
+                raise TypeError("stokes_data should be a dictionary of "
+                                "SpectralCube objects")
             if self._stokes_data[component].shape != \
                     self._stokes_data[reference].shape:
                 raise ValueError("All spectral cubes should have the same "

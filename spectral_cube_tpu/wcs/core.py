@@ -101,6 +101,16 @@ class WCS:
                 value = np.asarray(value, dtype=float)
             elif name == "ctype":
                 value = [str(v) for v in value]
+                # manual ctype assignment with still-blank cunits picks up
+                # the wcslib per-ctype default units (deg for celestial,
+                # Hz/m/(m/s) for spectral roots), like astropy's wcsset
+                cunit = getattr(self, "cunit", None)
+                if cunit is not None and len(cunit) == len(value):
+                    for i, ct in enumerate(value):
+                        if str(cunit[i]) == "":
+                            dflt = self._default_cunit(ct)
+                            if dflt:
+                                cunit[i] = Unit.parse(dflt)
             elif name == "cunit":
                 value = [v if isinstance(v, Unit) else Unit.parse(str(v))
                          for v in value]

@@ -331,3 +331,71 @@ def test_filled_ref(tmp_path):
     f2 = np.asarray(mcube.filled())
     np.testing.assert_allclose(f1, f2, equal_nan=True)
     assert (np.isnan(f1) == np.asarray(mcube.mask.exclude())).all()
+
+
+def _delta_cube_255(tmp_path, nchan=2, beams=None):
+    """reference conftest prepare_255_header + data_255_delta: the
+    header_jybeam WCS in K units, a delta function at the center of a
+    5x5 plane in channel 0 (or every channel for the beams variant)."""
+    h = jybeam_header()
+    for k in [k for k in h.keys() if k.endswith("4")]:
+        del h[k]
+    h["NAXIS"] = 3
+    h["NAXIS1"] = 5
+    h["NAXIS2"] = 5
+    h["NAXIS3"] = nchan
+    h["BUNIT"] = "K"
+    d = np.zeros((nchan, 5, 5))
+    if beams is None:
+        d[0, 2, 2] = 1.0
+        hdus = [HDU(data=d, header=h)]
+    else:
+        d[:, 2, 2] = 1.0
+        del h["BMAJ"], h["BMIN"], h["BPA"]
+        h["CASAMBM"] = True
+        hdus = [HDU(data=d, header=h), beams]
+    path = str(tmp_path / "delta255.fits")
+    write_fits(path, hdus)
+    return SpectralCube.read(path)
+
+
+def test_convolution_ref_values(tmp_path):
+    """reference test_regrid.py:33-57 test_convolution: convolving the
+    1" delta cube to 1.8027756" produces exactly the normalized 5x5
+    Gaussian2DKernel of the 1.5" deconvolved beam, and the empty channel
+    stays all zero."""
+    from spectral_cube_tpu.beams import Beam, SIGMA_TO_FWHM
+    cube = _delta_cube_255(tmp_path)
+    target = Beam(Quantity(1.802775637731995, "arcsec"),
+                  Quantity(1.802775637731995, "arcsec"), Quantity(0, "deg"))
+    conv = cube.convolve_to(target)
+    sigma_pix = (1.5 / SIGMA_TO_FWHM) / (5.555555561268e-4 * 3600)
+    expected = Gaussian2DKernel(sigma_pix, x_size=5, y_size=5)
+    np.testing.assert_almost_equal(np.asarray(conv.filled_data[0].value),
+                                   expected.array)
+    assert np.all(np.asarray(conv.filled_data[1].value) == 0.0)
+
+
+def test_beams_convolution_ref_values(tmp_path):
+    """reference test_regrid.py:60-79 test_beams_convolution: each
+    channel of a 4-beam VR delta cube convolves to the target beam's
+    per-channel deconvolved kernel."""
+    from spectral_cube_tpu.beams import Beam, Beams, beams_to_bintable
+    majors = [0.4, 0.3, 0.3, 0.4]
+    minors = [0.1, 0.2, 0.2, 0.1]
+    pas = [0, 45, 60, 30]
+    blist = [Beam(Quantity(a, "arcsec"), Quantity(b, "arcsec"),
+                  Quantity(p, "deg"))
+             for a, b, p in zip(majors, minors, pas)]
+    bt = beams_to_bintable(Beams(beams=blist))
+    cube = _delta_cube_255(tmp_path, nchan=4, beams=bt)
+    target = Beam(Quantity(1.802775637731995, "arcsec"),
+                  Quantity(1.802775637731995, "arcsec"), Quantity(0, "deg"))
+    conv = cube.convolve_to(target)
+    pixscale = Quantity(5.555555561268e-4, "deg")
+    for ii, bm in enumerate(blist):
+        expected = target.deconvolve(bm).as_kernel(pixscale, x_size=5,
+                                                   y_size=5)
+        expected = np.asarray(expected) / np.asarray(expected).sum()
+        np.testing.assert_almost_equal(
+            np.asarray(conv.filled_data[ii].value), expected)

@@ -248,3 +248,34 @@ def test_transform_basis_noop(tmp_path):
     sc = StokesSpectralCube(_component_cubes(tmp_path, ["I", "Q", "U",
                                                         "V"]))
     assert sc.transform_basis("Sky") is sc
+
+
+def test_stokes_invalid_type_message():
+    """reference test_stokes_spectral_cube.py:37-44: non-cube values give
+    the reference's TypeError message."""
+    import numpy as np
+    import pytest
+    from spectral_cube_tpu import StokesSpectralCube
+    with pytest.raises(TypeError,
+                       match="dictionary of SpectralCube objects"):
+        StokesSpectralCube(dict(I=np.ones((3, 4, 5))))
+
+
+def test_stokes_spectral_slab_manual_wcs():
+    """reference TestStokesSubcube.test_spectral_slab: a manually-built
+    FREQ WCS (no CUNIT set) defaults to Hz so Quantity slabs work."""
+    import numpy as np
+    from spectral_cube_tpu import (SpectralCube, StokesSpectralCube, WCS,
+                                   Quantity)
+    wcs = WCS(naxis=3)
+    wcs.ctype = ["RA---TAN", "DEC--TAN", "FREQ"]
+    wcs.crval = [0, 0, 1.4e9]
+    wcs.cdelt = [1, 1, 1e6]
+    wcs.crpix = [1, 1, 1]
+    assert str(wcs.cunit[2]) == "Hz"
+    data = np.arange(1, 5)[:, None, None, None] * np.ones((5, 8, 9))
+    cube = StokesSpectralCube({k: SpectralCube(data[i], wcs=wcs)
+                               for i, k in enumerate("IQUV")})
+    sub = cube.spectral_slab(Quantity(1.401e9, "Hz"), Quantity(1.403e9, "Hz"))
+    assert sub.shape == (3, 8, 9)
+    assert np.allclose(np.asarray(sub["Q"].unmasked_data[:].value), 2)
