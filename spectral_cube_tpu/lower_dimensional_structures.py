@@ -27,11 +27,12 @@ class LowerDimensionalObject(Quantity):
     """A Quantity with wcs/meta/mask/header attached."""
 
     def __init__(self, value, unit=None, wcs=None, meta=None, mask=None,
-                 header=None, beam=None):
+                 header=None, beam=None, copy=True):
         if isinstance(value, Quantity) and unit is None:
             unit = value.unit
             value = value.value
-        super().__init__(np.asarray(value), unit if unit is not None else "")
+        value = np.array(value, copy=True) if copy else np.asarray(value)
+        super().__init__(value, unit if unit is not None else "")
         self._wcs = wcs
         self._meta = dict(meta) if meta else {}
         self._mask = mask
@@ -256,9 +257,9 @@ class Projection(LowerDimensionalObject):
     lower_dimensional_structures.py:247-577)."""
 
     def __init__(self, value, unit=None, wcs=None, meta=None, mask=None,
-                 header=None, beam=None):
+                 header=None, beam=None, copy=True):
         super().__init__(value, unit=unit, wcs=wcs, meta=meta, mask=mask,
-                         header=header, beam=beam)
+                         header=header, beam=beam, copy=copy)
         if self.ndim != 2:
             raise ValueError("Projection must be 2-dimensional")
         if beam is None and meta and "beam" in self.meta:
@@ -299,7 +300,12 @@ class Projection(LowerDimensionalObject):
         view = (slice(ylo, yhi), slice(xlo, xhi))
         return self[view]
 
-    def quicklook(self, filename=None, **kwargs):
+    def quicklook(self, filename=None, use_aplpy=None, aplpy_kwargs=None,
+                  **kwargs):
+        """Plot the image (reference
+        lower_dimensional_structures.py:397-440; the aplpy flags are
+        accepted for API compatibility and fall back to matplotlib,
+        since aplpy is not a dependency here)."""
         import matplotlib.pyplot as plt
         fig, ax = plt.subplots()
         im = ax.imshow(np.asarray(self.value), origin="lower", **kwargs)
@@ -378,9 +384,9 @@ class BaseOneDSpectrum(LowerDimensionalObject):
     ``unitless_filled_data[:]``."""
 
     def __init__(self, value, unit=None, wcs=None, meta=None, mask=None,
-                 header=None, beam=None, spectral_unit=None):
+                 header=None, beam=None, spectral_unit=None, copy=True):
         super().__init__(value, unit=unit, wcs=wcs, meta=meta, mask=mask,
-                         header=header, beam=beam)
+                         header=header, beam=beam, copy=copy)
         if self.ndim != 1:
             raise ValueError("OneDSpectrum must be 1-dimensional")
         self._spectral_unit = spectral_unit
@@ -477,6 +483,21 @@ class BaseOneDSpectrum(LowerDimensionalObject):
         out = convolve1d_nan(np.asarray(self.value, dtype=float),
                              _kernel_array(kernel))
         return self._new_with(np.asarray(out))
+
+    def quicklook(self, filename=None, drawstyle="steps-mid", **kwargs):
+        """Plot the spectrum into the current matplotlib figure
+        (reference lower_dimensional_structures.py:719-738); kwargs pass
+        to ``pyplot.plot``."""
+        from matplotlib import pyplot
+        ax = pyplot.gca()
+        ax.plot(np.asarray(self.spectral_axis.value),
+                np.asarray(self._get_filled_data()),
+                drawstyle=drawstyle, **kwargs)
+        ax.set_xlabel(str(self.spectral_axis.unit))
+        ax.set_ylabel(str(self.unit))
+        if filename is not None:
+            pyplot.gcf().savefig(filename)
+        return ax
 
     def __getitem__(self, view):
         out = super().__getitem__(view)

@@ -375,3 +375,24 @@ def test_rgb_movie_frames(tmp_path, cube_adv):
     frames = vt.make_rgb_movie(cube, prefix, v1, v2)
     assert frames and all(os.path.exists(f) for f in frames)
     assert os.path.exists(prefix + ".mp4")
+
+
+def test_quicklook_paths(cube_adv):
+    """Projection.quicklook accepts the aplpy flags (falling back to
+    matplotlib), mask quicklook renders a view, and OneDSpectrum
+    quicklook plots/saves (reference test_visualization.py + ldo
+    quicklook, lower_dimensional_structures.py:413-440, :719-738)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import tempfile
+    cube, _ = cube_adv
+    mom0 = cube.moment0()
+    assert mom0.quicklook(use_aplpy=False) is not None
+    assert mom0.quicklook(use_aplpy=True) is not None  # matplotlib fallback
+    cube.mask.quicklook(view=(0, slice(None), slice(None)))
+    with tempfile.TemporaryDirectory() as td:
+        f = os.path.join(td, "spec.png")
+        cube[:, 0, 0].quicklook(filename=f)
+        assert os.path.exists(f)
+    plt.close("all")
