@@ -84,25 +84,65 @@ class Unit:
 
     ``scale`` is the size of this unit expressed in the SI base unit of its
     dimension (e.g. ``km`` has ``scale=1000``, ``Jy`` has ``scale=1e-26``).
+    ``parts`` tracks the named atomic units this unit was composed from as
+    ``((symbol, power), ...)`` so composite units render human-readably
+    (``Jy km / (beam s)`` rather than a scaled-SI decomposition, matching
+    what astropy shows users of the reference).  Equality and hashing
+    ignore it: two units are the same physical unit regardless of spelling.
     """
 
     scale: float = 1.0
     dims: tuple = _ZERO
     name: str | None = None
+    parts: tuple = ()
+
+    # -- part bookkeeping -----------------------------------------------------
+    def _own_parts(self):
+        """Parts dict for algebra, or None when untracked.
+
+        A bare dimensionless scalar contributes nothing ({}); a unit with
+        neither parts, name, nor zero dims is untracked (None) and poisons
+        the composite so ``to_string`` falls back to the canonical form.
+        """
+        if self.parts:
+            return dict(self.parts)
+        if self.name:
+            if not any(c in self.name for c in " /*.()^"):
+                return {self.name: 1}
+            try:  # compound name ("km / s"): recover parts by re-parsing
+                p = _parse_unit_string(self.name)
+            except UnitConversionError:
+                return None
+            if p.dims == self.dims and math.isclose(p.scale, self.scale,
+                                                    rel_tol=1e-12):
+                return dict(p.parts) if p.parts else None
+            return None
+        if self.dims == _ZERO:
+            return {}
+        return None
+
+    @staticmethod
+    def _merge_parts(pa, pb, sign=1):
+        if pa is None or pb is None:
+            return ()
+        out = dict(pa)
+        for k, v in pb.items():
+            out[k] = out.get(k, 0) + sign * v
+        return tuple(sorted((k, v) for k, v in out.items() if v != 0))
 
     # -- algebra ------------------------------------------------------------
     def __mul__(self, other):
         if isinstance(other, Unit):
             name = None
-            if self.name and other.name:
-                name = f"{self.name} {other.name}"
-            elif other.name and self.dims == _ZERO and self.scale == 1.0:
+            if other.name and self.dims == _ZERO and self.scale == 1.0:
                 name = other.name
             elif self.name and other.dims == _ZERO and other.scale == 1.0:
                 name = self.name
             return Unit(self.scale * other.scale,
                         tuple(a + b for a, b in zip(self.dims, other.dims)),
-                        name=name)
+                        name=name,
+                        parts=self._merge_parts(self._own_parts(),
+                                                other._own_parts()))
         if isinstance(other, (int, float)):
             return Quantity(other, self)
         if isinstance(other, np.ndarray):
@@ -116,20 +156,20 @@ class Unit:
 
     def __truediv__(self, other):
         if isinstance(other, Unit):
-            name = None
-            if self.name and other.name:
-                dn = other.name if " " not in other.name else f"({other.name})"
-                name = f"{self.name} / {dn}"
             return Unit(self.scale / other.scale,
                         tuple(a - b for a, b in zip(self.dims, other.dims)),
-                        name=name)
+                        parts=self._merge_parts(self._own_parts(),
+                                                other._own_parts(), sign=-1))
         if isinstance(other, (int, float)):
-            return Unit(self.scale / other, self.dims)
+            return Unit(self.scale / other, self.dims,
+                        parts=self._merge_parts(self._own_parts(), {}))
         return NotImplemented
 
     def __rtruediv__(self, other):
         if isinstance(other, (int, float)):
-            return Unit(other / self.scale, tuple(-d for d in self.dims))
+            return Unit(other / self.scale, tuple(-d for d in self.dims),
+                        parts=self._merge_parts({}, self._own_parts(),
+                                                sign=-1))
         return NotImplemented
 
     def __pow__(self, p):
@@ -139,7 +179,15 @@ class Unit:
         dims = tuple(d * p for d in self.dims)
         if any(abs(d - round(d)) > 1e-9 for d in dims):
             raise UnitConversionError(f"non-integer dimension from {self}**{p}")
-        return Unit(scale, tuple(int(round(d)) for d in dims))
+        own = self._own_parts()
+        if own is None:
+            parts = ()
+        else:
+            pp = {k: v * p for k, v in own.items()}
+            parts = tuple(sorted(
+                (k, int(round(v)) if abs(v - round(v)) < 1e-12 else v)
+                for k, v in pp.items() if v != 0))
+        return Unit(scale, tuple(int(round(d)) for d in dims), parts=parts)
 
     def __eq__(self, other):
         if isinstance(other, str):
@@ -207,6 +255,10 @@ class Unit:
     def to_string(self) -> str:
         if self.name:
             return self.name
+        if self.parts:
+            rendered = self._parts_string()
+            if rendered is not None:
+                return rendered
         # canonical form: scale kg^a m^b ...
         parts = []
         for n, d in zip(_DIM_NAMES, self.dims):
@@ -220,6 +272,35 @@ class Unit:
         # full repr precision: to_string/parse must round-trip exactly
         # (headers write BUNIT from to_string and reparse it)
         return f"{self.scale!r} {body}".strip()
+
+    def _parts_string(self):
+        """Astropy-style render from the tracked atomic parts, e.g.
+        ``Jy km / (beam s)``; any scale not accounted for by the parts is
+        emitted as a leading repr-precision factor so to_string/parse
+        round-trips exactly.  Returns None if a part is not resolvable."""
+        residual = self.scale
+        try:
+            for n, p in self.parts:
+                residual /= _lookup_symbol(n).scale ** p
+        except UnitConversionError:
+            return None
+
+        def fmt(n, p):
+            return n if p == 1 else f"{n}{p:g}"
+
+        num = [(n, p) for n, p in self.parts if p > 0]
+        den = [(n, -p) for n, p in self.parts if p < 0]
+        num_s = " ".join(fmt(n, p) for n, p in num)
+        if den:
+            den_s = " ".join(fmt(n, p) for n, p in den)
+            if len(den) > 1:
+                den_s = f"({den_s})"
+            body = f"{num_s or '1'} / {den_s}"
+        else:
+            body = num_s
+        if not math.isclose(residual, 1.0, rel_tol=1e-12):
+            body = f"{residual!r} {body}".strip()
+        return body
 
     def __repr__(self):
         return f"Unit('{self.to_string()}')"
@@ -236,7 +317,8 @@ class Unit:
 
 
 def _named(name: str, scale: float, dims: tuple) -> Unit:
-    return Unit(scale, dims, name=name)
+    return Unit(scale, dims, name=name,
+                parts=((name, 1),) if name else ())
 
 
 dimensionless = _named("", 1.0, _ZERO)
@@ -324,14 +406,15 @@ def _lookup_symbol(sym: str) -> Unit:
             rest = sym[plen:]
             if rest in _BASE_UNITS:
                 base = _BASE_UNITS[rest]
+                nm = sym[:plen] + (base.name or rest)
                 return Unit(base.scale * _SI_PREFIXES[sym[:plen]], base.dims,
-                            name=sym[:plen] + (base.name or rest))
+                            name=nm, parts=((nm, 1),))
             for cand in (rest.lower(), rest.capitalize()):
                 if cand in _BASE_UNITS:
                     base = _BASE_UNITS[cand]
+                    nm = sym[:plen] + (base.name or cand)
                     return Unit(base.scale * _SI_PREFIXES[sym[:plen]],
-                                base.dims,
-                                name=sym[:plen] + (base.name or cand))
+                                base.dims, name=nm, parts=((nm, 1),))
     if sym.isupper() and len(sym) > 1:
         # unambiguous all-caps prefixed unit: KM/S etc. — refold fully
         try:
@@ -414,7 +497,8 @@ def _parse_unit_string(s: str) -> Unit:
     unit, i = parse_expr(0)
     if i != len(tokens):
         raise UnitConversionError(f"Trailing tokens in unit string {s!r}")
-    if isinstance(s, str) and " " not in s and unit.name is None:
+    if (isinstance(s, str) and " " not in s and unit.name is None
+            and not unit.parts):
         return Unit(unit.scale, unit.dims, name=s)
     return unit
 

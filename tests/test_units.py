@@ -209,3 +209,36 @@ def test_doppler_z_beta_gamma_roundtrip():
             "km / s", equivalencies=conv(rest))), "km / s")
         r3 = np.asarray(r2.to_value("GHz", equivalencies=conv(rest)))
         np.testing.assert_allclose(r3, np.asarray(r1.value), rtol=1e-12)
+
+
+def test_composite_unit_rendering():
+    """Composed units render astropy-style from their named atoms
+    ("Jy km / (beam s)"), not as a scaled-SI decomposition — this is
+    what reference users see for moment0 units (astropy CompositeUnit
+    display).  FITS-style 'km s-1' keeps its atoms through parsing, the
+    render survives algebra (mul/div/pow, scalar division), and every
+    rendered string reparses to an equal unit."""
+    from spectral_cube_tpu.units import Unit
+    jyb = Unit.parse("Jy/beam")
+    kms = Unit.parse("km s-1")  # FITS juxtaposition spelling
+    assert kms.to_string() == "km / s"
+    assert (jyb * kms).to_string() == "Jy km / (beam s)"
+    assert (Unit.parse("K") * Unit.parse("km/s")).to_string() == "K km / s"
+    assert (Unit.parse("km/s") ** 2).to_string() == "km2 / s2"
+    assert (1 / Unit.parse("s")).to_string() == "1 / s"
+    assert (Unit.parse("Jy") / 2).to_string() == "0.5 Jy"
+    for u in (jyb * kms, jyb / Unit.parse("sr"), kms ** 2,
+              Unit.parse("mJy") * kms / Unit.parse("beam")):
+        assert Unit.parse(u.to_string()) == u, u.to_string()
+
+
+def test_moment0_unit_renders_named(tmp_path):
+    """moment0 of a Jy/beam cube with a km/s axis reports a named unit
+    (reference: astropy renders Jy km / (beam s)), not 1e-23 kg m s-3."""
+    from spectral_cube_tpu import SpectralCube
+    cube = SpectralCube.read(
+        "/root/reference/spectral_cube/tests/data/example_cube.lmv")
+    m0 = cube.moment0()
+    assert "kg" not in str(m0.unit)
+    assert str(m0.unit) == "Jy km / (beam s)"
+    assert str(cube.spectral_axis.unit) == "km / s"
