@@ -1222,6 +1222,10 @@ class BaseSpectralCube:
         return self._new_cube_with(data=data, unit=unit, mask=mask)
 
     def _arith(self, op, other, reflected=False):
+        if isinstance(other, Unit) and op in ("mul", "truediv"):
+            # cube * u.km/u.s etc. — the reference supports unit operands
+            # through astropy's Quantity*Unit (spectral_cube.py:2311-2334)
+            other = Quantity(1.0, other)
         if isinstance(other, BaseSpectralCube):
             if reflected:
                 return NotImplemented

@@ -242,3 +242,20 @@ def test_moment0_unit_renders_named(tmp_path):
     assert "kg" not in str(m0.unit)
     assert str(m0.unit) == "Jy km / (beam s)"
     assert str(cube.spectral_axis.unit) == "km / s"
+
+
+def test_cube_times_unit():
+    """cube * unit / cube / unit work like the reference (astropy
+    Quantity*Unit through _apply_everywhere, spectral_cube.py:2311-2334);
+    add/sub with a bare Unit stays refused."""
+    import pytest
+    from spectral_cube_tpu import SpectralCube
+    from spectral_cube_tpu.units import Unit
+    cube = SpectralCube.read(
+        "/root/reference/spectral_cube/tests/data/example_cube.lmv")
+    kms = Unit.parse("km/s")
+    assert str((cube * kms).unit) == "Jy km / (beam s)"
+    assert str((kms * cube).unit) == "Jy km / (beam s)"
+    assert str((cube / kms).unit) == "Jy s / (beam km)"
+    with pytest.raises(TypeError):
+        cube + kms
