@@ -39,7 +39,7 @@ from .lower_dimensional_structures import (Projection, Slice, OneDSpectrum,
                                            LowerDimensionalObject)
 from .utils import (cached, warn_slow, MEMORY_THRESHOLD, VarianceWarning,
                     BeamAverageWarning, NonFiniteBeamsWarning,
-                    WCSMismatchWarning)
+                    WCSMismatchWarning, SliceWarning)
 from .ops import reductions as _red
 from .ops import moments as _mom
 from .ops import smoothing as _smooth
@@ -765,6 +765,10 @@ class BaseSpectralCube:
                 return self._1d_spectrum(out, self._wcs.spectral, meta,
                                          None)
             kept = [i for i in range(3) if i not in axes][0]
+            warnings.warn("Averaging over a spatial and a spectral "
+                          "dimension cannot produce a Projection quantity "
+                          "(reference spectral_cube.py:483); returning a "
+                          "1-D LowerDimensionalObject.", SliceWarning)
             new_wcs = self._wcs.reindex([2 - kept])
             return LowerDimensionalObject(out, unit=unit, wcs=new_wcs,
                                           meta=meta,
@@ -1753,13 +1757,32 @@ class BaseSpectralCube:
         return axes
 
     def __repr__(self):
-        beamstr = ""
+        """Shape + per-axis type/unit/world-range summary (reference
+        base_class.py:325-348)."""
         nchan, ny, nx = self.shape
-        return (f"{type(self).__name__} with shape={self.shape} and "
-                f"unit={self.unit}{beamstr}:\n"
-                f" n_x: {nx:6d}  type_x: {self._wcs.ctype[0]}\n"
-                f" n_y: {ny:6d}  type_y: {self._wcs.ctype[1]}\n"
-                f" n_s: {nchan:6d}  type_s: {self._wcs.ctype[2]}")
+        unit = str(self.unit)
+        head = f"{type(self).__name__} with shape={self.shape}"
+        head += f" and unit={unit}:\n" if unit else ":\n"
+        rows = []
+        try:
+            lon = np.asarray(self.longitude_extrema.value, dtype=float)
+            lat = np.asarray(self.latitude_extrema.value, dtype=float)
+            spec = np.asarray(self.spectral_extrema.value, dtype=float)
+            cu = [u.to_string() for u in self._wcs.cunit]
+            su = str(self.spectral_axis.unit)
+            rows = [
+                f" n_x: {nx:6d}  type_x: {self._wcs.ctype[0]:8s}  "
+                f"unit_x: {cu[0]:5s}  range: {lon[0]:12.6f}:{lon[1]:12.6f}",
+                f" n_y: {ny:6d}  type_y: {self._wcs.ctype[1]:8s}  "
+                f"unit_y: {cu[1]:5s}  range: {lat[0]:12.6f}:{lat[1]:12.6f}",
+                f" n_s: {nchan:6d}  type_s: {self._wcs.ctype[2]:8s}  "
+                f"unit_s: {su:5s}  range: {spec[0]:12.3f}:{spec[1]:12.3f}",
+            ]
+        except Exception:
+            rows = [f" n_x: {nx:6d}  type_x: {self._wcs.ctype[0]}",
+                    f" n_y: {ny:6d}  type_y: {self._wcs.ctype[1]}",
+                    f" n_s: {nchan:6d}  type_s: {self._wcs.ctype[2]}"]
+        return head + "\n".join(rows)
 
 
 def _broadcastable(shape1, shape2):

@@ -379,3 +379,109 @@ def smallest_beam(beams, include_mask=None):
     if not isinstance(beams, Beams):
         beams = Beams(beams=list(beams))
     return beams.smallest_beam(include_mask)
+
+
+# ---------------------------------------------------------------------------
+# reference module-function surface (cube_utils.py:270-449, 478-508)
+# ---------------------------------------------------------------------------
+MEMORY_THRESHOLD = 1e8
+
+
+def is_huge(cube) -> bool:
+    """True if the cube is large enough that whole-cube host
+    materialization should be guarded (reference cube_utils.py:270-275)."""
+    return cube.size >= MEMORY_THRESHOLD
+
+
+def iterator_strategy(cube, axis=None) -> str:
+    """Recommend an iteration strategy for the reference's ``how=``
+    dispatch (reference cube_utils.py:277-301).  On TPU every reduction is
+    a single fused jit kernel, so 'cube' is always the real strategy; the
+    size-based answer is kept for API compatibility."""
+    if cube.size < 1e8:
+        return "cube"
+    return "slice"
+
+
+def try_load_beam(header):
+    """Try to read a single beam from a FITS header; None on failure
+    (reference cube_utils.py:304-325)."""
+    from .beams import Beam
+    try:
+        return Beam.from_header(header)
+    except Exception:
+        return None
+
+
+def try_load_beams(data):
+    """Try to read a beam or beam table from a header, HDU, or HDU list
+    (reference cube_utils.py:327-378)."""
+    from .beams import Beam, Beams
+    from .units import Quantity
+    if hasattr(data, "header") and not hasattr(data, "__iter__"):
+        data = [data]
+    if hasattr(data, "keys") or not hasattr(data, "__iter__"):
+        # bare header
+        return try_load_beam(data)
+    beams = None
+    for hdu in data:
+        hdr = getattr(hdu, "header", None)
+        if hdr is None:
+            continue
+        if str(hdr.get("EXTNAME", "")).strip() == "BEAMS":
+            t = hdu.data
+            unit = "arcsec"
+            beams = Beams(
+                major=Quantity(np.asarray(t["BMAJ"], dtype=float), unit),
+                minor=Quantity(np.asarray(t["BMIN"], dtype=float), unit),
+                pa=Quantity(np.asarray(t["BPA"], dtype=float), "deg"))
+            return beams
+        if beams is None and "BMAJ" in hdr:
+            beams = try_load_beam(hdr)
+    return beams
+
+
+def beams_to_bintable(beams, pols=None):
+    """Beam list -> FITS BEAMS bintable HDU (reference
+    cube_utils.py:380-398)."""
+    from . import beams as _beams_mod
+    return _beams_mod.beams_to_bintable(beams, pols=pols)
+
+
+def beam_props(beams, includemask=None):
+    """Separate (major, minor, pa) Quantity arrays from a beam list,
+    optionally filtered by ``includemask`` (reference
+    cube_utils.py:401-417)."""
+    from .units import Quantity
+    if includemask is None:
+        includemask = [True] * len(beams)
+    major = Quantity(np.array([b.major.to_value("deg")
+                               for b, m in zip(beams, includemask) if m]),
+                     "deg")
+    minor = Quantity(np.array([b.minor.to_value("deg")
+                               for b, m in zip(beams, includemask) if m]),
+                     "deg")
+    pa = Quantity(np.array([b.pa.to_value("deg")
+                            for b, m in zip(beams, includemask) if m]),
+                  "deg")
+    return major, minor, pa
+
+
+def convert_bunit(bunit):
+    """Forgiving BUNIT parse: a Unit, or None with a warning
+    (reference cube_utils.py:478-508)."""
+    from .units import parse_bunit
+    return parse_bunit(bunit)
+
+
+def __getattr__(name):
+    # slice_syntax/SliceIndexer live in cube.py (they decorate cube
+    # methods); re-export lazily to dodge the circular import
+    # (reference defines them here, cube_utils.py:203-268).
+    if name == "slice_syntax":
+        from .cube import slice_syntax
+        return slice_syntax
+    if name == "SliceIndexer":
+        from .cube import _SliceSyntax
+        return _SliceSyntax
+    raise AttributeError(name)

@@ -35,6 +35,12 @@ class LowerDimensionalObject(Quantity):
         super().__init__(value, unit if unit is not None else "")
         self._wcs = wcs
         self._meta = dict(meta) if meta else {}
+        if isinstance(mask, np.ndarray):
+            # a raw boolean array is accepted like the reference
+            # (lower_dimensional_structures.py:767-778 wraps it)
+            from .masks import BooleanArrayMask
+            mask = BooleanArrayMask(mask.astype(bool), wcs,
+                                    shape=value.shape)
         self._mask = mask
         self._header = header
         self._beam = beam
@@ -232,6 +238,15 @@ class LowerDimensionalObject(Quantity):
             raise IOError(f"no image HDU found in {filename}")
         # pass the full list so a BEAMS bintable upgrades the class
         return cls.from_hdu(hdus)
+
+    def round(self, decimals=0):
+        """Round, preserving type/WCS/mask/fill (reference
+        test_projection.test_1d_slice_round)."""
+        return self._new_with(np.round(np.asarray(self.value), decimals))
+
+    @property
+    def _fill_value(self):
+        return getattr(self, "fill_value", np.nan)
 
     def with_fill_value(self, fill_value):
         new = self._new_with(self.value)

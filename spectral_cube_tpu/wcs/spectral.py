@@ -85,6 +85,11 @@ def determine_ctype_from_vconv(ctype: str, unit, velocity_convention=None):
     phys = unit.physical_type
     if phys == "speed":
         vc = parse_velocity_convention(velocity_convention)
+        if vc is None and velocity_convention is not None:
+            # explicitly given but unrecognized (reference
+            # spectral_axis.py determine_ctype_from_vconv raises)
+            raise ValueError("Velocity convention must be radio, optical, "
+                             "or relativistic.")
         if vc is None:
             if ct[0] == "V":
                 return ct  # velocity -> velocity keeps its convention

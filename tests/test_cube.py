@@ -958,3 +958,39 @@ def test_spectral_unit_convention_zero_at_rest(tmp_path):
         seconds.append(sv[1])
     np.testing.assert_allclose(firsts, 0, atol=1e-7)
     assert len({round(v, 9) for v in seconds}) == 3
+
+
+def test_repr_with_unit_and_ranges(tmp_path):
+    """repr shows per-axis type/unit/world range (reference
+    base_class.py:325-348; the expected numbers are the reference's own
+    commented worked example, test_spectral_cube.py:872-879)."""
+    from ref_fixtures import cube_and_raw
+    cube, _ = cube_and_raw(tmp_path)
+    r = repr(cube)
+    assert "unit=K" in r
+    assert "unit_x: deg" in r and "unit_s: km / s" in r
+    assert "24.062698" in r and "29.934094" in r
+    assert "-321.215" in r and "-317.350" in r
+
+
+def test_mixed_axis_collapse_warns(tmp_path):
+    """Collapsing a spatial + the spectral axis warns (reference
+    spectral_cube.py:483, test_twod_numpy_twoaxes)."""
+    import warnings as _w
+    import numpy as np
+    from ref_fixtures import cube_and_raw
+    cube, d = cube_and_raw(tmp_path)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = cube.mean(axis=(0, 1))
+    assert any("Averaging over a spatial and a spectral" in str(x.message)
+               for x in rec)
+    np.testing.assert_allclose(np.asarray(out.value), d.mean(axis=(0, 1)),
+                               rtol=1e-6)
+    # (1, 2) stays a clean OneDSpectrum with no such warning
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        spec = cube.mean(axis=(1, 2))
+    assert not any("Averaging over" in str(x.message) for x in rec)
+    from spectral_cube_tpu import OneDSpectrum
+    assert isinstance(spec, OneDSpectrum)

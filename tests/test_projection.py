@@ -349,3 +349,31 @@ def test_onedspectrum_negative_slice_wcs(cube_adv):
     np.testing.assert_allclose(
         np.asarray(spec[-2:].spectral_axis.value),
         np.asarray(spec[n - 2:n].spectral_axis.value), rtol=1e-12)
+
+
+def test_1d_slice_round_and_numpy_mask(cube_adv):
+    """sp.round() preserves the spectrum type and fill machinery
+    (reference test_projection.py:741-749); a raw boolean numpy array is
+    accepted as an LDO mask and wrapped (reference
+    test_projection.py:267-297)."""
+    import numpy as np
+    from spectral_cube_tpu.lower_dimensional_structures import OneDSpectrum
+    from spectral_cube_tpu.units import Quantity
+    from spectral_cube_tpu.wcs import WCS
+    cube, _ = cube_adv
+    sp = cube[:, 1, 1]
+    r = sp.round()
+    assert isinstance(r, OneDSpectrum)
+    assert hasattr(r, "_fill_value")
+    np.testing.assert_array_equal(np.asarray(r.value),
+                                  np.asarray(sp.value).round())
+
+    w = WCS(naxis=1)
+    w.ctype = ["VELO-LSR"]
+    w.cunit = ["m s-1"]
+    npm = np.ones(12, dtype=bool)
+    npm[1] = False
+    p = OneDSpectrum(Quantity(np.arange(12.0), "Jy"), wcs=w, mask=npm)
+    inc = np.asarray(p.mask.include())
+    assert inc.sum() == 11 and not inc[1]
+    assert np.isnan(np.asarray(p.filled_data[:].value)[1])

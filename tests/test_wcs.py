@@ -505,3 +505,15 @@ def test_projection_convolve_and_world_with_manual_wcs():
     # flux conserved for Jy/beam under beam-area rescale: peak grows
     lat, lon = p.world[:]
     assert np.asarray(lat.value).shape == (5, 5)
+
+
+def test_invalid_velocity_convention_raises():
+    """An explicitly-given but unrecognized velocity convention raises
+    (reference test_spectral_cube.py:1264-1272), even when the input axis
+    is already a velocity (VRAD) and would otherwise pass through."""
+    import pytest
+    from spectral_cube_tpu.wcs.spectral import determine_ctype_from_vconv
+    with pytest.raises(ValueError, match="radio, optical"):
+        determine_ctype_from_vconv("VRAD", "km / s",
+                                   velocity_convention="bogus")
+    assert determine_ctype_from_vconv("VRAD", "km / s") == "VRAD"
