@@ -28,6 +28,19 @@ def _round_up_to_odd_integer(value):
     return i + 1 if i % 2 == 0 else i
 
 
+def _unitless_width(value):
+    """Kernel widths are in pixels: reject unit-ful Quantities like the
+    reference ("The convolution kernel should be defined without a
+    unit.", dask_spectral_cube.py kernel checks / astropy kernels)."""
+    from .units import Quantity, UnitsError
+    if isinstance(value, Quantity):
+        if not value.unit.dimensionless:
+            raise UnitsError("The convolution kernel should be defined "
+                             "without a unit.")
+        return float(value.value)
+    return float(value)
+
+
 class Kernel:
     """Base kernel: holds the discretized, normalized array."""
 
@@ -84,7 +97,7 @@ class Gaussian1DKernel(Kernel1D):
     to odd (astropy Gaussian1DKernel, mode='center'), unit sum."""
 
     def __init__(self, stddev, x_size=None):
-        stddev = float(stddev)
+        stddev = _unitless_width(stddev)
         if x_size is None:
             x_size = _round_up_to_odd_integer(8 * stddev)
         x = _centers(x_size)
@@ -99,8 +112,8 @@ class Gaussian2DKernel(Kernel2D):
 
     def __init__(self, x_stddev, y_stddev=None, theta=0.0,
                  x_size=None, y_size=None):
-        x_stddev = float(x_stddev)
-        y_stddev = x_stddev if y_stddev is None else float(y_stddev)
+        x_stddev = _unitless_width(x_stddev)
+        y_stddev = x_stddev if y_stddev is None else _unitless_width(y_stddev)
         if x_size is None:
             x_size = _round_up_to_odd_integer(8 * max(x_stddev, y_stddev))
         if y_size is None:
@@ -122,7 +135,7 @@ class Tophat2DKernel(Kernel2D):
     support 2*radius rounded up to odd, unit sum."""
 
     def __init__(self, radius):
-        radius = float(radius)
+        radius = _unitless_width(radius)
         size = _round_up_to_odd_integer(2 * radius)
         x = _centers(size)
         xx, yy = np.meshgrid(x, x)
@@ -148,7 +161,8 @@ class Box1DKernel(Kernel1D):
     Box1DKernel, mode='linear_interp'), unit sum."""
 
     def __init__(self, width):
-        size = _round_up_to_odd_integer(float(width))
+        width = _unitless_width(width)
+        size = _round_up_to_odd_integer(width)
         super().__init__(_box_profile_1d(width, size))
         self.normalize()
 
@@ -158,7 +172,8 @@ class Box2DKernel(Kernel2D):
     (astropy Box2DKernel), unit sum."""
 
     def __init__(self, width):
-        size = _round_up_to_odd_integer(float(width))
+        width = _unitless_width(width)
+        size = _round_up_to_odd_integer(width)
         p = _box_profile_1d(width, size)
         super().__init__(np.outer(p, p))
         self.normalize()

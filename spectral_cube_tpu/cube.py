@@ -163,6 +163,23 @@ def slice_syntax(f):
     return wrapper
 
 
+def _tmp_dir_option(function):
+    """Adds the reference's ``save_to_tmp_dir=`` kwarg to cube-returning
+    ops (dask_spectral_cube.py:85-116 ``add_save_to_tmp_dir_option``):
+    when True, the result is computed eagerly, spilled to a temporary
+    store, and reloaded host-memmap-backed."""
+    import functools
+
+    @functools.wraps(function)
+    def wrapper(self, *args, **kwargs):
+        save = kwargs.pop("save_to_tmp_dir", False)
+        out = function(self, *args, **kwargs)
+        if save and isinstance(out, BaseSpectralCube):
+            out = out.checkpoint()
+        return out
+    return wrapper
+
+
 class BaseSpectralCube:
     """A masked, unit- and WCS-aware [spec, lat, lon] data cube on device."""
 
@@ -1313,6 +1330,7 @@ class BaseSpectralCube:
     # per-spaxel / per-plane transform engine
     # (reference spectral_cube.py:2900-3222; on TPU: vmap inside jit)
     # ------------------------------------------------------------------
+    @_tmp_dir_option
     def apply_function_parallel_spectral(self, function, *args,
                                          accepts_chunks=False,
                                          return_new_cube=True,
@@ -1364,6 +1382,7 @@ class BaseSpectralCube:
             return out
         return self._new_cube_with(data=jnp.asarray(out))
 
+    @_tmp_dir_option
     def apply_function_parallel_spatial(self, function, *args,
                                         accepts_chunks=False,
                                         return_new_cube=True,
@@ -1397,6 +1416,7 @@ class BaseSpectralCube:
             return out
         return self._new_cube_with(data=jnp.asarray(out))
 
+    @_tmp_dir_option
     def apply_function(self, function, axis=None, unit=None,
                        projection=False, keep_shape=False, **kwargs):
         """Apply a reduction function along an axis (reference
@@ -1433,6 +1453,7 @@ class BaseSpectralCube:
         return Quantity(out, unit) if unit is not None else out
 
     @warn_slow
+    @_tmp_dir_option
     def apply_numpy_function(self, function, fill=np.nan, projection=False,
                              unit=None, check_endian=False, axis=None,
                              how="cube", **kwargs):
@@ -1452,6 +1473,7 @@ class BaseSpectralCube:
     # ------------------------------------------------------------------
     # smoothing / filtering family
     # ------------------------------------------------------------------
+    @_tmp_dir_option
     def spectral_smooth(self, kernel, convolve=None, verbose=0, **kwargs):
         """Smooth along the spectral axis with a 1-D kernel (array or object
         with ``.array``); reference spectral_cube.py:3146-3184."""
@@ -1460,18 +1482,21 @@ class BaseSpectralCube:
         out = _smooth.spectral_smooth_cube(data, karr)
         return self._new_cube_with(data=out)
 
+    @_tmp_dir_option
     def spectral_smooth_median(self, ksize, raise_error_jybm=True, **kwargs):
         self._check_jybeam_smoothing(raise_error_jybm)
         data = self._get_filled_data(fill=np.nan)
         return self._new_cube_with(
             data=_smooth.spectral_median_filter_cube(data, ksize))
 
+    @_tmp_dir_option
     def spectral_filter(self, ksize, filter, **kwargs):
         """Apply an arbitrary spectral filter (host-side scipy-style)."""
         data = np.asarray(self._get_filled_data(fill=np.nan))
         out = filter(data, size=(ksize, 1, 1), **kwargs)
         return self._new_cube_with(data=jnp.asarray(out))
 
+    @_tmp_dir_option
     def spatial_smooth(self, kernel, convolve=None, raise_error_jybm=True,
                        **kwargs):
         self._check_jybeam_smoothing(raise_error_jybm)
@@ -1486,6 +1511,7 @@ class BaseSpectralCube:
         return self._new_cube_with(
             data=_smooth.spatial_median_filter_cube(data, ksize))
 
+    @_tmp_dir_option
     def spatial_filter(self, ksize, filter, raise_error_jybm=True, **kwargs):
         """Arbitrary scipy.ndimage filter over each spatial plane
         (reference spectral_cube.py:2776-2806 applies ``filter(im,
@@ -1496,6 +1522,7 @@ class BaseSpectralCube:
         out = filter(data, size=(1, ky, kx), **kwargs)
         return self._new_cube_with(data=jnp.asarray(out))
 
+    @_tmp_dir_option
     def sigma_clip_spectrally(self, threshold, verbose=0, maxiters=5,
                               **kwargs):
         """Iterative per-spaxel sigma clip (reference
@@ -1522,6 +1549,7 @@ class BaseSpectralCube:
     # ------------------------------------------------------------------
     # spectral interpolation & downsampling
     # ------------------------------------------------------------------
+    @_tmp_dir_option
     def spectral_interpolate(self, spectral_grid,
                              suppress_smooth_warning=False,
                              fill_value=None, update_function=None,
@@ -1570,6 +1598,7 @@ class BaseSpectralCube:
             if new_include is not None else None
         return self._new_cube_with(data=out, wcs=new_wcs, mask=mask)
 
+    @_tmp_dir_option
     def downsample_axis(self, factor, axis, estimator="mean", truncate=False,
                         use_memmap=None, progressbar=None):
         """Block-downsample (reference spectral_cube.py:3421-3557)."""
@@ -1836,6 +1865,7 @@ class SpectralCube(BaseSpectralCube):
             h.update(self._beam.to_header_keywords())
         return h
 
+    @_tmp_dir_option
     def convolve_to(self, beam, convolve=None, update_function=None,
                     **kwargs):
         """Convolve every channel to a common target beam via batched FFTs
@@ -2093,6 +2123,7 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
     def common_beam(self, **kwargs):
         return self.beams.common_beam(**kwargs)
 
+    @_tmp_dir_option
     def convolve_to(self, beam, allow_smaller=False, convolve=None,
                     update_function=None, **kwargs):
         """Per-channel convolution to a single common beam (reference

@@ -994,3 +994,20 @@ def test_mixed_axis_collapse_warns(tmp_path):
     assert not any("Averaging over" in str(x.message) for x in rec)
     from spectral_cube_tpu import OneDSpectrum
     assert isinstance(spec, OneDSpectrum)
+
+
+def test_save_to_tmp_dir_option(tmp_path):
+    """Every cube-returning op accepts save_to_tmp_dir=True and returns a
+    spilled/reloaded cube with identical values (reference
+    dask_spectral_cube.py:85-116, test_dask.py:79-85)."""
+    import numpy as np
+    from ref_fixtures import cube_and_raw
+    cube, _ = cube_and_raw(tmp_path)
+    for op in (lambda c: c.sigma_clip_spectrally(3, save_to_tmp_dir=True),
+               lambda c: c.spectral_smooth_median(3, save_to_tmp_dir=True),
+               lambda c: c.downsample_axis(2, axis=0, save_to_tmp_dir=True)):
+        assert op(cube) is not None
+    a = cube.spectral_smooth_median(3, save_to_tmp_dir=True)
+    b = cube.spectral_smooth_median(3)
+    np.testing.assert_allclose(np.asarray(a.unmasked_data[:].value),
+                               np.asarray(b.unmasked_data[:].value))

@@ -419,3 +419,20 @@ def test_kernel_classes_match_astropy_discretization():
     import scipy.ndimage as ndi
     exp = ndi.convolve1d(data, np.ones(3) / 3, axis=0, mode="constant")
     np.testing.assert_allclose(out, exp, rtol=2e-6, atol=2e-7)
+
+
+def test_kernel_with_units_refused():
+    """Kernel widths are in pixels; a unit-ful Quantity raises UnitsError
+    (reference test_regrid.py:174-182)."""
+    import pytest
+    from spectral_cube_tpu.convolution import (Gaussian1DKernel,
+                                               Gaussian2DKernel,
+                                               Box1DKernel, Tophat2DKernel)
+    from spectral_cube_tpu.units import Quantity, UnitsError
+    for ctor in (Gaussian1DKernel, Gaussian2DKernel, Box1DKernel,
+                 Tophat2DKernel):
+        with pytest.raises(UnitsError,
+                           match="kernel should be defined without"):
+            ctor(Quantity(1.0, "km / s"))
+    # dimensionless Quantities are fine (astropy u.one)
+    assert Gaussian1DKernel(Quantity(1.0, "")).array.sum() == 1.0
