@@ -14,6 +14,13 @@ from .beams import Beam, Beams
 from .cube import SpectralCube, VaryingResolutionSpectralCube, \
     BaseSpectralCube
 from .stokes import StokesSpectralCube
+
+# The reference exports dask-backed twins (reference __init__.py:4); on
+# TPU every cube is jit/shard_map-backed, so the names are aliases and
+# the dask API surface (rechunk, statistics, save_to_tmp_dir=,
+# use_dask_scheduler) lives on the classes themselves.
+DaskSpectralCube = SpectralCube
+DaskVaryingResolutionSpectralCube = VaryingResolutionSpectralCube
 from .lower_dimensional_structures import (Projection, Slice, OneDSpectrum,
                                            VaryingResolutionOneDSpectrum,
                                            LowerDimensionalObject)
@@ -32,6 +39,7 @@ del _os
 __version__ = "0.1.0"
 
 __all__ = ["SpectralCube", "VaryingResolutionSpectralCube",
+           "DaskSpectralCube", "DaskVaryingResolutionSpectralCube",
            "BaseSpectralCube", "StokesSpectralCube", "Projection", "Slice",
            "OneDSpectrum", "VaryingResolutionOneDSpectrum",
            "LowerDimensionalObject", "MaskBase", "InvertedMask",

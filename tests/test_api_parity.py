@@ -75,3 +75,18 @@ def test_public_api_parity(family):
     assert not missing, (
         f"{family}: public members present in the reference but absent "
         f"here: {missing}")
+
+
+def test_dask_class_aliases():
+    """from spectral_cube import DaskSpectralCube works (reference
+    __init__.py:24-30); on TPU the dask twins are the same classes."""
+    import spectral_cube_tpu as s
+    assert s.DaskSpectralCube is s.SpectralCube
+    assert (s.DaskVaryingResolutionSpectralCube
+            is s.VaryingResolutionSpectralCube)
+    for name in ("SpectralCube", "VaryingResolutionSpectralCube",
+                 "DaskSpectralCube", "DaskVaryingResolutionSpectralCube",
+                 "StokesSpectralCube", "CompositeMask", "LazyComparisonMask",
+                 "LazyMask", "BooleanArrayMask", "FunctionMask",
+                 "OneDSpectrum", "Projection", "Slice"):
+        assert hasattr(s, name), name
