@@ -39,6 +39,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persist compiled programs across bench runs: TPU compiles of the
+# cube-sized fori_loop kernels take minutes over the axon tunnel (226 s
+# measured cold); with the on-disk cache a rerun drops to
+# deserialization cost, so the per-round driver bench isn't dominated by
+# recompiles.
+from spectral_cube_tpu import enable_compilation_cache
+enable_compilation_cache()
+
 N = 256
 THRESHOLD = 0.25
 REPS = 100

@@ -517,3 +517,48 @@ def test_invalid_velocity_convention_raises():
         determine_ctype_from_vconv("VRAD", "km / s",
                                    velocity_convention="bogus")
     assert determine_ctype_from_vconv("VRAD", "km / s") == "VRAD"
+
+
+def test_nir_sinfoni_wave_to_velocity():
+    """The reference's NIR SINFONI worked example
+    (test_spectral_axis.py:536-595): a linear WAVE axis (um) converted to
+    radio/optical velocity about a 2.1218 um rest line.  Via the cube API
+    the ctype becomes the nonlinear 'VRAD-W2F'/'VOPT-W2V'-style code and
+    the axis evaluates exactly (the reference's own linear-ctype variant
+    is a tangent approximation; its test class is never collected).
+    Conventions: VOPT = c(lam-lam0)/lam0, VRAD = c(lam-lam0)/lam."""
+    import numpy as np
+    from spectral_cube_tpu import SpectralCube
+    from spectral_cube_tpu.wcs import WCS, convert_spectral_axis
+    from spectral_cube_tpu.units import Quantity
+    c = 299792458.0
+    w = WCS(naxis=3)
+    w.ctype = ["RA---TAN", "DEC--TAN", "WAVE"]
+    w.cunit = ["deg", "deg", "um"]
+    w.crval = [0, 0, 2.20000004768372]
+    w.crpix = [1, 1, 1109.]
+    w.cdelt = [-1e-3, 1e-3, 0.000245000002905726]
+    cube = SpectralCube(np.zeros((1200, 2, 2), np.float32), wcs=w,
+                        unit="Jy")
+    lam = ((np.arange(1200) - 1108) * 0.000245000002905726e-6
+           + 2.20000004768372e-6)
+    lam0 = 2.1218e-6
+    rest = Quantity(2.1218, "um")
+
+    vrad = cube.with_spectral_unit("km / s", velocity_convention="radio",
+                                   rest_value=rest)
+    assert vrad.wcs.ctype[2].startswith("VRAD-W2F")
+    np.testing.assert_allclose(np.asarray(vrad.spectral_axis.value),
+                               c * (lam - lam0) / lam / 1e3, atol=1e-6)
+
+    vopt = cube.with_spectral_unit("km / s", velocity_convention="optical",
+                                   rest_value=rest)
+    np.testing.assert_allclose(np.asarray(vopt.spectral_axis.value),
+                               c * (lam - lam0) / lam0 / 1e3, atol=1e-6)
+
+    # the raw linear-ctype converter writes the exact tangent at crval
+    w2 = convert_spectral_axis(w, "km / s", "VOPT", rest_value=rest)
+    lam_c, dlam = 2.20000004768372e-6, 0.000245000002905726e-6
+    np.testing.assert_allclose(w2.crval[2], c*(lam_c-lam0)/lam0/1e3,
+                               rtol=1e-12)
+    np.testing.assert_allclose(w2.cdelt[2], c*dlam/lam0/1e3, rtol=1e-12)
