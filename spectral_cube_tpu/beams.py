@@ -36,6 +36,11 @@ class BeamError(ValueError):
     pass
 
 
+class BeamUnitsError(BeamError):
+    """Raised when an operation would silently invalidate Jy/beam units
+    (reference utils.BeamUnitsError, base_class.py:116-140)."""
+
+
 def _angle_value(x, default_unit="deg") -> float:
     """Return an angle in radians from a Quantity or bare number."""
     if isinstance(x, Quantity):

@@ -1541,7 +1541,8 @@ class BaseSpectralCube:
         beam (reference base_class.py:116-140)."""
         if self._unit is not None and \
                 self._unit.dims == (u.Jy / u.beam).dims and raise_error_jybm:
-            raise BeamError(
+            from .beams import BeamUnitsError
+            raise BeamUnitsError(
                 "Attempting to smooth a cube in Jy/beam units changes the "
                 "beam; convert to K first (`cube.to('K')`) or pass "
                 "raise_error_jybm=False to override.")

@@ -262,48 +262,51 @@ def _convolve_planes(data, transfers, group_idx):
     # astropy boundary='fill' treats the zero padding as *valid* data, so
     # the normalized-convolution denominator is 1 - conv(invalid): only NaN
     # holes (nan_treatment='interpolate') reduce the local weight.
-    invalid = (~valid).astype(real)
 
     pads = ((0, 0), (0, fy - ny), (0, fx - nx))
     gidx = jnp.asarray(group_idx)
     import jax.lax as lax
-    all_finite = jnp.all(valid)
 
     if _use_dft_matmul(fy, fx, nchan):
         tg = transfers[gidx]
         tr = jnp.real(tg).astype(real)
         ti = jnp.imag(tg).astype(real)
-        num = _spectral_apply_rdft(jnp.pad(filled, pads), tr, ti,
-                                   fy, fx, real)[:, :ny, :nx]
-        # all-finite cubes skip the denominator's rDFT chain (lax.cond)
-        den = lax.cond(
-            all_finite,
-            lambda inv: jnp.ones_like(num),
-            lambda inv: 1.0 - _spectral_apply_rdft(
-                jnp.pad(inv, pads), tr, ti, fy, fx, real)[:, :ny, :nx],
-            invalid)
+
+        def conv2(arr):
+            return _spectral_apply_rdft(jnp.pad(arr, pads), tr, ti,
+                                        fy, fx, real)[:, :ny, :nx]
     else:
         t = transfers.astype(comp)[gidx]
-        fdata = jnp.fft.rfft2(jnp.pad(filled, pads))
-        num = jnp.fft.irfft2(fdata * t, s=(fy, fx))[:, :ny, :nx]
-        den = lax.cond(
-            all_finite,
-            lambda inv: jnp.ones_like(num),
-            lambda inv: 1.0 - jnp.fft.irfft2(
-                jnp.fft.rfft2(jnp.pad(inv, pads)) * t,
-                s=(fy, fx))[:, :ny, :nx],
-            invalid)
-    # den is the fraction of kernel weight drawn from valid data; the f32
-    # HIGHEST matmul/rDFT chains reconstruct an exact 0 only to ~1e-7, so
-    # anything below 1e-6 is numerically indistinguishable from "no valid
-    # weight" and must map to NaN CONSISTENTLY across the separable,
-    # rDFT, and rfft2 paths (a smaller eps made the NaN set depend on
-    # which path computed it).
-    eps = 1e-6
-    out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
-    # all-NaN planes stay NaN
-    any_valid = jnp.any(valid, axis=(1, 2), keepdims=True)
-    out = jnp.where(any_valid, out, jnp.nan)
+
+        def conv2(arr):
+            return jnp.fft.irfft2(jnp.fft.rfft2(jnp.pad(arr, pads)) * t,
+                                  s=(fy, fx))[:, :ny, :nx]
+
+    num = conv2(filled)
+
+    # All-finite cubes return ``num`` directly: the denominator rDFT/FFT
+    # chain AND the divide/NaN-where/any_valid postlude all sit inside the
+    # dirty branch of one lax.cond, so the clean path pays zero extra HBM
+    # passes (num == where(1>eps, num/1, nan) bitwise when den == 1).
+    def _clean(args):
+        return args[0]
+
+    def _dirty(args):
+        n, v = args
+        den = 1.0 - conv2((~v).astype(real))
+        # den is the fraction of kernel weight drawn from valid data; the
+        # f32 HIGHEST matmul/rDFT chains reconstruct an exact 0 only to
+        # ~1e-7, so anything below 1e-6 is numerically indistinguishable
+        # from "no valid weight" and must map to NaN CONSISTENTLY across
+        # the separable, rDFT, and rfft2 paths (a smaller eps made the
+        # NaN set depend on which path computed it).
+        eps = 1e-6
+        o = jnp.where(den > eps, n / jnp.where(den > eps, den, 1), jnp.nan)
+        # all-NaN planes stay NaN
+        any_valid = jnp.any(v, axis=(1, 2), keepdims=True)
+        return jnp.where(any_valid, o, jnp.nan)
+
+    out = lax.cond(jnp.all(valid), _clean, _dirty, (num, valid))
     return out.astype(data.dtype)
 
 
@@ -437,30 +440,40 @@ def convolve_per_channel_separable(data, kernels, group_idx, max_rank=4,
     valid = jnp.isfinite(data)
     comp = jnp.float64 if data.dtype == jnp.float64 else jnp.float32
     filled = jnp.where(valid, data, 0).astype(comp)
-    invalid = (~valid).astype(comp)
 
     def apply(arr, prec):
         t = jnp.einsum("crab,cbx->crax", myc, arr, precision=prec)
         return jnp.einsum("crax,crvx->cav", t, mxc, precision=prec)
 
     num = apply(filled, lax.Precision.HIGHEST)
-    # the denominator DIVIDES the output (normalized convolution), so it
-    # needs full precision too — unlike threshold-only flag matmuls; an
-    # all-finite cube skips it entirely (lax.cond): den == 1
-    den = lax.cond(jnp.all(valid),
-                   lambda inv: jnp.ones_like(inv),
-                   lambda inv: 1.0 - apply(inv, lax.Precision.HIGHEST),
-                   invalid)
-    # den is the fraction of kernel weight drawn from valid data; the f32
-    # HIGHEST matmul/rDFT chains reconstruct an exact 0 only to ~1e-7, so
-    # anything below 1e-6 is numerically indistinguishable from "no valid
-    # weight" and must map to NaN CONSISTENTLY across the separable,
-    # rDFT, and rfft2 paths (a smaller eps made the NaN set depend on
-    # which path computed it).
-    eps = 1e-6
-    out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
-    any_valid = jnp.any(valid, axis=(1, 2), keepdims=True)
-    out = jnp.where(any_valid, out, jnp.nan)
+
+    # All-finite cubes return ``num`` directly: the whole normalized-
+    # convolution postlude (denominator matmuls, divide, NaN wheres,
+    # any_valid reduction) sits INSIDE the cond's dirty branch, so the
+    # clean path pays zero extra HBM passes.  On the clean path
+    # num == where(1>eps, num/1, nan) bitwise, so results are unchanged.
+    def _clean(args):
+        n, _ = args
+        return n
+
+    def _dirty(args):
+        n, v = args
+        inv = (~v).astype(comp)
+        # the denominator DIVIDES the output (normalized convolution), so
+        # it needs full precision too — unlike threshold-only flag matmuls
+        den = 1.0 - apply(inv, lax.Precision.HIGHEST)
+        # den is the fraction of kernel weight drawn from valid data; the
+        # f32 HIGHEST matmul/rDFT chains reconstruct an exact 0 only to
+        # ~1e-7, so anything below 1e-6 is numerically indistinguishable
+        # from "no valid weight" and must map to NaN CONSISTENTLY across
+        # the separable, rDFT, and rfft2 paths (a smaller eps made the
+        # NaN set depend on which path computed it).
+        eps = 1e-6
+        o = jnp.where(den > eps, n / jnp.where(den > eps, den, 1), jnp.nan)
+        any_valid = jnp.any(v, axis=(1, 2), keepdims=True)
+        return jnp.where(any_valid, o, jnp.nan)
+
+    out = lax.cond(jnp.all(valid), _clean, _dirty, (num, valid))
     return out.astype(data.dtype)
 
 

@@ -139,21 +139,24 @@ def convolve1d_nan(data, kernel, axis=0):
                                               if data.dtype != jnp.float64
                                               else jnp.float64)
     num = _conv1d_along_axis0(filled, kernel)
+
     # astropy boundary='fill': zero padding counts as valid data, so the
-    # denominator only drops below 1 around NaN holes — and an all-finite
-    # cube (checked at runtime, lax.cond) skips the denominator pass
-    # entirely: den == 1 exactly when no voxel is invalid
-    den = lax.cond(
-        jnp.all(valid),
-        lambda inv: jnp.ones_like(inv),
-        lambda inv: 1.0 - _conv1d_along_axis0(inv, kernel),
-        (~valid).astype(filled.dtype))
-    # den floor 1e-6 like every other normalized-convolution path
-    # (CLAUDE.md): f32 HIGHEST reconstructs a true 0 only to ~1e-7, and
-    # `> 0` let all-NaN windows emit fake 0.0 instead of NaN
-    eps = 1e-6
-    out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
-    out = jnp.where(jnp.any(valid, axis=0, keepdims=True), out, jnp.nan)
+    # denominator only drops below 1 around NaN holes.  All-finite cubes
+    # (checked at runtime) return num directly — denominator conv, divide,
+    # and the NaN wheres all live inside the dirty branch of one lax.cond,
+    # so the clean path pays zero extra HBM passes (num ==
+    # where(1>eps, num/1, nan) bitwise when den == 1).
+    def _dirty(args):
+        n, v = args
+        den = 1.0 - _conv1d_along_axis0((~v).astype(n.dtype), kernel)
+        # den floor 1e-6 like every other normalized-convolution path
+        # (CLAUDE.md): f32 HIGHEST reconstructs a true 0 only to ~1e-7,
+        # and `> 0` let all-NaN windows emit fake 0.0 instead of NaN
+        eps = 1e-6
+        o = jnp.where(den > eps, n / jnp.where(den > eps, den, 1), jnp.nan)
+        return jnp.where(jnp.any(v, axis=0, keepdims=True), o, jnp.nan)
+
+    out = lax.cond(jnp.all(valid), lambda a: a[0], _dirty, (num, valid))
     # astropy keeps original NaNs NaN only when interpolation impossible;
     # with nan_treatment='interpolate' NaN positions get interpolated values
     if axis != 0:
@@ -201,15 +204,19 @@ def spatial_smooth_cube(data, kernel2d):
             dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
 
     num = conv(filled)
+
     # zero-fill boundary counts as valid data (astropy boundary='fill');
-    # all-finite cubes skip the denominator conv (lax.cond): den == 1
-    den = lax.cond(jnp.all(valid),
-                   lambda inv: jnp.ones_like(inv),
-                   lambda inv: 1.0 - conv(inv),
-                   (~valid).astype(comp))
-    eps = 1e-6   # same den floor as the separable/rDFT paths
-    out = jnp.where(den > eps, num / jnp.where(den > eps, den, 1), jnp.nan)
-    out = jnp.where(jnp.any(valid, axis=(1, 2), keepdims=True), out, jnp.nan)
+    # all-finite cubes return num directly — the denominator conv AND the
+    # divide/NaN-where postlude live in the dirty branch of one lax.cond
+    # (clean num == where(1>eps, num/1, nan) bitwise when den == 1)
+    def _dirty(args):
+        n, v = args
+        den = 1.0 - conv((~v).astype(comp))
+        eps = 1e-6   # same den floor as the separable/rDFT paths
+        o = jnp.where(den > eps, n / jnp.where(den > eps, den, 1), jnp.nan)
+        return jnp.where(jnp.any(v, axis=(1, 2), keepdims=True), o, jnp.nan)
+
+    out = lax.cond(jnp.all(valid), lambda a: a[0], _dirty, (num, valid))
     return out.astype(data.dtype)
 
 

@@ -166,3 +166,42 @@ def enable_compilation_cache(path=None, min_compile_secs=1.0):
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_secs))
     return path
+
+
+def ProgressBar(niter, **kwargs):
+    """tqdm progress bar, or a no-op stand-in when tqdm is unavailable
+    (reference utils.py:15-16)."""
+    try:
+        from tqdm import tqdm
+        return tqdm(total=niter, **kwargs)
+    except ImportError:
+        class _Noop:
+            def update(self, n=1):
+                pass
+
+            def close(self):
+                pass
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+        return _Noop()
+
+
+def computed_quantity(value, *args, **kwargs):
+    """Materialize a device array and wrap it as a Quantity (reference
+    utils.py:19-22, where it computes a dask array)."""
+    import numpy as _np
+    from .units import Quantity
+    return Quantity(_np.asarray(value), *args, **kwargs)
+
+
+def __getattr__(name):
+    # beam error classes live in beams.py; the reference exports them from
+    # utils (utils.py:131-136) — lazy re-export dodges a circular import
+    if name in ("NoBeamError", "BeamError", "BeamUnitsError"):
+        from . import beams as _beams
+        return getattr(_beams, name)
+    raise AttributeError(name)

@@ -396,3 +396,33 @@ def test_quicklook_paths(cube_adv):
         cube[:, 0, 0].quicklook(filename=f)
         assert os.path.exists(f)
     plt.close("all")
+
+
+def test_utils_module_surface():
+    """Reference utils.py free functions/exceptions exist here too:
+    ProgressBar (utils.py:15), computed_quantity (:19), NoBeamError /
+    BeamUnitsError (:131-136); Jy/beam smoothing raises BeamUnitsError
+    specifically (base_class.py:116-140)."""
+    import numpy as np
+    import pytest
+    from spectral_cube_tpu.utils import (ProgressBar, computed_quantity,
+                                         NoBeamError, BeamUnitsError)
+    p = ProgressBar(3)
+    p.update()
+    p.close()
+    q = computed_quantity(np.ones(3), "K")
+    assert str(q.unit) == "K"
+    assert issubclass(BeamUnitsError, Exception)
+    assert issubclass(NoBeamError, Exception)
+
+
+def test_jybeam_smoothing_raises_beam_units_error(cube_adv):
+    import pytest
+    from spectral_cube_tpu.utils import BeamUnitsError
+    from spectral_cube_tpu.convolution import Gaussian2DKernel
+    cube, _ = cube_adv  # Jy/beam cube
+    with pytest.raises(BeamUnitsError):
+        cube.spatial_smooth(Gaussian2DKernel(1.5))
+    # override still works
+    out = cube.spatial_smooth(Gaussian2DKernel(1.5), raise_error_jybm=False)
+    assert out.shape == cube.shape
