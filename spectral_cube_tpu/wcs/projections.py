@@ -16,13 +16,19 @@ HEALPix grid HPX (PV2_1=H, PV2_2=K — e.g. the HI4PI survey release), and
 the quad-cubes TSC (tangential/gnomonic) and QSC (the O'Neill &
 Laubscher 1976 quadrilateralized spherical cube — exactly equal-area,
 validated against an mpmath sector-area quadrature oracle and a
-constant-Jacobian property test).  CSC/XPH remain unimplemented: CSC is
-defined by the COBE polynomial coefficient tables (data, not math —
-~4e-4 deg approximation error by construction) and XPH by a specific
-gore rearrangement of HPX whose layout we cannot validate without
-wcslib (a plausible-but-wrong layout would silently misread files,
-worse than an unsupported-projection error); neither appears in
-spectral-line radio data.  All functions
+constant-Jacobian property test), and the polar HEALPix butterfly XPH
+(Calabretta & Lowe 2013): the H=4, K=3 HEALPix gores re-hinged at the
+north pole and fanned along the map diagonals.  XPH's layout is pinned
+from first principles rather than copied: (a) the fiducial point is the
+pole, (b) the native azimuth convention matches every other
+pole-centered projection (phi = 0 along -y, increasing toward +x), (c)
+adjacent gores must share their polar-cap edge continuously (which
+forces the chi = +-45/+-135 gore->wing rotation assignment derived in
+``_xph_native2xy``), and (d) the map is exactly equal-area with the HPX
+Jacobian (no hidden scale); the tests assert all four properties.  CSC
+remains unimplemented: it is defined by the COBE polynomial coefficient
+tables (data, not math — ~4e-4 deg approximation error by
+construction) and does not appear in spectral-line radio data.  All functions
 work on *intermediate world coordinates* (x, y) in **degrees** and native
 spherical coordinates (phi, theta) in **degrees**, matching wcslib
 conventions.  ``pv`` holds the PVi_m values of the latitude axis: either a
@@ -49,7 +55,7 @@ R2D = 180.0 / np.pi
 SUPPORTED_PROJECTIONS = ("TAN", "SIN", "ARC", "STG", "ZEA", "AZP", "SZP",
                          "ZPN", "AIR",
                          "CAR", "CEA", "MER", "MOL", "SFL", "GLS", "AIT",
-                         "CYP", "PAR", "BON", "PCO", "HPX",
+                         "CYP", "PAR", "BON", "PCO", "HPX", "XPH",
                          "COP", "COE", "COD", "COO", "TSC", "QSC", "")
 
 # Fiducial native coordinates (phi0, theta0) per projection family [deg].
@@ -85,7 +91,9 @@ def _zpn_coeffs(pv):
 
 
 def fiducial_native(code: str, pv=()):
-    if code in _ZENITHAL:
+    if code in _ZENITHAL or code == "XPH":
+        # XPH is pole-centered like the zenithal family (the butterfly's
+        # body is the north pole), so its fiducial point is the pole too.
         return 0.0, 90.0
     if code in _CONIC:
         # conics put the fiducial point on the middle parallel theta_a
@@ -502,6 +510,74 @@ def _hpx_xy2native(x, y, xp, pv):
     return phi, theta
 
 
+_RT2 = np.sqrt(0.5)
+
+
+def _xph_gore_rotation(q, xp):
+    """cos/sin of the gore->wing rotation angle chi = -135 + 90 q [deg],
+    exactly (every chi is an odd multiple of 45 deg)."""
+    c = xp.where((q == 1) | (q == 2), _RT2, -_RT2)
+    s = xp.where(q >= 2, _RT2, -_RT2)
+    return c, s
+
+
+def _xph_native2xy(phi, theta, xp):
+    """HEALPix polar butterfly (Calabretta & Lowe 2013, code XPH): the
+    H=4, K=3 HEALPix gores re-hinged at the north pole.
+
+    Construction (derived, not transcribed — see the module docstring for
+    why the layout is uniquely pinned): longitude quadrant q holds
+    lon in [-180+90q, -90+90q); within it the gore longitude is
+    psi = lon - chi with chi = -135 + 90 q.  The gore is the H=4, K=3
+    HEALPix strip for psi in [-45, 45] — equatorial belt
+    (xi, eta) = (psi, 67.5 sin theta) for |sin theta| <= 2/3, Collignon
+    caps xi = psi sigma, eta = sign(theta) (90 - 45 sigma) with
+    sigma = sqrt(3 (1 - |sin theta|)) — translated so the north pole
+    (eta = 90) sits at the origin and rotated by chi, which fans the four
+    gores down the map diagonals into the butterfly.  Adjacent gores
+    share their north-polar-cap edges continuously under exactly this
+    chi assignment, and phi = 0 runs along -y as in every pole-centered
+    projection.  Equal-area with the HPX Jacobian pi^2/4800 per deg^2
+    (rotation and translation preserve area).
+    """
+    lon = (phi + 180.0) % 360.0 - 180.0
+    q = xp.clip(xp.floor((lon + 180.0) / 90.0), 0.0, 3.0)
+    chi = -135.0 + 90.0 * q
+    psi = lon - chi
+    st = xp.sin(theta * D2R)
+    polar = xp.abs(st) > 2.0 / 3.0
+    sigma = xp.sqrt(xp.maximum(3.0 * (1.0 - xp.abs(st)), 0.0))
+    xi = xp.where(polar, psi * sigma, psi)
+    eta = xp.where(polar,
+                   xp.where(st < 0, -1.0, 1.0) * (90.0 - 45.0 * sigma),
+                   67.5 * st)
+    etap = eta - 90.0                       # north pole -> origin
+    c, s = _xph_gore_rotation(q, xp)
+    return xi * c - etap * s, xi * s + etap * c
+
+
+def _xph_xy2native(x, y, xp):
+    """XPH inverse: identify the wing from the map-plane quadrant (the
+    wing axes lie on the diagonals), unrotate, untranslate, and invert
+    the HEALPix gore equations (facet center at psi = 0)."""
+    q = xp.where(y <= 0.0,
+                 xp.where(x >= 0.0, 2.0, 1.0),
+                 xp.where(x >= 0.0, 3.0, 0.0))
+    chi = -135.0 + 90.0 * q
+    c, s = _xph_gore_rotation(q, xp)
+    xi = x * c + y * s
+    eta = -x * s + y * c + 90.0
+    polar_n = eta > 45.0
+    polar_s = eta < -45.0
+    sigma = xp.where(polar_n, (90.0 - eta) / 45.0, (90.0 + eta) / 45.0)
+    sigma = xp.maximum(sigma, 0.0)
+    st_pol = (1.0 - sigma * sigma / 3.0) * xp.where(polar_s, -1.0, 1.0)
+    st = xp.where(polar_n | polar_s, st_pol, eta / 67.5)
+    psi = xp.where(polar_n | polar_s, xi / xp.maximum(sigma, 1e-12), xi)
+    theta = xp.arcsin(xp.clip(st, -1.0, 1.0)) * R2D
+    return psi + chi, theta
+
+
 # TSC face tables: (zeta, xi, eta) direction-cosine picks and face-center
 # offsets, in the image-aligned frame e = cos(t)cos(p), f = cos(t)sin(p),
 # n = sin(t).  Layout: equatorial band faces 1-4 at x = 0/90/180/270,
@@ -722,6 +798,8 @@ def proj_xy2native(code: str, x, y, xp=np, pv=()):
         return _szp_xy2native(x, y, xp, pv)
     if code == "HPX":
         return _hpx_xy2native(x, y, xp, pv)
+    if code == "XPH":
+        return _xph_xy2native(x, y, xp)
     if code == "TSC":
         return _tsc_xy2native(x, y, xp)
     if code == "QSC":
@@ -813,6 +891,8 @@ def proj_native2xy(code: str, phi, theta, xp=np, pv=()):
         return _szp_native2xy(phi, theta, xp, pv)
     if code == "HPX":
         return _hpx_native2xy(phi, theta, xp, pv)
+    if code == "XPH":
+        return _xph_native2xy(phi, theta, xp)
     if code == "TSC":
         return _tsc_native2xy(phi, theta, xp)
     if code == "QSC":

@@ -349,3 +349,101 @@ def test_hpx_even_k_seam():
     out = np.asarray(jax.jit(lambda v: prj._precise_log(v, jnp))(specials))
     assert np.isnan(out[0]) and out[1] == np.inf
     assert out[2] == -np.inf and np.isnan(out[3])
+
+
+def test_xph_layout_and_roundtrip():
+    """XPH (polar HEALPix butterfly): the four properties that pin the
+    layout from first principles (module docstring of projections.py).
+
+    (a) pole-centered: theta = 90 maps to the origin;
+    (b) native convention: phi = 0 runs along -y (both images of the
+        equatorial phi = 0 point sit at x = -+45/sqrt(2), y = -135/sqrt(2),
+        and the gore boundary ray through the north cap is the -y axis);
+    (c) adjacent gores share their north-polar-cap edges continuously;
+    (d) exactly equal-area with the H=4, K=3 HEALPix Jacobian
+        3 pi / 8 (in sin-theta measure), and the inverse is exact.
+    """
+    rt = np.sqrt(0.5)
+    # (a) pole at origin
+    x, y = prj.proj_native2xy("XPH", 0.0, 90.0)
+    assert abs(float(x)) < 1e-12 and abs(float(y)) < 1e-12
+    # south pole: four wing tips on the diagonals at radius 180
+    for lon, sx, sy in [(-135.0, -1, 1), (-45.0, -1, -1),
+                        (45.0, 1, -1), (135.0, 1, 1)]:
+        x, y = prj.proj_native2xy("XPH", lon, -90.0)
+        assert abs(float(x) - sx * 180.0 * rt) < 1e-9
+        assert abs(float(y) - sy * 180.0 * rt) < 1e-9
+    # (b) phi = 0, theta = 0: the seam cut — hand-derived coordinates
+    # (gore chi = +-45, psi = -+45: rotate (-+45, -90) by +-45 deg)
+    x, y = prj.proj_native2xy("XPH", 1e-12, 0.0)
+    assert abs(float(x) - 45.0 * rt) < 1e-6
+    assert abs(float(y) + 135.0 * rt) < 1e-6
+    x, y = prj.proj_native2xy("XPH", -1e-12, 0.0)
+    assert abs(float(x) + 45.0 * rt) < 1e-6
+    assert abs(float(y) + 135.0 * rt) < 1e-6
+    # ... and in the north cap phi = 0 runs exactly along -y
+    for th in (60.0, 75.0, 89.0):
+        for sgn in (1e-9, -1e-9):
+            x, y = prj.proj_native2xy("XPH", sgn, th)
+            assert abs(float(x)) < 1e-6 and float(y) < 0.0
+    # (c) continuity across every gore boundary inside the north cap
+    for lon0 in (-180.0, -90.0, 0.0, 90.0):
+        for th in (45.0, 60.0, 80.0):
+            x1, y1 = prj.proj_native2xy("XPH", lon0 + 1e-9, th)
+            x2, y2 = prj.proj_native2xy("XPH", lon0 - 1e-9, th)
+            assert abs(float(x1) - float(x2)) < 1e-6, (lon0, th)
+            assert abs(float(y1) - float(y2)) < 1e-6, (lon0, th)
+    # (d) equal-area + exact roundtrip on a random sample
+    rng = np.random.default_rng(11)
+    phi = rng.uniform(-180.0, 180.0, 4000)
+    theta = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, 4000)))
+    x, y = prj.proj_native2xy("XPH", phi, theta)
+    assert np.all(np.abs(x) + np.abs(y) < 180.0 * np.sqrt(2.0) + 1e-9)
+    p2, t2 = prj.proj_xy2native("XPH", x, y)
+    dphi = (p2 - phi + 180.0) % 360.0 - 180.0
+    assert np.max(np.abs(dphi) * np.cos(np.radians(theta))) < 1e-8
+    assert np.max(np.abs(t2 - theta)) < 1e-8
+    h = 1e-5
+    pp = phi[:800]
+    tt = np.clip(theta[:800], -85.0, 85.0)
+    x0, y0 = prj.proj_native2xy("XPH", pp, tt)
+    xp_, yp_ = prj.proj_native2xy("XPH", pp + h, tt)
+    xt, yt = prj.proj_native2xy("XPH", pp, tt + h)
+    jac = np.abs((xp_ - x0) * (yt - y0) - (xt - x0) * (yp_ - y0)) \
+        / (h * h * np.cos(np.radians(tt)))
+    good = np.abs(jac - 3.0 * np.pi / 8.0) < 0.1   # seam straddles
+    assert np.mean(good) > 0.95
+    np.testing.assert_allclose(jac[good], 3.0 * np.pi / 8.0, rtol=1e-4)
+
+
+def test_xph_device_path_and_header():
+    """XPH evaluates inside jit, and a --XPH header round-trips through
+    the full WCS pixel<->world machinery."""
+    import jax
+    import jax.numpy as jnp
+    phi = np.array([10.0, -100.0, 170.0, 40.0])
+    th = np.array([20.0, 75.0, -50.0, 5.0])
+    xn, yn = prj.proj_native2xy("XPH", phi, th)
+    xj, yj = jax.jit(
+        lambda a, b: prj.proj_native2xy("XPH", a, b, xp=jnp))(phi, th)
+    np.testing.assert_allclose(np.asarray(xj), xn, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(yj), yn, atol=5e-5)
+    pj, tj = jax.jit(
+        lambda a, b: prj.proj_xy2native("XPH", a, b, xp=jnp))(
+            np.asarray(xn), np.asarray(yn))
+    np.testing.assert_allclose(np.asarray(tj), th, atol=1e-4)
+    dphi = (np.asarray(pj) - phi + 180.0) % 360.0 - 180.0
+    np.testing.assert_allclose(dphi, 0.0, atol=2e-4)
+
+    from spectral_cube_tpu.wcs import WCS
+    w = WCS(naxis=2)
+    w.wcs.ctype = ["RA---XPH", "DEC--XPH"]
+    w.wcs.crval = [180.0, 90.0]      # fiducial = the pole, like zenithal
+    w.wcs.crpix = [50.0, 50.0]
+    w.wcs.cdelt = [-1.0, 1.0]
+    px = np.array([10.0, 50.0, 80.0, 30.0])
+    py = np.array([20.0, 50.0, 70.0, 90.0])
+    lon, lat = w.wcs_pix2world(px, py, 0)
+    px2, py2 = w.wcs_world2pix(lon, lat, 0)
+    np.testing.assert_allclose(px2, px, atol=1e-6)
+    np.testing.assert_allclose(py2, py, atol=1e-6)
