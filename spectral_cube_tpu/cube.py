@@ -87,9 +87,17 @@ def _kernel_array(kernel):
     return np.asarray(arr, dtype=float)
 
 
-def _world_to_pixel_range(wcs, axis, lo, hi, n):
+def _world_to_pixel_range(wcs, axis, lo, hi, n, n_other=None):
     """Resolve mixed pixel/world bounds to a pixel slice along a celestial
-    axis (reference find_spatial_pixel_index, wcs_utils.py:517-700)."""
+    axis (reference find_spatial_pixel_index, wcs_utils.py:517-700).
+
+    World bounds are solved by nearest-pixel search along a spine through
+    the center of the *cube* (``n_other``), not through crpix: reference
+    headers routinely describe a cutout of a much larger map, leaving
+    crpix hundreds of pixels outside the data where projection curvature
+    shifts world coordinates by whole pixels.  The resolved range is
+    inclusive of both bounding pixels and insensitive to the axis
+    direction (RA typically *decreases* with pixel index)."""
     if isinstance(lo, str) and lo == "min":
         lo_p = 0
     elif isinstance(lo, Quantity):
@@ -104,13 +112,13 @@ def _world_to_pixel_range(wcs, axis, lo, hi, n):
         hi_p = int(hi)
     if lo_p is not None and hi_p is not None:
         return lo_p, hi_p
-    # world-quantity bounds: solve along the axis spine through crpix
     cel = wcs.celestial
     other = 1 - axis
     probe = np.arange(n, dtype=float)
     coords = [None, None]
     coords[axis] = probe
-    coords[other] = np.full(n, cel.crpix[other] - 1.0)
+    coords[other] = np.full(n, (n_other - 1) / 2.0 if n_other is not None
+                            else cel.crpix[other] - 1.0)
     world = np.asarray(cel.pix2world(coords[0], coords[1])[axis])
     unit = cel.cunit[axis]
 
@@ -118,11 +126,14 @@ def _world_to_pixel_range(wcs, axis, lo, hi, n):
         val = q.to_value(unit.to_string() or "deg")
         return int(np.argmin(np.abs(world - val)))
 
+    if lo_p is None and hi_p is None:
+        pa, pb = solve(lo), solve(hi)
+        return min(pa, pb), max(pa, pb) + 1
     if lo_p is None:
         lo_p = solve(lo)
     if hi_p is None:
         hi_p = solve(hi) + 1
-    if lo_p > hi_p:
+    if lo_p > hi_p - 1:
         lo_p, hi_p = hi_p - 1, lo_p + 1
     return lo_p, hi_p
 
@@ -1140,8 +1151,10 @@ class BaseSpectralCube:
         """Extract by pixel or world bounds (reference
         spectral_cube.py:1947-2036)."""
         nchan, ny, nx = self.shape
-        xlo, xhi = _world_to_pixel_range(self._wcs, 0, xlo, xhi, nx)
-        ylo, yhi = _world_to_pixel_range(self._wcs, 1, ylo, yhi, ny)
+        xlo, xhi = _world_to_pixel_range(self._wcs, 0, xlo, xhi, nx,
+                                         n_other=ny)
+        ylo, yhi = _world_to_pixel_range(self._wcs, 1, ylo, yhi, ny,
+                                         n_other=nx)
         if isinstance(zlo, Quantity) or isinstance(zhi, Quantity):
             zl = self.closest_spectral_channel(zlo) \
                 if isinstance(zlo, Quantity) else (

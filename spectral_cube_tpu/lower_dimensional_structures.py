@@ -310,8 +310,10 @@ class Projection(LowerDimensionalObject):
         Projection.subimage at lower_dimensional_structures.py:540-565)."""
         from .cube import _world_to_pixel_range
         ny, nx = self.shape
-        xlo, xhi = _world_to_pixel_range(self._wcs, 0, xlo, xhi, nx)
-        ylo, yhi = _world_to_pixel_range(self._wcs, 1, ylo, yhi, ny)
+        xlo, xhi = _world_to_pixel_range(self._wcs, 0, xlo, xhi, nx,
+                                         n_other=ny)
+        ylo, yhi = _world_to_pixel_range(self._wcs, 1, ylo, yhi, ny,
+                                         n_other=nx)
         view = (slice(ylo, yhi), slice(xlo, xhi))
         return self[view]
 

@@ -96,6 +96,19 @@ class Unit:
     name: str | None = None
     parts: tuple = ()
 
+    def __post_init__(self):
+        # astropy's ``u.Unit(...)`` is a factory that accepts a unit
+        # string or an existing unit; users of the reference write
+        # ``u.Unit("km/s")`` routinely, so the bare constructor must not
+        # silently build a broken unit with ``scale="km/s"``.
+        if isinstance(self.scale, (str, Unit)):
+            src = self.scale if isinstance(self.scale, Unit) \
+                else _parse_unit_string(self.scale)
+            object.__setattr__(self, "scale", src.scale)
+            object.__setattr__(self, "dims", src.dims)
+            object.__setattr__(self, "name", src.name)
+            object.__setattr__(self, "parts", src.parts)
+
     # -- part bookkeeping -----------------------------------------------------
     def _own_parts(self):
         """Parts dict for algebra, or None when untracked.

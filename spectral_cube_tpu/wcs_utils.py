@@ -119,6 +119,6 @@ def find_spatial_pixel_index(cube, xlo, xhi, ylo, yhi):
     from .cube import _world_to_pixel_range
     nz_ny_nx = cube.shape
     ny, nx = nz_ny_nx[-2], nz_ny_nx[-1]
-    xlo, xhi = _world_to_pixel_range(cube.wcs, 0, xlo, xhi, nx)
-    ylo, yhi = _world_to_pixel_range(cube.wcs, 1, ylo, yhi, ny)
+    xlo, xhi = _world_to_pixel_range(cube.wcs, 0, xlo, xhi, nx, n_other=ny)
+    ylo, yhi = _world_to_pixel_range(cube.wcs, 1, ylo, yhi, ny, n_other=nx)
     return int(xlo), int(xhi), int(ylo), int(yhi)

@@ -1011,3 +1011,28 @@ def test_save_to_tmp_dir_option(tmp_path):
     b = cube.spectral_smooth_median(3)
     np.testing.assert_allclose(np.asarray(a.unmasked_data[:].value),
                                np.asarray(b.unmasked_data[:].value))
+
+
+def test_subcube_world_bounds_inclusive_and_cutout_safe(cube_adv):
+    """World-quantity subcube bounds at the exact min/max pixel-center
+    coordinates must keep every pixel, including on the RA axis (which
+    decreases with pixel index), and must stay correct when crpix lies
+    far outside the cube (the fixture header is a cutout of a large map
+    with crpix ~1150 pixels away, where projection curvature shifts the
+    old crpix-spine by whole pixels)."""
+    from spectral_cube_tpu import units as u
+    cube, _ = cube_adv
+    w = cube.world[:, :, :]
+    lon = np.asarray(w[2].value)
+    lat = np.asarray(w[1].value)
+    lon_u = u.Unit(str(w[2].unit))
+    lat_u = u.Unit(str(w[1].unit))
+    sub = cube.subcube(xlo=lon.min() * lon_u, xhi=lon.max() * lon_u)
+    assert sub.shape == cube.shape
+    sub = cube.subcube(ylo=lat.min() * lat_u, yhi=lat.max() * lat_u)
+    assert sub.shape == cube.shape
+    # a single-pixel-wide world window selects exactly that pixel
+    sub = cube.subcube(xlo=lon[0, 0, 1] * lon_u, xhi=lon[0, 0, 1] * lon_u)
+    assert sub.shape[2] == 1
+    np.testing.assert_allclose(
+        np.asarray(sub.world[:, :, :][2].value)[..., 0], lon[..., 1])

@@ -259,3 +259,15 @@ def test_cube_times_unit():
     assert str((cube / kms).unit) == "Jy s / (beam km)"
     with pytest.raises(TypeError):
         cube + kms
+
+
+def test_unit_constructor_is_a_factory():
+    """astropy's ``u.Unit(...)`` accepts a unit string or an existing
+    unit; the bare constructor must match (a broken ``scale="km/s"``
+    unit used to poison later conversions with a TypeError)."""
+    from spectral_cube_tpu import units as u
+    a = u.Unit("km/s")
+    assert a == u.Unit.parse("km/s")
+    assert u.Unit(a) == a
+    q = 3.0 * u.Unit("deg")
+    assert abs(q.to_value("arcmin") - 180.0) < 1e-9
