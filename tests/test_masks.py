@@ -416,3 +416,187 @@ def test_array_threshold_mask_slices_with_view(cube_adv):
     expected2 = np.where(np.isfinite(data[2:4]) & (data[2:4] > thr[2:4]),
                          data[2:4], np.nan)
     np.testing.assert_allclose(got2, expected2, equal_nan=True, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# reference test_masks.py scenario battery (names mirror the reference's)
+# ---------------------------------------------------------------------------
+
+def test_spectral_cube_mask():
+    """reference tests/test_masks.py:16-34: BooleanArrayMask include/
+    exclude/_filled/_flattened with trivial and integer-index views."""
+    mask = np.array([[[False, True, True, False, True]]])
+    m = BooleanArrayMask(mask, None)
+    d = np.arange(5.0).reshape((1, 1, 5))
+    np.testing.assert_allclose(np.asarray(m.include(d, None)),
+                               [[[0, 1, 1, 0, 1]]])
+    np.testing.assert_allclose(np.asarray(m.exclude(d, None)),
+                               [[[1, 0, 0, 1, 0]]])
+    np.testing.assert_allclose(np.asarray(m._filled(d, None)),
+                               [[[np.nan, 1, 2, np.nan, 4]]])
+    np.testing.assert_allclose(np.asarray(m._flattened(d, None)), [1, 2, 4])
+    view = (0, 0, slice(1, 4))
+    np.testing.assert_allclose(np.asarray(m.include(d, None, view=view)),
+                               [1, 1, 0])
+    np.testing.assert_allclose(np.asarray(m.exclude(d, None, view=view)),
+                               [0, 0, 1])
+    np.testing.assert_allclose(np.asarray(m._filled(d, None, view=view)),
+                               [1, 2, np.nan])
+    np.testing.assert_allclose(np.asarray(m._flattened(d, None, view=view)),
+                               [1, 2])
+
+
+def test_lazy_comparison_mask():
+    """reference tests/test_masks.py:70-101: the comparison value stays
+    bound to the mask; include() does not change when new data flows in."""
+    import operator
+    d = np.arange(5.0).reshape((1, 1, 5))
+    m = LazyComparisonMask(operator.gt, 2, data=d)
+    np.testing.assert_allclose(np.asarray(m.include(d, None)),
+                               [[[0, 0, 0, 1, 1]]])
+    np.testing.assert_allclose(np.asarray(m._flattened(d, None)), [3, 4])
+    view = (0, 0, slice(1, 4))
+    np.testing.assert_allclose(np.asarray(m.include(d, None, view=view)),
+                               [0, 0, 1])
+    np.testing.assert_allclose(np.asarray(m._filled(d, None, view=view)),
+                               [np.nan, np.nan, 3])
+
+
+def test_function_mask_incorrect_shape():
+    """reference tests/test_masks.py:103-119: a FunctionMask whose function
+    ignores the view must raise, not silently mis-shape."""
+    m = FunctionMask(lambda data, wcs, view=(): data > 2)
+    d = np.arange(5).reshape((1, 1, 5))
+    with pytest.raises(ValueError):
+        m.include(d, None, view=(0, 0, slice(1, 4)))
+
+
+def test_mask_spectral_unit_functions(tmp_path):
+    """reference tests/test_masks.py:296-324: mask.with_spectral_unit —
+    FunctionMask no-op, LazyMask rewrites the WCS (VOPT km/s -> FREQ-W2F
+    with the crval converted through the optical convention), and
+    CompositeMask converts recursively."""
+    from ref_fixtures import cube_and_raw
+    from spectral_cube_tpu import units as u
+    cube, data = cube_and_raw(tmp_path)
+
+    mask1 = FunctionMask(lambda x, w, v: np.asarray(x) > 0)
+    mask_freq1 = mask1.with_spectral_unit(u.Unit("Hz"))
+
+    mask2 = LazyMask(lambda x: x > 0, cube=cube)
+    mask_freq2 = mask2.with_spectral_unit(u.Unit("Hz"))
+    assert mask_freq2._wcs.ctype[mask_freq2._wcs.spec] == "FREQ-W2F"
+
+    # header values: rest 1.42040571841e9 Hz, crval -3.21214698632e5 m/s;
+    # optical convention: lam = lam0 (1 + v/c), f = c / lam
+    c = 299792458.0
+    rest = 1.42040571841e9
+    lam = (c / rest) * (1 + -3.21214698632e5 / c)
+    np.testing.assert_allclose(mask_freq2._wcs.crval[mask_freq2._wcs.spec],
+                               c / lam, rtol=1e-12)
+
+    mask3 = CompositeMask(mask1, mask2)
+    mask_freq3 = mask3.with_spectral_unit(u.Unit("Hz"))
+    mask_freq_freq3 = CompositeMask(mask_freq1, mask_freq2) \
+        .with_spectral_unit(u.Unit("Hz"))
+
+
+def test_flat_mask_spectral(cube_adv):
+    """reference tests/test_masks.py:391-404: a 2-D spatial mask broadcasts
+    up the spectral axis for per-channel sums."""
+    cube, data = cube_adv
+    mask_array = np.array([[True, False], [False, False], [True, True]])
+    bm = BooleanArrayMask(mask=mask_array, wcs=cube._wcs, shape=cube.shape)
+    mcube = cube.with_mask(bm)
+    cubemask = np.ones(4, dtype=bool)[:, None, None] & mask_array[None]
+    expected = np.nansum(np.where(cubemask, data, np.nan), axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(mcube.sum(axis=(1, 2)).value),
+                               expected, rtol=1e-6)
+
+
+def test_1d_mask(cube_adv):
+    """reference tests/test_masks.py:416-427 (issue #183 regression)."""
+    cube, data = cube_adv
+    mask = np.array([True, False, True, False])
+    sum0 = cube.with_mask(mask[:, None, None]).sum(axis=0)
+    sum0d = np.nansum(data[mask], axis=0)
+    np.testing.assert_allclose(np.asarray(sum0.value), sum0d, rtol=1e-6)
+
+
+def test_1d_mask_amp(cube_adv):
+    """reference tests/test_masks.py:430-441: ANDing the cube's own mask
+    with a 1-D BooleanArrayMask evaluates cleanly."""
+    cube, data = cube_adv
+    mask = np.array([True, False, True, False])
+    M = BooleanArrayMask(mask[:, None, None], wcs=cube._wcs,
+                         shape=cube.shape)
+    ampd = cube.mask & M
+    inc = np.asarray(ampd.include())
+    assert inc.shape == cube.shape
+    assert not inc[1].any() and not inc[3].any()
+
+
+def test_2dcomparison_mask_1d_index(cube_adv):
+    """reference tests/test_masks.py:444-476: a cube>Projection comparison
+    mask indexes down to 1-D spectra, mask views slice in lockstep, and
+    scalar indexing yields Quantities."""
+    cube, data = cube_adv
+    med = cube.median(axis=0)
+    mask = cube > med
+    mcube = cube.with_mask(mask)
+    assert np.all(np.asarray(mask[:, 1, 1].include())
+                  == np.asarray(mask.include())[:, 1, 1])
+    spec = mcube[:, 1, 1]
+    assert spec.ndim == 1
+    assert np.all(np.asarray(spec.mask.include())
+                  == np.asarray(mask.include())[:, 1, 1])
+    assert spec[:-1].mask.include().shape == (3,)
+    assert np.all(np.asarray(spec[:-1].mask.include())
+                  == np.asarray(mask.include())[:-1, 1, 1])
+    assert hasattr(spec[0], "unit")
+    spec = mcube[:-1, 1, 1]
+    assert spec.ndim == 1
+    assert hasattr(spec, "_fill_value")
+    assert np.all(np.asarray(spec.mask.include())
+                  == np.asarray(mask.include())[:-1, 1, 1])
+    assert spec[:-1].mask.include().shape == (2,)
+
+
+def test_1dcomparison_mask_1d_index(cube_adv):
+    """reference tests/test_masks.py:479-499: scalar-threshold comparison
+    mask sliced to a 1-D spectrum."""
+    cube, data = cube_adv
+    med = cube.median()
+    mask = cube > med
+    mcube = cube.with_mask(mask)
+    assert np.all(np.asarray(mask[:, 1, 1].include())
+                  == np.asarray(mask.include())[:, 1, 1])
+    spec = mcube[:, 1, 1]
+    assert spec.ndim == 1
+    assert spec[:-1].mask.include().shape == (3,)
+    assert hasattr(spec[0], "unit")
+
+
+def test_1dmask_indexing(cube_adv):
+    """reference tests/test_masks.py:502-518: boolean indexing of a masked
+    1-D spectrum fills excluded samples with NaN."""
+    cube, data = cube_adv
+    med = cube.median()
+    mcube = cube.with_mask(cube > med)
+    spec = mcube[:, 1, 1]
+    inc = np.asarray(spec.mask.include())
+    assert np.all(np.isnan(np.asarray(spec[~inc])))
+    assert not np.any(np.isnan(np.asarray(spec[inc])))
+
+
+def test_numpy_ma_tools_2d(cube_adv):
+    """reference tests/test_masks.py:521-549: np.ma.core.is_masked/getmask
+    work on the cube and on 1-D/2-D slices of it."""
+    cube, data = cube_adv
+    mcube = cube.with_mask(cube > cube.median())
+    assert np.ma.core.is_masked(mcube)
+    assert np.ma.core.getmask(mcube) is not None
+    assert np.ma.core.is_masked(mcube[:, 0, 0])
+    assert np.ma.core.getmask(mcube[:, 0, 0]) is not None
+    assert np.ma.core.is_masked(mcube[0, :, :])
+    assert np.ma.core.getmask(mcube[0, :, :]) is not None
