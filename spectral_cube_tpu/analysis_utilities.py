@@ -212,7 +212,7 @@ def stack_spectra(cube, velocity_surface, v0=None, stack_function=None,
             beams=cube.unmasked_beams)
     return OneDSpectrum(stacked, unit=cube.unit, wcs=new_wcs,
                         meta=dict(cube.meta),
-                        beam=getattr(cube, "beam", None))
+                        beam=getattr(cube, "_beam", None))
 
 
 def stack_cube(cube, linelist, vmin, vmax, average=None, convolve_beam=None,

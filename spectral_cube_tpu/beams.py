@@ -88,6 +88,19 @@ class Beam:
         object.__setattr__(self, "minor_rad", mnr)
         object.__setattr__(self, "pa_rad",
                            to_rad(pa_rad) if pa_rad is not None else 0.0)
+        # radio_beam parity: .major/.minor/.pa present in the unit the
+        # beam was constructed with (a BEAMS-table beam reads back in
+        # arcsec, a header beam in deg) and round-trip the ORIGINAL float
+        # exactly — a deg->rad->deg trip is 1-2 ulp lossy, which breaks
+        # the reference's exact header checks (test_append_beam_to_hdr)
+        object.__setattr__(self, "_major_q",
+                           major_rad if isinstance(major_rad, Quantity)
+                           else None)
+        object.__setattr__(self, "_minor_q",
+                           minor_rad if isinstance(minor_rad, Quantity)
+                           else None)
+        object.__setattr__(self, "_pa_q",
+                           pa_rad if isinstance(pa_rad, Quantity) else None)
 
     # -- constructors --------------------------------------------------------
     @staticmethod
@@ -97,7 +110,13 @@ class Beam:
         pa_ = _angle_value(pa) if pa is not None else 0.0
         if mnr > maj + 1e-30:
             raise BeamError("minor axis exceeds major axis")
-        return Beam(maj, mnr, pa_)
+        # pass the originals through so Quantity inputs keep their unit
+        # and exact float value for presentation (.major etc.)
+        return Beam(major if isinstance(major, Quantity) else maj,
+                    (minor if isinstance(minor, Quantity) else mnr)
+                    if minor is not None else maj,
+                    (pa if isinstance(pa, Quantity) else pa_)
+                    if pa is not None else 0.0)
 
     @staticmethod
     def from_header(header) -> "Beam | None":
@@ -114,17 +133,34 @@ class Beam:
     def from_fits_keywords(**kw):
         return Beam.from_header(kw)
 
+    @classmethod
+    def from_fits_header(cls, header) -> "Beam | None":
+        """radio_beam parity: accept a header object, a mapping, or a path
+        to a FITS file (reference test_spectral_cube.py:1545-1551 passes
+        the filename)."""
+        if isinstance(header, (str, bytes)):
+            from .io.fits_low import read_fits
+            hdus = read_fits(header)
+            header = hdus[0].header
+        return cls.from_header(header)
+
     # -- properties -----------------------------------------------------------
     @property
     def major(self) -> Quantity:
+        if self._major_q is not None:
+            return self._major_q
         return Quantity(self.major_rad, "rad").to("deg")
 
     @property
     def minor(self) -> Quantity:
+        if self._minor_q is not None:
+            return self._minor_q
         return Quantity(self.minor_rad, "rad").to("deg")
 
     @property
     def pa(self) -> Quantity:
+        if self._pa_q is not None:
+            return self._pa_q
         return Quantity(self.pa_rad, "rad").to("deg")
 
     @property
@@ -284,14 +320,14 @@ class Beam:
         return np.exp(-2 * np.pi ** 2 * ((smaj * fu) ** 2 + (smin * fv) ** 2))
 
     def to_header_keywords(self) -> dict:
-        return {"BMAJ": float(self.major.value),
-                "BMIN": float(self.minor.value),
-                "BPA": float(self.pa.value)}
+        return {"BMAJ": float(self.major.to_value("deg")),
+                "BMIN": float(self.minor.to_value("deg")),
+                "BPA": float(self.pa.to_value("deg"))}
 
     def __repr__(self):
-        return (f"Beam: BMAJ={self.major.value * 3600:.4g} arcsec "
-                f"BMIN={self.minor.value * 3600:.4g} arcsec "
-                f"BPA={self.pa.value:.4g} deg")
+        return (f"Beam: BMAJ={self.major.to_value('deg') * 3600:.4g} arcsec "
+                f"BMIN={self.minor.to_value('deg') * 3600:.4g} arcsec "
+                f"BPA={self.pa.to_value('deg'):.4g} deg")
 
 
 class Beams:
@@ -301,23 +337,30 @@ class Beams:
         if beams is not None:
             self._beams = list(beams)
         else:
+            # keep each input's unit so element beams present in it
+            # (radio_beam parity: a BEAMS-table beam reads back in arcsec)
+            maj_unit = str(major.unit) if isinstance(major, Quantity) \
+                else "deg"
+            min_unit = str(minor.unit) if isinstance(minor, Quantity) \
+                else maj_unit
+            pa_unit = str(pa.unit) if isinstance(pa, Quantity) else "deg"
             major = np.atleast_1d(np.asarray(
-                major.to_value("deg") if isinstance(major, Quantity)
+                major.value if isinstance(major, Quantity)
                 else major, dtype=float))
             n = len(major)
             minor_v = np.atleast_1d(np.asarray(
-                minor.to_value("deg") if isinstance(minor, Quantity)
+                minor.value if isinstance(minor, Quantity)
                 else (minor if minor is not None else major), dtype=float))
             pa_v = np.atleast_1d(np.asarray(
-                pa.to_value("deg") if isinstance(pa, Quantity)
+                pa.value if isinstance(pa, Quantity)
                 else (pa if pa is not None else np.zeros(n)), dtype=float))
             # broadcast scalar minor/pa against a vector major like
             # radio_beam (a bare zip truncated the list to length 1)
             major, minor_v, pa_v = np.broadcast_arrays(major, minor_v,
                                                        pa_v)
             self._beams = [
-                Beam(m * math.pi / 180, mn * math.pi / 180,
-                     p * math.pi / 180)
+                Beam(Quantity(m, maj_unit), Quantity(mn, min_unit),
+                     Quantity(p, pa_unit))
                 for m, mn, p in zip(major, minor_v, pa_v)]
 
     def __len__(self):
@@ -344,15 +387,18 @@ class Beams:
 
     @property
     def major(self) -> Quantity:
-        return Quantity(np.array([b.major.value for b in self._beams]), "deg")
+        return Quantity(np.array([b.major.to_value("deg")
+                                  for b in self._beams]), "deg")
 
     @property
     def minor(self) -> Quantity:
-        return Quantity(np.array([b.minor.value for b in self._beams]), "deg")
+        return Quantity(np.array([b.minor.to_value("deg")
+                                  for b in self._beams]), "deg")
 
     @property
     def pa(self) -> Quantity:
-        return Quantity(np.array([b.pa.value for b in self._beams]), "deg")
+        return Quantity(np.array([b.pa.to_value("deg")
+                                  for b in self._beams]), "deg")
 
     @property
     def sr(self) -> Quantity:
@@ -397,11 +443,12 @@ class Beams:
         """Column dict for the FITS BEAMS bintable (arcsec/deg units)."""
         from collections import OrderedDict
         return OrderedDict(
-            BMAJ=np.array([b.major.value * 3600 for b in self._beams],
-                          dtype="f4"),
-            BMIN=np.array([b.minor.value * 3600 for b in self._beams],
-                          dtype="f4"),
-            BPA=np.array([b.pa.value for b in self._beams], dtype="f4"),
+            BMAJ=np.array([b.major.to_value("deg") * 3600
+                           for b in self._beams], dtype="f4"),
+            BMIN=np.array([b.minor.to_value("deg") * 3600
+                           for b in self._beams], dtype="f4"),
+            BPA=np.array([b.pa.to_value("deg") for b in self._beams],
+                         dtype="f4"),
             CHAN=np.arange(len(self._beams), dtype="i4"),
             POL=np.zeros(len(self._beams), dtype="i4"),
         )

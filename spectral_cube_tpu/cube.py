@@ -87,6 +87,23 @@ def _kernel_array(kernel):
     return np.asarray(arr, dtype=float)
 
 
+def _check_parallel_options(parallel, num_cores):
+    """Reference guard (spectral_cube.py:2965-2973): num_cores > 1 with an
+    explicit ``parallel=False`` is contradictory; num_cores == 1 with
+    ``parallel=True`` only warns.  ``parallel=None`` means unspecified
+    (the reference applicators default to parallel=True)."""
+    if num_cores is None:
+        return
+    if parallel is False and num_cores > 1:
+        raise ValueError(
+            "parallel execution was not requested, but multiple cores "
+            "were: these are incompatible options.  Either specify "
+            "num_cores=1 or parallel=True")
+    if parallel and num_cores == 1:
+        warnings.warn("parallel=True was specified but num_cores=1. "
+                      "The task runs as one fused kernel either way.")
+
+
 def _world_to_pixel_range(wcs, axis, lo, hi, n, n_other=None):
     """Resolve mixed pixel/world bounds to a pixel slice along a celestial
     axis (reference find_spatial_pixel_index, wcs_utils.py:517-700).
@@ -269,7 +286,11 @@ class BaseSpectralCube:
 
     @property
     def _is_huge(self):
-        return self.size > MEMORY_THRESHOLD
+        # read the knob through the module so patching
+        # cube_utils.MEMORY_THRESHOLD (the reference's location,
+        # tests/test_spectral_cube.py:104-130) takes effect
+        from . import cube_utils
+        return cube_utils.is_huge(self)
 
     @property
     def unit(self):
@@ -780,7 +801,7 @@ class BaseSpectralCube:
         _handle_beam_areas_wrapper, base_class.py:673-719: single-beam
         cubes pass their beam; varying-resolution cubes attach the
         average beam with a BeamAverageWarning)."""
-        return getattr(self, "beam", None)
+        return getattr(self, "_beam", None)
 
     def _wrap_projection(self, out, axis, unit):
         if isinstance(axis, (tuple, list)):
@@ -1098,17 +1119,18 @@ class BaseSpectralCube:
         if len(ints) == 1 and ints[0] == 0:
             return Slice(arr, unit=self.unit, wcs=new_wcs, meta=meta,
                          mask=mask, header=self._nowcs_header,
-                         beam=getattr(self, "beam", None))
+                         beam=getattr(self, "_beam", None))
         if len(ints) == 2 and 0 not in ints:
-            return self._1d_spectrum(arr, new_wcs, meta, mask)
+            return self._1d_spectrum(arr, new_wcs, meta, mask,
+                                     spec_view=norm[0])
         return LowerDimensionalObject(arr, unit=self.unit, wcs=new_wcs,
                                       meta=meta, mask=mask,
                                       header=self._nowcs_header)
 
-    def _1d_spectrum(self, arr, wcs, meta, mask):
+    def _1d_spectrum(self, arr, wcs, meta, mask, spec_view=slice(None)):
         return OneDSpectrum(arr, unit=self.unit, wcs=wcs, meta=meta,
                             mask=mask, header=self._nowcs_header,
-                            beam=getattr(self, "beam", None))
+                            beam=getattr(self, "_beam", None))
 
     def _apply_mask_np(self, data, view):
         if self._mask is None:
@@ -1255,7 +1277,18 @@ class BaseSpectralCube:
             mask = self._mask or other._mask
         return self._new_cube_with(data=data, unit=unit, mask=mask)
 
+    def _check_huge_materialization(self, what):
+        """Reference guard (spectral_cube.py:911-921 _apply_everywhere):
+        whole-cube elementwise ops on a huge cube raise unless
+        allow_huge_operations is set."""
+        if self._is_huge and not self.allow_huge_operations:
+            raise ValueError(
+                f"This {what} requires loading the entire cube into "
+                "memory and may slow down or crash. Set "
+                "`cube.allow_huge_operations=True` to override.")
+
     def _arith(self, op, other, reflected=False):
+        self._check_huge_materialization("arithmetic operation")
         if isinstance(other, Unit) and op in ("mul", "truediv"):
             # cube * u.km/u.s etc. — the reference supports unit operands
             # through astropy's Quantity*Unit (spectral_cube.py:2311-2334)
@@ -1320,6 +1353,7 @@ class BaseSpectralCube:
     def apply_everywhere(self, function, *args, check_units=True):
         """Apply an elementwise function to the filled data (reference
         _apply_everywhere, spectral_cube.py:911-957)."""
+        self._check_huge_materialization("operation")
         if check_units:
             try:
                 test = function(Quantity(np.ones((1, 1, 1)), self.unit),
@@ -1369,6 +1403,7 @@ class BaseSpectralCube:
           wrapping it in a cube — for fit results whose shape is not
           cube-like.
         """
+        _check_parallel_options(parallel, num_cores)
         import inspect
         data = self._get_filled_data(fill=np.nan)
         try:
@@ -1407,6 +1442,7 @@ class BaseSpectralCube:
         Supports the same ``block_info`` / ``return_new_cube`` escape
         hatches as the spectral applicator (reference
         dask_spectral_cube.py:501-552)."""
+        _check_parallel_options(parallel, num_cores)
         import inspect
         data = self._get_filled_data(fill=np.nan)
         try:
@@ -1487,9 +1523,13 @@ class BaseSpectralCube:
     # smoothing / filtering family
     # ------------------------------------------------------------------
     @_tmp_dir_option
-    def spectral_smooth(self, kernel, convolve=None, verbose=0, **kwargs):
+    def spectral_smooth(self, kernel, convolve=None, verbose=0,
+                        parallel=None, num_cores=None, **kwargs):
         """Smooth along the spectral axis with a 1-D kernel (array or object
-        with ``.array``); reference spectral_cube.py:3146-3184."""
+        with ``.array``); reference spectral_cube.py:3146-3184.
+        ``parallel``/``num_cores`` are validated for reference
+        compatibility but do not change the fused TPU kernel."""
+        _check_parallel_options(parallel, num_cores)
         karr = _kernel_array(kernel)
         data = self._get_filled_data(fill=np.nan)
         out = _smooth.spectral_smooth_cube(data, karr)
@@ -1594,6 +1634,17 @@ class BaseSpectralCube:
         include = self._mask.include(data=self._device_data, wcs=self._wcs) \
             if self._mask is not None else None
         if smooth_kernel is not None:
+            if include is not None and is_data_local(self._mask):
+                # chained-call parity: spectral_smooth(k) re-evaluates a
+                # data-local mask on the SMOOTHED data, so the interp step
+                # of the chain sees isfinite(sm)-style includes, not the
+                # original ones (normalized convolution heals interior NaN
+                # holes).  Evaluate the include the same way here.
+                from .ops.smoothing import spectral_smooth_cube
+                sm = spectral_smooth_cube(
+                    self._get_filled_data(fill=np.nan),
+                    jnp.asarray(_kernel_array(smooth_kernel)))
+                include = self._mask.include(data=sm, wcs=self._wcs)
             out, new_include = _interp.smooth_interp_cube(
                 self._get_filled_data(fill=np.nan),
                 _kernel_array(smooth_kernel),
@@ -1854,6 +1905,10 @@ class SpectralCube(BaseSpectralCube):
 
     @property
     def beam(self):
+        if self._beam is None:
+            raise NoBeamError(
+                "No beam is defined for this SpectralCube; use with_beam "
+                "to attach one (reference base_class.py:486-497)")
         return self._beam
 
     def with_beam(self, beam, raise_error_jybm=True):
@@ -1991,8 +2046,26 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
         return new
 
     def with_beams(self, beams, goodbeams_mask=None, raise_error_jybm=True):
+        """Replace the per-channel beams.  Changing beams under Jy/beam
+        units silently rescales the data's meaning, so it raises unless
+        raise_error_jybm=False (reference spectral_cube.py:4096-4124)."""
+        if raise_error_jybm:
+            self._check_jybeam_smoothing(raise_error_jybm=True)
+        if len(beams) != self.shape[0]:
+            raise ValueError(
+                f"The Beams object must have the same size as the "
+                f"spectral axis ({len(beams)} vs {self.shape[0]})")
         return self._new_cube_with(beams=beams,
                                    goodbeams_mask=goodbeams_mask)
+
+    @property
+    def pixels_per_beam(self):
+        """Per-channel beam areas in pixels (reference
+        base_class.py:552-560, array-valued for VRSC)."""
+        pix_area = (self._wcs.proj_plane_pixel_area()
+                    * (np.pi / 180.0) ** 2)
+        return np.array([float(b.sr.value) / pix_area
+                         for b in self._beams])
 
     def average_beams(self, threshold=None, mask="compute", warn=False):
         """Average beam, checking homogeneity (reference
@@ -2111,10 +2184,13 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
             out._beams = self._beams[spec_idx]
         return out
 
-    def _1d_spectrum(self, arr, wcs, meta, mask):
+    def _1d_spectrum(self, arr, wcs, meta, mask, spec_view=slice(None)):
+        # slice the beams in lockstep with the spectral view so the
+        # constructor's size check sees consistent inputs (reference
+        # lower_dimensional_structures.py:765-772)
         return VaryingResolutionOneDSpectrum(
             arr, unit=self.unit, wcs=wcs, meta=meta, mask=mask,
-            header=self._nowcs_header, beams=self._beams)
+            header=self._nowcs_header, beams=self._beams[spec_view])
 
     @property
     def header(self):

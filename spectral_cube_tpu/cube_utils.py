@@ -292,7 +292,7 @@ def mosaic_cubes(cubes, target_header=None, order="bilinear",
                             shape=out.shape)
     return SpectralCube(out, out_wcs, mask=mask,
                         meta=dict(cubes[0].meta), unit=cubes[0].unit,
-                        beam=getattr(cubes[0], "beam", None))
+                        beam=getattr(cubes[0], "_beam", None))
 
 
 def combine_headers(header1, header2):

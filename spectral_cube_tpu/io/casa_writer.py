@@ -534,7 +534,7 @@ def _imageinfo(ref, stokes_cube=None):
             pp[f"*{i}"] = _beam_record(b)
         info["perplanebeams"] = pp
     else:
-        beam = getattr(ref, "beam", None)
+        beam = getattr(ref, "_beam", None)
         if beam is not None:
             info["restoringbeam"] = _beam_record(beam)
     return info

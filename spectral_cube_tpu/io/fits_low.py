@@ -197,7 +197,20 @@ def _format_value(value) -> str:
     if isinstance(value, (int, np.integer)):
         return f"{int(value):>20d}"
     if isinstance(value, (float, np.floating)):
-        s = f"{float(value):.14G}"
+        # full double precision like astropy (a .14G float silently
+        # corrupted BMAJ/CRVAL round-trips at the 1e-14 level); shortest
+        # repr that round-trips, squeezed into the 20-char field
+        v = float(value)
+        s = repr(v).upper()
+        if len(s) > 20:
+            # shortest exact scientific form; FITS free-format permits
+            # values extending past column 30, so never truncate digits
+            s2 = f"{v:.17E}".upper()
+            mant, _, exp = s2.partition("E")
+            mant = mant.rstrip("0").rstrip(".")
+            s2 = f"{mant}E{int(exp):+03d}"
+            if float(s2) == v and len(s2) < len(s):
+                s = s2
         if "." not in s and "E" not in s and "N" not in s:
             s += ".0"
         return f"{s:>20s}"

@@ -11,6 +11,8 @@ results handed back to the user.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from . import units as u
@@ -55,6 +57,13 @@ class LowerDimensionalObject(Quantity):
 
     @property
     def mask(self):
+        # LDOs always expose a mask: an unmasked object synthesizes the
+        # all-True array mask the reference attaches at construction
+        # (lower_dimensional_structures.py:222-228 _initial_set_mask)
+        if self._mask is None:
+            from .masks import BooleanArrayMask
+            return BooleanArrayMask(np.ones(self.shape, dtype=bool),
+                                    self._wcs, shape=self.shape)
         return self._mask
 
     @property
@@ -193,6 +202,15 @@ class LowerDimensionalObject(Quantity):
         return self._wrap_arith(super().__abs__())
 
     def __getitem__(self, view):
+        if (isinstance(view, tuple) and len(view) > self.ndim
+                and any(isinstance(v, slice) for v in view)):
+            # dimension-raising tricks like spec[:, None, None] have no
+            # WCS meaning (reference lower_dimensional_structures.py:81-93)
+            warnings.warn(
+                f"Slice {view} cannot be used on this {self.ndim}-"
+                f"dimensional array's WCS.  If this is intentional, use "
+                f"the ``array`` or ``quantity`` attribute.", SliceWarning)
+            return self.quantity[view]
         new_val = self.value[view]
         if np.isscalar(new_val) or new_val.ndim == 0:
             return Quantity(new_val, self.unit)
@@ -289,9 +307,12 @@ class Projection(LowerDimensionalObject):
     def with_beam(self, beam):
         return self._new_with(self.value, beam=beam)
 
-    def convolve_to(self, beam, convolve=None):
+    def convolve_to(self, beam, convolve=None, **kwargs):
         """Convolve to a new beam; scales Jy/beam values by the beam-area
-        ratio (reference lower_dimensional_structures.py:450-494)."""
+        ratio (reference lower_dimensional_structures.py:450-494).
+        Extra keyword arguments (``nan_treatment=`` etc.) are accepted for
+        reference compatibility; the fused TPU kernel always uses the
+        reference's defaults (NaN interpolation + zero-padded edges)."""
         from .ops.convolve import convolve_image_to_beam
         out, factor = convolve_image_to_beam(
             np.asarray(self.value, dtype=float), self.beam, beam, self._wcs,
@@ -309,6 +330,10 @@ class Projection(LowerDimensionalObject):
         """Extract a sub-image by pixel or world bounds (reference
         Projection.subimage at lower_dimensional_structures.py:540-565)."""
         from .cube import _world_to_pixel_range
+        from .wcs import WCSCelestialError
+        if self._wcs is None or not self._wcs.has_celestial:
+            raise WCSCelestialError(
+                "WCS does not contain two spatial axes.")
         ny, nx = self.shape
         xlo, xhi = _world_to_pixel_range(self._wcs, 0, xlo, xhi, nx,
                                          n_other=ny)
@@ -482,15 +507,24 @@ class BaseOneDSpectrum(LowerDimensionalObject):
                              suppress_smooth_warning=False,
                              fill_value=None):
         from .ops.interpolate import interp_spectrum
+        from .masks import BooleanArrayMask
         grid = spectral_grid.to_value(self.spectral_axis.unit) \
             if isinstance(spectral_grid, Quantity) \
             else np.asarray(spectral_grid)
         inaxis = np.asarray(self.spectral_axis.value, dtype=float)
-        newval, new_wcs = interp_spectrum(
+        include = np.asarray(self._mask.include(data=self.value,
+                                                wcs=self._wcs)) \
+            if self._mask is not None else None
+        newval, new_wcs, new_include = interp_spectrum(
             np.asarray(self.value, dtype=float), inaxis, grid, self._wcs,
             suppress_smooth_warning=suppress_smooth_warning,
-            fill_value=fill_value)
-        out = self._new_with(newval, wcs=new_wcs)
+            fill_value=fill_value, include=include)
+        new_mask = BooleanArrayMask(new_include, wcs=new_wcs,
+                                    shape=newval.shape) \
+            if new_include is not None else None
+        out = type(self)(newval, unit=self.unit, wcs=new_wcs,
+                         meta=self._meta, mask=new_mask,
+                         header=self._header)
         out._spectral_unit = self._spectral_unit
         return out
 
@@ -542,10 +576,27 @@ class VaryingResolutionOneDSpectrum(BaseOneDSpectrum):
     lower_dimensional_structures.py:1055-1141)."""
 
     def __init__(self, value, unit=None, wcs=None, meta=None, mask=None,
-                 header=None, beams=None, spectral_unit=None, beam=None):
+                 header=None, beams=None, spectral_unit=None, beam=None,
+                 copy=True):
         super().__init__(value, unit=unit, wcs=wcs, meta=meta, mask=mask,
-                         header=header, spectral_unit=spectral_unit)
+                         header=header, spectral_unit=spectral_unit,
+                         copy=copy)
+        if beams is not None and len(beams) != len(np.atleast_1d(self.value)):
+            raise ValueError(
+                "The Beams object must have the same size as the data. "
+                f"Found a size of {len(beams)} and the data have a size "
+                f"of {len(np.atleast_1d(self.value))} (reference "
+                "base_class.py:509-512)")
         self._beams = beams
+
+    def with_beams(self, beams, goodbeams_mask=None,
+                   raise_error_jybm=True):
+        """Replace the per-channel beams (reference
+        lower_dimensional_structures.py:1146-1161)."""
+        return type(self)(self.value, unit=self.unit, wcs=self._wcs,
+                          meta=self._meta, mask=self._mask,
+                          header=self._header, beams=beams,
+                          spectral_unit=self._spectral_unit)
 
     @property
     def beams(self) -> Beams:
@@ -572,19 +623,28 @@ class VaryingResolutionOneDSpectrum(BaseOneDSpectrum):
         return [self.hdu, bt]
 
     def _new_with(self, value, unit=None, wcs=None, mask=None, beam=None):
+        beams = self._beams
+        view = getattr(self, "_beams_view", None)
+        if beams is not None and view is not None:
+            beams = beams[view]
         out = type(self)(value,
                          unit=unit if unit is not None else self.unit,
                          wcs=wcs if wcs is not None else self._wcs,
                          meta=self._meta,
                          mask=mask if mask is not None else self._mask,
                          header=self._header,
-                         beams=self._beams,
+                         beams=beams,
                          spectral_unit=self._spectral_unit)
         return out
 
     def __getitem__(self, view):
-        out = super().__getitem__(view)
-        if isinstance(out, VaryingResolutionOneDSpectrum) \
-                and self._beams is not None:
-            out._beams = self._beams[view]
+        # slice the beams in lockstep with the data (the base __getitem__
+        # constructs through _new_with, which picks up _beams_view; the
+        # reference pre-slices via kwargs the same way,
+        # lower_dimensional_structures.py:765-772)
+        self._beams_view = view
+        try:
+            out = super().__getitem__(view)
+        finally:
+            self._beams_view = None
         return out

@@ -203,9 +203,16 @@ def _interp_by_matmul(data, idx, frac, include):
     out = out.reshape((idx.shape[0],) + data.shape[1:]).astype(data.dtype)
     new_include = None
     if include is not None:
+        # include only where EVERY contributing neighbor is included: the
+        # reference interpolates the *filled* data, so one excluded
+        # neighbor NaN-poisons the sample (spectral_cube.py:3267-3310,
+        # pinned by test_spectral_interpolate_with_mask's [0, .5, nan,
+        # nan]).  Computed as "excluded mass == 0", which is exact in any
+        # matmul precision (zero inputs produce exact zeros; any nonzero
+        # weight on an excluded channel produces a strictly positive sum).
         inc = jnp.asarray(include).astype(jnp.float32)
-        inc_b = jnp.broadcast_to(inc, data.shape).reshape(nin, spatial)
-        new_include = (mm(inc_b, precision=lax.Precision.DEFAULT) > 0) \
+        exc_b = 1.0 - jnp.broadcast_to(inc, data.shape).reshape(nin, spatial)
+        new_include = (mm(exc_b, precision=lax.Precision.DEFAULT) == 0) \
             .reshape((idx.shape[0],) + data.shape[1:])
     return out, new_include
 
@@ -214,7 +221,10 @@ def interp_cube_spectral(data, inaxis, outaxis, include=None):
     """Interpolate a [spec, y, x] cube onto a new spectral grid.
 
     Returns (new_data, new_include_or_None).  The mask interpolates as a
-    float and stays included where > 0 (reference spectral_cube.py:3308).
+    float and stays included only where every contributing neighbor is
+    included: the reference interpolates the *filled* data, so one
+    excluded neighbor NaN-poisons the output sample
+    (spectral_cube.py:3267-3310).
     On TPU the lerp runs as a banded matmul (see _interp_by_matmul);
     elsewhere as two gathers + a lerp.
     """
@@ -234,13 +244,15 @@ def interp_cube_spectral(data, inaxis, outaxis, include=None):
     if include is not None:
         # broadcast sub-dimensional includes (1-D spectral / 2-D spatial)
         # to the cube shape BEFORE gathering along axis 0, matching the
-        # matmul path above
-        inc = jnp.broadcast_to(
+        # matmul path above.  Include only where every contributing
+        # neighbor is included ("excluded mass == 0") — reference
+        # semantics, see _interp_by_matmul.
+        exc = 1.0 - jnp.broadcast_to(
             jnp.asarray(include).astype(jnp.float32), data.shape)
-        inc_lerp = inc[idxj] * (1 - fracj) + inc[idxj + 1] * fracj
-        inc_i = jnp.where(fracj == 0, inc[idxj],
-                          jnp.where(fracj == 1, inc[idxj + 1], inc_lerp))
-        new_include = inc_i > 0
+        exc_lerp = exc[idxj] * (1 - fracj) + exc[idxj + 1] * fracj
+        exc_i = jnp.where(fracj == 0, exc[idxj],
+                          jnp.where(fracj == 1, exc[idxj + 1], exc_lerp))
+        new_include = exc_i == 0
     return out.astype(data.dtype), new_include
 
 
@@ -303,16 +315,18 @@ def smooth_interp_cube(data, kernel, inaxis, outaxis, include=None):
     new_include = None
     if include is not None:
         # the smooth step leaves the include-mask unchanged; only the
-        # interp operator transforms it (reference spectral_cube.py:3308)
+        # interp operator transforms it (reference spectral_cube.py:3308).
+        # Include only where every contributing neighbor is included
+        # ("excluded mass == 0"), matching interp_cube_spectral.
         inc = jnp.asarray(include).astype(jnp.float32)
-        inc_b = jnp.broadcast_to(inc, data.shape).reshape(nin, spatial)
+        exc_b = 1.0 - jnp.broadcast_to(inc, data.shape).reshape(nin, spatial)
         if use_block:
-            inc_i = block_tap_matmul(inc_b, idx.astype(np.int64), frac,
+            exc_i = block_tap_matmul(exc_b, idx.astype(np.int64), frac,
                                      precision=lax.Precision.DEFAULT)
         else:
-            inc_i = mm(jnp.asarray(Imat.astype(np.float32)), inc_b,
+            exc_i = mm(jnp.asarray(Imat.astype(np.float32)), exc_b,
                        precision=lax.Precision.DEFAULT)
-        new_include = (inc_i > 0).reshape((nout,) + data.shape[1:])
+        new_include = (exc_i == 0).reshape((nout,) + data.shape[1:])
     return out, new_include
 
 
@@ -347,8 +361,13 @@ def linear_spectral_wcs(wcs, outaxis, unit=None):
 
 
 def interp_spectrum(value, inaxis, outaxis, wcs, suppress_smooth_warning=False,
-                    fill_value=None):
-    """1-D case used by OneDSpectrum.spectral_interpolate."""
+                    fill_value=None, include=None):
+    """1-D case used by OneDSpectrum.spectral_interpolate.
+
+    Returns ``(out, new_wcs, new_include_or_None)``.  The include mask
+    transforms like the cube path: a sample stays included only where
+    every contributing neighbor is included (reference
+    spectral_cube.py:3267-3310 filled-data poisoning semantics)."""
     if not suppress_smooth_warning:
         check_nyquist(inaxis, outaxis)
     idx, frac = interp_weights(inaxis, outaxis)
@@ -360,7 +379,14 @@ def interp_spectrum(value, inaxis, outaxis, wcs, suppress_smooth_warning=False,
     if fill_value is not None:
         lo, hi = min(inaxis[0], inaxis[-1]), max(inaxis[0], inaxis[-1])
         out = np.where((outaxis < lo) | (outaxis > hi), fill_value, out)
-    return out, linear_spectral_wcs(wcs, outaxis)
+    new_include = None
+    if include is not None:
+        exc = 1.0 - np.asarray(include, dtype=float)
+        exc_lerp = exc[idx] * (1 - frac) + exc[idx + 1] * frac
+        exc_i = np.where(frac == 0, exc[idx],
+                         np.where(frac == 1, exc[idx + 1], exc_lerp))
+        new_include = exc_i == 0
+    return out, linear_spectral_wcs(wcs, outaxis), new_include
 
 
 ESTIMATORS = {"mean": jnp.nanmean, "sum": jnp.nansum, "median": jnp.nanmedian,

@@ -40,9 +40,9 @@ def _meta_for(cube):
     beams = getattr(cube, "_beams", None)
     if beams is not None:
         meta["beams"] = {
-            "major_deg": [b.major.value for b in beams],
-            "minor_deg": [b.minor.value for b in beams],
-            "pa_deg": [b.pa.value for b in beams],
+            "major_deg": [b.major.to_value("deg") for b in beams],
+            "minor_deg": [b.minor.to_value("deg") for b in beams],
+            "pa_deg": [b.pa.to_value("deg") for b in beams],
         }
         meta["goodbeams"] = [bool(g) for g in cube.goodbeams_mask]
     else:

@@ -253,6 +253,30 @@ class Unit:
             if self.dims == dims_b and other.dims == dims_a:
                 si = value * self.scale
                 return bwd(si) / other.scale
+        # multi-hop: chain up to three equivalencies (astropy composes
+        # equivalency graphs the same way; needed for e.g. Jy/pix -> K,
+        # which routes pix->sr (pixel_scale) then sr->K (brightness
+        # temperature)).  BFS over the dims graph, shortest chain wins.
+        edges = []
+        for dims_a, dims_b, fwd, bwd in equivalencies:
+            edges.append((dims_a, dims_b, fwd))
+            edges.append((dims_b, dims_a, bwd))
+        frontier = [(self.dims, ())]
+        seen = {self.dims}
+        for _ in range(3):
+            nxt = []
+            for dims, chain in frontier:
+                for da, db, fn in edges:
+                    if dims == da and db not in seen:
+                        new_chain = chain + (fn,)
+                        if db == other.dims:
+                            x = value * self.scale
+                            for f in new_chain:
+                                x = f(x)
+                            return x / other.scale
+                        seen.add(db)
+                        nxt.append((db, new_chain))
+            frontier = nxt
         raise UnitConversionError(
             f"'{self}' and '{other}' are not convertible")
 
@@ -665,6 +689,10 @@ class Quantity:
     # array-ish ------------------------------------------------------------------
     def __len__(self):
         return len(self.value)
+
+    def copy(self):
+        """An independent copy (astropy Quantity.copy parity)."""
+        return Quantity(np.array(self.value, copy=True), self.unit)
 
     def __getitem__(self, item):
         return Quantity(self.value[item], self.unit)

@@ -300,9 +300,18 @@ class WCS:
 
     @property
     def spec(self) -> int:
-        """Index of the spectral axis (FITS order, 0-based); -1 if none."""
+        """Index of the spectral axis (FITS order, 0-based); -1 if none.
+
+        A 1-axis WCS with a blank/unknown ctype is treated as spectral:
+        the reference's OneDSpectrum tests build ``WCS(naxis=1)`` with
+        only a cunit and expect the spectral machinery to work
+        (test_projection.py:601-610)."""
         kinds = self.axis_kinds
-        return kinds.index("spectral") if "spectral" in kinds else -1
+        if "spectral" in kinds:
+            return kinds.index("spectral")
+        if self.naxis == 1 and not str(self.ctype[0]).strip():
+            return 0
+        return -1
 
     @property
     def lon_axis(self) -> int:

@@ -277,7 +277,27 @@ def convert_spectral_axis(wcs: WCS, outunit, out_ctype: str,
             "a rest frequency/wavelength is required to convert "
             "between speed and frequency/wavelength")
 
-    val, deriv = spectral_value_transform(in_root, out_root, rest_freq)
+    # speed -> speed with BOTH a WCS-resident rest value and an explicit
+    # new one: the input velocities are anchored to the WCS's OWN rest, so
+    # re-anchor through the frequency frame (the reference recurses through
+    # the linear frame first, spectral_axis.py:220-228).  The channel grid
+    # — the underlying frequencies — stays fixed; only the velocity labels
+    # change (reference test_change_rest_frequency pins this by checking
+    # that any true frequency lands on the same pixel before and after).
+    own_rest = _rest_freq_si(wcs, None)
+    if (in_phys == "speed" and out_phys == "speed"
+            and rest_value is not None and own_rest is not None
+            and own_rest != rest_freq):
+        val1, deriv1 = spectral_value_transform(in_root, "FREQ", own_rest)
+        val2, deriv2 = spectral_value_transform("FREQ", out_root, rest_freq)
+
+        def val(x, _v1=val1, _v2=val2):
+            return _v2(_v1(x))
+
+        def deriv(x, _v1=val1, _d1=deriv1, _d2=deriv2):
+            return _d2(_v1(x)) * _d1(x)
+    else:
+        val, deriv = spectral_value_transform(in_root, out_root, rest_freq)
 
     crval_si = wcs.crval[i] * inunit.scale
     cdelt_si = wcs.pixel_scale_matrix[i, i] * inunit.scale

@@ -76,3 +76,93 @@ def cube_and_raw(tmp_path, name="adv.fits"):
     from spectral_cube_tpu import SpectralCube
     path, d = data_adv(tmp_path, name)
     return SpectralCube.read(path), d
+
+
+def transpose(d, h, axes):
+    """reference conftest.transpose (conftest.py:50-58): permute the data
+    and the per-axis header cards together."""
+    d = d.transpose(np.argsort(axes))
+    h2 = h.copy()
+    n = len(axes)
+    for i in range(n):
+        for key in ("NAXIS", "CDELT", "CRPIX", "CRVAL", "CTYPE", "CUNIT"):
+            src = f"{key}{axes[i] + 1}"
+            if src in h:
+                h2[f"{key}{i + 1}"] = h[src]
+    return d, h2
+
+
+def prepare_advs_data():
+    """reference conftest.prepare_advs_data: 4-D single-Stokes (1,2,3,4),
+    seed 42, BUNIT K."""
+    h = jybeam_header()
+    h["BUNIT"] = "K"
+    h["NAXIS1"] = 2
+    h["NAXIS2"] = 3
+    h["NAXIS3"] = 4
+    h["NAXIS4"] = 1
+    np.random.seed(42)
+    d = np.random.random((1, 2, 3, 4))
+    return d, h
+
+
+def prepare_4_beams_table():
+    """reference conftest.prepare_4_beams (conftest.py:61-79)."""
+    from collections import OrderedDict
+    from spectral_cube_tpu.io.fits_low import BinTableHDU
+    bt = BinTableHDU(columns=OrderedDict(
+        BMAJ=np.array([0.4, 0.3, 0.3, 0.4], "f4"),
+        BMIN=np.array([0.1, 0.2, 0.2, 0.1], "f4"),
+        BPA=np.array([0, 45, 60, 30], "f4"),
+        CHAN=np.arange(4, dtype="i4"),
+        POL=np.zeros(4, dtype="i4")), name="BEAMS",
+        units={"BMAJ": "arcsec", "BMIN": "arcsec", "BPA": "deg"})
+    bt.header["NCHAN"] = 4
+    bt.header["NPOL"] = 1
+    return bt
+
+
+def data_advs(tmp_path, name="advs.fits"):
+    d, h = prepare_advs_data()
+    path = str(tmp_path / name)
+    write_fits(path, [HDU(data=d, header=h)])
+    return path, d
+
+
+def data_vda_beams(tmp_path, name="vda_beams.fits"):
+    """reference conftest.data_vda_beams: adv transposed to (v,d,a) with
+    BUNIT ' Jy / beam ' and the 4-beam BEAMS table."""
+    d, h = prepare_adv_data()
+    d, h = transpose(d, h, [2, 0, 1])
+    d, h = transpose(d, h, [2, 1, 0])
+    h["BUNIT"] = " Jy / beam "
+    for k in ("BMAJ", "BMIN", "BPA"):
+        try:
+            del h[k]
+        except Exception:
+            pass
+    h["CASAMBM"] = True
+    path = str(tmp_path / name)
+    write_fits(path, [HDU(data=d, header=h), prepare_4_beams_table()])
+    return path, d
+
+
+def data_sdav_beams(tmp_path, name="sdav_beams.fits"):
+    """reference conftest.data_sdav_beams: 4-D (4,3,2,1) numpy with axes
+    (s,d,a,v) in FITS order and the 4-beam table."""
+    d, h = prepare_advs_data()
+    d, h = transpose(d, h, [1, 2, 3, 0])
+    d, h = transpose(d, h, [1, 2, 3, 0])
+    d, h = transpose(d, h, [1, 2, 3, 0])
+    d, h = transpose(d, h, [0, 2, 1, 3])
+    for k in ("BMAJ", "BMIN", "BPA"):
+        try:
+            del h[k]
+        except Exception:
+            pass
+    np.random.seed(42)
+    d = np.random.random((4, 3, 2, 1))
+    h["CASAMBM"] = True
+    path = str(tmp_path / name)
+    write_fits(path, [HDU(data=d, header=h), prepare_4_beams_table()])
+    return path, d

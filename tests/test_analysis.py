@@ -268,3 +268,96 @@ def test_stacking_shape_failure(tmp_path):
                        match="velocity_surface contains no finite values"):
         stack_spectra(cube, Quantity(np.full(centers.shape, np.nan), "km/s"),
                       v0=Quantity(32.0, "km/s"))
+
+
+# ---------------------------------------------------------------------------
+# reference test_analysis_functions.py stacking battery (names mirror the
+# reference's; generate_gaussian_cube re-derived from utilities.py:53-120
+# with per-spaxel means locked to within 25% of the spectral span)
+# ---------------------------------------------------------------------------
+
+def _gauss_cube(tmp_path, nchan=100, ny=12, nx=12, amp=1.0, sigma=8.0,
+                v0=0.0, spec_scale=1.0, noise=None, seed=1):
+    rng = np.random.RandomState(seed)
+    quarter = nchan // 4
+    vels = v0 + (rng.rand(ny, nx) - 0.5) * 2 * quarter * abs(spec_scale)
+    # pin the extremes so the padded size is deterministic (the reference
+    # generator's means span the full +/- quarter range)
+    vels[0, 0] = v0 - quarter * abs(spec_scale)
+    vels[0, 1] = v0 + quarter * abs(spec_scale)
+    v = v0 + (np.arange(nchan) - nchan / 2) * spec_scale
+    data = amp * np.exp(-0.5 * ((v[:, None, None] - vels[None]) / sigma) ** 2)
+    if noise:
+        data = data + rng.randn(*data.shape) * noise
+    h = base_header(nx=nx, ny=ny, nchan=nchan, ctype3="VRAD", cunit3="km/s",
+                    crval3=float(v[0]), cdelt3=float(spec_scale))
+    p = str(tmp_path / f"gauss_{seed}.fits")
+    write_fits(p, [HDU(data=data, header=h)])
+    return SpectralCube.read(p), Quantity(vels, "km/s")
+
+
+def _gaussian(x, amp, v0, sigma):
+    return amp * np.exp(-0.5 * ((x - v0) / sigma) ** 2)
+
+
+def test_stacking_reversed_specaxis(tmp_path):
+    """reference test_analysis_functions.py:170-203: stacking on a
+    descending spectral axis keeps the axis and recovers the line."""
+    cube, vels = _gauss_cube(tmp_path, spec_scale=-1.0, seed=2)
+    stacked = stack_spectra(cube, vels, v0=Quantity(0.0, "km/s"),
+                            pad_edges=False)
+    true = _gaussian(np.asarray(stacked.spectral_axis.value), 1.0, 0.0, 8.0)
+    assert np.nanstd(np.abs(np.asarray(stacked.value) - true)) <= 1e-3
+    np.testing.assert_allclose(np.asarray(stacked.spectral_axis.value),
+                               np.asarray(cube.spectral_axis.value),
+                               rtol=1e-6)
+
+
+def test_stacking_wpadding(tmp_path):
+    """reference test_analysis_functions.py:206-246: pad_edges grows the
+    axis by the maximum shift (~25% per side for these velocities)."""
+    cube, vels = _gauss_cube(tmp_path, seed=4)
+    stacked = stack_spectra(cube, vels, v0=Quantity(0.0, "km/s"),
+                            pad_edges=True)
+    true = _gaussian(np.asarray(stacked.spectral_axis.value), 1.0, 0.0, 8.0)
+    assert np.nanstd(np.abs(np.asarray(stacked.value) - true)) <= 1e-3
+    stack_shape = int(cube.shape[0] * 1.5)
+    assert abs(len(np.atleast_1d(stacked.value)) - stack_shape) <= 1
+
+
+def test_stacking_woffset(tmp_path):
+    """reference test_analysis_functions.py:284-321: absolute velocity
+    offsets don't bias the stack."""
+    cube, vels = _gauss_cube(tmp_path, v0=100.0, seed=3)
+    stacked = stack_spectra(cube, vels, v0=Quantity(100.0, "km/s"),
+                            pad_edges=True)
+    true = _gaussian(np.asarray(stacked.spectral_axis.value),
+                     1.0, 100.0, 8.0)
+    assert np.nanstd(np.abs(np.asarray(stacked.value) - true)) <= 1e-3
+    stack_shape = int(cube.shape[0] * 1.5)
+    assert abs(len(np.atleast_1d(stacked.value)) - stack_shape) <= 1
+
+
+def test_stacking_noisy(tmp_path):
+    """reference test_analysis_functions.py:324-361: noise averages down
+    in the stack."""
+    cube, vels = _gauss_cube(tmp_path, noise=0.01, seed=5)
+    stacked = stack_spectra(cube, vels, v0=Quantity(0.0, "km/s"),
+                            pad_edges=True)
+    true = _gaussian(np.asarray(stacked.spectral_axis.value), 1.0, 0.0, 8.0)
+    resid = np.abs(np.asarray(stacked.value) - true)
+    assert np.nanstd(resid[np.isfinite(resid)]) <= 1e-3
+
+
+def test_stacking_badvels(tmp_path):
+    """reference test_analysis_functions.py:135-167 (regression 493): an
+    out-of-range velocity warns and is excluded without biasing."""
+    from spectral_cube_tpu.utils import BadVelocitiesWarning
+    cube, vels = _gauss_cube(tmp_path, seed=6)
+    v2 = Quantity(np.asarray(vels.value).copy(), "km/s")
+    v2.value[5, 7] = 500.0
+    with pytest.warns(BadVelocitiesWarning):
+        stacked = stack_spectra(cube, v2, v0=Quantity(0.0, "km/s"),
+                                pad_edges=False)
+    true = _gaussian(np.asarray(stacked.spectral_axis.value), 1.0, 0.0, 8.0)
+    assert np.nanstd(np.abs(np.asarray(stacked.value) - true)) <= 1e-3

@@ -95,10 +95,9 @@ def test_huge_operation_guard(tmp_path, monkeypatch):
     path, data = make_cube_file(tmp_path)
     cube = SpectralCube.read(path)
     monkeypatch.setattr(utils_mod, "MEMORY_THRESHOLD", 10)
-    # cube.py binds the constant through the utils module at call time
     assert cube.size > 10
-    import spectral_cube_tpu.cube as cube_mod
-    monkeypatch.setattr(cube_mod, "MEMORY_THRESHOLD", 10)
+    # _is_huge reads cube_utils.MEMORY_THRESHOLD (the reference's knob)
+    monkeypatch.setattr("spectral_cube_tpu.cube_utils.MEMORY_THRESHOLD", 10)
     with pytest.raises(ValueError):
         cube.reproject(cube.header)
     cube.allow_huge_operations = True

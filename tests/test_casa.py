@@ -419,7 +419,7 @@ def test_casa_multistokes_per_plane_beams_roundtrip(tmp_path):
         warnings.simplefilter("ignore")
         vr_i = SpectralCube.read(str(pv))
         majs = np.asarray(vr_i.unmasked_beams.major.to("arcsec").value)
-        vr_q = vr_i.with_beams(Beams(major=Quantity(majs * 2.0, "arcsec")))
+        vr_q = vr_i.with_beams(Beams(major=Quantity(majs * 2.0, "arcsec")), raise_error_jybm=False)
     sc = StokesSpectralCube({"I": vr_i, "Q": vr_q})
     img = str(tmp_path / "iq.image")
     write_casa_image(sc, img)

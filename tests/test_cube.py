@@ -498,7 +498,7 @@ def test_huge_op_guards(cube_adv, monkeypatch):
     import spectral_cube_tpu.utils as sutils
     cube, data = cube_adv
     monkeypatch.setattr(sutils, "MEMORY_THRESHOLD", 10)
-    monkeypatch.setattr("spectral_cube_tpu.cube.MEMORY_THRESHOLD", 10)
+    monkeypatch.setattr("spectral_cube_tpu.cube_utils.MEMORY_THRESHOLD", 10)
     assert cube._is_huge
     for call in (lambda: cube.filled(),
                  lambda: cube.flattened(),
@@ -860,7 +860,7 @@ def test_vrsc_negative_axis_beam_guard(tmp_path):
     majs[0] *= 10
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        bad = vr.with_beams(Beams(major=Quantity(majs, "arcsec")))
+        bad = vr.with_beams(Beams(major=Quantity(majs, "arcsec")), raise_error_jybm=False)
     with pytest.raises(ValueError):
         bad.sum(axis=-3)
 

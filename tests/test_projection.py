@@ -377,3 +377,363 @@ def test_1d_slice_round_and_numpy_mask(cube_adv):
     inc = np.asarray(p.mask.include())
     assert inc.sum() == 11 and not inc[1]
     assert np.isnan(np.asarray(p.filled_data[:].value)[1])
+
+
+# ---------------------------------------------------------------------------
+# reference test_projection.py scenario battery (names mirror the
+# reference's; expected values re-derived independently)
+# ---------------------------------------------------------------------------
+
+from spectral_cube_tpu import Slice, Box1DKernel
+from spectral_cube_tpu.beams import Beams
+from spectral_cube_tpu.masks import BooleanArrayMask
+from spectral_cube_tpu.wcs import WCS, WCSCelestialError
+from spectral_cube_tpu.utils import SliceWarning
+
+JY = u.Unit("Jy")
+LDOs = (Projection, Slice, OneDSpectrum)
+LDOs_2d = (Projection, Slice)
+
+
+def _twelve(nd):
+    return Quantity(np.ones((12, 12) if nd == 2 else (12,)), JY)
+
+
+@pytest.mark.parametrize("LDO", LDOs_2d)
+def test_copy_false(LDO):
+    """reference test_projection.py:63-70: copy=False shares the buffer."""
+    image = _twelve(2).copy()
+    p = LDO(image, copy=False)
+    image.value[3, 4] = 2.0
+    assert float(np.asarray(p.value)[3, 4]) == 2.0
+
+
+@pytest.mark.parametrize("LDO", LDOs)
+def test_unit_division(LDO):
+    """reference test_projection.py:107-119 (regression 265)."""
+    p = LDO(_twelve(2 if LDO is not OneDSpectrum else 1), copy=False)
+    p2 = p / u.Unit("beam")
+    assert str(p2.unit) == "Jy / beam"
+    assert hasattr(p2, "_wcs")
+
+
+@pytest.mark.parametrize("LDO", LDOs)
+def test_self_arith(LDO):
+    """reference test_projection.py:135-154."""
+    nd = 1 if LDO is OneDSpectrum else 2
+    p = LDO(_twelve(nd), copy=False, wcs=WCS(naxis=nd))
+    p2 = p + p
+    assert hasattr(p2, "_wcs") and p2.wcs is not None
+    assert np.all(np.asarray(p2.value) == 2)
+    p3 = p - p
+    assert np.all(np.asarray(p3.value) == 0)
+
+
+@pytest.mark.parametrize("LDO", LDOs)
+def test_self_arith_with_beam(LDO):
+    """reference test_projection.py:157-183: arithmetic keeps the beam."""
+    nd = 1 if LDO is OneDSpectrum else 2
+    exp_beam = Beam(Quantity(1.0, "arcsec"))
+    p = LDO(_twelve(nd), copy=False, wcs=WCS(naxis=nd), beam=exp_beam)
+    assert (p + p).beam == exp_beam
+    assert (p - p).beam == exp_beam
+
+
+def test_VRODS_wrong_beams_shape():
+    """reference base_class.py:509-512: wrong-size Beams raise."""
+    with pytest.raises(ValueError):
+        VaryingResolutionOneDSpectrum(
+            _twelve(1), copy=False,
+            beams=Beams(Quantity(np.arange(1, 4), "arcsec")))
+
+
+def test_VRODS_with_beams():
+    """reference test_projection.py:197-207 (+ with_beams replacement)."""
+    exp_beams = Beams(Quantity(np.arange(1, 13), "arcsec"))
+    p = VaryingResolutionOneDSpectrum(_twelve(1), copy=False,
+                                      beams=exp_beams)
+    assert np.all(p.beams == exp_beams)
+    new_beams = Beams(Quantity(np.arange(2, 14), "arcsec"))
+    p = p.with_beams(new_beams, raise_error_jybm=False)
+    assert np.all(p.beams == new_beams)
+
+
+def test_VRODS_slice_with_beams():
+    """reference test_projection.py:210-218: slicing slices the beams."""
+    exp_beams = Beams(Quantity(np.arange(1, 13), "arcsec"))
+    p = VaryingResolutionOneDSpectrum(_twelve(1), copy=False,
+                                      wcs=WCS(naxis=1), beams=exp_beams)
+    assert np.all(p[:5].beams == exp_beams[:5])
+
+
+def test_VRODS_arith_with_beams():
+    """reference test_projection.py:221-239."""
+    exp_beams = Beams(Quantity(np.arange(1, 13), "arcsec"))
+    p = VaryingResolutionOneDSpectrum(_twelve(1), copy=False,
+                                      beams=exp_beams)
+    p2 = p + p
+    assert np.all(np.asarray(p2.value) == 2) and np.all(p2.beams == exp_beams)
+    p3 = p - p
+    assert np.all(np.asarray(p3.value) == 0) and np.all(p3.beams == exp_beams)
+
+
+def _wcs1_vel():
+    w = WCS(naxis=1)
+    w.cunit[0] = u.Unit("m/s")
+    w.ctype[0] = "VELO-LSR"
+    return w
+
+
+def test_onedspectrum_specaxis_units():
+    """reference test_projection.py:242-250."""
+    p = OneDSpectrum(_twelve(1), wcs=_wcs1_vel())
+    assert str(p.spectral_axis.unit) == "m / s"
+
+
+def test_onedspectrum_input_mask_type():
+    """reference test_projection.py:267-293: ndarray, MaskBase and None
+    all become proper masks."""
+    w = _wcs1_vel()
+    np_mask = np.ones(12, dtype=bool)
+    np_mask[1] = False
+    bool_mask = BooleanArrayMask(np_mask, wcs=w, shape=np_mask.shape)
+    p = OneDSpectrum(_twelve(1), wcs=w, mask=np_mask)
+    assert (np.asarray(p.mask.include())
+            == np.asarray(bool_mask.include())).all()
+    p = OneDSpectrum(_twelve(1), wcs=w, mask=bool_mask)
+    assert (np.asarray(p.mask.include())
+            == np.asarray(bool_mask.include())).all()
+    p = OneDSpectrum(_twelve(1), wcs=w, mask=None)
+    assert np.asarray(p.mask.include()).all()
+
+
+@pytest.mark.parametrize("LDO", LDOs_2d)
+def test_twod_input_mask_type(LDO):
+    """reference test_projection.py:546-573."""
+    w2 = WCS(naxis=2)
+    np_mask = np.ones((12, 12), dtype=bool)
+    np_mask[1] = False
+    bool_mask = BooleanArrayMask(np_mask, wcs=w2, shape=np_mask.shape)
+    p = LDO(_twelve(2), wcs=w2, mask=np_mask)
+    assert (np.asarray(p.mask.include()) == np_mask).all()
+    p = LDO(_twelve(2), wcs=w2, mask=bool_mask)
+    assert (np.asarray(p.mask.include()) == np_mask).all()
+    p = LDO(_twelve(2), wcs=w2, mask=None)
+    assert np.asarray(p.mask.include()).all()
+
+
+def test_slice_tricks():
+    """reference test_projection.py:296-316: dimension-raising views warn
+    SliceWarning and return bare quantities; .array does not warn."""
+    import warnings as _w
+    spec = OneDSpectrum(_twelve(1), wcs=WCS(naxis=1))
+    im = Slice(_twelve(2), wcs=WCS(naxis=2))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        new = spec[:, None, None] * im[None, :, :]
+    assert np.ndim(new) == 3
+    assert sum(issubclass(x.category, SliceWarning) for x in rec) == 2
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        new = spec.array[:, None, None] * im.array[None, :, :]
+    assert np.ndim(new) == 3 and len(rec) == 0
+
+
+def test_array_property():
+    """reference test_projection.py:319-329."""
+    spec = OneDSpectrum(_twelve(1), wcs=WCS(naxis=1))
+    arr = spec.array
+    assert isinstance(arr, np.ndarray)
+    assert not isinstance(arr, Quantity)
+
+
+def test_quantity_property():
+    """reference test_projection.py:332-342 (test_ondespectrum_with_beam
+    sibling block)."""
+    spec = OneDSpectrum(_twelve(1), wcs=WCS(naxis=1))
+    q = spec.quantity
+    assert isinstance(q, Quantity)
+    assert not isinstance(q, OneDSpectrum)
+
+
+def test_ondespectrum_with_beam():
+    """reference test_projection.py:388-425: a beam attaches and survives
+    slicing/arithmetic."""
+    b = Beam(Quantity(1.0, "arcsec"))
+    spec = OneDSpectrum(_twelve(1), wcs=_wcs1_vel(), beam=b)
+    assert spec.beam == b
+    assert spec[1:-1].beam == b
+    assert (spec * 2).beam == b
+
+
+def test_projection_subimage_nocelestial_fail(cube_adv):
+    """reference test_projection.py:534-543."""
+    cube, _ = cube_adv
+    proj = cube.moment0(axis=1)
+    with pytest.raises(WCSCelestialError):
+        proj.subimage(xlo=1, xhi=3)
+
+
+def test_mask_convolve():
+    """reference test_projection.py:576-588 (xfail upstream, passing
+    here): an unmasked spectrum still smooths cleanly."""
+    spec = OneDSpectrum(_twelve(1), wcs=WCS(naxis=1))
+    sm = spec.spectral_smooth(Box1DKernel(3))
+    np.testing.assert_allclose(np.asarray(sm.value)[1:-1],
+                               np.asarray(spec.value)[1:-1])
+
+
+def test_spectral_interpolate_1d():
+    """reference test_projection.py:601-610: a GHz-cunit naxis-1 WCS
+    drives OneDSpectrum.spectral_interpolate."""
+    w = WCS(naxis=1)
+    w.cunit[0] = u.Unit("GHz")
+    spec = OneDSpectrum(Quantity(np.arange(12.0), "Jy"), wcs=w)
+    new_x = Quantity(
+        np.asarray(w.pix2world([np.linspace(0, 11, 23)])[0]).ravel(), "GHz")
+    new_spec = spec.spectral_interpolate(new_x)
+    np.testing.assert_allclose(np.asarray(new_spec.value),
+                               np.linspace(0, 11, 23), atol=1e-6)
+
+
+def _cube_522_reversed(tmp_path):
+    from ref_fixtures import jybeam_header
+    from spectral_cube_tpu.io.fits_low import HDU, write_fits
+    h = jybeam_header()
+    h["BUNIT"] = "K"
+    h["NAXIS"] = 3
+    h["NAXIS1"], h["NAXIS2"], h["NAXIS3"] = 2, 2, 5
+    for k in ("CDELT4", "CRPIX4", "CRVAL4", "CTYPE4", "CUNIT4", "NAXIS4"):
+        try:
+            del h[k]
+        except Exception:
+            pass
+    h["CDELT3"] = -h["CDELT3"]
+    d = np.zeros((5, 2, 2))
+    d[2] = 1.0
+    p = str(tmp_path / "522rev.fits")
+    write_fits(p, [HDU(data=d, header=h)])
+    return p
+
+
+def test_spectral_interpolate_1d_with_mask(tmp_path):
+    """reference test_projection.py:612-636: the 1-D interp carries the
+    mask; reversed output puts the masked samples last: [0,.5,nan,nan]."""
+    cube = SpectralCube.read(_cube_522_reversed(tmp_path))
+    mask = np.ones(cube.shape, dtype=bool)
+    mask[:2] = False
+    spec = cube.with_mask(mask)[:, 0, 0]
+    sg = (spec.spectral_axis[1:] + spec.spectral_axis[:-1]) / 2.0
+    result = spec.spectral_interpolate(spectral_grid=sg[::-1])
+    np.testing.assert_almost_equal(np.asarray(result.filled_data[:].value),
+                                   [0.0, 0.5, np.nan, np.nan])
+
+
+def test_spectral_interpolate_1d_reversed(cube_adv):
+    """reference test_projection.py:639-651."""
+    cube, _ = cube_adv
+    sg = cube.spectral_axis[::-1]
+    result = cube[:, 0, 0].spectral_interpolate(spectral_grid=sg)
+    np.testing.assert_almost_equal(np.asarray(sg.value),
+                                   np.asarray(result.spectral_axis.value))
+
+
+def test_spectral_interpolate_1d_with_fillvalue(cube_adv):
+    """reference test_projection.py:653-667."""
+    cube, _ = cube_adv
+    sa = cube.spectral_axis
+    sg = sa[0] - (sa[1] - sa[0]) * Quantity(np.linspace(1, 4, 4), "")
+    result = cube[:, 0, 0].spectral_interpolate(spectral_grid=sg,
+                                                fill_value=42)
+    np.testing.assert_almost_equal(np.asarray(result.value), np.ones(4) * 42)
+
+
+def test_spectral_units(cube_adv):
+    """reference test_projection.py:670-683 (issue 391)."""
+    cube, _ = cube_adv
+    sp = cube[:, 0, 0]
+    assert str(sp.spectral_axis.unit) == "km / s"
+    assert sp.header["CUNIT1"].replace(" ", "") in ("kms-1", "km/s")
+    sp = cube.with_spectral_unit(u.Unit("m/s"))[:, 0, 0]
+    assert str(sp.spectral_axis.unit) == "m / s"
+    assert sp.header["CUNIT1"].replace(" ", "") in ("ms-1", "m/s")
+
+
+def test_repr_1d(cube_adv):
+    """reference test_projection.py:686-696."""
+    cube, _ = cube_adv
+    sp = cube[:, 0, 0]
+    assert "OneDSpectrum" in repr(sp)
+    assert "OneDSpectrum" in repr(sp[1:-1])
+
+
+def test_1d_slices(cube_adv):
+    """reference test_projection.py:699-712."""
+    cube, _ = cube_adv
+    sp = cube[:, 0, 0]
+    assert float(sp.max().value) \
+        == float(np.asarray(cube.max(axis=0).value)[0, 0])
+    assert not isinstance(sp.max(), OneDSpectrum)
+    sp = cube[:-1, 0, 0]
+    assert float(sp.max().value) \
+        == float(np.asarray(cube[:-1, :, :].max(axis=0).value)[0, 0])
+
+
+@pytest.mark.parametrize("method", ("min", "max", "std", "mean", "sum"))
+def test_1d_slice_reductions(method, cube_adv):
+    """reference test_projection.py:721-738."""
+    cube, _ = cube_adv
+    sp = cube[:, 0, 0]
+    got = getattr(sp, method)()
+    exp = float(np.asarray(getattr(cube, method)(axis=0).value)[0, 0])
+    got_v = float(np.asarray(got.value if hasattr(got, "value") else got))
+    np.testing.assert_allclose(got_v, exp, rtol=1e-6)
+    assert hasattr(sp, "_fill_value")
+
+
+def test_LDO_arithmetic(cube_adv):
+    """reference test_projection.py:758-765."""
+    cube, _ = cube_adv
+    sp = cube[:, 0, 0]
+    spx2 = sp * 2
+    assert np.all(np.asarray(spx2.value) == np.asarray(sp.value) * 2)
+    filled = np.asarray(spx2.filled_data[:].value)
+    good = np.isfinite(np.asarray(sp.value))
+    assert np.all(filled[good] == (np.asarray(sp.value) * 2)[good])
+
+
+def test_basic_arrayness(tmp_path):
+    """reference test_projection.py:866-889: np.array/np.asarray views of
+    LDO slices (f32 device storage: compared at 2e-7)."""
+    p, data = make_cube_file(tmp_path, with_nan=False)
+    cube = SpectralCube.read(p)
+    assert cube.shape == data.shape
+    spec = cube[:, 0, 0]
+    np.testing.assert_allclose(np.array(spec), data[:, 0, 0], rtol=2e-7)
+    np.testing.assert_allclose(np.asarray(spec), data[:, 0, 0], rtol=2e-7)
+    slc = cube[0, :, :]
+    np.testing.assert_allclose(np.array(slc), data[0, :, :], rtol=2e-7)
+    np.testing.assert_allclose(np.asarray(slc), data[0, :, :], rtol=2e-7)
+
+
+def test_spatial_world_extrema_2D(cube_adv):
+    """reference test_projection.py:892-904: plane extrema match the
+    cube's."""
+    cube, _ = cube_adv
+    plane = cube[0]
+    np.testing.assert_allclose(np.asarray(cube.world_extrema.value),
+                               np.asarray(plane.world_extrema.value))
+    np.testing.assert_allclose(np.asarray(cube.longitude_extrema.value),
+                               np.asarray(plane.longitude_extrema.value))
+    np.testing.assert_allclose(np.asarray(cube.latitude_extrema.value),
+                               np.asarray(plane.latitude_extrema.value))
+
+
+@pytest.mark.parametrize("LDO", LDOs)
+def test_hdu_with_none_meta(LDO):
+    """reference test_projection.py:942-951 (regression 871): .hdu works
+    with meta=None."""
+    nd = 1 if LDO is OneDSpectrum else 2
+    p = LDO(_twelve(nd), copy=False, wcs=WCS(naxis=nd))
+    p._meta = None
+    p.hdu

@@ -545,8 +545,8 @@ def test_onedspectrum_interp_exact_hits_ignore_nan_neighbor(cube_adv):
     w.cunit[0] = Unit.parse("Hz")
     val = np.array([10.0, 20.0, np.nan, 40.0])
     ax = np.array([0.0, 1.0, 2.0, 3.0])
-    out, _ = interp_spectrum(val, ax, np.array([1.0, 3.5, -2.0]), w,
-                             suppress_smooth_warning=True)
+    out, _, _ = interp_spectrum(val, ax, np.array([1.0, 3.5, -2.0]), w,
+                                suppress_smooth_warning=True)
     np.testing.assert_array_equal(out, [20.0, 40.0, 10.0])
     import pytest
     from spectral_cube_tpu.ops.interpolate import interp_weights
@@ -652,3 +652,214 @@ def test_wcs_pix2world_per_axis_signature(cube_adv):
     stacked = cel.wcs_pix2world(np.array([[0.0, 0.0], [1.0, 0.0]]), 0)
     assert stacked.shape == (2, 2)
     np.testing.assert_allclose(stacked[:, 0], lons, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# reference test_regrid.py scenario battery (names mirror the reference's)
+# ---------------------------------------------------------------------------
+
+def _delta_cube_path(tmp_path, shape, name="delta.fits", beams=None,
+                     flip_spectral=False, delta=None):
+    """Zero cube with a delta; jybeam-style header like the reference's
+    prepare_255_header (conftest.py:411-418)."""
+    from ref_fixtures import jybeam_header
+    from spectral_cube_tpu.io.fits_low import BinTableHDU
+    nchan, ny, nx = shape
+    h = jybeam_header()
+    h["BUNIT"] = "K"
+    h["NAXIS"] = 3
+    h["NAXIS1"], h["NAXIS2"], h["NAXIS3"] = nx, ny, nchan
+    for k in ("CDELT4", "CRPIX4", "CRVAL4", "CTYPE4", "CUNIT4", "NAXIS4"):
+        try:
+            del h[k]
+        except Exception:
+            pass
+    if flip_spectral:
+        h["CDELT3"] = -h["CDELT3"]
+    d = np.zeros(shape)
+    if delta is None:
+        d[nchan // 2] = 1.0
+    else:
+        d[delta] = 1.0
+    hdus = [HDU(data=d, header=h)]
+    if beams is not None:
+        h["CASAMBM"] = True
+        hdus.append(beams)
+    p = str(tmp_path / name)
+    write_fits(p, hdus)
+    return p, d
+
+
+def _beams_table_522():
+    """prepare_5_beams (reference conftest.py:482-499) with channel 0
+    faked to the 1" target beam for the equal-beam test."""
+    from collections import OrderedDict
+    from spectral_cube_tpu.io.fits_low import BinTableHDU
+    bt = BinTableHDU(columns=OrderedDict(
+        BMAJ=np.array([1.0, 0.4, 0.3, 0.4, 0.5], "f4"),
+        BMIN=np.array([1.0, 0.2, 0.3, 0.2, 0.1], "f4"),
+        BPA=np.array([0, 45, 60, 30, 0], "f4"),
+        CHAN=np.arange(5, dtype="i4"),
+        POL=np.zeros(5, dtype="i4")), name="BEAMS",
+        units={"BMAJ": "arcsec", "BMIN": "arcsec", "BPA": "deg"})
+    bt.header["NCHAN"] = 5
+    bt.header["NPOL"] = 1
+    return bt
+
+
+def test_beams_convolution_equal(tmp_path):
+    """reference test_regrid.py:82-97: a channel already at the target
+    beam must pass through unconvolved."""
+    p, d = _delta_cube_path(tmp_path, (5, 2, 2), beams=_beams_table_522())
+    cube = SpectralCube.read(p)
+    target = Beam(Quantity(1.0, "arcsec"), Quantity(1.0, "arcsec"),
+                  Quantity(0, "deg"))
+    conv = cube.convolve_to(target)
+    np.testing.assert_almost_equal(np.asarray(cube.filled_data[0].value),
+                                   np.asarray(conv.filled_data[0].value))
+
+
+def test_catch_kernel_with_units(tmp_path):
+    """reference test_regrid.py:174-183: a kernel defined with a unit-ful
+    width raises."""
+    from spectral_cube_tpu import Gaussian1DKernel
+    p, d = _delta_cube_path(tmp_path, (5, 2, 2))
+    cube = SpectralCube.read(p)
+    with pytest.raises(Exception, match="[Uu]nit"):
+        cube.spectral_smooth(kernel=Gaussian1DKernel(Quantity(1.0, "km/s")),
+                             use_memmap=False)
+
+
+def test_spectral_smooth_4cores(tmp_path):
+    """reference test_regrid.py:186-220: smoothing a spectral delta
+    reproduces the kernel; num_cores=4 with parallel=False raises."""
+    from spectral_cube_tpu import Gaussian1DKernel
+    p, d = _delta_cube_path(tmp_path, (5, 2, 2))
+    cube = SpectralCube.read(p)
+    kernel = Gaussian1DKernel(1.0)
+    karr = np.asarray(kernel.array)
+    assert karr.size == 9
+    for use_memmap in (True, False):
+        result = cube.spectral_smooth(kernel=kernel, num_cores=4,
+                                      use_memmap=use_memmap)
+        np.testing.assert_almost_equal(np.asarray(result[:, 0, 0].value),
+                                       karr[2:-2], 4)
+    with pytest.raises(ValueError):
+        cube.spectral_smooth(kernel=kernel, num_cores=4, parallel=False)
+
+
+def test_spectral_smooth_fail(tmp_path):
+    """reference test_regrid.py:222-231: VRSC can't be spectrally
+    smoothed."""
+    from spectral_cube_tpu import Gaussian1DKernel
+    p, d = _delta_cube_path(tmp_path, (5, 2, 2), beams=_beams_table_522())
+    cube = SpectralCube.read(p)
+    with pytest.raises(AttributeError, match="convolve_to"):
+        cube.spectral_smooth(kernel=Gaussian1DKernel(1.0))
+
+
+def test_spectral_interpolate_with_fillvalue(tmp_path):
+    """reference test_regrid.py:292-303: out-of-range samples take
+    fill_value."""
+    p, d = _delta_cube_path(tmp_path, (5, 2, 2))
+    cube = SpectralCube.read(p)
+    sa = cube.spectral_axis
+    sg = sa[0] - (sa[1] - sa[0]) * Quantity(np.linspace(1, 4, 4), "")
+    result = cube.spectral_interpolate(spectral_grid=sg, fill_value=42)
+    np.testing.assert_almost_equal(np.asarray(result[:, 0, 0].value),
+                                   np.ones(4) * 42)
+
+
+def test_spectral_interpolate_fail(tmp_path):
+    """reference test_regrid.py:306-315: VRSC can't be spectrally
+    interpolated."""
+    p, d = _delta_cube_path(tmp_path, (5, 2, 2), beams=_beams_table_522())
+    cube = SpectralCube.read(p)
+    with pytest.raises(AttributeError, match="convolve_to"):
+        cube.spectral_interpolate(5)
+
+
+def test_spectral_interpolate_with_mask(tmp_path):
+    """reference test_regrid.py:318-347: reversed-axis interpolation of a
+    masked cube — the two masked channels NaN out the midpoints they
+    touch, giving exactly [0, 0.5, nan, nan] after the axis flip."""
+    p, d = _delta_cube_path(tmp_path, (5, 2, 2), flip_spectral=True)
+    cube = SpectralCube.read(p)
+    mask = np.ones(cube.shape, dtype=bool)
+    mask[:2] = False
+    mcube = cube.with_mask(mask)
+    sa = cube.spectral_axis
+    sg = (sa[1:] + sa[:-1]) / 2.0
+    result = mcube.spectral_interpolate(spectral_grid=sg[::-1])
+    np.testing.assert_almost_equal(np.asarray(result[:, 0, 0].value),
+                                   [0.0, 0.5, np.nan, np.nan])
+
+
+def test_spectral_interpolate_reversed(tmp_path):
+    """reference test_regrid.py:350-361: a reversed target grid round
+    trips through the output spectral axis."""
+    p, d = _delta_cube_path(tmp_path, (5, 2, 2))
+    cube = SpectralCube.read(p)
+    sg = cube.spectral_axis[::-1]
+    result = cube.spectral_interpolate(spectral_grid=sg)
+    np.testing.assert_almost_equal(np.asarray(sg.value),
+                                   np.asarray(result.spectral_axis.value))
+
+
+def test_convolution_2D(tmp_path):
+    """reference test_regrid.py:364-386: convolving a delta Projection to
+    1.803" reproduces the normalized 1.5" Gaussian kernel (1" deconvolved
+    from the target); kwargs pass through."""
+    p, d = _delta_cube_path(tmp_path, (1, 5, 5), delta=(0, 2, 2))
+    proj = SpectralCube.read(p)[0]
+    target = Beam(Quantity(1.802775637731995, "arcsec"),
+                  Quantity(1.802775637731995, "arcsec"), Quantity(0, "deg"))
+    conv = proj.convolve_to(target)
+    sigma_pix = (1.5 / 3600) / (2 * np.sqrt(2 * np.log(2))) \
+        / 5.55555561268e-4
+    yy, xx = np.mgrid[-2:3, -2:3]
+    g = np.exp(-(xx ** 2 + yy ** 2) / (2 * sigma_pix ** 2))
+    g /= g.sum()
+    np.testing.assert_almost_equal(np.asarray(conv.value), g)
+    assert conv.beam == target
+    proj.convolve_to(target, nan_treatment="fill")  # kwargs accepted
+
+
+def test_nocelestial_convolution_2D_fail(tmp_path):
+    """reference test_regrid.py:389-399."""
+    from spectral_cube_tpu.wcs import WCSCelestialError
+    p, d = _delta_cube_path(tmp_path, (2, 5, 5), delta=(0, 2, 2))
+    cube = SpectralCube.read(p)
+    proj = cube.moment0(axis=1)
+    with pytest.raises(WCSCelestialError):
+        proj.convolve_to(Beam(Quantity(1.0, "arcsec")))
+
+
+def test_reproject_2D(tmp_path):
+    """reference test_regrid.py:402-428: Projection.reproject onto a
+    galactic SIN header keeps the beam and adopts the target WCS."""
+    p, d = _delta_cube_path(tmp_path, (1, 5, 5), delta=(0, 2, 2))
+    proj = SpectralCube.read(p)[0]
+    hdr_out = proj.header
+    hdr_out["NAXIS1"] = 4
+    hdr_out["NAXIS2"] = 5
+    hdr_out["CTYPE1"] = "GLON-SIN"
+    hdr_out["CTYPE2"] = "GLAT-SIN"
+    hdr_out["CRVAL1"] = 134.37608
+    hdr_out["CRVAL2"] = -31.939241
+    hdr_out["CRPIX1"] = 2.0
+    hdr_out["CRPIX2"] = 2.0
+    result = proj.reproject(hdr_out)
+    assert result.shape == (5, 4)
+    assert result.beam == proj.beam
+    assert result.wcs.ctype[0] == "GLON-SIN"
+
+
+def test_nocelestial_reproject_2D_fail(tmp_path):
+    """reference test_regrid.py:431-441."""
+    from spectral_cube_tpu.wcs import WCSCelestialError
+    p, d = _delta_cube_path(tmp_path, (2, 5, 5), delta=(0, 2, 2))
+    cube = SpectralCube.read(p)
+    proj = cube.moment0(axis=1)
+    with pytest.raises(WCSCelestialError):
+        proj.reproject(cube.header)

@@ -1,0 +1,288 @@
+"""Reference test_spectral_axis.py scenario battery.
+
+Pins our spectral-axis conversion engine to the reference suite's by-hand
+worked examples (reference tests/test_spectral_axis.py) — every expected
+number here is computed independently from the published Doppler formulae,
+not from our own code.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from spectral_cube_tpu.wcs import (WCS, convert_spectral_axis,
+                                   determine_ctype_from_vconv,
+                                   determine_vconv_from_ctype)
+from spectral_cube_tpu.wcs import spectral as sp
+from spectral_cube_tpu import units as u
+from spectral_cube_tpu.units import Quantity
+
+from test_wcs_golden import _read_text_header, _wcs_for_key
+
+C = 299792458.0
+CUBEWCS1 = "/root/reference/spectral_cube/tests/data/cubewcs1.hdr"
+GREISEN = "/root/reference/spectral_cube/tests/data/greisen2006.hdr"
+
+requires_cubewcs1 = pytest.mark.skipif(not os.path.exists(CUBEWCS1),
+                                       reason="cubewcs1.hdr absent")
+requires_greisen = pytest.mark.skipif(not os.path.exists(GREISEN),
+                                      reason="greisen2006.hdr absent")
+
+
+@requires_cubewcs1
+def test_cube_wcs_freqtovel():
+    """reference test_spectral_axis.py:17-32: FREQ -> VRAD with the rest
+    value given explicitly and pulled from the header; the expected crval
+    is the reference's own hard-coded 305.2461585938794 km/s."""
+    hdr = _read_text_header(CUBEWCS1)
+    w1 = WCS(header=hdr)
+    assert w1.ctype[2] == "FREQ"
+    nw = convert_spectral_axis(w1, "km/s", "VRAD",
+                               rest_value=Quantity(hdr["RESTFRQ"], "Hz"))
+    assert nw.ctype[2] == "VRAD"
+    np.testing.assert_allclose(nw.crval[2], 305.2461585938794, rtol=1e-9)
+    assert str(nw.cunit[2]) == "km / s"
+    # rest value defaulted from the WCS itself
+    nw2 = convert_spectral_axis(w1, "km/s", "VRAD")
+    np.testing.assert_allclose(nw2.crval[2], 305.2461585938794, rtol=1e-9)
+
+
+@requires_cubewcs1
+def test_cube_wcs_freqtovopt():
+    """reference test_spectral_axis.py:35-50: zeroed rest values make the
+    conversion to speed raise ValueError."""
+    hdr = _read_text_header(CUBEWCS1)
+    w1 = WCS(header=hdr)
+    convert_spectral_axis(w1, "km/s", "VOPT")  # works with header rest
+    w1.restfrq = 0.0
+    w1.restwav = 0.0
+    with pytest.raises(ValueError):
+        convert_spectral_axis(w1, "km/s", "VOPT")
+
+
+def _spectral_1d(ctype, crval, cdelt, cunit, crpix=1.0, restfrq=0.0,
+                 restwav=0.0):
+    w = WCS(naxis=1)
+    w.ctype[0] = ctype
+    w.crval[0] = crval
+    w.cdelt[0] = cdelt
+    w.crpix[0] = crpix
+    w.cunit[0] = u.Unit(cunit)
+    w.restfrq = restfrq
+    w.restwav = restwav
+    return w
+
+
+def test_byhand_f2v():
+    """reference test_spectral_axis.py:107-162 (Greisen 2006 'V' column):
+    FREQ -> VELO-F2V crval/cdelt, with the cdelt checked EXACTLY against
+    the analytic relativistic derivative, and the round trip closed."""
+    CRVAL3F, CDELT3F = 1.37847121643e9, 9.764775e4
+    RESTFRQV = 1.420405752e9
+    CRVAL3V, CDELT3V = 8.98134229811e6, -2.1217551e4
+    w = _spectral_1d("FREQ", CRVAL3F, CDELT3F, "Hz")
+    nw = convert_spectral_axis(w, "m/s", "VELO-F2V",
+                               rest_value=Quantity(RESTFRQV, "Hz"))
+    np.testing.assert_allclose(nw.crval[0], CRVAL3V, rtol=1e-3)
+    np.testing.assert_allclose(nw.cdelt[0], CDELT3V, rtol=1e-3)
+    exact = -4 * C * CDELT3F * CRVAL3F * RESTFRQV ** 2 \
+        / (CRVAL3F ** 2 + RESTFRQV ** 2) ** 2
+    np.testing.assert_allclose(nw.cdelt[0], exact, rtol=1e-12)
+    back = convert_spectral_axis(nw, "Hz", "FREQ",
+                                 rest_value=Quantity(RESTFRQV, "Hz"))
+    np.testing.assert_allclose(back.crval[0], CRVAL3F, rtol=1e-10)
+    np.testing.assert_allclose(back.cdelt[0], CDELT3F, rtol=1e-10)
+
+
+def test_byhand_vrad():
+    """reference test_spectral_axis.py:165-205 ('R' column): FREQ -> VRAD
+    with cdelt = -c df/f0 exactly."""
+    CRVAL3F, CDELT3F = 1.37847121643e9, 9.764775e4
+    RESTFRQR = 1.420405752e9
+    CRVAL3R, CDELT3R = 8.85075090419e6, -2.0609645e4
+    w = _spectral_1d("FREQ", CRVAL3F, CDELT3F, "Hz")
+    nw = convert_spectral_axis(w, "m/s", "VRAD",
+                               rest_value=Quantity(RESTFRQR, "Hz"))
+    np.testing.assert_allclose(nw.crval[0], CRVAL3R, rtol=1e-3)
+    np.testing.assert_allclose(nw.cdelt[0], CDELT3R, rtol=1e-3)
+    np.testing.assert_allclose(nw.cdelt[0], -(CDELT3F / RESTFRQR) * C,
+                               rtol=1e-12)
+    back = convert_spectral_axis(nw, "Hz", "FREQ",
+                                 rest_value=Quantity(RESTFRQR, "Hz"))
+    np.testing.assert_allclose(back.crval[0], CRVAL3F, rtol=1e-10)
+
+
+def test_byhand_vopt():
+    """reference test_spectral_axis.py:208-290 ('Z' column): FREQ ->
+    VOPT-F2W through the intermediate wavelength frame, with the
+    erratum-corrected crval 9.120002206e6 m/s, and the round trip."""
+    CRVAL3F, CDELT3F = 1.37847121643e9, 9.764775e4
+    RESTWAVZ = 0.211061139
+    CRVAL3Z, CDELT3Z = 9.120002206e6, -2.1882651e4
+    w = _spectral_1d("FREQ", CRVAL3F, CDELT3F, "Hz")
+    nw = convert_spectral_axis(w, "m/s", "VOPT-F2W",
+                               rest_value=Quantity(RESTWAVZ, "m"))
+    np.testing.assert_allclose(nw.crval[0], CRVAL3Z, rtol=1e-6)
+    np.testing.assert_allclose(nw.cdelt[0], CDELT3Z, rtol=1e-6)
+    # independent arithmetic: lam = c/f, vopt = c (lam - lam0)/lam0
+    lam = C / CRVAL3F
+    np.testing.assert_allclose(nw.crval[0],
+                               C * (lam - RESTWAVZ) / RESTWAVZ, rtol=1e-12)
+    dlam = -(CDELT3F / CRVAL3F ** 2) * C
+    np.testing.assert_allclose(nw.cdelt[0], dlam / RESTWAVZ * C, rtol=1e-12)
+    back = convert_spectral_axis(nw, "Hz", "FREQ-W2F",
+                                 rest_value=Quantity(RESTWAVZ, "m"))
+    np.testing.assert_allclose(back.crval[0], CRVAL3F, rtol=1e-10)
+    np.testing.assert_allclose(back.cdelt[0], CDELT3F, rtol=1e-10)
+
+
+def test_byhand_f2w():
+    """reference test_spectral_axis.py:293-311 ('W' column): WAVE -> FREQ
+    with crval = c/lam and cdelt = -c dlam/lam^2."""
+    CRVAL3W, CDELT3W = 0.217481841062, -1.5405916e-5
+    CRVAL3F, CDELT3F = 1.37847121643e9, 9.764775e4
+    w = _spectral_1d("WAVE", CRVAL3W, CDELT3W, "m")
+    nw = convert_spectral_axis(w, "Hz", "FREQ-W2F")
+    np.testing.assert_allclose(nw.crval[0], CRVAL3F, rtol=1e-3)
+    np.testing.assert_allclose(nw.cdelt[0], CDELT3F, rtol=1e-3)
+    np.testing.assert_allclose(nw.crval[0], C / CRVAL3W, rtol=1e-12)
+    np.testing.assert_allclose(nw.cdelt[0], -C * CDELT3W / CRVAL3W ** 2,
+                               rtol=1e-12)
+
+
+@pytest.mark.parametrize(("ctype", "unit", "vconv", "result"), [
+    ("VELO-F2V", "Hz", None, "FREQ"),
+    ("VELO-F2V", "m", None, "WAVE-F2W"),
+    ("VOPT", "m", None, "WAVE"),
+    ("VOPT", "Hz", None, "FREQ-W2F"),
+    ("VELO", "Hz", None, "FREQ-V2F"),
+    ("WAVE", "Hz", None, "FREQ-W2F"),
+    ("FREQ", "m/s", "radio", "VRAD"),
+    ("FREQ", "m/s", "optical", "VOPT-F2W"),
+    ("FREQ", "m/s", "relativistic", "VELO-F2V"),
+    ("WAVE", "m/s", "radio", "VRAD-W2F"),
+])
+def test_ctype_determinator(ctype, unit, vconv, result):
+    """reference test_spectral_axis.py:314-337: the output-ctype grammar."""
+    assert determine_ctype_from_vconv(ctype, unit,
+                                      velocity_convention=vconv) == result
+
+
+def test_ctype_determinator_requires_vconv():
+    with pytest.raises(ValueError):
+        determine_ctype_from_vconv("FREQ", "m/s")
+
+
+@pytest.mark.parametrize(("ctype", "vconv"), [
+    ("VELO-F2W", "optical"), ("VELO-F2V", "relativistic"),
+    ("VRAD", "radio"), ("VOPT", "optical"), ("VELO", "relativistic"),
+    ("WAVE", "optical"), ("WAVE-F2W", "optical"), ("WAVE-V2W", "optical"),
+    ("FREQ", "radio"), ("FREQ-V2F", "radio"), ("FREQ-W2F", "radio"),
+])
+def test_vconv_determinator(ctype, vconv):
+    """reference test_spectral_axis.py:340-352."""
+    assert determine_vconv_from_ctype(ctype) \
+        == sp.parse_velocity_convention(vconv)
+
+
+def test_vopt_to_freq(tmp_path):
+    """reference test_spectral_axis.py:360-380: a VOPT cube header
+    converted to Hz gets ctype FREQ-W2F (the axis stays
+    wavelength-linear)."""
+    from ref_fixtures import jybeam_header
+    h = jybeam_header()
+    h["NAXIS"] = 3
+    for k in ("CDELT4", "CRPIX4", "CRVAL4", "CTYPE4", "CUNIT4", "NAXIS4"):
+        try:
+            del h[k]
+        except Exception:
+            pass
+    w0 = WCS(header=h)
+    assert w0.ctype[w0.spec] == "VOPT"
+    out_ctype = determine_ctype_from_vconv("VOPT", u.Unit("Hz"))
+    w1 = convert_spectral_axis(w0, u.Unit("Hz"), out_ctype)
+    assert w1.ctype[w1.spec] == "FREQ-W2F"
+
+
+def _vel_of_freq(f, rest, vconv):
+    if vconv == sp.RADIO:
+        return C * (rest - f) / rest
+    if vconv == sp.OPTICAL:
+        return C * (rest - f) / f
+    return C * (rest ** 2 - f ** 2) / (rest ** 2 + f ** 2)
+
+
+@requires_greisen
+@pytest.mark.parametrize("key", ["Z", "R", "V", "F"])
+def test_change_rest_frequency(key):
+    """reference test_spectral_axis.py:383-419: converting with a NEW rest
+    value relabels velocities without moving the channel grid — any true
+    frequency must land on the same pixel in the published 'V' frame and
+    in the frame converted with the new rest."""
+    hdr = _read_text_header(GREISEN)
+    w0 = _wcs_for_key(hdr, key)
+    old_rest = w0.restfrq or (C / w0.restwav if w0.restwav else None)
+    if old_rest is None:
+        pytest.skip("no rest value in this frame")
+    vconv1 = determine_vconv_from_ctype(w0.ctype[0])
+    # new rest = the frequency whose old-frame velocity is 100 km/s
+    v = 100e3
+    if vconv1 == sp.RADIO:
+        new_rest = old_rest * (1 - v / C)
+    elif vconv1 == sp.OPTICAL:
+        new_rest = old_rest / (1 + v / C)
+    else:
+        new_rest = old_rest * np.sqrt((1 - v / C) / (1 + v / C))
+    w1 = _wcs_for_key(hdr, "V")   # published relativistic frame
+    w2 = convert_spectral_axis(w0, "m/s", "VELO-F2V",
+                               rest_value=Quantity(new_rest, "Hz"))
+    for f in (old_rest, new_rest):
+        p1 = w1.world2pix([_vel_of_freq(f, w1.restfrq, sp.RELATIVISTIC)])[0]
+        p2 = w2.world2pix([_vel_of_freq(f, new_rest, sp.RELATIVISTIC)])[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-3,
+                                   atol=2e-3)
+
+
+def test_byhand_awav2vel():
+    """reference test_spectral_axis.py:454-504: AWAV -> VOPT (optical
+    velocities on an air-wavelength grid), with crval/cdelt checked
+    against the air->vac formula and the H-alpha reference line landing
+    2.81 angstrom (2.81 pixels) up."""
+    CRVAL3A, CDELT3A = 6560e-10, 1.0e-10
+    restwl = float(sp.air_to_vac(np.array([6562.81e-10]))[0])
+    w = _spectral_1d("AWAV", CRVAL3A, CDELT3A, "m", restwav=restwl)
+    ct = determine_ctype_from_vconv("AWAV", "km/s", "optical")
+    nw = convert_spectral_axis(w, "km/s", ct,
+                               rest_value=Quantity(restwl, "m"))
+    assert str(nw.cunit[nw.spec]) in ("km / s",)
+    vac0 = float(sp.air_to_vac(np.array([CRVAL3A]))[0])
+    np.testing.assert_allclose(nw.crval[0],
+                               C * (vac0 - restwl) / restwl / 1e3, rtol=1e-9)
+    dv = CDELT3A * float(sp.air_to_vac_deriv(np.array([CRVAL3A]))[0]) \
+        / restwl * C / 1e3
+    np.testing.assert_allclose(nw.cdelt[0], dv, rtol=1e-9)
+    # v=0 lands 2.81 angstrom above the reference pixel
+    p0 = np.asarray(nw.world2pix([0.0])[0])
+    np.testing.assert_allclose(p0, 2.81, atol=2e-3)
+    # full sanity check: a 100 km/s line maps to the same pixel through
+    # both the air-wavelength and the velocity descriptions
+    vline = 100e3
+    wave_line_vac = restwl * (1 + vline / C)
+    wave_line_air = float(sp.vac_to_air(np.array([wave_line_vac]))[0])
+    pix_in = np.asarray(w.world2pix([wave_line_air])[0])
+    pix_out = np.asarray(nw.world2pix([vline / 1e3])[0])
+    np.testing.assert_allclose(pix_out, pix_in, atol=1e-4)
+
+
+def test_byhand_awav2wav():
+    """reference test_spectral_axis.py:507-536: AWAV -> WAVE applies the
+    air->vacuum correction pointwise along the axis."""
+    CRVAL3A, CDELT3A = 6560e-10, 1.0e-10
+    w = _spectral_1d("AWAV", CRVAL3A, CDELT3A, "m")
+    nw = convert_spectral_axis(w, u.Unit("Angstrom"), "WAVE")
+    for pix in (0.0, 10.0):
+        got = np.asarray(nw.pix2world([pix])[0])
+        exp = sp.air_to_vac(np.asarray(w.pix2world([pix])[0])) * 1e10
+        np.testing.assert_allclose(got, exp, rtol=1e-8)
+    assert not (w.crval[0] == nw.crval[0] and w.crpix[0] == nw.crpix[0])

@@ -144,7 +144,7 @@ def test_to_kelvin_per_channel(cube_vr):
 def test_with_beams(cube_vr):
     cube, _ = cube_vr
     nb = Beams(major=Quantity([2, 2, 2, 2], "arcsec"))
-    out = cube.with_beams(nb)
+    out = cube.with_beams(nb, raise_error_jybm=False)
     assert out.unmasked_beams[0].major.to_value("arcsec") == \
         pytest.approx(2.0)
     # now beams match: moments work
@@ -202,7 +202,7 @@ def test_convolve_to_with_nan_beam(tmp_path):
     majs[2] = np.nan
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
-        vr2 = vr.with_beams(Beams(major=Quantity(majs, "arcsec")))
+        vr2 = vr.with_beams(Beams(major=Quantity(majs, "arcsec")), raise_error_jybm=False)
     assert sum("Non-finite" in str(w.message) for w in rec) == 1
     assert not np.asarray(vr2.get_mask_array())[2].any()
     with warnings.catch_warnings(record=True) as rec2:
@@ -243,7 +243,7 @@ def test_convolve_to_allow_smaller_passes_channels_through(tmp_path):
         vr = SpectralCube.read(str(pv))
     majs = np.asarray(vr.unmasked_beams.major.to("arcsec").value).copy()
     majs[1] = majs.max() * 3.0  # bigger than any target we pick below
-    vr = vr.with_beams(Beams(major=Quantity(majs, "arcsec")))
+    vr = vr.with_beams(Beams(major=Quantity(majs, "arcsec")), raise_error_jybm=False)
     # target: slightly larger than every beam EXCEPT channel 1
     target = vr.unmasked_beams[0].convolve(vr.unmasked_beams[0])
     with pytest.raises(BeamError):

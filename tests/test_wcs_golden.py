@@ -91,10 +91,15 @@ def _read_text_header(path):
                 continue
             key, _, rest = line.partition("=")
             key = key.strip()
+            rest = rest.strip()
+            if rest.startswith("'"):
+                # quoted string: the comment slash comes AFTER the closing
+                # quote (CUNIT3V = 'm/s ' would otherwise parse as 'm')
+                end = rest.find("'", 1)
+                h[key] = rest[1:end if end > 0 else None].strip()
+                continue
             val = rest.split("/")[0].strip()
-            if val.startswith("'"):
-                h[key] = val.strip("'").strip()
-            elif val in ("T", "F"):
+            if val in ("T", "F"):
                 h[key] = val == "T"
             else:
                 try:
