@@ -98,7 +98,9 @@ class Beam:
                            else None)
         object.__setattr__(self, "_minor_q",
                            minor_rad if isinstance(minor_rad, Quantity)
-                           else None)
+                           else (major_rad if minor_rad is None
+                                 and isinstance(major_rad, Quantity)
+                                 else None))
         object.__setattr__(self, "_pa_q",
                            pa_rad if isinstance(pa_rad, Quantity) else None)
 
@@ -108,7 +110,7 @@ class Beam:
         maj = _angle_value(major)
         mnr = _angle_value(minor) if minor is not None else maj
         pa_ = _angle_value(pa) if pa is not None else 0.0
-        if mnr > maj + 1e-30:
+        if mnr > maj * (1 + 1e-12) + 1e-30:
             raise BeamError("minor axis exceeds major axis")
         # pass the originals through so Quantity inputs keep their unit
         # and exact float value for presentation (.major etc.)

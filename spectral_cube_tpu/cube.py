@@ -772,6 +772,18 @@ class BaseSpectralCube:
     def _spectral_pix_size(self):
         return abs(float(self._wcs.pixel_scale_matrix[2, 2]))
 
+    def _pix_size_slice(self, axis):
+        """Positive pixel size along cube axis 0/1/2 (reference
+        spectral_cube.py:1511-1535: spectral size from the scale matrix,
+        spatial sizes as the projected row norm, always > 0 regardless of
+        cdelt/pc sign)."""
+        psm = np.asarray(self._wcs.pixel_scale_matrix)
+        if axis == 0:
+            return abs(float(psm[2, 2]))
+        if axis in (1, 2):
+            return float(np.sum(psm[2 - axis, :] ** 2) ** 0.5)
+        raise ValueError("Cubes have 3 axes.")
+
     # ------------------------------------------------------------------
     # reductions (reference spectral_cube.py:361-819)
     # ------------------------------------------------------------------
@@ -1536,17 +1548,33 @@ class BaseSpectralCube:
         return self._new_cube_with(data=out)
 
     @_tmp_dir_option
-    def spectral_smooth_median(self, ksize, raise_error_jybm=True, **kwargs):
+    def spectral_smooth_median(self, ksize, raise_error_jybm=True,
+                               parallel=None, num_cores=None,
+                               update_function=None, **kwargs):
         self._check_jybeam_smoothing(raise_error_jybm)
+        _check_parallel_options(parallel, num_cores)
         data = self._get_filled_data(fill=np.nan)
-        return self._new_cube_with(
+        out = self._new_cube_with(
             data=_smooth.spectral_median_filter_cube(data, ksize))
+        if update_function is not None:
+            # reference parity: called once per spaxel
+            # (spectral_cube.py:2871-2899 progressbar hook)
+            for _ in range(int(self.shape[1] * self.shape[2])):
+                update_function()
+        return out
 
     @_tmp_dir_option
-    def spectral_filter(self, ksize, filter, **kwargs):
-        """Apply an arbitrary spectral filter (host-side scipy-style)."""
+    def spectral_filter(self, ksize, filter, parallel=None, num_cores=None,
+                        use_memmap=None, update_function=None, **kwargs):
+        """Apply an arbitrary spectral filter (host-side scipy-style).
+        parallel/num_cores/use_memmap are validated reference options that
+        do not change the fused evaluation."""
+        _check_parallel_options(parallel, num_cores)
         data = np.asarray(self._get_filled_data(fill=np.nan))
         out = filter(data, size=(ksize, 1, 1), **kwargs)
+        if update_function is not None:
+            for _ in range(int(self.shape[1] * self.shape[2])):
+                update_function()
         return self._new_cube_with(data=jnp.asarray(out))
 
     @_tmp_dir_option
@@ -1565,14 +1593,20 @@ class BaseSpectralCube:
             data=_smooth.spatial_median_filter_cube(data, ksize))
 
     @_tmp_dir_option
-    def spatial_filter(self, ksize, filter, raise_error_jybm=True, **kwargs):
+    def spatial_filter(self, ksize, filter, raise_error_jybm=True,
+                       parallel=None, num_cores=None, use_memmap=None,
+                       update_function=None, **kwargs):
         """Arbitrary scipy.ndimage filter over each spatial plane
         (reference spectral_cube.py:2776-2806 applies ``filter(im,
         size=ksize)`` per plane, so ksize may be an int or a 2-sequence)."""
         self._check_jybeam_smoothing(raise_error_jybm)
+        _check_parallel_options(parallel, num_cores)
         data = np.asarray(self._get_filled_data(fill=np.nan))
         ky, kx = (ksize, ksize) if np.isscalar(ksize) else tuple(ksize)
         out = filter(data, size=(1, ky, kx), **kwargs)
+        if update_function is not None:
+            for _ in range(int(self.shape[0])):
+                update_function()
         return self._new_cube_with(data=jnp.asarray(out))
 
     @_tmp_dir_option
@@ -2190,7 +2224,8 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
         # lower_dimensional_structures.py:765-772)
         return VaryingResolutionOneDSpectrum(
             arr, unit=self.unit, wcs=wcs, meta=meta, mask=mask,
-            header=self._nowcs_header, beams=self._beams[spec_view])
+            header=self._nowcs_header, beams=self._beams[spec_view],
+            goodbeams_mask=self._goodbeams_mask[spec_view])
 
     @property
     def header(self):
@@ -2255,6 +2290,15 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
                             meta=meta, fill_value=self._fill_value,
                             unit=self._unit, beam=beam,
                             allow_huge_operations=self.allow_huge_operations)
+
+    def mask_channels(self, goodchannels):
+        """Mask channels AND exempt their beams from multibeam checks
+        (reference spectral_cube.py:4270-4300: beams in bad channels are
+        not checked when averaging or convolving)."""
+        goodchannels = np.asarray(goodchannels, dtype=bool)
+        out = super().mask_channels(goodchannels)
+        out._goodbeams_mask = self._goodbeams_mask & goodchannels
+        return out
 
     def spectral_interpolate(self, *args, **kwargs):
         raise AttributeError(

@@ -122,6 +122,16 @@ def split_stokes(array, wcs: WCS, beam_table=None):
     return arrays, wcs3
 
 
+def _has_beam(obj):
+    """reference cube_utils.py:558-562."""
+    return getattr(obj, "_beam", None) is not None
+
+
+def _has_beams(obj):
+    """reference cube_utils.py:565-569."""
+    return getattr(obj, "_beams", None) is not None
+
+
 def bunit_converters(obj, unit, equivalencies=(), freq=None):
     """Conversion factor(s) from ``obj.unit`` to ``unit`` for brightness
     units (K, Jy/beam, Jy/sr, Jy/pix), handling per-channel factors when the

@@ -577,7 +577,7 @@ class VaryingResolutionOneDSpectrum(BaseOneDSpectrum):
 
     def __init__(self, value, unit=None, wcs=None, meta=None, mask=None,
                  header=None, beams=None, spectral_unit=None, beam=None,
-                 copy=True):
+                 copy=True, goodbeams_mask=None):
         super().__init__(value, unit=unit, wcs=wcs, meta=meta, mask=mask,
                          header=header, spectral_unit=spectral_unit,
                          copy=copy)
@@ -588,6 +588,15 @@ class VaryingResolutionOneDSpectrum(BaseOneDSpectrum):
                 f"of {len(np.atleast_1d(self.value))} (reference "
                 "base_class.py:509-512)")
         self._beams = beams
+        self._goodbeams_mask = goodbeams_mask
+
+    @property
+    def goodbeams_mask(self):
+        """Per-channel good-beam flags (reference
+        lower_dimensional_structures.py:1089-1098); all-True when unset."""
+        if self._goodbeams_mask is None:
+            return np.ones(len(np.atleast_1d(self.value)), dtype=bool)
+        return self._goodbeams_mask
 
     def with_beams(self, beams, goodbeams_mask=None,
                    raise_error_jybm=True):
@@ -602,6 +611,8 @@ class VaryingResolutionOneDSpectrum(BaseOneDSpectrum):
     def beams(self) -> Beams:
         if self._beams is None:
             raise ValueError("No beams are defined")
+        if self._goodbeams_mask is not None:
+            return self._beams[self._goodbeams_mask]
         return self._beams
 
     @property
@@ -624,9 +635,13 @@ class VaryingResolutionOneDSpectrum(BaseOneDSpectrum):
 
     def _new_with(self, value, unit=None, wcs=None, mask=None, beam=None):
         beams = self._beams
+        gbm = self._goodbeams_mask
         view = getattr(self, "_beams_view", None)
-        if beams is not None and view is not None:
-            beams = beams[view]
+        if view is not None:
+            if beams is not None:
+                beams = beams[view]
+            if gbm is not None:
+                gbm = gbm[view]
         out = type(self)(value,
                          unit=unit if unit is not None else self.unit,
                          wcs=wcs if wcs is not None else self._wcs,
@@ -634,6 +649,7 @@ class VaryingResolutionOneDSpectrum(BaseOneDSpectrum):
                          mask=mask if mask is not None else self._mask,
                          header=self._header,
                          beams=beams,
+                         goodbeams_mask=gbm,
                          spectral_unit=self._spectral_unit)
         return out
 

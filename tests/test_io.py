@@ -568,3 +568,187 @@ def test_native_stats_all_nan_and_inf(tmp_path):
     assert st["sum"] == 4.0
     st2 = native_stats_f32(np.full(8, np.nan, dtype=np.float32))
     assert st2["npts"] == 0 and np.isnan(st2["min"]) and np.isnan(st2["max"])
+
+
+# ---------------------------------------------------------------------------
+# reference test_io.py scenario battery (names mirror the reference's)
+# ---------------------------------------------------------------------------
+
+def _ref_io_imports():
+    from ref_fixtures import (data_adv, data_advs, data_vda_beams,
+                              data_sdav_beams, prepare_4_beams_table,
+                              jybeam_header)
+    return (data_adv, data_advs, data_vda_beams, data_sdav_beams,
+            prepare_4_beams_table, jybeam_header)
+
+
+REF_DATA = "/root/reference/spectral_cube/tests/data"
+
+
+@pytest.mark.skipif(not os.path.exists(f"{REF_DATA}/example_cube.lmv"),
+                    reason="reference fixtures absent")
+def test_lmv_fits():
+    """reference tests/test_io.py:16-26: the FITS and LMV versions of the
+    same cube agree in shape."""
+    c1 = SpectralCube.read(f"{REF_DATA}/example_cube.fits")
+    c2 = SpectralCube.read(f"{REF_DATA}/example_cube.lmv")
+    assert c1.shape == c2.shape
+
+
+def test_3d_4d_stokes(tmp_path):
+    """reference tests/test_io.py:29-40: 3-D data under a 4-D header reads
+    like the plain 3-D file."""
+    (data_adv, data_advs, *_ ) = _ref_io_imports()
+    from spectral_cube_tpu.io.fits_low import read_fits
+    p3, d3 = data_adv(tmp_path, "a3.fits")
+    p4, d4 = data_advs(tmp_path, "a4.fits")
+    h4 = read_fits(p4)[0].header
+    p3b = str(tmp_path / "a3b.fits")
+    write_fits(p3b, [HDU(data=d3, header=h4)])
+    c1 = SpectralCube.read(p3)
+    SpectralCube.read(p4)
+    c3 = SpectralCube.read(p3b)
+    assert c1.shape == c3.shape
+
+
+def test_4d_stokes_read_3d(tmp_path):
+    """reference tests/test_io.py:55-61: StokesSpectralCube.read works on
+    a plain 3-D file."""
+    from spectral_cube_tpu import StokesSpectralCube
+    (data_adv, *_ ) = _ref_io_imports()
+    p3, d3 = data_adv(tmp_path, "s3.fits")
+    c = StokesSpectralCube.read(p3)
+    assert isinstance(c, StokesSpectralCube)
+
+
+def test_3d_beams(tmp_path):
+    """reference tests/test_io.py:64-67: BEAMS table reads in arcsec."""
+    (_, _, data_vda_beams, *_ ) = _ref_io_imports()
+    p, d = data_vda_beams(tmp_path, "b3.fits")
+    c = SpectralCube.read(p)
+    np.testing.assert_almost_equal(float(c.beams[0].major.value), 0.4)
+    np.testing.assert_almost_equal(float(c.beams[0].minor.value), 0.1)
+
+
+def test_4d_beams(tmp_path):
+    """reference tests/test_io.py:70-73."""
+    (_, _, _, data_sdav_beams, *_ ) = _ref_io_imports()
+    p, d = data_sdav_beams(tmp_path, "b4.fits")
+    c = SpectralCube.read(p)
+    np.testing.assert_almost_equal(float(c.beams[0].major.value), 0.4)
+    np.testing.assert_almost_equal(float(c.beams[0].minor.value), 0.1)
+
+
+def _455_header():
+    (*_, jybeam_header) = _ref_io_imports()
+    h = jybeam_header()
+    h["BUNIT"] = "K"
+    h["NAXIS"] = 3
+    h["NAXIS1"] = 5
+    h["NAXIS2"] = 5
+    h["NAXIS3"] = 4
+    for k in ("CDELT4", "CRPIX4", "CRVAL4", "CTYPE4", "CUNIT4", "NAXIS4",
+              "BMAJ", "BMIN", "BPA"):
+        try:
+            del h[k]
+        except Exception:
+            pass
+    h["CASAMBM"] = True
+    return h
+
+
+def test_4d_beams_nounits(tmp_path):
+    """reference tests/test_io.py:76-82: a BEAMS table without TUNIT cards
+    defaults to arcsec."""
+    (*_, prepare_4_beams_table, _) = _ref_io_imports()
+    bt = prepare_4_beams_table()
+    bt.units = {}
+    p = str(tmp_path / "bnu.fits")
+    write_fits(p, [HDU(data=np.zeros((4, 5, 5)), header=_455_header()), bt])
+    c = SpectralCube.read(p)
+    np.testing.assert_almost_equal(float(c.beams[0].major.value), 0.4)
+    assert str(c.beams[0].major.unit) == "arcsec"
+
+
+def test_3d_beams_roundtrip(tmp_path):
+    """reference tests/test_io.py:85-99."""
+    (_, _, data_vda_beams, *_ ) = _ref_io_imports()
+    p, d = data_vda_beams(tmp_path, "brt.fits")
+    c = SpectralCube.read(p)
+    f = str(tmp_path / "brt_out.fits")
+    c.write(f)
+    c2 = SpectralCube.read(f)
+    assert np.all(np.asarray(c.filled_data[:].value)
+                  == np.asarray(c2.filled_data[:].value))
+    np.testing.assert_almost_equal(float(c2.beams[0].major.value), 0.4)
+    np.testing.assert_almost_equal(float(c2.beams[0].minor.value), 0.1)
+    assert str(c2.beams[0].major.unit) == "arcsec"
+
+
+def test_4d_beams_roundtrip(tmp_path):
+    """reference tests/test_io.py:102-117."""
+    (_, _, _, data_sdav_beams, *_ ) = _ref_io_imports()
+    p, d = data_sdav_beams(tmp_path, "brt4.fits")
+    c = SpectralCube.read(p)
+    f = str(tmp_path / "brt4_out.fits")
+    c.write(f)
+    c2 = SpectralCube.read(f)
+    assert np.all(np.asarray(c.filled_data[:].value)
+                  == np.asarray(c2.filled_data[:].value))
+    np.testing.assert_almost_equal(float(c2.beams[0].major.value), 0.4)
+    assert str(c2.beams[0].major.unit) == "arcsec"
+
+
+def test_1d_beams(tmp_path):
+    """reference tests/test_io.py:128-137: a 1-D spectrum + BEAMS table
+    reads to a VaryingResolutionOneDSpectrum."""
+    from collections import OrderedDict
+    from spectral_cube_tpu.io.fits_low import BinTableHDU, read_fits
+    from spectral_cube_tpu import OneDSpectrum
+    from spectral_cube_tpu.lower_dimensional_structures import (
+        VaryingResolutionOneDSpectrum)
+    h = Header()
+    h["SIMPLE"] = True
+    h["BITPIX"] = -64
+    h["NAXIS"] = 1
+    h["NAXIS1"] = 5
+    h["CTYPE1"] = "VRAD"
+    h["CUNIT1"] = "km/s"
+    h["CRVAL1"] = 0.0
+    h["CDELT1"] = 1.0
+    h["CRPIX1"] = 1.0
+    h["BUNIT"] = "K"
+    bt = BinTableHDU(columns=OrderedDict(
+        BMAJ=np.array([0.5, 0.4, 0.3, 0.4, 0.5], "f4"),
+        BMIN=np.array([0.1, 0.2, 0.3, 0.2, 0.1], "f4"),
+        BPA=np.zeros(5, "f4"),
+        CHAN=np.arange(5, dtype="i4"),
+        POL=np.zeros(5, dtype="i4")), name="BEAMS",
+        units={"BMAJ": "arcsec", "BMIN": "arcsec", "BPA": "deg"})
+    bt.header["NCHAN"] = 5
+    bt.header["NPOL"] = 1
+    p = str(tmp_path / "spec5.fits")
+    write_fits(p, [HDU(data=np.arange(5, dtype=float), header=h), bt])
+    spec = OneDSpectrum.from_hdu(read_fits(p))
+    np.testing.assert_almost_equal(np.asarray(spec.value), np.arange(5.0))
+    assert isinstance(spec, VaryingResolutionOneDSpectrum)
+    assert len(spec.beams) == 5
+
+
+def test_aips_beams_units(tmp_path):
+    """reference tests/test_io.py:140-149 (regression 737): AIPS-style
+    'DEGREES' TUNIT in the BEAMS table."""
+    (*_, prepare_4_beams_table, _) = _ref_io_imports()
+    bt = prepare_4_beams_table()
+    bt.columns["BMAJ"] = (np.asarray(bt.columns["BMAJ"]) / 3600) \
+        .astype("f4")
+    bt.columns["BMIN"] = (np.asarray(bt.columns["BMIN"]) / 3600) \
+        .astype("f4")
+    bt.units = {"BMAJ": "DEGREES", "BMIN": "DEGREES", "BPA": "deg"}
+    p = str(tmp_path / "aips.fits")
+    write_fits(p, [HDU(data=np.zeros((4, 5, 5)), header=_455_header()), bt])
+    c = SpectralCube.read(p)
+    np.testing.assert_almost_equal(float(c.beams[0].major.to_value("deg")),
+                                   0.4 / 3600, decimal=10)
+    np.testing.assert_almost_equal(
+        float(c.beams[0].major.to_value("arcsec")), 0.4)

@@ -613,3 +613,304 @@ def test_beam_proj_meta(tmp_path):
     assert "beam" in slc.meta
     proj = cube.max(axis=0)
     assert "beam" in proj.meta
+
+
+# ---------------------------------------------------------------------------
+# smoothing / convolution / varyres chunk
+# ---------------------------------------------------------------------------
+
+def _point_source_cube(tmp_path, name, beams=None):
+    """reference conftest point_source_5_one_beam /
+    point_source_5_spectral_beams (conftest.py:590-660): a delta convolved
+    to each channel's beam, scaled Jy/pixel -> Jy/beam."""
+    from spectral_cube_tpu.ops.convolve import convolve2d_nan_fft
+    from spectral_cube_tpu.beams import beams_to_bintable
+    h = jybeam_header()
+    h["BUNIT"] = "Jy/beam"
+    h["NAXIS"] = 3
+    h["NAXIS1"] = 11
+    h["NAXIS2"] = 11
+    h["NAXIS3"] = 5
+    for k in ("CDELT4", "CRPIX4", "CRVAL4", "CTYPE4", "CUNIT4", "NAXIS4"):
+        try:
+            del h[k]
+        except Exception:
+            pass
+    d = np.zeros((5, 11, 11))
+    pixscale_rad = 2.0 / 3600 * np.pi / 180
+    if beams is None:
+        beam = Beam(Quantity(6.0, "arcsec"))
+        for k, v in beam.to_header_keywords().items():
+            h[k] = v
+        blist = [beam] * 5
+    else:
+        blist = list(beams)
+        h["CASAMBM"] = True
+    for i, bm in enumerate(blist):
+        img = np.zeros((11, 11))
+        img[5, 5] = 1.0
+        out = np.asarray(convolve2d_nan_fft(img, bm.as_kernel(pixscale_rad)))
+        d[i] = out * float(bm.sr.value) / pixscale_rad ** 2
+    p = str(tmp_path / name)
+    hdus = [HDU(data=d, header=h)]
+    if beams is not None:
+        hdus.append(beams_to_bintable(Beams(beams=blist)))
+    write_fits(p, hdus)
+    return p, d
+
+
+def test_proj_meta(tmp_path):
+    """reference test_spectral_cube.py:2043-2061."""
+    p, d = data_advs(tmp_path)
+    cube = SpectralCube.read(p)
+    assert cube.moment0(axis=0).meta.get("BUNIT") == "K"
+    assert cube[0, :, :].meta.get("BUNIT") == "K"
+    assert cube.max(axis=0).meta.get("BUNIT") == "K"
+
+
+def test_pix_sign(tmp_path):
+    """reference test_spectral_cube.py:2063-2086: pixel sizes are positive
+    regardless of cdelt/pc sign."""
+    p, d = data_advs(tmp_path)
+    cube = SpectralCube.read(p)
+    for flip in range(3):
+        s, y, x = (cube._pix_size_slice(i) for i in range(3))
+        assert s > 0 and y > 0 and x > 0
+        if flip == 0:
+            cube.wcs.cdelt = cube.wcs.cdelt * -1
+        elif flip == 1:
+            cube.wcs.pc = cube.wcs.pc * -1
+
+
+def test_convolve_to_equal(tmp_path):
+    """reference test_spectral_cube.py:2150-2168: convolving to the
+    cube's own beam is the identity."""
+    from ref_fixtures import prepare_adv_data
+    d, h = prepare_adv_data()
+    d2, h2 = transpose(d, h, [2, 0, 1])
+    d2, h2 = transpose(d2, h2, [2, 1, 0])
+    p = str(tmp_path / "cte.fits")
+    write_fits(p, [HDU(data=d2, header=h2)])
+    cube = SpectralCube.read(p)
+    conv = cube.convolve_to(cube.beam)
+    np.testing.assert_allclose(np.asarray(conv.filled_data[:].value),
+                               np.asarray(cube.filled_data[:].value))
+    plane = cube[0]
+    conv = plane.convolve_to(cube.beam)
+    np.testing.assert_allclose(np.asarray(conv.value),
+                               np.asarray(plane.value))
+    plane.convolve_to(cube.beam, nan_treatment="fill")
+
+
+def test_convolve_to_jybeam_onebeam(tmp_path):
+    """reference test_spectral_cube.py:2181-2189: a point source's peak
+    in Jy/beam is invariant under convolution to a bigger beam."""
+    p, d = _point_source_cube(tmp_path, "ps1.fits")
+    cube = SpectralCube.read(p)
+    conv = cube.convolve_to(Beam(Quantity(10.0, "arcsec")))
+    np.testing.assert_allclose(np.asarray(conv[:, 5, 5].value),
+                               np.asarray(cube[:, 5, 5].value),
+                               atol=1e-5, rtol=1e-5)
+    assert str(cube.unit) == "Jy / beam"
+
+
+def test_convolve_to_jybeam_multibeams(tmp_path):
+    """reference test_spectral_cube.py:2192-2201."""
+    beams = [Beam(Quantity(a, "arcsec"), Quantity(b, "arcsec"),
+                  Quantity(pa, "deg"))
+             for a, b, pa in [(8, 6, 0), (9, 7, 45), (10, 8, 60),
+                              (9, 7, 30), (8, 6, 0)]]
+    p, d = _point_source_cube(tmp_path, "ps5.fits", beams=beams)
+    cube = SpectralCube.read(p)
+    conv = cube.convolve_to(Beam(Quantity(12.0, "arcsec")))
+    np.testing.assert_allclose(np.asarray(conv[:, 5, 5].value),
+                               np.asarray(cube[:, 5, 5].value),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_convolve_to_with_bad_beams(tmp_path):
+    """reference test_spectral_cube.py:2204-2226: undeconvolvable beams
+    raise, unless their channels are masked out (mask_channels exempts
+    their beams from the check)."""
+    from spectral_cube_tpu.beams import BeamError
+    p, d = data_vda_beams(tmp_path)
+    cube = SpectralCube.read(p)
+    cube.convolve_to(Beam(Quantity(0.5, "arcsec")))
+    with pytest.raises((BeamError, ValueError)):
+        cube.convolve_to(Beam(Quantity(0.35, "arcsec")))
+    masked = cube.mask_channels([False, True, True, False])
+    conv = masked.convolve_to(Beam(Quantity(0.35, "arcsec")))
+    assert np.all(np.isfinite(np.asarray(conv.filled_data[1:3].value)))
+
+
+def test_jybeam_factors(tmp_path):
+    """reference test_spectral_cube.py:2228-2235: the reference's own
+    hard-coded jtok factors."""
+    p, d = data_vda_beams(tmp_path)
+    cube = SpectralCube.read(p)
+    np.testing.assert_allclose(
+        np.asarray(cube.jtok_factors()),
+        [15111171.12641629, 10074201.06746361,
+         10074287.73828087, 15111561.14508185], rtol=5e-7)
+
+
+def test_channelmask_singlebeam(tmp_path):
+    """reference test_spectral_cube.py:2237-2243."""
+    cube, data = cube_and_raw(tmp_path, "cms.fits")
+    masked = cube.mask_channels([False, True, True, False])
+    inc = np.asarray(masked.mask.include())
+    assert np.all(inc[:, 0, 0] == [False, True, True, False])
+
+
+def test_spatial_smooth_preserves_unit(tmp_path):
+    """reference test_spectral_cube.py:2386-2399 (issue 527)."""
+    from spectral_cube_tpu import Gaussian2DKernel
+    cube, data = cube_and_raw(tmp_path, "ssu.fits")
+    out = cube.spatial_smooth(Gaussian2DKernel(3))
+    assert str(out.unit) == str(cube.unit)
+
+
+def test_spatial_smooth_median_jybm_error(tmp_path):
+    """reference test_spectral_cube.py:2440-2448."""
+    from spectral_cube_tpu.beams import BeamUnitsError
+    p, d = _point_source_cube(tmp_path, "psj.fits")
+    cube = SpectralCube.read(p)
+    with pytest.raises(BeamUnitsError):
+        cube.spatial_smooth_median(3)
+
+
+@pytest.mark.parametrize("num_cores", (None, 1))
+def test_spatial_smooth_maxfilter(num_cores, tmp_path):
+    """reference test_spectral_cube.py:2472-2487."""
+    from scipy import ndimage
+    cube, data = cube_and_raw(tmp_path, "smf.fits")
+    out = cube.spatial_filter([3, 3], filter=ndimage.maximum_filter,
+                              num_cores=num_cores)
+    expected = ndimage.maximum_filter(data, size=(1, 3, 3))
+    np.testing.assert_allclose(np.asarray(out[0, :, :].value), expected[0],
+                               rtol=1e-6)
+
+
+@pytest.mark.parametrize("num_cores", (None, 1))
+def test_spectral_smooth_maxfilter(num_cores, tmp_path):
+    """reference test_spectral_cube.py:2491-2505."""
+    from scipy import ndimage
+    cube, data = cube_and_raw(tmp_path, "sef.fits")
+    out = cube.spectral_filter(3, filter=ndimage.maximum_filter,
+                               num_cores=num_cores)
+    expected = ndimage.maximum_filter(data, size=(3, 1, 1))
+    np.testing.assert_allclose(np.asarray(out[:, 1, 1].value),
+                               expected[:, 1, 1], rtol=1e-6)
+
+
+def test_spectral_smooth_median_4cores(tmp_path):
+    """reference test_spectral_cube.py:2523-2538."""
+    from scipy.ndimage import median_filter
+    cube, data = cube_and_raw(tmp_path, "sm4.fits")
+    out = cube.spectral_smooth_median(3, num_cores=4)
+    expected = median_filter(data, size=(3, 1, 1))
+    np.testing.assert_allclose(np.asarray(out[:, 1, 1].value)[1:-1],
+                               expected[1:-1, 1, 1], rtol=1e-6)
+
+
+def test_smooth_update_function_serial(tmp_path):
+    """reference test_spectral_cube.py:2542-2576: update_function fires
+    once per spaxel."""
+    cube, data = cube_and_raw(tmp_path, "suf.fits")
+    calls = []
+    cube.spectral_smooth_median(3, num_cores=1, parallel=False,
+                                update_function=lambda: calls.append(1))
+    assert len(calls) == 6
+
+
+def test_parallel_bad_params(tmp_path):
+    """reference test_spectral_cube.py:2579-2603."""
+    cube, data = cube_and_raw(tmp_path, "pbp.fits")
+    with pytest.raises(ValueError, match="parallel"):
+        cube.spectral_smooth_median(3, num_cores=2, parallel=False)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        cube.spectral_smooth_median(3, num_cores=1, parallel=True)
+    assert any("num_cores=1" in str(x.message) for x in rec)
+
+
+def test_varyres_spectra(tmp_path):
+    """reference test_spectral_cube.py:2617-2631."""
+    p, d = data_vda_beams(tmp_path)
+    cube = SpectralCube.read(p)
+    sp = cube[:, 0, 0]
+    assert isinstance(sp, VaryingResolutionOneDSpectrum)
+    assert hasattr(sp, "beams")
+    sp = cube.mean(axis=(1, 2))
+    assert isinstance(sp, VaryingResolutionOneDSpectrum)
+    assert hasattr(sp, "beams")
+
+
+def test_varyres_mask(tmp_path):
+    """reference test_spectral_cube.py:2649-2683: identify/mask-out bad
+    beams, with the goodbeams mask propagating through slicing."""
+    p, d = data_vda_beams(tmp_path)
+    cube = SpectralCube.read(p)
+    nb = [Beam(Quantity(0.9, "arcsec"), Quantity(0.05, "arcsec"),
+               Quantity(0, "deg")),
+          cube.beams[1], cube.beams[2],
+          Beam(Quantity(0.6, "arcsec"), Quantity(0.09, "arcsec"),
+               Quantity(30, "deg"))]
+    cube = cube.with_beams(Beams(beams=nb), raise_error_jybm=False)
+    goodbeams = cube.identify_bad_beams(0.5)
+    assert np.all(goodbeams == np.array([False, True, True, True]))
+    mcube = cube.mask_out_bad_beams(0.5)
+    assert hasattr(mcube, "_goodbeams_mask")
+    assert np.all(mcube.goodbeams_mask == goodbeams)
+    assert len(mcube.beams) == 3
+    sp_masked = mcube[:, 0, 0]
+    assert np.all(sp_masked.goodbeams_mask == goodbeams)
+    assert len(sp_masked.beams) == 3
+    assert np.all(mcube.unmasked_beams == cube.beams)
+    assert np.all(mcube[:3].unmasked_beams == cube[:3].unmasked_beams)
+
+
+def test_mask_none():
+    """reference test_spectral_cube.py:2686-2701."""
+    data = np.arange(24).reshape((2, 3, 4)).astype(float)
+    w = WCS(naxis=3)
+    w.ctype = ["RA---TAN", "DEC--TAN", "VELO-HEL"]
+    cube = SpectralCube(Quantity(data, "Jy / beam"), wcs=w)
+    np.testing.assert_allclose(np.asarray(cube[0, :, :].value), data[0],
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(cube[:, 0, 0].value),
+                               data[:, 0, 0], rtol=1e-7)
+
+
+def test_mask_channels_preserve_mask(tmp_path):
+    """reference test_spectral_cube.py:2705-2726."""
+    p, d = data_vda_beams(tmp_path)
+    cube = SpectralCube.read(p)
+    mask = np.ones(cube.shape, dtype=bool)
+    mask[:, ::2, ::2] = False
+    cube = cube.with_mask(mask)
+    cube = cube.mask_channels([False, True, False, True])
+    expected = mask.copy()
+    expected[::2] = False
+    np.testing.assert_equal(np.asarray(cube.mask.include()), expected)
+
+
+def test_minimal_subcube_nomask():
+    """reference test_spectral_cube.py:2750-2769."""
+    data = np.arange(210, dtype=float).reshape((5, 6, 7))
+    w = WCS(naxis=3)
+    w.ctype = ["RA---TAN", "DEC--TAN", "VELO-HEL"]
+    cube = SpectralCube(Quantity(data, "Jy / beam"), wcs=w)
+    assert cube._mask is None
+    assert cube.minimal_subcube().shape == (5, 6, 7)
+
+
+def test_regression_719(tmp_path):
+    """reference test_spectral_cube.py:2772-2791 (issue 719)."""
+    cube, data = cube_and_raw(tmp_path, "r719.fits")
+    cube._unit = u.Unit("Jy / beam")
+    assert hasattr(cube, "beam")
+    slc = cube[0, :, :]
+    from spectral_cube_tpu.cube_utils import _has_beam, _has_beams
+    assert _has_beam(slc)
+    assert not _has_beams(slc)
