@@ -784,6 +784,50 @@ class BaseSpectralCube:
             return float(np.sum(psm[2 - axis, :] ** 2) ** 0.5)
         raise ValueError("Cubes have 3 axes.")
 
+    def _pix_cen(self):
+        """World coordinates of every pixel center: (spectral 1-D, lat 2-D,
+        lon 2-D) like the reference's cached _pix_cen
+        (spectral_cube.py:1547-1580)."""
+        lat, lon = (np.asarray(q.value) for q in self.spatial_coordinate_map)
+        return np.asarray(self.spectral_axis.value), lat, lon
+
+    def _pix_size(self):
+        """Per-pixel world sizes (dv 1-D, dy 2-D, dx 2-D), computed from
+        pixel-edge world coordinates like the reference's _pix_size
+        (spectral_cube.py:1537-1607): spatial sizes are on-sky angular
+        separations between facing pixel edges."""
+        nchan, ny, nx = self.shape
+        # spectral: |diff| of edge world values
+        i = self._wcs.spec
+        edges = np.arange(nchan + 1, dtype=float) - 0.5
+        pix = [np.zeros(nchan + 1)] * 3
+        pix[i] = edges
+        sv = np.asarray(self._wcs.pix2world(*pix)[i])
+        dv = np.abs(np.diff(sv))
+
+        cel = self._wcs.celestial
+        yy, xx = np.mgrid[0:ny, 0:nx].astype(float)
+
+        def sky(px, py):
+            lon, lat = cel.pix2world(px.ravel(), py.ravel())
+            return (np.radians(np.asarray(lon)).reshape(px.shape),
+                    np.radians(np.asarray(lat)).reshape(px.shape))
+
+        def ang_sep(l1, b1, l2, b2):
+            # wrap the longitude difference into (-pi, pi] so a pixel
+            # straddling lon=0 doesn't measure ~360 deg wide
+            dl = (l2 - l1 + np.pi) % (2 * np.pi) - np.pi
+            return np.sqrt((dl * np.cos(0.5 * (b1 + b2))) ** 2
+                           + (b2 - b1) ** 2)
+
+        lon_l, lat_l = sky(xx - 0.5, yy)
+        lon_r, lat_r = sky(xx + 0.5, yy)
+        dx = np.degrees(ang_sep(lon_l, lat_l, lon_r, lat_r))
+        lon_b, lat_b = sky(xx, yy - 0.5)
+        lon_t, lat_t = sky(xx, yy + 0.5)
+        dy = np.degrees(ang_sep(lon_b, lat_b, lon_t, lat_t))
+        return dv, dy, dx
+
     # ------------------------------------------------------------------
     # reductions (reference spectral_cube.py:361-819)
     # ------------------------------------------------------------------
@@ -1417,6 +1461,12 @@ class BaseSpectralCube:
         """
         _check_parallel_options(parallel, num_cores)
         import inspect
+        # dask.map_blocks layout options describe the OUTPUT chunking for
+        # the dask scheduler (dask_spectral_cube.py:596-638); the fused
+        # evaluation has no chunk layout, so consume them silently
+        for dask_opt in ("drop_axis", "new_axis", "chunks", "dtype",
+                         "meta"):
+            kwargs.pop(dask_opt, None)
         data = self._get_filled_data(fill=np.nan)
         try:
             params = inspect.signature(function).parameters
@@ -1456,6 +1506,12 @@ class BaseSpectralCube:
         dask_spectral_cube.py:501-552)."""
         _check_parallel_options(parallel, num_cores)
         import inspect
+        # dask.map_blocks layout options describe the OUTPUT chunking for
+        # the dask scheduler (dask_spectral_cube.py:596-638); the fused
+        # evaluation has no chunk layout, so consume them silently
+        for dask_opt in ("drop_axis", "new_axis", "chunks", "dtype",
+                         "meta"):
+            kwargs.pop(dask_opt, None)
         data = self._get_filled_data(fill=np.nan)
         try:
             params = inspect.signature(function).parameters

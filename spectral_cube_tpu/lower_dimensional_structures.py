@@ -132,6 +132,14 @@ class LowerDimensionalObject(Quantity):
         lower_dimensional_structures.py:157-192)."""
         from .cube_utils import bunit_converters
         unit = Unit.parse(unit) if isinstance(unit, str) else unit
+        if freq is None and not hasattr(self, "with_spectral_unit"):
+            # 2-D plane: fall back to the rest frequency recorded in the
+            # header (reference lower_dimensional_structures.py:174-176)
+            hdr = self.header
+            for key in ("RESTFRQ", "RESTFREQ"):
+                if hdr is not None and key in hdr:
+                    freq = Quantity(float(hdr[key]), "Hz")
+                    break
         factors = bunit_converters(self, unit, equivalencies=equivalencies,
                                    freq=freq)
         factor = factors if factors.size > 1 else float(factors[0])

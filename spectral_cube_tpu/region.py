@@ -447,7 +447,14 @@ def region_to_mask(region, wcs, shape):
             north /= max(np.hypot(*north), 1e-12)
             east /= max(np.hypot(*east), 1e-12)
             pa = np.radians(rest[2])
-            direction = np.cos(pa) * north + np.sin(pa) * east
+            # ds9/regions convention: at angle 0 the WIDTH axis lies
+            # along the longitude (east) direction; the angle rotates it
+            # counterclockwise toward north.  The rasterizer's theta is
+            # the width axis's pixel-frame angle (anchoring the height
+            # axis instead silently swapped w and h for sky boxes —
+            # pinned by the reference fk5.reg fixture, which selects
+            # exactly row 1 of the adv cube).
+            direction = np.cos(pa) * east + np.sin(pa) * north
             rest[2] = float(np.degrees(np.arctan2(direction[1],
                                                   direction[0])))
     if region.shape == "circle":

@@ -673,6 +673,12 @@ class WCS:
         # projection parameters follow their (possibly shifted) axes
         out.pv = {(ax + (1 if ax >= add_before_ind else 0), m): v
                   for (ax, m), v in self.pv.items()}
+        if self.pixel_shape is not None:
+            # the new STOKES axis is one pixel deep (reference regression
+            # 1000: NAXISj must not silently reset to zeros)
+            ps = list(self.pixel_shape)
+            ps.insert(add_before_ind, 1)
+            out.pixel_shape = tuple(ps)
         return out
 
     def is_pixel_axis_correlated(self, pixel_axis: int) -> bool:

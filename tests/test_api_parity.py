@@ -90,3 +90,50 @@ def test_dask_class_aliases():
                  "LazyMask", "BooleanArrayMask", "FunctionMask",
                  "OneDSpectrum", "Projection", "Slice"):
         assert hasattr(s, name), name
+
+
+# ---------------------------------------------------------------------------
+# reference scenarios that do not apply to this architecture, recorded as
+# explicit named skips so the parity audit stays complete
+# ---------------------------------------------------------------------------
+
+NOT_APPLICABLE = {
+    "test_read_memmap": "numpy-memmap .base chain is a numpy detail; "
+        "device arrays ingest via the streaming tile decoder instead "
+        "(tests/test_performance.py asserts tile-faulting)",
+    "test_casa_read_basic_nodask": "use_dask selects the dask scheduler "
+        "in the reference; all reads here are device-backed",
+    "test_casa_read_nomask": "requires casatools to generate the image; "
+        "covered by our writer round-trips (test_casa.py)",
+    "test_casa_read_stokes": "requires casatools; covered by "
+        "test_casa_multistokes_per_plane_beams_roundtrip",
+    "test_casa_mask_append": "requires casatools; covered by "
+        "test_casa.py append-mask round-trips",
+    "test_casa_beams": "requires casatools; covered by test_casa.py "
+        "per-plane beam round-trips",
+    "test_casa_beams_stokes": "requires casatools; same coverage",
+    "test_statistics_consistency_casa": "requires casatools; statistics "
+        "anchored to the reference's published values in "
+        "test_ref_values.py instead",
+    "test_lazy_data_loading": "dask-graph laziness; the streaming loader "
+        "asserts per-tile faulting in tests/test_performance.py",
+    "test_spectral_interpolate_varying_chunksize": "dask chunk-boundary "
+        "machinery; no chunk constraint exists here",
+    "test_spectral_interpolate_rechunk_fail": "same — force_rechunk has "
+        "nothing to fail on",
+    "test_reproject_3D_memory": "tracemalloc accounting of numpy "
+        "allocations; memory behavior covered by HBM-scale benchmarks",
+    "test_parallel_performance_smoothing": "skipped upstream too "
+        "(@pytest.mark.skipif('True'))",
+    "test_projvis_aplpy": "aplpy not installed; quicklook falls back to "
+        "matplotlib (test_projvis)",
+    "test_jybeam_whitespace": "covered by test_jybeam_lower (both "
+        "variants in one test)",
+    "test_smooth_update_function_parallel": "joblib pickling concern; "
+        "covered by test_smooth_update_function_serial",
+}
+
+
+@pytest.mark.parametrize("name", sorted(NOT_APPLICABLE))
+def test_reference_scenario_not_applicable(name):
+    pytest.skip(NOT_APPLICABLE[name])

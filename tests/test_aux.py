@@ -425,3 +425,66 @@ def test_jybeam_smoothing_raises_beam_units_error(cube_adv):
     # override still works
     out = cube.spatial_smooth(Gaussian2DKernel(1.5), raise_error_jybm=False)
     assert out.shape == cube.shape
+
+
+# ---------------------------------------------------------------------------
+# reference test_dask.py escape-hatch battery (dask-API compat shims)
+# ---------------------------------------------------------------------------
+
+def test_apply_function_parallel_spectral_noncube(tmp_path):
+    """reference test_dask.py:144-169: return_new_cube=False with
+    accepts_chunks and dask layout kwargs (drop_axis/chunks consumed)."""
+    from ref_fixtures import cube_and_raw
+    cube, data = cube_and_raw(tmp_path, "nc.fits")
+    cube = cube.rechunk(chunks=(-1, 1, 2))
+    test = cube.apply_function_parallel_spectral(
+        lambda c: c.sum(0), return_new_cube=False, accepts_chunks=True,
+        drop_axis=[0], chunks=(1, 2))
+    arr = np.asarray(test)
+    assert arr.shape == cube.shape[1:]
+    np.testing.assert_allclose(arr, np.asarray(cube.sum(axis=0).value),
+                               rtol=1e-6)
+
+
+def test_apply_function_parallel_spectral_noncube_withblockinfo(tmp_path):
+    """reference test_dask.py:172-226: functions taking block_info get a
+    dask-style array-location dict."""
+    from ref_fixtures import cube_and_raw
+    cube, data = cube_and_raw(tmp_path, "bi.fits")
+    comparison = np.asarray(cube.sum(axis=0).value)
+
+    def f(chunk, block_info=None, comparison_array=None):
+        assert block_info is not None
+        loc = [br[0] for br in block_info[0]["array-location"]]
+        assert len(loc) == 3
+        s = chunk.sum(0)
+        sl = (slice(loc[1], loc[1] + s.shape[0]),
+              slice(loc[2], loc[2] + s.shape[1]))
+        return np.isclose(np.asarray(s), comparison_array[sl], rtol=1e-6)
+
+    out = cube.apply_function_parallel_spectral(
+        f, return_new_cube=False, accepts_chunks=True,
+        comparison_array=comparison, drop_axis=[0], chunks=(1, 2))
+    assert np.all(np.asarray(out))
+
+
+def test_apply_function_parallel_shape():
+    """reference test_dask.py:229-257 (regression 772): extra kwargs
+    reach the function; use_dask_scheduler context works."""
+    cube = SpectralCube.read(
+        "/root/reference/spectral_cube/tests/data/example_cube.fits")
+
+    def func(x, add=None):
+        if add is None:
+            raise ValueError("add required")
+        return x + add
+
+    for ac in (True, False):
+        r = cube.apply_function_parallel_spectral(func, add=1,
+                                                  accepts_chunks=ac)
+        np.testing.assert_allclose(
+            np.asarray(r.filled_data[:].value),
+            np.asarray(cube.filled_data[:].value) + 1,
+            rtol=1e-6, equal_nan=True)
+    with cube.use_dask_scheduler("threads", num_workers=4):
+        cube.apply_function_parallel_spectral(func, add=1)

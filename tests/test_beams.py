@@ -251,3 +251,19 @@ def test_module_level_beam_utils():
     assert bt.units["BMAJ"] == "arcsec"
     bt2 = beams_to_bintable(bs, pols=[0, 0, 0])
     assert bt2.header["NPOL"] == 1
+
+
+def test_beams_to_bintable_cube(tmp_path):
+    """reference test_cube_utils.py:24-49: beams_to_bintable on a VRSC's
+    beams reproduces the table columns in arcsec."""
+    from ref_fixtures import data_vda_beams
+    from spectral_cube_tpu import SpectralCube
+    from spectral_cube_tpu.cube_utils import beams_to_bintable
+    p, d = data_vda_beams(tmp_path)
+    cube = SpectralCube.read(p)
+    bt = beams_to_bintable(cube.beams)
+    np.testing.assert_allclose(np.asarray(bt.columns["BMAJ"]),
+                               [0.4, 0.3, 0.3, 0.4], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(bt.columns["BMIN"]),
+                               [0.1, 0.2, 0.2, 0.1], rtol=1e-6)
+    assert list(np.asarray(bt.columns["CHAN"])) == [0, 1, 2, 3]

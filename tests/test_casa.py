@@ -499,3 +499,42 @@ def test_encode_tiles_vectorized_matches_loop():
         ab = arr > 0.5
         assert _encode_tiles(ab, casa_shape, tile, TP_BOOL) == \
             loop(ab, casa_shape, tile, TP_BOOL)
+
+
+@requires_data
+@pytest.mark.parametrize("bigendian", [False, True])
+def test_casa_read_basic(bigendian):
+    """reference test_casafuncs.py:113-137: the shipped basic.image reads
+    without CASA, with the reference's exact world anchors."""
+    name = "basic_bigendian.image" if bigendian else "basic.image"
+    cube = SpectralCube.read(BASE + name)
+    if not hasattr(cube, "unmasked_data"):
+        cube = cube["I"]
+    assert cube.shape == (3, 4, 5)
+    vals = cube.wcs.pix2world(np.array([1.0]), np.array([2.0]),
+                              np.array([3.0]))
+    np.testing.assert_allclose(
+        [float(np.asarray(v)[0]) for v in vals],
+        [2.406271e+01, 2.993521e+01, 1.421911e+09], rtol=1e-6)
+    cube.moment0()
+    np.testing.assert_allclose(
+        np.asarray(cube.unmasked_data[0, 0, :].value), np.ones(5))
+    assert float(cube.unmasked_data[0, 1, 2].value) == 1.0
+    assert str(cube.unit) == "Jy / beam"
+
+
+@requires_data
+def test_casa_read_basic_nomask():
+    """reference test_casafuncs.py:148-170: reading works with no mask0
+    column."""
+    cube = SpectralCube.read(BASE + "nomask.image")
+    if not hasattr(cube, "unmasked_data"):
+        cube = cube["I"]
+    assert cube.shape == (3, 4, 5)
+    vals = cube.wcs.pix2world(np.array([1.0]), np.array([2.0]),
+                              np.array([3.0]))
+    np.testing.assert_allclose(
+        [float(np.asarray(v)[0]) for v in vals],
+        [2.406271e+01, 2.993521e+01, 1.421911e+09], rtol=1e-6)
+    cube.moment0()
+    np.testing.assert_allclose(np.asarray(cube[:, 0, 0].value), np.ones(3))

@@ -112,3 +112,26 @@ def test_moments_jit_cache_reused_across_cubes(tmp_path):
         masked = cube.with_mask(cube > 0.3 * u.Jy / u.beam)
         masked.moment0()
     assert len(mom._MOMENTS_JIT_CACHE) == 1
+
+
+def test_compare_pix_size_approaches(tmp_path):
+    """reference test_performance.py:50-59: the per-pixel _pix_size arrays
+    agree with the scalar _pix_size_slice approximations."""
+    from test_ref_values import moment_cube_path
+    sc = SpectralCube.read(moment_cube_path(tmp_path))
+    sa, ya, xa = sc._pix_size()
+    s, y, x = (sc._pix_size_slice(i) for i in range(3))
+    np.testing.assert_allclose(np.asarray(sa), s, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ya), y, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(xa), x, rtol=1e-4)
+
+
+def test_pix_cen(tmp_path):
+    """reference test_performance.py:62-73: _pix_cen returns a 1-D
+    spectral spine plus 2-D lat/lon planes (never cube-sized arrays)."""
+    from test_ref_values import moment_cube_path
+    sc = SpectralCube.read(moment_cube_path(tmp_path))
+    s, y, x = sc._pix_cen()
+    assert np.shape(s) == (sc.shape[0],)
+    assert np.shape(y) == sc.shape[1:]
+    assert np.shape(x) == sc.shape[1:]

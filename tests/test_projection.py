@@ -89,15 +89,18 @@ def test_preserve_wcs_to(cube_adv):
 
 
 def test_beam_jtok_2d(cube_adv):
-    """Jy/beam -> K for a 2-D plane needs an explicit freq (no spectral
-    axis); with it, the conversion runs (reference :768)."""
+    """Jy/beam -> K for a 2-D plane: an explicit freq wins; without one
+    the header's RESTFRQ is used (reference
+    lower_dimensional_structures.py:174-176)."""
     cube, _ = cube_adv
     mx = cube.max(axis=0)
-    with pytest.raises(TypeError):
-        mx.to("K")
     k = mx.to("K", freq=Quantity(100, "GHz"))
     assert str(k.unit) == "K"
     assert np.isfinite(np.asarray(k.value)).any()
+    k2 = mx.to("K")   # falls back to header RESTFRQ
+    k3 = mx.to("K", freq=Quantity(float(mx.header["RESTFRQ"]), "Hz"))
+    np.testing.assert_allclose(np.asarray(k2.value), np.asarray(k3.value),
+                               rtol=1e-7, equal_nan=True)
 
 
 def test_projection_from_hdu_roundtrip(proj):
@@ -737,3 +740,118 @@ def test_hdu_with_none_meta(LDO):
     p = LDO(_twelve(nd), copy=False, wcs=WCS(naxis=nd))
     p._meta = None
     p.hdu
+
+
+def test_projvis(cube_adv):
+    """reference test_visualization.py:6-10: moment-map quicklook renders
+    through matplotlib."""
+    import matplotlib
+    matplotlib.use("Agg")
+    cube, _ = cube_adv
+    cube.moment0().quicklook(use_aplpy=False)
+
+
+def test_proj_imshow(cube_adv):
+    """reference test_visualization.py:13-17: plt.imshow accepts a
+    Projection directly (array protocol)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    cube, _ = cube_adv
+    plt.imshow(cube.moment0())
+    plt.close("all")
+
+
+def test_mask_quicklook(cube_adv):
+    """reference test_visualization.py:28-31."""
+    import matplotlib
+    matplotlib.use("Agg")
+    cube, _ = cube_adv
+    cube.mask.quicklook(view=(0, slice(None), slice(None)),
+                        use_aplpy=False)
+
+
+BUNITS_2D = ["Jy / beam", "K", "Jy / sr", "Jy / pix", "Jy / arcsec2",
+             "mJy / beam", "mK"]
+BUNITS_1D = ["Jy / beam", "K", "mJy / beam", "mK"]
+
+
+def test_beam_jtok_2D(tmp_path):
+    """reference test_projection.py:768-791: plane.to(K) with and without
+    explicit beam equivalencies."""
+    from ref_fixtures import data_advs
+    p, d = data_advs(tmp_path)
+    cube = SpectralCube.read(p)
+    cube._meta["BUNIT"] = "Jy / beam"
+    cube._unit = u.Unit("Jy / beam")
+    plane = cube[0]
+    freq = cube.with_spectral_unit(u.Unit("GHz")).spectral_axis[0]
+    jtok = float(plane.beam.jtok(freq).value)
+    K1 = plane.to(u.Unit("K"), equivalencies=plane.beam.jtok_equiv(freq),
+                  freq=freq)
+    np.testing.assert_allclose(np.asarray(K1.value),
+                               np.asarray(plane.value) * jtok, rtol=1e-6)
+    K2 = plane.to(u.Unit("K"), freq=freq)
+    np.testing.assert_allclose(np.asarray(K2.value),
+                               np.asarray(plane.value) * jtok, rtol=1e-6)
+
+
+@pytest.mark.parametrize("init_unit", BUNITS_2D)
+def test_unit_conversions_general_2D(init_unit, tmp_path):
+    """reference test_projection.py:794-819: all brightness-unit combos
+    round-trip on a 2-D plane (rest frequency pulled from the header)."""
+    from ref_fixtures import data_advs
+    p, d = data_advs(tmp_path)
+    cube = SpectralCube.read(p)
+    cube._meta["BUNIT"] = init_unit
+    cube._unit = u.Unit(init_unit)
+    plane = cube[0]
+    for targ in BUNITS_2D:
+        new = plane.to(u.Unit(targ))
+        if targ == init_unit:
+            np.testing.assert_allclose(np.asarray(new.value),
+                                       np.asarray(plane.value), rtol=1e-6)
+        else:
+            rt = new.to(u.Unit(init_unit))
+            np.testing.assert_allclose(np.asarray(rt.value),
+                                       np.asarray(plane.value), rtol=1e-5)
+
+
+@pytest.mark.parametrize("init_unit", BUNITS_1D)
+def test_unit_conversions_general_1D(init_unit, tmp_path):
+    """reference test_projection.py:822-841."""
+    from ref_fixtures import data_advs
+    p, d = data_advs(tmp_path)
+    cube = SpectralCube.read(p)
+    cube._meta["BUNIT"] = init_unit
+    cube._unit = u.Unit(init_unit)
+    spec = cube[:, 0, 0]
+    for targ in BUNITS_1D:
+        new = spec.to(u.Unit(targ))
+        if targ == init_unit:
+            np.testing.assert_allclose(np.asarray(new.value),
+                                       np.asarray(spec.value), rtol=1e-6)
+        else:
+            rt = new.to(u.Unit(init_unit))
+            np.testing.assert_allclose(np.asarray(rt.value),
+                                       np.asarray(spec.value), rtol=1e-5)
+
+
+@pytest.mark.parametrize("init_unit", BUNITS_1D)
+def test_multibeams_unit_conversions_general_1D(init_unit, tmp_path):
+    """reference test_projection.py:844-863."""
+    from ref_fixtures import data_vda_beams
+    p, d = data_vda_beams(tmp_path)
+    cube = SpectralCube.read(p)
+    cube._meta["BUNIT"] = init_unit
+    cube._unit = u.Unit(init_unit)
+    spec = cube[:, 0, 0]
+    for targ in BUNITS_1D:
+        new = spec.to(u.Unit(targ))
+        if targ == init_unit:
+            np.testing.assert_allclose(np.asarray(new.value),
+                                       np.asarray(spec.value), rtol=1e-6)
+        else:
+            rt = new.to(u.Unit(init_unit))
+            np.testing.assert_allclose(np.asarray(rt.value),
+                                       np.asarray(spec.value), rtol=1e-5)

@@ -18,7 +18,7 @@ from ref_fixtures import cube_and_raw, jybeam_header, prepare_adv_data
 from spectral_cube_tpu import SpectralCube
 from spectral_cube_tpu.convolution import Gaussian2DKernel, Tophat2DKernel
 from spectral_cube_tpu.io.fits_low import Header, HDU, write_fits
-from spectral_cube_tpu.units import Quantity
+from spectral_cube_tpu.units import Quantity, Unit
 
 
 # ----------------------------------------------------------------------
@@ -399,3 +399,78 @@ def test_beams_convolution_ref_values(tmp_path):
         expected = np.asarray(expected) / np.asarray(expected).sum()
         np.testing.assert_almost_equal(
             np.asarray(conv.filled_data[ii].value), expected)
+
+
+@pytest.mark.parametrize("order", [0, 1, 2])
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_strategies_consistent(tmp_path, order, axis):
+    """reference test_moments.py:82-93: every how= strategy returns the
+    same moments (one fused kernel here — the strategies are aliases)."""
+    import warnings as _w
+    sc = SpectralCube.read(moment_cube_path(tmp_path))
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        ms = [np.asarray(sc.moment(axis=axis, order=order, how=h).value)
+              for h in ("cube", "slice", "ray", "auto")]
+    for m in ms[1:]:
+        np.testing.assert_allclose(ms[0], m, rtol=2e-7, atol=1e-30)
+
+
+@pytest.mark.parametrize("order", [0, 1, 2])
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_consistent_mask_handling(tmp_path, order, axis):
+    """reference test_moments.py:106-116: masked moments agree across
+    strategies."""
+    import warnings as _w
+    sc0 = SpectralCube.read(moment_cube_path(tmp_path))
+    sc = sc0.with_mask(sc0 > Quantity(4, "K"))
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        ms = [np.asarray(sc.moment(axis=axis, order=order, how=h).value)
+              for h in ("cube", "slice", "ray")]
+    for m in ms[1:]:
+        np.testing.assert_allclose(ms[0], m, rtol=2e-7, atol=1e-30,
+                                   equal_nan=True)
+
+
+def test_convenience_methods(tmp_path):
+    """reference test_moments.py:118-125: moment0/1/2 against the book."""
+    import warnings as _w
+    sc = SpectralCube.read(moment_cube_path(tmp_path))
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        np.testing.assert_allclose(
+            np.asarray(sc.moment0(axis=0).to(_BOOK_UNIT[(0, 0)]).value),
+            _BOOK[0][0], rtol=2e-7)
+        np.testing.assert_allclose(
+            np.asarray(sc.moment1(axis=2).to(_BOOK_UNIT[(1, 2)]).value),
+            _BOOK[1][2], rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sc.moment2(axis=1).to(_BOOK_UNIT[(2, 1)]).value),
+            _BOOK[2][1], rtol=1e-5)
+
+
+def test_preserve_unit(tmp_path):
+    """reference test_moments.py:148-157: moments after
+    with_spectral_unit(km/s) come out in km/s."""
+    sc = SpectralCube.read(moment_cube_path(tmp_path)) \
+        .with_spectral_unit(Unit.parse("km/s"))
+    m0 = sc.moment0(axis=0)
+    m1 = sc.moment1(axis=0)
+    np.testing.assert_allclose(np.asarray(m0.to("K km / s").value),
+                               _BOOK[0][0] / 1e3, rtol=2e-7)
+    np.testing.assert_allclose(np.asarray(m1.to("km / s").value),
+                               _BOOK[1][0] / 1e3, rtol=2e-7)
+    assert str(m1.unit) == "km / s"
+
+
+def test_with_flux_unit(tmp_path):
+    """reference test_moments.py:159-179 (+ test_how_withfluxunit): flux
+    units survive the spectral-unit change and the moment."""
+    sc = SpectralCube.read(moment_cube_path(tmp_path))
+    sc._unit = Unit.parse("K")
+    sck = sc.with_spectral_unit(Unit.parse("km/s"))
+    assert str(sc.filled_data[:].unit) == "K"
+    m0 = sck.moment0(axis=0)
+    np.testing.assert_allclose(np.asarray(m0.to("K km / s").value),
+                               _BOOK[0][0] / 1e3, rtol=2e-7)

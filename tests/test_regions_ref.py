@@ -297,3 +297,67 @@ def test_sky_rotated_box_handedness(tmp_path):
     v = np.linalg.eigh(cov)[1][:, 1]
     ang = np.degrees(np.arctan2(v[1], v[0])) % 180
     assert abs(ang - 135) < 8, ang
+
+
+def _cube_255(tmp_path):
+    """The reference's 255 cube: jybeam header, 5x5 spatial, arange data
+    (conftest prepare_255_header + data_255)."""
+    from ref_fixtures import jybeam_header
+    from spectral_cube_tpu.io.fits_low import HDU, write_fits
+    h = jybeam_header()
+    h["BUNIT"] = "K"
+    h["NAXIS"] = 3
+    h["NAXIS1"] = 5
+    h["NAXIS2"] = 5
+    h["NAXIS3"] = 2
+    for k in ("CDELT4", "CRPIX4", "CRVAL4", "CTYPE4", "CUNIT4", "NAXIS4"):
+        try:
+            del h[k]
+        except Exception:
+            pass
+    d = np.arange(2 * 5 * 5, dtype=float).reshape(2, 5, 5)
+    p = str(tmp_path / "255.fits")
+    write_fits(p, [HDU(data=d, header=h)])
+    return SpectralCube.read(p), d
+
+
+@requires_data
+@pytest.mark.parametrize("regfile", ["255-fk5.reg", "255-pixel.reg"])
+def test_ds9region_255(regfile, tmp_path):
+    """reference test_subcubes.py:98-109: the same circle in fk5 and
+    pixel coordinates selects exactly pixels [11, 12, 16, 17]."""
+    cube, data = _cube_255(tmp_path)
+    regs = parse_ds9_region(open(BASE + regfile).read())
+    sub = cube.subcube_from_regions(regs)
+    got = np.asarray(sub.filled_data[0, :, :].value)
+    np.testing.assert_array_equal(got, np.array([[11, 12], [16, 17]]))
+
+
+@requires_data
+@pytest.mark.parametrize(("regfile", "result"), [
+    ("fk5.reg", (slice(None), 1, slice(None))),
+    ("fk5_twoboxes.reg", (slice(None), 1, slice(None))),
+    ("image.reg", (slice(None), 1, slice(None))),
+    ("partial_overlap_image.reg", (slice(None), 1, 1)),
+    ("no_overlap_image.reg", ValueError),
+    ("partial_overlap_fk5.reg", (slice(None), 1, 1)),
+    ("no_overlap_fk5.reg", ValueError),
+])
+def test_ds9region_new(regfile, result, tmp_path):
+    """reference test_subcubes.py:112-145: every shipped .reg fixture
+    selects the documented view of the adv cube (or raises on no
+    overlap)."""
+    from ref_fixtures import cube_and_raw
+    cube, data = cube_and_raw(tmp_path)
+    regs = parse_ds9_region(open(BASE + regfile).read())
+    if isinstance(result, type) and issubclass(result, Exception):
+        with pytest.raises(result):
+            cube.subcube_from_regions(regs)
+        return
+    sc = cube.subcube_from_regions(regs)
+    sq = np.asarray(sc.unitless_filled_data[:]).squeeze()
+    exp = data[result]
+    assert sq.shape == exp.shape
+    np.testing.assert_allclose(sq, exp, rtol=2e-7)
+    np.testing.assert_allclose(float(np.nansum(np.asarray(
+        sc.unitless_filled_data[:]))), exp.sum(), rtol=1e-6)

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from spectral_cube_tpu.wcs import WCS
+from spectral_cube_tpu import wcs_utils
 from spectral_cube_tpu.wcs_utils import (
     drop_axis, add_stokes_axis_to_wcs, wcs_swapaxes, reindex_wcs,
     axis_names, slice_wcs, check_equality, strip_wcs_from_header,
@@ -175,3 +176,75 @@ def test_try_load_beam_paths(cube_adv):
     b = try_load_beam(hdr)
     assert b is not None and abs(b.major.to_value("deg") - 1e-3) < 1e-12
     assert try_load_beam({}) is None
+
+
+# ---------------------------------------------------------------------------
+# reference test_wcs_utils.py scenario battery
+# ---------------------------------------------------------------------------
+
+def test_wcs_swapping():
+    """reference test_wcs_utils.py:40-61: pc diagonals permute under
+    swapaxes."""
+    w = WCS(naxis=4)
+    w.pc = np.diag(np.arange(1.0, 5.0))
+    for (a, b), diag in [((0, 1), [2, 1, 3, 4]), ((0, 3), [4, 2, 3, 1]),
+                         ((2, 3), [1, 2, 4, 3])]:
+        sw = wcs_utils.wcs_swapaxes(w, a, b)
+        np.testing.assert_array_equal(np.diag(np.asarray(sw.pc)), diag)
+
+
+def test_pixel_shape_preserved_on_reindex():
+    """reference test_wcs_utils.py:72-94 (regression 1000): pixel_shape
+    follows drop/swap/add-stokes instead of resetting."""
+    w = WCS(naxis=3)
+    w.ctype = ["GLON-CAR", "GLAT-CAR", "VRAD"]
+    w.pixel_shape = (4321, 2161, 118)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        assert tuple(wcs_utils.drop_axis(w, 2).pixel_shape) == (4321, 2161)
+        assert tuple(wcs_utils.drop_axis(w, 0).pixel_shape) == (2161, 118)
+    assert tuple(wcs_utils.wcs_swapaxes(w, 0, 2).pixel_shape) \
+        == (118, 2161, 4321)
+    assert tuple(wcs_utils.add_stokes_axis_to_wcs(w, 0).pixel_shape) \
+        == (1, 4321, 2161, 118)
+    bare = WCS(naxis=3)
+    assert wcs_utils.drop_axis(bare, 2).pixel_shape is None
+
+
+def test_reversal_roundtrip():
+    """reference test_wcs_utils.py:122-152: a reversed axis reads its
+    world values in reverse order, and double-reversal converges."""
+    w = WCS(naxis=3)
+    w.crpix = np.array([50.0, 45.0, 30.0])
+    w.crval = np.zeros(3)
+    w.cdelt = np.ones(3)
+    view = (slice(None, None, -1), slice(None), slice(None))
+    shape = [100, 150, 200]
+    wn = wcs_utils.slice_wcs(w, view, shape=shape)
+
+    def spaxis(wx):
+        # world values along FITS axis 3 (the reversed numpy axis 0)
+        pix = [np.zeros(100), np.zeros(100), np.arange(100.0)]
+        return np.asarray(wx.pix2world(*pix)[2])
+
+    np.testing.assert_allclose(spaxis(w), spaxis(wn)[::-1])
+    rr = wcs_utils.slice_wcs(wn, view, shape=shape)
+    np.testing.assert_allclose(spaxis(w), spaxis(rr))
+    rrr = wcs_utils.slice_wcs(rr, view, shape=shape)
+    rrrr = wcs_utils.slice_wcs(rrr, view, shape=shape)
+    assert wcs_utils.check_equality(rrrr, rr)
+
+
+def test_wcs_slice_unmatched_celestial():
+    """reference test_wcs_utils.py:194-215: dropping one member of a
+    celestial pair warns."""
+    import warnings as _w
+    w = WCS(naxis=3)
+    w.ctype = ["RA---TAN", "DEC--TAN", "FREQ"]
+    w.crpix = np.array([50.0, 45.0, 30.0])
+    for ax in (0, 1):
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            wcs_utils.drop_axis(w, ax)
+        assert any("removed" in str(x.message) for x in rec)
