@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from . import units as u
 from .units import Quantity
 from .utils import BadVelocitiesWarning
+from .beams import NoBeamError
 from .lower_dimensional_structures import (OneDSpectrum,
                                            VaryingResolutionOneDSpectrum)
 
@@ -237,7 +238,7 @@ def stack_cube(cube, linelist, vmin, vmax, average=None, convolve_beam=None,
             try:
                 beams_differ = not all(cb.beam == cube.beam
                                        for cb in cubes[1:])
-            except (ValueError, AttributeError):
+            except (ValueError, AttributeError, NoBeamError):
                 beams_differ = False  # beam-less cubes stack as-is
             if any(hasattr(cb, "beams") for cb in cubes) or beams_differ:
                 raise ValueError("If the cubes have different resolution, "

@@ -343,8 +343,12 @@ class Beams:
             # (radio_beam parity: a BEAMS-table beam reads back in arcsec)
             maj_unit = str(major.unit) if isinstance(major, Quantity) \
                 else "deg"
+            # bare floats mean DEGREES regardless of the major's unit
+            # (the pre-existing contract; inheriting maj_unit silently
+            # rescaled a float minor next to an arcsec-Quantity major);
+            # an OMITTED minor copies the major's values AND unit
             min_unit = str(minor.unit) if isinstance(minor, Quantity) \
-                else maj_unit
+                else ("deg" if minor is not None else maj_unit)
             pa_unit = str(pa.unit) if isinstance(pa, Quantity) else "deg"
             major = np.atleast_1d(np.asarray(
                 major.value if isinstance(major, Quantity)

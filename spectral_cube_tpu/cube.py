@@ -1729,16 +1729,22 @@ class BaseSpectralCube:
                 # data-local mask on the SMOOTHED data, so the interp step
                 # of the chain sees isfinite(sm)-style includes, not the
                 # original ones (normalized convolution heals interior NaN
-                # holes).  Evaluate the include the same way here.
+                # holes).  Smooth ONCE and run the interp step on that
+                # array directly — routing through smooth_interp_cube here
+                # would convolve the whole cube a second time.
                 from .ops.smoothing import spectral_smooth_cube
                 sm = spectral_smooth_cube(
                     self._get_filled_data(fill=np.nan),
                     jnp.asarray(_kernel_array(smooth_kernel)))
                 include = self._mask.include(data=sm, wcs=self._wcs)
-            out, new_include = _interp.smooth_interp_cube(
-                self._get_filled_data(fill=np.nan),
-                _kernel_array(smooth_kernel),
-                inaxis, grid, include=include)
+                sm_filled = jnp.where(jnp.asarray(include), sm, jnp.nan)
+                out, new_include = _interp.interp_cube_spectral(
+                    sm_filled, inaxis, grid, include=include)
+            else:
+                out, new_include = _interp.smooth_interp_cube(
+                    self._get_filled_data(fill=np.nan),
+                    _kernel_array(smooth_kernel),
+                    inaxis, grid, include=include)
         else:
             out, new_include = _interp.interp_cube_spectral(
                 self._device_data, inaxis, grid, include=include)
@@ -2151,11 +2157,12 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
     @property
     def pixels_per_beam(self):
         """Per-channel beam areas in pixels (reference
-        base_class.py:552-560, array-valued for VRSC)."""
+        base_class.py:552-560 iterates the goodbeams-FILTERED beams, so
+        bad/NaN beams never contribute entries)."""
         pix_area = (self._wcs.proj_plane_pixel_area()
                     * (np.pi / 180.0) ** 2)
         return np.array([float(b.sr.value) / pix_area
-                         for b in self._beams])
+                         for b in self.beams])
 
     def average_beams(self, threshold=None, mask="compute", warn=False):
         """Average beam, checking homogeneity (reference

@@ -530,9 +530,20 @@ class BaseOneDSpectrum(LowerDimensionalObject):
         new_mask = BooleanArrayMask(new_include, wcs=new_wcs,
                                     shape=newval.shape) \
             if new_include is not None else None
+        kw = {}
+        beams = getattr(self, "_beams", None)
+        if beams is not None:
+            # per-channel beams only survive a same-length regrid; a
+            # resampled grid has no defined beam per new channel
+            if len(beams) == len(newval):
+                kw["beams"] = beams
+            else:
+                warnings.warn("spectral_interpolate onto a different-"
+                              "length grid drops the per-channel beams",
+                              BeamWarning)
         out = type(self)(newval, unit=self.unit, wcs=new_wcs,
                          meta=self._meta, mask=new_mask,
-                         header=self._header)
+                         header=self._header, beam=self._beam, **kw)
         out._spectral_unit = self._spectral_unit
         return out
 
@@ -609,10 +620,17 @@ class VaryingResolutionOneDSpectrum(BaseOneDSpectrum):
     def with_beams(self, beams, goodbeams_mask=None,
                    raise_error_jybm=True):
         """Replace the per-channel beams (reference
-        lower_dimensional_structures.py:1146-1161)."""
+        lower_dimensional_structures.py:1146-1161).  An explicit
+        goodbeams_mask replaces the current one; otherwise the existing
+        mask is kept when its length still matches."""
+        gbm = goodbeams_mask
+        if gbm is None and self._goodbeams_mask is not None \
+                and len(self._goodbeams_mask) == len(beams):
+            gbm = self._goodbeams_mask
         return type(self)(self.value, unit=self.unit, wcs=self._wcs,
                           meta=self._meta, mask=self._mask,
                           header=self._header, beams=beams,
+                          goodbeams_mask=gbm,
                           spectral_unit=self._spectral_unit)
 
     @property

@@ -222,10 +222,24 @@ class Unit:
         other = Unit.parse(other) if isinstance(other, str) else other
         if self.dims == other.dims:
             return True
+        # mirror Unit.to()'s multi-hop chaining (<= 3 equivalency hops)
+        # so is_equivalent never disagrees with what to() can convert
+        edges = []
         for dims_a, dims_b, _, _ in equivalencies:
-            if (self.dims == dims_a and other.dims == dims_b) or (
-                    self.dims == dims_b and other.dims == dims_a):
-                return True
+            edges.append((dims_a, dims_b))
+            edges.append((dims_b, dims_a))
+        frontier = {self.dims}
+        seen = {self.dims}
+        for _ in range(3):
+            nxt = set()
+            for dims in frontier:
+                for da, db in edges:
+                    if dims == da and db not in seen:
+                        if db == other.dims:
+                            return True
+                        seen.add(db)
+                        nxt.add(db)
+            frontier = nxt
         return False
 
     @property

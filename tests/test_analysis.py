@@ -9,7 +9,7 @@ from spectral_cube_tpu.analysis_utilities import (fourier_shift,
                                                   stack_spectra, stack_cube)
 from spectral_cube_tpu.io.fits_low import HDU, write_fits
 
-from conftest import base_header, gaussian_line_cube
+from conftest import base_header, gaussian_line_cube, make_cube_file
 
 
 def test_fourier_shift_integer():
@@ -361,3 +361,23 @@ def test_stacking_badvels(tmp_path):
                                 pad_edges=False)
     true = _gaussian(np.asarray(stacked.spectral_axis.value), 1.0, 0.0, 8.0)
     assert np.nanstd(np.abs(np.asarray(stacked.value) - true)) <= 1e-3
+
+
+def test_stack_cube_beamless(tmp_path):
+    """Review finding: stack_cube crashed with NoBeamError on beam-less
+    cubes instead of stacking them as-is."""
+    nchan, f0, df = 64, 100e9, 1e6
+    freqs = f0 + np.arange(nchan) * df
+    l1 = 100.02e9
+    spec = np.exp(-0.5 * ((freqs - l1) / 3e6) ** 2)
+    data = np.broadcast_to(spec[:, None, None], (nchan, 3, 3)).copy()
+    h = base_header(nx=3, ny=3, nchan=nchan, ctype3="FREQ", cunit3="Hz",
+                    crval3=f0, cdelt3=df, beam=False)
+    p = str(tmp_path / "beamless.fits")
+    write_fits(p, [HDU(data=data, header=h)])
+    cube = SpectralCube.read(p)
+    assert cube._beam is None
+    out = stack_cube([cube, cube], [Quantity(l1, "Hz")],
+                     vmin=Quantity(-40, "km / s"),
+                     vmax=Quantity(40, "km / s"))
+    assert out is not None

@@ -267,3 +267,17 @@ def test_beams_to_bintable_cube(tmp_path):
     np.testing.assert_allclose(np.asarray(bt.columns["BMIN"]),
                                [0.1, 0.2, 0.2, 0.1], rtol=1e-6)
     assert list(np.asarray(bt.columns["CHAN"])) == [0, 1, 2, 3]
+
+
+def test_beams_bare_float_minor_stays_degrees():
+    """Review finding: a bare-float minor next to an arcsec-Quantity
+    major silently rescaled to arcsec (bare floats mean degrees)."""
+    from spectral_cube_tpu.units import Quantity
+    from spectral_cube_tpu.beams import Beams
+    b = Beams(major=Quantity([3600.0], "arcsec"), minor=[1.0])
+    np.testing.assert_allclose(float(b[0].minor.to_value("deg")), 1.0,
+                               rtol=1e-12)
+    # omitted minor copies the major (values AND unit)
+    b2 = Beams(major=Quantity([2.0], "arcsec"))
+    np.testing.assert_allclose(float(b2[0].minor.to_value("arcsec")), 2.0,
+                               rtol=1e-12)

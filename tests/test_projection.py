@@ -855,3 +855,35 @@ def test_multibeams_unit_conversions_general_1D(init_unit, tmp_path):
             rt = new.to(u.Unit(init_unit))
             np.testing.assert_allclose(np.asarray(rt.value),
                                        np.asarray(spec.value), rtol=1e-5)
+
+
+def test_spectral_interpolate_keeps_beam():
+    """Review finding: 1-D spectral_interpolate silently dropped the
+    beam (reference preserves it through _new_spectrum_with,
+    lower_dimensional_structures.py:908)."""
+    from spectral_cube_tpu.wcs import WCS
+    b = Beam(Quantity(1.0, "arcsec"))
+    w = WCS(naxis=1)
+    w.cunit[0] = u.Unit("GHz")
+    spec = OneDSpectrum(Quantity(np.arange(12.0), "Jy"), wcs=w, beam=b)
+    out = spec.spectral_interpolate(
+        Quantity(np.linspace(0, 11, 23), "GHz"))
+    assert out.beam == b
+
+
+def test_vrods_with_beams_goodbeams_mask():
+    """Review finding: with_beams dropped goodbeams_mask."""
+    from spectral_cube_tpu.wcs import WCS
+    beams = Beams(Quantity(np.arange(1, 13), "arcsec"))
+    gbm = np.ones(12, dtype=bool)
+    gbm[1] = False
+    p = VaryingResolutionOneDSpectrum(Quantity(np.ones(12), "Jy"),
+                                      wcs=WCS(naxis=1), beams=beams,
+                                      goodbeams_mask=gbm)
+    out = p.with_beams(Beams(Quantity(np.arange(2, 14), "arcsec")))
+    assert np.all(out.goodbeams_mask == gbm)
+    gbm2 = np.ones(12, dtype=bool)
+    gbm2[3] = False
+    out2 = p.with_beams(Beams(Quantity(np.arange(2, 14), "arcsec")),
+                        goodbeams_mask=gbm2)
+    assert np.all(out2.goodbeams_mask == gbm2)

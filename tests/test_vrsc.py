@@ -254,3 +254,14 @@ def test_convolve_to_allow_smaller_passes_channels_through(tmp_path):
     np.testing.assert_allclose(a[1], data[1], rtol=1e-6, equal_nan=True)
     # the other channels were genuinely convolved (changed)
     assert not np.allclose(a[0], data[0], rtol=1e-4, equal_nan=True)
+
+
+def test_pixels_per_beam_filters_bad_beams(cube_vr):
+    """Review finding: pixels_per_beam iterated the unfiltered beams,
+    leaking NaN entries for bad channels (reference iterates the
+    goodbeams-filtered set, base_class.py:552-560)."""
+    cube, _ = cube_vr
+    mcube = cube.mask_channels([True, False, True, True])
+    ppb = np.asarray(mcube.pixels_per_beam)
+    assert len(ppb) == 3
+    assert np.isfinite(ppb).all()
