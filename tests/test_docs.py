@@ -24,7 +24,8 @@ REF_LMV = "/root/reference/spectral_cube/tests/data/example_cube.lmv"
 PAGES = ["quickstart.md", "accessing.md", "masking.md", "errors.md",
          "beams.md", "reprojection.md", "spectral_extraction.md",
          "stokes.md", "big_data.md", "examples.md", "visualization.md",
-         "metadata.md", "developing.md"]
+         "metadata.md", "developing.md", "moments.md", "smoothing.md",
+         "manipulating.md"]
 
 
 def _blocks(page):
