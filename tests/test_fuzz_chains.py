@@ -72,6 +72,15 @@ def _menu(rng):
         lambda c: c.spectral_slab(c.spectral_axis[-2],
                                   c.spectral_axis[1]),
         lambda c: abs(c) ** 1.0,
+        # round-2 closing additions: reversed-grid interp, fused
+        # smooth+interp, Jy/pix round trip, truncated downsample
+        lambda c: c.spectral_interpolate(c.spectral_axis[::-1]),
+        lambda c: c.spectral_interpolate(
+            c.spectral_axis[1:],
+            smooth_kernel=np.hanning(3) / np.hanning(3).sum())
+        if c.shape[0] > 3 else c,
+        lambda c: c.to("Jy / pix").to(str(c.unit)),
+        lambda c: c.downsample_axis(2, axis=0, truncate=True),
     ]
 
 
