@@ -863,3 +863,33 @@ def test_nocelestial_reproject_2D_fail(tmp_path):
     proj = cube.moment0(axis=1)
     with pytest.raises(WCSCelestialError):
         proj.reproject(cube.header)
+
+
+def test_smooth_interp_fused_path_for_finiteness_masks(cube_adv,
+                                                       monkeypatch):
+    """The default isfinite LazyMask keeps the single-matmul fused
+    smooth+interp path (include=None into smooth_interp_cube) and the
+    result carries a re-bound finiteness mask of the NEW shape — falling
+    into the two-pass chain here silently halved bench config2."""
+    from spectral_cube_tpu.ops import interpolate as itp
+    from spectral_cube_tpu.ops.smoothing import gaussian_kernel1d
+    from spectral_cube_tpu.masks import LazyMask
+    cube, _ = cube_adv
+    assert isinstance(cube.mask, LazyMask)
+    calls = []
+    real = itp.smooth_interp_cube
+
+    def spy(data, kernel, inaxis, outaxis, include=None):
+        calls.append(include)
+        return real(data, kernel, inaxis, outaxis, include=include)
+
+    monkeypatch.setattr(itp, "smooth_interp_cube", spy)
+    import spectral_cube_tpu.cube as cube_mod
+    monkeypatch.setattr(cube_mod._interp, "smooth_interp_cube", spy)
+    sa = cube.spectral_axis
+    mid = Quantity((np.asarray(sa.value)[:-1]
+                    + np.asarray(sa.value)[1:]) / 2.0, sa.unit)
+    out = cube.spectral_interpolate(mid, smooth_kernel=gaussian_kernel1d(1.0))
+    assert calls == [None]
+    assert isinstance(out.mask, LazyMask)
+    assert np.asarray(out.mask.include()).shape == out.shape
