@@ -500,6 +500,45 @@ def sharded_spectral_interpolate(data, inaxis, outaxis, cmesh: CubeMesh,
     return out[crop], inc[crop]
 
 
+def sharded_smooth_interpolate(data, kernel, inaxis, outaxis,
+                               cmesh: CubeMesh, include=None):
+    """Fused spectral smooth + regrid per spatial shard (zero
+    communication: both operators act along the unsharded spectral
+    axis).  Composes to one MXU matmul per shard for all-finite shards,
+    exactly like the single-chip smooth_interp_cube."""
+    from ..ops.interpolate import smooth_interp_cube
+    mesh = cmesh.mesh
+    kernel = np.asarray(kernel, dtype=float)
+    data, include, crop = _pad_spatial(jnp.asarray(data), cmesh, jnp.nan,
+                                       include)
+    axkey = (np.asarray(inaxis, np.float64).tobytes(),
+             np.asarray(outaxis, np.float64).tobytes(),
+             kernel.tobytes())
+    key = ("smooth_interp", data.shape, str(getattr(data, "dtype", "f4")),
+           axkey, include is not None,
+           tuple(id(d) for d in mesh.devices.ravel()))
+    fn = _SHARDED_JIT_CACHE.get(key)
+    if include is None:
+        if fn is None:
+            fn = jax.jit(shard_map(
+                lambda d: smooth_interp_cube(d, kernel, inaxis,
+                                             outaxis)[0],
+                mesh=mesh, in_specs=(P(None, "y", "x"),),
+                out_specs=P(None, "y", "x")))
+            _cache_put(key, fn)
+        return fn(cmesh.shard(data, "spatial"))[crop], None
+    if fn is None:
+        fn = jax.jit(shard_map(
+            lambda d, i: smooth_interp_cube(d, kernel, inaxis, outaxis,
+                                            include=i),
+            mesh=mesh, in_specs=(P(None, "y", "x"), P(None, "y", "x")),
+            out_specs=(P(None, "y", "x"), P(None, "y", "x"))))
+        _cache_put(key, fn)
+    out, inc = fn(cmesh.shard(data, "spatial"),
+                  cmesh.shard(jnp.asarray(include), "spatial"))
+    return out[crop], inc[crop]
+
+
 # ---------------------------------------------------------------------------
 # ShardedCube: cube facade bound to a mesh
 # ---------------------------------------------------------------------------
@@ -644,7 +683,7 @@ class ShardedCube:
             self.cube._get_filled_data(fill=np.nan), karr, self.cmesh)
         return ShardedCube(self.cube._new_cube_with(data=out), self.cmesh)
 
-    def spectral_interpolate(self, spectral_grid):
+    def spectral_interpolate(self, spectral_grid, smooth_kernel=None):
         from ..units import Quantity
         from ..masks import BooleanArrayMask
         from ..ops.interpolate import linear_spectral_wcs
@@ -655,6 +694,28 @@ class ShardedCube:
         inax = np.asarray(c.spectral_axis.value, dtype=float)
         include = c._mask.include(data=c._device_data) \
             if c._mask is not None else None
+        if smooth_kernel is not None:
+            from ..masks import LazyMask
+            karr = np.asarray(getattr(smooth_kernel, "array",
+                                      smooth_kernel), dtype=float)
+            finiteness = isinstance(c._mask, LazyMask) and \
+                getattr(c._mask, "_function", None) in (jnp.isfinite,
+                                                        np.isfinite)
+            out, new_include = sharded_smooth_interpolate(
+                c._get_filled_data(fill=np.nan), karr, inax, grid,
+                self.cmesh, include=None if finiteness else include)
+            new_wcs = linear_spectral_wcs(c._wcs, grid)
+            if finiteness:
+                # mirror the unsharded fast path: the re-bound
+                # finiteness mask tracks the fused result exactly
+                mask = LazyMask(c._mask._function, data=out, wcs=new_wcs,
+                                shape=tuple(out.shape))
+            else:
+                mask = BooleanArrayMask(new_include, wcs=new_wcs,
+                                        shape=tuple(out.shape)) \
+                    if new_include is not None else None
+            return ShardedCube(c._new_cube_with(data=out, wcs=new_wcs,
+                                                mask=mask), self.cmesh)
         # RAW data, not filled: masked voxels must not poison neighbors —
         # the mask interpolates separately, exactly like the unsharded
         # path (cube.py spectral_interpolate passes _device_data)

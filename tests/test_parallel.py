@@ -472,3 +472,30 @@ def test_reshard_uneven_placement_not_just_roundtrip(cmesh):
         local = np.asarray(sh.data)
         np.testing.assert_array_equal(local[:, :ny, :nx],
                                       data[blk * per:(blk + 1) * per])
+
+
+def test_sharded_smooth_interpolate_matches_unsharded(tmp_path):
+    """ShardedCube.spectral_interpolate(smooth_kernel=) runs the fused
+    smooth+regrid per spatial shard (zero communication) and matches the
+    unsharded API's filled values."""
+    import warnings
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube, ShardedCube, CubeMesh
+    from spectral_cube_tpu.ops.smoothing import gaussian_kernel1d
+    from spectral_cube_tpu.units import Quantity
+
+    p, data = make_cube_file(tmp_path, name="si.fits", shape=(12, 8, 8),
+                             seed=5)
+    cube = SpectralCube.read(p)
+    sv = np.asarray(cube.spectral_axis.value)
+    grid = Quantity((sv[:-1] + sv[1:]) / 2.0, cube.spectral_unit)
+    kern = gaussian_kernel1d(1.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = cube.spectral_interpolate(grid, smooth_kernel=kern)
+        sc = ShardedCube(cube, CubeMesh())
+        got = sc.spectral_interpolate(grid, smooth_kernel=kern)
+    np.testing.assert_allclose(
+        np.asarray(got.cube.filled_data[:].value),
+        np.asarray(ref.filled_data[:].value),
+        rtol=2e-5, atol=1e-6, equal_nan=True)
