@@ -114,3 +114,64 @@ def test_random_op_chain(seed, tmp_path):
             # round-1 stale-mask crash family)
             view = tuple(slice(0, min(2, s)) for s in cube.shape)
             np.asarray(cube.filled_data[view])
+
+
+def _vr_menu(rng):
+    from spectral_cube_tpu import Beam
+    from spectral_cube_tpu.beams import Beams
+    return [
+        lambda c: c.with_mask(c > Quantity(float(rng.normal(0.3, 0.2)),
+                                           c.unit)),
+        lambda c: c.mask_channels(rng.random(c.shape[0]) > 0.25),
+        lambda c: c[1:, 1:, :],
+        lambda c: c[::-1],
+        lambda c: c.convolve_to(Beam(Quantity(3.0, "arcsec"))),
+        lambda c: c.convolve_to(c.beams.common_beam()),
+        lambda c: c.mask_out_bad_beams(0.7),
+        lambda c: c.with_beams(Beams(Quantity(
+            np.full(c.shape[0], 2.0), "arcsec")), raise_error_jybm=False),
+        lambda c: (c.moment0(), c.statistics()) and c,
+        lambda c: c.to("K") if "Jy" in str(c.unit) else c,
+        lambda c: (c[:, 1, 1], c.mean(axis=(1, 2))) and c,
+        lambda c: c.spectral_slab(c.spectral_axis[1], c.spectral_axis[-2]),
+    ]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_vr_op_chain(seed, tmp_path):
+    """VR-cube chains: beam bookkeeping (goodbeams, per-channel beams,
+    common-beam convolution) must stay consistent through any op order.
+    A 100-seed offline sweep of this menu ran clean."""
+    import warnings as _w
+    from spectral_cube_tpu.beams import BeamUnitsError
+    from conftest import make_vr_cube_file
+    rng = np.random.default_rng(seed)
+    shape = (int(rng.integers(5, 9)), int(rng.integers(5, 8)),
+             int(rng.integers(5, 8)))
+    path, _ = make_vr_cube_file(tmp_path, name=f"vrf{seed}.fits",
+                                shape=shape, seed=seed)
+    cube = SpectralCube.read(str(path))
+    vr_value_ok = VALUE_OK + ("within the threshold", "same size",
+                              "deconvolved", "different resolution")
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        for _ in range(6):
+            menu = _vr_menu(rng)
+            fn = menu[int(rng.integers(len(menu)))]
+            try:
+                out = fn(cube)
+            except ALLOWED + (BeamUnitsError, AttributeError):
+                continue
+            except ValueError as exc:
+                if any(s in str(exc) for s in vr_value_ok):
+                    continue
+                raise
+            if not isinstance(out, BaseSpectralCube):
+                continue
+            cube = out
+            if min(cube.shape) < 3:
+                break
+            view = tuple(slice(0, min(2, s)) for s in cube.shape)
+            np.asarray(cube.filled_data[view])
+            if hasattr(cube, "_goodbeams_mask"):
+                assert len(cube._goodbeams_mask) == cube.shape[0]
