@@ -286,3 +286,19 @@ def test_byhand_awav2wav():
         exp = sp.air_to_vac(np.asarray(w.pix2world([pix])[0])) * 1e10
         np.testing.assert_allclose(got, exp, rtol=1e-8)
     assert not (w.crval[0] == nw.crval[0] and w.crpix[0] == nw.crpix[0])
+
+
+def test_change_rest_two_leg_exact():
+    """The two-rest re-anchoring path (speed -> speed with a NEW rest
+    value) pinned against a 40-digit mpmath derivation: VOPT anchored to
+    the jybeam header's rest, relabeled as VRAD against 1.420 GHz.
+    vopt -> f = f0 c/(c+v) with the OLD rest, then vrad = c (f0'-f)/f0'
+    with the NEW one; cdelt chains the two derivatives."""
+    w = _spectral_1d("VOPT", -3.21214698632e5, 1.28821496879e3, "m/s",
+                     restfrq=1.42040571841e9)
+    out = convert_spectral_axis(w, "m/s", "VRAD",
+                                rest_value=Quantity(1.420e9, "Hz"))
+    np.testing.assert_allclose(out.crval[0], -407306.96922104431565,
+                               rtol=1e-14)
+    np.testing.assert_allclose(out.cdelt[0], 1291.3488006306475896,
+                               rtol=1e-14)
