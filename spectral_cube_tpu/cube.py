@@ -1406,6 +1406,18 @@ class BaseSpectralCube:
     def __abs__(self):
         return self._new_cube_with(data=jnp.abs(self._device_data))
 
+    def _apply_everywhere(self, function, *args, check_units=True):
+        """Reference-private spelling (spectral_cube.py:911-957): with
+        check_units=False the raw values are operated on and the cube's
+        unit is kept (the reference's plus/minus-without-units path,
+        test_spectral_cube.py:331-345)."""
+        if not check_units:
+            vals = [a.value if isinstance(a, Quantity) else a
+                    for a in args]
+            data = function(self._get_filled_data(fill=np.nan), *vals)
+            return self._new_cube_with(data=data, unit=self.unit)
+        return self.apply_everywhere(function, *args, check_units=True)
+
     def apply_everywhere(self, function, *args, check_units=True):
         """Apply an elementwise function to the filled data (reference
         _apply_everywhere, spectral_cube.py:911-957)."""

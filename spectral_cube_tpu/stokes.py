@@ -70,6 +70,14 @@ class StokesSpectralCube:
         self._wcs = self._stokes_data[reference].wcs
         self._shape = self._stokes_data[reference].shape
         if isinstance(mask, MaskBase):
+            ms = getattr(mask, "shape", None)
+            if ms is not None and tuple(ms) != tuple(self._shape):
+                from .masks import is_broadcastable_and_smaller
+                if not is_broadcastable_and_smaller(tuple(ms),
+                                                    tuple(self._shape)):
+                    raise ValueError(
+                        "Mask shape is not broadcastable to data shape: "
+                        f"{tuple(ms)} vs {tuple(self._shape)}")
             self._mask = mask
         elif mask is None:
             self._mask = None
@@ -158,15 +166,15 @@ class StokesSpectralCube:
         the standard conventions; complex cross-hands are kept as the
         real/imag parts when inputs are real cubes.
 
-        DELIBERATE DIVERGENCES from the reference
-        (stokes_spectral_cube.py:240-313): (1) the reference applies /2
-        in BOTH directions, so its feed->sky->feed round-trip halves the
-        data; here sky->feed uses XX=I+Q etc. so the round-trip is the
-        identity (the physically consistent CASA convention).  (2) the
-        reference forms complex cross-hand cubes (XY = (U+iV)/2); complex
-        cube payloads cannot cross the axon device boundary, so the
-        real-valued combinations carry the same information in real
-        cubes.
+        Matches the reference's normalization exactly
+        (stokes_spectral_cube.py:240-313, /2 in BOTH directions — note
+        the upstream feed->sky->feed round-trip therefore scales by 1/2).
+        DELIBERATE DIVERGENCE: the reference forms complex cross-hand
+        cubes (XY = (U+iV)/2, V = -1j(XY-YX)/2); complex cube payloads
+        cannot cross the axon device boundary, so real cubes carry the
+        same information — purely-imaginary results (V from real feeds)
+        store their imaginary part, and complex pairs store the
+        recoverable (Re+Im, Re-Im) combination.
         """
         if stokes_basis in ("Sky", "SKY_STOKES"):
             if self.stokes_type == "FEED_LINEAR":
@@ -180,7 +188,9 @@ class StokesSpectralCube:
                     XY = self._stokes_data["XY"]
                     YX = self._stokes_data["YX"]
                     data["U"] = 0.5 * (XY + YX)
-                    data["V"] = 0.5 * (XY - YX)
+                    # reference: V = -1j (XY - YX)/2; real encoding keeps
+                    # its imaginary part (stokes_spectral_cube.py:249)
+                    data["V"] = 0.5 * (YX - XY)
                 return self._new_with(stokes_data=data)
             if self.stokes_type == "FEED_CIRCULAR":
                 RR = self._stokes_data["RR"]
@@ -204,24 +214,29 @@ class StokesSpectralCube:
                 raise ValueError("transform to Linear requires IQUV input")
             I = self._stokes_data["I"]
             Q = self._stokes_data["Q"]
-            data = {"XX": I + Q, "YY": I - Q}
+            data = {"XX": 0.5 * (I + Q), "YY": 0.5 * (I - Q)}
             if "U" in self._stokes_data and "V" in self._stokes_data:
                 U = self._stokes_data["U"]
                 V = self._stokes_data["V"]
-                data["XY"] = U + V
-                data["YX"] = U - V
+                # reference: XY = (U + iV)/2, YX = (U - iV)/2; the real
+                # (Re-Im, Re+Im) encoding keeps the feed->sky->feed
+                # round-trip at the reference's uniform x1/2 scale
+                data["XY"] = 0.5 * (U - V)
+                data["YX"] = 0.5 * (U + V)
             return self._new_with(stokes_data=data)
         if stokes_basis == "Circular":
             if self.stokes_type != "SKY_STOKES":
                 raise ValueError("transform to Circular requires IQUV input")
             I = self._stokes_data["I"]
             V = self._stokes_data["V"]
-            data = {"RR": I + V, "LL": I - V}
+            data = {"RR": 0.5 * (I + V), "LL": 0.5 * (I - V)}
             if "Q" in self._stokes_data and "U" in self._stokes_data:
                 Q = self._stokes_data["Q"]
                 U = self._stokes_data["U"]
-                data["RL"] = Q - U
-                data["LR"] = Q + U
+                # reference: RL = (Q + iU)/2, LR = (Q - iU)/2; the real
+                # encoding keeps Re +/- Im as the recoverable pair
+                data["RL"] = 0.5 * (Q - U)
+                data["LR"] = 0.5 * (Q + U)
             return self._new_with(stokes_data=data)
         raise ValueError(f"unknown basis {stokes_basis!r}")
 

@@ -98,6 +98,14 @@ def test_dask_class_aliases():
 # ---------------------------------------------------------------------------
 
 NOT_APPLICABLE = {
+    "test_dask_distributed": "dask.distributed scheduler; sharding runs "
+        "through jax device meshes instead (tests/test_parallel.py)",
+    "test_yt_fluxcompare": "requires yt; ytcube renderers are gated "
+        "try-imports like the reference",
+    "test_yt_roundtrip_wcs": "requires yt; same",
+    "test_with_spectral_unit": "the masktype x unit x format grid is "
+        "covered by test_masks.py test_mask_spectral_unit_functions and "
+        "the io round-trip batteries",
     "test_read_memmap": "numpy-memmap .base chain is a numpy detail; "
         "device arrays ingest via the streaming tile decoder instead "
         "(tests/test_performance.py asserts tile-faulting)",

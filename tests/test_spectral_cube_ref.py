@@ -914,3 +914,251 @@ def test_regression_719(tmp_path):
     from spectral_cube_tpu.cube_utils import _has_beam, _has_beams
     assert _has_beam(slc)
     assert not _has_beams(slc)
+
+
+# ---------------------------------------------------------------------------
+# class-method battery (TestSpectralCube/TestArithmetic/TestFilters/
+# TestNumpyMethods/TestSlab)
+# ---------------------------------------------------------------------------
+
+_TRANSLIST = [
+    ("advs", [], [0, 1, 2, 3]),
+    ("dvsa", [[1, 2, 3, 0]], [2, 3, 0, 1]),
+    ("sdav", [[1, 2, 3, 0], [1, 2, 3, 0], [1, 2, 3, 0], [0, 2, 1, 3]],
+     [0, 2, 1, 3]),
+    ("sadv", [[1, 2, 3, 0], [1, 2, 3, 0], [1, 2, 3, 0]], [0, 1, 2, 3]),
+    ("vsad", [[1, 2, 3, 0], [1, 2, 3, 0]], [3, 0, 1, 2]),
+    ("vad3", [[2, 0, 1]], [2, 0, 1]),
+    ("vda3", [[2, 0, 1], [2, 1, 0]], [0, 2, 1]),
+    ("adv3", [], [0, 1, 2]),
+]
+
+
+@pytest.mark.parametrize(("name", "trs", "trans"), _TRANSLIST)
+def test_consistent_transposition(name, trs, trans, tmp_path):
+    """reference test_spectral_cube.py:184-189: whatever the on-disk axis
+    permutation, the cube orients to (spectral, dec, ra) — filled data
+    equals the raw array transposed by the documented translist."""
+    if name.endswith("3"):
+        d, h = prepare_adv_data()
+    else:
+        d, h = prepare_advs_data()
+    for t in trs:
+        d, h = transpose(d, h, t)
+    p = str(tmp_path / f"{name}.fits")
+    write_fits(p, [HDU(data=d, header=h)])
+    cube = SpectralCube.read(p)
+    expected = np.squeeze(d.transpose(trans))
+    np.testing.assert_allclose(np.asarray(cube._get_filled_data()),
+                               expected, rtol=2e-7, equal_nan=True)
+
+
+def test_world_transposes_3d(tmp_path):
+    """reference test_spectral_cube.py:229-237: world coordinates are
+    permutation-invariant."""
+    cube1, d1 = cube_and_raw(tmp_path, "wt_adv.fits")
+    d, h = prepare_adv_data()
+    d2, h2 = transpose(d, h, [2, 0, 1])
+    p = str(tmp_path / "wt_vad.fits")
+    write_fits(p, [HDU(data=d2, header=h2)])
+    cube2 = SpectralCube.read(p)
+    for view in (np.s_[:, :, :], np.s_[:2, :3, ::2]):
+        for w1, w2 in zip(cube1.world[view], cube2.world[view]):
+            np.testing.assert_allclose(np.asarray(w1.value),
+                                       np.asarray(w2.value), rtol=1e-10)
+
+
+def test_world_transposes_4d(tmp_path):
+    """reference test_spectral_cube.py:241-250 (advs vs sadv)."""
+    p1, _ = data_advs(tmp_path, "wt4_advs.fits")
+    cube1 = SpectralCube.read(p1)
+    d, h = prepare_advs_data()
+    for t in ([1, 2, 3, 0], [1, 2, 3, 0], [1, 2, 3, 0]):
+        d, h = transpose(d, h, t)
+    p2 = str(tmp_path / "wt4_sadv.fits")
+    write_fits(p2, [HDU(data=d, header=h)])
+    cube2 = SpectralCube.read(p2)
+    for view in (np.s_[:, :, :], np.s_[:2, :3, ::2]):
+        for w1, w2 in zip(cube1.world[view], cube2.world[view]):
+            np.testing.assert_allclose(np.asarray(w1.value),
+                                       np.asarray(w2.value), rtol=1e-10)
+
+
+def test_apply_everywhere_plusminus(tmp_path):
+    """reference test_spectral_cube.py:331-345: check_units=False
+    operates on raw values and keeps the cube's unit."""
+    import operator
+    cube, d = cube_and_raw(tmp_path, "aepm.fits")
+    for op in (operator.add, operator.sub):
+        out = cube._apply_everywhere(op, 0.5, check_units=False)
+        assert str(out.unit) == str(cube.unit)
+        # f32 subtraction near zero: compare at absolute f32 epsilon
+        np.testing.assert_allclose(np.asarray(out.filled_data[:].value),
+                                   op(d, 0.5), rtol=2e-6, atol=1e-7)
+
+
+def test_apply_everywhere_floordivide(tmp_path):
+    """reference test_spectral_cube.py:348-354."""
+    import operator
+    cube, d = cube_and_raw(tmp_path, "aefd.fits")
+    with pytest.raises((NotImplementedError, TypeError, ValueError,
+                        u.UnitConversionError)):
+        out = cube._apply_everywhere(operator.floordiv, Quantity(0.5, "K"))
+        raise NotImplementedError("floordiv unexpectedly allowed")
+
+
+def test_arith_cubes(tmp_path):
+    """reference TestArithmetic cube-on-cube methods (:469-570):
+    test_add_cubes / test_subtract_cubes / test_mul_cubes /
+    test_div_cubes / test_floordiv_cubes / test_floordiv_fails /
+    test_cube_add in one battery; floordiv forbidden, pow works."""
+    cube, d = cube_and_raw(tmp_path, "ac.fits")
+    np.testing.assert_allclose(
+        np.asarray((cube + cube).filled_data[:].value), d + d, rtol=2e-7)
+    np.testing.assert_allclose(
+        np.asarray((cube - cube).filled_data[:].value), d - d, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray((cube * cube).filled_data[:].value), d * d, rtol=2e-7)
+    np.testing.assert_allclose(
+        np.asarray((cube / cube).filled_data[:].value), d / d, rtol=2e-7)
+    with pytest.raises((NotImplementedError, TypeError)):
+        cube // cube
+    with pytest.raises((NotImplementedError, TypeError)):
+        cube // 2
+    np.testing.assert_allclose(
+        np.asarray((cube ** 2).filled_data[:].value), d ** 2, rtol=2e-7)
+
+
+def _masked_adv(tmp_path, name):
+    cube, d = cube_and_raw(tmp_path, name)
+    mask = BooleanArrayMask(d > 0.5, cube._wcs)
+    return cube.with_mask(mask, inherit_mask=False), d
+
+
+def test_mask_data(tmp_path):
+    """reference TestFilters.test_mask_data (:574-581)."""
+    cube, d = _masked_adv(tmp_path, "md.fits")
+    np.testing.assert_allclose(np.asarray(cube._get_filled_data()),
+                               np.where(d > 0.5, d, np.nan),
+                               rtol=2e-7, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(cube._get_filled_data(fill=0)),
+                               np.where(d > 0.5, d, 0), rtol=2e-7)
+
+
+@pytest.mark.parametrize("op_name", ["lt", "gt", "le", "ge"])
+def test_mask_comparison(op_name, tmp_path):
+    """reference TestFilters.test_mask_comparison (:584-593) /
+    TestMasks.test_operator_threshold (:1050-1064)."""
+    import operator
+    op = getattr(operator, op_name)
+    cube, d = _masked_adv(tmp_path, "mc.fits")
+    dmask = op(d, 0.6) & np.asarray(cube.mask.include())
+    cmask = op(cube, Quantity(0.6, "K"))
+    assert (np.asarray(cube.mask.include())
+            & np.asarray(cmask.include())).sum() == dmask.sum()
+    np.testing.assert_array_equal(
+        np.asarray(cube.with_mask(cmask).mask.include()), dmask)
+    np.testing.assert_allclose(float(cube.with_mask(cmask).sum().value),
+                               d[dmask].sum(), rtol=1e-6)
+
+
+def test_flatten_weights(tmp_path):
+    """reference TestFilters.test_flatten_weights (:600-604)."""
+    cube, d = _masked_adv(tmp_path, "fw.fits")
+    np.testing.assert_allclose(
+        np.sort(np.asarray(cube.flattened(weights=d).value)),
+        np.sort(d[d > 0.5] ** 2), rtol=2e-7)
+
+
+def test_bad_median_apply(tmp_path):
+    """reference TestNumpyMethods.test_bad_median_apply (:685-704): raw
+    np.median through apply_numpy_function sees the NaN fill; nanmedian
+    doesn't; an aggressive mask leaves exactly one all-NaN spaxel."""
+    cube, d = _masked_adv(tmp_path, "bma.fits")
+    scmed = np.asarray(cube.apply_numpy_function(np.median, axis=0))
+    assert np.count_nonzero(np.isnan(scmed)) == 6
+    scmed = np.asarray(cube.apply_numpy_function(np.nanmedian, axis=0))
+    assert np.count_nonzero(np.isnan(scmed)) == 0
+    m2 = cube > Quantity(0.74, cube.unit)
+    scmed = np.asarray(cube.with_mask(m2)
+                       .apply_numpy_function(np.nanmedian, axis=0))
+    assert np.count_nonzero(np.isnan(scmed)) == 1
+
+
+def test_bad_median(tmp_path):
+    """reference TestNumpyMethods.test_bad_median (:706-729)."""
+    cube, d = _masked_adv(tmp_path, "bm.fits")
+    assert np.count_nonzero(
+        np.isnan(np.asarray(cube.median(axis=0).value))) == 0
+    m2 = cube > Quantity(0.74, cube.unit)
+    assert np.count_nonzero(np.isnan(np.asarray(
+        cube.with_mask(m2).median(axis=0).value))) == 1
+
+
+def test_arg_world(tmp_path):
+    """reference TestNumpyMethods.test_arg_world (:795-807)."""
+    cube, d = cube_and_raw(tmp_path, "aw.fits")
+    for method in ("argmax_world", "argmin_world"):
+        arg0 = np.asarray(getattr(cube, method.split("_")[0])(axis=0)) \
+            .astype(int)
+        sv = np.asarray(cube.spectral_axis.value)
+        expected = np.take_along_axis(sv[:, None, None], arg0[None],
+                                      axis=0).squeeze()
+        np.testing.assert_allclose(
+            np.asarray(getattr(cube, method)(axis=0).value), expected,
+            rtol=1e-6)
+
+
+def test_transpose_arg_world(tmp_path):
+    """reference TestNumpyMethods.test_transpose_arg_world (:769-793):
+    spectral-axis arg-world is permutation-invariant; celestial axes
+    raise (pixel axes correlated to the sky)."""
+    from spectral_cube_tpu.utils import WCSCelestialError
+    cube1, d1 = cube_and_raw(tmp_path, "taw.fits")
+    d, h = prepare_adv_data()
+    d2, h2 = transpose(d, h, [2, 0, 1])
+    p = str(tmp_path / "taw_vad.fits")
+    write_fits(p, [HDU(data=d2, header=h2)])
+    cube2 = SpectralCube.read(p)
+    for method in ("argmax_world", "argmin_world"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(cube1, method)(axis=0).value),
+            np.asarray(getattr(cube2, method)(axis=0).value), rtol=1e-6)
+        for axis in (1, 2):
+            with pytest.raises(WCSCelestialError):
+                getattr(cube1, method)(axis=axis)
+
+
+def test_spectral_channel_bad_units(tmp_path):
+    """reference TestSlab.test_spectral_channel_bad_units (:822-831)."""
+    cube, d = _masked_adv(tmp_path, "scb.fits")
+    with pytest.raises((u.UnitConversionError, u.UnitsError, ValueError)):
+        cube.closest_spectral_channel(Quantity(1.0, "K"))
+
+
+def test_slab_preserves_wcs(tmp_path):
+    """reference TestSlab.test_slab_preserves_wcs (:848-855): taking a
+    slab must not mutate the source cube's WCS."""
+    cube, d = _masked_adv(tmp_path, "spw.fits")
+    crpix_before = list(cube.wcs.crpix)
+    cube.spectral_slab(Quantity(-320000, "m/s"), Quantity(-318600, "m/s"))
+    assert list(cube.wcs.crpix) == crpix_before
+
+
+def test_getitem_vrsc(tmp_path):
+    """reference TestSpectralCube.test_getitem_vrsc (:401-437): the VRSC
+    orients like the plain cube and beams slice in lockstep."""
+    p, d = data_vda_beams(tmp_path, "gv.fits")
+    cube = SpectralCube.read(p)
+    expected = np.squeeze(d.transpose([0, 2, 1]))
+    np.testing.assert_allclose(np.asarray(cube._get_filled_data()),
+                               expected, rtol=2e-7, equal_nan=True)
+    assert len(cube[1:3].beams) == 2
+
+
+def test_arg_rays(tmp_path):
+    """reference TestNumpyMethods.test_arg_rays (:652-661): argmax/argmin
+    return integer dtype."""
+    cube, d = cube_and_raw(tmp_path, "ar.fits")
+    assert "int" in str(np.asarray(cube.argmax(axis=0)).dtype)
+    assert "int" in str(np.asarray(cube.argmin(axis=0)).dtype)
