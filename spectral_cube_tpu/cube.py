@@ -1758,8 +1758,15 @@ class BaseSpectralCube:
                     hi = max(inaxis[0], inaxis[-1])
                     oob = (grid < lo) | (grid > hi)
                     if oob.any():
-                        out = out.at[jnp.asarray(
-                            np.where(oob)[0])].set(fill_value)
+                        # out at oob already holds the clamped edge value
+                        # (NaN when the edge is unhealed): only finite
+                        # edges take the fill, so the re-bound finiteness
+                        # mask keeps excluding dead edges — matching the
+                        # general path's clamped-edge include semantics
+                        idx = jnp.asarray(np.where(oob)[0])
+                        edge_ok = jnp.isfinite(out[idx])
+                        out = out.at[idx].set(
+                            jnp.where(edge_ok, fill_value, jnp.nan))
                 # re-bind the finiteness mask to the NEW data/shape (the
                 # inherited object would keep the old-shape binding)
                 new_mask = LazyMask(self._mask._function, data=out,
@@ -1779,9 +1786,11 @@ class BaseSpectralCube:
                     self._get_filled_data(fill=np.nan),
                     jnp.asarray(_kernel_array(smooth_kernel)))
                 include = self._mask.include(data=sm, wcs=self._wcs)
-                sm_filled = jnp.where(jnp.asarray(include), sm, jnp.nan)
+                # the chained calls interpolate the smoothed array as-is
+                # (spectral_smooth's result IS the next cube's raw data);
+                # the include transform carries the mask separately
                 out, new_include = _interp.interp_cube_spectral(
-                    sm_filled, inaxis, grid, include=include)
+                    sm, inaxis, grid, include=include)
             else:
                 out, new_include = _interp.smooth_interp_cube(
                     self._get_filled_data(fill=np.nan),

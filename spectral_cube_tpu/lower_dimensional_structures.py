@@ -537,6 +537,9 @@ class BaseOneDSpectrum(LowerDimensionalObject):
             # resampled grid has no defined beam per new channel
             if len(beams) == len(newval):
                 kw["beams"] = beams
+                gbm = getattr(self, "_goodbeams_mask", None)
+                if gbm is not None and len(gbm) == len(newval):
+                    kw["goodbeams_mask"] = gbm
             else:
                 warnings.warn("spectral_interpolate onto a different-"
                               "length grid drops the per-channel beams",

@@ -1,8 +1,10 @@
 from .mesh import CubeMesh, make_mesh, use_mesh, default_mesh
 from .sharded import (ShardedCube, sharded_moments, sharded_statistics,
                       sharded_spatial_convolve, sharded_sigma_clip,
-                      sharded_spectral_interpolate, halo_pad)
+                      sharded_spectral_interpolate,
+                      sharded_smooth_interpolate, halo_pad)
 
 __all__ = ["CubeMesh", "make_mesh", "use_mesh", "default_mesh", "ShardedCube", "sharded_moments",
            "sharded_statistics", "sharded_spatial_convolve",
-           "sharded_sigma_clip", "sharded_spectral_interpolate", "halo_pad"]
+           "sharded_sigma_clip", "sharded_spectral_interpolate",
+           "sharded_smooth_interpolate", "halo_pad"]

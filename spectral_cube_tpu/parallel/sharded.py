@@ -39,6 +39,7 @@ __all__ = ["sharded_moments", "sharded_statistics", "halo_pad",
            "sharded_convolve_per_channel_separable",
            "sharded_spatial_convolve", "sharded_spectral_convolve_fft",
            "sharded_sigma_clip", "sharded_spectral_interpolate",
+           "sharded_smooth_interpolate",
            "ShardedCube"]
 
 
@@ -509,7 +510,11 @@ def sharded_smooth_interpolate(data, kernel, inaxis, outaxis,
     from ..ops.interpolate import smooth_interp_cube
     mesh = cmesh.mesh
     kernel = np.asarray(kernel, dtype=float)
-    data, include, crop = _pad_spatial(jnp.asarray(data), cmesh, jnp.nan,
+    # pad with ZEROS, not NaN: both operators act purely along the
+    # spectral axis, the padded columns are cropped afterwards, and a
+    # NaN pad would flip smooth_interp_cube's has_nan cond to the slow
+    # sequential chain on every edge shard
+    data, include, crop = _pad_spatial(jnp.asarray(data), cmesh, 0.0,
                                        include)
     axkey = (np.asarray(inaxis, np.float64).tobytes(),
              np.asarray(outaxis, np.float64).tobytes(),
@@ -692,23 +697,32 @@ class ShardedCube:
             if isinstance(spectral_grid, Quantity) \
             else np.asarray(spectral_grid)
         inax = np.asarray(c.spectral_axis.value, dtype=float)
-        include = c._mask.include(data=c._device_data) \
-            if c._mask is not None else None
         if smooth_kernel is not None:
-            from ..masks import LazyMask
+            from ..masks import LazyMask, is_data_local
             karr = np.asarray(getattr(smooth_kernel, "array",
                                       smooth_kernel), dtype=float)
-            finiteness = isinstance(c._mask, LazyMask) and \
-                getattr(c._mask, "_function", None) in (jnp.isfinite,
-                                                        np.isfinite)
+            finiteness = c._mask is None or (
+                isinstance(c._mask, LazyMask)
+                and getattr(c._mask, "_function", None) in (jnp.isfinite,
+                                                            np.isfinite))
+            if not finiteness and is_data_local(c._mask):
+                # a threshold-style data-local mask must re-evaluate on
+                # the SMOOTHED data (the unsharded branch's semantics,
+                # cube.py spectral_interpolate) — delegate so sharded and
+                # unsharded calls can never diverge
+                return ShardedCube(c.spectral_interpolate(
+                    spectral_grid, smooth_kernel=smooth_kernel),
+                    self.cmesh)
+            include = None if finiteness else \
+                c._mask.include(data=c._device_data)
             out, new_include = sharded_smooth_interpolate(
                 c._get_filled_data(fill=np.nan), karr, inax, grid,
-                self.cmesh, include=None if finiteness else include)
+                self.cmesh, include=include)
             new_wcs = linear_spectral_wcs(c._wcs, grid)
             if finiteness:
                 # mirror the unsharded fast path: the re-bound
                 # finiteness mask tracks the fused result exactly
-                mask = LazyMask(c._mask._function, data=out, wcs=new_wcs,
+                mask = LazyMask(jnp.isfinite, data=out, wcs=new_wcs,
                                 shape=tuple(out.shape))
             else:
                 mask = BooleanArrayMask(new_include, wcs=new_wcs,
@@ -716,6 +730,8 @@ class ShardedCube:
                     if new_include is not None else None
             return ShardedCube(c._new_cube_with(data=out, wcs=new_wcs,
                                                 mask=mask), self.cmesh)
+        include = c._mask.include(data=c._device_data) \
+            if c._mask is not None else None
         # RAW data, not filled: masked voxels must not poison neighbors —
         # the mask interpolates separately, exactly like the unsharded
         # path (cube.py spectral_interpolate passes _device_data)

@@ -499,3 +499,75 @@ def test_sharded_smooth_interpolate_matches_unsharded(tmp_path):
         np.asarray(got.cube.filled_data[:].value),
         np.asarray(ref.filled_data[:].value),
         rtol=2e-5, atol=1e-6, equal_nan=True)
+
+
+def test_sharded_smooth_interpolate_threshold_mask_parity(tmp_path):
+    """Review finding: threshold-style data-local masks must re-evaluate
+    on the SMOOTHED data in the sharded path too — sharded and unsharded
+    smooth+interp agree on filled values for cube > 0.3 masks."""
+    import warnings
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube, ShardedCube, CubeMesh
+    from spectral_cube_tpu.ops.smoothing import gaussian_kernel1d
+    from spectral_cube_tpu.units import Quantity
+
+    p, data = make_cube_file(tmp_path, name="tm.fits", shape=(10, 8, 8),
+                             seed=9)
+    cube0 = SpectralCube.read(p)
+    cube = cube0.with_mask(cube0 > Quantity(0.3, cube0.unit))
+    sv = np.asarray(cube.spectral_axis.value)
+    grid = Quantity((sv[:-1] + sv[1:]) / 2.0, cube.spectral_unit)
+    kern = gaussian_kernel1d(1.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = cube.spectral_interpolate(grid, smooth_kernel=kern)
+        got = ShardedCube(cube, CubeMesh()).spectral_interpolate(
+            grid, smooth_kernel=kern)
+    np.testing.assert_allclose(
+        np.asarray(got.cube.filled_data[:].value),
+        np.asarray(ref.filled_data[:].value),
+        rtol=2e-5, atol=1e-6, equal_nan=True)
+
+
+def test_sharded_smooth_interpolate_unaligned_spatial(tmp_path):
+    """Review finding: zero-padding (not NaN) on mesh-unaligned spatial
+    shapes keeps results identical to the unsharded call."""
+    import warnings
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube, ShardedCube, CubeMesh
+    from spectral_cube_tpu.ops.smoothing import gaussian_kernel1d
+    from spectral_cube_tpu.units import Quantity
+
+    p, data = make_cube_file(tmp_path, name="ua.fits", shape=(8, 9, 13),
+                             seed=11, with_nan=False)
+    cube = SpectralCube.read(p)
+    sv = np.asarray(cube.spectral_axis.value)
+    grid = Quantity((sv[:-1] + sv[1:]) / 2.0, cube.spectral_unit)
+    kern = gaussian_kernel1d(1.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = cube.spectral_interpolate(grid, smooth_kernel=kern)
+        got = ShardedCube(cube, CubeMesh()).spectral_interpolate(
+            grid, smooth_kernel=kern)
+    np.testing.assert_allclose(
+        np.asarray(got.cube.filled_data[:].value),
+        np.asarray(ref.filled_data[:].value),
+        rtol=2e-5, atol=1e-6, equal_nan=True)
+
+
+def test_vrods_interp_same_length_keeps_goodbeams(tmp_path):
+    """Review finding: a same-length 1-D regrid keeps both the beams AND
+    the goodbeams mask."""
+    from conftest import make_vr_cube_file
+    from spectral_cube_tpu import SpectralCube
+    from spectral_cube_tpu.units import Quantity
+    p, _ = make_vr_cube_file(tmp_path, shape=(4, 3, 2))
+    cube = SpectralCube.read(p).mask_out_bad_beams(10.0)
+    spec = cube[:, 1, 1]
+    gbm = np.asarray(spec.goodbeams_mask).copy()
+    sv = np.asarray(spec.spectral_axis.value)
+    out = spec.spectral_interpolate(
+        Quantity(sv + 0.1 * (sv[1] - sv[0]), spec.spectral_axis.unit),
+        suppress_smooth_warning=True)
+    assert np.all(np.asarray(out.goodbeams_mask) == gbm)
+    assert len(out.beams) == gbm.sum()
