@@ -893,3 +893,37 @@ def test_smooth_interp_fused_path_for_finiteness_masks(cube_adv,
     assert calls == [None]
     assert isinstance(out.mask, LazyMask)
     assert np.asarray(out.mask.include()).shape == out.shape
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_interp_include_matches_bruteforce(seed, monkeypatch):
+    """Property test for the strict interp mask: an output sample is
+    included iff EVERY nonzero-weight input tap is included (with the
+    exact-hit rescue), on both the gather and matmul paths."""
+    from spectral_cube_tpu.ops import interpolate as itp
+    rng = np.random.RandomState(seed)
+    nin = int(rng.randint(6, 16))
+    nout = int(rng.randint(4, 14))
+    inax = np.sort(rng.rand(nin)) * 10
+    outax = np.sort(rng.rand(nout)) * 12 - 1  # some out-of-range
+    data = rng.rand(nin, 3, 2).astype("f4")
+    include = rng.rand(nin, 3, 2) > 0.4
+
+    idx, frac = itp.interp_weights(inax, outax)
+    expected = np.empty((nout, 3, 2), dtype=bool)
+    for k in range(nout):
+        i, f = int(idx[k]), float(frac[k])
+        if f == 0:
+            expected[k] = include[i]
+        elif f == 1:
+            expected[k] = include[i + 1]
+        else:
+            expected[k] = include[i] & include[i + 1]
+
+    for matmul in (False, True):
+        monkeypatch.setattr(itp, "_use_matmul_interp",
+                            lambda a, b, m=matmul: m)
+        _, got = itp.interp_cube_spectral(jnp.asarray(data), inax, outax,
+                                          include=jnp.asarray(include))
+        np.testing.assert_array_equal(np.asarray(got), expected,
+                                      err_msg=f"matmul={matmul}")
