@@ -133,7 +133,11 @@ class Header:
         return Header(self)
 
     def add_history(self, text):
-        self.history.append(str(text))
+        # idempotent: re-writing a cube must not accumulate duplicate
+        # provenance cards (repeated round-trips grew the header without
+        # bound)
+        if str(text) not in self.history:
+            self.history.append(str(text))
 
     def add_comment(self, text):
         self.comments_log.append(str(text))

@@ -752,3 +752,21 @@ def test_aips_beams_units(tmp_path):
                                    0.4 / 3600, decimal=10)
     np.testing.assert_almost_equal(
         float(c.beams[0].major.to_value("arcsec")), 0.4)
+
+
+def test_write_read_write_idempotent(tmp_path):
+    """Repeated round-trips converge to byte-identical files: provenance
+    HISTORY cards dedupe instead of accumulating without bound."""
+    p0, d = make_cube_file(tmp_path, name="idem.fits")
+    c = SpectralCube.read(p0)
+    p1 = str(tmp_path / "g1.fits")
+    c.write(p1)
+    c2 = SpectralCube.read(p1)
+    p2 = str(tmp_path / "g2.fits")
+    c2.write(p2)
+    c3 = SpectralCube.read(p2)
+    p3 = str(tmp_path / "g3.fits")
+    c3.write(p3)
+    assert open(p2, "rb").read() == open(p3, "rb").read()
+    h = c3.header
+    assert h["HISTORY"].count("Written by spectral_cube_tpu") == 1
