@@ -124,7 +124,8 @@ class Header:
         if isinstance(other, Header):
             for k, v in other.items():
                 self[k] = v
-            self.history.extend(other.history)
+            for h in other.history:
+                self.add_history(h)
         else:
             for k, v in dict(other).items():
                 self[k] = v
