@@ -236,8 +236,11 @@ def test_moment0_unit_renders_named(tmp_path):
     """moment0 of a Jy/beam cube with a km/s axis reports a named unit
     (reference: astropy renders Jy km / (beam s)), not 1e-23 kg m s-3."""
     from spectral_cube_tpu import SpectralCube
-    cube = SpectralCube.read(
-        "/root/reference/spectral_cube/tests/data/example_cube.lmv")
+    import os
+    ref = "/root/reference/spectral_cube/tests/data/example_cube.lmv"
+    if not os.path.exists(ref):
+        pytest.skip("reference LMV example not available")
+    cube = SpectralCube.read(ref)
     m0 = cube.moment0()
     assert "kg" not in str(m0.unit)
     assert str(m0.unit) == "Jy km / (beam s)"
@@ -251,8 +254,11 @@ def test_cube_times_unit():
     import pytest
     from spectral_cube_tpu import SpectralCube
     from spectral_cube_tpu.units import Unit
-    cube = SpectralCube.read(
-        "/root/reference/spectral_cube/tests/data/example_cube.lmv")
+    import os
+    ref = "/root/reference/spectral_cube/tests/data/example_cube.lmv"
+    if not os.path.exists(ref):
+        pytest.skip("reference LMV example not available")
+    cube = SpectralCube.read(ref)
     kms = Unit.parse("km/s")
     assert str((cube * kms).unit) == "Jy km / (beam s)"
     assert str((kms * cube).unit) == "Jy km / (beam s)"
