@@ -302,3 +302,84 @@ def test_change_rest_two_leg_exact():
                                rtol=1e-14)
     np.testing.assert_allclose(out.cdelt[0], 1291.3488006306475896,
                                rtol=1e-14)
+
+
+ROOT_GRID = {
+    "FREQ": ("Hz", 1.37847121643e9, 9.7647e4),
+    "WAVE": ("m", 0.2174818, -1.54e-5),
+    "WAVN": ("1 / m", 4.5981, 3.3e-4),
+    "ENER": ("J", 9.134e-25, 6.47e-29),
+    "VRAD": ("m/s", 8.85075090419e6, -2.06e4),
+    "VOPT": ("m/s", 9.120002206e6, -2.19e4),
+    "VELO": ("m/s", 8.98134229811e6, -2.12e4),
+}
+ROOT_CHAR_GRID = {"FREQ": "F", "WAVE": "W", "WAVN": "F", "ENER": "F",
+                  "VRAD": "F", "VOPT": "W", "VELO": "V"}
+
+
+@pytest.mark.parametrize("rin", sorted(ROOT_GRID))
+@pytest.mark.parametrize("rout", sorted(ROOT_GRID))
+def test_conversion_matrix_mpmath(rin, rout):
+    """Every (in_root -> out_root) spectral conversion agrees with a
+    40-digit mpmath derivation through the frequency frame at 1e-10
+    (crval AND the analytic cdelt derivative)."""
+    if rin == rout:
+        pytest.skip("identity")
+    mpmath = pytest.importorskip("mpmath")
+    mp = mpmath.mp
+    mpf = mpmath.mpf
+    mp.dps = 40
+    Cm = mpf("299792458")
+    Hm = mpf("6.62607015e-34")
+    REST = mpf("1.42040571841e9")
+
+    def to_freq(root, x):
+        x = mpf(x)
+        if root == "FREQ":
+            return x, mpf(1)
+        if root == "WAVN":
+            return x * Cm, Cm
+        if root == "ENER":
+            return x / Hm, 1 / Hm
+        if root == "WAVE":
+            return Cm / x, -Cm / x ** 2
+        if root == "VRAD":
+            return REST * (1 - x / Cm), -REST / Cm
+        if root == "VOPT":
+            return REST * Cm / (Cm + x), -REST * Cm / (Cm + x) ** 2
+        b = x / Cm
+        return (REST * mp.sqrt((1 - b) / (1 + b)),
+                REST * (-1 / Cm) / ((1 + b) * mp.sqrt(1 - b ** 2)))
+
+    def from_freq(root, f):
+        f = mpf(f)
+        if root == "FREQ":
+            return f, mpf(1)
+        if root == "WAVN":
+            return f / Cm, 1 / Cm
+        if root == "ENER":
+            return f * Hm, Hm
+        if root == "WAVE":
+            return Cm / f, -Cm / f ** 2
+        if root == "VRAD":
+            return Cm * (REST - f) / REST, -Cm / REST
+        if root == "VOPT":
+            return Cm * (REST - f) / f, -Cm * REST / f ** 2
+        return (Cm * (REST ** 2 - f ** 2) / (REST ** 2 + f ** 2),
+                -4 * Cm * f * REST ** 2 / (REST ** 2 + f ** 2) ** 2)
+
+    uin, crval, cdelt = ROOT_GRID[rin]
+    uout = ROOT_GRID[rout][0]
+    f, dfdx = to_freq(rin, crval)
+    v, dvdf = from_freq(rout, f)
+    exp_crval = float(v)
+    exp_cdelt = float(dvdf * dfdx * mpf(cdelt))
+
+    w = _spectral_1d(rin, crval, cdelt, uin, restfrq=float(REST))
+    in_char, out_char = ROOT_CHAR_GRID[rin], ROOT_CHAR_GRID[rout]
+    out_ctype = rout if in_char == out_char \
+        else f"{rout}-{in_char}2{out_char}"
+    nw = convert_spectral_axis(w, uout, out_ctype,
+                               rest_value=Quantity(float(REST), "Hz"))
+    np.testing.assert_allclose(nw.crval[0], exp_crval, rtol=1e-10)
+    np.testing.assert_allclose(nw.cdelt[0], exp_cdelt, rtol=1e-10)
