@@ -383,3 +383,36 @@ def test_conversion_matrix_mpmath(rin, rout):
                                rest_value=Quantity(float(REST), "Hz"))
     np.testing.assert_allclose(nw.crval[0], exp_crval, rtol=1e-10)
     np.testing.assert_allclose(nw.cdelt[0], exp_cdelt, rtol=1e-10)
+
+
+AIR_VAC_LINES = [
+    # (air, vacuum) wavelengths in Angstrom — SDSS DR5 line list (the
+    # reference's test_air_to_vac table, test_spectral_axis.py:423-451)
+    (4861.363, 4862.721),     # H-beta
+    (5006.843, 5008.239),     # [O III]
+    (6548.05, 6549.86),       # [N II]
+    (6562.801, 6564.614),     # H-alpha
+    (6583.45, 6585.27),       # [N II]
+    (6716.44, 6718.29),       # [S II]
+    (6730.82, 6732.68),       # [S II]
+]
+
+
+@pytest.mark.parametrize(("air", "vac"), AIR_VAC_LINES)
+def test_air_to_vac(air, vac):
+    """reference test_spectral_axis.py:437-451: the Greisen (2006)
+    air<->vacuum conversion reproduces the SDSS line list to 2e-5
+    relative and round-trips to 1e-8."""
+    a = air * 1e-10
+    v = vac * 1e-10
+    got_v = float(sp.air_to_vac(np.array([a]))[0])
+    got_a = float(sp.vac_to_air(np.array([v]))[0])
+    assert abs(got_v - v) < 0.15e-10
+    assert abs(got_a - a) < 0.15e-10
+    assert abs(got_v - v) / v < 2e-5
+    assert abs(got_a - a) / a < 2e-5
+    # round trips
+    rt = float(sp.vac_to_air(sp.air_to_vac(np.array([a])))[0])
+    assert abs(rt - a) / a < 1e-8
+    rt2 = float(sp.air_to_vac(sp.vac_to_air(np.array([v])))[0])
+    assert abs(rt2 - v) / v < 1e-8
