@@ -1679,12 +1679,22 @@ class BaseSpectralCube:
 
     @_tmp_dir_option
     def sigma_clip_spectrally(self, threshold, verbose=0, maxiters=5,
-                              **kwargs):
+                              cenfunc="median", stdfunc="std", **kwargs):
         """Iterative per-spaxel sigma clip (reference
-        spectral_cube.py:3161-3184; the dask docs benchmark workload)."""
+        spectral_cube.py:3161-3184; the dask docs benchmark workload).
+        ``cenfunc``/``stdfunc`` follow astropy.stats.sigma_clip (the
+        reference forwards kwargs there); unknown kwargs are rejected the
+        way astropy would reject them, never silently dropped."""
+        _IGNORED = {"num_cores", "use_memmap", "parallel", "update_function"}
+        unknown = set(kwargs) - _IGNORED
+        if unknown:
+            raise TypeError(
+                f"unsupported sigma_clip keyword(s) {sorted(unknown)}; "
+                "supported: cenfunc ('median'|'mean'), stdfunc ('std')")
         data = self._get_filled_data(fill=np.nan)
         out = _smooth.sigma_clip_spectrally(data, sigma=threshold,
-                                            maxiters=maxiters)
+                                            maxiters=maxiters,
+                                            cenfunc=cenfunc, stdfunc=stdfunc)
         return self._new_cube_with(data=out)
 
     def check_jybeam_smoothing(self, raise_error_jybm=True):

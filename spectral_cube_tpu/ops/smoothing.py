@@ -258,15 +258,30 @@ def spatial_median_filter_cube(data, size):
     return jnp.median(flat, axis=0)
 
 
-def sigma_clip_spectrally(data, sigma=3.0, maxiters=5, cenfunc="median"):
+def sigma_clip_spectrally(data, sigma=3.0, maxiters=5, cenfunc="median",
+                          stdfunc="std"):
     """Iterative per-spaxel sigma clipping along the spectral axis,
-    astropy.stats.sigma_clip semantics (cenfunc=median, stdfunc=std;
+    astropy.stats.sigma_clip semantics (cenfunc=median|mean, stdfunc=std;
     clipped values -> NaN); the reference workload at docs/dask.rst:188-212
-    and spectral_cube.py:3161."""
-    if cenfunc not in ("median", np.median, np.nanmedian):
+    and spectral_cube.py:3161.
+
+    The sort-once band algorithm supports any *interval* clip, so both
+    cenfunc choices share one code path: survivors of each iteration are a
+    contiguous band of the per-spaxel sorted spectrum, and the center is
+    either the band median (indicator-masked sums) or the band mean.
+    """
+    if cenfunc in ("median", np.median, np.nanmedian):
+        use_mean_center = False
+    elif cenfunc in ("mean", np.mean, np.nanmean):
+        use_mean_center = True
+    else:
         raise NotImplementedError(
-            "the sorted-band sigma-clip implements cenfunc='median' only "
-            f"(got {cenfunc!r})")
+            "the sorted-band sigma-clip implements cenfunc='median' and "
+            f"'mean' only (got {cenfunc!r})")
+    if stdfunc not in ("std", np.std, np.nanstd):
+        raise NotImplementedError(
+            "the sorted-band sigma-clip implements stdfunc='std' only "
+            f"(got {stdfunc!r})")
     data = jnp.asarray(data)
     comp = jnp.float64 if data.dtype == jnp.float64 else jnp.float32
     x = data.astype(comp)
@@ -304,12 +319,16 @@ def sigma_clip_spectrally(data, sigma=3.0, maxiters=5, cenfunc="median"):
         var = jnp.sum(jnp.where(in_band, (s - mean[None]) ** 2, 0),
                       axis=0) / safe
         std = jnp.sqrt(var)
-        m_lo = i_lo + (cnt - 1) // 2
-        m_hi = i_lo + cnt // 2
-        med = (jnp.sum(jnp.where(iota == m_lo[None], s, 0), axis=0)
-               + jnp.sum(jnp.where(iota == m_hi[None], s, 0), axis=0)) / 2
-        lo_v = med - sigma * std
-        hi_v = med + sigma * std
+        if use_mean_center:
+            center = mean
+        else:
+            m_lo = i_lo + (cnt - 1) // 2
+            m_hi = i_lo + cnt // 2
+            center = (jnp.sum(jnp.where(iota == m_lo[None], s, 0), axis=0)
+                      + jnp.sum(jnp.where(iota == m_hi[None], s, 0),
+                                axis=0)) / 2
+        lo_v = center - sigma * std
+        hi_v = center + sigma * std
         # counts of sorted values below/through the new interval (NaN
         # comparisons are False, so the NaN tail never counts)
         n_lt = jnp.sum((s < lo_v[None]).astype(jnp.int32), axis=0)

@@ -446,19 +446,22 @@ def sharded_spectral_convolve_fft(data, transfers, group_idx,
     return out[(slice(0, nchan0),) + crop[1:]]
 
 
-def sharded_sigma_clip(data, cmesh: CubeMesh, sigma=3.0, maxiters=5):
+def sharded_sigma_clip(data, cmesh: CubeMesh, sigma=3.0, maxiters=5,
+                       cenfunc="median", stdfunc="std"):
     """Per-spaxel sigma clip: zero-communication in the spatial layout."""
     from ..ops.smoothing import sigma_clip_spectrally
     mesh = cmesh.mesh
     data, _, crop = _pad_spatial(jnp.asarray(data), cmesh, jnp.nan)
     key = ("sclip", data.shape, str(getattr(data, "dtype", "f4")),
-           float(sigma), int(maxiters),
+           float(sigma), int(maxiters), str(cenfunc), str(stdfunc),
            tuple(id(d) for d in mesh.devices.ravel()))
     fn = _SHARDED_JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(shard_map(
             lambda d: sigma_clip_spectrally(d, sigma=sigma,
-                                            maxiters=maxiters),
+                                            maxiters=maxiters,
+                                            cenfunc=cenfunc,
+                                            stdfunc=stdfunc),
             mesh=mesh, in_specs=(P(None, "y", "x"),),
             out_specs=P(None, "y", "x")))
         _cache_put(key, fn)
@@ -676,10 +679,12 @@ class ShardedCube:
         out["sumsq"] = Quantity(raw["sumsq"], c.unit ** 2)
         return out
 
-    def sigma_clip_spectrally(self, threshold, maxiters=5):
+    def sigma_clip_spectrally(self, threshold, maxiters=5,
+                              cenfunc="median", stdfunc="std"):
         out = sharded_sigma_clip(self.cube._get_filled_data(fill=np.nan),
                                  self.cmesh, sigma=threshold,
-                                 maxiters=maxiters)
+                                 maxiters=maxiters, cenfunc=cenfunc,
+                                 stdfunc=stdfunc)
         return ShardedCube(self.cube._new_cube_with(data=out), self.cmesh)
 
     def spatial_smooth(self, kernel):

@@ -359,7 +359,57 @@ def test_sigma_clip_rejects_unsupported_cenfunc():
     from spectral_cube_tpu.ops.smoothing import sigma_clip_spectrally
     with pytest.raises(NotImplementedError):
         sigma_clip_spectrally(np.ones((8, 2, 2), np.float32),
-                              cenfunc="mean")
+                              cenfunc="mode")
+    with pytest.raises(NotImplementedError):
+        sigma_clip_spectrally(np.ones((8, 2, 2), np.float32),
+                              stdfunc="mad_std")
+
+
+def test_sigma_clip_mean_cenfunc_matches_iterative_numpy():
+    """cenfunc='mean' follows astropy.stats.sigma_clip: center = mean of
+    the survivors, std around the survivors' mean, clip outside
+    center +- sigma*std (reference forwards kwargs to astropy at
+    spectral_cube.py:3161-3184)."""
+    rng = np.random.RandomState(11)
+    data = rng.randn(48, 3, 2).astype("f4")
+    data[4, 0, 0] = 25.0
+    data[9, 1, 1] = -17.0
+    data[2, 2, 0] = np.nan
+
+    def np_clip_mean(v, sigma, iters):
+        v = v.copy()
+        for _ in range(iters):
+            with np.errstate(invalid="ignore"):
+                c = np.nanmean(v)
+                std = np.nanstd(v)
+                v[np.abs(v - c) > sigma * std] = np.nan
+        return v
+
+    out = np.asarray(sigma_clip_spectrally(
+        jnp.asarray(data), sigma=2.5, maxiters=5, cenfunc="mean"))
+    expected = np.stack(
+        [np.stack([np_clip_mean(data[:, j, i], 2.5, 5)
+                   for i in range(2)], axis=-1)
+         for j in range(3)], axis=1)
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-6,
+                               equal_nan=True)
+
+
+def test_cube_sigma_clip_cenfunc_kwarg(cube_adv):
+    """The cube method threads cenfunc through (it used to silently drop
+    **kwargs, so cenfunc='mean' ran the median path) and rejects kwargs
+    it cannot honor instead of ignoring them."""
+    import pytest
+    cube, data = cube_adv
+    out_mean = cube.sigma_clip_spectrally(2.0, cenfunc="mean")
+    out_med = cube.sigma_clip_spectrally(2.0)
+    a = np.asarray(out_mean.filled_data[:])
+    b = np.asarray(out_med.filled_data[:])
+    assert a.shape == b.shape
+    with pytest.raises(TypeError):
+        cube.sigma_clip_spectrally(2.0, grow=1.5)
+    # reference-accepted performance kwargs are still tolerated
+    cube.sigma_clip_spectrally(2.0, num_cores=2, use_memmap=False)
 
 
 def test_sigma_clip_treats_nonfinite_as_missing():
