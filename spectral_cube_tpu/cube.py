@@ -39,7 +39,7 @@ from .lower_dimensional_structures import (Projection, Slice, OneDSpectrum,
                                            LowerDimensionalObject)
 from .utils import (cached, warn_slow, MEMORY_THRESHOLD, VarianceWarning,
                     BeamAverageWarning, NonFiniteBeamsWarning,
-                    WCSMismatchWarning, SliceWarning)
+                    WCSMismatchWarning, SliceWarning, ProgressBar)
 from .ops import reductions as _red
 from .ops import moments as _mom
 from .ops import smoothing as _smooth
@@ -1546,40 +1546,79 @@ class BaseSpectralCube:
         return self._new_cube_with(data=jnp.asarray(out))
 
     @_tmp_dir_option
-    def apply_function(self, function, axis=None, unit=None,
-                       projection=False, keep_shape=False, **kwargs):
-        """Apply a reduction function along an axis (reference
-        spectral_cube.py:1005-1105)."""
-        data = self._get_filled_data(fill=np.nan)
+    def apply_function(self, function, axis=None, weights=None, unit=None,
+                       projection=False, progressbar=False,
+                       update_function=None, keep_shape=False, **kwargs):
+        """Apply ``function`` to the mask-flattened *valid* data along
+        ``axis`` (reference spectral_cube.py:1005-1105): each line of
+        sight contributes only its included values (the function need not
+        be nan-aware), ``weights`` multiplies them, empty rays stay NaN
+        (or 0 for integer-valued functions), and a Quantity result is
+        unwrapped to its value.  ``axis=None`` applies the function to
+        the whole cube's flattened values and returns a scalar.
+
+        This is the host-side per-ray escape hatch, same cost model as
+        the reference's ray iteration; for device-speed per-spaxel work
+        use :meth:`apply_function_parallel_spectral`."""
         if axis is None:
-            out = function(np.asarray(data).ravel(), **kwargs)
+            out = function(self.flattened(weights=weights), **kwargs)
             if unit is not None:
                 return Quantity(out, unit)
             return out
-        try:
-            moved = jnp.moveaxis(data, axis, 0)
-            flat = moved.reshape(moved.shape[0], -1)
-            out = jax.vmap(lambda v: function(v, **kwargs), in_axes=1)(flat)
-            out = np.asarray(out)
-            if out.ndim == 1:
-                shp = [s for i, s in enumerate(self.shape) if i != axis]
-                out = out.reshape(shp)
-            elif keep_shape:
-                out = np.moveaxis(
-                    out.reshape((-1,) + tuple(
-                        s for i, s in enumerate(self.shape) if i != axis)),
-                    0, axis)
-        except Exception:
-            arr = np.asarray(data)
-            out = np.apply_along_axis(lambda v: function(v, **kwargs), axis,
-                                      arr)
-        if keep_shape:
-            return self._new_cube_with(data=jnp.asarray(out), unit=unit)
+        if hasattr(axis, "__len__"):
+            raise NotImplementedError(
+                "`apply_function` does not support function application "
+                "across multiple axes.  Try `apply_numpy_function`.")
+        axis = int(axis) % 3
+
+        data = np.asarray(self._device_data)
+        inc = np.broadcast_to(np.asarray(self._include_view(())), data.shape)
+        w = (np.broadcast_to(np.asarray(weights), data.shape)
+             if weights is not None else None)
+
+        rem = [i for i in range(3) if i != axis]
+        ny_, nx_ = self.shape[rem[0]], self.shape[rem[1]]
+        nz = self.shape[axis] if keep_shape else 1
+
+        # dtype probe, reference spectral_cube.py:1066-1071 (argmax-style
+        # integer results must not be NaN-initialized)
+        proberes = function(np.arange(3, dtype=data.dtype), **kwargs)
+        if "int" in str(getattr(proberes, "dtype", "")):
+            out = np.zeros([nz, ny_, nx_],
+                           dtype=getattr(proberes, "dtype"))
+        else:
+            out = np.empty([nz, ny_, nx_]) * np.nan
+
+        if progressbar:
+            pb = ProgressBar(ny_ * nx_)
+            pbu = pb.update
+        elif update_function is not None:
+            pbu = update_function
+        else:
+            pbu = lambda: True
+
+        for y in range(ny_):
+            for x in range(nx_):
+                slc = [y, x]
+                slc.insert(axis, slice(None))
+                slc = tuple(slc)
+                ray = data[slc]
+                vals = ray[inc[slc]]
+                if w is not None:
+                    vals = vals * w[slc][inc[slc]]
+                if len(vals) != 0:
+                    result = function(Quantity(vals, self.unit), **kwargs)
+                    out[:, y, x] = getattr(result, "value", result)
+                pbu()
+
+        if not keep_shape:
+            out = out[0, :, :]
+
         if projection and out.ndim == 2:
             return self._wrap_projection(out, axis,
                                          unit if unit is not None
                                          else self.unit)
-        return Quantity(out, unit) if unit is not None else out
+        return out
 
     @warn_slow
     @_tmp_dir_option
@@ -2304,6 +2343,28 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
         if isinstance(axis, (int, np.integer)) and axis % 3 == 0:
             self._check_beam_areas()
         return super().moment(order=order, axis=axis, **kwargs)
+
+    def _check_beams_for_axis(self, axis):
+        """The reference wraps apply_numpy_function/apply_function in
+        _handle_beam_areas_wrapper via __getattribute__
+        (spectral_cube.py:4077-4095, base_class.py:697-705): operating
+        over the spectral axis requires matching beams."""
+        if axis is None:
+            return
+        if isinstance(axis, (tuple, list)):
+            if 0 in [int(a) % 3 for a in axis]:
+                self._check_beam_areas()
+        elif int(axis) % 3 == 0:
+            self._check_beam_areas()
+
+    def apply_numpy_function(self, function, *args, axis=None, **kwargs):
+        self._check_beams_for_axis(axis)
+        return super().apply_numpy_function(function, *args, axis=axis,
+                                            **kwargs)
+
+    def apply_function(self, function, axis=None, **kwargs):
+        self._check_beams_for_axis(axis)
+        return super().apply_function(function, axis=axis, **kwargs)
 
     def __getitem__(self, view):
         if not isinstance(view, tuple):

@@ -265,6 +265,70 @@ def test_flattened(cube_adv):
     assert flat.size == np.isfinite(data).sum()
 
 
+def test_apply_function_masked_flattened_rays(cube_adv):
+    """apply_function sees only each ray's *valid* values (reference
+    spectral_cube.py:1049-1092: function need not be nan-aware; data
+    arrives mask-flattened per line of sight)."""
+    cube, data = cube_adv
+    masked = cube.with_mask(cube > 0.3 * u.Jy / u.beam)
+    out = masked.apply_function(np.mean, axis=0)
+    assert isinstance(out, np.ndarray) and out.shape == data.shape[1:]
+    inc = np.isfinite(data) & (data > 0.3)
+    for j in range(data.shape[1]):
+        for i in range(data.shape[2]):
+            vals = data[:, j, i][inc[:, j, i]]
+            exp = vals.mean() if len(vals) else np.nan
+            np.testing.assert_allclose(out[j, i], exp, rtol=1e-6,
+                                       equal_nan=True)
+
+
+def test_apply_function_axis_none_weights_projection(cube_adv):
+    """axis=None flattens the whole cube; weights multiply the flattened
+    values; projection=True wraps a Projection with collapse_axis meta
+    (reference spectral_cube.py:1049-1105)."""
+    cube, data = cube_adv
+    total = cube.apply_function(np.sum, axis=None, unit=cube.unit)
+    np.testing.assert_allclose(float(total.value), np.nansum(data),
+                               rtol=1e-6)
+    w = np.full(data.shape, 2.0)
+    doubled = cube.apply_function(np.sum, axis=0, weights=w)
+    base = cube.apply_function(np.sum, axis=0)
+    np.testing.assert_allclose(doubled, 2 * base, rtol=1e-6,
+                               equal_nan=True)
+    proj = cube.apply_function(np.max, axis=0, projection=True,
+                               unit=cube.unit)
+    from spectral_cube_tpu.lower_dimensional_structures import Projection
+    assert isinstance(proj, Projection)
+    assert proj.meta["collapse_axis"] == 0
+    # integer-valued functions get a zero-initialized integer output
+    # (reference dtype probe, spectral_cube.py:1066-1071)
+    am = cube.apply_function(np.argmax, axis=0)
+    assert "int" in str(am.dtype)
+    # empty rays stay NaN, and multi-axis application is refused
+    allout = cube.with_mask(
+        np.zeros(data.shape, bool)).apply_function(np.mean, axis=0)
+    assert np.isnan(allout).all()
+    with pytest.raises(NotImplementedError):
+        cube.apply_function(np.mean, axis=(0, 1))
+
+
+def test_apply_function_keep_shape_and_spatial_axis(cube_adv):
+    """keep_shape returns the raw [n_axis, rem0, rem1] array with the
+    applied axis FIRST (reference allocates out[nz, nx, ny] and never
+    transposes back, spectral_cube.py:1063-1097)."""
+    cube, data = cube_adv
+    nz = data.shape[1]
+    kept = cube.apply_function(
+        lambda v: np.full(nz, np.mean(np.asarray(v))),
+        axis=1, keep_shape=True)
+    assert kept.shape == (data.shape[1], data.shape[0], data.shape[2])
+    exp = np.nanmean(data, axis=1)
+    for z in range(data.shape[0]):
+        for i in range(data.shape[2]):
+            np.testing.assert_allclose(kept[:, z, i],
+                                       np.full(nz, exp[z, i]), rtol=1e-5)
+
+
 def test_apply_function_parallel_spectral(cube_adv):
     cube, data = cube_adv
     out = cube.apply_function_parallel_spectral(lambda s: s * 2)

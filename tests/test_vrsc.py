@@ -265,3 +265,27 @@ def test_pixels_per_beam_filters_bad_beams(cube_vr):
     ppb = np.asarray(mcube.pixels_per_beam)
     assert len(ppb) == 3
     assert np.isfinite(ppb).all()
+
+
+def test_apply_function_beam_check_on_spectral_axis(cube_vr):
+    """apply_function / apply_numpy_function over the spectral axis of a
+    varying-resolution cube require matched beams (the reference's
+    __getattribute__ hook at spectral_cube.py:4077-4095 wraps both in
+    _handle_beam_areas_wrapper); spatial axes and axis=None are exempt."""
+    vr, data = cube_vr  # beams 1.0..1.5 arcsec: far beyond the threshold
+    with pytest.raises(ValueError):
+        vr.apply_function(np.mean, axis=0)
+    with pytest.raises(ValueError):
+        vr.apply_numpy_function(np.nansum, axis=0)
+    with pytest.raises(ValueError):
+        vr.apply_numpy_function(np.nansum, axis=(0, 1))
+    # non-spectral applications proceed
+    out = vr.apply_function(np.mean, axis=1)
+    assert out.shape == (data.shape[0], data.shape[2])
+    scalar = vr.apply_function(np.sum, axis=None)
+    assert np.isfinite(float(getattr(scalar, "value", scalar)))
+    # equal beams pass the check
+    eq = vr.with_beams(Beams(beams=[vr.unmasked_beams[0]] * data.shape[0]),
+                       raise_error_jybm=False)
+    res = eq.apply_function(np.mean, axis=0)
+    assert res.shape == data.shape[1:]
