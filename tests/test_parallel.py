@@ -571,3 +571,92 @@ def test_vrods_interp_same_length_keeps_goodbeams(tmp_path):
         suppress_smooth_warning=True)
     assert np.all(np.asarray(out.goodbeams_mask) == gbm)
     assert len(out.beams) == gbm.sum()
+
+
+def test_sharded_spatial_convolve_nonseparable_halo_path(cmesh):
+    """A full-rank (non-separable) odd kernel takes the DIRECT halo-pad
+    conv_general_dilated path inside sharded_spatial_convolve (the
+    separable fast path returns None, the kernel fits a tile).  It must
+    match the unsharded normalized-convolution oracle including the NaN
+    hole."""
+    from spectral_cube_tpu.parallel.sharded import sharded_spatial_convolve
+    from spectral_cube_tpu.ops.smoothing import spatial_smooth_cube
+    rng = np.random.RandomState(17)
+    data = rng.rand(4, 16, 16).astype("f4")
+    data[1, 7, 9] = np.nan
+    k = rng.rand(5, 5).astype(float) + 0.05   # rank 5 > max_rank=4
+    k /= k.sum()
+    expected = np.asarray(spatial_smooth_cube(jnp.asarray(data), k))
+    got = np.asarray(sharded_spatial_convolve(data, k, cmesh))
+    np.testing.assert_allclose(got, expected, rtol=3e-5, atol=3e-6,
+                               equal_nan=True)
+
+
+def test_sharded_interp_no_mask_branch(cmesh):
+    """sharded_spectral_interpolate(include=None) — the maskless branch —
+    agrees with the single-device interp kernel."""
+    from spectral_cube_tpu.parallel.sharded import (
+        sharded_spectral_interpolate)
+    from spectral_cube_tpu.ops.interpolate import interp_cube_spectral
+    rng = np.random.RandomState(3)
+    data = rng.rand(10, 8, 8).astype("f4")
+    inax = np.linspace(0.0, 9.0, 10)
+    outax = np.linspace(0.5, 8.5, 17)
+    expected = np.asarray(interp_cube_spectral(jnp.asarray(data), inax,
+                                               outax)[0])
+    got, inc = sharded_spectral_interpolate(data, inax, outax, cmesh,
+                                            include=None)
+    assert inc is None
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-5,
+                               atol=2e-6, equal_nan=True)
+
+
+def test_sharded_smooth_interp_boolean_mask_branch(tmp_path):
+    """ShardedCube.spectral_interpolate(smooth_kernel=) with a stored
+    BooleanArrayMask exercises the include-carrying fused kernel (the
+    non-data-local mask branch) and matches the unsharded op."""
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube, BooleanArrayMask
+    from spectral_cube_tpu.units import Quantity
+    path, data = make_cube_file(tmp_path, shape=(12, 8, 8))
+    cube = SpectralCube.read(path)
+    rng = np.random.RandomState(4)
+    inc = rng.rand(*data.shape) > 0.15
+    mcube = cube.with_mask(BooleanArrayMask(inc, wcs=cube.wcs,
+                                            shape=data.shape),
+                           inherit_mask=False)
+    grid = Quantity(np.linspace(
+        float(cube.spectral_axis.value[1]),
+        float(cube.spectral_axis.value[-2]), 15), cube.spectral_unit)
+    k = np.hanning(5)[1:-1]
+    k /= k.sum()
+    expected = mcube.spectral_interpolate(grid, smooth_kernel=k)
+    sc = ShardedCube(mcube, CubeMesh()).spectral_interpolate(
+        grid, smooth_kernel=k)
+    np.testing.assert_allclose(
+        np.asarray(sc.cube.filled_data[:].value),
+        np.asarray(expected.filled_data[:].value),
+        rtol=2e-5, atol=2e-6, equal_nan=True)
+    np.testing.assert_array_equal(
+        np.asarray(sc.cube.get_mask_array()),
+        np.asarray(expected.get_mask_array()))
+
+
+def test_sharded_vr_convolve_fft_fallback(tmp_path, cmesh):
+    """When the deconvolution kernel is too large for the tilewise
+    separable path, ShardedCube.convolve_to falls back to the reshard +
+    spectral-multiply FFT path and still matches the unsharded result."""
+    from conftest import make_vr_cube_file
+    from spectral_cube_tpu import Beam
+    path, data = make_vr_cube_file(tmp_path, shape=(6, 12, 12))
+    cube = SpectralCube.read(path)
+    # a target much broader than the members: kernel spans > 2*ny pixels
+    target = cube.common_beam()
+    big = Beam(major=target.major * 12, minor=target.minor * 12,
+               pa=target.pa)
+    expected = cube.convolve_to(big)
+    sc = ShardedCube(cube, cmesh).convolve_to(big)
+    np.testing.assert_allclose(
+        np.asarray(sc.cube.unmasked_data[:].value),
+        np.asarray(expected.unmasked_data[:].value),
+        rtol=2e-4, atol=2e-6, equal_nan=True)
