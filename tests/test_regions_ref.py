@@ -361,3 +361,123 @@ def test_ds9region_new(regfile, result, tmp_path):
     np.testing.assert_allclose(sq, exp, rtol=2e-7)
     np.testing.assert_allclose(float(np.nansum(np.asarray(
         sc.unitless_filled_data[:]))), exp.sum(), rtol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# Rasterizer coverage: ellipse / polygon / wrapped sectors had parser
+# tests only — the mask-generation paths below were previously never
+# executed by the suite.
+# ----------------------------------------------------------------------
+
+def _mask_for(cube, ds9_text):
+    reg = parse_ds9_region(ds9_text)[0]
+    return region_to_mask(reg, cube.wcs, cube.shape)
+
+
+def test_image_ellipse_rasterization(tmp_path):
+    """Rotated image-frame ellipse == the direct quadratic-form predicate
+    at pixel centers (1-based ds9 coords -> 0-based grid)."""
+    path, _ = make_cube_file(tmp_path, shape=(2, 16, 16))
+    cube = SpectralCube.read(path)
+    cx1, cy1, a, b, ang = 8.0, 7.0, 5.0, 2.5, 30.0
+    m = _mask_for(cube, f"image; ellipse({cx1},{cy1},{a},{b},{ang})")
+    yy, xx = np.mgrid[0:16, 0:16].astype(float)
+    th = np.deg2rad(ang)
+    dx, dy = xx - (cx1 - 1), yy - (cy1 - 1)
+    xr = dx * np.cos(th) + dy * np.sin(th)
+    yr = -dx * np.sin(th) + dy * np.cos(th)
+    exp = (xr / a) ** 2 + (yr / b) ** 2 <= 1.0
+    np.testing.assert_array_equal(m, exp)
+    assert 20 < m.sum() < 16 * 16  # non-trivial region
+
+
+def test_image_polygon_rasterization_matches_matplotlib(tmp_path):
+    """Even-odd polygon fill == matplotlib.path.Path.contains_points (an
+    independent implementation), including a concave vertex."""
+    from matplotlib.path import Path
+    path, _ = make_cube_file(tmp_path, shape=(2, 20, 20))
+    cube = SpectralCube.read(path)
+    # concave pentagon, ds9 1-based vertex list x1,y1,x2,y2,...
+    verts1 = [(3, 3), (17, 4), (15, 16), (10, 8), (4, 17)]
+    flat = ", ".join(f"{x},{y}" for x, y in verts1)
+    m = _mask_for(cube, f"image; polygon({flat})")
+    yy, xx = np.mgrid[0:20, 0:20].astype(float)
+    pts = np.column_stack([xx.ravel(), yy.ravel()])
+    exp = Path([(x - 1, y - 1) for x, y in verts1]).contains_points(
+        pts).reshape(20, 20)
+    # boundary pixels may differ on exact edges by convention; interior
+    # and exterior (away from edges) must agree.  Check disagreement is
+    # confined to pixels within half a pixel of an edge.
+    diff = m ^ exp
+    if diff.any():
+        from matplotlib.path import Path as P2
+        edge = np.zeros_like(diff)
+        v0 = [(x - 1, y - 1) for x, y in verts1]
+        for i in range(len(v0)):
+            x0, y0 = v0[i]
+            x1_, y1_ = v0[(i + 1) % len(v0)]
+            # distance from each disagreeing pixel to this segment
+            for (py_, px_) in np.argwhere(diff):
+                t = np.clip(((px_ - x0) * (x1_ - x0) + (py_ - y0) *
+                             (y1_ - y0)) /
+                            ((x1_ - x0) ** 2 + (y1_ - y0) ** 2 + 1e-30),
+                            0, 1)
+                d = np.hypot(px_ - (x0 + t * (x1_ - x0)),
+                             py_ - (y0 + t * (y1_ - y0)))
+                if d < 0.51:
+                    edge[py_, px_] = True
+        assert (diff == (diff & edge)).all(), "interior pixels disagree"
+    # sanity: a clearly-interior and a clearly-exterior pixel
+    assert m[5, 8] and not m[18, 18]
+
+
+def test_sky_polygon_rasterization(tmp_path):
+    """A sky-frame polygon whose vertices are the world coordinates of
+    known pixel corners selects exactly the enclosed pixel block."""
+    path, _ = make_cube_file(tmp_path, shape=(2, 12, 12))
+    cube = SpectralCube.read(path)
+    cel = cube.wcs.celestial
+    # a rectangle enclosing pixel centers (3..6, 2..8): corners at the
+    # half-pixel boundaries around them
+    xs = np.array([1.6, 8.4, 8.4, 1.6])
+    ys = np.array([2.6, 2.6, 6.4, 6.4])
+    lon, lat = cel.pix2world(xs, ys)
+    flat = ", ".join(f"{float(x)},{float(y)}"
+                     for x, y in zip(np.asarray(lon), np.asarray(lat)))
+    frame = "galactic" if cube.wcs.ctype[0].startswith("GLON") else "fk5"
+    m = _mask_for(cube, f"{frame}; polygon({flat})")
+    exp = np.zeros((12, 12), bool)
+    exp[3:7, 2:9] = True
+    np.testing.assert_array_equal(m, exp)
+
+
+def test_panda_wrapped_sector(tmp_path):
+    """panda() sector spanning the 0-degree direction uses the wrap
+    branch (theta >= a1 OR theta <= a2)."""
+    path, _ = make_cube_file(tmp_path, shape=(2, 15, 15))
+    cube = SpectralCube.read(path)
+    m = _mask_for(cube, "image; panda(8,8,300,60,1,2,6,1)")
+    yy, xx = np.mgrid[0:15, 0:15].astype(float)
+    dx, dy = xx - 7, yy - 7
+    d2 = dx ** 2 + dy ** 2
+    theta = np.degrees(np.arctan2(dy, dx)) % 360
+    exp = (d2 >= 4) & (d2 <= 36) & ((theta >= 300) | (theta <= 60))
+    np.testing.assert_array_equal(m, exp)
+    assert m.sum() > 0
+    # pixel due +x of center (theta=0) is inside; due -x (180) is not
+    assert m[7, 11] and not m[7, 3]
+
+
+def test_subcube_from_image_ellipse_end_to_end(tmp_path):
+    """subcube_from_ds9region with an ellipse crops to the bounding box
+    and masks outside the ellipse."""
+    path, data = make_cube_file(tmp_path, shape=(3, 16, 16))
+    cube = SpectralCube.read(path)
+    sub = cube.subcube_from_ds9region("image; ellipse(8,8,4,2,0)")
+    filled = np.asarray(sub.filled_data[:])
+    assert filled.shape[0] == 3
+    assert filled.shape[1] < 16 and filled.shape[2] < 16
+    # center pixel kept, corner masked
+    assert np.isfinite(filled[:, filled.shape[1] // 2,
+                              filled.shape[2] // 2]).all()
+    assert np.isnan(filled[:, 0, 0]).all()
