@@ -333,3 +333,43 @@ def test_common_beam_contains_all(seed):
         cb = Beams(beams=blist).common_beam()
         for b in blist:
             cb.deconvolve(b)   # must not raise
+
+
+def test_as_tophat_kernel():
+    """Flat circular kernel with the beam's FWHM-diameter support,
+    normalized to unit sum (radio_beam Beam.as_tophat_kernel analog)."""
+    b = Beam(major=Quantity(8.0, "arcsec"), minor=Quantity(8.0, "arcsec"))
+    pix = Quantity(1.0, "arcsec")
+    k = b.as_tophat_kernel(pix)
+    assert k.shape[0] == k.shape[1] and k.shape[0] % 2 == 1
+    assert k.sum() == pytest.approx(1.0, rel=1e-12)
+    inside = k > 0
+    # all nonzero weights are equal (a tophat)
+    assert np.unique(k[inside]).size == 1
+    # support radius = FWHM/2 = 4 pixels: center row spans ~9 pixels
+    c = k.shape[0] // 2
+    assert inside[c].sum() == 9
+    # corner (r = sqrt(2)*halfsize) is outside
+    assert not inside[0, 0]
+
+
+def test_gaussian_transfer_matches_fft_of_kernel():
+    """The analytic Fourier transfer function equals the DFT of the
+    sampled Gaussian kernel (rotated elliptical beam) at low
+    frequencies."""
+    b = Beam(major=Quantity(6.0, "arcsec"), minor=Quantity(3.0, "arcsec"),
+             pa=Quantity(30.0, "deg"))
+    pix_rad = Quantity(1.0, "arcsec").to_value("rad")
+    n = 65
+    k = b.as_kernel(Quantity(1.0, "arcsec"), x_size=n, y_size=n)
+    t_num = np.fft.fftshift(np.abs(np.fft.fft2(np.fft.ifftshift(k))))
+    f_pix = np.fft.fftshift(np.fft.fftfreq(n))
+    fy, fx = np.meshgrid(f_pix / pix_rad, f_pix / pix_rad, indexing="ij")
+    t_ana = b.gaussian_transfer(fy, fx)
+    # compare where the transfer is non-negligible (truncation of the
+    # sampled kernel perturbs the deep tail)
+    sel = t_ana > 1e-3
+    np.testing.assert_allclose(t_num[sel], t_ana[sel], rtol=0, atol=2e-3)
+    # rotation matters: the transfer is anisotropic along the beam axes
+    c = n // 2
+    assert not np.allclose(t_ana[c + 10, c], t_ana[c, c + 10], rtol=1e-3)

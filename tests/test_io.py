@@ -770,3 +770,114 @@ def test_write_read_write_idempotent(tmp_path):
     assert open(p2, "rb").read() == open(p3, "rb").read()
     h = c3.header
     assert h["HISTORY"].count("Written by spectral_cube_tpu") == 1
+
+
+def _raw_fits(cards, payload):
+    """Minimal hand-built FITS: primary header-only HDU + one extension."""
+    def block(cardlist):
+        txt = "".join(c.ljust(80) for c in cardlist + ["END"])
+        return txt.ljust(-(-len(txt) // 2880) * 2880).encode("ascii")
+    primary = block(["SIMPLE  =                    T",
+                     "BITPIX  =                    8",
+                     "NAXIS   =                    0",
+                     "EXTEND  =                    T"])
+    ext = block(cards)
+    pad = (-len(payload)) % 2880
+    return primary + ext + payload + b"\x00" * pad
+
+
+def test_bintable_row_stride_wider_than_model(tmp_path):
+    """NAXIS1 wider than the modeled columns (e.g. unparsed trailing
+    bytes): rows must still parse at the true stride via explicit
+    offsets — previously every row after the first was garbled."""
+    from spectral_cube_tpu.io.fits_low import read_fits
+    import struct
+    nrows, rowlen = 5, 12   # 4 (float32 E) + 4 (int32 J) + 4 pad
+    payload = b""
+    for i in range(nrows):
+        payload += struct.pack(">f", 1.5 * i) + struct.pack(">i", 10 + i)
+        payload += b"\xde\xad\xbe\xef"   # unmodeled trailing bytes
+    cards = ["XTENSION= 'BINTABLE'",
+             "BITPIX  =                    8",
+             "NAXIS   =                    2",
+             f"NAXIS1  =                   {rowlen}",
+             f"NAXIS2  =                    {nrows}",
+             "PCOUNT  =                    0",
+             "GCOUNT  =                    1",
+             "TFIELDS =                    2",
+             "TTYPE1  = 'VALS    '",
+             "TFORM1  = '1E      '",
+             "TTYPE2  = 'IDX     '",
+             "TFORM2  = '1J      '",
+             "EXTNAME = 'WIDE    '"]
+    path = str(tmp_path / "wide.fits")
+    open(path, "wb").write(_raw_fits(cards, payload))
+    hdus = read_fits(path)
+    table = [h for h in hdus if getattr(h, "columns", None)][0]
+    np.testing.assert_allclose(np.asarray(table["VALS"]),
+                               1.5 * np.arange(5))
+    np.testing.assert_array_equal(np.asarray(table["IDX"]),
+                                  10 + np.arange(5))
+
+
+def test_bintable_unreadable_tform_skipped(tmp_path):
+    """A variable-length-array TFORM the reader does not model warns and
+    skips that extension instead of aborting the whole file."""
+    from spectral_cube_tpu.io.fits_low import read_fits
+    cards = ["XTENSION= 'BINTABLE'",
+             "BITPIX  =                    8",
+             "NAXIS   =                    2",
+             "NAXIS1  =                    8",
+             "NAXIS2  =                    1",
+             "PCOUNT  =                    0",
+             "GCOUNT  =                    1",
+             "TFIELDS =                    1",
+             "TTYPE1  = 'BLOB    '",
+             "TFORM1  = 'PJ(4)   '",
+             "EXTNAME = 'PROV    '"]
+    path = str(tmp_path / "vla.fits")
+    open(path, "wb").write(_raw_fits(cards, b"\x00" * 8))
+    with pytest.warns(UserWarning, match="skipping unreadable"):
+        hdus = read_fits(path)
+    assert all(getattr(h, "columns", None) is None for h in hdus)
+
+
+def test_write_bool_and_object_image_dtypes(tmp_path):
+    """Image writer coerces bool -> uint8 and unsupported dtypes ->
+    float64."""
+    from spectral_cube_tpu.io.fits_low import HDU, Header, write_fits, \
+        read_fits
+    mask = np.zeros((3, 4), bool)
+    mask[1, 2] = True
+    path = str(tmp_path / "b.fits")
+    write_fits(path, [HDU(data=mask, header=Header())])
+    back = read_fits(path)[0]
+    np.testing.assert_array_equal(np.asarray(back.data, bool), mask)
+    # float16 has no BITPIX: upcast to float64 round-trips values
+    half = np.arange(6, dtype=np.float16).reshape(2, 3) / 4
+    path2 = str(tmp_path / "h.fits")
+    write_fits(path2, [HDU(data=half, header=Header())])
+    back2 = read_fits(path2)[0]
+    assert back2.data.dtype.itemsize == 8
+    np.testing.assert_allclose(np.asarray(back2.data), half)
+
+
+def test_bintable_multidim_and_string_columns_roundtrip(tmp_path):
+    """Sub-shaped (rep-count) numeric columns, logical columns, and
+    string columns survive a write->read round trip."""
+    from collections import OrderedDict
+    from spectral_cube_tpu.io.fits_low import (BinTableHDU, write_fits,
+                                               read_fits)
+    vecs = np.arange(12, dtype="f4").reshape(4, 3)
+    flags = np.array([True, False, True, True])
+    names = np.array([b"aa", b"bb", b"cc", b"dd"], dtype="S2")
+    bt = BinTableHDU(columns=OrderedDict(VEC=vecs, OK=flags, NAME=names),
+                     name="MIX")
+    path = str(tmp_path / "mix.fits")
+    write_fits(path, [bt])
+    back = [h for h in read_fits(path)
+            if getattr(h, "columns", None)][0]
+    np.testing.assert_allclose(np.asarray(back["VEC"]), vecs)
+    np.testing.assert_array_equal(np.asarray(back["OK"], bool), flags)
+    assert [v.decode() if isinstance(v, bytes) else str(v)
+            for v in back["NAME"]] == ["aa", "bb", "cc", "dd"]
