@@ -291,14 +291,20 @@ def _read_type2(buf: _Buf):
     spec_words = buf.i32()
     buf.i32()            # next section start
     if spec_words == 14:
-        header["LINE"] = buf.string(12)
+        # field order from GILDAS image_def.f90 (quoted in reference
+        # class_lmv.py:526-539): fres, fima, freq, vres, voff, dopp,
+        # faxi, ijlin(3 words of line name), vtyp — 14 words total.
+        # (A previous revision read the line name FIRST and skipped
+        # dopp, garbling every field and the following section offsets.)
         header["FRES"] = buf.f64()
-        buf.f64()        # image frequency
-        header["RESTFREQ"] = buf.f64() * 1e6
+        buf.f64()        # image frequency (MHz)
+        header["RESTFREQ"] = buf.f64() * 1e6   # MHz -> Hz
         header["VRES"] = buf.f32()
-        header["VELO-LSR"] = buf.f32()
-        buf.i32()        # velocity type
+        header["VELO-LSR"] = buf.f32()         # velocity offset
+        buf.f32()        # doppler factor
         buf.i32()        # frequency axis
+        header["LINE"] = buf.string(12)
+        buf.i32()        # velocity type
     elif spec_words != 0:
         raise FITSReadError("Invalid LMV spectroscopy-section length")
     reso_words = buf.i32()

@@ -538,3 +538,35 @@ def test_casa_read_basic_nomask():
         [2.406271e+01, 2.993521e+01, 1.421911e+09], rtol=1e-6)
     cube.moment0()
     np.testing.assert_allclose(np.asarray(cube[:, 0, 0].value), np.ones(3))
+
+
+def test_casa_mask_error_paths(tmp_path, cube_adv):
+    """make_casa_mask argument validation: stokes_posn unsupported,
+    append without img, non-directory img, shape mismatch, and
+    overwrite refusal for an existing appended mask."""
+    from spectral_cube_tpu.io.casa_masks import make_casa_mask
+    from spectral_cube_tpu.io.casa_writer import write_casa_image
+    cube, data = cube_adv
+    masked = cube.with_mask(cube > 0.5 * u.Jy / u.beam)
+    with pytest.raises(NotImplementedError):
+        make_casa_mask(masked, str(tmp_path / "m1"), stokes_posn=2,
+                       append_to_image=False)
+    with pytest.raises(TypeError):
+        make_casa_mask(masked, str(tmp_path / "m2"), append_to_image=True)
+    with pytest.raises(OSError):
+        make_casa_mask(masked, str(tmp_path / "m3"), append_to_image=True,
+                       img=str(tmp_path / "not_an_image"))
+    img = str(tmp_path / "t.image")
+    write_casa_image(cube, img)
+    # shape mismatch: a sliced cube cannot append into the full image
+    with pytest.raises(ValueError):
+        make_casa_mask(masked[:, :2, :], str(tmp_path / "m4"),
+                       append_to_image=True, img=img)
+    # appending the same mask name twice: refuse without overwrite,
+    # succeed with it
+    from spectral_cube_tpu.io.casa_masks import _append_mask_subtable
+    make_casa_mask(masked, str(tmp_path / "m5"), append_to_image=True,
+                   img=img)
+    with pytest.raises(OSError):
+        _append_mask_subtable(masked, img, "m5", overwrite=False)
+    _append_mask_subtable(masked, img, "m5", overwrite=True)

@@ -360,7 +360,7 @@ def test_native_stats_matches_numpy():
                                (valid.astype(np.float64) ** 2).sum(),
                                rtol=1e-5)
 
-def _build_type2_lmv(endian):
+def _build_type2_lmv(endian, full_sections=False):
     """Minimal valid GDF type-2 file (2x2x2 cube) in either endianness,
     mirroring exactly the field walk of class_lmv._read_type2."""
     import struct
@@ -418,12 +418,39 @@ def _build_type2_lmv(endian):
     o = put(o, "2d", 0.1, -0.5)   # ra, dec [rad]
     o = put(o, "2d", 0.0, 0.0)    # lii, bii
     o = put(o, "f", 2000.0)       # equinox
-    o = put(o, "i", 0)            # projection words (none)
-    o = put(o, "i", 0)            # spectroscopy section start
-    o = put(o, "i", 0)            # spectroscopy words (none)
-    o = put(o, "i", 0)            # next section start
-    o = put(o, "i", 0)            # resolution words (none)
-    o = put(o, "i", 0)
+    if not full_sections:
+        o = put(o, "i", 0)        # projection words (none)
+        o = put(o, "i", 0)        # spectroscopy section start
+        o = put(o, "i", 0)        # spectroscopy words (none)
+        o = put(o, "i", 0)        # next section start
+        o = put(o, "i", 0)        # resolution words (none)
+        o = put(o, "i", 0)
+    else:
+        # projection section: 9 words (a0, d0, pang f64; ptyp, xaxi,
+        # yaxi i32)
+        o = put(o, "i", 9)
+        o = put(o, "i", 0)        # spectroscopy section start
+        o = put(o, "3d", 0.1, -0.5, 0.25)   # a0, d0, pang [rad]
+        o = put(o, "3i", 4, 1, 2)           # ptyp=gnomonic, xaxi, yaxi
+        # spectroscopy section: 14 words in image_def.f90 order
+        o = put(o, "i", 14)
+        o = put(o, "i", 0)        # next section start
+        o = put(o, "d", -0.0625)            # fres [MHz]
+        o = put(o, "d", 89.0)               # image frequency [MHz]
+        o = put(o, "d", 115271.2018)        # rest frequency [MHz]
+        o = put(o, "f", 0.162)              # vres [km/s]
+        o = put(o, "f", 5.5)                # voff [km/s]
+        o = put(o, "f", 1.0001)             # doppler factor
+        o = put(o, "i", 3)                  # frequency axis
+        out[o:o + 12] = b"CO(1-0)     "     # line name (3 words)
+        o += 12
+        o = put(o, "i", 1)                  # velocity type (LSR)
+        # resolution section: 3 words (bmaj, bmin, bpa [rad])
+        o = put(o, "i", 3)
+        o = put(o, "i", 0)
+        o = put(o, "3f", 2e-5, 1e-5, 0.5)
+        o = put(o, "i", 0)        # next (noise) section: none
+        o = put(o, "i", 0)
 
     vals = [float(i) for i in range(8)]
     vals[3] = -999.0              # one blanked voxel
@@ -881,3 +908,29 @@ def test_bintable_multidim_and_string_columns_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(back["OK"], bool), flags)
     assert [v.decode() if isinstance(v, bytes) else str(v)
             for v in back["NAME"]] == ["aa", "bb", "cc", "dd"]
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+def test_lmv_type2_full_sections(tmp_path, endian):
+    """Type-2 projection/spectroscopy/resolution sections parse with the
+    image_def.f90 field order (regression: the line name was read FIRST
+    and the doppler word skipped, garbling RESTFREQ/VRES and shifting
+    the resolution section by one word)."""
+    import spectral_cube_tpu.io.class_lmv as lmv_mod
+    p = tmp_path / f"full_{'le' if endian == '<' else 'be'}.lmv"
+    p.write_bytes(_build_type2_lmv(endian, full_sections=True))
+    data, hdr = lmv_mod.read_lmv(str(p))
+    assert hdr["LINE"].strip() == "CO(1-0)"
+    assert hdr["RESTFREQ"] == pytest.approx(115271.2018e6, rel=1e-12)
+    assert hdr["FRES"] == pytest.approx(-0.0625)
+    assert hdr["VRES"] == pytest.approx(0.162, rel=1e-6)
+    assert hdr["VELO-LSR"] == pytest.approx(5.5, rel=1e-6)
+    # resolution section lands on the right words: rad -> deg
+    assert hdr["BMAJ"] == pytest.approx(np.degrees(2e-5), rel=1e-6)
+    assert hdr["BMIN"] == pytest.approx(np.degrees(1e-5), rel=1e-6)
+    assert hdr["BPA"] == pytest.approx(np.degrees(0.5), rel=1e-6)
+    # projection re-anchoring: CRVALs of the projected axes come from
+    # a0/d0, converted to degrees
+    assert hdr["CRVAL1"] == pytest.approx(np.degrees(0.1), rel=1e-9)
+    assert hdr["CRVAL2"] == pytest.approx(np.degrees(-0.5), rel=1e-9)
+    assert np.isnan(data).sum() == 1

@@ -562,3 +562,53 @@ def test_nir_sinfoni_wave_to_velocity():
     np.testing.assert_allclose(w2.crval[2], c*(lam_c-lam0)/lam0/1e3,
                                rtol=1e-12)
     np.testing.assert_allclose(w2.cdelt[2], c*dlam/lam0/1e3, rtol=1e-12)
+
+
+def test_wcs_to_header_roundtrip_full_cards():
+    """to_header emits PC/RESTWAV/SPECSYS/RADESYS/EQUINOX/LONPOLE/LATPOLE/
+    PV cards, and a WCS rebuilt from that header compares equal."""
+    w = WCS(naxis=3)
+    w.ctype = ["RA---TAN", "DEC--TAN", "WAVE"]
+    w.crval = [150.0, 2.5, 5.1e-7]
+    w.crpix = [10.0, 12.0, 3.0]
+    w.cdelt = [-1e-3, 1e-3, 1e-10]
+    w.cunit = [Unit.parse("deg"), Unit.parse("deg"), Unit.parse("m")]
+    w.pc = np.array([[0.9, 0.1, 0], [-0.1, 0.9, 0], [0, 0, 1.0]])
+    w.restwav = 5.2e-7
+    w.specsys = "LSRK"
+    w.radesys = "FK5"
+    w.equinox = 2000.0
+    w.lonpole = 180.0
+    w.latpole = 2.5
+    w.pv[(0, 1)] = 0.0
+    h = w.to_header()
+    assert h["PC1_1"] == pytest.approx(0.9)
+    assert h["PC1_2"] == pytest.approx(0.1)
+    assert h["RESTWAV"] == pytest.approx(5.2e-7)
+    assert h["SPECSYS"] == "LSRK"
+    assert h["RADESYS"] == "FK5"
+    assert h["EQUINOX"] == 2000.0
+    assert h["LONPOLE"] == 180.0
+    assert h["LATPOLE"] == 2.5
+    assert h["PV1_1"] == 0.0
+    back = WCS(header=h)
+    assert back.check_equality(w)
+    assert back == w           # __eq__ delegates to check_equality
+    assert (w == 3.0) is False or (w == 3.0) is NotImplemented \
+        or not (w == 3.0)      # non-WCS comparison does not crash
+
+
+def test_wcs_equality_pv_defaults():
+    """An absent PV lambda card on CEA means lambda=1, so a WCS with the
+    explicit default compares equal to one without the card (the
+    reference's wcslib-backed check_equality semantics)."""
+    base = {"NAXIS": 2, "CTYPE1": "RA---CEA", "CTYPE2": "DEC--CEA",
+            "CRVAL1": 10.0, "CRVAL2": 0.0, "CRPIX1": 5.0, "CRPIX2": 5.0,
+            "CDELT1": -0.01, "CDELT2": 0.01,
+            "CUNIT1": "deg", "CUNIT2": "deg"}
+    w1 = WCS(header=base)
+    w2 = WCS(header={**base, "PV2_1": 1.0})
+    assert w1.check_equality(w2)
+    assert w2.check_equality(w1)
+    w3 = WCS(header={**base, "PV2_1": 0.5})
+    assert not w1.check_equality(w3)
