@@ -277,3 +277,33 @@ def test_unit_constructor_is_a_factory():
     assert u.Unit(a) == a
     q = 3.0 * u.Unit("deg")
     assert abs(q.to_value("arcmin") - 180.0) < 1e-9
+
+
+def test_quantity_ufunc_reduce_and_accumulate():
+    """Reduce/accumulate methods of the ufunc protocol: np.min/max/sum
+    keep units, logical reductions return bare bools, np.cumsum
+    accumulates with units, and unsupported methods fall back cleanly."""
+    import numpy as np
+    from spectral_cube_tpu.units import Quantity
+
+    q = Quantity(np.array([3.0, -1.0, 4.0, 1.5]), "Jy")
+    mn = np.minimum.reduce(q)
+    mx = np.maximum.reduce(q)
+    assert str(mn.unit) == "Jy" and float(mn.value) == -1.0
+    assert float(mx.value) == 4.0
+    tot = np.add.reduce(q)
+    assert str(tot.unit) == "Jy" and float(tot.value) == 7.5
+    fm = np.fmin.reduce(q)
+    assert float(fm.value) == -1.0
+    # logical reductions lose the unit (they are booleans)
+    lo = np.logical_or.reduce(np.asarray(q.value) > 2.0)
+    assert lo.dtype == bool or isinstance(lo, (bool, np.bool_))
+    acc = np.add.accumulate(q)
+    assert str(acc.unit) == "Jy"
+    np.testing.assert_allclose(np.asarray(acc.value), [3, 2, 6, 7.5])
+    # high-level numpy helpers route through these branches
+    assert float(np.min(q).value) == -1.0
+    assert float(np.max(q).value) == 4.0
+    assert float(np.sum(q).value) == 7.5
+    np.testing.assert_allclose(np.asarray(np.cumsum(q).value),
+                               [3, 2, 6, 7.5])
