@@ -1729,7 +1729,8 @@ class BaseSpectralCube:
         if unknown:
             raise TypeError(
                 f"unsupported sigma_clip keyword(s) {sorted(unknown)}; "
-                "supported: cenfunc ('median'|'mean'), stdfunc ('std')")
+                "supported: cenfunc ('median'|'mean'), "
+                "stdfunc ('std'|'mad_std')")
         data = self._get_filled_data(fill=np.nan)
         out = _smooth.sigma_clip_spectrally(data, sigma=threshold,
                                             maxiters=maxiters,

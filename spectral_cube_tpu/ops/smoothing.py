@@ -261,9 +261,9 @@ def spatial_median_filter_cube(data, size):
 def sigma_clip_spectrally(data, sigma=3.0, maxiters=5, cenfunc="median",
                           stdfunc="std"):
     """Iterative per-spaxel sigma clipping along the spectral axis,
-    astropy.stats.sigma_clip semantics (cenfunc=median|mean, stdfunc=std;
-    clipped values -> NaN); the reference workload at docs/dask.rst:188-212
-    and spectral_cube.py:3161.
+    astropy.stats.sigma_clip semantics (cenfunc=median|mean,
+    stdfunc=std|mad_std; clipped values -> NaN); the reference workload
+    at docs/dask.rst:188-212 and spectral_cube.py:3161.
 
     The sort-once band algorithm supports any *interval* clip, so both
     cenfunc choices share one code path: survivors of each iteration are a
@@ -278,10 +278,14 @@ def sigma_clip_spectrally(data, sigma=3.0, maxiters=5, cenfunc="median",
         raise NotImplementedError(
             "the sorted-band sigma-clip implements cenfunc='median' and "
             f"'mean' only (got {cenfunc!r})")
-    if stdfunc not in ("std", np.std, np.nanstd):
+    if stdfunc in ("std", np.std, np.nanstd):
+        use_mad_std = False
+    elif stdfunc == "mad_std":
+        use_mad_std = True
+    else:
         raise NotImplementedError(
-            "the sorted-band sigma-clip implements stdfunc='std' only "
-            f"(got {stdfunc!r})")
+            "the sorted-band sigma-clip implements stdfunc='std' and "
+            f"'mad_std' only (got {stdfunc!r})")
     data = jnp.asarray(data)
     comp = jnp.float64 if data.dtype == jnp.float64 else jnp.float32
     x = data.astype(comp)
@@ -316,17 +320,31 @@ def sigma_clip_spectrally(data, sigma=3.0, maxiters=5, cenfunc="median",
         in_band = (iota >= i_lo[None]) & (iota < i_hi[None])
         ssum = jnp.sum(jnp.where(in_band, s, 0), axis=0)
         mean = ssum / safe
-        var = jnp.sum(jnp.where(in_band, (s - mean[None]) ** 2, 0),
-                      axis=0) / safe
-        std = jnp.sqrt(var)
-        if use_mean_center:
-            center = mean
-        else:
+        if not use_mean_center or use_mad_std:
             m_lo = i_lo + (cnt - 1) // 2
             m_hi = i_lo + cnt // 2
-            center = (jnp.sum(jnp.where(iota == m_lo[None], s, 0), axis=0)
-                      + jnp.sum(jnp.where(iota == m_hi[None], s, 0),
-                                axis=0)) / 2
+            med = (jnp.sum(jnp.where(iota == m_lo[None], s, 0), axis=0)
+                   + jnp.sum(jnp.where(iota == m_hi[None], s, 0),
+                             axis=0)) / 2
+        center = mean if use_mean_center else med
+        if use_mad_std:
+            # astropy.stats.mad_std: 1.4826 * median(|x - median(x)|) —
+            # the MAD is around the band MEDIAN regardless of cenfunc.
+            # Deviations of a sorted band are bitonic, not sorted, so
+            # sort them per iteration (out-of-band -> +inf tail) and
+            # read the middle with the same indicator trick.
+            dev = jnp.where(in_band, jnp.abs(s - med[None]), jnp.inf)
+            dsort = jnp.sort(dev, axis=0)
+            d_lo = (cnt - 1) // 2
+            d_hi = cnt // 2
+            mad = (jnp.sum(jnp.where(iota == d_lo[None], dsort, 0), axis=0)
+                   + jnp.sum(jnp.where(iota == d_hi[None], dsort, 0),
+                             axis=0)) / 2
+            std = mad * 1.482602218505602
+        else:
+            var = jnp.sum(jnp.where(in_band, (s - mean[None]) ** 2, 0),
+                          axis=0) / safe
+            std = jnp.sqrt(var)
         lo_v = center - sigma * std
         hi_v = center + sigma * std
         # counts of sorted values below/through the new interval (NaN

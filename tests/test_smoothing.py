@@ -362,7 +362,7 @@ def test_sigma_clip_rejects_unsupported_cenfunc():
                               cenfunc="mode")
     with pytest.raises(NotImplementedError):
         sigma_clip_spectrally(np.ones((8, 2, 2), np.float32),
-                              stdfunc="mad_std")
+                              stdfunc="biweight")
 
 
 def test_sigma_clip_mean_cenfunc_matches_iterative_numpy():
@@ -393,6 +393,50 @@ def test_sigma_clip_mean_cenfunc_matches_iterative_numpy():
          for j in range(3)], axis=1)
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-6,
                                equal_nan=True)
+
+
+def test_sigma_clip_mad_std_matches_iterative_numpy():
+    """stdfunc='mad_std' follows astropy: std = 1.4826 * median(|x -
+    median(x)|) of the survivors, around the survivors' MEDIAN even when
+    cenfunc='mean'."""
+    rng = np.random.RandomState(23)
+    data = rng.randn(40, 2, 3).astype("f4")
+    data[7, 0, 1] = 40.0
+    data[3, 1, 2] = -33.0
+    data[5, 0, 0] = np.nan
+    K = 1.482602218505602
+
+    def np_clip(v, sigma, iters, mean_center):
+        v = v.copy()
+        for _ in range(iters):
+            with np.errstate(invalid="ignore"):
+                med = np.nanmedian(v)
+                c = np.nanmean(v) if mean_center else med
+                std = K * np.nanmedian(np.abs(v - med))
+                v[np.abs(v - c) > sigma * std] = np.nan
+        return v
+
+    for cen, mean_center in (("median", False), ("mean", True)):
+        out = np.asarray(sigma_clip_spectrally(
+            jnp.asarray(data), sigma=3.0, maxiters=4, cenfunc=cen,
+            stdfunc="mad_std"))
+        exp = np.stack(
+            [np.stack([np_clip(data[:, j, i], 3.0, 4, mean_center)
+                       for i in range(3)], axis=-1)
+             for j in range(2)], axis=1)
+        np.testing.assert_allclose(out, exp, rtol=1e-4, atol=1e-6,
+                                   equal_nan=True, err_msg=cen)
+
+
+def test_sigma_clip_mad_std_all_masked_spaxel():
+    """An all-NaN spaxel survives the mad_std path as all-NaN (the empty
+    band must not poison neighbors or produce spurious values)."""
+    data = np.random.RandomState(1).randn(16, 2, 2).astype("f4")
+    data[:, 0, 0] = np.nan
+    out = np.asarray(sigma_clip_spectrally(jnp.asarray(data), sigma=3.0,
+                                           stdfunc="mad_std"))
+    assert np.isnan(out[:, 0, 0]).all()
+    assert np.isfinite(out[:, 1, 1]).sum() > 0
 
 
 def test_cube_sigma_clip_cenfunc_kwarg(cube_adv):
