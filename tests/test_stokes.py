@@ -508,3 +508,47 @@ def test_subcube_pixel():
     assert sub.shape == (5, 10, 10)
     shapes = [sub[k].shape for k in sub.components]
     assert len(set(shapes)) == 1
+
+
+def test_stokes_remaining_delegations_and_errors(tmp_path):
+    """CRTF/region-list/mask delegation, with_spectral_unit, repr, and
+    transform_basis error branches (reference
+    stokes_spectral_cube.py:225-453)."""
+    from spectral_cube_tpu import BooleanArrayMask
+    from spectral_cube_tpu.region import parse_crtf_region
+    import spectral_cube_tpu.units as u
+    p1, d1 = make_cube_file(tmp_path, "ti.fits", shape=(4, 15, 15),
+                            with_nan=False)
+    p2, d2 = make_cube_file(tmp_path, "tq.fits", shape=(4, 15, 15),
+                            seed=5, with_nan=False)
+    sc = StokesSpectralCube({"I": SpectralCube.read(p1),
+                             "Q": SpectralCube.read(p2)})
+    # CRTF delegation
+    sub = sc.subcube_from_crtfregion("box[[4pix, 4pix], [12pix, 12pix]]")
+    assert set(sub.components) == {"I", "Q"}
+    assert sub.shape[1] < 15
+    # region-list delegation
+    regs = parse_crtf_region("box[[4pix, 4pix], [12pix, 12pix]]")
+    sub2 = sc.subcube_from_regions(regs)
+    assert sub2.shape == sub.shape
+    # mask delegation
+    arr = np.zeros((4, 15, 15), bool)
+    arr[:, 3:9, 2:10] = True
+    sub3 = sc.subcube_from_mask(BooleanArrayMask(arr))
+    assert sub3.shape == (4, 6, 8)
+    # with_spectral_unit delegates to every component
+    conv = sc.with_spectral_unit(u.Hz)
+    assert str(conv["I"].spectral_axis.unit) == "Hz"
+    # repr names the components and shape
+    r = repr(sc)
+    assert "I" in r and "shape" in r
+    # Sky -> Sky is the identity; feed -> feed transforms require IQUV
+    assert sc.transform_basis("Sky") is sc
+    feeds = StokesSpectralCube({"XX": SpectralCube.read(p1),
+                                "YY": SpectralCube.read(p2)})
+    with pytest.raises(ValueError):
+        feeds.transform_basis("Circular")
+    with pytest.raises(ValueError):
+        feeds.transform_basis("Linear")
+    with pytest.raises(ValueError):
+        sc.transform_basis("Elliptical")
