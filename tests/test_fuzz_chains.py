@@ -81,6 +81,9 @@ def _menu(rng):
         if c.shape[0] > 3 else c,
         lambda c: c.to("Jy / pix").to(str(c.unit)),
         lambda c: c.downsample_axis(2, axis=0, truncate=True),
+        # this session's additions: sigma-clip flavor kwargs
+        lambda c: c.sigma_clip_spectrally(2.5, cenfunc="mean"),
+        lambda c: c.sigma_clip_spectrally(3.0, stdfunc="mad_std"),
     ]
 
 
