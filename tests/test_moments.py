@@ -266,3 +266,37 @@ def test_spatial_moment_rotated_wcs_unequal_scales(tmp_path):
           / np.nansum(data, axis=2))
     m1x = np.asarray(cube.moment1(axis=2).value)
     np.testing.assert_allclose(m1x, e1, rtol=1e-4)
+
+
+def test_pallas_vmem_fallback_long_spectral_axis():
+    """nchan too long for the in-VMEM two-pass kernel: moments_012_pallas
+    falls back to the fused XLA expression, merging mask_expr + include
+    exactly like the in-kernel path would."""
+    from spectral_cube_tpu.ops.moments import moments_012, moments_012_pallas
+    from spectral_cube_tpu.masks import LazyComparisonMask
+    rng = np.random.RandomState(2)
+    nchan = 4096
+    data = rng.rand(nchan, 8, 16).astype("f4")
+    data[5, 1, 1] = np.nan
+    coords = np.linspace(-1.0, 1.0, nchan)
+    dx = coords[1] - coords[0]
+    include = jnp.asarray(rng.rand(nchan, 8, 16) > 0.1)
+    mask = LazyComparisonMask(jnp.greater, 0.2, shape=data.shape)
+    got = moments_012_pallas(jnp.asarray(data), coords, dx,
+                             mask_expr=mask, include=include)
+    exp = moments_012(jnp.asarray(data), coords, dx,
+                      include=jnp.logical_and(include,
+                                              jnp.asarray(data) > 0.2))
+    for g, e in zip(got, exp):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e),
+                                   rtol=1e-5, atol=1e-7, equal_nan=True)
+
+
+def test_pallas_rejects_non_data_local_mask_expr():
+    from spectral_cube_tpu.ops.moments import moments_012_pallas
+    from spectral_cube_tpu.masks import BooleanArrayMask
+    data = jnp.ones((8, 8, 8), jnp.float32)
+    mask = BooleanArrayMask(np.ones((8, 8, 8), bool), shape=(8, 8, 8))
+    with pytest.raises(ValueError, match="data-local"):
+        moments_012_pallas(data, np.arange(8.0), 1.0, mask_expr=mask,
+                           interpret=True)
