@@ -600,3 +600,45 @@ def test_numpy_ma_tools_2d(cube_adv):
     assert np.ma.core.getmask(mcube[:, 0, 0]) is not None
     assert np.ma.core.is_masked(mcube[0, :, :])
     assert np.ma.core.getmask(mcube[0, :, :]) is not None
+
+
+def test_expr_key_structure_and_collisions():
+    """expr_key drives the compiled-kernel cache: equal structures must
+    share keys, different thresholds/functions must never collide (a
+    past defect: distinct lambda masks collided)."""
+    import jax.numpy as jnp
+    from spectral_cube_tpu.masks import (expr_key, LazyComparisonMask,
+                                         LazyMask, InvertedMask,
+                                         CompositeMask)
+    shp = (4, 3, 2)
+    a = LazyComparisonMask(jnp.greater, 0.5, shape=shp)
+    b = LazyComparisonMask(jnp.greater, 0.5, shape=shp)
+    c = LazyComparisonMask(jnp.greater, 0.7, shape=shp)
+    d = LazyComparisonMask(jnp.less, 0.5, shape=shp)
+    assert expr_key(a) == expr_key(b)
+    assert expr_key(a) != expr_key(c)
+    assert expr_key(a) != expr_key(d)
+    # array-valued thresholds: equal bytes share, different don't
+    t1 = np.array([0.1, 0.2, 0.3, 0.4])[:, None, None]
+    t2 = t1.copy()
+    t3 = t1 + 1e-3
+    k1 = expr_key(LazyComparisonMask(jnp.greater, t1, shape=shp))
+    k2 = expr_key(LazyComparisonMask(jnp.greater, t2, shape=shp))
+    k3 = expr_key(LazyComparisonMask(jnp.greater, t3, shape=shp))
+    assert k1 == k2 and k1 != k3
+    # shared singletons (isfinite) share; distinct lambdas never collide
+    l1 = LazyMask(np.isfinite, shape=shp)
+    l2 = LazyMask(np.isfinite, shape=shp)
+    assert expr_key(l1) == expr_key(l2)
+    f1 = LazyMask(lambda x: x > 0, shape=shp)
+    f2 = LazyMask(lambda x: x > 0, shape=shp)
+    assert expr_key(f1) != expr_key(f2)
+    # structural keys for inverted/composite trees
+    assert expr_key(InvertedMask(a)) == expr_key(InvertedMask(b))
+    assert expr_key(InvertedMask(a)) != expr_key(a)
+    comp_ab = CompositeMask(a, c, operation="and")
+    comp_ab2 = CompositeMask(b, c, operation="and")
+    comp_or = CompositeMask(a, c, operation="or")
+    assert expr_key(comp_ab) == expr_key(comp_ab2)
+    assert expr_key(comp_ab) != expr_key(comp_or)
+    assert expr_key(None) is None
