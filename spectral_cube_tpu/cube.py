@@ -1561,7 +1561,9 @@ class BaseSpectralCube:
         the reference's ray iteration; for device-speed per-spaxel work
         use :meth:`apply_function_parallel_spectral`."""
         if axis is None:
-            out = function(self.flattened(weights=weights), **kwargs)
+            # reference parity: weights are IGNORED in the axis=None path
+            # (spectral_cube.py:1049 calls self.flattened() bare)
+            out = function(self.flattened(), **kwargs)
             if unit is not None:
                 return Quantity(out, unit)
             return out
@@ -1718,23 +1720,30 @@ class BaseSpectralCube:
 
     @_tmp_dir_option
     def sigma_clip_spectrally(self, threshold, verbose=0, maxiters=5,
-                              cenfunc="median", stdfunc="std", **kwargs):
+                              cenfunc="median", stdfunc="std",
+                              parallel=None, num_cores=None,
+                              use_memmap=None, update_function=None,
+                              **kwargs):
         """Iterative per-spaxel sigma clip (reference
         spectral_cube.py:3161-3184; the dask docs benchmark workload).
         ``cenfunc``/``stdfunc`` follow astropy.stats.sigma_clip (the
         reference forwards kwargs there); unknown kwargs are rejected the
         way astropy would reject them, never silently dropped."""
-        _IGNORED = {"num_cores", "use_memmap", "parallel", "update_function"}
-        unknown = set(kwargs) - _IGNORED
-        if unknown:
+        if kwargs:
             raise TypeError(
-                f"unsupported sigma_clip keyword(s) {sorted(unknown)}; "
+                f"unsupported sigma_clip keyword(s) {sorted(kwargs)}; "
                 "supported: cenfunc ('median'|'mean'), "
                 "stdfunc ('std'|'mad_std')")
+        _check_parallel_options(parallel, num_cores)
         data = self._get_filled_data(fill=np.nan)
         out = _smooth.sigma_clip_spectrally(data, sigma=threshold,
                                             maxiters=maxiters,
                                             cenfunc=cenfunc, stdfunc=stdfunc)
+        if update_function is not None:
+            # reference parity: called once per spaxel (the joblib
+            # applicator's progress hook, spectral_cube.py:3014-3019)
+            for _ in range(int(self.shape[1] * self.shape[2])):
+                update_function()
         return self._new_cube_with(data=out)
 
     def check_jybeam_smoothing(self, raise_error_jybm=True):
@@ -2358,14 +2367,20 @@ class VaryingResolutionSpectralCube(BaseSpectralCube):
         elif int(axis) % 3 == 0:
             self._check_beam_areas()
 
-    def apply_numpy_function(self, function, *args, axis=None, **kwargs):
+    def apply_numpy_function(self, function, *args, **kwargs):
+        # axis is the 6th positional parameter of the base signature
+        # (function, fill, projection, unit, check_endian, axis, ...);
+        # mirror *args so positional calls behave exactly like the
+        # single-beam class
+        axis = kwargs.get("axis", args[4] if len(args) > 4 else None)
         self._check_beams_for_axis(axis)
-        return super().apply_numpy_function(function, *args, axis=axis,
-                                            **kwargs)
+        return super().apply_numpy_function(function, *args, **kwargs)
 
-    def apply_function(self, function, axis=None, **kwargs):
+    def apply_function(self, function, *args, **kwargs):
+        # axis is the 2nd positional parameter of the base signature
+        axis = kwargs.get("axis", args[0] if args else None)
         self._check_beams_for_axis(axis)
-        return super().apply_function(function, axis=axis, **kwargs)
+        return super().apply_function(function, *args, **kwargs)
 
     def __getitem__(self, view):
         if not isinstance(view, tuple):

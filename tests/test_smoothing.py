@@ -530,3 +530,16 @@ def test_kernel_with_units_refused():
             ctor(Quantity(1.0, "km / s"))
     # dimensionless Quantities are fine (astropy u.one)
     assert Gaussian1DKernel(Quantity(1.0, "")).array.sum() == 1.0
+
+
+def test_sigma_clip_parallel_options_and_progress(cube_adv):
+    """sigma_clip_spectrally validates parallel/num_cores like its
+    siblings (review finding: they were silently swallowed) and drives
+    update_function once per spaxel like the reference's applicator."""
+    import pytest
+    cube, data = cube_adv
+    with pytest.raises(ValueError):
+        cube.sigma_clip_spectrally(3.0, parallel=False, num_cores=4)
+    hits = []
+    cube.sigma_clip_spectrally(3.0, update_function=lambda: hits.append(1))
+    assert len(hits) == data.shape[1] * data.shape[2]

@@ -289,3 +289,34 @@ def test_apply_function_beam_check_on_spectral_axis(cube_vr):
                        raise_error_jybm=False)
     res = eq.apply_function(np.mean, axis=0)
     assert res.shape == data.shape[1:]
+
+
+def test_apply_function_positional_axis_signature_parity(cube_vr):
+    """Review finding: the VRSC overrides narrowed the base signatures —
+    positional axis must both work AND trigger the beam check."""
+    vr, data = cube_vr
+    with pytest.raises(ValueError):
+        vr.apply_function(np.mean, 0)        # positional spectral axis
+    with pytest.raises(ValueError):
+        vr.apply_numpy_function(np.nansum, np.nan, False, None, False, 0)
+    out = vr.apply_function(np.mean, 1)      # positional spatial axis ok
+    assert out.shape == (data.shape[0], data.shape[2])
+    out2 = vr.apply_numpy_function(np.nansum, np.nan, False, None, False, 1)
+    assert out2.shape == (data.shape[0], data.shape[2])
+    # positional weights (3rd positional of the base signature)
+    w = np.ones(data.shape)
+    out3 = vr.apply_function(np.sum, 1, w)
+    np.testing.assert_allclose(out3, vr.apply_function(np.sum, axis=1,
+                                                       weights=w),
+                               equal_nan=True)
+
+
+def test_apply_function_axis_none_ignores_weights(cube_vr):
+    """Reference spectral_cube.py:1049: the axis=None path calls
+    flattened() without weights."""
+    vr, data = cube_vr
+    w = np.full(data.shape, 3.0)
+    a = vr.apply_function(np.sum, axis=None, weights=w)
+    b = vr.apply_function(np.sum, axis=None)
+    assert float(getattr(a, "value", a)) == pytest.approx(
+        float(getattr(b, "value", b)))
