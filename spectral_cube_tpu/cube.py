@@ -39,7 +39,8 @@ from .lower_dimensional_structures import (Projection, Slice, OneDSpectrum,
                                            LowerDimensionalObject)
 from .utils import (cached, warn_slow, MEMORY_THRESHOLD, VarianceWarning,
                     BeamAverageWarning, NonFiniteBeamsWarning,
-                    WCSMismatchWarning, SliceWarning, ProgressBar)
+                    WCSMismatchWarning, SliceWarning, StokesWarning,
+                    ProgressBar)
 from .ops import reductions as _red
 from .ops import moments as _mom
 from .ops import smoothing as _smooth
@@ -483,15 +484,31 @@ class BaseSpectralCube:
     @classmethod
     def read(cls, filename, format=None, hdu=0, use_dask=None, **kwargs):
         """Read a cube.  ``use_dask=True`` (the reference's chunked-runtime
-        switch) distributes the data over all local devices — every
-        subsequent op runs SPMD via GSPMD auto-partitioning."""
+        switch) returns a :class:`~.parallel.sharded.ShardedCube` facade
+        whose data is distributed over the mesh — the analog of the
+        reference's read-into-``DaskSpectralCube``
+        (dask_spectral_cube.py:1390-1394).
+
+        Reading a Stokes (4-D) file through the single-cube entry point
+        extracts the I component with a :class:`StokesWarning`, exactly
+        like the reference's ``normalize_cube_stokes``
+        (reference io/core.py:175-192); files without an I component
+        raise.  Use :meth:`StokesSpectralCube.read` for all components."""
         from .io import read_cube
         cube = read_cube(filename, format=format, hdu=hdu, **kwargs)
+        from .stokes import StokesSpectralCube
+        if isinstance(cube, StokesSpectralCube):
+            if "I" in cube.components:
+                warnings.warn("Cube is a Stokes cube, "
+                              "returning spectral cube for I component",
+                              StokesWarning)
+                cube = cube["I"]
+            else:
+                raise ValueError("Spectral cube is a Stokes cube that "
+                                 "does not have an I component")
         if use_dask:
-            from .parallel import CubeMesh
-            cmesh = CubeMesh()
-            if cmesh.n_devices > 1 and hasattr(cube, "_device_data"):
-                cube._data = cmesh.shard(cube._device_data, "spatial")
+            from .parallel.sharded import ShardedCube
+            return ShardedCube(cube)
         return cube
 
     # ------------------------------------------------------------------

@@ -9,8 +9,11 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+
 from .fits_low import is_fits, Header, HDU, BinTableHDU, read_fits, write_fits
-from .fits import load_fits_cube, write_fits_cube, write_fits_stokes
+from .fits import (load_fits_cube, cube_from_hdus, write_fits_cube,
+                   write_fits_stokes)
 
 __all__ = ["read_cube", "write_cube", "read_stokes_cube",
            "write_stokes_cube", "Header", "HDU", "BinTableHDU"]
@@ -31,22 +34,33 @@ def _detect_format(filename):
                      "pass format= explicitly")
 
 
+def _as_native_hdu(obj):
+    """Coerce a foreign HDU-like (anything with .header/.data, e.g. an
+    astropy PrimaryHDU) into a native HDU without serializing it."""
+    if isinstance(obj, (HDU, BinTableHDU)):
+        return obj
+    header = obj.header
+    if not isinstance(header, Header):
+        native = Header()
+        for key, value in header.items():
+            if key in ("COMMENT", "HISTORY", ""):
+                continue
+            native[str(key)] = value
+        header = native
+    return HDU(data=np.asarray(obj.data), header=header,
+               name=getattr(obj, "name", None))
+
+
 def read_cube(filename, format=None, hdu=0, **kwargs):
-    # accept in-memory HDU objects (reference: load_fits_cube accepts HDUs)
-    if isinstance(filename, (HDU, list)):
-        import tempfile
-        import os as _os
+    # accept in-memory HDU objects directly (the reference serves these
+    # zero-copy through astropy's registry, io/core.py:111-130) — no
+    # temp-file round trip, the HDU's header/data feed the cube as-is
+    if isinstance(filename, (HDU, list)) or (
+            not isinstance(filename, (str, os.PathLike))
+            and hasattr(filename, "header") and hasattr(filename, "data")):
         hdus = filename if isinstance(filename, list) else [filename]
-        tmp = tempfile.NamedTemporaryFile(suffix=".fits", delete=False)
-        tmp.close()
-        try:
-            write_fits(tmp.name, hdus)
-            cube = load_fits_cube(tmp.name, hdu=hdu, **kwargs)
-            if hasattr(cube, "_device_data"):
-                cube._device_data  # force load before the temp file goes
-            return cube
-        finally:
-            _os.unlink(tmp.name)
+        return cube_from_hdus([_as_native_hdu(h) for h in hdus],
+                              hdu=hdu, **kwargs)
     format = format or _detect_format(filename)
     if format == "fits":
         return load_fits_cube(filename, hdu=hdu, **kwargs)

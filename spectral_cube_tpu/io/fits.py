@@ -53,10 +53,18 @@ def load_fits_cube(filename, hdu=0, meta=None, target_cls=None, use_dask=None,
                    **kwargs):
     """Read a FITS file into a SpectralCube / VaryingResolutionSpectralCube /
     StokesSpectralCube (reference io/fits.py:171-260)."""
+    return cube_from_hdus(read_fits(filename), hdu=hdu, meta=meta,
+                          target_cls=target_cls, use_dask=use_dask, **kwargs)
+
+
+def cube_from_hdus(hdus, hdu=0, meta=None, target_cls=None, use_dask=None,
+                   **kwargs):
+    """Build a cube from already-parsed HDU objects — the zero-copy path
+    for in-memory HDUs (the reference serves these through astropy's
+    registry without touching disk, io/core.py:111-130)."""
     from ..cube import SpectralCube, VaryingResolutionSpectralCube
     from ..stokes import StokesSpectralCube
 
-    hdus = read_fits(filename)
     ihdu = _find_image_hdu(hdus, hdu)
     header = ihdu.header
     beam_table = _find_beam_table(hdus)

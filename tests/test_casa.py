@@ -20,7 +20,7 @@ requires_data = pytest.mark.skipif(
 @pytest.mark.parametrize("name", ["basic.image", "basic_bigendian.image",
                                   "nomask.image"])
 def test_read_casa_image(name):
-    out = SpectralCube.read(BASE + name)
+    out = StokesSpectralCube.read(BASE + name)
     assert isinstance(out, StokesSpectralCube)
     assert set(out.components) == {"I", "Q"}
     I = out["I"]
@@ -41,8 +41,8 @@ def test_read_casa_image(name):
 
 @requires_data
 def test_casa_endianness_agreement():
-    le = SpectralCube.read(BASE + "basic.image")["I"]
-    be = SpectralCube.read(BASE + "basic_bigendian.image")["I"]
+    le = SpectralCube.read(BASE + "basic.image")
+    be = SpectralCube.read(BASE + "basic_bigendian.image")
     np.testing.assert_array_equal(
         np.asarray(le.unmasked_data[:].value),
         np.asarray(be.unmasked_data[:].value))
@@ -50,14 +50,14 @@ def test_casa_endianness_agreement():
 
 @requires_data
 def test_casa_mask_read():
-    cube = SpectralCube.read(BASE + "basic.image")["I"]
+    cube = SpectralCube.read(BASE + "basic.image")
     filled = np.asarray(cube.filled_data[:].value)
     assert np.isfinite(filled).all()  # mask0 is all-True here
 
 
 @requires_data
 def test_casa_beam():
-    cube = SpectralCube.read(BASE + "basic.image")["I"]
+    cube = SpectralCube.read(BASE + "basic.image")
     assert cube.beam is not None
     assert cube.beam.major.to_value("deg") * 3600 == pytest.approx(1.0,
                                                                    rel=1e-6)
@@ -65,7 +65,7 @@ def test_casa_beam():
 
 @requires_data
 def test_casa_moments_run():
-    cube = SpectralCube.read(BASE + "basic.image")["I"]
+    cube = SpectralCube.read(BASE + "basic.image")
     m0 = cube.moment0()
     # all-ones cube: mom0 = nchan * |dv|
     dv = abs(np.diff(np.asarray(cube.spectral_axis.value))[0])
@@ -213,7 +213,7 @@ def test_casa_write_stokes(tmp_path):
     out = str(tmp_path / "stokes.image")
     from spectral_cube_tpu.io.casa_writer import write_casa_image
     write_casa_image(sc, out)
-    back = SpectralCube.read(out)
+    back = StokesSpectralCube.read(out)
     assert isinstance(back, StokesSpectralCube)
     assert set(back.components) == {"I", "Q"}
     np.testing.assert_allclose(
@@ -423,7 +423,7 @@ def test_casa_multistokes_per_plane_beams_roundtrip(tmp_path):
     sc = StokesSpectralCube({"I": vr_i, "Q": vr_q})
     img = str(tmp_path / "iq.image")
     write_casa_image(sc, img)
-    back = SpectralCube.read(img)
+    back = StokesSpectralCube.read(img)
     bi = np.asarray(back["I"].unmasked_beams.major.to("arcsec").value)
     bq = np.asarray(back["Q"].unmasked_beams.major.to("arcsec").value)
     np.testing.assert_allclose(bi, majs, rtol=1e-6)

@@ -328,7 +328,7 @@ def test_4d_fullstokes_with_beams_table(tmp_path, cube_vr):
     h["CRPIX4"] = 1.0
     h["CUNIT4"] = ""
     fl.write_fits(str(tmp_path / "full.fits"), [fl.HDU(d4, h), bt])
-    out = SpectralCube.read(str(tmp_path / "full.fits"))
+    out = StokesSpectralCube.read(str(tmp_path / "full.fits"))
     assert isinstance(out, StokesSpectralCube)
     assert sorted(out.components) == ["I", "Q"]
     for comp in out.components:
@@ -934,3 +934,82 @@ def test_lmv_type2_full_sections(tmp_path, endian):
     assert hdr["CRVAL1"] == pytest.approx(np.degrees(0.1), rel=1e-9)
     assert hdr["CRVAL2"] == pytest.approx(np.degrees(-0.5), rel=1e-9)
     assert np.isnan(data).sum() == 1
+
+
+def _write_stokes4(tmp_path, name, crval4, ncomp=2, cdelt4=1.0):
+    rng = np.random.RandomState(3)
+    data4 = rng.rand(ncomp, 4, 3, 2)
+    h = base_header()
+    h["NAXIS"] = 4
+    h["NAXIS4"] = ncomp
+    h["CTYPE4"] = "STOKES"
+    h["CRVAL4"] = crval4
+    h["CDELT4"] = cdelt4
+    h["CRPIX4"] = 1.0
+    path = str(tmp_path / name)
+    write_fits(path, [HDU(data=data4, header=h)])
+    return path, data4
+
+
+def test_read_stokes_extracts_I_with_warning(tmp_path):
+    """SpectralCube.read of a 4-D Stokes file returns the I component with
+    a StokesWarning — reference normalize_cube_stokes, io/core.py:175-192."""
+    from spectral_cube_tpu.utils import StokesWarning
+    path, data4 = _write_stokes4(tmp_path, "iq.fits", crval4=1.0)
+    with pytest.warns(StokesWarning, match="I component"):
+        cube = SpectralCube.read(path)
+    assert not isinstance(cube, StokesSpectralCube)
+    np.testing.assert_allclose(
+        np.asarray(cube.unmasked_data[:].value), data4[0])
+
+
+def test_read_stokes_without_I_raises(tmp_path):
+    """A Stokes file without an I component cannot be read through the
+    single-cube entry point (reference io/core.py:186-188)."""
+    path, _ = _write_stokes4(tmp_path, "xxyy.fits", crval4=-5.0,
+                             cdelt4=-1.0)   # XX, YY
+    with pytest.raises(ValueError, match="does not have an I component"):
+        SpectralCube.read(path)
+    sc = StokesSpectralCube.read(path)   # full-component path still works
+    assert set(sc.components) == {"XX", "YY"}
+
+
+def test_read_in_memory_hdu_touches_no_disk(tmp_path, monkeypatch):
+    """read_cube of an in-memory HDU parses it directly — the reference
+    serves HDUs zero-copy (io/core.py:111-130); the old temp-file round
+    trip is gone."""
+    import spectral_cube_tpu.io as scio
+
+    def _bomb(*a, **k):
+        raise AssertionError("in-memory HDU read wrote to disk")
+
+    monkeypatch.setattr(scio, "write_fits", _bomb)
+    monkeypatch.setattr("tempfile.NamedTemporaryFile", _bomb)
+    rng = np.random.RandomState(4)
+    data = rng.rand(4, 3, 2).astype(np.float32)
+    hdu = HDU(data=data, header=base_header())
+    cube = scio.read_cube(hdu)
+    np.testing.assert_allclose(np.asarray(cube.unmasked_data[:].value),
+                               data, rtol=1e-7)
+    # a list of HDUs works too
+    cube2 = scio.read_cube([hdu])
+    np.testing.assert_allclose(np.asarray(cube2.unmasked_data[:].value),
+                               data, rtol=1e-7)
+
+
+def test_read_foreign_hdu_duck_typed(tmp_path):
+    """Objects with .header/.data (e.g. astropy HDUs) read without
+    serialization."""
+
+    class FakeHDU:
+        def __init__(self, data, header):
+            self.data = data
+            self.header = dict(header.items())
+        name = "PRIMARY"
+
+    rng = np.random.RandomState(5)
+    data = rng.rand(4, 3, 2).astype(np.float32)
+    from spectral_cube_tpu.io import read_cube
+    cube = read_cube(FakeHDU(data, base_header()))
+    np.testing.assert_allclose(np.asarray(cube.unmasked_data[:].value),
+                               data, rtol=1e-7)

@@ -660,3 +660,31 @@ def test_sharded_vr_convolve_fft_fallback(tmp_path, cmesh):
         np.asarray(sc.cube.unmasked_data[:].value),
         np.asarray(expected.unmasked_data[:].value),
         rtol=2e-4, atol=2e-6, equal_nan=True)
+
+
+def test_read_use_dask_returns_sharded_cube(tmp_path):
+    """SpectralCube.read(use_dask=True) lands in the ShardedCube facade
+    (the reference's read-into-DaskSpectralCube,
+    dask_spectral_cube.py:1390-1394) WITHOUT mutating any cube in place:
+    rechunk/statistics/display surface is reachable straight from read."""
+    from conftest import make_cube_file
+    path, data = make_cube_file(tmp_path, "dask.fits", shape=(6, 8, 10))
+    sc = SpectralCube.read(path, use_dask=True)
+    assert isinstance(sc, ShardedCube)
+    # the facade surface is reachable
+    assert hasattr(sc, "rechunk") and hasattr(sc, "statistics")
+    stats = sc.statistics()
+    finite = data[np.isfinite(data)]
+    np.testing.assert_allclose(float(stats["mean"].value), finite.mean(),
+                               rtol=1e-6)
+    re = sc.rechunk("spectral")
+    assert isinstance(re, ShardedCube)
+    # data is sharded over the default mesh
+    assert len(sc.cube._device_data.sharding.device_set) == \
+        len(jax.devices())
+    # plain read is untouched by the facade path (no in-place mutation)
+    plain = SpectralCube.read(path)
+    assert not isinstance(plain, ShardedCube)
+    np.testing.assert_allclose(
+        np.asarray(plain.unmasked_data[:].value),
+        np.asarray(sc.cube.unmasked_data[:].value), equal_nan=True)
