@@ -85,24 +85,46 @@ def _timed_fetch(f, x):
 
 _HBM_GBPS = {"v5 lite": 819, "v5e": 819, "v5p": 2765, "v4": 1228,
              "v6e": 1640, "v6 lite": 1640}
+# peak bf16 MXU TFLOP/s per chip; f32 HIGHEST (X6) runs at ~1/6 of this
+_MXU_TFLOPS = {"v5 lite": 197, "v5e": 197, "v5p": 459, "v4": 275,
+               "v6e": 918, "v6 lite": 918}
 
 
-def hbm_roofline_gbps():
+def _device_peak(table, default):
     try:
         kind = jax.devices()[0].device_kind.lower()
     except Exception:
-        return 819.0
-    for key, val in _HBM_GBPS.items():
+        return default
+    for key, val in table.items():
         if key in kind:
             return float(val)
-    return 819.0
+    return default
 
 
-def _note(name, per_pass, bytes_per_pass):
+def hbm_roofline_gbps():
+    return _device_peak(_HBM_GBPS, 819.0)
+
+
+def mxu_roofline_tflops():
+    return _device_peak(_MXU_TFLOPS, 197.0)
+
+
+def _note(name, per_pass, bytes_per_pass, flops_f32=0, flops_bf16=0):
+    """Roofline note: which hardware bound governs this config and what
+    fraction of it the measured pass attains.  ``flops_f32`` counts MXU
+    FLOPs issued at HIGHEST precision (X6: six bf16 passes per f32
+    product); ``flops_bf16`` counts DEFAULT-precision flag/threshold
+    matmuls."""
     gbps = bytes_per_pass / per_pass / 1e9
-    roof = hbm_roofline_gbps()
-    print(f"# {name}: {per_pass * 1e3:.3f} ms/pass, {gbps:.0f} GB/s "
-          f"({100 * gbps / roof:.0f}% of ~{roof:.0f} GB/s HBM roofline)",
+    hbm = hbm_roofline_gbps()
+    mxu = mxu_roofline_tflops() * 1e12
+    t_hbm = bytes_per_pass / (hbm * 1e9)
+    t_mxu = flops_f32 / (mxu / 6) + flops_bf16 / mxu
+    bound, t_bound = ("MXU", t_mxu) if t_mxu > t_hbm else ("HBM", t_hbm)
+    att = 100 * t_bound / per_pass
+    print(f"# {name}: {per_pass * 1e3:.3f} ms/pass, {gbps:.0f} GB/s | "
+          f"model: HBM {t_hbm * 1e3:.3f} ms vs MXU {t_mxu * 1e3:.3f} ms "
+          f"-> {bound}-bound, {att:.0f}% of bound attained",
           file=sys.stderr)
 
 
@@ -169,7 +191,25 @@ def bench_config2():
     data = jnp.asarray(data_np)
     per = _measure(one_pass, (data,), reps=30)
     gvox = data_np.size / 1e9
-    _note("config2 smooth+interp", per, data_np.size * 4 * 2.5)
+    # roofline model: strips read the cube once and write nout/nin of it;
+    # MXU work is the strip blocks (nb*m*K rows x spatial cols, f32 X6)
+    from spectral_cube_tpu.ops.banded_pallas import plan_strips
+    from spectral_cube_tpu.ops.smoothing import _banded_conv_matrix
+    from spectral_cube_tpu.ops.interpolate import (interp_weights,
+                                                   _interp_matrix)
+    k = kern / kern.sum()
+    M = (_interp_matrix(*interp_weights(coords, outaxis), nchan)
+         .astype(np.float64)
+         @ _banded_conv_matrix(nchan, k).astype(np.float64))
+    plan = plan_strips(M != 0.0)
+    spatial = ny * nx
+    if plan:
+        m, K = plan
+        flops = -(-M.shape[0] // m) * m * K * spatial * 2
+    else:
+        flops = M.shape[0] * nchan * spatial * 2
+    _note("config2 smooth+interp", per, data_np.size * 4 * 1.5,
+          flops_f32=flops)
     return {"metric": "spectral_smooth_interp_512chan_throughput",
             "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
             "vs_baseline": round((gvox / per) / (gvox / t_base), 2)}
@@ -205,7 +245,20 @@ def bench_config3():
 
     per = _measure(one_pass, (jnp.asarray(data_np),), reps=20)
     gvox = data_np.size / 1e9
-    _note("config3 vrsc convolve", per, data_np.size * 4 * 2)
+    # roofline model: cube in + out over HBM; per channel the strip
+    # blocks run rank-1 y and x passes at f32 X6 (the band structure is
+    # shared across groups, so one group's matrix gives the plan)
+    from spectral_cube_tpu.ops.banded_pallas import plan_strips
+    from spectral_cube_tpu.ops.smoothing import _banded_conv_matrix
+    band = _banded_conv_matrix(n, cv.separable_factors(kernels[0])[0][:, 0])
+    plan = plan_strips(band != 0.0, max_m=128)
+    if plan:
+        m, K = plan
+        flops = n * 2 * (-(-n // m) * m * K * n * 2)
+    else:
+        flops = n * 2 * (n * n * n * 2)
+    _note("config3 vrsc convolve", per, data_np.size * 4 * 2,
+          flops_f32=flops)
     return {"metric": "vrsc_common_beam_convolve_256cube_throughput",
             "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
             "vs_baseline": round((gvox / per) / (gvox / t_base), 2)}
@@ -252,7 +305,22 @@ def bench_config4():
 
     per = _measure(one_pass, (jnp.asarray(data_np),), reps=20)
     gvox = data_np.size / 1e9
-    _note("config4 reproject+stokes", per, data_np.size * 4 * 2)
+    # roofline model: planes in + out over HBM; the 2-tap resample strips
+    # run one y and one x pass per plane at f32 X6 (the all-finite fast
+    # path skips the NaN-weight convolution per channel)
+    from spectral_cube_tpu.ops.banded_pallas import plan_strips
+    from spectral_cube_tpu.ops.interpolate import _interp_matrix
+    tap = _interp_matrix(np.arange(ny, dtype=np.int64).clip(0, ny - 2),
+                         np.full(ny, 0.37), ny)
+    plan = plan_strips(tap != 0.0, max_m=128)
+    nplanes = ncomp * nchan
+    if plan:
+        m, K = plan
+        flops = nplanes * 2 * (-(-ny // m) * m * K * nx * 2)
+    else:
+        flops = nplanes * 2 * (ny * ny * nx * 2)
+    _note("config4 reproject+stokes", per, data_np.size * 4 * 2,
+          flops_f32=flops)
     return {"metric": "reproject_stokes_iquv_throughput",
             "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
             "vs_baseline": round((gvox / per) / (gvox / t_base), 2)}
@@ -318,10 +386,58 @@ def bench_config5():
 
     per = _measure(one_pass, (jnp.asarray(data_np),), reps=20)
     gvox = data_np.size / 1e9
-    _note("config5 pipeline", per, data_np.size * 4 * 4)
+    # roofline model: ~4 HBM passes (fused masked moments read, stats
+    # read, conv+reproject read + write); MXU work is the composed
+    # convolve+resample strips (band = kernel width + 2 resample taps)
+    from spectral_cube_tpu.ops.banded_pallas import plan_strips
+    from spectral_cube_tpu.ops.convolve import (separable_factors,
+                                                _conv_matrix_1d)
+    from spectral_cube_tpu.ops.interpolate import _interp_matrix
+    yt, _ = separable_factors(k / k.sum())
+    R = _interp_matrix(np.arange(n, dtype=np.int64).clip(0, n - 2),
+                       np.full(n, 0.37), n).astype(np.float64)
+    G = R @ _conv_matrix_1d(n, yt[:, 0]).astype(np.float64)
+    plan = plan_strips(G != 0.0, max_m=128)
+    if plan:
+        m, K = plan
+        flops = n * 2 * (-(-n // m) * m * K * n * 2)
+    else:
+        flops = n * 2 * (n * n * n * 2)
+    _note("config5 pipeline", per, data_np.size * 4 * 4, flops_f32=flops)
     return {"metric": "pipeline_mask_moments_convolve_reproject_throughput",
             "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
             "vs_baseline": round(t_base / per, 2)}
+
+
+def bench_config6():
+    """sigma_clip_spectrally(1) on a 623x768x768 cube — the ONLY workload
+    with reference-published wall times (docs/dask.rst:188-212: plain
+    6 min 37 s, dask serial 51.5 s, dask 4-thread 18.5 s; the 623x768x768
+    shape is the mid-sized CASA cube those docs benchmark).  Also the
+    suite's one non-power-of-two, plane-dominated shape (tap-threshold /
+    block-shape cliff canary).
+
+    The cube generates ON DEVICE (jax.random.normal under jit): shipping
+    1.5 GB through the axon tunnel would dominate the round."""
+    from spectral_cube_tpu.ops.smoothing import sigma_clip_spectrally
+    nchan, ny, nx = 623, 768, 768
+    key = jax.random.PRNGKey(0)
+    data = jax.jit(lambda k2: jax.random.normal(
+        k2, (nchan, ny, nx), jnp.float32))(key)
+
+    def one_pass(d):
+        return jnp.nan_to_num(sigma_clip_spectrally(d, sigma=1.0))
+
+    per = _measure(one_pass, (data,), reps=3)
+    gvox = nchan * ny * nx / 1e9
+    # traffic estimate: read + sorted copy + 5 iterations of ~2
+    # fused passes over the sorted cube (the sort itself dominates and
+    # is not modeled -> the %-attained line is an upper bound)
+    _note("config6 sigma-clip 623x768x768", per, nchan * ny * nx * 4 * 13)
+    t_ref_best = 18.5   # dask 4-thread wall, docs/dask.rst:204-212
+    return {"metric": "sigma_clip_spectrally_623x768x768_throughput",
+            "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
+            "vs_baseline": round((gvox / per) / (gvox / t_ref_best), 2)}
 
 
 def main():
@@ -381,6 +497,8 @@ def main():
 
     throughput = gvox / per_pass
     baseline_throughput = gvox / t_numpy
+    # config 1 is pure VPU+HBM work (mask predicate, weighted sums):
+    # one cube read governs; no MXU term
     _note("config1 masked moments", per_pass, data_np.size * 4)
     result = {
         "metric": "snr_masked_moment012_256cube_throughput",
@@ -393,7 +511,7 @@ def main():
     # configs 2-5 as additional JSON lines (a failure in one must not
     # take down the headline metric)
     for fn in (bench_config2, bench_config3, bench_config4,
-               bench_config5):
+               bench_config5, bench_config6):
         try:
             print(json.dumps(fn()), flush=True)
         except Exception as exc:  # pragma: no cover

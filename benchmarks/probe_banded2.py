@@ -34,24 +34,31 @@ def dot_h(a, b, dims):
                                precision=HIGH)
 
 
-def _timed(f):
+def _timed_fetch(f):
     t0 = time.perf_counter()
-    jax.block_until_ready(f())
+    np.asarray(f())
     return time.perf_counter() - t0
 
 
 def measure_chain(one_pass, cube, extra, reps):
-    """Carry the cube through the loop: c = f(c).  Output shape must equal
-    input shape.  Nothing is hoistable; every pass runs."""
+    """Carry the cube through the loop: c = f(c); return a FULL-sum scalar
+    and synchronize by FETCHING it (block_until_ready does not actually
+    wait over the axon tunnel — only a fetch does).  Nothing is hoistable
+    (each pass consumes the previous) and nothing is DCE-able (the sum
+    consumes every element)."""
     @jax.jit
     def looped(c, *a):
         def body(i, carry):
             return one_pass(carry, *a)
-        return jax.lax.fori_loop(0, reps, body, c)
+        out = jax.lax.fori_loop(0, reps, body, c)
+        return jnp.sum(out)
 
-    jax.block_until_ready(looped(cube, *extra))  # compile+warm
-    t = min(_timed(lambda: looped(cube, *extra)) for _ in range(3))
-    return t / reps
+    np.asarray(looped(cube, *extra))  # compile + warm
+    tiny = jax.jit(lambda d: d.ravel()[0] * 1.0)
+    np.asarray(tiny(cube))
+    rtt = min(_timed_fetch(lambda: tiny(cube)) for _ in range(3))
+    t = min(_timed_fetch(lambda: looped(cube, *extra)) for _ in range(3))
+    return max((t - rtt) / reps, 1e-9)
 
 
 # ---------------------------------------------------------------- workload

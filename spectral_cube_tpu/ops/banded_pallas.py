@@ -1,0 +1,567 @@
+"""Pallas TPU strip kernels for banded spectral/spatial operators.
+
+The hot BASELINE workloads apply *banded* linear operators (composed
+smooth+interp along the spectral axis; per-channel separable beam
+convolution in the image plane).  Executed as dense matmuls they waste
+most MXU FLOPs on structural zeros, and the per-channel path additionally
+pays a full HBM round trip gathering per-channel (n, n) matrices.  The
+kernels here keep only the nonzero band: each strip of ``m`` output rows
+multiplies a static ``(m, K)`` block against the ``K`` input rows its band
+touches, entirely in VMEM, and the NaN (normalized-convolution) machinery
+runs per-block *inside* the kernel under ``pl.when`` — clean data pays
+zero extra HBM passes and no ``lax.cond`` operand materialization.
+
+Measured on v5e (fetch-synchronized chained timing,
+benchmarks/probe_banded2.py): composed smooth+interp 512->256 channels of
+a 256^2 plane: dense 0.72 ms -> strips 0.37 ms (540 GB/s); 64-group
+per-channel separable convolve of a 256^3 cube: einsum-gather 0.846 ms ->
+strips 0.43 ms (the workload is MXU-bound at f32 HIGHEST: ~0.29 ms floor).
+
+Numerics match the dense paths they replace (same banded matrices, same
+HIGHEST-precision dots, same 1e-6 normalized-convolution den floor):
+reference parity anchors are spectral_cube/spectral_cube.py smoothing /
+convolution entry points, via ops/interpolate.smooth_interp_cube and
+ops/convolve.convolve_per_channel_separable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["plan_strips", "strip_blocks", "banded_matmul_strips",
+           "smooth_interp_strips", "per_channel_conv_strips",
+           "per_channel_resample_strips", "per_channel_plain_strips"]
+
+# normalized-convolution denominator floor shared with every dense path
+# (CLAUDE.md: f32 HIGHEST chains reconstruct an exact 0 only to ~1e-7)
+_DEN_EPS = 1e-6
+
+# leave headroom under the ~16 MB scoped-VMEM limit for Mosaic's own
+# stack (a 48 MB request was observed to abort compilation outright)
+_VMEM_BUDGET = 10 * 2 ** 20
+
+
+def _backend_ok(interpret):
+    """Real Mosaic lowering only exists on TPU; every public entry point
+    returns None elsewhere (unless interpret=True for tests) so callers
+    keep their dense fallbacks."""
+    return interpret or jax.default_backend() == "tpu"
+
+
+def _dot(a, b):
+    return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
+
+
+def plan_strips(profile, max_m=256):
+    """Choose (m, K) so every m-row strip of the banded operator touches
+    at most K input columns.  ``profile``: bool (nout, nin) nonzero map.
+    FLOPs are ~nout*K*S regardless of m, so K is minimized first; m is
+    then the largest multiple of 8 that fits (fewer strips, fewer stores).
+    Returns (m, K) or None."""
+    nout, nin = profile.shape
+    rows = np.any(profile, axis=1)
+    lo = np.where(rows, profile.argmax(axis=1), 0)
+    hi = np.where(rows, nin - profile[:, ::-1].argmax(axis=1), 1)
+    for K in (128, 256, 512):
+        if K > nin:
+            break
+        m_start = min(max_m, -(-nout // 8) * 8)
+        for m in range(m_start, 7, -8):
+            ok = True
+            for s in range(0, nout, m):
+                e = min(s + m, nout)
+                span = hi[s:e].max() - lo[s:e].min()
+                if span > K:
+                    ok = False
+                    break
+            if ok:
+                return m, K
+    return None
+
+
+def strip_blocks(mats, m, K):
+    """Cut banded operators into strip blocks.
+
+    ``mats``: (..., nout, nin) with shared band structure across leading
+    dims (the per-strip input window must be common — starts are static).
+    Returns (blocks (..., nb, m, K) float32, starts list[int]) or None if
+    some strip's band exceeds K.
+    """
+    mats = np.asarray(mats, dtype=np.float32)
+    lead, (nout, nin) = mats.shape[:-2], mats.shape[-2:]
+    if nin < K:
+        return None
+    flat = mats.reshape((-1, nout, nin))
+    nb = -(-nout // m)
+    blocks = np.zeros((flat.shape[0], nb, m, K), np.float32)
+    starts = []
+    for i in range(nb):
+        s0, e0 = i * m, min(i * m + m, nout)
+        nz = np.nonzero(np.any(flat[:, s0:e0, :] != 0.0, axis=(0, 1)))[0]
+        if nz.size == 0:
+            starts.append(0)
+            continue
+        if nz[-1] + 1 - nz[0] > K:
+            return None
+        s = int(np.clip(nz[0], 0, nin - K))
+        starts.append(s)
+        blocks[:, i, :e0 - s0, :] = flat[:, s0:e0, s:s + K]
+    return blocks.reshape(lead + (nb, m, K)), starts
+
+
+def _pick_xb(per_col_bytes, static_bytes, ncols):
+    """Largest XB in {2048..128} dividing ncols that fits the budget."""
+    xb = 2048
+    while xb >= 128:
+        if ncols % xb == 0 and per_col_bytes * xb + static_bytes \
+                <= _VMEM_BUDGET:
+            return xb
+        xb //= 2
+    return None
+
+
+def banded_matmul_strips(M_host, flat, interpret=False):
+    """``M_host @ flat`` via strip blocks in one Pallas pass.
+
+    ``M_host``: host (nout, nin) banded float array; ``flat``: device
+    (nin, S) float32.  Returns (nout, S) float32 or None if the operator
+    or shapes don't fit the strip layout (caller falls back to dense).
+    """
+    if not _backend_ok(interpret):
+        return None
+    M = np.asarray(M_host, dtype=np.float32)
+    nout, nin = M.shape
+    S = flat.shape[1]
+    if nout % 8 or nin % 8:
+        return None
+    plan = plan_strips(M != 0.0)
+    if plan is None:
+        return None
+    m, K = plan
+    sb = strip_blocks(M, m, K)
+    if sb is None:
+        return None
+    blocks, starts = sb
+    nb = blocks.shape[0]
+    xb = _pick_xb((nin + nout) * 4, blocks.size * 4, S)
+    if xb is None:
+        return None
+
+    def kernel(x_ref, b_ref, o_ref):
+        X = x_ref[:]
+        for i in range(nb):
+            hi = min((i + 1) * m, nout)
+            part = _dot(b_ref[i], X[starts[i]:starts[i] + K, :])
+            o_ref[i * m:hi] = part[:hi - i * m]
+
+    fn = pl.pallas_call(
+        kernel, grid=(S // xb,),
+        in_specs=[pl.BlockSpec((nin, xb), lambda j: (0, j)),
+                  pl.BlockSpec((nb, m, K), lambda j: (0, 0, 0))],
+        out_specs=pl.BlockSpec((nout, xb), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((nout, S), jnp.float32),
+        interpret=interpret)
+    return fn(flat.astype(jnp.float32), jnp.asarray(blocks))
+
+
+def smooth_interp_strips(flat, M_host, S_host, I_host, interpret=False):
+    """Fused spectral smooth+interp with per-block NaN handling in VMEM.
+
+    Clean spaxel blocks apply the composed operator M = I @ S as strip
+    matmuls; blocks containing NaN run the exact two-stage chain
+    (normalized smoothing with the 1e-6 den floor, then the interp
+    operator with NaN poisoning) — the same semantics as
+    ops/smoothing.convolve1d_nan + ops/interpolate._interp_by_matmul, but
+    decided per (nin, XB) block inside the kernel instead of one global
+    lax.cond, so all-finite cubes never pay the has-NaN prepass or the
+    cond's operand materialization.
+
+    ``flat``: (nin, S) float32 device; M (nout, nin), S (nin, nin),
+    I (nout, nin) host banded operators.  Returns (nout, S) float32 or
+    None when infeasible.
+    """
+    if not _backend_ok(interpret):
+        return None
+    M = np.asarray(M_host, np.float32)
+    Sm = np.asarray(S_host, np.float32)
+    Im = np.asarray(I_host, np.float32)
+    nout, nin = M.shape
+    S_cols = flat.shape[1]
+    if nout % 8 or nin % 8:
+        return None
+    plans = [plan_strips(A != 0.0) for A in (M, Sm, Im)]
+    if any(p is None for p in plans):
+        return None
+    cut = [strip_blocks(A, mK[0], mK[1])
+           for A, mK in zip((M, Sm, Im), plans)]
+    if any(c is None for c in cut):
+        return None
+    (mb, mst), (sb, sst), (ib, ist) = cut
+    (m_m, _), (m_s, _), (m_i, _) = plans
+    nb_m, nb_s, nb_i = mb.shape[0], sb.shape[0], ib.shape[0]
+    nbm_s = nb_s * m_s
+    static = (mb.size + sb.size + ib.size) * 4
+    # per column: in + out blocks (double-buffered), two smoothing
+    # scratches, plus ~4 block-wide temporaries on Mosaic's value stack
+    # (the first cut under-counted those and hit the 16 MB scoped-VMEM
+    # ceiling at 24 MB on the 512-channel BASELINE shape)
+    xb = _pick_xb((6 * nin + 2 * nout + 2 * nbm_s) * 4, static, S_cols)
+    if xb is None:
+        return None
+
+    def kernel(x_ref, mb_ref, sb_ref, ib_ref, o_ref, tn_ref, td_ref):
+        # the composed-operator strips run UNCONDITIONALLY (NaN inputs
+        # produce garbage the dirty branch overwrites): keeping the hot
+        # path out of pl.when lets Mosaic software-pipeline the MXU work
+        # across grid steps (measured 0.635 -> 0.43 ms on the all-finite
+        # 512-channel BASELINE config vs the both-branches-conditional
+        # form)
+        Km = mb_ref.shape[2]
+        for i in range(nb_m):
+            hi = min((i + 1) * m_m, nout)
+            part = _dot(mb_ref[i], x_ref[mst[i]:mst[i] + Km, :])
+            o_ref[i * m_m:hi] = part[:hi - i * m_m]
+        v = jnp.isfinite(x_ref[:])
+
+        @pl.when(jnp.logical_not(jnp.all(v)))
+        def _():
+            Ks = sb_ref.shape[2]
+            for i in range(nb_s):
+                sl = slice(sst[i], sst[i] + Ks)
+                vs = v[sl]
+                tn_ref[i * m_s:(i + 1) * m_s] = _dot(
+                    sb_ref[i], jnp.where(vs, x_ref[sl], 0.0))
+                td_ref[i * m_s:(i + 1) * m_s] = _dot(
+                    sb_ref[i], 1.0 - vs.astype(jnp.float32))
+            den = 1.0 - td_ref[:nin]
+            ok = den > _DEN_EPS
+            sm = jnp.where(ok, tn_ref[:nin] / jnp.where(ok, den, 1.0),
+                           jnp.nan)
+            # all-NaN spaxels stay NaN through the smooth
+            sm = jnp.where(jnp.any(v, axis=0, keepdims=True), sm, jnp.nan)
+            # reuse the scratches: tn <- filled smooth, td <- NaN flags
+            tn_ref[:nin] = jnp.where(jnp.isnan(sm), 0.0, sm)
+            td_ref[:nin] = jnp.isnan(sm).astype(jnp.float32)
+            Ki = ib_ref.shape[2]
+            for j in range(nb_i):
+                hi = min((j + 1) * m_i, nout)
+                orow = _dot(ib_ref[j], tn_ref[ist[j]:ist[j] + Ki, :])
+                prow = _dot(ib_ref[j], td_ref[ist[j]:ist[j] + Ki, :]) > 0
+                o_ref[j * m_i:hi] = jnp.where(prow, jnp.nan,
+                                              orow)[:hi - j * m_i]
+
+    fn = pl.pallas_call(
+        kernel, grid=(S_cols // xb,),
+        in_specs=[pl.BlockSpec((nin, xb), lambda j: (0, j)),
+                  pl.BlockSpec(mb.shape, lambda j: (0, 0, 0)),
+                  pl.BlockSpec(sb.shape, lambda j: (0, 0, 0)),
+                  pl.BlockSpec(ib.shape, lambda j: (0, 0, 0))],
+        out_specs=pl.BlockSpec((nout, xb), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((nout, S_cols), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nbm_s, xb), jnp.float32),
+                        pltpu.VMEM((nbm_s, xb), jnp.float32)],
+        interpret=interpret)
+    return fn(flat.astype(jnp.float32), jnp.asarray(mb), jnp.asarray(sb),
+              jnp.asarray(ib))
+
+
+def per_channel_conv_strips(data, my, mx, group_idx, interpret=False):
+    """Per-channel separable 2-D convolution with per-group banded
+    operators, channels visited in group-sorted order.
+
+    ``data``: (nchan, ny, nx) float32 (may contain NaN); ``my``/``mx``:
+    host (ngroup, r, ny, ny)/(ngroup, r, nx, nx) banded matrices (rank-r
+    SVD factors of each group's kernel); ``group_idx``: (nchan,) int.
+
+    out[c] = sum_i My[g,i] @ X[c] @ Mx[g,i]^T with normalized-convolution
+    NaN semantics evaluated per channel inside the kernel (``pl.when``):
+    clean channels pay one strip pass; NaN channels run the denominator
+    pass and the 1e-6-floor divide exactly like the dense einsum path in
+    ops/convolve.convolve_per_channel_separable.
+
+    The scalar-prefetch grid sorts channels by group, so consecutive grid
+    steps with the same group *reuse* the resident kernel blocks (no
+    per-channel HBM gather of (n, n) matrices — the einsum path's main
+    cost).  Returns (nchan, ny, nx) float32 or None when infeasible.
+    """
+    if not _backend_ok(interpret):
+        return None
+    nchan, ny, nx = data.shape
+    my = np.asarray(my, np.float32)
+    mx = np.asarray(mx, np.float32)
+    G, r = my.shape[:2]
+    if ny % 8 or nx % 128:
+        return None
+    plan_y = plan_strips(np.any(my != 0.0, axis=(0, 1)), max_m=128)
+    plan_x = plan_strips(np.any(mx != 0.0, axis=(0, 1)), max_m=128)
+    if plan_y is None or plan_x is None:
+        return None
+    m_y, K_y = plan_y
+    m_x, K_x = plan_x
+    cy = strip_blocks(my, m_y, K_y)
+    cx = strip_blocks(mx, m_x, K_x)
+    if cy is None or cx is None:
+        return None
+    yb, ys = cy
+    xbl, xs = cx
+    nb_y, nb_x = yb.shape[2], xbl.shape[2]
+    nbm_y, nbm_x = nb_y * m_y, nb_x * m_x
+    # per-channel VMEM: in + out + t + u + w + per-group blocks + values
+    need = (2 * ny * nx + nbm_y * nx + nx * ny + nbm_x * ny) * 4 \
+        + (yb.size + xbl.size) * 4 // G + 4 * ny * nx * 4
+    if need > _VMEM_BUDGET:
+        return None
+
+    perm = np.argsort(np.asarray(group_idx), kind="stable").astype(np.int32)
+    gsorted = np.asarray(group_idx)[perm].astype(np.int32)
+
+    def kernel(perm_ref, gs_ref, x_ref, yb_ref, xb_ref, o_ref,
+               t_ref, u_ref, w_ref):
+        X = x_ref[0]
+        v = jnp.isfinite(X)
+
+        def conv(Z):
+            acc = None
+            for i in range(r):
+                for s in range(nb_y):
+                    t_ref[s * m_y:(s + 1) * m_y] = _dot(
+                        yb_ref[0, i, s], Z[ys[s]:ys[s] + K_y, :])
+                u_ref[:] = t_ref[:ny].T
+                U = u_ref[:]
+                for s in range(nb_x):
+                    w_ref[s * m_x:(s + 1) * m_x] = _dot(
+                        xb_ref[0, i, s], U[xs[s]:xs[s] + K_x, :])
+                term = w_ref[:nx].T
+                acc = term if acc is None else acc + term
+            return acc
+
+        o_ref[0] = conv(jnp.where(v, X, 0.0))
+
+        @pl.when(jnp.logical_not(jnp.all(v)))
+        def _():
+            num = o_ref[0]
+            den = 1.0 - conv(jnp.logical_not(v).astype(jnp.float32))
+            ok = den > _DEN_EPS
+            o = jnp.where(ok, num / jnp.where(ok, den, 1.0), jnp.nan)
+            o_ref[0] = jnp.where(jnp.any(v), o, jnp.nan)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(nchan,),
+        in_specs=[
+            pl.BlockSpec((1, ny, nx), lambda c, p, g: (p[c], 0, 0)),
+            pl.BlockSpec((1, r, nb_y, m_y, K_y),
+                         lambda c, p, g: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec((1, r, nb_x, m_x, K_x),
+                         lambda c, p, g: (g[c], 0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ny, nx), lambda c, p, g: (p[c], 0, 0)),
+        scratch_shapes=[pltpu.VMEM((nbm_y, nx), jnp.float32),
+                        pltpu.VMEM((nx, ny), jnp.float32),
+                        pltpu.VMEM((nbm_x, ny), jnp.float32)])
+    fn = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nchan, ny, nx), jnp.float32),
+        interpret=interpret)
+    return fn(jnp.asarray(perm), jnp.asarray(gsorted),
+              jnp.asarray(data, jnp.float32), jnp.asarray(yb),
+              jnp.asarray(xbl))
+
+
+def _plan_pair(my, mx, max_m=128):
+    """Shared host-side prep for the per-channel kernels: strip plans and
+    blocks for a (G, r, n_out, n_in) matrix pair.  Returns None when the
+    operators don't fit the strip layout."""
+    my = np.asarray(my, np.float32)
+    mx = np.asarray(mx, np.float32)
+    plan_y = plan_strips(np.any(my != 0.0, axis=(0, 1)), max_m=max_m)
+    plan_x = plan_strips(np.any(mx != 0.0, axis=(0, 1)), max_m=max_m)
+    if plan_y is None or plan_x is None:
+        return None
+    cy = strip_blocks(my, *plan_y)
+    cx = strip_blocks(mx, *plan_x)
+    if cy is None or cx is None:
+        return None
+    return plan_y, plan_x, cy, cx
+
+
+def _rect_gates(ny_in, nx_in, ny_out, nx_out):
+    return not (ny_in % 8 or ny_out % 8 or nx_in % 128 or nx_out % 128)
+
+
+def _make_conv(r, dims, starts, t_ref, u_ref, w_ref):
+    """Per-channel rank-r separable apply: sum_i My_i @ Z @ Mx_i^T using
+    the three VMEM scratches (y strips -> transpose -> x strips ->
+    transpose)."""
+    (m_y, K_y, nb_y, ny_out), (m_x, K_x, nb_x, nx_out) = dims
+    ys, xs = starts
+
+    def conv(yb_ref, xb_ref, Z):
+        acc = None
+        for i in range(r):
+            for s in range(nb_y):
+                t_ref[s * m_y:(s + 1) * m_y] = _dot(
+                    yb_ref[0, i, s], Z[ys[s]:ys[s] + K_y, :])
+            u_ref[:] = t_ref[:ny_out].T
+            U = u_ref[:]
+            for s in range(nb_x):
+                w_ref[s * m_x:(s + 1) * m_x] = _dot(
+                    xb_ref[0, i, s], U[xs[s]:xs[s] + K_x, :])
+            term = w_ref[:nx_out].T
+            acc = term if acc is None else acc + term
+        return acc
+
+    return conv
+
+
+def per_channel_resample_strips(fz, wz, my, mx, group_idx,
+                                interpret=False):
+    """Per-channel rectangular resample with NaN-weight poisoning.
+
+    ``fz``: (nchan, ny_in, nx_in) float32 NaN-FILLED data; ``wz``: same
+    shape, the NaN-weight plane (e.g. a spectrally-lerped NaN mask);
+    ``my``/``mx``: host (G, r, ny_out, ny_in)/(G, r, nx_out, nx_in)
+    operators.  out = sum_i My@fz@Mx^T, NaN where |My|@wz@|Mx|^T > 1e-6 —
+    the ops/regrid._separable_resample poisoning contract, evaluated per
+    channel in VMEM.  Channels whose weight plane is all-zero (the common
+    all-finite case) skip the weight convolution entirely.
+
+    Returns (nchan, ny_out, nx_out) float32 or None when infeasible.
+    """
+    if not _backend_ok(interpret):
+        return None
+    nchan, ny_in, nx_in = fz.shape
+    my = np.asarray(my, np.float32)
+    mx = np.asarray(mx, np.float32)
+    G, r, ny_out = my.shape[:3]
+    nx_out = mx.shape[2]
+    if not _rect_gates(ny_in, nx_in, ny_out, nx_out):
+        return None
+    pp = _plan_pair(my, mx)
+    if pp is None:
+        return None
+    (m_y, K_y), (m_x, K_x), (yb, ys), (xbl, xs) = pp
+    nb_y, nb_x = yb.shape[2], xbl.shape[2]
+    nbm_y, nbm_x = nb_y * m_y, nb_x * m_x
+    need = (2 * ny_in * nx_in + ny_out * nx_out + nbm_y * nx_in
+            + nx_in * ny_out + nbm_x * ny_out
+            + 3 * ny_out * nx_out) * 4 + (yb.size + xbl.size) * 8 // G
+    if need > _VMEM_BUDGET:
+        return None
+    # |T| blocks for the poison pass (bilinear taps are nonnegative, so
+    # they often alias the data blocks — jnp dedups identical constants)
+    ayb = np.abs(yb) if (yb < 0).any() else yb
+    axb = np.abs(xbl) if (xbl < 0).any() else xbl
+
+    perm = np.argsort(np.asarray(group_idx), kind="stable").astype(np.int32)
+    gsorted = np.asarray(group_idx)[perm].astype(np.int32)
+    dims = ((m_y, K_y, nb_y, ny_out), (m_x, K_x, nb_x, nx_out))
+
+    def kernel(perm_ref, gs_ref, f_ref, w_ref_in, yb_ref, xb_ref,
+               ayb_ref, axb_ref, o_ref, t_ref, u_ref, w_ref):
+        conv = _make_conv(r, dims, (ys, xs), t_ref, u_ref, w_ref)
+        o_ref[0] = conv(yb_ref, xb_ref, f_ref[0])
+
+        @pl.when(jnp.any(w_ref_in[0] != 0.0))
+        def _():
+            wn = conv(ayb_ref, axb_ref, w_ref_in[0])
+            o_ref[0] = jnp.where(wn > _DEN_EPS, jnp.nan, o_ref[0])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(nchan,),
+        in_specs=[
+            pl.BlockSpec((1, ny_in, nx_in), lambda c, p, g: (p[c], 0, 0)),
+            pl.BlockSpec((1, ny_in, nx_in), lambda c, p, g: (p[c], 0, 0)),
+            pl.BlockSpec((1, r, nb_y, m_y, K_y),
+                         lambda c, p, g: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec((1, r, nb_x, m_x, K_x),
+                         lambda c, p, g: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec((1, r, nb_y, m_y, K_y),
+                         lambda c, p, g: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec((1, r, nb_x, m_x, K_x),
+                         lambda c, p, g: (g[c], 0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ny_out, nx_out),
+                               lambda c, p, g: (p[c], 0, 0)),
+        scratch_shapes=[pltpu.VMEM((nbm_y, nx_in), jnp.float32),
+                        pltpu.VMEM((nx_in, ny_out), jnp.float32),
+                        pltpu.VMEM((nbm_x, ny_out), jnp.float32)])
+    fn = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nchan, ny_out, nx_out),
+                                       jnp.float32),
+        interpret=interpret)
+    return fn(jnp.asarray(perm), jnp.asarray(gsorted),
+              jnp.asarray(fz, jnp.float32), jnp.asarray(wz, jnp.float32),
+              jnp.asarray(yb), jnp.asarray(xbl), jnp.asarray(ayb),
+              jnp.asarray(axb))
+
+
+def per_channel_plain_strips(data, my, mx, group_idx, interpret=False):
+    """Per-channel rectangular apply out = sum_i My@X@Mx^T with NO NaN
+    machinery (callers guarantee finite input — e.g. the all-finite
+    branch of the fused convolve+reproject operator).  Same layout and
+    group-sorted block reuse as per_channel_resample_strips."""
+    if not _backend_ok(interpret):
+        return None
+    nchan, ny_in, nx_in = data.shape
+    my = np.asarray(my, np.float32)
+    mx = np.asarray(mx, np.float32)
+    G, r, ny_out = my.shape[:3]
+    nx_out = mx.shape[2]
+    if not _rect_gates(ny_in, nx_in, ny_out, nx_out):
+        return None
+    pp = _plan_pair(my, mx)
+    if pp is None:
+        return None
+    (m_y, K_y), (m_x, K_x), (yb, ys), (xbl, xs) = pp
+    nb_y, nb_x = yb.shape[2], xbl.shape[2]
+    nbm_y, nbm_x = nb_y * m_y, nb_x * m_x
+    need = (ny_in * nx_in + ny_out * nx_out + nbm_y * nx_in
+            + nx_in * ny_out + nbm_x * ny_out
+            + 2 * ny_out * nx_out) * 4 + (yb.size + xbl.size) * 4 // G
+    if need > _VMEM_BUDGET:
+        return None
+    perm = np.argsort(np.asarray(group_idx), kind="stable").astype(np.int32)
+    gsorted = np.asarray(group_idx)[perm].astype(np.int32)
+    dims = ((m_y, K_y, nb_y, ny_out), (m_x, K_x, nb_x, nx_out))
+
+    def kernel(perm_ref, gs_ref, x_ref, yb_ref, xb_ref, o_ref,
+               t_ref, u_ref, w_ref):
+        conv = _make_conv(r, dims, (ys, xs), t_ref, u_ref, w_ref)
+        o_ref[0] = conv(yb_ref, xb_ref, x_ref[0])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(nchan,),
+        in_specs=[
+            pl.BlockSpec((1, ny_in, nx_in), lambda c, p, g: (p[c], 0, 0)),
+            pl.BlockSpec((1, r, nb_y, m_y, K_y),
+                         lambda c, p, g: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec((1, r, nb_x, m_x, K_x),
+                         lambda c, p, g: (g[c], 0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ny_out, nx_out),
+                               lambda c, p, g: (p[c], 0, 0)),
+        scratch_shapes=[pltpu.VMEM((nbm_y, nx_in), jnp.float32),
+                        pltpu.VMEM((nx_in, ny_out), jnp.float32),
+                        pltpu.VMEM((nbm_x, ny_out), jnp.float32)])
+    fn = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nchan, ny_out, nx_out),
+                                       jnp.float32),
+        interpret=interpret)
+    return fn(jnp.asarray(perm), jnp.asarray(gsorted),
+              jnp.asarray(data, jnp.float32), jnp.asarray(yb),
+              jnp.asarray(xbl))
+
+
+def strips_flops(nout, K, ncols, extra=0):
+    """f32 MAC-pair FLOPs of one strip pass: ~ceil(nout/m)*m*K*ncols*2.
+    Used by bench.py's roofline notes."""
+    return 2 * nout * K * ncols * (1 + extra)

@@ -308,8 +308,19 @@ def smooth_interp_cube(data, kernel, inaxis, outaxis, include=None):
         out, _ = interp_cube_spectral(sm, inaxis, outaxis)
         return out.astype(jnp.float32)
 
-    has_nan = jnp.any(~jnp.isfinite(flat))
-    out = lax.cond(has_nan, chain, fused, flat)
+    out = None
+    import jax
+    if jax.default_backend() == "tpu" and data.dtype != jnp.float64:
+        # strip-blocked Pallas path: NaN handling decided per spaxel
+        # block INSIDE the kernel, so all-finite cubes skip both the
+        # has-NaN prepass and the lax.cond operand materialization
+        # (measured 1.149 -> ~0.4 ms on the 512-chan BASELINE config)
+        from .banded_pallas import smooth_interp_strips
+        out = smooth_interp_strips(flat, M_host, S.astype(np.float32),
+                                   Imat.astype(np.float32))
+    if out is None:
+        has_nan = jnp.any(~jnp.isfinite(flat))
+        out = lax.cond(has_nan, chain, fused, flat)
     out = out.reshape((nout,) + data.shape[1:]).astype(data.dtype)
 
     new_include = None

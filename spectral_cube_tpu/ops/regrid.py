@@ -20,7 +20,143 @@ from ..wcs import WCS
 __all__ = ["spatial_pixel_mapping", "reproject_image", "reproject_cube",
            "mosaic_add"]
 
-_ORDERS = {"nearest-neighbor": 0, "nearest": 0, "bilinear": 1}
+_ORDERS = {"nearest-neighbor": 0, "nearest": 0, "bilinear": 1,
+           "biquadratic": 2, "bicubic": 3}
+
+
+def _order_int(order):
+    """Accept the reference's order names (reproject_interp's documented
+    'nearest-neighbor'|'bilinear'|'biquadratic'|'bicubic', reference
+    spectral_cube.py:2671-2678) or a bare int 0-3."""
+    if isinstance(order, (int, np.integer)):
+        if order not in (0, 1, 2, 3):
+            raise ValueError(f"order must be 0-3, got {order}")
+        return int(order)
+    try:
+        return _ORDERS[order]
+    except KeyError:
+        raise ValueError(f"unknown interpolation order {order!r}; expected "
+                         f"one of {sorted(_ORDERS)} or an int 0-3") from None
+
+
+def _spline_1d_matrix(n_in, coords, order):
+    """Exact (n_out, n_in) scipy spline-resample operator along one axis.
+
+    Built by applying ``scipy.ndimage.map_coordinates`` (the same routine
+    the reference's ``reproject_interp`` order=2/3 path bottoms out in,
+    reference spectral_cube.py:2671-2678) to an identity matrix, which
+    composes the IIR spline prefilter and the B-spline tap evaluation —
+    boundary handling included — by construction.  The exponentially
+    decaying prefilter tail is truncated at 1e-8 (a <1e-7 relative
+    perturbation) so the operator is banded and runs as an MXU matmul
+    like the order-1 tap matrices.  Out-of-range coordinates produce
+    all-zero rows; callers NaN them via the validity mask."""
+    from scipy.ndimage import map_coordinates as _mc
+    coords = np.asarray(coords, dtype=np.float64)
+    n_out = coords.shape[0]
+    cc = np.stack([np.repeat(coords, n_in),
+                   np.tile(np.arange(n_in, dtype=np.float64), n_out)])
+    T = _mc(np.eye(n_in), cc, order=order, mode="constant", cval=0.0)\
+        .reshape(n_out, n_in)
+    T[np.abs(T) < 1e-8] = 0.0
+    return T.astype(np.float32)
+
+
+def _spline_separable_resample(fz, wz, ys, xs, yvalid, xvalid, order):
+    """Order-2/3 spatial resample when the mapping is axis-aligned:
+    exact scipy-operator matmuls along y then x (see _spline_1d_matrix).
+
+    NaN poisoning uses |T|-weighted NaN mass > 1e-6 — *localized* to the
+    taps that numerically matter, where scipy itself would smear a single
+    NaN along the whole prefiltered line (reproject's docs warn against
+    NaN input at order>1; on finite data the two agree to 1e-6)."""
+    import jax.lax as lax
+    nz, ny_in, nx_in = fz.shape
+    ty = _spline_1d_matrix(ny_in, ys[:, 0], order)
+    tx = _spline_1d_matrix(nx_in, xs[0, :], order)
+    my, mx = jnp.asarray(ty), jnp.asarray(tx)
+    ay, ax = jnp.asarray(np.abs(ty)), jnp.asarray(np.abs(tx))
+
+    def apply(arr, a, b, prec):
+        t = jnp.einsum("ab,cbx->cax", a, arr.astype(jnp.float32),
+                       precision=prec)
+        return jnp.einsum("cax,vx->cav", t, b, precision=prec)
+
+    out = apply(fz, my, mx, lax.Precision.HIGHEST).astype(fz.dtype)
+    wn = apply(wz, ay, ax, lax.Precision.DEFAULT)
+    return out, wn
+
+
+def _spline_nonseparable_resample(fz, wz, ys, xs, order):
+    """Order-2/3 resample for rotated/general mappings: spline-prefilter
+    both spatial axes (banded matmuls), zero-pad the coefficient planes,
+    then gather the (order+1)^2 B-spline taps — the corner-gather
+    generalization of the bilinear path."""
+    nz, ny_in, nx_in = fz.shape
+    ny, nx = ys.shape
+    # scipy evaluates interior samples on mirror-extended spline
+    # coefficients (verified empirically: interior agreement 1e-16 with
+    # spline_filter1d(mode='mirror') + reflect-extended taps; zero
+    # padding is wrong at the edges)
+    from scipy.ndimage import spline_filter1d
+    py = spline_filter1d(np.eye(ny_in), order=order, axis=0,
+                         mode="mirror").astype(np.float32)
+    px = spline_filter1d(np.eye(nx_in), order=order, axis=0,
+                         mode="mirror").astype(np.float32)
+    py[np.abs(py) < 1e-8] = 0.0
+    px[np.abs(px) < 1e-8] = 0.0
+    import jax.lax as lax
+
+    def prefilter(arr, prec):
+        t = jnp.einsum("ab,cbx->cax", jnp.asarray(py),
+                       arr.astype(jnp.float32), precision=prec)
+        return jnp.einsum("cax,vx->cav", t, jnp.asarray(px), precision=prec)
+
+    coeff = prefilter(fz, lax.Precision.HIGHEST)
+    wcoef = prefilter(wz, lax.Precision.DEFAULT)
+    pad = order  # taps reach at most `order` cells beyond the base knot
+    pad_mode = "reflect" if min(ny_in, nx_in) > order else "edge"
+    coeff = jnp.pad(coeff, ((0, 0), (pad, pad), (pad, pad)), mode=pad_mode)
+    wcoef = jnp.pad(jnp.abs(wcoef), ((0, 0), (pad, pad), (pad, pad)),
+                    mode=pad_mode)
+
+    ycl = np.nan_to_num(np.asarray(ys, dtype=np.float64))
+    xcl = np.nan_to_num(np.asarray(xs, dtype=np.float64))
+    if order == 2:
+        yb = np.round(ycl).astype(np.int64)
+        xb = np.round(xcl).astype(np.int64)
+        offs = (-1, 0, 1)
+    else:
+        yb = np.floor(ycl).astype(np.int64)
+        xb = np.floor(xcl).astype(np.int64)
+        offs = (-1, 0, 1, 2)
+    fy = (ycl - yb).astype(np.float64)
+    fx = (xcl - xb).astype(np.float64)
+
+    def bw(order_, t):
+        """B-spline basis value at distance t (|t| <= order/2+1)."""
+        at = np.abs(t)
+        if order_ == 2:
+            return np.where(at < 0.5, 0.75 - at ** 2,
+                            np.where(at < 1.5, 0.5 * (at - 1.5) ** 2, 0.0))
+        return np.where(at < 1.0, (4.0 - 6.0 * at ** 2 + 3.0 * at ** 3) / 6.0,
+                        np.where(at < 2.0, (2.0 - at) ** 3 / 6.0, 0.0))
+
+    flat_c = coeff.reshape(nz, -1)
+    flat_w = wcoef.reshape(nz, -1)
+    nxp = nx_in + 2 * pad
+    out = jnp.zeros((nz, ny * nx), flat_c.dtype)
+    wn = jnp.zeros((nz, ny * nx), jnp.float32)
+    for dy in offs:
+        for dx in offs:
+            w = (bw(order, fy - dy) * bw(order, fx - dx)).astype(np.float32)
+            iy = np.clip(yb + dy + pad, 0, ny_in + 2 * pad - 1)
+            ix = np.clip(xb + dx + pad, 0, nxp - 1)
+            idx = jnp.asarray((iy * nxp + ix).ravel())
+            wj = jnp.asarray(w.ravel())[None, :]
+            out = out + jnp.take(flat_c, idx, axis=1) * wj
+            wn = wn + jnp.take(flat_w, idx, axis=1) * jnp.abs(wj)
+    return out.reshape(nz, ny, nx), wn.reshape(nz, ny, nx)
 
 
 def spatial_pixel_mapping(wcs_in: WCS, wcs_out: WCS, shape_out):
@@ -36,6 +172,58 @@ def spatial_pixel_mapping(wcs_in: WCS, wcs_out: WCS, shape_out):
             np.asarray(xs).reshape(ny, nx))
 
 
+def _spline_spatial_then_z(data, zs, ys, xs, order):
+    """Order-2/3 counterpart of _bilinear_spatial_then_linear_z: spectral
+    spline matmul (exact scipy operator), then spatial spline resample —
+    separable matmuls when the mapping is axis-aligned, prefilter+tap
+    gather otherwise.  The tensor-product B-spline basis makes this
+    factorization exact vs scipy's 3-D map_coordinates."""
+    nchan_in, ny_in, nx_in = data.shape
+    nz = zs.shape[0]
+    ny, nx = ys.shape
+    zvalid = np.isfinite(zs) & (zs >= -1e-3) & (zs <= nchan_in - 1 + 1e-3)
+    yvalid = np.isfinite(ys) & (ys >= -1e-3) & (ys <= ny_in - 1 + 1e-3)
+    xvalid = np.isfinite(xs) & (xs >= -1e-3) & (xs <= nx_in - 1 + 1e-3)
+    nanmask = jnp.isnan(data).astype(jnp.float32)
+    filled = jnp.nan_to_num(data)
+
+    zc = np.nan_to_num(np.asarray(zs, dtype=np.float64))
+    z_identity = (nz == nchan_in and zvalid.all()
+                  and np.all(zc == np.arange(nchan_in)))
+    if z_identity:
+        fz, wz = filled, nanmask
+    else:
+        tz = _spline_1d_matrix(nchan_in, zc, order)
+        import jax.lax as lax
+        fz = jnp.einsum("ab,byx->ayx", jnp.asarray(tz), filled,
+                        precision=lax.Precision.HIGHEST)
+        wz = jnp.einsum("ab,byx->ayx", jnp.asarray(np.abs(tz)), nanmask,
+                        precision=lax.Precision.DEFAULT)
+
+    ycl = np.nan_to_num(np.asarray(ys, dtype=np.float64))
+    xcl = np.nan_to_num(np.asarray(xs, dtype=np.float64))
+    # 1e-9 px tolerance: a WCS pix->world->pix roundtrip leaves ~1e-12
+    # noise on an exactly axis-aligned mapping, which must not demote it
+    # to the nonseparable path (the weight perturbation is O(tol))
+    ysep = np.ptp(ycl, axis=1).max() <= 1e-9
+    xsep = np.ptp(xcl, axis=0).max() <= 1e-9
+    # unlike the bilinear path there is no gather alternative to gate on
+    # backend: both spline paths are matmul-based, and the separable
+    # operator (exact scipy parity for ANY axis length, including ones
+    # the nonseparable mirror extension can't pad) wins whenever the
+    # mapping is axis-aligned
+    if ysep and xsep \
+            and max(ny, nx, ny_in, nx_in) <= _MATMUL_RESAMPLE_MAX_N:
+        out, wn = _spline_separable_resample(fz, wz, ycl, xcl,
+                                             yvalid, xvalid, order)
+    else:
+        out, wn = _spline_nonseparable_resample(fz, wz, ycl, xcl, order)
+    valid = jnp.asarray(yvalid & xvalid)[None, :, :] & \
+        jnp.asarray(zvalid)[:, None, None]
+    out = jnp.where(wn > 1e-6, jnp.nan, out)
+    return jnp.where(valid, out, jnp.nan)
+
+
 def _bilinear_spatial_then_linear_z(data, zs, ys, xs, order):
     """Separable trilinear resample: spectral lerp (shared weights per
     channel) then spatial bilinear via four flat takes.
@@ -45,7 +233,13 @@ def _bilinear_spatial_then_linear_z(data, zs, ys, xs, order):
     mapping depends only on z, the spatial mapping only on (y, x) — brings
     it to a handful of HBM passes.  NaN poisoning follows nonzero-weight
     semantics: zero-weight NaN neighbors never poison outputs.
+
+    Orders 2/3 (biquadratic/bicubic, reference reproject_interp's
+    remaining documented orders) dispatch to the spline path.
     """
+    if order >= 2:
+        return _spline_spatial_then_z(data, np.asarray(zs), np.asarray(ys),
+                                      np.asarray(xs), order)
     nchan_in, ny_in, nx_in = data.shape
     nz = zs.shape[0]
     ny, nx = ys.shape
@@ -159,16 +353,32 @@ def _separable_resample(fz, wz, y0, y1, wy, x0, x1, wx, order):
         # i0 is pre-clipped to n_in-2, so the shared 2-tap builder applies
         # (single-column inputs collapse to an all-ones matrix)
         if n_in == 1:
-            return jnp.ones((w.shape[0], 1), dtype=jnp.float32)
-        return jnp.asarray(_interp_matrix(i0.astype(np.int64), w, n_in))
+            return np.ones((w.shape[0], 1), dtype=np.float32)
+        return _interp_matrix(i0.astype(np.int64), w, n_in)
 
     my = tap_matrix(ny_in, y0[:, 0], wy[:, 0])
     mx = tap_matrix(nx_in, x0[0, :], wx[0, :])
 
+    # strip-blocked Pallas path: the dense tap einsums are MXU-bound on
+    # structural zeros (nin FLOPs per 2-tap output row); the K=128 strip
+    # blocks cut that by nin/K, and the NaN-weight pass runs only for
+    # channels whose weight plane is nonzero (measured 1.203 -> ~0.6 ms
+    # on the 4x128-plane BASELINE reproject+Stokes config)
+    from .banded_pallas import per_channel_resample_strips
+    out = per_channel_resample_strips(fz, wz, my[None, None],
+                                      mx[None, None],
+                                      np.zeros(nz, np.int32))
+    if out is not None:
+        # poisoning already applied in-kernel; the caller's
+        # where(wn > 1e-6) must be a no-op
+        return out.astype(fz.dtype), jnp.zeros((1, 1, 1), jnp.float32)
+
+    myj, mxj = jnp.asarray(my), jnp.asarray(mx)
+
     def apply(arr, prec):
-        t = jnp.einsum("ab,cbx->cax", my, arr.astype(jnp.float32),
+        t = jnp.einsum("ab,cbx->cax", myj, arr.astype(jnp.float32),
                        precision=prec)
-        return jnp.einsum("cax,vx->cav", t, mx, precision=prec)
+        return jnp.einsum("cax,vx->cav", t, mxj, precision=prec)
 
     # the NaN-weight plane only feeds a >1e-6 threshold: bf16 (DEFAULT)
     # is exact enough for the 0..1 flags and runs the MXU at full rate
@@ -223,14 +433,23 @@ def convolve_reproject_separable(data, kernel, ys, xs):
         return None   # singleton spatial dim: _interp_matrix needs 2 taps
     Ry = _interp_matrix(y0[:, 0], wy[:, 0], ny_in).astype(np.float64)
     Rx = _interp_matrix(x0[0, :], wx[0, :], nx_in).astype(np.float64)
-    Gy = [jnp.asarray((Ry @ _conv_matrix_1d(ny_in, ytaps[:, i])
-                       .astype(np.float64)).astype(np.float32))
-          for i in range(r)]
-    Gx = [jnp.asarray((Rx @ _conv_matrix_1d(nx_in, xtaps[:, i])
-                       .astype(np.float64)).astype(np.float32))
-          for i in range(r)]
+    Gy_np = np.stack([(Ry @ _conv_matrix_1d(ny_in, ytaps[:, i])
+                       .astype(np.float64)).astype(np.float32)
+                      for i in range(r)], axis=0)[None]
+    Gx_np = np.stack([(Rx @ _conv_matrix_1d(nx_in, xtaps[:, i])
+                       .astype(np.float64)).astype(np.float32)
+                      for i in range(r)], axis=0)[None]
+    Gy = [jnp.asarray(Gy_np[0, i]) for i in range(r)]
+    Gx = [jnp.asarray(Gx_np[0, i]) for i in range(r)]
 
     def fused(x):
+        # strip-blocked Pallas apply of the composed operators (this
+        # branch only runs on all-finite cubes, so no NaN machinery)
+        from .banded_pallas import per_channel_plain_strips
+        out = per_channel_plain_strips(x, Gy_np, Gx_np,
+                                       np.zeros(nchan, np.int32))
+        if out is not None:
+            return out
         out = jnp.zeros((nchan, ny, nx), jnp.float32)
         for i in range(r):
             t = jnp.einsum("ab,cbx->cax", Gy[i], x.astype(jnp.float32),
@@ -274,7 +493,7 @@ def reproject_image(data, wcs_in: WCS, target_header, order="bilinear"):
     ny = int(target_header["NAXIS2"])
     nx = int(target_header["NAXIS1"])
     ys, xs = spatial_pixel_mapping(wcs_in, wcs_out, (ny, nx))
-    out = _resample_planes(data, ys, xs, _ORDERS[order])
+    out = _resample_planes(data, ys, xs, _order_int(order))
     return np.asarray(out), wcs_out.celestial if wcs_out.naxis > 2 \
         else wcs_out
 
@@ -336,7 +555,7 @@ def reproject_cube(data, wcs_in: WCS, target_header, order="bilinear",
     data = jnp.asarray(data)
     out = _bilinear_spatial_then_linear_z(data, np.asarray(zs),
                                           np.asarray(ys), np.asarray(xs),
-                                          _ORDERS[order])
+                                          _order_int(order))
     # the footprint stays a device array: np.asarray here would fetch a
     # cube-sized bool to host (hundreds of ms over a tunnel) for nothing —
     # BooleanArrayMask holds jnp arrays fine

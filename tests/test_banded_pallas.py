@@ -1,0 +1,245 @@
+"""Strip-blocked Pallas kernels (ops/banded_pallas.py) vs dense float64
+oracles, run in interpret mode on the CPU mesh.
+
+These kernels carry the BASELINE config-2/3 hot paths on TPU; the oracles
+here are independent numpy float64 implementations of the same banded
+operators (not self-roundtrips), including the normalized-convolution NaN
+semantics (1e-6 den floor) pinned by CLAUDE.md.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spectral_cube_tpu.ops.banded_pallas import (
+    plan_strips, strip_blocks, banded_matmul_strips, smooth_interp_strips,
+    per_channel_conv_strips)
+from spectral_cube_tpu.ops.smoothing import _banded_conv_matrix
+from spectral_cube_tpu.ops.interpolate import interp_weights, _interp_matrix
+from spectral_cube_tpu.ops.convolve import separable_factors
+
+
+def _gauss2d(sig_y, sig_x, theta=0.0, size=15):
+    x = np.arange(size) - size // 2
+    yy, xx = np.meshgrid(x, x, indexing="ij")
+    yr = yy * np.cos(theta) + xx * np.sin(theta)
+    xr = -yy * np.sin(theta) + xx * np.cos(theta)
+    k = np.exp(-0.5 * ((yr / sig_y) ** 2 + (xr / sig_x) ** 2))
+    return k / k.sum()
+
+
+def test_plan_and_blocks_roundtrip():
+    n = 256
+    M = _banded_conv_matrix(n, np.ones(9) / 9.0)
+    plan = plan_strips(M != 0.0)
+    assert plan is not None
+    m, K = plan
+    assert K == 128 and m % 8 == 0
+    blocks, starts = strip_blocks(M, m, K)
+    # reassemble the dense operator from the strips and compare exactly
+    dense = np.zeros_like(M)
+    nb = blocks.shape[0]
+    for i in range(nb):
+        lo, hi = i * m, min((i + 1) * m, n)
+        dense[lo:hi, starts[i]:starts[i] + K] = blocks[i, :hi - lo]
+    np.testing.assert_array_equal(dense, M)
+
+
+def test_plan_infeasible_small_axis():
+    # nin < 128 can't host a K=128 strip window
+    M = _banded_conv_matrix(64, np.ones(5) / 5.0)
+    assert plan_strips(M != 0.0) is None or strip_blocks(M, 8, 128) is None
+    assert banded_matmul_strips(M, jnp.zeros((64, 256)),
+                                interpret=True) is None
+
+
+def test_banded_matmul_strips_matches_dense():
+    rng = np.random.RandomState(0)
+    nin, nout, S = 256, 128, 384
+    idx, frac = interp_weights(np.arange(nin, dtype=float),
+                               np.arange(nout, dtype=float) * 2.0)
+    M = (_interp_matrix(idx, frac, nin).astype(np.float64)
+         @ _banded_conv_matrix(nin, np.ones(7) / 7.0).astype(np.float64))
+    x = rng.randn(nin, S).astype(np.float32)
+    got = jax.jit(lambda d: banded_matmul_strips(M.astype(np.float32), d,
+                                                 interpret=True))(x)
+    exp = M @ x.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(got), exp, rtol=2e-6, atol=1e-6)
+
+
+def _smooth_interp_oracle(data, kern, inaxis, outaxis):
+    """Independent float64 chain: normalized banded smooth (1e-6 floor,
+    all-NaN spaxels NaN) then 2-tap interp with NaN poisoning."""
+    nin = data.shape[0]
+    k = np.asarray(kern, np.float64)
+    k = k / k.sum()
+    S = _banded_conv_matrix(nin, k).astype(np.float64)
+    v = np.isfinite(data)
+    Xf = np.where(v, data, 0.0).astype(np.float64)
+    num = S @ Xf
+    den = 1.0 - S @ (~v).astype(np.float64)
+    sm = np.where(den > 1e-6, num / np.where(den > 1e-6, den, 1.0), np.nan)
+    sm = np.where(np.any(v, axis=0, keepdims=True), sm, np.nan)
+    idx, frac = interp_weights(inaxis, outaxis)
+    I = _interp_matrix(idx, frac, nin).astype(np.float64)
+    smn = np.isnan(sm)
+    out = I @ np.where(smn, 0.0, sm)
+    out = np.where(I @ smn.astype(np.float64) > 0, np.nan, out)
+    # flag outputs drawing on a small-den (nearly-all-NaN) smooth window:
+    # there the f32 den error amplifies as 1/den and only a loose
+    # comparison is meaningful (the dense production path conditions
+    # identically)
+    illcond = (I @ (den < 0.05).astype(np.float64)) > 0
+    return out, illcond
+
+
+@pytest.mark.parametrize("dirty", [False, True])
+def test_smooth_interp_strips(dirty):
+    rng = np.random.RandomState(1)
+    nin = 256
+    inaxis = np.arange(nin, dtype=np.float64)
+    outaxis = inaxis[::2]
+    kern = np.exp(-0.5 * ((np.arange(17) - 8) / 2.0) ** 2)
+    kern = kern / kern.sum()
+    S_cols = 256
+    data = rng.randn(nin, S_cols).astype(np.float32)
+    if dirty:
+        data[40:60, 3] = np.nan        # NaN hole
+        data[:, 7] = np.nan            # all-NaN spaxel
+        data[0, 100] = np.nan          # edge NaN
+    Sm = _banded_conv_matrix(nin, kern)
+    idx, frac = interp_weights(inaxis, outaxis)
+    Im = _interp_matrix(idx, frac, nin)
+    M = (Im.astype(np.float64) @ Sm.astype(np.float64)).astype(np.float32)
+    got = np.asarray(jax.jit(
+        lambda d: smooth_interp_strips(d, M, Sm, Im, interpret=True))(
+            jnp.asarray(data)))
+    exp, illcond = _smooth_interp_oracle(data, kern, inaxis, outaxis)
+    assert np.array_equal(np.isnan(got), np.isnan(exp))
+    ok = np.isfinite(exp) & ~illcond
+    np.testing.assert_allclose(got[ok], exp[ok], rtol=3e-5, atol=1e-5)
+    loose = np.isfinite(exp) & illcond
+    if loose.any():
+        np.testing.assert_allclose(got[loose], exp[loose], rtol=5e-3,
+                                   atol=1e-3)
+
+
+def _per_channel_oracle(data, kernels, group_idx):
+    """float64 normalized separable convolution per channel."""
+    nchan, ny, nx = data.shape
+    out = np.empty_like(data, dtype=np.float64)
+    for c in range(nchan):
+        yt, xt = separable_factors(kernels[group_idx[c]])
+        v = np.isfinite(data[c])
+        Xf = np.where(v, data[c], 0.0).astype(np.float64)
+        inv = (~v).astype(np.float64)
+        num = np.zeros((ny, nx))
+        den_c = np.zeros((ny, nx))
+        for i in range(yt.shape[1]):
+            My_i = _banded_conv_matrix(ny, yt[:, i]).astype(np.float64)
+            Mx_i = _banded_conv_matrix(nx, xt[:, i]).astype(np.float64)
+            num += My_i @ Xf @ Mx_i.T
+            den_c += My_i @ inv @ Mx_i.T
+        den = 1.0 - den_c
+        o = np.where(den > 1e-6, num / np.where(den > 1e-6, den, 1.0),
+                     np.nan)
+        out[c] = np.where(v.any(), o, np.nan)
+    return out
+
+
+@pytest.mark.parametrize("dirty", [False, True])
+def test_per_channel_conv_strips(dirty):
+    rng = np.random.RandomState(2)
+    nchan, ny, nx = 6, 128, 128
+    data = rng.randn(nchan, ny, nx).astype(np.float32)
+    if dirty:
+        data[1, 30:40, 50:60] = np.nan
+        data[4] = np.nan               # all-NaN channel
+    # rank-1 circular + rank>1 (5 and 7) rotated elliptical kernels
+    kernels = [_gauss2d(2.0, 2.0), _gauss2d(3.0, 1.5, theta=0.15),
+               _gauss2d(2.5, 1.8, theta=0.1)]
+    group_idx = np.array([0, 1, 2, 1, 0, 2], np.int32)
+    rmax = max(separable_factors(k)[0].shape[1] for k in kernels)
+    my = np.zeros((3, rmax, ny, ny), np.float32)
+    mx = np.zeros((3, rmax, nx, nx), np.float32)
+    for g, k in enumerate(kernels):
+        yt, xt = separable_factors(k)
+        for i in range(yt.shape[1]):
+            my[g, i] = _banded_conv_matrix(ny, yt[:, i])
+            mx[g, i] = _banded_conv_matrix(nx, xt[:, i])
+    got = np.asarray(jax.jit(
+        lambda d: per_channel_conv_strips(d, my, mx, group_idx,
+                                          interpret=True))(
+            jnp.asarray(data)))
+    exp = _per_channel_oracle(data, kernels, group_idx)
+    assert np.array_equal(np.isnan(got), np.isnan(exp))
+    ok = np.isfinite(exp)
+    np.testing.assert_allclose(got[ok], exp[ok], rtol=3e-5, atol=1e-5)
+
+
+def test_per_channel_conv_strips_gates():
+    # nx not a lane multiple -> None (falls back to the einsum path)
+    my = np.zeros((1, 1, 128, 128), np.float32)
+    mx = np.zeros((1, 1, 120, 120), np.float32)
+    my[0, 0] = np.eye(128, dtype=np.float32)
+    mx[0, 0] = np.eye(120, dtype=np.float32)
+    out = per_channel_conv_strips(np.zeros((2, 128, 120), np.float32),
+                                  my, mx, np.zeros(2, np.int32),
+                                  interpret=True)
+    assert out is None
+
+
+def test_per_channel_resample_strips_matches_dense():
+    from spectral_cube_tpu.ops.banded_pallas import (
+        per_channel_resample_strips)
+    from spectral_cube_tpu.ops.interpolate import _interp_matrix
+    rng = np.random.RandomState(5)
+    nz, ny_in, nx_in = 3, 136, 128
+    ny_out, nx_out = 128, 128
+    fz = rng.randn(nz, ny_in, nx_in).astype(np.float32)
+    wz = np.zeros_like(fz)
+    wz[1, 40, 40] = 1.0   # one poisoned sample in channel 1
+    y0 = np.arange(ny_out, dtype=np.int64)
+    wy = np.full(ny_out, 0.37)
+    x0 = np.clip(np.arange(nx_out, dtype=np.int64), 0, nx_in - 2)
+    wx = np.full(nx_out, 0.61)
+    my = _interp_matrix(y0, wy, ny_in)
+    mx = _interp_matrix(x0, wx, nx_in)
+    got = np.asarray(jax.jit(lambda f, w: per_channel_resample_strips(
+        f, w, my[None, None], mx[None, None], np.zeros(nz, np.int32),
+        interpret=True))(jnp.asarray(fz), jnp.asarray(wz)))
+    exp = np.einsum("ab,cbx,vx->cav", my.astype(np.float64),
+                    fz.astype(np.float64), mx.astype(np.float64))
+    wn = np.einsum("ab,cbx,vx->cav", my.astype(np.float64),
+                   wz.astype(np.float64), mx.astype(np.float64))
+    exp = np.where(wn > 1e-6, np.nan, exp)
+    assert np.array_equal(np.isnan(got), np.isnan(exp))
+    fin = np.isfinite(exp)
+    np.testing.assert_allclose(got[fin], exp[fin], rtol=3e-5, atol=1e-5)
+    assert np.isnan(got[1]).any() and not np.isnan(got[0]).any()
+
+
+def test_per_channel_plain_strips_matches_dense():
+    from spectral_cube_tpu.ops.banded_pallas import per_channel_plain_strips
+    from spectral_cube_tpu.ops.interpolate import _interp_matrix
+    from spectral_cube_tpu.ops.convolve import _conv_matrix_1d
+    rng = np.random.RandomState(6)
+    nz, n = 4, 128
+    data = rng.randn(nz, n, n).astype(np.float32)
+    # composed convolve+resample operator (rank 2)
+    k1 = np.exp(-0.5 * ((np.arange(9) - 4) / 1.5) ** 2)
+    k2 = np.exp(-0.5 * ((np.arange(9) - 4) / 2.5) ** 2)
+    R = _interp_matrix(np.arange(n, dtype=np.int64).clip(0, n - 2),
+                       np.full(n, 0.25), n).astype(np.float64)
+    Gy = np.stack([(R @ _conv_matrix_1d(n, k).astype(np.float64))
+                   .astype(np.float32) for k in (k1, k2)])[None]
+    Gx = np.stack([(R @ _conv_matrix_1d(n, k).astype(np.float64))
+                   .astype(np.float32) for k in (k2, k1)])[None]
+    got = np.asarray(jax.jit(lambda d: per_channel_plain_strips(
+        d, Gy, Gx, np.zeros(nz, np.int32), interpret=True))(
+            jnp.asarray(data)))
+    exp = sum(np.einsum("ab,cbx,vx->cav", Gy[0, i].astype(np.float64),
+                        data.astype(np.float64),
+                        Gx[0, i].astype(np.float64)) for i in range(2))
+    np.testing.assert_allclose(got, exp, rtol=3e-5, atol=1e-5)
