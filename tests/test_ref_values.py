@@ -474,3 +474,63 @@ def test_with_flux_unit(tmp_path):
     m0 = sck.moment0(axis=0)
     np.testing.assert_allclose(np.asarray(m0.to("K km / s").value),
                                _BOOK[0][0] / 1e3, rtol=2e-7)
+
+
+def test_subcube_reference_world_values(tmp_path):
+    """reference test_subcubes.py:25-95 test_subcube, replayed with its
+    literal world coordinates: wcslib maps 24.06269/24.06206 deg (RA),
+    29.93464/29.93522 deg (Dec) and -320/-319 km/s onto the same pixel
+    ranges as the integer bounds on the data_advs fixture
+    (header_jybeam.hdr RA---SIN/DEC--SIN + VOPT).  This pins the celestial
+    pixel<->world solver to numbers that originate in the reference
+    ecosystem, not in this repo's oracle generator."""
+    from ref_fixtures import data_advs
+
+    p, d = data_advs(tmp_path)
+    cube = SpectralCube.read(p)
+    deg = Unit.parse("deg")
+    kms = Unit.parse("km/s")
+
+    sc1x = cube.subcube(xlo=1, xhi=3)
+    sc2x = cube.subcube(xlo=Quantity(24.06269, deg),
+                        xhi=Quantity(24.06206, deg))
+    sc2b = cube.subcube(xlo=Quantity(24.06206, deg),
+                        xhi=Quantity(24.06269, deg))
+    sc3x = cube.subcube(xlo=Quantity(24.06269, deg), xhi=3)
+    sc4x = cube.subcube(xlo=1, xhi=Quantity(24.06206, deg))
+    for sc in (sc1x, sc2x, sc2b, sc3x, sc4x):
+        assert sc.shape == (2, 3, 2)
+        assert sc._wcs == sc1x._wcs
+
+    sc1y = cube.subcube(ylo=1, yhi=3)
+    sc2y = cube.subcube(ylo=Quantity(29.93464, deg),
+                        yhi=Quantity(29.93522, deg))
+    sc3y = cube.subcube(ylo=1, yhi=Quantity(29.93522, deg))
+    sc4y = cube.subcube(ylo=Quantity(29.93464, deg), yhi=3)
+    for sc in (sc1y, sc2y, sc3y, sc4y):
+        assert sc.shape == (2, 2, 4)
+        assert sc._wcs == sc1y._wcs
+
+    sc1xy = cube.subcube(xlo=1, xhi=3, ylo=1, yhi=3)
+    sc2xy = cube.subcube(xlo=Quantity(24.06269, deg), xhi=3,
+                         ylo=1, yhi=Quantity(29.93522, deg))
+    sc3xy = cube.subcube(xlo=1, xhi=Quantity(24.06206, deg),
+                         ylo=Quantity(29.93464, deg), yhi=3)
+    for sc in (sc1xy, sc2xy, sc3xy):
+        assert sc.shape == (2, 2, 2)
+        assert sc._wcs == sc1xy._wcs
+
+    sc1z = cube.subcube(zlo=1, zhi=2)
+    sc2z = cube.subcube(zlo=Quantity(-320, kms), zhi=Quantity(-319, kms))
+    sc3z = cube.subcube(zlo=1, zhi=Quantity(-319, kms))
+    sc4z = cube.subcube(zlo=Quantity(-320, kms), zhi=2)
+    for sc in (sc1z, sc2z, sc3z, sc4z):
+        assert sc.shape == (1, 3, 4)
+        assert sc._wcs == sc1z._wcs
+
+    sc5 = cube.subcube()
+    assert sc5.shape == cube.shape
+    assert sc5._wcs == cube._wcs
+    np.testing.assert_array_equal(
+        np.asarray(sc5.unmasked_data[:].value),
+        np.asarray(cube.unmasked_data[:].value))
