@@ -517,9 +517,25 @@ def read_fits(path, memmap=True) -> list:
             xtension = str(header.get("XTENSION", "IMAGE")).strip().upper()
             nbytes = abs(bitpix) // 8 * int(np.prod(shape)) if naxis else 0
             if xtension == "BINTABLE":
-                nbytes = int(header["NAXIS1"]) * int(header["NAXIS2"])
-                nbytes += int(header.get("PCOUNT", 0))
+                tbytes = int(header["NAXIS1"]) * int(header["NAXIS2"])
+                nbytes = tbytes + int(header.get("PCOUNT", 0))
                 buf = f.read(nbytes)
+                from .tile_compress import (is_compressed_image,
+                                            decompress_image_hdu)
+                if is_compressed_image(header):
+                    # FITS Tiled Image Compression convention: decode the
+                    # RICE_1/GZIP tiles into a plain image HDU (the
+                    # reference gets this through astropy CompImageHDU,
+                    # reference io/fits.py:76-81); unsupported codecs
+                    # raise FITSReadError (propagates past the
+                    # unreadable-BINTABLE warning below)
+                    theap = int(header.get("THEAP", tbytes))
+                    img_hdr, data = decompress_image_hdu(
+                        header, buf[:tbytes], buf[theap:])
+                    hdus.append(HDU(header=Header(img_hdr), data=data))
+                    pad = (-f.tell()) % BLOCK
+                    f.seek(pad, 1)
+                    continue
                 try:
                     hdus.append(_read_bintable(header, buf))
                 except (ValueError, KeyError) as exc:
@@ -565,8 +581,13 @@ def _image_bytes(data: np.ndarray):
     return bitpix, be.tobytes()
 
 
-def write_fits(path, hdus):
-    """Write a list of HDU/BinTableHDU to ``path``."""
+def write_fits(path, hdus, compress=None):
+    """Write a list of HDU/BinTableHDU to ``path``.
+
+    ``compress``: None, or 'RICE_1'/'GZIP_1'/'GZIP_2' to store image HDUs
+    through the Tiled Image Compression convention (integer data
+    lossless via RICE; float data falls back to lossless GZIP of the raw
+    pixels — no lossy quantization is ever applied)."""
     with open(path, "wb") as f:
         for idx, hdu in enumerate(hdus):
             h = Header(hdu.header)
@@ -575,6 +596,23 @@ def write_fits(path, hdus):
                 continue
             data = hdu._data if hdu._data is not None else (
                 hdu.data if hdu._lazy is not None else None)
+            if compress is not None and data is not None:
+                from .tile_compress import compressed_image_blocks
+                if idx == 0:
+                    # a compressed HDU is always an extension: emit a
+                    # minimal empty primary first
+                    ph = Header()
+                    ph["SIMPLE"] = True
+                    ph["BITPIX"] = 8
+                    ph["NAXIS"] = 0
+                    ph["EXTEND"] = True
+                    f.write(format_header(ph))
+                chdr, payload = compressed_image_blocks(
+                    np.asarray(data), header=h, cmptype=compress)
+                f.write(format_header(Header(chdr)))
+                f.write(payload)
+                f.write(b"\x00" * ((-len(payload)) % BLOCK))
+                continue
             if idx == 0:
                 h["SIMPLE"] = True
             else:

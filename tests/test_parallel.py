@@ -688,3 +688,85 @@ def test_read_use_dask_returns_sharded_cube(tmp_path):
     np.testing.assert_allclose(
         np.asarray(plain.unmasked_data[:].value),
         np.asarray(sc.cube.unmasked_data[:].value), equal_nan=True)
+
+
+def test_streaming_pipeline_tb_scale_analog(tmp_path):
+    """The TB-scale story at reduced scale (reference analog:
+    tests/test_performance.py:128-241): stream a FITS cube shard-by-shard
+    into the full sharded pipeline on the 8-device mesh and assert
+
+    (a) numerical equality with the single-device chain at a non-toy
+        size (48x80x96 — 100x the multichip dryrun's cube),
+    (b) the ingested array is genuinely distributed (each device holds
+        exactly its (y, x) tile, nothing holds the global cube), and
+    (c) streaming ingest never materializes the full cube on the host:
+        tracemalloc peak stays well under one cube (each tile decode is
+        O(shard)).
+    """
+    import tracemalloc
+    import warnings
+    from conftest import make_cube_file
+    from spectral_cube_tpu import SpectralCube, CubeMesh, Beam
+    from spectral_cube_tpu.io import streaming
+    from spectral_cube_tpu.pipeline import run_pipeline
+    from spectral_cube_tpu.units import Quantity
+
+    shape = (48, 80, 96)
+    cube_bytes = int(np.prod(shape)) * 8   # float64 on file
+    p, _ = make_cube_file(tmp_path, name="tb.fits", shape=shape, seed=5)
+
+    mesh = CubeMesh()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tracemalloc.start()
+        sharded = streaming.read_sharded_cube(str(p), mesh,
+                                              dtype=np.float32)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+    # (c) host peak during ingest is O(shard), not O(cube): each of the 8
+    # tiles is cube/8; a few decode temporaries are fine, a full-cube
+    # materialization is not
+    assert peak < cube_bytes / 2, \
+        f"streaming ingest peaked at {peak} B (cube is {cube_bytes} B)"
+
+    # (b) the data really is mesh-distributed
+    arr = sharded._data
+    shards = arr.addressable_shards
+    assert len(shards) == 8
+    expect_tile = (shape[0], shape[1] // 2, shape[2] // 4)
+    assert all(s.data.shape == expect_tile for s in shards)
+    assert len({s.device for s in shards}) == 8
+
+    # 40 arcsec target on 2-arcsec pixels: sigma ~8.5 px, so the halo
+    # (34 px) exceeds the 24-px x-tiles and the convolution exercises the
+    # reshard + spectral-multiply path (bare Beam floats are radians)
+    beam = Beam(Quantity(40.0, "arcsec"), Quantity(40.0, "arcsec"), 0.0)
+    noise = Quantity(0.28, sharded.unit)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = run_pipeline(sharded, mesh, snr_threshold=1.0,
+                           target_beam=beam, noise_estimate=noise)
+
+        # single-device chain on the conventionally-read cube
+        cube = SpectralCube.read(str(p)).with_fill_value(np.nan)
+        conv = cube.convolve_to(beam)
+        masked = conv.with_mask(conv > Quantity(float(noise.value),
+                                                conv.unit))
+        m0 = np.asarray(masked.moment0().value)
+        m1 = np.asarray(masked.moment1().value)
+        lw = np.asarray(masked.linewidth_sigma().value)
+        st = masked.statistics()
+
+    m0s, m1s, lws = (np.asarray(x.value) for x in res["moments"])
+    # (a) sharded == single-device (same f32 kernels; the halo-exchange
+    # convolution and psum statistics must agree to float roundoff)
+    np.testing.assert_allclose(m0s, m0, rtol=3e-5, atol=1e-6)
+    fin = np.isfinite(m1)
+    assert np.array_equal(np.isfinite(m1s), fin)
+    np.testing.assert_allclose(m1s[fin], m1[fin], rtol=3e-5, atol=1e-4)
+    finw = np.isfinite(lw)
+    np.testing.assert_allclose(lws[finw], lw[finw], rtol=1e-4, atol=1e-4)
+    sts = res["statistics"]
+    for key in ("npts", "mean", "sigma", "sum", "max", "min"):
+        np.testing.assert_allclose(float(sts[key]), float(st[key]),
+                                   rtol=2e-5, atol=1e-7)
