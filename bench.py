@@ -305,22 +305,13 @@ def bench_config4():
 
     per = _measure(one_pass, (jnp.asarray(data_np),), reps=20)
     gvox = data_np.size / 1e9
-    # roofline model: planes in + out over HBM; the 2-tap resample strips
-    # run one y and one x pass per plane at f32 X6 (the all-finite fast
-    # path skips the NaN-weight convolution per channel)
-    from spectral_cube_tpu.ops.banded_pallas import plan_strips
-    from spectral_cube_tpu.ops.interpolate import _interp_matrix
-    tap = _interp_matrix(np.arange(ny, dtype=np.int64).clip(0, ny - 2),
-                         np.full(ny, 0.37), ny)
-    plan = plan_strips(tap != 0.0, max_m=128)
-    nplanes = ncomp * nchan
-    if plan:
-        m, K = plan
-        flops = nplanes * 2 * (-(-ny // m) * m * K * nx * 2)
-    else:
-        flops = nplanes * 2 * (ny * ny * nx * 2)
-    _note("config4 reproject+stokes", per, data_np.size * 4 * 2,
-          flops_f32=flops)
+    # roofline model: planes in + out over HBM and NO MXU work at all —
+    # the constant-offset mapping takes the VPU shift-lerp kernel
+    # (banded_pallas.per_channel_shift_lerp), so the governing bound is
+    # pure bandwidth; the stokes combine reads the reprojected planes
+    # once more and writes one component (+ (4+1)/8 of a cube pass)
+    _note("config4 reproject+stokes", per,
+          data_np.size * 4 * 2 + data_np.size * 4 * 5 // 8)
     return {"metric": "reproject_stokes_iquv_throughput",
             "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
             "vs_baseline": round((gvox / per) / (gvox / t_base), 2)}

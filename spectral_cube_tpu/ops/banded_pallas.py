@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["plan_strips", "strip_blocks", "banded_matmul_strips",
            "smooth_interp_strips", "per_channel_conv_strips",
-           "per_channel_resample_strips", "per_channel_plain_strips"]
+           "per_channel_resample_strips", "per_channel_resample_raw_strips",
+           "per_channel_shift_lerp", "per_channel_plain_strips"]
 
 # normalized-convolution denominator floor shared with every dense path
 # (CLAUDE.md: f32 HIGHEST chains reconstruct an exact 0 only to ~1e-7)
@@ -501,6 +502,187 @@ def per_channel_resample_strips(fz, wz, my, mx, group_idx,
               jnp.asarray(fz, jnp.float32), jnp.asarray(wz, jnp.float32),
               jnp.asarray(yb), jnp.asarray(xbl), jnp.asarray(ayb),
               jnp.asarray(axb))
+
+
+def per_channel_resample_raw_strips(raw, my, mx, group_idx,
+                                    valid_plane=None, zvalid=None,
+                                    interpret=False):
+    """Per-channel rectangular resample straight from RAW NaN-carrying
+    data: NaN detection, zero-filling, NaN-weight poisoning, and the
+    out-of-range validity mask all run in VMEM, so the whole op moves
+    exactly cube-in + cube-out over HBM.  The dense equivalent
+    (ops/regrid._bilinear_spatial_then_linear_z with an identity spectral
+    mapping) pays four extra full-cube passes: isnan + nan_to_num
+    materialize before the resample matmuls and the validity ``where``
+    re-reads the output (measured 2.29 -> 0.75 ms on the BASELINE
+    reproject+Stokes config).
+
+    out = sum_i My_i @ nan_to_num(Z) @ Mx_i^T per channel; NaN where
+    |My| @ isnan(Z) @ |Mx|^T > 1e-6 (only for channels that contain NaN,
+    under ``pl.when``), where ``valid_plane`` is 0, and where
+    ``zvalid[channel]`` is 0.
+
+    ``valid_plane``: optional (ny_out, nx_out) mask of in-range output
+    pixels, loaded once (constant index_map) and reused across channels;
+    ``zvalid``: optional (nchan,) per-channel in-range flags.
+    Returns (nchan, ny_out, nx_out) float32 or None when infeasible.
+    """
+    if not _backend_ok(interpret):
+        return None
+    nchan, ny_in, nx_in = raw.shape
+    my = np.asarray(my, np.float32)
+    mx = np.asarray(mx, np.float32)
+    G, r, ny_out = my.shape[:3]
+    nx_out = mx.shape[2]
+    if not _rect_gates(ny_in, nx_in, ny_out, nx_out):
+        return None
+    pp = _plan_pair(my, mx)
+    if pp is None:
+        return None
+    (m_y, K_y), (m_x, K_x), (yb, ys), (xbl, xs) = pp
+    nb_y, nb_x = yb.shape[2], xbl.shape[2]
+    nbm_y, nbm_x = nb_y * m_y, nb_x * m_x
+    need = (2 * ny_in * nx_in + 2 * ny_out * nx_out + nbm_y * nx_in
+            + nx_in * ny_out + nbm_x * ny_out
+            + 3 * ny_out * nx_out) * 4 + (yb.size + xbl.size) * 8 // G
+    if need > _VMEM_BUDGET:
+        return None
+    ayb = np.abs(yb) if (yb < 0).any() else yb
+    axb = np.abs(xbl) if (xbl < 0).any() else xbl
+    if valid_plane is None:
+        valid_plane = np.ones((ny_out, nx_out), np.float32)
+    else:
+        valid_plane = np.asarray(valid_plane, np.float32)
+    if zvalid is None:
+        zvalid = np.ones(nchan, np.int32)
+    else:
+        zvalid = np.asarray(zvalid).astype(np.int32)
+
+    perm = np.argsort(np.asarray(group_idx), kind="stable").astype(np.int32)
+    gsorted = np.asarray(group_idx)[perm].astype(np.int32)
+    dims = ((m_y, K_y, nb_y, ny_out), (m_x, K_x, nb_x, nx_out))
+
+    def kernel(perm_ref, gs_ref, zv_ref, f_ref, vp_ref, yb_ref, xb_ref,
+               ayb_ref, axb_ref, o_ref, t_ref, u_ref, w_ref):
+        c = pl.program_id(0)
+        conv = _make_conv(r, dims, (ys, xs), t_ref, u_ref, w_ref)
+        Z = f_ref[0]
+        bad = jnp.isnan(Z)
+        # nan_to_num for exact parity with the dense path (inf clamps to
+        # the finite max there too; only NaN poisons)
+        o_ref[0] = conv(yb_ref, xb_ref, jnp.nan_to_num(Z))
+
+        @pl.when(jnp.any(bad))
+        def _():
+            wn = conv(ayb_ref, axb_ref, bad.astype(jnp.float32))
+            o_ref[0] = jnp.where(wn > _DEN_EPS, jnp.nan, o_ref[0])
+
+        ok = jnp.logical_and(vp_ref[...] != 0.0, zv_ref[perm_ref[c]] != 0)
+        o_ref[0] = jnp.where(ok, o_ref[0], jnp.nan)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3, grid=(nchan,),
+        in_specs=[
+            pl.BlockSpec((1, ny_in, nx_in),
+                         lambda c, p, g, z: (p[c], 0, 0)),
+            pl.BlockSpec((ny_out, nx_out), lambda c, p, g, z: (0, 0)),
+            pl.BlockSpec((1, r, nb_y, m_y, K_y),
+                         lambda c, p, g, z: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec((1, r, nb_x, m_x, K_x),
+                         lambda c, p, g, z: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec((1, r, nb_y, m_y, K_y),
+                         lambda c, p, g, z: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec((1, r, nb_x, m_x, K_x),
+                         lambda c, p, g, z: (g[c], 0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ny_out, nx_out),
+                               lambda c, p, g, z: (p[c], 0, 0)),
+        scratch_shapes=[pltpu.VMEM((nbm_y, nx_in), jnp.float32),
+                        pltpu.VMEM((nx_in, ny_out), jnp.float32),
+                        pltpu.VMEM((nbm_x, ny_out), jnp.float32)])
+    fn = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nchan, ny_out, nx_out),
+                                       jnp.float32),
+        interpret=interpret)
+    return fn(jnp.asarray(perm), jnp.asarray(gsorted), jnp.asarray(zvalid),
+              jnp.asarray(raw, jnp.float32), jnp.asarray(valid_plane),
+              jnp.asarray(yb), jnp.asarray(xbl), jnp.asarray(ayb),
+              jnp.asarray(axb))
+
+
+def per_channel_shift_lerp(raw, sy, wy, sx, wx, valid_plane,
+                           zvalid=None, interpret=False):
+    """Pure-translation bilinear resample as a VPU shift-lerp in VMEM.
+
+    When the output grid is the input grid translated by a constant
+    (sy + wy, sx + wx) — integer shifts ``sy``/``sx``, constant fractional
+    weights ``wy``/``wx`` — the 2-tap resample needs no MXU at all:
+    out = lerp_y(lerp_x(Z)) built from in-register rolls.  The strip
+    matmuls spend ~K/2 of their FLOPs on structural zeros here, and an
+    XLA slice+lerp materializes a copy pass per misaligned read
+    (CLAUDE.md: measured 1.7x slower than even the tap matmul); the
+    in-VMEM roll pays neither.  Rows/columns whose taps wrap around the
+    roll are exactly the out-of-range ones — the caller's ``valid_plane``
+    must mask them (asserted by ops/regrid gating: |frac| > 1e-3 or 0).
+
+    NaN poisoning matches the 2-tap matmul contract: out is NaN where the
+    lerp of isnan(Z) exceeds 1e-6, evaluated only for channels containing
+    NaN (``pl.when``); ``zvalid`` masks whole channels.
+    Returns (nchan, ny, nx) float32 or None when infeasible.
+    """
+    if not _backend_ok(interpret):
+        return None
+    nchan, ny, nx = raw.shape
+    if ny % 8 or nx % 128:
+        return None
+    if (ny * nx * 4) * 4 > _VMEM_BUDGET:
+        return None
+    valid_plane = np.asarray(valid_plane, np.float32)
+    if zvalid is None:
+        zvalid = np.ones(nchan, np.int32)
+    else:
+        zvalid = np.asarray(zvalid).astype(np.int32)
+    sy, sx = int(sy), int(sx)
+    wy, wx = float(wy), float(wx)
+
+    def _roll(x, shift, axis):
+        # out[i] = x[i + shift] == roll by -shift; pltpu.roll requires a
+        # non-negative amount, so reduce modulo the axis length
+        n = x.shape[axis]
+        return x if shift % n == 0 else pltpu.roll(x, (-shift) % n, axis)
+
+    def lerp2(Z):
+        a = _roll(Z, sy, 0)
+        t = a if wy == 0.0 else (1.0 - wy) * a + wy * _roll(Z, sy + 1, 0)
+        b = _roll(t, sx, 1)
+        return b if wx == 0.0 else (1.0 - wx) * b + wx * _roll(t, sx + 1, 1)
+
+    def kernel(zv_ref, f_ref, vp_ref, o_ref):
+        c = pl.program_id(0)
+        Z = f_ref[0]
+        bad = jnp.isnan(Z)
+        o_ref[0] = lerp2(jnp.nan_to_num(Z))
+
+        @pl.when(jnp.any(bad))
+        def _():
+            wn = lerp2(bad.astype(jnp.float32))
+            o_ref[0] = jnp.where(wn > _DEN_EPS, jnp.nan, o_ref[0])
+
+        ok = jnp.logical_and(vp_ref[...] != 0.0, zv_ref[c] != 0)
+        o_ref[0] = jnp.where(ok, o_ref[0], jnp.nan)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(nchan,),
+        in_specs=[pl.BlockSpec((1, ny, nx), lambda c, z: (c, 0, 0)),
+                  pl.BlockSpec((ny, nx), lambda c, z: (0, 0))],
+        out_specs=pl.BlockSpec((1, ny, nx), lambda c, z: (c, 0, 0)))
+    fn = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nchan, ny, nx), jnp.float32),
+        interpret=interpret)
+    return fn(jnp.asarray(zvalid), jnp.asarray(raw, jnp.float32),
+              jnp.asarray(valid_plane))
 
 
 def per_channel_plain_strips(data, my, mx, group_idx, interpret=False):

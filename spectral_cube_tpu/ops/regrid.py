@@ -270,11 +270,50 @@ def _bilinear_spatial_then_linear_z(data, zs, ys, xs, order):
     y1 = np.minimum(y0 + 1, ny_in - 1)
     x1 = np.minimum(x0 + 1, nx_in - 1)
 
-    nanmask = jnp.isnan(data).astype(jnp.float32)
-    filled = jnp.nan_to_num(data)
-
     z_identity = (nz == nchan_in and np.all(zc == np.arange(nchan_in))
                   and zvalid.all())
+
+    if z_identity and order == 1:
+        # one-kernel fast paths: when the spectral axis is untouched and
+        # the spatial mapping is axis-aligned, the raw-input kernels
+        # detect NaN, zero-fill, poison, and apply the in-range mask all
+        # in VMEM — exactly cube-in + cube-out over HBM, vs the four
+        # extra full-cube passes (isnan + nan_to_num materialization and
+        # the final validity where) of the staged path below.
+        # Pure translations additionally skip the MXU entirely (VPU
+        # shift-lerp) — but only when every VALID output pixel's taps
+        # stay in range, so no roll-wrap ever feeds a valid pixel.
+        tr = _translation_params(ys, xs, ny_in, nx_in)
+        if tr is not None:
+            sy, wyc, sx, wxc = tr
+            rows = np.where(yvalid[:, 0])[0]
+            cols = np.where(xvalid[0, :])[0]
+            ok_y = rows.size == 0 or (
+                rows.min() + sy >= 0
+                and rows.max() + sy + (1 if wyc > 0 else 0) <= ny_in - 1)
+            ok_x = cols.size == 0 or (
+                cols.min() + sx >= 0
+                and cols.max() + sx + (1 if wxc > 0 else 0) <= nx_in - 1)
+            if ok_y and ok_x:
+                from .banded_pallas import per_channel_shift_lerp
+                out = per_channel_shift_lerp(
+                    data, sy, wyc, sx, wxc, (yvalid & xvalid), zvalid)
+                if out is not None:
+                    return out.astype(data.dtype)
+        taps = _separable_taps(y0, wy, x0, wx, ny_in, nx_in, ny, nx)
+        if taps is not None:
+            from .banded_pallas import per_channel_resample_raw_strips
+            my, mx = taps
+            out = per_channel_resample_raw_strips(
+                data, my[None, None], mx[None, None],
+                np.zeros(nz, np.int32),
+                valid_plane=(yvalid & xvalid),
+                zvalid=zvalid)
+            if out is not None:
+                return out.astype(data.dtype)
+
+    nanmask = jnp.isnan(data).astype(jnp.float32)
+    filled = jnp.nan_to_num(data)
 
     def zlerp(arr):
         if z_identity:
@@ -324,6 +363,52 @@ def _use_matmul_resample():
     return jax.default_backend() == "tpu"
 
 
+def _translation_params(ys, xs, ny_in, nx_in):
+    """(sy, wy, sx, wx) when the output grid is the input grid shifted by
+    a constant — integer parts sy/sx, fractions in [0, 1) — else None.
+    Tolerance 1e-9 pixel: (i + t) - i wobbles at the float64 ulp of the
+    coordinate, ~7 decades below what an f32 lerp weight can resolve."""
+    ny, nx = np.asarray(ys).shape
+    if ny != ny_in or nx != nx_in:
+        return None
+    dy = np.asarray(ys) - np.arange(ny, dtype=np.float64)[:, None]
+    dx = np.asarray(xs) - np.arange(nx, dtype=np.float64)[None, :]
+    if not (np.isfinite(dy).all() and np.isfinite(dx).all()):
+        return None
+    if np.ptp(dy) > 1e-9 or np.ptp(dx) > 1e-9:
+        return None
+    ty, tx = float(dy.mean()), float(dx.mean())
+    sy = int(np.floor(ty))
+    sx = int(np.floor(tx))
+    return sy, ty - sy, sx, tx - sx
+
+
+def _separable_taps(y0, wy, x0, wx, ny_in, nx_in, ny_out, nx_out):
+    """2-tap (ny_out, ny_in)/(nx_out, nx_in) interp matrices for an
+    axis-aligned bilinear mapping, or None when the target y-coordinates
+    vary with column / x with row (rotation between the WCS pair) or the
+    grids exceed _MATMUL_RESAMPLE_MAX_N."""
+    if not _use_matmul_resample():
+        return None
+    if max(ny_out, nx_out, ny_in, nx_in) > _MATMUL_RESAMPLE_MAX_N:
+        return None
+    ysep = np.ptp(y0, axis=1).max() == 0 and np.ptp(wy, axis=1).max() == 0
+    xsep = np.ptp(x0, axis=0).max() == 0 and np.ptp(wx, axis=0).max() == 0
+    if not (ysep and xsep):
+        return None
+    from .interpolate import _interp_matrix
+
+    def tap_matrix(n_in, i0, w):
+        # i0 is pre-clipped to n_in-2, so the shared 2-tap builder applies
+        # (single-column inputs collapse to an all-ones matrix)
+        if n_in == 1:
+            return np.ones((w.shape[0], 1), dtype=np.float32)
+        return _interp_matrix(i0.astype(np.int64), w, n_in)
+
+    return (tap_matrix(ny_in, y0[:, 0], wy[:, 0]),
+            tap_matrix(nx_in, x0[0, :], wx[0, :]))
+
+
 def _separable_resample(fz, wz, y0, y1, wy, x0, x1, wx, order):
     """Axis-aligned bilinear resample as two banded matmuls per channel.
 
@@ -334,30 +419,15 @@ def _separable_resample(fz, wz, y0, y1, wy, x0, x1, wx, order):
     gathers on TPU, while the same operator as dense matmuls rides the
     MXU (measured 16 ms -> ~1 ms on a 512-plane stack).  Returns
     (out, nan_weight) or None when the mapping isn't separable."""
-    if order != 1 or not _use_matmul_resample():
+    if order != 1:
         return None
     ny, nx = wy.shape
     nz, ny_in, nx_in = fz.shape
-    if max(ny, nx, ny_in, nx_in) > _MATMUL_RESAMPLE_MAX_N:
-        return None
-    ysep = (np.ptp(y0, axis=1).max() == 0 and np.ptp(wy, axis=1).max() == 0
-            and np.ptp(y1, axis=1).max() == 0)
-    xsep = (np.ptp(x0, axis=0).max() == 0 and np.ptp(wx, axis=0).max() == 0
-            and np.ptp(x1, axis=0).max() == 0)
-    if not (ysep and xsep):
+    taps = _separable_taps(y0, wy, x0, wx, ny_in, nx_in, ny, nx)
+    if taps is None:
         return None
     import jax.lax as lax
-    from .interpolate import _interp_matrix
-
-    def tap_matrix(n_in, i0, w):
-        # i0 is pre-clipped to n_in-2, so the shared 2-tap builder applies
-        # (single-column inputs collapse to an all-ones matrix)
-        if n_in == 1:
-            return np.ones((w.shape[0], 1), dtype=np.float32)
-        return _interp_matrix(i0.astype(np.int64), w, n_in)
-
-    my = tap_matrix(ny_in, y0[:, 0], wy[:, 0])
-    mx = tap_matrix(nx_in, x0[0, :], wx[0, :])
+    my, mx = taps
 
     # strip-blocked Pallas path: the dense tap einsums are MXU-bound on
     # structural zeros (nin FLOPs per 2-tap output row); the K=128 strip

@@ -243,3 +243,99 @@ def test_per_channel_plain_strips_matches_dense():
                         data.astype(np.float64),
                         Gx[0, i].astype(np.float64)) for i in range(2))
     np.testing.assert_allclose(got, exp, rtol=3e-5, atol=1e-5)
+
+
+def test_per_channel_resample_raw_strips_matches_staged():
+    """Raw-input resample kernel == the staged dense path (isnan +
+    nan_to_num + taps + validity where) on NaN-holed data, including a
+    whole-NaN channel, an out-of-range validity plane, and zvalid flags."""
+    from spectral_cube_tpu.ops.banded_pallas import (
+        per_channel_resample_raw_strips)
+    rng = np.random.RandomState(11)
+    nchan, ny, nx = 4, 128, 128
+    data = rng.randn(nchan, ny, nx).astype(np.float32)
+    data[1, 3, 40] = np.nan
+    data[3, :, :] = np.nan
+    y0 = np.clip(np.arange(ny), 0, ny - 2)
+    wy = np.full(ny, 0.37)
+    x0 = np.clip(np.arange(nx), 0, nx - 2)
+    wx = np.full(nx, 0.61)
+    my = _interp_matrix(y0.astype(np.int64), wy, ny)
+    mx = _interp_matrix(x0.astype(np.int64), wx, nx)
+    valid = np.ones((ny, nx), bool)
+    valid[-1, :] = False
+    valid[:, -1] = False
+    zvalid = np.array([1, 1, 0, 1], np.int32)
+
+    out = np.asarray(per_channel_resample_raw_strips(
+        data, my[None, None], mx[None, None], np.zeros(nchan, np.int32),
+        valid_plane=valid, zvalid=zvalid, interpret=True))
+
+    # staged float64 oracle
+    filled = np.nan_to_num(data).astype(np.float64)
+    badf = np.isnan(data).astype(np.float64)
+    ref = np.einsum("ab,cbx,vx->cav", my.astype(np.float64), filled,
+                    mx.astype(np.float64))
+    wn = np.einsum("ab,cbx,vx->cav", my.astype(np.float64), badf,
+                   mx.astype(np.float64))
+    ref[wn > 1e-6] = np.nan
+    ref[:, ~valid] = np.nan
+    ref[zvalid == 0] = np.nan
+    assert np.array_equal(np.isnan(out), np.isnan(ref))
+    fin = ~np.isnan(ref)
+    np.testing.assert_allclose(out[fin], ref[fin], atol=5e-6)
+
+
+@pytest.mark.parametrize("ty,tx", [(0.37, 0.61), (-0.4, 2.25),
+                                   (3.0, -1.0), (0.0, 0.0)])
+def test_per_channel_shift_lerp_matches_staged(ty, tx):
+    """VPU shift-lerp kernel == the staged dense bilinear path for pure
+    translations, including NaN holes, an all-NaN channel, and the
+    out-of-range edges (masked by the validity plane, so roll wrap never
+    feeds a valid pixel)."""
+    from spectral_cube_tpu.ops.banded_pallas import per_channel_shift_lerp
+    from spectral_cube_tpu.ops.regrid import (_bilinear_spatial_then_linear_z,
+                                              _translation_params)
+    rng = np.random.RandomState(13)
+    nchan, ny, nx = 3, 64, 128
+    data = rng.randn(nchan, ny, nx).astype(np.float32)
+    data[1, 30, 40] = np.nan
+    data[2, :, :] = np.nan
+    zs = np.arange(nchan, dtype=np.float64)
+    ys = (np.arange(ny, dtype=np.float64)[:, None] + ty) * np.ones((1, nx))
+    xs = (np.arange(nx, dtype=np.float64)[None, :] + tx) * np.ones((ny, 1))
+    ref = np.asarray(_bilinear_spatial_then_linear_z(
+        jnp.asarray(data), zs, ys, xs, 1))
+    tr = _translation_params(ys, xs, ny, nx)
+    assert tr is not None
+    sy, wy, sx, wx = tr
+    yvalid = np.isfinite(ys) & (ys >= -1e-3) & (ys <= ny - 1 + 1e-3)
+    xvalid = np.isfinite(xs) & (xs >= -1e-3) & (xs <= nx - 1 + 1e-3)
+    out = np.asarray(per_channel_shift_lerp(
+        data, sy, wy, sx, wx, (yvalid & xvalid),
+        np.ones(nchan, np.int32), interpret=True))
+    assert np.array_equal(np.isnan(out), np.isnan(ref))
+    fin = ~np.isnan(ref)
+    if fin.any():
+        np.testing.assert_allclose(out[fin], ref[fin], atol=5e-6)
+
+
+def test_translation_params_gates():
+    """Non-translations (rotation, scaling, shape change) return None."""
+    from spectral_cube_tpu.ops.regrid import _translation_params
+    ny, nx = 16, 16
+    base_y = np.arange(ny, dtype=np.float64)[:, None] * np.ones((1, nx))
+    base_x = np.arange(nx, dtype=np.float64)[None, :] * np.ones((ny, 1))
+    assert _translation_params(base_y + 0.25, base_x - 1.5, ny, nx) \
+        is not None
+    # scaling
+    assert _translation_params(base_y * 1.01, base_x, ny, nx) is None
+    # rotation (y depends on column)
+    rot = base_y + 0.01 * base_x
+    assert _translation_params(rot, base_x, ny, nx) is None
+    # shape mismatch
+    assert _translation_params(base_y, base_x, ny + 8, nx) is None
+    # NaN coordinates
+    yn = base_y.copy()
+    yn[0, 0] = np.nan
+    assert _translation_params(yn, base_x, ny, nx) is None
