@@ -421,10 +421,21 @@ def bench_config6():
 
     per = _measure(one_pass, (data,), reps=3)
     gvox = nchan * ny * nx / 1e9
-    # traffic estimate: read + sorted copy + 5 iterations of ~2
-    # fused passes over the sorted cube (the sort itself dominates and
-    # is not modeled -> the %-attained line is an upper bound)
-    _note("config6 sigma-clip 623x768x768", per, nchan * ny * nx * 4 * 13)
+    # the fused Pallas path (ops/clip_pallas.py) moves 3 HBM passes (band
+    # kernel read + keep-pass read/write); the governing bound is the
+    # in-VMEM bitonic network on the VPU: npad * spaxels * stages
+    # compare-exchanges at ~3 VPU ops each, ~3.9 Tf32op/s on v5e
+    npad = 1024
+    stages = sum(range(1, npad.bit_length()))    # sum_k log2-levels = 55
+    vpu_ops = npad * ny * nx * stages * 3
+    t_vpu = vpu_ops / 3.9e12
+    t_hbm = nchan * ny * nx * 4 * 3 / (hbm_roofline_gbps() * 1e9)
+    bound = max(t_vpu, t_hbm)
+    print(f"# config6 sigma-clip 623x768x768: {per * 1e3:.3f} ms/pass | "
+          f"model: HBM(3 passes) {t_hbm * 1e3:.1f} ms vs VPU-bitonic "
+          f"{t_vpu * 1e3:.1f} ms -> "
+          f"{'VPU' if t_vpu > t_hbm else 'HBM'}-bound, "
+          f"{100 * bound / per:.0f}% of bound attained", file=sys.stderr)
     t_ref_best = 18.5   # dask 4-thread wall, docs/dask.rst:204-212
     return {"metric": "sigma_clip_spectrally_623x768x768_throughput",
             "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
