@@ -339,13 +339,22 @@ def bench_config5():
         np.arange(n, dtype=np.float64)[None, :] + 0.61, (n, n)).copy()
     on_tpu = jax.default_backend() == "tpu"
 
+    from spectral_cube_tpu.masks import LazyComparisonMask
+    snr_mask = LazyComparisonMask(jnp.greater, 0.25,
+                                  shape=(n, n, n))
+
     def one_pass(d, t=None):
-        include = d > 0.25
         if on_tpu:
-            m0, m1, m2 = moments_012_pallas(d, coords, 1.0, include=include)
+            # single-pass moments + global statistics with the SNR mask
+            # evaluated per block in VMEM (a materialized include array
+            # costs a uint8-cube write+read; standalone
+            # masked_statistics costs two more cube reads)
+            m0, m1, m2, stats = moments_012_pallas(
+                d, coords, 1.0, mask_expr=snr_mask, with_stats=True)
         else:
+            include = d > 0.25
             m0, m1, m2 = moments_012(d, coords, 1.0, include=include)
-        stats = red.masked_statistics(d, red.valid_mask(d, include))
+            stats = red.masked_statistics(d, red.valid_mask(d, include))
         # fused convolve+reproject: host-composed G = R @ M operators,
         # exact chain fallback in-jit for NaN cubes
         from spectral_cube_tpu.ops import regrid as rg

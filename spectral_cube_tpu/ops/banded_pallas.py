@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["plan_strips", "strip_blocks", "banded_matmul_strips",
            "smooth_interp_strips", "per_channel_conv_strips",
            "per_channel_resample_strips", "per_channel_resample_raw_strips",
-           "per_channel_shift_lerp", "per_channel_plain_strips"]
+           "per_channel_shift_lerp", "per_channel_plain_strips",
+           "conv_reproject_raw_strips"]
 
 # normalized-convolution denominator floor shared with every dense path
 # (CLAUDE.md: f32 HIGHEST chains reconstruct an exact 0 only to ~1e-7)
@@ -609,6 +610,130 @@ def per_channel_resample_raw_strips(raw, my, mx, group_idx,
               jnp.asarray(raw, jnp.float32), jnp.asarray(valid_plane),
               jnp.asarray(yb), jnp.asarray(xbl), jnp.asarray(ayb),
               jnp.asarray(axb))
+
+
+def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
+                              interpret=False):
+    """Fused convolve+reproject with the NaN branch per channel in VMEM.
+
+    Clean channels apply the host-composed operator G = R @ M in one
+    rank-r strip pair; channels containing NaN run the exact
+    normalized-convolution chain (ops/convolve.convolve2d_separable
+    semantics: num = K*filled, den = 1 - K*isnan — zero padding counts
+    as valid — NaN where den <= 1e-6 or the channel is all-NaN) followed
+    by the 2-tap resample with NaN-weight poisoning, all without leaving
+    VMEM.  This replaces an ``lax.cond(has_nan, chain, fused)`` whose
+    cube-sized operands materialize on every call plus a separate
+    isfinite prepass and validity where — 4 extra HBM passes the kernel
+    spends nowhere (ops/regrid.convolve_reproject_separable caller).
+
+    ``Gy``/``Gx``/``My``/``Mx``: (1, r, n_out, n_in) hosts; ``Ry``/``Rx``:
+    (1, 1, n_out, n_in) resample taps; ``valid_plane``: in-range output
+    mask.  Returns (nchan, ny_out, nx_out) float32 or None.
+    """
+    if not _backend_ok(interpret):
+        return None
+    nchan, ny_in, nx_in = raw.shape
+    Gy = np.asarray(Gy, np.float32)
+    Gx = np.asarray(Gx, np.float32)
+    My = np.asarray(My, np.float32)
+    Mx = np.asarray(Mx, np.float32)
+    Ry = np.asarray(Ry, np.float32)
+    Rx = np.asarray(Rx, np.float32)
+    r = Gy.shape[1]
+    ny_out, nx_out = Gy.shape[2], Gx.shape[2]
+    if not (_rect_gates(ny_in, nx_in, ny_out, nx_out)
+            and ny_in % 8 == 0 and nx_in % 128 == 0):
+        return None
+    ppG = _plan_pair(Gy, Gx)
+    ppM = _plan_pair(My, Mx)
+    ppR = _plan_pair(Ry, Rx)
+    if ppG is None or ppM is None or ppR is None:
+        return None
+
+    def unpack(pp, n_mid_out, n_x_out):
+        (m_y, K_y), (m_x, K_x), (yb, ys), (xb, xs) = pp
+        nb_y, nb_x = yb.shape[2], xb.shape[2]
+        dims = ((m_y, K_y, nb_y, n_mid_out), (m_x, K_x, nb_x, n_x_out))
+        return dims, (ys, xs), yb, xb, nb_y * m_y, nb_x * m_x
+
+    dimsG, startsG, gyb, gxb, nbmG_y, nbmG_x = unpack(ppG, ny_out, nx_out)
+    dimsM, startsM, myb, mxb, nbmM_y, nbmM_x = unpack(ppM, ny_in, nx_in)
+    dimsR, startsR, ryb, rxb, nbmR_y, nbmR_x = unpack(ppR, ny_out, nx_out)
+
+    scr = [
+        # G trio
+        pltpu.VMEM((nbmG_y, nx_in), jnp.float32),
+        pltpu.VMEM((nx_in, ny_out), jnp.float32),
+        pltpu.VMEM((nbmG_x, ny_out), jnp.float32),
+        # M trio (square conv stage)
+        pltpu.VMEM((nbmM_y, nx_in), jnp.float32),
+        pltpu.VMEM((nx_in, ny_in), jnp.float32),
+        pltpu.VMEM((nbmM_x, ny_in), jnp.float32),
+        # R trio + the conv-stage plane scratch
+        pltpu.VMEM((nbmR_y, nx_in), jnp.float32),
+        pltpu.VMEM((nx_in, ny_out), jnp.float32),
+        pltpu.VMEM((nbmR_x, ny_out), jnp.float32),
+        pltpu.VMEM((ny_in, nx_in), jnp.float32),
+    ]
+    need = sum(int(np.prod(s.shape)) for s in scr) * 4 \
+        + (2 * ny_in * nx_in + 2 * ny_out * nx_out) * 4 \
+        + (gyb.size + gxb.size + myb.size + mxb.size
+           + ryb.size + rxb.size) * 4
+    if need > _VMEM_BUDGET:
+        return None
+    valid_plane = np.asarray(valid_plane, np.float32)
+
+    def kernel(x_ref, gy_ref, gx_ref, my_ref, mx_ref, ry_ref, rx_ref,
+               vp_ref, o_ref, tG, uG, wG, tM, uM, wM, tR, uR, wR, c_ref):
+        convG = _make_conv(r, dimsG, startsG, tG, uG, wG)
+        convM = _make_conv(r, dimsM, startsM, tM, uM, wM)
+        convR = _make_conv(1, dimsR, startsR, tR, uR, wR)
+        Z = x_ref[0]
+        bad = jnp.isnan(Z)
+        some_bad = jnp.any(bad)
+
+        @pl.when(jnp.logical_not(some_bad))
+        def _():
+            o_ref[0] = convG(gy_ref, gx_ref, Z)
+
+        @pl.when(some_bad)
+        def _():
+            badf = bad.astype(jnp.float32)
+            num = convM(my_ref, mx_ref, jnp.where(bad, 0.0, Z))
+            den = 1.0 - convM(my_ref, mx_ref, badf)
+            nanc = den <= _DEN_EPS
+            # all-NaN channel: the conv output is NaN everywhere
+            nanc = jnp.logical_or(nanc, jnp.logical_not(jnp.any(~bad)))
+            c_ref[...] = jnp.where(nanc, 0.0, num
+                                   / jnp.where(nanc, 1.0, den))
+            out = convR(ry_ref, rx_ref, c_ref[...])
+            wn = convR(ry_ref, rx_ref, nanc.astype(jnp.float32))
+            o_ref[0] = jnp.where(wn > _DEN_EPS, jnp.nan, out)
+
+        o_ref[0] = jnp.where(vp_ref[...] != 0.0, o_ref[0], jnp.nan)
+
+    fn = pl.pallas_call(
+        kernel, grid=(nchan,),
+        in_specs=[
+            pl.BlockSpec((1, ny_in, nx_in), lambda c: (c, 0, 0)),
+            pl.BlockSpec(gyb.shape, lambda c: (0,) * gyb.ndim),
+            pl.BlockSpec(gxb.shape, lambda c: (0,) * gxb.ndim),
+            pl.BlockSpec(myb.shape, lambda c: (0,) * myb.ndim),
+            pl.BlockSpec(mxb.shape, lambda c: (0,) * mxb.ndim),
+            pl.BlockSpec(ryb.shape, lambda c: (0,) * ryb.ndim),
+            pl.BlockSpec(rxb.shape, lambda c: (0,) * rxb.ndim),
+            pl.BlockSpec((ny_out, nx_out), lambda c: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ny_out, nx_out), lambda c: (c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nchan, ny_out, nx_out),
+                                       jnp.float32),
+        scratch_shapes=scr,
+        interpret=interpret)
+    return fn(jnp.asarray(raw, jnp.float32), jnp.asarray(gyb),
+              jnp.asarray(gxb), jnp.asarray(myb), jnp.asarray(mxb),
+              jnp.asarray(ryb), jnp.asarray(rxb),
+              jnp.asarray(valid_plane))
 
 
 def per_channel_shift_lerp(raw, sy, wy, sx, wx, valid_plane,

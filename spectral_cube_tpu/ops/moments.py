@@ -127,12 +127,22 @@ def _round_up(x, m):
 
 
 def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
-                       interpret=False):
+                       interpret=False, with_stats=False):
     """Pallas TPU kernel: one HBM pass, mask fused in VMEM.
 
     ``mask_expr``: a data-local mask expression (see
     ``masks.is_data_local``) evaluated on each block inside the kernel.
     ``include``: explicit boolean array for non-data-local masks.
+
+    ``with_stats=True`` additionally accumulates the global-statistics
+    sufficient planes (sum-of-squares, per-spaxel min/max, per-spaxel
+    mean-centered second moment) in the SAME pass and returns
+    ``(m0, m1, m2, stats_dict)`` — the pipeline's moments+statistics
+    otherwise costs three cube reads (one here, two in
+    reductions.masked_statistics' two-pass sigma).  The global sigma
+    recombines per-spaxel centered sums in float64 at plane level
+    (s2c = sum d2_i + sum n_i (m_i - M)^2), which keeps the DC-offset
+    robustness of the two-pass form without a second cube pass.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -148,12 +158,17 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
     # nchan ~ 1024 — fall back to the XLA expression (still one fused HBM
     # pass, ~45% of the Pallas kernel's throughput)
     block_bytes = nchan * ty * tx * data.dtype.itemsize * n_block_inputs
-    if block_bytes * (2 + 4) > 15 * 2 ** 20:
+    if block_bytes * (2 + 4 + (2 if with_stats else 0)) > 15 * 2 ** 20:
         if mask_expr is not None:
             inc2 = mask_expr._include(data=data)
             include = inc2 if include is None \
                 else jnp.logical_and(include, inc2)
-        return moments_012(data, coords, dx, include=include)
+        moms = moments_012(data, coords, dx, include=include)
+        if not with_stats:
+            return moms
+        from . import reductions as red
+        valid = red.valid_mask(data, include)
+        return moms + (red.masked_statistics(data, valid),)
     gy, gx = pl.cdiv(ny, ty), pl.cdiv(nx, tx)
     ragged = (ny % ty != 0) or (nx % tx != 0)
 
@@ -166,9 +181,10 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
     def kernel(*refs):
         if use_mask_input:
             (data_ref, xc_ref, inc_ref, s0_ref, m1_ref, r1_ref, s2_ref,
-             cnt_ref) = refs
+             cnt_ref, *stat_refs) = refs
         else:
-            data_ref, xc_ref, s0_ref, m1_ref, r1_ref, s2_ref, cnt_ref = refs
+            (data_ref, xc_ref, s0_ref, m1_ref, r1_ref, s2_ref,
+             cnt_ref, *stat_refs) = refs
         i = pl.program_id(0)
         j = pl.program_id(1)
         block = data_ref[:]                      # (nchan, ty, tx)
@@ -193,6 +209,18 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
         r1_ref[:] = r1
         s2_ref[:] = s2c
         cnt_ref[:] = cnt.astype(jnp.int32)
+        if with_stats:
+            ss_ref, mn_ref, mx_ref, d2_ref = stat_refs
+            ss_ref[:] = jnp.sum(w * w, axis=0)
+            mn_ref[:] = jnp.min(jnp.where(valid, block, jnp.inf), axis=0)
+            mx_ref[:] = jnp.max(jnp.where(valid, block, -jnp.inf), axis=0)
+            # per-spaxel mean-centered second moment: accurate in f32
+            # because the spaxel's own DC offset is removed before
+            # squaring (same reason _moment_stats is two-pass)
+            m_i = s0 / jnp.maximum(cnt, 1).astype(jnp.float32)
+            dev = jnp.where(valid, block.astype(jnp.float32) - m_i[None],
+                            0.0)
+            d2_ref[:] = jnp.sum(dev * dev, axis=0)
 
     in_specs = [
         pl.BlockSpec((nchan, ty, tx), lambda i, j: (0, i, j),
@@ -210,20 +238,70 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
                             memory_space=pltpu.VMEM)
     oy, ox = gy * ty, gx * tx
     fmap = jax.ShapeDtypeStruct((oy, ox), jnp.float32)
-    s0, m1_est, r1, s2c, cnt = pl.pallas_call(
+    imap = jax.ShapeDtypeStruct((oy, ox), jnp.int32)
+    n_out = 9 if with_stats else 5
+    shapes = (fmap, fmap, fmap, fmap, imap) + \
+        ((fmap, fmap, fmap, fmap) if with_stats else ())
+    outs = pl.pallas_call(
         kernel,
         grid=(gy, gx),
         in_specs=in_specs,
-        out_specs=(out_spec,) * 5,
-        out_shape=(fmap, fmap, fmap, fmap,
-                   jax.ShapeDtypeStruct((oy, ox), jnp.int32)),
+        out_specs=(out_spec,) * n_out,
+        out_shape=shapes,
         interpret=interpret,
     )(*inputs)
-    s0, m1_est, r1, s2c, cnt = (a[:ny, :nx]
-                                for a in (s0, m1_est, r1, s2c, cnt))
+    outs = [a[:ny, :nx] for a in outs]
+    s0, m1_est, r1, s2c, cnt = outs[:5]
     out_dtype = data.dtype
     m0, m1, m2 = _finalize(s0, m1_est, r1, s2c, cnt, xbar, dx, jnp.float32)
-    return m0.astype(out_dtype), m1.astype(out_dtype), m2.astype(out_dtype)
+    moms = (m0.astype(out_dtype), m1.astype(out_dtype),
+            m2.astype(out_dtype))
+    if not with_stats:
+        return moms
+    ss_p, mn_p, mx_p, d2_p = outs[5:]
+    return moms + (_recombine_statistics(s0, cnt, ss_p, mn_p, mx_p, d2_p),)
+
+
+def _recombine_statistics(s0, cnt, ss_p, mn_p, mx_p, d2_p):
+    """Global statistics from per-spaxel sufficient planes: the law of
+    total variance, s2c = sum d2_i + sum n_i (m_i - M)^2.  Per-spaxel
+    centering (d2_i) already removed the DC offset before any squaring —
+    the reason masked_statistics needs a second cube pass — and the
+    plane-level cross term is second-order in the spaxel-mean spread, so
+    f32 keeps the two-pass form's robustness without re-reading the cube.
+    Matches reductions.masked_statistics' keys and npts in {0, 1}
+    semantics."""
+    cntf = cnt.astype(jnp.float32)
+    npts = jnp.sum(cntf)
+    s = jnp.sum(s0)
+    nan = jnp.asarray(jnp.nan, dtype=jnp.float32)
+    m_i = s0 / jnp.maximum(cntf, 1)
+    # shifted global mean: a raw f32 sum of ~1e3-valued spaxel sums loses
+    # ~1e-6 relative, which lands exactly at the spaxel-mean spread on
+    # DC-offset data and corrupts the cross term below; summing the
+    # deviations from an f32 pilot mean instead is exact to ~1e-10
+    pilot = jnp.sum(jnp.where(cnt > 0, m_i, 0.0)) \
+        / jnp.maximum(jnp.sum((cnt > 0).astype(jnp.float32)), 1)
+    mean_acc = pilot + jnp.sum(cntf * (m_i - pilot)) / jnp.maximum(npts, 1)
+    mean = jnp.where(npts > 0, mean_acc, nan)
+    s2c = jnp.sum(d2_p) \
+        + jnp.sum(cntf * (m_i - jnp.where(npts > 0, mean_acc, 0.0)) ** 2)
+    sigma = jnp.where(npts > 1,
+                      jnp.sqrt(s2c / jnp.maximum(npts - 1, 1)), nan)
+    ss = jnp.sum(ss_p)
+    rms = jnp.where(npts > 0, jnp.sqrt(ss / jnp.maximum(npts, 1)), nan)
+    mn = jnp.min(jnp.where(cnt > 0, mn_p, jnp.inf))
+    mx = jnp.max(jnp.where(cnt > 0, mx_p, -jnp.inf))
+    f32 = jnp.float32
+    some = npts > 0
+    return {"npts": jnp.sum(cnt),
+            "min": jnp.where(some, mn, nan).astype(f32),
+            "max": jnp.where(some, mx, nan).astype(f32),
+            "sum": jnp.where(some, s, nan).astype(f32),
+            "sumsq": jnp.where(some, ss, nan).astype(f32),
+            "mean": mean.astype(f32),
+            "sigma": sigma.astype(f32),
+            "rms": rms.astype(f32)}
 
 
 # compiled-program cache: eager pallas_call / jnp dispatch re-traces the

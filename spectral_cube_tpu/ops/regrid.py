@@ -512,6 +512,22 @@ def convolve_reproject_separable(data, kernel, ys, xs):
     Gy = [jnp.asarray(Gy_np[0, i]) for i in range(r)]
     Gx = [jnp.asarray(Gx_np[0, i]) for i in range(r)]
 
+    # fully-fused kernel: clean channels apply G in one strip pair,
+    # NaN channels run the exact normalized-convolution chain in VMEM —
+    # no lax.cond operand materialization, no isfinite prepass, no
+    # validity where (all in-kernel)
+    from .banded_pallas import conv_reproject_raw_strips
+    My_np = np.stack([_conv_matrix_1d(ny_in, ytaps[:, i])
+                      .astype(np.float32) for i in range(r)])[None]
+    Mx_np = np.stack([_conv_matrix_1d(nx_in, xtaps[:, i])
+                      .astype(np.float32) for i in range(r)])[None]
+    fused_out = conv_reproject_raw_strips(
+        data, Gy_np, Gx_np, My_np, Mx_np,
+        Ry.astype(np.float32)[None, None], Rx.astype(np.float32)[None, None],
+        (yvalid & xvalid))
+    if fused_out is not None:
+        return fused_out.astype(data.dtype)
+
     def fused(x):
         # strip-blocked Pallas apply of the composed operators (this
         # branch only runs on all-finite cubes, so no NaN machinery)

@@ -339,3 +339,59 @@ def test_translation_params_gates():
     yn = base_y.copy()
     yn[0, 0] = np.nan
     assert _translation_params(yn, base_x, ny, nx) is None
+
+
+@pytest.mark.parametrize("theta", [0.0, 0.2])
+def test_conv_reproject_raw_strips_matches_chain(theta):
+    """Fused conv+reproject kernel == the exact staged chain
+    (convolve2d_separable then the staged bilinear resample), clean and
+    NaN channels, isotropic (rank 1) and rotated (rank > 1) kernels."""
+    from spectral_cube_tpu.ops.banded_pallas import conv_reproject_raw_strips
+    from spectral_cube_tpu.ops.convolve import (_conv_matrix_1d,
+                                                convolve2d_separable)
+    from spectral_cube_tpu.ops.regrid import _bilinear_spatial_then_linear_z
+
+    rng = np.random.RandomState(9)
+    nchan, ny, nx = 4, 128, 128
+    k = _gauss2d(3.0, 1.5, theta=theta, size=15)
+    data = rng.randn(nchan, ny, nx).astype(np.float32)
+    data[1, 60, 60] = np.nan
+    data[2, :, :] = np.nan
+    ys = np.broadcast_to(np.arange(ny, dtype=np.float64)[:, None] + 0.37,
+                         (ny, nx)).copy()
+    xs = np.broadcast_to(np.arange(nx, dtype=np.float64)[None, :] + 0.61,
+                         (ny, nx)).copy()
+
+    conv = convolve2d_separable(jnp.asarray(data), k)
+    zs = np.arange(nchan, dtype=np.float64)
+    ref = np.asarray(_bilinear_spatial_then_linear_z(conv, zs, ys, xs, 1))
+
+    factors = separable_factors(k.astype(np.float64))
+    ytaps, xtaps = factors
+    r = ytaps.shape[1]
+    ycl = np.clip(ys, 0, ny - 1)
+    xcl = np.clip(xs, 0, nx - 1)
+    y0 = np.clip(ycl.astype(np.int64), 0, ny - 2)
+    x0 = np.clip(xcl.astype(np.int64), 0, nx - 2)
+    Ry = _interp_matrix(y0[:, 0], (ycl - y0)[:, 0], ny).astype(np.float64)
+    Rx = _interp_matrix(x0[0, :], (xcl - x0)[0, :], nx).astype(np.float64)
+    Gy = np.stack([(Ry @ _conv_matrix_1d(ny, ytaps[:, i])
+                    .astype(np.float64)).astype(np.float32)
+                   for i in range(r)])[None]
+    Gx = np.stack([(Rx @ _conv_matrix_1d(nx, xtaps[:, i])
+                    .astype(np.float64)).astype(np.float32)
+                   for i in range(r)])[None]
+    My = np.stack([_conv_matrix_1d(ny, ytaps[:, i]).astype(np.float32)
+                   for i in range(r)])[None]
+    Mx = np.stack([_conv_matrix_1d(nx, xtaps[:, i]).astype(np.float32)
+                   for i in range(r)])[None]
+    yvalid = (ys >= -1e-3) & (ys <= ny - 1 + 1e-3)
+    xvalid = (xs >= -1e-3) & (xs <= nx - 1 + 1e-3)
+    out = conv_reproject_raw_strips(
+        data, Gy, Gx, My, Mx, Ry.astype(np.float32)[None, None],
+        Rx.astype(np.float32)[None, None], (yvalid & xvalid),
+        interpret=True)
+    out = np.asarray(out)
+    assert np.array_equal(np.isnan(out), np.isnan(ref))
+    fin = ~np.isnan(ref)
+    np.testing.assert_allclose(out[fin], np.asarray(ref)[fin], atol=2e-5)

@@ -300,3 +300,53 @@ def test_pallas_rejects_non_data_local_mask_expr():
     with pytest.raises(ValueError, match="data-local"):
         moments_012_pallas(data, np.arange(8.0), 1.0, mask_expr=mask,
                            interpret=True)
+
+
+def test_pallas_with_stats_matches_float64_oracle():
+    """moments_012_pallas(with_stats=True): the same-pass global
+    statistics match a float64 numpy oracle — including the DC-offset
+    regime where a plain f32 global sum corrupts sigma (the shifted
+    plane recombination keeps it at ~1e-4) — and match
+    masked_statistics on mild data at 2e-5."""
+    from spectral_cube_tpu.ops import reductions as red
+    rng = np.random.RandomState(3)
+    data = (1000.0 + 0.01 * rng.randn(64, 16, 256)).astype(np.float32)
+    data[3, 2, 5] = np.nan
+    include = data > 999.995
+    m0, m1, m2, st = moments_012_pallas(
+        jnp.asarray(data), np.arange(64.0), 1.0,
+        include=jnp.asarray(include), interpret=True, with_stats=True)
+    v = include & np.isfinite(data)
+    x = data[v].astype(np.float64)
+    assert int(st["npts"]) == x.size
+    np.testing.assert_allclose(float(st["mean"]), x.mean(), rtol=1e-6)
+    np.testing.assert_allclose(float(st["sigma"]), x.std(ddof=1),
+                               rtol=5e-4)
+    np.testing.assert_allclose(float(st["min"]), x.min(), rtol=0)
+    np.testing.assert_allclose(float(st["max"]), x.max(), rtol=0)
+    np.testing.assert_allclose(float(st["rms"]),
+                               np.sqrt((x * x).mean()), rtol=1e-6)
+
+    data2 = rng.randn(48, 16, 256).astype(np.float32)
+    inc2 = data2 > -0.5
+    *_, st2 = moments_012_pallas(
+        jnp.asarray(data2), np.arange(48.0), 1.0,
+        include=jnp.asarray(inc2), interpret=True, with_stats=True)
+    ref2 = red.masked_statistics(
+        jnp.asarray(data2),
+        red.valid_mask(jnp.asarray(data2), jnp.asarray(inc2)))
+    for key in ("npts", "min", "max", "sum", "mean", "sigma", "rms",
+                "sumsq"):
+        rel = abs(float(st2[key]) - float(ref2[key])) \
+            / max(abs(float(ref2[key])), 1e-30)
+        assert rel < 2e-5, (key, rel)
+
+
+def test_pallas_with_stats_all_masked():
+    *_, st = moments_012_pallas(
+        jnp.asarray(np.ones((8, 8, 128), np.float32)), np.arange(8.0),
+        1.0, include=jnp.zeros((8, 8, 128), bool), interpret=True,
+        with_stats=True)
+    assert int(st["npts"]) == 0
+    assert np.isnan(float(st["mean"])) and np.isnan(float(st["sigma"]))
+    assert np.isnan(float(st["min"])) and np.isnan(float(st["max"]))
