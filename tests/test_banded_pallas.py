@@ -125,6 +125,42 @@ def test_smooth_interp_strips(dirty):
                                    atol=1e-3)
 
 
+def test_smooth_interp_strips_cancellation_blindspot():
+    """A negative-tap user kernel can make the composed M = I @ S
+    exactly 0 at columns the two-stage chain still consumes (0.5*a +
+    0.5*(-a) cancels in the host composition).  The kernel's NaN
+    detector scans the whole input block, so it stays complete here —
+    this pins that invariant: any future detector that infers dirtiness
+    from M's float nonzero pattern (e.g. by scanning only the strip
+    windows' matmul outputs) must still renormalize around NaNs in
+    cancelled columns, because the dirty chain consumes them via the
+    smoothing denominator even where M[j, k] == 0."""
+    rng = np.random.RandomState(3)
+    nin = 256
+    inaxis = np.arange(nin, dtype=np.float64)
+    outaxis = inaxis[:248] + 0.5          # frac = 0.5 everywhere
+    kern = np.array([1.0, -1.0, 1.0])     # adjacent taps cancel at 0.5
+    Sm = _banded_conv_matrix(nin, kern / kern.sum())
+    idx, frac = interp_weights(inaxis, outaxis)
+    Im = _interp_matrix(idx, frac, nin)
+    M = (Im.astype(np.float64) @ Sm.astype(np.float64)).astype(np.float32)
+    pat = (np.abs(Im).astype(np.float64)
+           @ np.abs(Sm).astype(np.float64)) > 0
+    # the scenario is real: influence strictly exceeds M's float pattern
+    assert (pat & (M == 0.0)).any()
+    data = rng.randn(nin, 256).astype(np.float32)
+    # NaNs in several spaxels, covering cancelled columns
+    data[50, 0] = np.nan
+    data[128:131, 5] = np.nan
+    got = np.asarray(jax.jit(
+        lambda d: smooth_interp_strips(d, M, Sm, Im, interpret=True))(
+            jnp.asarray(data)))
+    exp, illcond = _smooth_interp_oracle(data, kern, inaxis, outaxis)
+    assert np.array_equal(np.isnan(got), np.isnan(exp))
+    ok = np.isfinite(exp) & ~illcond
+    np.testing.assert_allclose(got[ok], exp[ok], rtol=3e-5, atol=1e-5)
+
+
 def _per_channel_oracle(data, kernels, group_idx):
     """float64 normalized separable convolution per channel."""
     nchan, ny, nx = data.shape
