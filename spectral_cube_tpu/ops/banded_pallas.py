@@ -34,7 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["plan_strips", "strip_blocks", "banded_matmul_strips",
-           "smooth_interp_strips", "per_channel_conv_strips",
+           "smooth_interp_strips", "smooth_interp_strips_3d",
+           "per_channel_conv_strips",
            "per_channel_resample_strips", "per_channel_resample_raw_strips",
            "per_channel_shift_lerp", "per_channel_plain_strips",
            "conv_reproject_raw_strips"]
@@ -272,6 +273,136 @@ def smooth_interp_strips(flat, M_host, S_host, I_host, interpret=False):
         interpret=interpret)
     return fn(flat.astype(jnp.float32), jnp.asarray(mb), jnp.asarray(sb),
               jnp.asarray(ib))
+
+
+def smooth_interp_strips_3d(data, M_host, S_host, I_host, interpret=False):
+    """3-D-native fused smooth+interp: (nin, ny, nx) -> (nout, ny, nx).
+
+    The flat kernel (:func:`smooth_interp_strips`) wants a (nin, ny*nx)
+    operand, but on TPU that reshape is a *physical HBM relayout* — the
+    (8, 128) tiling applies to the two minor dims, so collapsing (ny, nx)
+    re-tiles every element.  Measured on the 512-channel BASELINE config:
+    the relayout costs more than the kernel it feeds (0.609 ms end to end
+    via the flat kernel vs 0.236 ms for this one).  Here a 2-D grid
+    carves (nin, BY, 128) slabs straight out of the cube; with the block
+    x-width pinned to one lane tile (BX=128) the VMEM collapse
+    (BY, 128) -> (BY*128,) maps sublane y / lane x onto the flat layout
+    exactly, so the reshape is a no-op view rather than a copy — measured
+    0.236 ms (8x128 blocks) vs 0.330 ms (8x256, where each y row smears
+    across two lane tiles and the collapse is a real sublane shuffle).
+
+    NaN (normalized-convolution) semantics are identical to the flat
+    kernel: slabs that contain NaN run the exact two-stage chain, one
+    y-row at a time (each row is an aligned 128-lane column window of the
+    flat view), so the chain scratches stay (strip_rows, 128) no matter
+    how tall the slab is.  All-dirty cubes therefore pay BY sequential
+    row passes per slab — slower than the flat kernel's dirty path, but
+    the dirty path is not the hot one and never leaves VMEM.
+
+    Returns (nout, ny, nx) float32 or None when infeasible (caller falls
+    back to the flat kernel + reshape).
+    """
+    if not _backend_ok(interpret):
+        return None
+    if data.ndim != 3:
+        return None
+    nin, ny, nx = data.shape
+    BX = 128
+    if nx % BX:
+        return None
+    M = np.asarray(M_host, np.float32)
+    Sm = np.asarray(S_host, np.float32)
+    Im = np.asarray(I_host, np.float32)
+    nout = M.shape[0]
+    if nout % 8 or nin % 8:
+        return None
+    plans = [plan_strips(A != 0.0) for A in (M, Sm, Im)]
+    if any(p is None for p in plans):
+        return None
+    cut = [strip_blocks(A, mK[0], mK[1])
+           for A, mK in zip((M, Sm, Im), plans)]
+    if any(c is None for c in cut):
+        return None
+    (mb, mst), (sb, sst), (ib, ist) = cut
+    (m_m, _), (m_s, _), (m_i, _) = plans
+    nb_m, nb_s, nb_i = mb.shape[0], sb.shape[0], ib.shape[0]
+    nbm_s = nb_s * m_s
+    static = (mb.size + sb.size + ib.size) * 4
+    # largest tile-aligned slab height that fits VMEM: double-buffered
+    # in/out slabs + the whole-slab finite mask + ~1 slab temporary,
+    # plus row-chain scratches and ~6 row-wide chain temporaries
+    BY = None
+    for by in (16, 8):
+        if ny % by:
+            continue
+        need = (2 * (nin + nout) + 2 * nin) * by * BX * 4 \
+            + (2 * nbm_s + 6 * nin) * BX * 4 + static
+        if need <= 15 * 2 ** 20:
+            BY = by
+            break
+    if BY is None:
+        return None
+
+    def kernel(x_ref, mb_ref, sb_ref, ib_ref, o_ref, tn_ref, td_ref):
+        X = x_ref[:].reshape(nin, BY * BX)
+        Km = mb_ref.shape[2]
+        for i in range(nb_m):
+            hi = min((i + 1) * m_m, nout)
+            part = _dot(mb_ref[i], X[mst[i]:mst[i] + Km, :])
+            o_ref[i * m_m:hi] = part[:hi - i * m_m].reshape(
+                hi - i * m_m, BY, BX)
+        v = jnp.isfinite(X)
+
+        @pl.when(jnp.logical_not(jnp.all(v)))
+        def _():
+            Ks = sb_ref.shape[2]
+            Ki = ib_ref.shape[2]
+            for y in range(BY):
+                cols = slice(y * BX, (y + 1) * BX)
+                vy = v[:, cols]
+
+                @pl.when(jnp.logical_not(jnp.all(vy)))
+                def _():
+                    Xy = X[:, cols]
+                    for i in range(nb_s):
+                        sl = slice(sst[i], sst[i] + Ks)
+                        vs = vy[sl]
+                        tn_ref[i * m_s:(i + 1) * m_s] = _dot(
+                            sb_ref[i], jnp.where(vs, Xy[sl], 0.0))
+                        td_ref[i * m_s:(i + 1) * m_s] = _dot(
+                            sb_ref[i], 1.0 - vs.astype(jnp.float32))
+                    den = 1.0 - td_ref[:nin]
+                    ok = den > _DEN_EPS
+                    sm = jnp.where(ok,
+                                   tn_ref[:nin] / jnp.where(ok, den, 1.0),
+                                   jnp.nan)
+                    # all-NaN spaxels stay NaN through the smooth
+                    sm = jnp.where(jnp.any(vy, axis=0, keepdims=True), sm,
+                                   jnp.nan)
+                    # reuse the scratches: tn <- filled smooth, td <- flags
+                    tn_ref[:nin] = jnp.where(jnp.isnan(sm), 0.0, sm)
+                    td_ref[:nin] = jnp.isnan(sm).astype(jnp.float32)
+                    for j in range(nb_i):
+                        hi = min((j + 1) * m_i, nout)
+                        orow = _dot(ib_ref[j], tn_ref[ist[j]:ist[j] + Ki, :])
+                        prow = _dot(ib_ref[j],
+                                    td_ref[ist[j]:ist[j] + Ki, :]) > 0
+                        o_ref[j * m_i:hi, y, :] = jnp.where(
+                            prow, jnp.nan, orow)[:hi - j * m_i]
+
+    fn = pl.pallas_call(
+        kernel, grid=(ny // BY, nx // BX),
+        in_specs=[pl.BlockSpec((nin, BY, BX), lambda j, k: (0, j, k)),
+                  pl.BlockSpec(mb.shape, lambda j, k: (0, 0, 0)),
+                  pl.BlockSpec(sb.shape, lambda j, k: (0, 0, 0)),
+                  pl.BlockSpec(ib.shape, lambda j, k: (0, 0, 0))],
+        out_specs=pl.BlockSpec((nout, BY, BX), lambda j, k: (0, j, k)),
+        out_shape=jax.ShapeDtypeStruct((nout, ny, nx), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nbm_s, BX), jnp.float32),
+                        pltpu.VMEM((nbm_s, BX), jnp.float32)],
+        interpret=interpret)
+    return fn(jnp.asarray(data, jnp.float32), jnp.asarray(mb),
+              jnp.asarray(sb), jnp.asarray(ib))
 
 
 def per_channel_conv_strips(data, my, mx, group_idx, interpret=False):

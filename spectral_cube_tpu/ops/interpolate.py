@@ -308,23 +308,9 @@ def smooth_interp_cube(data, kernel, inaxis, outaxis, include=None):
         out, _ = interp_cube_spectral(sm, inaxis, outaxis)
         return out.astype(jnp.float32)
 
-    out = None
-    import jax
-    if jax.default_backend() == "tpu" and data.dtype != jnp.float64:
-        # strip-blocked Pallas path: NaN handling decided per spaxel
-        # block INSIDE the kernel, so all-finite cubes skip both the
-        # has-NaN prepass and the lax.cond operand materialization
-        # (measured 1.149 -> ~0.4 ms on the 512-chan BASELINE config)
-        from .banded_pallas import smooth_interp_strips
-        out = smooth_interp_strips(flat, M_host, S.astype(np.float32),
-                                   Imat.astype(np.float32))
-    if out is None:
-        has_nan = jnp.any(~jnp.isfinite(flat))
-        out = lax.cond(has_nan, chain, fused, flat)
-    out = out.reshape((nout,) + data.shape[1:]).astype(data.dtype)
-
-    new_include = None
-    if include is not None:
+    def new_include():
+        if include is None:
+            return None
         # the smooth step leaves the include-mask unchanged; only the
         # interp operator transforms it (reference spectral_cube.py:3308).
         # Include only where every contributing neighbor is included
@@ -337,8 +323,34 @@ def smooth_interp_cube(data, kernel, inaxis, outaxis, include=None):
         else:
             exc_i = mm(jnp.asarray(Imat.astype(np.float32)), exc_b,
                        precision=lax.Precision.DEFAULT)
-        new_include = (exc_i == 0).reshape((nout,) + data.shape[1:])
-    return out, new_include
+        return (exc_i == 0).reshape((nout,) + data.shape[1:])
+
+    out = None
+    import jax
+    if jax.default_backend() == "tpu" and data.dtype != jnp.float64:
+        # strip-blocked Pallas path: NaN handling decided per spaxel
+        # block INSIDE the kernel, so all-finite cubes skip both the
+        # has-NaN prepass and the lax.cond operand materialization
+        # (measured 1.149 -> ~0.4 ms on the 512-chan BASELINE config).
+        # 3-D cubes go through the 3-D-native kernel: the (nin, spatial)
+        # reshape is a physical HBM relayout on TPU (the (8, 128) tiling
+        # binds the two minor dims) costing more than the kernel itself —
+        # measured 0.65 vs 0.32 ms on the 512-channel BASELINE config.
+        from .banded_pallas import (smooth_interp_strips,
+                                    smooth_interp_strips_3d)
+        if data.ndim == 3:
+            out3 = smooth_interp_strips_3d(data, M_host,
+                                           S.astype(np.float32),
+                                           Imat.astype(np.float32))
+            if out3 is not None:
+                return out3.astype(data.dtype), new_include()
+        out = smooth_interp_strips(flat, M_host, S.astype(np.float32),
+                                   Imat.astype(np.float32))
+    if out is None:
+        has_nan = jnp.any(~jnp.isfinite(flat))
+        out = lax.cond(has_nan, chain, fused, flat)
+    out = out.reshape((nout,) + data.shape[1:]).astype(data.dtype)
+    return out, new_include()
 
 
 def check_nyquist(inaxis, outaxis):

@@ -14,7 +14,7 @@ import pytest
 
 from spectral_cube_tpu.ops.banded_pallas import (
     plan_strips, strip_blocks, banded_matmul_strips, smooth_interp_strips,
-    per_channel_conv_strips)
+    smooth_interp_strips_3d, per_channel_conv_strips)
 from spectral_cube_tpu.ops.smoothing import _banded_conv_matrix
 from spectral_cube_tpu.ops.interpolate import interp_weights, _interp_matrix
 from spectral_cube_tpu.ops.convolve import separable_factors
@@ -123,6 +123,58 @@ def test_smooth_interp_strips(dirty):
     if loose.any():
         np.testing.assert_allclose(got[loose], exp[loose], rtol=5e-3,
                                    atol=1e-3)
+
+
+@pytest.mark.parametrize("dirty", [False, True])
+def test_smooth_interp_strips_3d(dirty):
+    """The 3-D-native kernel (BlockSpec slabs straight from the cube, NaN
+    chain per y-row in VMEM) against the same independent float64 oracle
+    as the flat kernel — including a slab where only SOME rows are dirty
+    (the per-row pl.when gate) and an all-NaN spaxel."""
+    rng = np.random.RandomState(5)
+    nin, ny, nx = 256, 16, 128
+    inaxis = np.arange(nin, dtype=np.float64)
+    outaxis = inaxis[::2]
+    kern = np.exp(-0.5 * ((np.arange(17) - 8) / 2.0) ** 2)
+    kern = kern / kern.sum()
+    data = rng.randn(nin, ny, nx).astype(np.float32)
+    if dirty:
+        data[40:60, 3, 5] = np.nan     # NaN hole, row 3 of slab 0
+        data[:, 7, 9] = np.nan         # all-NaN spaxel, row 7 of slab 0
+        data[0, 12, 100] = np.nan      # edge NaN in the second slab
+    Sm = _banded_conv_matrix(nin, kern)
+    idx, frac = interp_weights(inaxis, outaxis)
+    Im = _interp_matrix(idx, frac, nin)
+    M = (Im.astype(np.float64) @ Sm.astype(np.float64)).astype(np.float32)
+    got = np.asarray(jax.jit(
+        lambda d: smooth_interp_strips_3d(d, M, Sm, Im, interpret=True))(
+            jnp.asarray(data)))
+    exp, illcond = _smooth_interp_oracle(
+        data.reshape(nin, -1), kern, inaxis, outaxis)
+    nout = M.shape[0]
+    exp = exp.reshape(nout, ny, nx)
+    illcond = illcond.reshape(nout, ny, nx)
+    assert np.array_equal(np.isnan(got), np.isnan(exp))
+    ok = np.isfinite(exp) & ~illcond
+    np.testing.assert_allclose(got[ok], exp[ok], rtol=3e-5, atol=1e-5)
+
+
+def test_smooth_interp_strips_3d_gates():
+    """Infeasible layouts return None so callers keep the flat fallback:
+    2-D input, ny not a slab multiple, nx not lane-aligned."""
+    nin = 256
+    inaxis = np.arange(nin, dtype=np.float64)
+    kern = np.ones(5) / 5.0
+    Sm = _banded_conv_matrix(nin, kern)
+    idx, frac = interp_weights(inaxis, inaxis[::2])
+    Im = _interp_matrix(idx, frac, nin)
+    M = (Im.astype(np.float64) @ Sm.astype(np.float64)).astype(np.float32)
+    assert smooth_interp_strips_3d(
+        jnp.zeros((nin, 256)), M, Sm, Im, interpret=True) is None
+    assert smooth_interp_strips_3d(
+        jnp.zeros((nin, 12, 128)), M, Sm, Im, interpret=True) is None
+    assert smooth_interp_strips_3d(
+        jnp.zeros((nin, 16, 96)), M, Sm, Im, interpret=True) is None
 
 
 def test_smooth_interp_strips_cancellation_blindspot():
