@@ -155,10 +155,19 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
     # the kernel holds the whole spectral axis of each tile in VMEM (the
     # two-pass numerics need it); with temporaries (~4x the input block)
     # and double buffering this stops fitting the ~16 MB/core VMEM around
-    # nchan ~ 1024 — fall back to the XLA expression (still one fused HBM
-    # pass, ~45% of the Pallas kernel's throughput)
-    block_bytes = nchan * ty * tx * data.dtype.itemsize * n_block_inputs
-    if block_bytes * (2 + 4 + (2 if with_stats else 0)) > 15 * 2 ** 20:
+    # nchan ~ 1024.  First shrink the tile height (ty=8 costs ~2% vs
+    # ty=16, see _pick_tiles; falling off Pallas costs ~3x — with_stats
+    # used to do exactly that: its +2 temporary factor tipped the 256^3
+    # estimate to 16.8 MB and the whole pipeline silently took the XLA
+    # fallback, 0.227 ms vs 0.08).  Only when ty=8 still does not fit
+    # fall back to the XLA expression (still one fused HBM pass, ~45% of
+    # the Pallas kernel's throughput).
+    factor = 2 + 4 + (2 if with_stats else 0)
+    per_tile = nchan * tx * data.dtype.itemsize * n_block_inputs
+    while ty > 8 and per_tile * ty * factor > 15 * 2 ** 20:
+        ty //= 2
+    block_bytes = per_tile * ty
+    if block_bytes * factor > 15 * 2 ** 20:
         if mask_expr is not None:
             inc2 = mask_expr._include(data=data)
             include = inc2 if include is None \
@@ -210,13 +219,17 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
         s2_ref[:] = s2c
         cnt_ref[:] = cnt.astype(jnp.int32)
         if with_stats:
-            ss_ref, mn_ref, mx_ref, d2_ref = stat_refs
-            ss_ref[:] = jnp.sum(w * w, axis=0)
+            mn_ref, mx_ref, d2_ref = stat_refs
             mn_ref[:] = jnp.min(jnp.where(valid, block, jnp.inf), axis=0)
             mx_ref[:] = jnp.max(jnp.where(valid, block, -jnp.inf), axis=0)
             # per-spaxel mean-centered second moment: accurate in f32
             # because the spaxel's own DC offset is removed before
-            # squaring (same reason _moment_stats is two-pass)
+            # squaring (same reason _moment_stats is two-pass).  The
+            # sum-of-squares plane is NOT accumulated here: it follows
+            # exactly as ss_i = d2_i + n_i m_i^2 (since s0 = n_i m_i) at
+            # plane level in _recombine_statistics — all-positive terms,
+            # no cancellation — saving a w*w pass over the block
+            # (measured 0.101 -> 0.044 ms on 256^3).
             m_i = s0 / jnp.maximum(cnt, 1).astype(jnp.float32)
             dev = jnp.where(valid, block.astype(jnp.float32) - m_i[None],
                             0.0)
@@ -239,9 +252,9 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
     oy, ox = gy * ty, gx * tx
     fmap = jax.ShapeDtypeStruct((oy, ox), jnp.float32)
     imap = jax.ShapeDtypeStruct((oy, ox), jnp.int32)
-    n_out = 9 if with_stats else 5
+    n_out = 8 if with_stats else 5
     shapes = (fmap, fmap, fmap, fmap, imap) + \
-        ((fmap, fmap, fmap, fmap) if with_stats else ())
+        ((fmap, fmap, fmap) if with_stats else ())
     outs = pl.pallas_call(
         kernel,
         grid=(gy, gx),
@@ -258,24 +271,27 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
             m2.astype(out_dtype))
     if not with_stats:
         return moms
-    ss_p, mn_p, mx_p, d2_p = outs[5:]
-    return moms + (_recombine_statistics(s0, cnt, ss_p, mn_p, mx_p, d2_p),)
+    mn_p, mx_p, d2_p = outs[5:]
+    return moms + (_recombine_statistics(s0, cnt, mn_p, mx_p, d2_p),)
 
 
-def _recombine_statistics(s0, cnt, ss_p, mn_p, mx_p, d2_p):
+def _recombine_statistics(s0, cnt, mn_p, mx_p, d2_p):
     """Global statistics from per-spaxel sufficient planes: the law of
     total variance, s2c = sum d2_i + sum n_i (m_i - M)^2.  Per-spaxel
     centering (d2_i) already removed the DC offset before any squaring —
     the reason masked_statistics needs a second cube pass — and the
     plane-level cross term is second-order in the spaxel-mean spread, so
     f32 keeps the two-pass form's robustness without re-reading the cube.
-    Matches reductions.masked_statistics' keys and npts in {0, 1}
-    semantics."""
+    The sum-of-squares plane is derived here as ss_i = d2_i + n_i m_i^2
+    (exact: s0 = n_i m_i; all terms positive) instead of a w*w pass over
+    the block in the kernel.  Matches reductions.masked_statistics' keys
+    and npts in {0, 1} semantics."""
     cntf = cnt.astype(jnp.float32)
     npts = jnp.sum(cntf)
     s = jnp.sum(s0)
     nan = jnp.asarray(jnp.nan, dtype=jnp.float32)
     m_i = s0 / jnp.maximum(cntf, 1)
+    ss_p = d2_p + cntf * (m_i * m_i)
     # shifted global mean: a raw f32 sum of ~1e3-valued spaxel sums loses
     # ~1e-6 relative, which lands exactly at the spaxel-mean spread on
     # DC-offset data and corrupts the cross term below; summing the

@@ -342,6 +342,37 @@ def test_pallas_with_stats_matches_float64_oracle():
         assert rel < 2e-5, (key, rel)
 
 
+def test_pallas_with_stats_stays_on_kernel_at_bench_shape(monkeypatch):
+    """with_stats=True must shrink the tile height to fit its extra VMEM
+    temporaries, NOT fall back to the XLA path: at the 256-channel
+    BASELINE tile shape the old factor-8 estimate (16.8 MB at ty=16)
+    silently tipped the whole fused moments+statistics pipeline onto the
+    ~3x-slower fallback (measured 0.227 vs 0.080 ms on 256^3)."""
+    from spectral_cube_tpu.ops import moments as M
+
+    def boom(*a, **k):
+        raise AssertionError("with_stats fell back to the XLA path")
+
+    monkeypatch.setattr(M, "moments_012", boom)
+    from spectral_cube_tpu.masks import LazyComparisonMask
+    rng = np.random.RandomState(7)
+    data = rng.randn(256, 32, 128).astype(np.float32)
+    data[10, 3, 7] = np.nan
+    include = data > -0.5
+    mask = LazyComparisonMask(jnp.greater, -0.5, shape=data.shape)
+    m0, m1, m2, st = M.moments_012_pallas(
+        jnp.asarray(data), np.arange(256.0), 1.0,
+        mask_expr=mask, interpret=True, with_stats=True)
+    v = include & np.isfinite(data)
+    x = data[v].astype(np.float64)
+    assert int(st["npts"]) == x.size
+    np.testing.assert_allclose(float(st["mean"]), x.mean(), atol=2e-6)
+    np.testing.assert_allclose(float(st["sigma"]), x.std(ddof=1),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(st["rms"]),
+                               np.sqrt((x * x).mean()), rtol=1e-5)
+
+
 def test_pallas_with_stats_all_masked():
     *_, st = moments_012_pallas(
         jnp.asarray(np.ones((8, 8, 128), np.float32)), np.arange(8.0),
