@@ -28,16 +28,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sigma_clip_fused", "bitonic_sort_leading"]
+__all__ = ["sigma_clip_fused", "bitonic_sort_leading",
+           "bitonic_merge_leading", "sort_padded_leading"]
 
 _VMEM_BUDGET = 10 * 2 ** 20
 
 
-def bitonic_sort_leading(v):
-    """Ascending bitonic sort of ``v`` (pow2, 8, 128) along axis 0,
-    vectorized over blocks: every compare-exchange stage is one
-    reshape + two static half-slices + min/max + a per-block direction
-    select.  Runs inside a Pallas kernel on VMEM-resident values."""
+def bitonic_sort_leading(v, ascending=True):
+    """Bitonic sort of ``v`` (pow2, 8, 128) along axis 0, vectorized over
+    blocks: every compare-exchange stage is one reshape + two static
+    half-slices + min/max + a per-block direction select.  Runs inside a
+    Pallas kernel on VMEM-resident values.  ``ascending=False`` sorts
+    descending (used by the split sort: Mosaic has no ``rev`` lowering,
+    so the high chunk sorts descending instead of reversing)."""
     n = v.shape[0]
     assert n & (n - 1) == 0, "bitonic network needs a power-of-two length"
     k = 2
@@ -56,12 +59,68 @@ def bitonic_sort_leading(v):
             bidx = jax.lax.broadcasted_iota(
                 jnp.int32, (nb,) + (1,) * (w.ndim - 1), 0)
             ascb = (bidx * (2 * j)) & k == 0
+            if k == n and not ascending:
+                ascb = jnp.logical_not(ascb)
             lo = jnp.where(ascb, mn, mx)
             hi = jnp.where(ascb, mx, mn)
             v = jnp.concatenate([lo, hi], axis=1).reshape(v.shape)
             j //= 2
         k *= 2
     return v
+
+
+def bitonic_merge_leading(v):
+    """Ascending bitonic MERGE of ``v`` (pow2, 8, 128) along axis 0 —
+    the final k==n phase of the network only, valid when ``v`` is already
+    bitonic (one ascending run, then one descending run, cyclically).
+    Every block merges ascending, so the per-block direction select of
+    the full sorter (iota + two wheres) drops out: ~3 ops per stage
+    instead of ~6."""
+    n = v.shape[0]
+    assert n & (n - 1) == 0, "bitonic network needs a power-of-two length"
+    j = n // 2
+    while j >= 1:
+        nb = n // (2 * j)
+        w = v.reshape((nb, 2 * j) + v.shape[1:])
+        a = w[:, :j]
+        b = w[:, j:]
+        v = jnp.concatenate([jnp.minimum(a, b), jnp.maximum(a, b)],
+                            axis=1).reshape(v.shape)
+        j //= 2
+    return v
+
+
+def sort_padded_leading(vals, nchan, npad):
+    """Ascending sort of ``vals`` ((nchan, 8, 128), +inf at masked
+    entries) into (npad, 8, 128) with a +inf tail.
+
+    For nchan strictly between npad/2 and npad, a split sort beats one
+    npad-wide network: sort the first P=npad/2 rows with a P-network,
+    sort the remaining rem=nchan-P rows with a next-pow2(rem) network,
+    then lay out [A ascending | +inf gap | reversed(B) descending] —
+    ascending, rising to +inf, falling through B's maximum: bitonic — and
+    finish with ONE ascending npad merge.  For the 623-channel workload
+    (the reference's published sigma-clip benchmark) this is 45 stages on
+    512 + 28 on 128 + 10 select-free merge stages on 1024, ~44% fewer
+    vector ops than the 55-stage 1024 network the padded sort needs.
+    """
+    if nchan == npad:
+        return bitonic_sort_leading(vals)
+    tail = vals.shape[1:]
+    P = npad // 2
+    if nchan <= P:   # caller sizes npad = next_pow2(nchan); defensive
+        pad = jnp.full((npad - nchan,) + tail, jnp.inf, jnp.float32)
+        return bitonic_sort_leading(jnp.concatenate([vals, pad], axis=0))
+    rem = nchan - P
+    Q = 1 << int(np.ceil(np.log2(max(rem, 2))))
+    A = bitonic_sort_leading(vals[:P])
+    padB = jnp.full((Q - rem,) + tail, jnp.inf, jnp.float32)
+    # B sorts DESCENDING (its +inf pad leads) rather than reversing an
+    # ascending sort: Mosaic has no `rev` lowering for axis-0 flips
+    B = bitonic_sort_leading(jnp.concatenate([vals[P:], padB], axis=0),
+                             ascending=False)
+    gap = jnp.full((npad - P - Q,) + tail, jnp.inf, jnp.float32)
+    return bitonic_merge_leading(jnp.concatenate([A, gap, B], axis=0))
 
 
 def sigma_clip_fused(data, sigma, maxiters, use_mean_center,
@@ -94,12 +153,17 @@ def sigma_clip_fused(data, sigma, maxiters, use_mean_center,
         return None
     sigma = float(sigma)
 
+    # band indices never exceed nchan, so every iteration reduction runs
+    # on the first sublane-aligned nit rows of the sorted stack — the
+    # +inf pad tail (401 rows on the 623-channel workload) drops out of
+    # the per-iteration vector work entirely
+    nit = min(npad, -(-nchan // 8) * 8)
+
     def kernel(x_ref, lo_ref, hi_ref, cnt_ref):
         X = x_ref[...]
         finite = jnp.isfinite(X)
-        pad = jnp.full((npad - nchan,) + X.shape[1:], jnp.inf, jnp.float32)
-        S = bitonic_sort_leading(
-            jnp.concatenate([jnp.where(finite, X, jnp.inf), pad], axis=0))
+        S = sort_padded_leading(jnp.where(finite, X, jnp.inf), nchan,
+                                npad)[:nit]
         iota = jax.lax.broadcasted_iota(jnp.int32, S.shape, 0)
         i_hi = jnp.sum(finite.astype(jnp.int32), axis=0)
         i_lo = jnp.zeros_like(i_hi)

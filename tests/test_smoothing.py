@@ -588,3 +588,20 @@ def test_bitonic_sort_leading_matches_numpy():
     v[3, 0, 0] = np.inf
     s = np.asarray(bitonic_sort_leading(jnp.asarray(v)))
     np.testing.assert_array_equal(s, np.sort(v, axis=0))
+
+
+@pytest.mark.parametrize("nchan", [623, 513, 640, 1024, 100, 512])
+def test_sort_padded_leading_matches_numpy(nchan):
+    """The split sort (chunk networks + one ascending merge) produces the
+    identical sorted stack + inf tail as the plain padded network, across
+    the npad==nchan, nchan<=npad/2, and split regimes — including the
+    623-channel shape of the reference's published benchmark."""
+    from spectral_cube_tpu.ops.clip_pallas import sort_padded_leading
+    rng = np.random.RandomState(9)
+    npad = 1 << int(np.ceil(np.log2(max(nchan, 2))))
+    v = rng.randn(nchan, 8, 128).astype(np.float32)
+    v[min(3, nchan - 1), 0, 0] = np.inf
+    s = np.asarray(sort_padded_leading(jnp.asarray(v), nchan, npad))
+    pad = np.full((npad - nchan, 8, 128), np.inf, np.float32)
+    np.testing.assert_array_equal(
+        s, np.sort(np.concatenate([v, pad], axis=0), axis=0))
