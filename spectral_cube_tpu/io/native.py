@@ -16,7 +16,8 @@ import threading
 import numpy as np
 
 __all__ = ["decode_payload", "native_available", "native_stats_f32",
-           "assemble_casa_tiles"]
+           "assemble_casa_tiles", "rice_decode_tiles_native",
+           "rice_encode_tiles_native"]
 
 _LOCK = threading.Lock()
 _LIB = None
@@ -55,6 +56,21 @@ def _load():
             lib.fits_stats_f32.argtypes = [
                 ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
                 ctypes.c_int]
+            P, I64, I = ctypes.c_void_p, ctypes.c_int64, ctypes.c_int
+            lib.rice_decode_tiles.restype = I
+            lib.rice_decode_tiles.argtypes = [P, I64, P, P, P, P, I64,
+                                              I, I, P, I]
+            lib.rice_encode_tiles.restype = I
+            lib.rice_encode_tiles.argtypes = [P, P, P, I64, I, I, P, P,
+                                              P, I]
+            lib.rice_decode_unquantize_tiles.restype = I
+            lib.rice_decode_unquantize_tiles.argtypes = [
+                P, I64, P, P, P, P, P, I64, I, I, P, P, I, I, P, I, P,
+                I, I]
+            lib.rice_quantize_encode_tiles.restype = I
+            lib.rice_quantize_encode_tiles.argtypes = [
+                P, P, P, I64, I, ctypes.c_double, I, I, P, P, P, P, P,
+                P, I]
             _LIB = lib
         except Exception:
             _LIB = None
@@ -166,6 +182,136 @@ def assemble_casa_tiles(payload, casa_shape, tile_shape, dtype,
     if rc != 0:
         return None
     return out.astype(bool) if dtype is None else out
+
+
+# tile decode is bit-serial per tile; oversubscribing threads beyond the
+# visible core count measured faster on the cgroup-limited CI hosts
+_RICE_THREADS = max(8, os.cpu_count() or 1)
+
+
+def rice_decode_tiles_native(heap, offsets, lengths, npix, out_offsets,
+                             blocksize, bytepix, total, nthreads=0):
+    """Batch-decode RICE_1 tiles via the native codec into one flat int32
+    array (tile t's values land at ``out_offsets[t]``), or None when the
+    native library is unavailable.  Raises on a corrupt bitstream."""
+    lib = _load()
+    if lib is None or bytepix not in (1, 2, 4):
+        return None
+    heap = bytes(heap)
+    offs = np.ascontiguousarray(offsets, dtype=np.int64)
+    lens = np.ascontiguousarray(lengths, dtype=np.int64)
+    npx = np.ascontiguousarray(npix, dtype=np.int64)
+    ooff = np.ascontiguousarray(out_offsets, dtype=np.int64)
+    out = np.empty(int(total), dtype=np.int32)
+    rc = lib.rice_decode_tiles(
+        heap, len(heap), offs.ctypes.data, lens.ctypes.data,
+        npx.ctypes.data, ooff.ctypes.data, len(offs), int(blocksize),
+        int(bytepix), out.ctypes.data,
+        int(nthreads) or _RICE_THREADS)
+    if rc != 0:
+        raise ValueError(f"RICE_1 tile {rc - 1} bitstream corrupt or "
+                         "truncated")
+    return out
+
+
+def rice_encode_tiles_native(vals, npix, in_offsets, blocksize, bytepix,
+                             nthreads=0):
+    """Batch-encode int32 tiles via the native codec.  Returns a list of
+    per-tile ``bytes`` (entries are None for tiles that exceeded the
+    worst-case capacity — callers re-encode those via the Python path),
+    or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or bytepix not in (1, 2, 4):
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.int32)
+    npx = np.ascontiguousarray(npix, dtype=np.int64)
+    ioff = np.ascontiguousarray(in_offsets, dtype=np.int64)
+    ntiles = len(npx)
+    caps = np.zeros(ntiles + 1, dtype=np.int64)
+    np.cumsum(npx * (bytepix + 2) + 16, out=caps[1:])
+    outbuf = np.empty(int(caps[-1]), dtype=np.uint8)
+    outlens = np.empty(ntiles, dtype=np.int64)
+    lib.rice_encode_tiles(
+        vals.ctypes.data, npx.ctypes.data, ioff.ctypes.data, ntiles,
+        int(blocksize), int(bytepix), outbuf.ctypes.data,
+        caps.ctypes.data, outlens.ctypes.data,
+        int(nthreads) or _RICE_THREADS)
+    return [outbuf[caps[t]:caps[t] + outlens[t]].tobytes()
+            if outlens[t] >= 0 else None for t in range(ntiles)]
+
+
+def rice_decode_unquantize_native(heap, offsets, lengths, npix,
+                                  out_offsets, rows1, blocksize, bytepix,
+                                  zscale, zzero, dither_method, zdither0,
+                                  zblank, total, out_dtype, nthreads=0):
+    """Fused batch RICE decode + unquantize (scale/zero, dither reversal,
+    ZBLANK -> NaN) into one flat float array, or None when the native
+    library is unavailable.  Raises ValueError on a corrupt tile."""
+    lib = _load()
+    if lib is None or bytepix not in (1, 2, 4):
+        return None
+    heap = bytes(heap)
+    offs = np.ascontiguousarray(offsets, dtype=np.int64)
+    lens = np.ascontiguousarray(lengths, dtype=np.int64)
+    npx = np.ascontiguousarray(npix, dtype=np.int64)
+    ooff = np.ascontiguousarray(out_offsets, dtype=np.int64)
+    out_dtype = np.dtype(out_dtype)
+    out = np.empty(int(total), dtype=out_dtype)
+    sc = (np.ascontiguousarray(zscale, dtype=np.float64)
+          if zscale is not None else None)
+    zr = (np.ascontiguousarray(zzero, dtype=np.float64)
+          if zzero is not None else None)
+    zb = (np.ascontiguousarray(zblank, dtype=np.int64)
+          if zblank is not None else None)
+    r1 = np.ascontiguousarray(rows1, dtype=np.int64)
+    rc = lib.rice_decode_unquantize_tiles(
+        heap, len(heap), offs.ctypes.data, lens.ctypes.data,
+        npx.ctypes.data, ooff.ctypes.data, r1.ctypes.data, len(offs),
+        int(blocksize), int(bytepix),
+        sc.ctypes.data if sc is not None else None,
+        zr.ctypes.data if zr is not None else None,
+        int(dither_method), int(zdither0),
+        zb.ctypes.data if zb is not None else None,
+        1 if zb is not None else 0,
+        out.ctypes.data, 1 if out_dtype == np.float64 else 0,
+        int(nthreads) or _RICE_THREADS)
+    if rc != 0:
+        raise ValueError(f"RICE_1 tile {rc - 1} bitstream corrupt or "
+                         "truncated")
+    return out
+
+
+def rice_quantize_encode_native(data_flat_f32, npix, in_offsets,
+                                blocksize, qlevel, dither_method,
+                                zdither0, nthreads=0):
+    """Fused batch quantize + RICE encode of float32 tiles.  Returns
+    (enc_list, zscale, zzero, any_null) where enc_list entries are bytes,
+    -1 (capacity miss: re-encode via the Python path) or -2 (range too
+    wide to quantize: store losslessly); or None when the native library
+    is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(data_flat_f32, dtype=np.float32)
+    npx = np.ascontiguousarray(npix, dtype=np.int64)
+    ioff = np.ascontiguousarray(in_offsets, dtype=np.int64)
+    ntiles = len(npx)
+    caps = np.zeros(ntiles + 1, dtype=np.int64)
+    np.cumsum(npx * 6 + 16, out=caps[1:])
+    outbuf = np.empty(int(caps[-1]), dtype=np.uint8)
+    outlens = np.empty(ntiles, dtype=np.int64)
+    zscale = np.empty(ntiles, dtype=np.float64)
+    zzero = np.empty(ntiles, dtype=np.float64)
+    any_null = ctypes.c_int(0)
+    lib.rice_quantize_encode_tiles(
+        vals.ctypes.data, npx.ctypes.data, ioff.ctypes.data, ntiles,
+        int(blocksize), float(qlevel), int(dither_method), int(zdither0),
+        outbuf.ctypes.data, caps.ctypes.data, outlens.ctypes.data,
+        zscale.ctypes.data, zzero.ctypes.data, ctypes.byref(any_null),
+        int(nthreads) or _RICE_THREADS)
+    enc = [outbuf[caps[t]:caps[t] + outlens[t]].tobytes()
+           if outlens[t] >= 0 else int(outlens[t]) for t in range(ntiles)]
+    return enc, zscale, zzero, bool(any_null.value)
 
 
 def native_stats_f32(arr: np.ndarray, nthreads=0):

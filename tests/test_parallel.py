@@ -718,6 +718,15 @@ def test_streaming_pipeline_tb_scale_analog(tmp_path):
     mesh = CubeMesh()
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
+        # Warm the ingest path on a toy cube first: first-call jit/compile
+        # and module-import temporaries depend on what ran earlier in the
+        # suite and are not the thing being measured (steady-state
+        # per-shard decode is).
+        import gc
+        pw, _ = make_cube_file(tmp_path, name="warm.fits", shape=(4, 8, 8),
+                               seed=6)
+        streaming.read_sharded_cube(str(pw), mesh, dtype=np.float32)
+        gc.collect()
         tracemalloc.start()
         sharded = streaming.read_sharded_cube(str(p), mesh,
                                               dtype=np.float32)
