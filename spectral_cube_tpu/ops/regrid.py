@@ -501,14 +501,15 @@ def convolve_reproject_separable(data, kernel, ys, xs):
     r = ytaps.shape[1]
     if ny_in < 2 or nx_in < 2:
         return None   # singleton spatial dim: _interp_matrix needs 2 taps
+    from .interpolate import compose_interp_banded
     Ry = _interp_matrix(y0[:, 0], wy[:, 0], ny_in).astype(np.float64)
     Rx = _interp_matrix(x0[0, :], wx[0, :], nx_in).astype(np.float64)
-    Gy_np = np.stack([(Ry @ _conv_matrix_1d(ny_in, ytaps[:, i])
-                       .astype(np.float64)).astype(np.float32)
-                      for i in range(r)], axis=0)[None]
-    Gx_np = np.stack([(Rx @ _conv_matrix_1d(nx_in, xtaps[:, i])
-                       .astype(np.float64)).astype(np.float32)
-                      for i in range(r)], axis=0)[None]
+    Gy_np = np.stack([compose_interp_banded(
+        y0[:, 0], wy[:, 0], _conv_matrix_1d(ny_in, ytaps[:, i]))
+        .astype(np.float32) for i in range(r)], axis=0)[None]
+    Gx_np = np.stack([compose_interp_banded(
+        x0[0, :], wx[0, :], _conv_matrix_1d(nx_in, xtaps[:, i]))
+        .astype(np.float32) for i in range(r)], axis=0)[None]
     Gy = [jnp.asarray(Gy_np[0, i]) for i in range(r)]
     Gx = [jnp.asarray(Gx_np[0, i]) for i in range(r)]
 
