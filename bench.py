@@ -189,7 +189,7 @@ def bench_config2():
         return smooth_interp_cube(d, kern, coords, outaxis)[0]
 
     data = jnp.asarray(data_np)
-    per = _measure(one_pass, (data,), reps=30)
+    per = _measure(one_pass, (data,), reps=120)
     gvox = data_np.size / 1e9
     # roofline model: strips read the cube once and write nout/nin of it;
     # MXU work is the strip blocks (nb*m*K rows x spatial cols, f32 X6)
@@ -243,7 +243,7 @@ def bench_config3():
     def one_pass(d):
         return cv.convolve_per_channel_separable(d, kernels, group_idx)
 
-    per = _measure(one_pass, (jnp.asarray(data_np),), reps=20)
+    per = _measure(one_pass, (jnp.asarray(data_np),), reps=80)
     gvox = data_np.size / 1e9
     # roofline model: cube in + out over HBM; per channel the strip
     # blocks run rank-1 y and x passes at f32 X6 (the band structure is
@@ -259,6 +259,17 @@ def bench_config3():
         flops = n * 2 * (n * n * n * 2)
     _note("config3 vrsc convolve", per, data_np.size * 4 * 2,
           flops_f32=flops)
+    # Gap attribution for the ~0.15 ms above the X6 flops model, each
+    # with a probe number (all at robust >=30 ms in-loop rep counts):
+    # VPU transposes ~0.05 ms (the dense-x alternative that removes them
+    # re-adds MORE structural-zero MXU work: 0.474 vs 0.424 ms,
+    # probe_c3_variants4.py); NaN machinery ~0.04 ms (clean-only kernel
+    # 0.378 ms, probe_c3_cb.py CB=1); per-grid-step overhead ~0.035 ms
+    # (4-channel blocking reaches 0.343 ms but requires contiguous-group
+    # channel runs — this config's interleaved beams would pay a 0.16 ms
+    # permutation pass, a net loss); residual ~0.08 ms = X6 efficiency at
+    # m=64-row strip dots.  The strip scheme itself is the right one:
+    # einsum-gather 0.846 ms, dense 0.72 ms (probe_banded2.py).
     return {"metric": "vrsc_common_beam_convolve_256cube_throughput",
             "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
             "vs_baseline": round((gvox / per) / (gvox / t_base), 2)}
@@ -303,7 +314,7 @@ def bench_config4():
         # reproject matmul (up to 2x inflation was measured possible)
         return i + 2.0 * q + 3.0 * u + 5.0 * v
 
-    per = _measure(one_pass, (jnp.asarray(data_np),), reps=20)
+    per = _measure(one_pass, (jnp.asarray(data_np),), reps=60)
     gvox = data_np.size / 1e9
     # roofline model: planes in + out over HBM and NO MXU work at all —
     # the constant-offset mapping takes the VPU shift-lerp kernel
@@ -384,7 +395,7 @@ def bench_config5():
         ndi.map_coordinates(sub[i], [yy, xx], order=1)
     t_base = (time.perf_counter() - t0) * (n / 64) ** 3
 
-    per = _measure(one_pass, (jnp.asarray(data_np),), reps=20)
+    per = _measure(one_pass, (jnp.asarray(data_np),), reps=120)
     gvox = data_np.size / 1e9
     # roofline model: ~4 HBM passes (fused masked moments read, stats
     # read, conv+reproject read + write); MXU work is the composed
@@ -404,6 +415,21 @@ def bench_config5():
     else:
         flops = n * 2 * (n * n * n * 2)
     _note("config5 pipeline", per, data_np.size * 4 * 4, flops_f32=flops)
+    # Stage budget (benchmarks/probe_c5_stages.py, robust rep counts):
+    # A fused masked moments+stats 0.11 ms (1 cube read), B fused
+    # convolve+reproject 0.48 ms (cube read+write + the G-band MXU work
+    # — the same kernel economics as config 3, see its gap attribution),
+    # C combine ~0.02 ms (fuses into the consumer).  Stages are separate
+    # Pallas programs, so MXU cannot hide under ANOTHER stage's HBM: the
+    # honest composed bound is A_hbm + max(B_mxu, B_hbm) + C
+    # = 0.082 + max(0.262, 0.164) + ~0.02 = ~0.36 ms, not the 0.328 ms
+    # ideal-overlap line above.
+    cbound = (data_np.size * 4 / (hbm_roofline_gbps() * 1e9)
+              + max(flops / (mxu_roofline_tflops() * 1e12 / 6),
+                    2 * data_np.size * 4 / (hbm_roofline_gbps() * 1e9))
+              + 0.02e-3)
+    print(f"# config5 stage-composed bound {cbound * 1e3:.3f} ms -> "
+          f"{100 * cbound / per:.0f}% attained", file=sys.stderr)
     return {"metric": "pipeline_mask_moments_convolve_reproject_throughput",
             "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
             "vs_baseline": round(t_base / per, 2)}
@@ -461,6 +487,63 @@ def bench_config6():
     return {"metric": "sigma_clip_spectrally_623x768x768_throughput",
             "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
             "vs_baseline": round((gvox / per) / (gvox / t_ref_best), 2)}
+
+
+def bench_config7():
+    """Rotated (non-separable) reproject — the reference's primary
+    reproject_interp use case (spectral_cube/spectral_cube.py:2726-2732
+    routes arbitrary WCS pairs through reproject's map_coordinates):
+    256^3 cube, 3-degree rotation between the WCS pairs, bilinear.
+
+    A rotation defeats the separable tap-matmul path, so this measures
+    the general gather path (ops/regrid._bilinear_spatial_then_linear_z
+    corner gathers) in the channels-minor layout."""
+    from spectral_cube_tpu.ops.regrid import _bilinear_spatial_then_linear_z
+    n = 256
+    rng = np.random.RandomState(7)
+    data_np = rng.rand(n, n, n).astype(np.float32)
+    theta = np.deg2rad(3.0)
+    c, s = np.cos(theta), np.sin(theta)
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    cy = cx = (n - 1) / 2.0
+    ys = c * (yy - cy) - s * (xx - cx) + cy
+    xs = s * (yy - cy) + c * (xx - cx) + cx
+    zs = np.arange(n, dtype=np.float64)
+
+    def one_pass(d):
+        return jnp.nan_to_num(
+            _bilinear_spatial_then_linear_z(d, zs, ys, xs, 1))
+
+    # host baseline: scipy map_coordinates order-1 per plane on a 64^3
+    # subcube, scaled by voxel count (linear in voxels)
+    import scipy.ndimage as ndi
+    sub = data_np[:64, :64, :64]
+    t0 = time.perf_counter()
+    for i in range(64):
+        ndi.map_coordinates(sub[i], [ys[:64, :64], xs[:64, :64]], order=1,
+                            cval=np.nan)
+    t_base = (time.perf_counter() - t0) * (n / 64) ** 3
+
+    per = _measure(one_pass, (jnp.asarray(data_np),), reps=50)
+    gvox = data_np.size / 1e9
+    # data-movement model: the staged path gathers 4 corner taps from
+    # BOTH the data cube and the NaN-weight cube (8 cube-reads), plus
+    # the nanmask/filled materialization (2 writes + 2 reads), the two
+    # channels-minor relayouts (2 reads + 2 writes) and the output
+    # write: ~17 cube passes.  Gathers cannot stream at the HBM line —
+    # the model marks the floor, the note records the attained fraction.
+    t_hbm = data_np.size * 4 * 17 / (hbm_roofline_gbps() * 1e9)
+    print(f"# config7 rotated reproject 3deg bilinear 256^3: "
+          f"{per * 1e3:.3f} ms/pass, "
+          f"{data_np.size * 4 * 17 / per / 1e9:.0f} GB/s apparent | "
+          f"model: HBM(17 passes incl. 8 gather reads) {t_hbm * 1e3:.2f} "
+          f"ms -> {100 * t_hbm / per:.0f}% of bound attained "
+          f"(channels-minor row gathers; the plane-strided column-gather "
+          f"layout measured 2.372 ms, benchmarks/probe_rotated.py)",
+          file=sys.stderr)
+    return {"metric": "reproject_rotated_3deg_bilinear_throughput",
+            "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
+            "vs_baseline": round(t_base / per, 2)}
 
 
 def main():
@@ -542,7 +625,7 @@ def main():
     # configs 2-5 as additional JSON lines (a failure in one must not
     # take down the headline metric)
     for fn in (bench_config2, bench_config3, bench_config4,
-               bench_config5, bench_config6):
+               bench_config5, bench_config6, bench_config7):
         try:
             print(json.dumps(fn()), flush=True)
         except Exception as exc:  # pragma: no cover

@@ -125,6 +125,12 @@ def strip_blocks(mats, m, K):
         if nz[-1] + 1 - nz[0] > K:
             return None
         s = int(np.clip(nz[0], 0, nin - K))
+        # sublane-align the window start when the band still fits K:
+        # misaligned static slices of the VMEM input materialize as a
+        # copy pass per strip (CLAUDE.md), aligned ones are free
+        s_al = (s // 8) * 8
+        if nz[-1] + 1 - s_al <= K:
+            s = s_al
         starts.append(s)
         blocks[:, i, :e0 - s0, :] = flat[:, s0:e0, s:s + K]
     return blocks.reshape(lead + (nb, m, K)), starts
@@ -416,7 +422,8 @@ def smooth_interp_strips_3d(data, M_host, S_host, I_host, interpret=False):
               jnp.asarray(sb), jnp.asarray(ib))
 
 
-def per_channel_conv_strips(data, my, mx, group_idx, interpret=False):
+def per_channel_conv_strips(data, my, mx, group_idx, interpret=False,
+                            dense_x=None):
     """Per-channel separable 2-D convolution with per-group banded
     operators, channels visited in group-sorted order.
 
@@ -433,7 +440,11 @@ def per_channel_conv_strips(data, my, mx, group_idx, interpret=False):
     The scalar-prefetch grid sorts channels by group, so consecutive grid
     steps with the same group *reuse* the resident kernel blocks (no
     per-channel HBM gather of (n, n) matrices — the einsum path's main
-    cost).  Returns (nchan, ny, nx) float32 or None when infeasible.
+    cost).  The y pass runs banded strips; the x pass contracts against
+    the full Mx^T in one MXU dot when it fits VMEM (``dense_x=None``
+    auto; True/False force) — the strips-x scheme needs two VPU
+    transposes per rank that cost more than the structural-zero flops
+    saved.  Returns (nchan, ny, nx) float32 or None when infeasible.
     """
     if not _backend_ok(interpret):
         return None
@@ -457,17 +468,41 @@ def per_channel_conv_strips(data, my, mx, group_idx, interpret=False):
     xbl, xs = cx
     nb_y, nb_x = yb.shape[2], xbl.shape[2]
     nbm_y, nbm_x = nb_y * m_y, nb_x * m_x
-    # per-channel VMEM: in + out + t + u + w + per-group blocks + values
-    need = (2 * ny * nx + nbm_y * nx + nx * ny + nbm_x * ny) * 4 \
-        + (yb.size + xbl.size) * 4 // G + 4 * ny * nx * 4
-    if need > _VMEM_BUDGET:
-        return None
+    # x pass: strips+transposes by default.  The dense-x alternative
+    # (one dot against the full Mx^T, no VPU transposes) LOSES here —
+    # with the always-on normalized-convolution machinery it measured
+    # 0.474/0.542 ms (clean/NaN) vs strips' 0.424/0.479 at robust rep
+    # counts (benchmarks/probe_c3_variants4.py); only clean-only kernels
+    # like conv_reproject_raw_strips win from dense-x.  ``dense_x=True``
+    # remains available for probes.
+    need_dense = (2 * ny * nx + nbm_y * nx) * 4 \
+        + yb.size * 4 // G + r * nx * nx * 4 + 4 * ny * nx * 4
+    if dense_x is None:
+        dense_x = False
+    elif dense_x and need_dense > _VMEM_BUDGET:
+        dense_x = False
+    if dense_x:
+        xarg = np.ascontiguousarray(
+            np.transpose(mx, (0, 1, 3, 2)).astype(np.float32))
+        xspec_shape = (1, r, nx, nx)
+        scratches = [pltpu.VMEM((nbm_y, nx), jnp.float32)]
+    else:
+        # per-channel VMEM: in + out + t + u + w + group blocks + values
+        need = (2 * ny * nx + nbm_y * nx + nx * ny + nbm_x * ny) * 4 \
+            + (yb.size + xbl.size) * 4 // G + 4 * ny * nx * 4
+        if need > _VMEM_BUDGET:
+            return None
+        xarg = xbl
+        xspec_shape = (1, r, nb_x, m_x, K_x)
+        scratches = [pltpu.VMEM((nbm_y, nx), jnp.float32),
+                     pltpu.VMEM((nx, ny), jnp.float32),
+                     pltpu.VMEM((nbm_x, ny), jnp.float32)]
 
     perm = np.argsort(np.asarray(group_idx), kind="stable").astype(np.int32)
     gsorted = np.asarray(group_idx)[perm].astype(np.int32)
 
     def kernel(perm_ref, gs_ref, x_ref, yb_ref, xb_ref, o_ref,
-               t_ref, u_ref, w_ref):
+               t_ref, *uw):
         X = x_ref[0]
         v = jnp.isfinite(X)
 
@@ -477,12 +512,16 @@ def per_channel_conv_strips(data, my, mx, group_idx, interpret=False):
                 for s in range(nb_y):
                     t_ref[s * m_y:(s + 1) * m_y] = _dot(
                         yb_ref[0, i, s], Z[ys[s]:ys[s] + K_y, :])
-                u_ref[:] = t_ref[:ny].T
-                U = u_ref[:]
-                for s in range(nb_x):
-                    w_ref[s * m_x:(s + 1) * m_x] = _dot(
-                        xb_ref[0, i, s], U[xs[s]:xs[s] + K_x, :])
-                term = w_ref[:nx].T
+                if dense_x:
+                    term = _dot(t_ref[:ny], xb_ref[0, i])
+                else:
+                    u_ref, w_ref = uw
+                    u_ref[:] = t_ref[:ny].T
+                    U = u_ref[:]
+                    for s in range(nb_x):
+                        w_ref[s * m_x:(s + 1) * m_x] = _dot(
+                            xb_ref[0, i, s], U[xs[s]:xs[s] + K_x, :])
+                    term = w_ref[:nx].T
                 acc = term if acc is None else acc + term
             return acc
 
@@ -502,20 +541,19 @@ def per_channel_conv_strips(data, my, mx, group_idx, interpret=False):
             pl.BlockSpec((1, ny, nx), lambda c, p, g: (p[c], 0, 0)),
             pl.BlockSpec((1, r, nb_y, m_y, K_y),
                          lambda c, p, g: (g[c], 0, 0, 0, 0)),
-            pl.BlockSpec((1, r, nb_x, m_x, K_x),
-                         lambda c, p, g: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec(xspec_shape,
+                         lambda c, p, g, _nz=len(xspec_shape) - 1:
+                         (g[c],) + (0,) * _nz),
         ],
         out_specs=pl.BlockSpec((1, ny, nx), lambda c, p, g: (p[c], 0, 0)),
-        scratch_shapes=[pltpu.VMEM((nbm_y, nx), jnp.float32),
-                        pltpu.VMEM((nx, ny), jnp.float32),
-                        pltpu.VMEM((nbm_x, ny), jnp.float32)])
+        scratch_shapes=scratches)
     fn = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nchan, ny, nx), jnp.float32),
         interpret=interpret)
     return fn(jnp.asarray(perm), jnp.asarray(gsorted),
               jnp.asarray(data, jnp.float32), jnp.asarray(yb),
-              jnp.asarray(xbl))
+              jnp.asarray(xarg))
 
 
 def _plan_pair(my, mx, max_m=128):
@@ -564,8 +602,36 @@ def _make_conv(r, dims, starts, t_ref, u_ref, w_ref):
     return conv
 
 
+def _make_conv_dx(r, dims_y, ys, t_ref):
+    """Per-channel rank-r apply with a dense x contraction:
+    sum_i My_i @ Z @ Mx_i^T as banded y strips into ``t_ref`` followed by
+    one MXU dot against the full transposed x operator — no VPU
+    transposes (benchmarks/probe_c3_variants2.py: the transposes cost
+    more than the dense pass's structural-zero flops)."""
+    m_y, K_y, nb_y, ny_out = dims_y
+
+    def conv(yb_ref, xT_ref, Z):
+        acc = None
+        for i in range(r):
+            for s in range(nb_y):
+                t_ref[s * m_y:(s + 1) * m_y] = _dot(
+                    yb_ref[0, i, s], Z[ys[s]:ys[s] + K_y, :])
+            term = _dot(t_ref[:ny_out], xT_ref[0, i])
+            acc = term if acc is None else acc + term
+        return acc
+
+    return conv
+
+
+def _dense_xT(mx):
+    """Host (G, r, n_out, n_in) x operator -> contiguous (G, r, n_in,
+    n_out) transpose for the dense contraction."""
+    mx = np.asarray(mx, np.float32)
+    return np.ascontiguousarray(np.transpose(mx, (0, 1, 3, 2)))
+
+
 def per_channel_resample_strips(fz, wz, my, mx, group_idx,
-                                interpret=False):
+                                interpret=False, dense_x=None):
     """Per-channel rectangular resample with NaN-weight poisoning.
 
     ``fz``: (nchan, ny_in, nx_in) float32 NaN-FILLED data; ``wz``: same
@@ -593,23 +659,41 @@ def per_channel_resample_strips(fz, wz, my, mx, group_idx,
     (m_y, K_y), (m_x, K_x), (yb, ys), (xbl, xs) = pp
     nb_y, nb_x = yb.shape[2], xbl.shape[2]
     nbm_y, nbm_x = nb_y * m_y, nb_x * m_x
-    need = (2 * ny_in * nx_in + ny_out * nx_out + nbm_y * nx_in
-            + nx_in * ny_out + nbm_x * ny_out
-            + 3 * ny_out * nx_out) * 4 + (yb.size + xbl.size) * 8 // G
-    if need > _VMEM_BUDGET:
-        return None
+    # dense x contraction (no VPU transposes) when the full transposed x
+    # operator (+ its |.| twin for the poison pass) fits VMEM
+    need_dx = (2 * ny_in * nx_in + ny_out * nx_out + nbm_y * nx_in
+               + 3 * ny_out * nx_out) * 4 + yb.size * 8 // G \
+        + 2 * r * nx_in * nx_out * 4
+    # strips-x by default: with the unconditional resample conv the
+    # dense-x variant measured 0.479/0.567 ms (clean/NaN) vs strips'
+    # 0.426/0.519 at robust rep counts (benchmarks/probe_resample_dense
+    # .py); dense_x=True remains available for probes
+    if dense_x is None:
+        dense_x = False
+    elif dense_x and need_dx > _VMEM_BUDGET:
+        dense_x = False
+    if not dense_x:
+        need = (2 * ny_in * nx_in + ny_out * nx_out + nbm_y * nx_in
+                + nx_in * ny_out + nbm_x * ny_out
+                + 3 * ny_out * nx_out) * 4 + (yb.size + xbl.size) * 8 // G
+        if need > _VMEM_BUDGET:
+            return None
+    xarr = _dense_xT(mx) if dense_x else xbl
     # |T| blocks for the poison pass (bilinear taps are nonnegative, so
     # they often alias the data blocks — jnp dedups identical constants)
     ayb = np.abs(yb) if (yb < 0).any() else yb
-    axb = np.abs(xbl) if (xbl < 0).any() else xbl
+    axarr = np.abs(xarr) if (xarr < 0).any() else xarr
 
     perm = np.argsort(np.asarray(group_idx), kind="stable").astype(np.int32)
     gsorted = np.asarray(group_idx)[perm].astype(np.int32)
     dims = ((m_y, K_y, nb_y, ny_out), (m_x, K_x, nb_x, nx_out))
 
     def kernel(perm_ref, gs_ref, f_ref, w_ref_in, yb_ref, xb_ref,
-               ayb_ref, axb_ref, o_ref, t_ref, u_ref, w_ref):
-        conv = _make_conv(r, dims, (ys, xs), t_ref, u_ref, w_ref)
+               ayb_ref, axb_ref, o_ref, t_ref, *uw):
+        if dense_x:
+            conv = _make_conv_dx(r, dims[0], ys, t_ref)
+        else:
+            conv = _make_conv(r, dims, (ys, xs), t_ref, *uw)
         o_ref[0] = conv(yb_ref, xb_ref, f_ref[0])
 
         @pl.when(jnp.any(w_ref_in[0] != 0.0))
@@ -617,6 +701,12 @@ def per_channel_resample_strips(fz, wz, my, mx, group_idx,
             wn = conv(ayb_ref, axb_ref, w_ref_in[0])
             o_ref[0] = jnp.where(wn > _DEN_EPS, jnp.nan, o_ref[0])
 
+    xshape = (1, r, nx_in, nx_out) if dense_x else (1, r, nb_x, m_x, K_x)
+    xnz = len(xshape) - 1
+    scratches = [pltpu.VMEM((nbm_y, nx_in), jnp.float32)]
+    if not dense_x:
+        scratches += [pltpu.VMEM((nx_in, ny_out), jnp.float32),
+                      pltpu.VMEM((nbm_x, ny_out), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(nchan,),
         in_specs=[
@@ -624,18 +714,14 @@ def per_channel_resample_strips(fz, wz, my, mx, group_idx,
             pl.BlockSpec((1, ny_in, nx_in), lambda c, p, g: (p[c], 0, 0)),
             pl.BlockSpec((1, r, nb_y, m_y, K_y),
                          lambda c, p, g: (g[c], 0, 0, 0, 0)),
-            pl.BlockSpec((1, r, nb_x, m_x, K_x),
-                         lambda c, p, g: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec(xshape, lambda c, p, g: (g[c],) + (0,) * xnz),
             pl.BlockSpec((1, r, nb_y, m_y, K_y),
                          lambda c, p, g: (g[c], 0, 0, 0, 0)),
-            pl.BlockSpec((1, r, nb_x, m_x, K_x),
-                         lambda c, p, g: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec(xshape, lambda c, p, g: (g[c],) + (0,) * xnz),
         ],
         out_specs=pl.BlockSpec((1, ny_out, nx_out),
                                lambda c, p, g: (p[c], 0, 0)),
-        scratch_shapes=[pltpu.VMEM((nbm_y, nx_in), jnp.float32),
-                        pltpu.VMEM((nx_in, ny_out), jnp.float32),
-                        pltpu.VMEM((nbm_x, ny_out), jnp.float32)])
+        scratch_shapes=scratches)
     fn = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nchan, ny_out, nx_out),
@@ -643,13 +729,13 @@ def per_channel_resample_strips(fz, wz, my, mx, group_idx,
         interpret=interpret)
     return fn(jnp.asarray(perm), jnp.asarray(gsorted),
               jnp.asarray(fz, jnp.float32), jnp.asarray(wz, jnp.float32),
-              jnp.asarray(yb), jnp.asarray(xbl), jnp.asarray(ayb),
-              jnp.asarray(axb))
+              jnp.asarray(yb), jnp.asarray(xarr), jnp.asarray(ayb),
+              jnp.asarray(axarr))
 
 
 def per_channel_resample_raw_strips(raw, my, mx, group_idx,
                                     valid_plane=None, zvalid=None,
-                                    interpret=False):
+                                    interpret=False, dense_x=None):
     """Per-channel rectangular resample straight from RAW NaN-carrying
     data: NaN detection, zero-filling, NaN-weight poisoning, and the
     out-of-range validity mask all run in VMEM, so the whole op moves
@@ -685,13 +771,28 @@ def per_channel_resample_raw_strips(raw, my, mx, group_idx,
     (m_y, K_y), (m_x, K_x), (yb, ys), (xbl, xs) = pp
     nb_y, nb_x = yb.shape[2], xbl.shape[2]
     nbm_y, nbm_x = nb_y * m_y, nb_x * m_x
-    need = (2 * ny_in * nx_in + 2 * ny_out * nx_out + nbm_y * nx_in
-            + nx_in * ny_out + nbm_x * ny_out
-            + 3 * ny_out * nx_out) * 4 + (yb.size + xbl.size) * 8 // G
-    if need > _VMEM_BUDGET:
-        return None
+    # dense x contraction (no VPU transposes) when the full transposed x
+    # operator (+ its |.| twin for the poison pass) fits VMEM
+    need_dx = (2 * ny_in * nx_in + 2 * ny_out * nx_out + nbm_y * nx_in
+               + 3 * ny_out * nx_out) * 4 + yb.size * 8 // G \
+        + 2 * r * nx_in * nx_out * 4
+    # strips-x by default: with the unconditional resample conv the
+    # dense-x variant measured 0.479/0.567 ms (clean/NaN) vs strips'
+    # 0.426/0.519 at robust rep counts (benchmarks/probe_resample_dense
+    # .py); dense_x=True remains available for probes
+    if dense_x is None:
+        dense_x = False
+    elif dense_x and need_dx > _VMEM_BUDGET:
+        dense_x = False
+    if not dense_x:
+        need = (2 * ny_in * nx_in + 2 * ny_out * nx_out + nbm_y * nx_in
+                + nx_in * ny_out + nbm_x * ny_out
+                + 3 * ny_out * nx_out) * 4 + (yb.size + xbl.size) * 8 // G
+        if need > _VMEM_BUDGET:
+            return None
+    xarr = _dense_xT(mx) if dense_x else xbl
     ayb = np.abs(yb) if (yb < 0).any() else yb
-    axb = np.abs(xbl) if (xbl < 0).any() else xbl
+    axarr = np.abs(xarr) if (xarr < 0).any() else xarr
     if valid_plane is None:
         valid_plane = np.ones((ny_out, nx_out), np.float32)
     else:
@@ -706,9 +807,12 @@ def per_channel_resample_raw_strips(raw, my, mx, group_idx,
     dims = ((m_y, K_y, nb_y, ny_out), (m_x, K_x, nb_x, nx_out))
 
     def kernel(perm_ref, gs_ref, zv_ref, f_ref, vp_ref, yb_ref, xb_ref,
-               ayb_ref, axb_ref, o_ref, t_ref, u_ref, w_ref):
+               ayb_ref, axb_ref, o_ref, t_ref, *uw):
         c = pl.program_id(0)
-        conv = _make_conv(r, dims, (ys, xs), t_ref, u_ref, w_ref)
+        if dense_x:
+            conv = _make_conv_dx(r, dims[0], ys, t_ref)
+        else:
+            conv = _make_conv(r, dims, (ys, xs), t_ref, *uw)
         Z = f_ref[0]
         bad = jnp.isnan(Z)
         # nan_to_num for exact parity with the dense path (inf clamps to
@@ -723,6 +827,12 @@ def per_channel_resample_raw_strips(raw, my, mx, group_idx,
         ok = jnp.logical_and(vp_ref[...] != 0.0, zv_ref[perm_ref[c]] != 0)
         o_ref[0] = jnp.where(ok, o_ref[0], jnp.nan)
 
+    xshape = (1, r, nx_in, nx_out) if dense_x else (1, r, nb_x, m_x, K_x)
+    xnz = len(xshape) - 1
+    scratches = [pltpu.VMEM((nbm_y, nx_in), jnp.float32)]
+    if not dense_x:
+        scratches += [pltpu.VMEM((nx_in, ny_out), jnp.float32),
+                      pltpu.VMEM((nbm_x, ny_out), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3, grid=(nchan,),
         in_specs=[
@@ -731,18 +841,16 @@ def per_channel_resample_raw_strips(raw, my, mx, group_idx,
             pl.BlockSpec((ny_out, nx_out), lambda c, p, g, z: (0, 0)),
             pl.BlockSpec((1, r, nb_y, m_y, K_y),
                          lambda c, p, g, z: (g[c], 0, 0, 0, 0)),
-            pl.BlockSpec((1, r, nb_x, m_x, K_x),
-                         lambda c, p, g, z: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec(xshape,
+                         lambda c, p, g, z: (g[c],) + (0,) * xnz),
             pl.BlockSpec((1, r, nb_y, m_y, K_y),
                          lambda c, p, g, z: (g[c], 0, 0, 0, 0)),
-            pl.BlockSpec((1, r, nb_x, m_x, K_x),
-                         lambda c, p, g, z: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec(xshape,
+                         lambda c, p, g, z: (g[c],) + (0,) * xnz),
         ],
         out_specs=pl.BlockSpec((1, ny_out, nx_out),
                                lambda c, p, g, z: (p[c], 0, 0)),
-        scratch_shapes=[pltpu.VMEM((nbm_y, nx_in), jnp.float32),
-                        pltpu.VMEM((nx_in, ny_out), jnp.float32),
-                        pltpu.VMEM((nbm_x, ny_out), jnp.float32)])
+        scratch_shapes=scratches)
     fn = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nchan, ny_out, nx_out),
@@ -750,8 +858,8 @@ def per_channel_resample_raw_strips(raw, my, mx, group_idx,
         interpret=interpret)
     return fn(jnp.asarray(perm), jnp.asarray(gsorted), jnp.asarray(zvalid),
               jnp.asarray(raw, jnp.float32), jnp.asarray(valid_plane),
-              jnp.asarray(yb), jnp.asarray(xbl), jnp.asarray(ayb),
-              jnp.asarray(axb))
+              jnp.asarray(yb), jnp.asarray(xarr), jnp.asarray(ayb),
+              jnp.asarray(axarr))
 
 
 def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
@@ -803,7 +911,22 @@ def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
     dimsM, startsM, myb, mxb, nbmM_y, nbmM_x = unpack(ppM, ny_in, nx_in)
     dimsR, startsR, ryb, rxb, nbmR_y, nbmR_x = unpack(ppR, ny_out, nx_out)
 
-    scr = [
+    # dense x contraction (no VPU transposes) when the three full
+    # transposed x operators fit VMEM alongside the y-strip scratches
+    gxT, mxT, rxT = _dense_xT(Gx), _dense_xT(Mx), _dense_xT(Rx)
+    scr_dx = [
+        pltpu.VMEM((nbmG_y, nx_in), jnp.float32),
+        pltpu.VMEM((nbmM_y, nx_in), jnp.float32),
+        pltpu.VMEM((nbmR_y, nx_in), jnp.float32),
+        pltpu.VMEM((ny_in, nx_in), jnp.float32),
+    ]
+    need_dx = sum(int(np.prod(s.shape)) for s in scr_dx) * 4 \
+        + (2 * ny_in * nx_in + 2 * ny_out * nx_out) * 4 \
+        + (gyb.size + myb.size + ryb.size
+           + gxT.size + mxT.size + rxT.size) * 4
+    dense_x = need_dx <= _VMEM_BUDGET
+
+    scr = scr_dx if dense_x else [
         # G trio
         pltpu.VMEM((nbmG_y, nx_in), jnp.float32),
         pltpu.VMEM((nx_in, ny_out), jnp.float32),
@@ -818,19 +941,31 @@ def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
         pltpu.VMEM((nbmR_x, ny_out), jnp.float32),
         pltpu.VMEM((ny_in, nx_in), jnp.float32),
     ]
-    need = sum(int(np.prod(s.shape)) for s in scr) * 4 \
-        + (2 * ny_in * nx_in + 2 * ny_out * nx_out) * 4 \
-        + (gyb.size + gxb.size + myb.size + mxb.size
-           + ryb.size + rxb.size) * 4
-    if need > _VMEM_BUDGET:
-        return None
+    if not dense_x:
+        need = sum(int(np.prod(s.shape)) for s in scr) * 4 \
+            + (2 * ny_in * nx_in + 2 * ny_out * nx_out) * 4 \
+            + (gyb.size + gxb.size + myb.size + mxb.size
+               + ryb.size + rxb.size) * 4
+        if need > _VMEM_BUDGET:
+            return None
     valid_plane = np.asarray(valid_plane, np.float32)
+    if dense_x:
+        gxa, mxa, rxa = gxT, mxT, rxT
+    else:
+        gxa, mxa, rxa = gxb, mxb, rxb
 
     def kernel(x_ref, gy_ref, gx_ref, my_ref, mx_ref, ry_ref, rx_ref,
-               vp_ref, o_ref, tG, uG, wG, tM, uM, wM, tR, uR, wR, c_ref):
-        convG = _make_conv(r, dimsG, startsG, tG, uG, wG)
-        convM = _make_conv(r, dimsM, startsM, tM, uM, wM)
-        convR = _make_conv(1, dimsR, startsR, tR, uR, wR)
+               vp_ref, o_ref, *scratch):
+        if dense_x:
+            tG, tM, tR, c_ref = scratch
+            convG = _make_conv_dx(r, dimsG[0], startsG[0], tG)
+            convM = _make_conv_dx(r, dimsM[0], startsM[0], tM)
+            convR = _make_conv_dx(1, dimsR[0], startsR[0], tR)
+        else:
+            tG, uG, wG, tM, uM, wM, tR, uR, wR, c_ref = scratch
+            convG = _make_conv(r, dimsG, startsG, tG, uG, wG)
+            convM = _make_conv(r, dimsM, startsM, tM, uM, wM)
+            convR = _make_conv(1, dimsR, startsR, tR, uR, wR)
         Z = x_ref[0]
         bad = jnp.isnan(Z)
         some_bad = jnp.any(bad)
@@ -860,11 +995,11 @@ def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
         in_specs=[
             pl.BlockSpec((1, ny_in, nx_in), lambda c: (c, 0, 0)),
             pl.BlockSpec(gyb.shape, lambda c: (0,) * gyb.ndim),
-            pl.BlockSpec(gxb.shape, lambda c: (0,) * gxb.ndim),
+            pl.BlockSpec(gxa.shape, lambda c: (0,) * gxa.ndim),
             pl.BlockSpec(myb.shape, lambda c: (0,) * myb.ndim),
-            pl.BlockSpec(mxb.shape, lambda c: (0,) * mxb.ndim),
+            pl.BlockSpec(mxa.shape, lambda c: (0,) * mxa.ndim),
             pl.BlockSpec(ryb.shape, lambda c: (0,) * ryb.ndim),
-            pl.BlockSpec(rxb.shape, lambda c: (0,) * rxb.ndim),
+            pl.BlockSpec(rxa.shape, lambda c: (0,) * rxa.ndim),
             pl.BlockSpec((ny_out, nx_out), lambda c: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, ny_out, nx_out), lambda c: (c, 0, 0)),
@@ -873,8 +1008,8 @@ def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
         scratch_shapes=scr,
         interpret=interpret)
     return fn(jnp.asarray(raw, jnp.float32), jnp.asarray(gyb),
-              jnp.asarray(gxb), jnp.asarray(myb), jnp.asarray(mxb),
-              jnp.asarray(ryb), jnp.asarray(rxb),
+              jnp.asarray(gxa), jnp.asarray(myb), jnp.asarray(mxa),
+              jnp.asarray(ryb), jnp.asarray(rxa),
               jnp.asarray(valid_plane))
 
 
@@ -952,7 +1087,8 @@ def per_channel_shift_lerp(raw, sy, wy, sx, wx, valid_plane,
               jnp.asarray(valid_plane))
 
 
-def per_channel_plain_strips(data, my, mx, group_idx, interpret=False):
+def per_channel_plain_strips(data, my, mx, group_idx, interpret=False,
+                             dense_x=None):
     """Per-channel rectangular apply out = sum_i My@X@Mx^T with NO NaN
     machinery (callers guarantee finite input — e.g. the all-finite
     branch of the fused convolve+reproject operator).  Same layout and
@@ -972,34 +1108,52 @@ def per_channel_plain_strips(data, my, mx, group_idx, interpret=False):
     (m_y, K_y), (m_x, K_x), (yb, ys), (xbl, xs) = pp
     nb_y, nb_x = yb.shape[2], xbl.shape[2]
     nbm_y, nbm_x = nb_y * m_y, nb_x * m_x
-    need = (ny_in * nx_in + ny_out * nx_out + nbm_y * nx_in
-            + nx_in * ny_out + nbm_x * ny_out
-            + 2 * ny_out * nx_out) * 4 + (yb.size + xbl.size) * 4 // G
-    if need > _VMEM_BUDGET:
-        return None
+    # dense x contraction (no VPU transposes) when the full transposed x
+    # operator fits VMEM
+    need_dx = (ny_in * nx_in + ny_out * nx_out + nbm_y * nx_in
+               + 2 * ny_out * nx_out) * 4 + yb.size * 4 // G \
+        + r * nx_in * nx_out * 4
+    # strips-x by default (see per_channel_resample_strips)
+    if dense_x is None:
+        dense_x = False
+    elif dense_x and need_dx > _VMEM_BUDGET:
+        dense_x = False
+    if not dense_x:
+        need = (ny_in * nx_in + ny_out * nx_out + nbm_y * nx_in
+                + nx_in * ny_out + nbm_x * ny_out
+                + 2 * ny_out * nx_out) * 4 + (yb.size + xbl.size) * 4 // G
+        if need > _VMEM_BUDGET:
+            return None
+    xarr = _dense_xT(mx) if dense_x else xbl
     perm = np.argsort(np.asarray(group_idx), kind="stable").astype(np.int32)
     gsorted = np.asarray(group_idx)[perm].astype(np.int32)
     dims = ((m_y, K_y, nb_y, ny_out), (m_x, K_x, nb_x, nx_out))
 
     def kernel(perm_ref, gs_ref, x_ref, yb_ref, xb_ref, o_ref,
-               t_ref, u_ref, w_ref):
-        conv = _make_conv(r, dims, (ys, xs), t_ref, u_ref, w_ref)
+               t_ref, *uw):
+        if dense_x:
+            conv = _make_conv_dx(r, dims[0], ys, t_ref)
+        else:
+            conv = _make_conv(r, dims, (ys, xs), t_ref, *uw)
         o_ref[0] = conv(yb_ref, xb_ref, x_ref[0])
 
+    xshape = (1, r, nx_in, nx_out) if dense_x else (1, r, nb_x, m_x, K_x)
+    xnz = len(xshape) - 1
+    scratches = [pltpu.VMEM((nbm_y, nx_in), jnp.float32)]
+    if not dense_x:
+        scratches += [pltpu.VMEM((nx_in, ny_out), jnp.float32),
+                      pltpu.VMEM((nbm_x, ny_out), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(nchan,),
         in_specs=[
             pl.BlockSpec((1, ny_in, nx_in), lambda c, p, g: (p[c], 0, 0)),
             pl.BlockSpec((1, r, nb_y, m_y, K_y),
                          lambda c, p, g: (g[c], 0, 0, 0, 0)),
-            pl.BlockSpec((1, r, nb_x, m_x, K_x),
-                         lambda c, p, g: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec(xshape, lambda c, p, g: (g[c],) + (0,) * xnz),
         ],
         out_specs=pl.BlockSpec((1, ny_out, nx_out),
                                lambda c, p, g: (p[c], 0, 0)),
-        scratch_shapes=[pltpu.VMEM((nbm_y, nx_in), jnp.float32),
-                        pltpu.VMEM((nx_in, ny_out), jnp.float32),
-                        pltpu.VMEM((nbm_x, ny_out), jnp.float32)])
+        scratch_shapes=scratches)
     fn = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nchan, ny_out, nx_out),
@@ -1007,7 +1161,7 @@ def per_channel_plain_strips(data, my, mx, group_idx, interpret=False):
         interpret=interpret)
     return fn(jnp.asarray(perm), jnp.asarray(gsorted),
               jnp.asarray(data, jnp.float32), jnp.asarray(yb),
-              jnp.asarray(xbl))
+              jnp.asarray(xarr))
 
 
 def strips_flops(nout, K, ncols, extra=0):

@@ -142,21 +142,26 @@ def _spline_nonseparable_resample(fz, wz, ys, xs, order):
         return np.where(at < 1.0, (4.0 - 6.0 * at ** 2 + 3.0 * at ** 3) / 6.0,
                         np.where(at < 2.0, (2.0 - at) ** 3 / 6.0, 0.0))
 
-    flat_c = coeff.reshape(nz, -1)
-    flat_w = wcoef.reshape(nz, -1)
+    # channels-minor layout: with the cube as (space, nz) every gathered
+    # element sits in a contiguous nz-row, so the tap gathers become
+    # large-slice row copies instead of plane-strided column picks
+    # (benchmarks/probe_rotated.py: 1.037 -> 0.727 ms for the 4-tap
+    # bilinear gather of a 256^3 cube on v5e, transposes included)
+    flat_c = coeff.reshape(nz, -1).T
+    flat_w = wcoef.reshape(nz, -1).T
     nxp = nx_in + 2 * pad
-    out = jnp.zeros((nz, ny * nx), flat_c.dtype)
-    wn = jnp.zeros((nz, ny * nx), jnp.float32)
+    out = jnp.zeros((ny * nx, nz), flat_c.dtype)
+    wn = jnp.zeros((ny * nx, nz), jnp.float32)
     for dy in offs:
         for dx in offs:
             w = (bw(order, fy - dy) * bw(order, fx - dx)).astype(np.float32)
             iy = np.clip(yb + dy + pad, 0, ny_in + 2 * pad - 1)
             ix = np.clip(xb + dx + pad, 0, nxp - 1)
             idx = jnp.asarray((iy * nxp + ix).ravel())
-            wj = jnp.asarray(w.ravel())[None, :]
-            out = out + jnp.take(flat_c, idx, axis=1) * wj
-            wn = wn + jnp.take(flat_w, idx, axis=1) * jnp.abs(wj)
-    return out.reshape(nz, ny, nx), wn.reshape(nz, ny, nx)
+            wj = jnp.asarray(w.ravel())[:, None]
+            out = out + jnp.take(flat_c, idx, axis=0) * wj
+            wn = wn + jnp.take(flat_w, idx, axis=0) * jnp.abs(wj)
+    return (out.T.reshape(nz, ny, nx), wn.T.reshape(nz, ny, nx))
 
 
 def spatial_pixel_mapping(wcs_in: WCS, wcs_out: WCS, shape_out):
@@ -335,19 +340,21 @@ def _bilinear_spatial_then_linear_z(data, zs, ys, xs, order):
     else:
         corners = ((y0, x0, (1 - wy) * (1 - wx)), (y0, x1, (1 - wy) * wx),
                    (y1, x0, wy * (1 - wx)), (y1, x1, wy * wx))
-        flat_f = fz.reshape(nz, ny_in * nx_in)
-        flat_w = wz.reshape(nz, ny_in * nx_in)
-        out = jnp.zeros((nz, ny * nx), fz.dtype)
-        wn = jnp.zeros((nz, ny * nx), jnp.float32)
+        # channels-minor layout (see _spline_nonseparable_resample): row
+        # gathers over (space, nz) beat plane-strided column gathers
+        flat_f = fz.reshape(nz, ny_in * nx_in).T
+        flat_w = wz.reshape(nz, ny_in * nx_in).T
+        out = jnp.zeros((ny * nx, nz), fz.dtype)
+        wn = jnp.zeros((ny * nx, nz), jnp.float32)
         for yy, xx, w in corners:
             idx = jnp.asarray((yy * nx_in + xx).ravel())
-            wj = jnp.asarray(w.ravel())[None, :]
-            out = out + jnp.take(flat_f, idx, axis=1) * wj
-            wn = wn + jnp.take(flat_w, idx, axis=1) * wj
+            wj = jnp.asarray(w.ravel())[:, None]
+            out = out + jnp.take(flat_f, idx, axis=0) * wj
+            wn = wn + jnp.take(flat_w, idx, axis=0) * wj
             if order == 0:
                 break
-        out = out.reshape(nz, ny, nx)
-        wn = wn.reshape(nz, ny, nx)
+        out = out.T.reshape(nz, ny, nx)
+        wn = wn.T.reshape(nz, ny, nx)
     valid = jnp.asarray((yvalid & xvalid)[None, :, :]) & \
         jnp.asarray(zvalid)[:, None, None]
     out = jnp.where(wn > 1e-6, jnp.nan, out)

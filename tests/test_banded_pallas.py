@@ -236,8 +236,9 @@ def _per_channel_oracle(data, kernels, group_idx):
     return out
 
 
+@pytest.mark.parametrize("dense_x", [True, False])
 @pytest.mark.parametrize("dirty", [False, True])
-def test_per_channel_conv_strips(dirty):
+def test_per_channel_conv_strips(dirty, dense_x):
     rng = np.random.RandomState(2)
     nchan, ny, nx = 6, 128, 128
     data = rng.randn(nchan, ny, nx).astype(np.float32)
@@ -258,7 +259,8 @@ def test_per_channel_conv_strips(dirty):
             mx[g, i] = _banded_conv_matrix(nx, xt[:, i])
     got = np.asarray(jax.jit(
         lambda d: per_channel_conv_strips(d, my, mx, group_idx,
-                                          interpret=True))(
+                                          interpret=True,
+                                          dense_x=dense_x))(
             jnp.asarray(data)))
     exp = _per_channel_oracle(data, kernels, group_idx)
     assert np.array_equal(np.isnan(got), np.isnan(exp))
@@ -278,7 +280,8 @@ def test_per_channel_conv_strips_gates():
     assert out is None
 
 
-def test_per_channel_resample_strips_matches_dense():
+@pytest.mark.parametrize("dense_x", [True, False])
+def test_per_channel_resample_strips_matches_dense(dense_x):
     from spectral_cube_tpu.ops.banded_pallas import (
         per_channel_resample_strips)
     from spectral_cube_tpu.ops.interpolate import _interp_matrix
@@ -296,7 +299,8 @@ def test_per_channel_resample_strips_matches_dense():
     mx = _interp_matrix(x0, wx, nx_in)
     got = np.asarray(jax.jit(lambda f, w: per_channel_resample_strips(
         f, w, my[None, None], mx[None, None], np.zeros(nz, np.int32),
-        interpret=True))(jnp.asarray(fz), jnp.asarray(wz)))
+        interpret=True, dense_x=dense_x))(jnp.asarray(fz),
+                                          jnp.asarray(wz)))
     exp = np.einsum("ab,cbx,vx->cav", my.astype(np.float64),
                     fz.astype(np.float64), mx.astype(np.float64))
     wn = np.einsum("ab,cbx,vx->cav", my.astype(np.float64),
@@ -308,7 +312,8 @@ def test_per_channel_resample_strips_matches_dense():
     assert np.isnan(got[1]).any() and not np.isnan(got[0]).any()
 
 
-def test_per_channel_plain_strips_matches_dense():
+@pytest.mark.parametrize("dense_x", [True, False])
+def test_per_channel_plain_strips_matches_dense(dense_x):
     from spectral_cube_tpu.ops.banded_pallas import per_channel_plain_strips
     from spectral_cube_tpu.ops.interpolate import _interp_matrix
     from spectral_cube_tpu.ops.convolve import _conv_matrix_1d
@@ -325,15 +330,16 @@ def test_per_channel_plain_strips_matches_dense():
     Gx = np.stack([(R @ _conv_matrix_1d(n, k).astype(np.float64))
                    .astype(np.float32) for k in (k2, k1)])[None]
     got = np.asarray(jax.jit(lambda d: per_channel_plain_strips(
-        d, Gy, Gx, np.zeros(nz, np.int32), interpret=True))(
-            jnp.asarray(data)))
+        d, Gy, Gx, np.zeros(nz, np.int32), interpret=True,
+        dense_x=dense_x))(jnp.asarray(data)))
     exp = sum(np.einsum("ab,cbx,vx->cav", Gy[0, i].astype(np.float64),
                         data.astype(np.float64),
                         Gx[0, i].astype(np.float64)) for i in range(2))
     np.testing.assert_allclose(got, exp, rtol=3e-5, atol=1e-5)
 
 
-def test_per_channel_resample_raw_strips_matches_staged():
+@pytest.mark.parametrize("dense_x", [True, False])
+def test_per_channel_resample_raw_strips_matches_staged(dense_x):
     """Raw-input resample kernel == the staged dense path (isnan +
     nan_to_num + taps + validity where) on NaN-holed data, including a
     whole-NaN channel, an out-of-range validity plane, and zvalid flags."""
@@ -357,7 +363,8 @@ def test_per_channel_resample_raw_strips_matches_staged():
 
     out = np.asarray(per_channel_resample_raw_strips(
         data, my[None, None], mx[None, None], np.zeros(nchan, np.int32),
-        valid_plane=valid, zvalid=zvalid, interpret=True))
+        valid_plane=valid, zvalid=zvalid, interpret=True,
+        dense_x=dense_x))
 
     # staged float64 oracle
     filled = np.nan_to_num(data).astype(np.float64)
