@@ -526,20 +526,21 @@ def bench_config7():
 
     per = _measure(one_pass, (jnp.asarray(data_np),), reps=50)
     gvox = data_np.size / 1e9
-    # data-movement model: the staged path gathers 4 corner taps from
-    # BOTH the data cube and the NaN-weight cube (8 cube-reads), plus
-    # the nanmask/filled materialization (2 writes + 2 reads), the two
-    # channels-minor relayouts (2 reads + 2 writes) and the output
-    # write: ~17 cube passes.  Gathers cannot stream at the HBM line —
-    # the model marks the floor, the note records the attained fraction.
-    t_hbm = data_np.size * 4 * 17 / (hbm_roofline_gbps() * 1e9)
+    # data-movement model for the benched ALL-FINITE cube (the NaN-weight
+    # prefilter/gathers sit behind a lax.cond and never run): relayout
+    # in (2 passes, nan_to_num fuses in), 4 corner-tap gather reads + the
+    # fused accumulate write (5), relayout out + validity where (2),
+    # consumer read (1), isnan flag read (1): ~11 cube passes.  Gathers
+    # cannot stream at the HBM line — the model marks the floor.
+    t_hbm = data_np.size * 4 * 11 / (hbm_roofline_gbps() * 1e9)
     print(f"# config7 rotated reproject 3deg bilinear 256^3: "
           f"{per * 1e3:.3f} ms/pass, "
-          f"{data_np.size * 4 * 17 / per / 1e9:.0f} GB/s apparent | "
-          f"model: HBM(17 passes incl. 8 gather reads) {t_hbm * 1e3:.2f} "
+          f"{data_np.size * 4 * 11 / per / 1e9:.0f} GB/s apparent | "
+          f"model: HBM(11 passes incl. 4 gather reads) {t_hbm * 1e3:.2f} "
           f"ms -> {100 * t_hbm / per:.0f}% of bound attained "
-          f"(channels-minor row gathers; the plane-strided column-gather "
-          f"layout measured 2.372 ms, benchmarks/probe_rotated.py)",
+          f"(cond-gated NaN-weight gathers + channels-minor row gathers: "
+          f"the always-poisoning column-gather path measured 2.372 ms, "
+          f"benchmarks/probe_rotated.py)",
           file=sys.stderr)
     return {"metric": "reproject_rotated_3deg_bilinear_throughput",
             "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",

@@ -112,13 +112,10 @@ def _spline_nonseparable_resample(fz, wz, ys, xs, order):
                        arr.astype(jnp.float32), precision=prec)
         return jnp.einsum("cax,vx->cav", t, jnp.asarray(px), precision=prec)
 
-    coeff = prefilter(fz, lax.Precision.HIGHEST)
-    wcoef = prefilter(wz, lax.Precision.DEFAULT)
     pad = order  # taps reach at most `order` cells beyond the base knot
     pad_mode = "reflect" if min(ny_in, nx_in) > order else "edge"
+    coeff = prefilter(fz, lax.Precision.HIGHEST)
     coeff = jnp.pad(coeff, ((0, 0), (pad, pad), (pad, pad)), mode=pad_mode)
-    wcoef = jnp.pad(jnp.abs(wcoef), ((0, 0), (pad, pad), (pad, pad)),
-                    mode=pad_mode)
 
     ycl = np.nan_to_num(np.asarray(ys, dtype=np.float64))
     xcl = np.nan_to_num(np.asarray(xs, dtype=np.float64))
@@ -147,21 +144,38 @@ def _spline_nonseparable_resample(fz, wz, ys, xs, order):
     # large-slice row copies instead of plane-strided column picks
     # (benchmarks/probe_rotated.py: 1.037 -> 0.727 ms for the 4-tap
     # bilinear gather of a 256^3 cube on v5e, transposes included)
-    flat_c = coeff.reshape(nz, -1).T
-    flat_w = wcoef.reshape(nz, -1).T
     nxp = nx_in + 2 * pad
-    out = jnp.zeros((ny * nx, nz), flat_c.dtype)
-    wn = jnp.zeros((ny * nx, nz), jnp.float32)
-    for dy in offs:
-        for dx in offs:
-            w = (bw(order, fy - dy) * bw(order, fx - dx)).astype(np.float32)
-            iy = np.clip(yb + dy + pad, 0, ny_in + 2 * pad - 1)
-            ix = np.clip(xb + dx + pad, 0, nxp - 1)
-            idx = jnp.asarray((iy * nxp + ix).ravel())
-            wj = jnp.asarray(w.ravel())[:, None]
-            out = out + jnp.take(flat_c, idx, axis=0) * wj
-            wn = wn + jnp.take(flat_w, idx, axis=0) * jnp.abs(wj)
-    return (out.T.reshape(nz, ny, nx), wn.T.reshape(nz, ny, nx))
+
+    def gathers(flat, absw):
+        acc = jnp.zeros((ny * nx, nz), flat.dtype)
+        for dy in offs:
+            for dx in offs:
+                w = (bw(order, fy - dy)
+                     * bw(order, fx - dx)).astype(np.float32)
+                if absw:
+                    w = np.abs(w)
+                iy = np.clip(yb + dy + pad, 0, ny_in + 2 * pad - 1)
+                ix = np.clip(xb + dx + pad, 0, nxp - 1)
+                idx = jnp.asarray((iy * nxp + ix).ravel())
+                acc = acc + jnp.take(flat, idx, axis=0) \
+                    * jnp.asarray(w.ravel())[:, None]
+        return acc
+
+    out = gathers(coeff.reshape(nz, -1).T, False)
+
+    def poison(o):
+        # the NaN-weight prefilter + (order+1)^2 gathers run only for
+        # cubes that hold NaN — on all-finite cubes they are half the
+        # work of the whole resample (lax.cond pays when it skips
+        # HIGHEST-precision matmul/gather chains, CLAUDE.md)
+        wcoef = prefilter(wz, lax.Precision.DEFAULT)
+        wcoef = jnp.pad(jnp.abs(wcoef), ((0, 0), (pad, pad), (pad, pad)),
+                        mode=pad_mode)
+        wn = gathers(wcoef.reshape(nz, -1).T, True)
+        return jnp.where(wn > 1e-6, jnp.nan, o)
+
+    out = lax.cond(jnp.any(wz != 0.0), poison, lambda o: o, out)
+    return out.T.reshape(nz, ny, nx), None
 
 
 def spatial_pixel_mapping(wcs_in: WCS, wcs_out: WCS, shape_out):
@@ -225,7 +239,8 @@ def _spline_spatial_then_z(data, zs, ys, xs, order):
         out, wn = _spline_nonseparable_resample(fz, wz, ycl, xcl, order)
     valid = jnp.asarray(yvalid & xvalid)[None, :, :] & \
         jnp.asarray(zvalid)[:, None, None]
-    out = jnp.where(wn > 1e-6, jnp.nan, out)
+    if wn is not None:     # nonseparable path poisons inside its cond
+        out = jnp.where(wn > 1e-6, jnp.nan, out)
     return jnp.where(valid, out, jnp.nan)
 
 
@@ -337,27 +352,43 @@ def _bilinear_spatial_then_linear_z(data, zs, ys, xs, order):
     sep = _separable_resample(fz, wz, y0, y1, wy, x0, x1, wx, order)
     if sep is not None:
         out, wn = sep
+        out = jnp.where(wn > 1e-6, jnp.nan, out)
     else:
         corners = ((y0, x0, (1 - wy) * (1 - wx)), (y0, x1, (1 - wy) * wx),
                    (y1, x0, wy * (1 - wx)), (y1, x1, wy * wx))
         # channels-minor layout (see _spline_nonseparable_resample): row
         # gathers over (space, nz) beat plane-strided column gathers
         flat_f = fz.reshape(nz, ny_in * nx_in).T
-        flat_w = wz.reshape(nz, ny_in * nx_in).T
-        out = jnp.zeros((ny * nx, nz), fz.dtype)
-        wn = jnp.zeros((ny * nx, nz), jnp.float32)
-        for yy, xx, w in corners:
-            idx = jnp.asarray((yy * nx_in + xx).ravel())
-            wj = jnp.asarray(w.ravel())[:, None]
-            out = out + jnp.take(flat_f, idx, axis=0) * wj
-            wn = wn + jnp.take(flat_w, idx, axis=0) * wj
-            if order == 0:
-                break
+
+        def gathers(flat):
+            acc = jnp.zeros((ny * nx, nz), flat.dtype)
+            for yy, xx, w in corners:
+                idx = jnp.asarray((yy * nx_in + xx).ravel())
+                wj = jnp.asarray(w.ravel())[:, None]
+                acc = acc + jnp.take(flat, idx, axis=0) * wj
+                if order == 0:
+                    break
+            return acc
+
+        out = gathers(flat_f)
+
+        def poison(o):
+            # NaN-weight gathers only run for cubes that actually hold
+            # NaN: on an all-finite cube they are half of the gather
+            # traffic plus the mask materialization, and lax.cond skips
+            # expensive gather chains profitably (CLAUDE.md).  The weight
+            # cube is recomputed from ``data`` INSIDE the branch — a
+            # closed-over traced wz would be hoisted as a cond operand
+            # and computed unconditionally.
+            wzl = zlerp(jnp.isnan(data).astype(jnp.float32))
+            wn_flat = gathers(wzl.reshape(nz, ny_in * nx_in).T)
+            return jnp.where(wn_flat > 1e-6, jnp.nan, o)
+
+        import jax.lax as lax
+        out = lax.cond(jnp.isnan(data).any(), poison, lambda o: o, out)
         out = out.T.reshape(nz, ny, nx)
-        wn = wn.T.reshape(nz, ny, nx)
     valid = jnp.asarray((yvalid & xvalid)[None, :, :]) & \
         jnp.asarray(zvalid)[:, None, None]
-    out = jnp.where(wn > 1e-6, jnp.nan, out)
     return jnp.where(valid, out, jnp.nan)
 
 

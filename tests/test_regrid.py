@@ -4,6 +4,7 @@
 import warnings
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -1075,3 +1076,92 @@ def test_reproject_order_names_and_errors(cube_adv):
     fin = np.isfinite(got) & np.isfinite(exp)
     assert fin.any()
     np.testing.assert_allclose(got[fin], exp[fin], rtol=1e-5, atol=1e-6)
+
+
+def test_rotated_bilinear_nan_poisoning_matches_staged_oracle():
+    """The nonseparable (rotated) bilinear path gates its NaN-weight
+    gathers behind lax.cond (ops/regrid._bilinear_spatial_then_linear_z);
+    this drives the poison branch against an independent float64
+    corner-gather replicate.  Reference semantics: reproject's
+    map_coordinates NaN handling, spectral_cube.py:2726-2732."""
+    from spectral_cube_tpu.ops.regrid import _bilinear_spatial_then_linear_z
+    rng = np.random.RandomState(21)
+    n = 32
+    data = rng.rand(3, n, n).astype(np.float32)
+    data[1, 10:13, 20] = np.nan
+    data[2] = np.nan                       # all-NaN channel
+    zs = np.arange(3, dtype=np.float64)
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    th = 0.1
+    c0 = (n - 1) / 2.0
+    ys = c0 + np.cos(th) * (yy - c0) + np.sin(th) * (xx - c0)
+    xs = c0 - np.sin(th) * (yy - c0) + np.cos(th) * (xx - c0)
+    got = np.asarray(jax.jit(
+        lambda d: _bilinear_spatial_then_linear_z(d, zs, ys, xs, 1))(
+            jnp.asarray(data)))
+
+    # independent float64 staged replicate
+    yv = (ys >= -1e-3) & (ys <= n - 1 + 1e-3)
+    xv = (xs >= -1e-3) & (xs <= n - 1 + 1e-3)
+    ycl = np.clip(np.nan_to_num(ys), 0, n - 1)
+    xcl = np.clip(np.nan_to_num(xs), 0, n - 1)
+    y0 = np.clip(ycl.astype(np.int64), 0, n - 2)
+    x0 = np.clip(xcl.astype(np.int64), 0, n - 2)
+    wy = ycl - y0
+    wx = xcl - x0
+    filled = np.nan_to_num(data).astype(np.float64)
+    mask = np.isnan(data).astype(np.float64)
+    out = np.zeros((3, n, n))
+    wn = np.zeros((3, n, n))
+    for yy2, xx2, w in ((y0, x0, (1 - wy) * (1 - wx)),
+                        (y0, x0 + 1, (1 - wy) * wx),
+                        (y0 + 1, x0, wy * (1 - wx)),
+                        (y0 + 1, x0 + 1, wy * wx)):
+        out += filled[:, yy2, xx2] * w
+        wn += mask[:, yy2, xx2] * w
+    exp = np.where(wn > 1e-6, np.nan, out)
+    exp = np.where((yv & xv)[None], exp, np.nan)
+    assert np.array_equal(np.isnan(got), np.isnan(exp))
+    fin = np.isfinite(exp)
+    np.testing.assert_allclose(got[fin], exp[fin], rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_rotated_spline_nan_poisoning(order):
+    """The spline nonseparable path's cond-gated NaN branch: NaN inputs
+    poison (at least) their spline support; pixels far from any hole are
+    bit-identical to the all-finite run (the clean branch)."""
+    from spectral_cube_tpu.ops.regrid import _bilinear_spatial_then_linear_z
+    rng = np.random.RandomState(22)
+    n = 32
+    clean = rng.rand(3, n, n).astype(np.float32)
+    dirty = clean.copy()
+    dirty[1, 14:16, 15] = np.nan
+    zs = np.arange(3, dtype=np.float64)
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    th = 0.12
+    c0 = (n - 1) / 2.0
+    ys = c0 + np.cos(th) * (yy - c0) + np.sin(th) * (xx - c0)
+    xs = c0 - np.sin(th) * (yy - c0) + np.cos(th) * (xx - c0)
+    f = jax.jit(lambda d: _bilinear_spatial_then_linear_z(
+        d, zs, ys, xs, order))
+    got_clean = np.asarray(f(jnp.asarray(clean)))
+    got_dirty = np.asarray(f(jnp.asarray(dirty)))
+    # channels 0/2 never touch the hole: identical through either branch
+    np.testing.assert_array_equal(got_dirty[0], got_clean[0])
+    np.testing.assert_array_equal(got_dirty[2], got_clean[2])
+    new_nan = np.isnan(got_dirty[1]) & ~np.isnan(got_clean[1])
+    assert new_nan.any()
+    # every output whose (order+1)^2 tap window touches the hole is NaN
+    base = np.round if order == 2 else np.floor
+    yb = base(np.clip(ys, 0, n - 1)).astype(int)
+    xb = base(np.clip(xs, 0, n - 1)).astype(int)
+    touches = np.zeros((n, n), bool)
+    offs = (-1, 0, 1) if order == 2 else (-1, 0, 1, 2)
+    for dy in offs:
+        for dx in offs:
+            iy = np.clip(yb + dy, 0, n - 1)
+            ix = np.clip(xb + dx, 0, n - 1)
+            touches |= (iy >= 14) & (iy <= 15) & (ix == 15)
+    valid1 = np.isfinite(got_clean[1])
+    assert np.isnan(got_dirty[1])[touches & valid1].all()
