@@ -954,6 +954,13 @@ def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
     else:
         gxa, mxa, rxa = gxb, mxb, rxb
 
+    # channel blocking was probed here (CB=4 grid steps, operators are
+    # channel-invariant): stage B measured 0.579 ms vs 0.479 at CB=1 —
+    # the per-sub-channel pl.when branches and the 4x block VMEM cost
+    # more than the per-step overhead saved (probe_c3_cb.py's clean
+    # kernel DID gain 0.378 -> 0.343, but not with the NaN machinery)
+    CB = 1
+
     def kernel(x_ref, gy_ref, gx_ref, my_ref, mx_ref, ry_ref, rx_ref,
                vp_ref, o_ref, *scratch):
         if dense_x:
@@ -966,34 +973,36 @@ def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
             convG = _make_conv(r, dimsG, startsG, tG, uG, wG)
             convM = _make_conv(r, dimsM, startsM, tM, uM, wM)
             convR = _make_conv(1, dimsR, startsR, tR, uR, wR)
-        Z = x_ref[0]
-        bad = jnp.isnan(Z)
-        some_bad = jnp.any(bad)
+        for j in range(CB):
+            Z = x_ref[j]
+            bad = jnp.isnan(Z)
+            some_bad = jnp.any(bad)
 
-        @pl.when(jnp.logical_not(some_bad))
-        def _():
-            o_ref[0] = convG(gy_ref, gx_ref, Z)
+            @pl.when(jnp.logical_not(some_bad))
+            def _(j=j, Z=Z):
+                o_ref[j] = convG(gy_ref, gx_ref, Z)
 
-        @pl.when(some_bad)
-        def _():
-            badf = bad.astype(jnp.float32)
-            num = convM(my_ref, mx_ref, jnp.where(bad, 0.0, Z))
-            den = 1.0 - convM(my_ref, mx_ref, badf)
-            nanc = den <= _DEN_EPS
-            # all-NaN channel: the conv output is NaN everywhere
-            nanc = jnp.logical_or(nanc, jnp.logical_not(jnp.any(~bad)))
-            c_ref[...] = jnp.where(nanc, 0.0, num
-                                   / jnp.where(nanc, 1.0, den))
-            out = convR(ry_ref, rx_ref, c_ref[...])
-            wn = convR(ry_ref, rx_ref, nanc.astype(jnp.float32))
-            o_ref[0] = jnp.where(wn > _DEN_EPS, jnp.nan, out)
+            @pl.when(some_bad)
+            def _(j=j, Z=Z, bad=bad):
+                badf = bad.astype(jnp.float32)
+                num = convM(my_ref, mx_ref, jnp.where(bad, 0.0, Z))
+                den = 1.0 - convM(my_ref, mx_ref, badf)
+                nanc = den <= _DEN_EPS
+                # all-NaN channel: the conv output is NaN everywhere
+                nanc = jnp.logical_or(nanc,
+                                      jnp.logical_not(jnp.any(~bad)))
+                c_ref[...] = jnp.where(nanc, 0.0, num
+                                       / jnp.where(nanc, 1.0, den))
+                out = convR(ry_ref, rx_ref, c_ref[...])
+                wn = convR(ry_ref, rx_ref, nanc.astype(jnp.float32))
+                o_ref[j] = jnp.where(wn > _DEN_EPS, jnp.nan, out)
 
-        o_ref[0] = jnp.where(vp_ref[...] != 0.0, o_ref[0], jnp.nan)
+            o_ref[j] = jnp.where(vp_ref[...] != 0.0, o_ref[j], jnp.nan)
 
     fn = pl.pallas_call(
-        kernel, grid=(nchan,),
+        kernel, grid=(nchan // CB,),
         in_specs=[
-            pl.BlockSpec((1, ny_in, nx_in), lambda c: (c, 0, 0)),
+            pl.BlockSpec((CB, ny_in, nx_in), lambda c: (c, 0, 0)),
             pl.BlockSpec(gyb.shape, lambda c: (0,) * gyb.ndim),
             pl.BlockSpec(gxa.shape, lambda c: (0,) * gxa.ndim),
             pl.BlockSpec(myb.shape, lambda c: (0,) * myb.ndim),
@@ -1002,7 +1011,7 @@ def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
             pl.BlockSpec(rxa.shape, lambda c: (0,) * rxa.ndim),
             pl.BlockSpec((ny_out, nx_out), lambda c: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, ny_out, nx_out), lambda c: (c, 0, 0)),
+        out_specs=pl.BlockSpec((CB, ny_out, nx_out), lambda c: (c, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nchan, ny_out, nx_out),
                                        jnp.float32),
         scratch_shapes=scr,
