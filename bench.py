@@ -323,6 +323,10 @@ def bench_config4():
     # once more and writes one component (+ (4+1)/8 of a cube pass)
     _note("config4 reproject+stokes", per,
           data_np.size * 4 * 2 + data_np.size * 4 * 5 // 8)
+    # the ~25% above the line: the shift-lerp's VPU work (~6 ops/voxel
+    # ~= 0.05 ms) does not hide fully under the DMA stream, plus 512
+    # per-grid-step pipeline overheads (~0.1-0.15 us each, cf. the
+    # probe_c3_cb.py channel-blocking measurement)
     return {"metric": "reproject_stokes_iquv_throughput",
             "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
             "vs_baseline": round((gvox / per) / (gvox / t_base), 2)}
