@@ -61,6 +61,7 @@ _FSMAX = {1: 6, 2: 14, 4: 25}
 _N_RANDOM = 10000
 # CFITSIO's reserved int32 sentinels for quantized tiles
 _NULL_VALUE = -2147483647       # quantized NaN (when ZBLANK is absent)
+_UNQUANT_CHUNK_PX = 1 << 24     # unquantize chunk: ~128 MB f64 temporaries
 _ZERO_VALUE = -2147483646       # exact 0.0 under SUBTRACTIVE_DITHER_2
 
 
@@ -623,26 +624,46 @@ def decompress_image_hdu(header, table_buf, heap_buf):
                     int(npix_arr[row]), comp_dtype))
 
     if quantized and len(prim_idx):
-        # vectorized unquantize over all primary tiles: per-pixel scale /
-        # zero / dither / null via np.repeat of the per-tile columns
+        # vectorized unquantize over the primary tiles: per-pixel scale /
+        # zero / dither / null via np.repeat of the per-tile columns,
+        # CHUNKED over tile groups so the repeat/dither temporaries stay
+        # O(chunk) instead of ~6x the image size in host RAM
         npx = npix_arr[prim_idx]
-        sc_px = np.repeat(zscale[prim_idx] if zscale is not None
-                          else np.ones(len(prim_idx)), npx)
-        zr_px = np.repeat(zzero[prim_idx] if zzero is not None
-                          else np.zeros(len(prim_idx)), npx)
-        iv = ivals_prim.astype(np.float64)
-        if dither_method:
-            dith = _dither_values_batch(prim_idx + 1, zdither0, npx)
-            fv = (iv - dith + 0.5) * sc_px + zr_px
-        else:
-            fv = iv * sc_px + zr_px
-        if dither_method == 2:
-            fv[ivals_prim == _ZERO_VALUE] = 0.0
-        if zblank is not None:
-            null_px = np.repeat(zblank[prim_idx], npx)
-            fv[ivals_prim == null_px] = np.nan
-        else:
-            fv[ivals_prim == _NULL_VALUE] = np.nan
+        tile_off = np.zeros(len(prim_idx), dtype=np.int64)
+        np.cumsum(npx[:-1], out=tile_off[1:])
+        fv = ivals_prim.astype(np.float64)
+        chunk_px = _UNQUANT_CHUNK_PX
+        lo = 0
+        while lo < len(prim_idx):
+            hi = lo + 1
+            while hi < len(prim_idx) and \
+                    int(tile_off[hi] + npx[hi] - tile_off[lo]) <= chunk_px:
+                hi += 1
+            a = int(tile_off[lo])
+            b = int(tile_off[hi - 1] + npx[hi - 1])
+            iv = ivals_prim[a:b]
+            seg = fv[a:b]
+            sc_px = np.repeat(zscale[prim_idx[lo:hi]]
+                              if zscale is not None
+                              else np.ones(hi - lo), npx[lo:hi])
+            zr_px = np.repeat(zzero[prim_idx[lo:hi]]
+                              if zzero is not None
+                              else np.zeros(hi - lo), npx[lo:hi])
+            if dither_method:
+                dith = _dither_values_batch(prim_idx[lo:hi] + 1,
+                                            zdither0, npx[lo:hi])
+                seg[:] = (seg - dith + 0.5) * sc_px + zr_px
+            else:
+                seg *= sc_px
+                seg += zr_px
+            if dither_method == 2:
+                seg[iv == _ZERO_VALUE] = 0.0
+            if zblank is not None:
+                null_px = np.repeat(zblank[prim_idx[lo:hi]], npx[lo:hi])
+                seg[iv == null_px] = np.nan
+            else:
+                seg[iv == _NULL_VALUE] = np.nan
+            lo = hi
         # scatter into flat (primary tiles may interleave with fallback)
         if len(fb_idx) == 0:
             flat = fv
@@ -819,7 +840,12 @@ def _quantize_rows(rows2d, qlevel, dither_method, zdither0,
             qr = np.where(q >= 0, np.floor(q + 0.5), np.ceil(q - 0.5))
             qr = np.where(finite, qr, _NULL_VALUE)
             qr = np.where(np.isfinite(qr), qr, _NULL_VALUE)
-        ichunk = qr.astype(np.int32)
+            # cbad rows can hold values beyond int32: clip before the
+            # cast (their ints are discarded — the raw tile is stored
+            # losslessly) so no RuntimeWarning escapes under -W error
+            qr = np.clip(qr, np.iinfo(np.int32).min,
+                         np.iinfo(np.int32).max)
+            ichunk = qr.astype(np.int32)
         if dither_method == 2:
             ichunk[finite & (v == 0.0)] = _ZERO_VALUE
         ichunk[empty] = _NULL_VALUE
@@ -860,6 +886,13 @@ def compressed_image_blocks(data, header=None, cmptype="RICE_1",
         bitpix = -32 if data.dtype.itemsize == 4 else -64
         comp_dtype = np.dtype(">f4" if bitpix == -32 else ">f8")
         if quantize_level is not None:
+            if not np.isfinite(quantize_level) or \
+                    float(quantize_level) == 0.0:
+                # level 0 would divide the noise estimate by zero and
+                # write ZSCALE=inf files that read back all-NaN
+                raise ValueError(
+                    "quantize_level must be a nonzero finite number "
+                    f"(got {quantize_level!r})")
             quantizing = True
             comp_dtype = np.dtype(">i4")
         elif cmptype.startswith("RICE"):
@@ -957,7 +990,9 @@ def compressed_image_blocks(data, header=None, cmptype="RICE_1",
             ints2d, zscales, zzeros, bad = _quantize_rows(
                 rows2d, float(quantize_level), dither_method,
                 int(dither_seed))
-            any_null = bool(np.isnan(rows2d).any())
+            # infs quantize to the null sentinel too: ZBLANK must cover
+            # every non-finite pixel or external readers unscale garbage
+            any_null = not bool(np.isfinite(rows2d).all())
             for row in range(ntiles):
                 if bad[row]:
                     tiles_raw[row] = rows2d[row]
@@ -974,7 +1009,7 @@ def compressed_image_blocks(data, header=None, cmptype="RICE_1",
                     tiles_raw[row] = tvals
                 else:
                     tiles_ints[row], zscales[row], zzeros[row] = q
-                    if np.isnan(tvals).any():
+                    if not np.isfinite(tvals).all():
                         any_null = True
             elif comp_dtype.kind == "f":
                 tiles_raw[row] = tvals    # lossless float: always gzip

@@ -455,3 +455,79 @@ def test_multi_axis_tiles(tmp_path):
     img_hdr, out = decompress_image_hdu(Header(hdr), payload[:table_len],
                                         payload[table_len:])
     np.testing.assert_array_equal(out, data)
+
+
+def test_inf_pixels_set_zblank_both_paths():
+    """inf quantizes to the null sentinel like NaN, so ZBLANK must be
+    written even when no NaN is present — without it an external reader
+    (CFITSIO/astropy) unscales the sentinel to a bogus finite value."""
+    data = (np.arange(2 * 8 * 8, dtype=np.float32) / 37.0).reshape(2, 8, 8)
+    data[1, 3, 3] = np.inf
+    data[0, 2, 5] = -np.inf
+    # vectorized uniform-tile path (default row tiling, GZIP avoids the
+    # fused native RICE path so the pure-Python quantizer is exercised)
+    chdr, payload = compressed_image_blocks(
+        data, cmptype="GZIP_1", quantize_level=-0.001, dither="NO_DITHER")
+    assert int(chdr["ZBLANK"]) == -2147483647
+    tbl = int(chdr["NAXIS1"]) * int(chdr["NAXIS2"])
+    _, out = decompress_image_hdu(Header(chdr), payload[:tbl],
+                                  payload[tbl:])
+    assert np.isnan(out[1, 3, 3]) and np.isnan(out[0, 2, 5])
+    fin = np.isfinite(data)
+    assert np.isfinite(out[fin]).all()
+    # per-tile path (non-uniform tiling)
+    chdr2, _ = compressed_image_blocks(
+        data, cmptype="GZIP_1", quantize_level=-0.001, dither="NO_DITHER",
+        tile=[5, 3, 2])
+    assert int(chdr2["ZBLANK"]) == -2147483647
+
+
+def test_quantize_level_zero_rejected():
+    """quantize_level == 0 would divide the noise estimate by zero and
+    write ZSCALE=inf files whose pixels all read back NaN: reject it."""
+    data = np.ones((2, 4, 4), dtype=np.float32)
+    with pytest.raises(ValueError, match="quantize_level"):
+        compressed_image_blocks(data, quantize_level=0.0)
+    with pytest.raises(ValueError, match="quantize_level"):
+        compressed_image_blocks(data, quantize_level=np.inf)
+
+
+def test_wide_range_tile_write_warning_free():
+    """A tile whose dynamic range exceeds int32 is stored losslessly; the
+    discarded quantization attempt must not leak a cast RuntimeWarning
+    (crashes under -W error / pytest filterwarnings=error)."""
+    import warnings
+    rng = np.random.RandomState(77)
+    data = rng.randn(4, 2, 64).astype(np.float32)
+    data[1, 0, 3] = 1e15                   # span/delta >> 2^31 -> cbad row
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        chdr, payload = compressed_image_blocks(
+            data, cmptype="GZIP_1", quantize_level=4.0, dither="NO_DITHER")
+    tbl = int(chdr["NAXIS1"]) * int(chdr["NAXIS2"])
+    _, out = decompress_image_hdu(Header(chdr), payload[:tbl],
+                                  payload[tbl:])
+    # the wide tile (one 64-px row under the default row tiling) comes
+    # back exactly via the lossless fallback column
+    np.testing.assert_array_equal(out[1, 0], data[1, 0])
+
+
+def test_unquantize_chunking_exact(monkeypatch):
+    """The chunked unquantize path (bounds host temporaries on the
+    non-native decode) is bit-identical across chunk sizes."""
+    from spectral_cube_tpu.io import tile_compress as tc
+    rng = np.random.RandomState(5)
+    data = (rng.randn(6, 5, 32) * 3).astype(np.float32)
+    data[2, 1, 7] = np.nan
+    chdr, payload = compressed_image_blocks(
+        data, cmptype="GZIP_1", quantize_level=-0.01,
+        dither="SUBTRACTIVE_DITHER_1", dither_seed=42)
+    tbl = int(chdr["NAXIS1"]) * int(chdr["NAXIS2"])
+    _, ref = decompress_image_hdu(Header(chdr), payload[:tbl],
+                                  payload[tbl:])
+    monkeypatch.setattr(tc, "_UNQUANT_CHUNK_PX", 7)  # force many chunks
+    _, out = decompress_image_hdu(Header(chdr), payload[:tbl],
+                                  payload[tbl:])
+    np.testing.assert_array_equal(
+        np.asarray(out, dtype=np.float64),
+        np.asarray(ref, dtype=np.float64))
