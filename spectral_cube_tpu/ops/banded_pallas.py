@@ -38,7 +38,7 @@ __all__ = ["plan_strips", "strip_blocks", "banded_matmul_strips",
            "per_channel_conv_strips",
            "per_channel_resample_strips", "per_channel_resample_raw_strips",
            "per_channel_shift_lerp", "per_channel_plain_strips",
-           "conv_reproject_raw_strips"]
+           "conv_reproject_raw_strips", "pipeline_fused_raw_strips"]
 
 # normalized-convolution denominator floor shared with every dense path
 # (CLAUDE.md: f32 HIGHEST chains reconstruct an exact 0 only to ~1e-7)
@@ -1020,6 +1020,254 @@ def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
               jnp.asarray(gxa), jnp.asarray(myb), jnp.asarray(mxa),
               jnp.asarray(ryb), jnp.asarray(rxa),
               jnp.asarray(valid_plane))
+
+
+def pipeline_fused_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
+                              coords_c, mask_fn=None, interpret=False,
+                              dense_x=None, cb=None):
+    """Whole-pipeline fusion: masked moments + statistics accumulate in
+    VMEM *during* the fused convolve+reproject's read of the cube.
+
+    The pipeline (BASELINE config #5 / pipeline.run_pipeline stages)
+    otherwise runs two Pallas programs — moments+stats (one cube read)
+    then convolve+reproject (read + write) — so the cube crosses HBM
+    three times.  Here the conv kernel's grid already streams every
+    channel block through VMEM; the moment sums ride that stream as
+    revisited accumulator planes (constant output block index), cutting
+    HBM traffic to two passes, and the accumulation is VPU work that
+    overlaps the conv's MXU dots.  Channels are processed ``CB`` per grid
+    step (the operators are channel-invariant, so blocking only amortizes
+    per-step overhead; probe_c3_cb.py measured 0.378 -> 0.343 ms for the
+    clean conv at CB=4) with the NaN normalized-convolution machinery
+    gated at BLOCK level: an all-clean block runs the composed-G path
+    with no per-channel branches, a block containing NaN falls to the
+    exact per-channel semantics of ``conv_reproject_raw_strips``.
+
+    One-pass moment numerics: the per-spaxel sums S0/S1/S2 (about the
+    caller-centered ``coords_c``) and the raw data sums for statistics
+    are accumulated as Neumaier pairs (ops/df32) — sequential channel
+    order forbids the two-pass centering moments_012_pallas uses, and a
+    plain f32 running sum would lose ~n*eps; the pairs keep ~1e-14 so the
+    caller's pair-space finalization (ops/pipeline_fused) reproduces the
+    two-pass results inside 1e-6 even for a narrow line far from the
+    coordinate center.  Reference math:
+    ``/root/reference/spectral_cube/_moments.py:170-193`` (moments) and
+    ``dask_spectral_cube.py:257-333`` (the dask pipeline graph this
+    replaces).
+
+    ``coords_c``: (nchan,) float, centered spectral coordinates;
+    ``mask_fn``: optional block -> bool include predicate (data-local
+    mask), evaluated in VMEM.  Other arguments as
+    ``conv_reproject_raw_strips``.  Returns ``(out, planes)`` with
+    ``planes = (s0h, s0l, s1h, s1l, s2h, s2l, qh, ql, cnt, mn, mx)``
+    per-spaxel (ny_in, nx_in) float32 planes (q = sum of squared masked
+    data), or None when infeasible.
+    """
+    from .df32 import two_sum, two_prod
+
+    if not _backend_ok(interpret):
+        return None
+    nchan, ny_in, nx_in = raw.shape
+    Gy = np.asarray(Gy, np.float32)
+    Gx = np.asarray(Gx, np.float32)
+    My = np.asarray(My, np.float32)
+    Mx = np.asarray(Mx, np.float32)
+    Ry = np.asarray(Ry, np.float32)
+    Rx = np.asarray(Rx, np.float32)
+    r = Gy.shape[1]
+    ny_out, nx_out = Gy.shape[2], Gx.shape[2]
+    if not (_rect_gates(ny_in, nx_in, ny_out, nx_out)
+            and ny_in % 8 == 0 and nx_in % 128 == 0):
+        return None
+    ppG = _plan_pair(Gy, Gx)
+    ppM = _plan_pair(My, Mx)
+    ppR = _plan_pair(Ry, Rx)
+    if ppG is None or ppM is None or ppR is None:
+        return None
+
+    def unpack(pp, n_mid_out, n_x_out):
+        (m_y, K_y), (m_x, K_x), (yb, ys), (xb, xs) = pp
+        nb_y, nb_x = yb.shape[2], xb.shape[2]
+        dims = ((m_y, K_y, nb_y, n_mid_out), (m_x, K_x, nb_x, n_x_out))
+        return dims, (ys, xs), yb, xb, nb_y * m_y, nb_x * m_x
+
+    dimsG, startsG, gyb, gxb, nbmG_y, nbmG_x = unpack(ppG, ny_out, nx_out)
+    dimsM, startsM, myb, mxb, nbmM_y, nbmM_x = unpack(ppM, ny_in, nx_in)
+    dimsR, startsR, ryb, rxb, nbmR_y, nbmR_x = unpack(ppR, ny_out, nx_out)
+
+    gxT, mxT, rxT = _dense_xT(Gx), _dense_xT(Mx), _dense_xT(Rx)
+    scr_dx = [
+        pltpu.VMEM((nbmG_y, nx_in), jnp.float32),
+        pltpu.VMEM((nbmM_y, nx_in), jnp.float32),
+        pltpu.VMEM((nbmR_y, nx_in), jnp.float32),
+        pltpu.VMEM((ny_in, nx_in), jnp.float32),
+    ]
+    scr_st = [
+        pltpu.VMEM((nbmG_y, nx_in), jnp.float32),
+        pltpu.VMEM((nx_in, ny_out), jnp.float32),
+        pltpu.VMEM((nbmG_x, ny_out), jnp.float32),
+        pltpu.VMEM((nbmM_y, nx_in), jnp.float32),
+        pltpu.VMEM((nx_in, ny_in), jnp.float32),
+        pltpu.VMEM((nbmM_x, ny_in), jnp.float32),
+        pltpu.VMEM((nbmR_y, nx_in), jnp.float32),
+        pltpu.VMEM((nx_in, ny_out), jnp.float32),
+        pltpu.VMEM((nbmR_x, ny_out), jnp.float32),
+        pltpu.VMEM((ny_in, nx_in), jnp.float32),
+    ]
+    planes_bytes = 11 * ny_in * nx_in * 4
+
+    def _fits(CB, use_dense):
+        scr = scr_dx if use_dense else scr_st
+        op_bytes = (gyb.size + myb.size + ryb.size) * 4 \
+            + ((gxT.size + mxT.size + rxT.size) * 4 if use_dense
+               else (gxb.size + mxb.size + rxb.size) * 4)
+        blk = 2 * CB * (ny_in * nx_in + ny_out * nx_out) * 4
+        tot = blk + planes_bytes + op_bytes + ny_out * nx_out * 4 \
+            + sum(int(np.prod(s.shape)) for s in scr) * 4
+        return tot <= _VMEM_BUDGET
+
+    if dense_x is None:
+        dense_x = _fits(1, True)
+    elif dense_x and not _fits(1, True):
+        dense_x = False
+    cb_candidates = (cb,) if cb else (4, 2, 1)
+    for CB in cb_candidates:
+        if nchan % CB == 0 and _fits(CB, dense_x):
+            break
+    else:
+        return None
+
+    valid_plane = np.asarray(valid_plane, np.float32)
+    gxa, mxa, rxa = (gxT, mxT, rxT) if dense_x else (gxb, mxb, rxb)
+    nsteps = nchan // CB
+    xc = np.asarray(coords_c, np.float32).reshape(nsteps, CB)
+
+    def kernel(x_ref, xc_ref, gy_ref, gx_ref, my_ref, mx_ref, ry_ref,
+               rx_ref, vp_ref, o_ref, s0h, s0l, s1h, s1l, s2h, s2l,
+               qh, ql, cnt, mn, mxp, *scratch):
+        c = pl.program_id(0)
+        if dense_x:
+            tG, tM, tR, c_ref = scratch
+            convG = _make_conv_dx(r, dimsG[0], startsG[0], tG)
+            convM = _make_conv_dx(r, dimsM[0], startsM[0], tM)
+            convR = _make_conv_dx(1, dimsR[0], startsR[0], tR)
+        else:
+            tG, uG, wG, tM, uM, wM, tR, uR, wR, c_ref = scratch
+            convG = _make_conv(r, dimsG, startsG, tG, uG, wG)
+            convM = _make_conv(r, dimsM, startsM, tM, uM, wM)
+            convR = _make_conv(1, dimsR, startsR, tR, uR, wR)
+
+        @pl.when(c == 0)
+        def _():
+            for ref in (s0h, s0l, s1h, s1l, s2h, s2l, qh, ql, cnt):
+                ref[...] = jnp.zeros_like(ref[...])
+            mn[...] = jnp.full_like(mn[...], jnp.inf)
+            mxp[...] = jnp.full_like(mxp[...], -jnp.inf)
+
+        def _acc2(h, l, vh, vl):
+            # add the exact pair (vh, vl) into the accumulator pair:
+            # error-free two_sum on the high parts, low parts ride along
+            # (their own rounding is second-order)
+            s, e = two_sum(h[...], vh)
+            l[...] = l[...] + (e + vl)
+            h[...] = s
+
+        bads = []
+        for j in range(CB):
+            Z = x_ref[j]
+            bads.append(jnp.any(jnp.isnan(Z)))
+            fin = jnp.isfinite(Z)
+            valid = fin if mask_fn is None \
+                else jnp.logical_and(fin, mask_fn(Z))
+            w = jnp.where(valid, Z, 0.0).astype(jnp.float32)
+            t = xc_ref[0, j]
+            # products are formed EXACTLY (Dekker two_prod): a plain
+            # f32 w*t*t rounds each term at 6e-8 of t^2 — for a narrow
+            # line far from the coordinate center that alone puts
+            # ~1e-4 relative error on mom2 (measured in
+            # tests/test_pipeline_fused's adversarial case); with exact
+            # products + pair accumulation the one-pass form matches the
+            # two-pass kernel at ~1e-7.  t itself is exact: channel
+            # coords minus their mean are half-integers.
+            t2h, t2l = two_prod(t, t)
+            _acc2(s0h, s0l, w, jnp.zeros_like(w))
+            p1h, p1l = two_prod(w, t)
+            _acc2(s1h, s1l, p1h, p1l)
+            p2h, p2l = two_prod(w, t2h)
+            _acc2(s2h, s2l, p2h, p2l + w * t2l)
+            pqh, pql = two_prod(w, w)
+            _acc2(qh, ql, pqh, pql)
+            cnt[...] = cnt[...] + valid.astype(jnp.float32)
+            mn[...] = jnp.minimum(mn[...], jnp.where(valid, Z, jnp.inf))
+            mxp[...] = jnp.maximum(mxp[...], jnp.where(valid, Z, -jnp.inf))
+
+        any_bad = bads[0]
+        for b in bads[1:]:
+            any_bad = jnp.logical_or(any_bad, b)
+
+        # all-clean block: composed-G path, no per-channel branches (the
+        # common case; per-sub-channel pl.when was measured 0.579 vs
+        # 0.479 ms at CB=4 — block-level gating keeps the clean path at
+        # the probe kernel's cost)
+        @pl.when(jnp.logical_not(any_bad))
+        def _():
+            for j in range(CB):
+                o_ref[j] = convG(gy_ref, gx_ref, x_ref[j])
+
+        @pl.when(any_bad)
+        def _():
+            # exact per-channel semantics of conv_reproject_raw_strips
+            for j in range(CB):
+                Z = x_ref[j]
+                bad = jnp.isnan(Z)
+
+                @pl.when(jnp.logical_not(bads[j]))
+                def _(j=j, Z=Z):
+                    o_ref[j] = convG(gy_ref, gx_ref, Z)
+
+                @pl.when(bads[j])
+                def _(j=j, Z=Z, bad=bad):
+                    badf = bad.astype(jnp.float32)
+                    num = convM(my_ref, mx_ref, jnp.where(bad, 0.0, Z))
+                    den = 1.0 - convM(my_ref, mx_ref, badf)
+                    nanc = den <= _DEN_EPS
+                    nanc = jnp.logical_or(nanc,
+                                          jnp.logical_not(jnp.any(~bad)))
+                    c_ref[...] = jnp.where(nanc, 0.0, num
+                                           / jnp.where(nanc, 1.0, den))
+                    out = convR(ry_ref, rx_ref, c_ref[...])
+                    wn = convR(ry_ref, rx_ref, nanc.astype(jnp.float32))
+                    o_ref[j] = jnp.where(wn > _DEN_EPS, jnp.nan, out)
+
+        for j in range(CB):
+            o_ref[j] = jnp.where(vp_ref[...] != 0.0, o_ref[j], jnp.nan)
+
+    plane = jax.ShapeDtypeStruct((ny_in, nx_in), jnp.float32)
+    plane_spec = pl.BlockSpec((ny_in, nx_in), lambda c: (0, 0))
+    fn = pl.pallas_call(
+        kernel, grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((CB, ny_in, nx_in), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, CB), lambda c: (c, 0)),
+            pl.BlockSpec(gyb.shape, lambda c: (0,) * gyb.ndim),
+            pl.BlockSpec(gxa.shape, lambda c: (0,) * gxa.ndim),
+            pl.BlockSpec(myb.shape, lambda c: (0,) * myb.ndim),
+            pl.BlockSpec(mxa.shape, lambda c: (0,) * mxa.ndim),
+            pl.BlockSpec(ryb.shape, lambda c: (0,) * ryb.ndim),
+            pl.BlockSpec(rxa.shape, lambda c: (0,) * rxa.ndim),
+            pl.BlockSpec((ny_out, nx_out), lambda c: (0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((CB, ny_out, nx_out), lambda c: (c, 0, 0)),)
+        + (plane_spec,) * 11,
+        out_shape=(jax.ShapeDtypeStruct((nchan, ny_out, nx_out),
+                                        jnp.float32),) + (plane,) * 11,
+        scratch_shapes=scr_dx if dense_x else scr_st,
+        interpret=interpret)
+    res = fn(jnp.asarray(raw, jnp.float32), jnp.asarray(xc),
+             jnp.asarray(gyb), jnp.asarray(gxa), jnp.asarray(myb),
+             jnp.asarray(mxa), jnp.asarray(ryb), jnp.asarray(rxa),
+             jnp.asarray(valid_plane))
+    return res[0], tuple(res[1:])
 
 
 def per_channel_shift_lerp(raw, sy, wy, sx, wx, valid_plane,

@@ -1,0 +1,112 @@
+"""Whole-pipeline fusion: masked moments + statistics + convolve +
+reproject in a single Pallas program (two HBM cube passes total).
+
+The BASELINE config-5 pipeline — the workload the reference runs as a
+dask graph (``/root/reference/spectral_cube/dask_spectral_cube.py:
+257-333``, one rechunk + one pass per op family) — has three stages on
+this side: fused masked moments+statistics (one cube read), fused
+convolve+reproject (read + write), and an elementwise combine.  The two
+Pallas programs cannot overlap, so the cube crosses HBM three times and
+the moments read is pure added wall time.
+
+``moments_conv_reproject_fused`` runs the whole thing as ONE kernel
+(banded_pallas.pipeline_fused_raw_strips): the moment/statistics sums
+accumulate in VMEM-resident planes while the conv kernel streams each
+channel block in, so their VPU work hides under the conv's MXU dots and
+the extra HBM pass disappears.  Because the kernel visits channels
+sequentially it cannot use moments_012_pallas's two-pass centering; the
+sums are Neumaier pairs (ops/df32) instead, and this module finalizes
+the cancelling forms (mom2, the per-spaxel centered second moment) in
+pair arithmetic, reproducing the two-pass results to ~1e-7 even for a
+narrow line far from the coordinate center (tests/test_pipeline_fused).
+
+Reference math: ``/root/reference/spectral_cube/_moments.py:170-193``
+(moments), ``np_compat.py:3-27`` (allbadtonan), and the statistics dict
+of ``dask_spectral_cube.statistics``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .df32 import df_add, df_sub, df_mul, df_div, df_collapse
+from .moments import _center, _recombine_statistics
+
+__all__ = ["moments_conv_reproject_fused"]
+
+
+def _pair(h, l):
+    return (h, l)
+
+
+def moments_conv_reproject_fused(data, kernel, ys, xs, coords, dx,
+                                 mask_expr=None, interpret=False,
+                                 dense_x=None, cb=None):
+    """Fused masked moments 0/1/2 + statistics + convolve + reproject.
+
+    Parameters match ``ops.moments.moments_012_pallas`` (``coords``,
+    ``dx``, data-local ``mask_expr``) plus
+    ``ops.regrid.convolve_reproject_separable`` (2-D ``kernel``, the
+    axis-aligned output mapping ``ys``/``xs``).
+
+    Returns ``(reprojected, mom0, mom1, mom2, stats)`` or None when any
+    gate fails (non-separable kernel, non-axis-aligned mapping, VMEM,
+    non-TPU backend) — callers fall back to the two-program chain.
+    """
+    from ..masks import is_data_local
+    from .regrid import _conv_reproject_operators
+    from .banded_pallas import pipeline_fused_raw_strips
+
+    data = jnp.asarray(data)
+    if data.ndim != 3:
+        return None
+    if mask_expr is not None and not is_data_local(mask_expr):
+        return None
+    ops = _conv_reproject_operators(data.shape, kernel, ys, xs,
+                                    force=interpret)
+    if ops is None:
+        return None
+    Gy, Gx, My, Mx, Ry, Rx, valid_np, _r = ops
+    coords_c, xbar = _center(coords)
+    mask_fn = None if mask_expr is None \
+        else (lambda block: mask_expr._include(data=block))
+    res = pipeline_fused_raw_strips(
+        data, Gy, Gx, My, Mx, Ry, Rx, valid_np, coords_c,
+        mask_fn=mask_fn, interpret=interpret, dense_x=dense_x, cb=cb)
+    if res is None:
+        return None
+    out, (s0h, s0l, s1h, s1l, s2h, s2l, qh, ql, cntf, mn, mx) = res
+
+    # ---- pair-space finalization (see module docstring) -------------
+    zero = jnp.zeros_like(s0h)
+    s0c = s0h + s0l
+    deg = s0c == 0
+    S0 = _pair(jnp.where(deg, 1.0, s0h), jnp.where(deg, 0.0, s0l))
+    S1 = _pair(s1h, s1l)
+    S2 = _pair(s2h, s2l)
+    q1 = df_div(S1, S0)                       # S1/S0 as a pair
+    some = cntf > 0
+    nan = jnp.asarray(jnp.nan, jnp.float32)
+    mom0 = jnp.where(some, s0c * np.float32(dx), nan)
+    mom1 = jnp.where(some, np.float32(xbar) + df_collapse(q1), nan)
+    # mom2 = S2/S0 - (S1/S0)^2, differenced in pair space: both terms
+    # carry ~1e-14 relative error, so the cancellation (up to ~1e4:1 for
+    # a narrow line far from xbar) costs nothing
+    mom2 = jnp.where(
+        some, df_collapse(df_sub(df_div(S2, S0), df_mul(q1, q1))), nan)
+
+    # statistics: per-spaxel centered second moment d2 = Q - S0^2/n in
+    # pair space (DC-offset robustness), then the shared plane-level
+    # recombination
+    ns = jnp.maximum(cntf, 1.0)
+    d2 = df_collapse(df_sub(_pair(qh, ql),
+                            df_div(df_mul(_pair(s0h, s0l),
+                                          _pair(s0h, s0l)),
+                                   _pair(ns, zero))))
+    d2 = jnp.where(some, jnp.maximum(d2, 0.0), 0.0)
+    stats = _recombine_statistics(s0h + s0l, cntf.astype(jnp.int32),
+                                  mn, mx, d2)
+    odt = data.dtype
+    return (out.astype(odt), mom0.astype(odt), mom1.astype(odt),
+            mom2.astype(odt), stats)

@@ -494,28 +494,23 @@ def _separable_resample(fz, wz, y0, y1, wy, x0, x1, wx, order):
             apply(wz, lax.Precision.DEFAULT))
 
 
-def convolve_reproject_separable(data, kernel, ys, xs):
-    """Fused common-beam convolve + axis-aligned reproject.
+def _conv_reproject_operators(shape, kernel, ys, xs, force=False):
+    """Host-side operator construction shared by the fused
+    convolve+reproject paths (``convolve_reproject_separable`` and the
+    whole-pipeline fusion in ``ops/pipeline_fused``): the SVD-separable
+    convolution factors M, the 2-tap resample matrices R, and their
+    composition G = R @ M per axis and rank.
 
-    Both stages are linear maps along y and x — the SVD-separable
-    convolution factors M and the 2-tap resample matrices R compose on the
-    host into G = R @ M per axis and rank, so an all-finite cube runs one
-    pair of banded einsums per rank instead of the chain's six matmul
-    passes (convolution numerator+denominator on both axes, resample
-    output+nan-weight).  Cubes containing NaN take the exact sequential
-    chain inside ``lax.cond`` (normalized convolution is nonlinear there).
-
-    Applicable when the kernel SVD-separates, the (ys, xs) mapping is
-    axis-aligned, and the spectral axis is untouched; returns None
-    otherwise so callers fall back to the two-stage path.
+    Returns ``(Gy, Gx, My, Mx, Ry, Rx, valid, r)`` (all numpy; G/M with
+    leading (1, r) dims, R with (1, 1), ``valid`` the in-range output
+    plane) or None when the kernel does not separate, the mapping is not
+    axis-aligned, or the size gates fail.
     """
-    import jax.lax as lax
     from .convolve import separable_factors, _conv_matrix_1d
-    from .interpolate import _interp_matrix
-    data = jnp.asarray(data)
-    nchan, ny_in, nx_in = data.shape
+    from .interpolate import _interp_matrix, compose_interp_banded
+    nchan, ny_in, nx_in = shape
     ny, nx = np.asarray(ys).shape
-    if not _use_matmul_resample() \
+    if not (_use_matmul_resample() or force) \
             or max(ny, nx, ny_in, nx_in) > _MATMUL_RESAMPLE_MAX_N:
         return None
     factors = separable_factors(np.asarray(kernel, dtype=np.float64)
@@ -539,7 +534,6 @@ def convolve_reproject_separable(data, kernel, ys, xs):
     r = ytaps.shape[1]
     if ny_in < 2 or nx_in < 2:
         return None   # singleton spatial dim: _interp_matrix needs 2 taps
-    from .interpolate import compose_interp_banded
     Ry = _interp_matrix(y0[:, 0], wy[:, 0], ny_in).astype(np.float64)
     Rx = _interp_matrix(x0[0, :], wx[0, :], nx_in).astype(np.float64)
     Gy_np = np.stack([compose_interp_banded(
@@ -548,6 +542,38 @@ def convolve_reproject_separable(data, kernel, ys, xs):
     Gx_np = np.stack([compose_interp_banded(
         x0[0, :], wx[0, :], _conv_matrix_1d(nx_in, xtaps[:, i]))
         .astype(np.float32) for i in range(r)], axis=0)[None]
+    My_np = np.stack([_conv_matrix_1d(ny_in, ytaps[:, i])
+                      .astype(np.float32) for i in range(r)])[None]
+    Mx_np = np.stack([_conv_matrix_1d(nx_in, xtaps[:, i])
+                      .astype(np.float32) for i in range(r)])[None]
+    return (Gy_np, Gx_np, My_np, Mx_np,
+            Ry.astype(np.float32)[None, None],
+            Rx.astype(np.float32)[None, None], (yvalid & xvalid), r)
+
+
+def convolve_reproject_separable(data, kernel, ys, xs):
+    """Fused common-beam convolve + axis-aligned reproject.
+
+    Both stages are linear maps along y and x — the SVD-separable
+    convolution factors M and the 2-tap resample matrices R compose on the
+    host into G = R @ M per axis and rank, so an all-finite cube runs one
+    pair of banded einsums per rank instead of the chain's six matmul
+    passes (convolution numerator+denominator on both axes, resample
+    output+nan-weight).  Cubes containing NaN take the exact sequential
+    chain inside ``lax.cond`` (normalized convolution is nonlinear there).
+
+    Applicable when the kernel SVD-separates, the (ys, xs) mapping is
+    axis-aligned, and the spectral axis is untouched; returns None
+    otherwise so callers fall back to the two-stage path.
+    """
+    import jax.lax as lax
+    data = jnp.asarray(data)
+    nchan, ny_in, nx_in = data.shape
+    ny, nx = np.asarray(ys).shape
+    ops = _conv_reproject_operators(data.shape, kernel, ys, xs)
+    if ops is None:
+        return None
+    Gy_np, Gx_np, My_np, Mx_np, Ry, Rx, valid_np, r = ops
     Gy = [jnp.asarray(Gy_np[0, i]) for i in range(r)]
     Gx = [jnp.asarray(Gx_np[0, i]) for i in range(r)]
 
@@ -556,14 +582,8 @@ def convolve_reproject_separable(data, kernel, ys, xs):
     # no lax.cond operand materialization, no isfinite prepass, no
     # validity where (all in-kernel)
     from .banded_pallas import conv_reproject_raw_strips
-    My_np = np.stack([_conv_matrix_1d(ny_in, ytaps[:, i])
-                      .astype(np.float32) for i in range(r)])[None]
-    Mx_np = np.stack([_conv_matrix_1d(nx_in, xtaps[:, i])
-                      .astype(np.float32) for i in range(r)])[None]
     fused_out = conv_reproject_raw_strips(
-        data, Gy_np, Gx_np, My_np, Mx_np,
-        Ry.astype(np.float32)[None, None], Rx.astype(np.float32)[None, None],
-        (yvalid & xvalid))
+        data, Gy_np, Gx_np, My_np, Mx_np, Ry, Rx, valid_np)
     if fused_out is not None:
         return fused_out.astype(data.dtype)
 
@@ -595,7 +615,7 @@ def convolve_reproject_separable(data, kernel, ys, xs):
 
     has_nan = jnp.any(~jnp.isfinite(data))
     out = lax.cond(has_nan, chain, fused, data)
-    valid = jnp.asarray(yvalid & xvalid)[None, :, :]
+    valid = jnp.asarray(valid_np)[None, :, :]
     return jnp.where(valid, out, jnp.nan).astype(data.dtype)
 
 
