@@ -73,9 +73,33 @@ def plan_strips(profile, max_m=256):
     K=128 — the old largest-m-first choice spent 12.5% of the MXU on
     zero rows.  Returns (m, K) or None."""
     nout, nin = profile.shape
-    rows = np.any(profile, axis=1)
-    lo = np.where(rows, profile.argmax(axis=1), 0)
-    hi = np.where(rows, nin - profile[:, ::-1].argmax(axis=1), 1)
+    # band edges via the nonzero COORDINATES, not per-row argmax: banded
+    # operators have O(n*band) nonzeros, and the reversed-view argmax the
+    # hi edge needs is strided (measured 490 ms of the 250 ms+ total at
+    # 8192 channels; this path is ~30 ms there).  Dense-ish profiles
+    # would blow the index arrays up to O(n^2) memory, so they keep the
+    # argmax form.
+    if np.count_nonzero(profile) <= 4_000_000:
+        nz = np.flatnonzero(profile.ravel())
+        rows = np.zeros(nout, bool)
+        lo = np.zeros(nout, np.int64)
+        hi = np.ones(nout, np.int64)
+        if nz.size:
+            r = nz // nin
+            c = nz % nin
+            rows[r] = True
+            lo_f = np.full(nout, nin, np.int64)
+            np.minimum.at(lo_f, r, c)
+            hi_f = np.zeros(nout, np.int64)
+            np.maximum.at(hi_f, r, c)
+            lo = np.where(rows, lo_f, 0)
+            hi = np.where(rows, hi_f + 1, 1)
+    else:
+        rows = np.any(profile, axis=1)
+        lo = np.where(rows, profile.argmax(axis=1), 0)
+        hi = np.where(rows,
+                      nin - np.ascontiguousarray(
+                          profile[:, ::-1]).argmax(axis=1), 1)
     for K in (128, 256, 512):
         if K > nin:
             break
