@@ -887,7 +887,7 @@ def per_channel_resample_raw_strips(raw, my, mx, group_idx,
 
 
 def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
-                              interpret=False):
+                              interpret=False, cb=None):
     """Fused convolve+reproject with the NaN branch per channel in VMEM.
 
     Clean channels apply the host-composed operator G = R @ M in one
@@ -978,12 +978,31 @@ def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
     else:
         gxa, mxa, rxa = gxb, mxb, rxb
 
-    # channel blocking was probed here (CB=4 grid steps, operators are
-    # channel-invariant): stage B measured 0.579 ms vs 0.479 at CB=1 —
-    # the per-sub-channel pl.when branches and the 4x block VMEM cost
-    # more than the per-step overhead saved (probe_c3_cb.py's clean
-    # kernel DID gain 0.378 -> 0.343, but not with the NaN machinery)
-    CB = 1
+    scr_bytes = sum(int(np.prod(s.shape)) for s in scr) * 4
+    op_bytes = (gyb.size + myb.size + ryb.size
+                + gxa.size + mxa.size + rxa.size) * 4
+
+    def _fits_cb(c):
+        return (scr_bytes + op_bytes + ny_out * nx_out * 4
+                + 2 * c * (ny_in * nx_in + ny_out * nx_out) * 4
+                <= _VMEM_BUDGET)
+
+    # channel blocking, round 2: CB=4 grid steps with PER-SUB-CHANNEL
+    # pl.when branches measured 0.579 ms vs 0.479 at CB=1 (the 8 branch
+    # regions serialize the clean path), but gating the NaN machinery at
+    # BLOCK level — one clean region with no branches inside, one dirty
+    # region reproducing the exact per-channel semantics — keeps the
+    # clean path at the probe kernel's blocked cost (probe_c3_cb.py
+    # 0.378 -> 0.343 clean; see benchmarks/probe_fused_pipeline.py for
+    # the shipped kernel's numbers).  Dirty blocks pay per-channel
+    # branches as before; a block is dirty iff ANY of its CB channels
+    # contains NaN, and clean channels inside a dirty block still take
+    # convG, so outputs are bitwise identical to CB=1.
+    if cb is None:
+        CB = next((c for c in (4, 2, 1) if nchan % c == 0
+                   and _fits_cb(c)), 1)
+    else:
+        CB = cb if nchan % cb == 0 and _fits_cb(cb) else 1
 
     def kernel(x_ref, gy_ref, gx_ref, my_ref, mx_ref, ry_ref, rx_ref,
                vp_ref, o_ref, *scratch):
@@ -997,30 +1016,43 @@ def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
             convG = _make_conv(r, dimsG, startsG, tG, uG, wG)
             convM = _make_conv(r, dimsM, startsM, tM, uM, wM)
             convR = _make_conv(1, dimsR, startsR, tR, uR, wR)
+
+        bads = [jnp.any(jnp.isnan(x_ref[j])) for j in range(CB)]
+        any_bad = bads[0]
+        for b in bads[1:]:
+            any_bad = jnp.logical_or(any_bad, b)
+
+        @pl.when(jnp.logical_not(any_bad))
+        def _():
+            for j in range(CB):
+                o_ref[j] = convG(gy_ref, gx_ref, x_ref[j])
+
+        @pl.when(any_bad)
+        def _():
+            for j in range(CB):
+                Z = x_ref[j]
+                bad = jnp.isnan(Z)
+
+                @pl.when(jnp.logical_not(bads[j]))
+                def _(j=j, Z=Z):
+                    o_ref[j] = convG(gy_ref, gx_ref, Z)
+
+                @pl.when(bads[j])
+                def _(j=j, Z=Z, bad=bad):
+                    badf = bad.astype(jnp.float32)
+                    num = convM(my_ref, mx_ref, jnp.where(bad, 0.0, Z))
+                    den = 1.0 - convM(my_ref, mx_ref, badf)
+                    nanc = den <= _DEN_EPS
+                    # all-NaN channel: the conv output is NaN everywhere
+                    nanc = jnp.logical_or(nanc,
+                                          jnp.logical_not(jnp.any(~bad)))
+                    c_ref[...] = jnp.where(nanc, 0.0, num
+                                           / jnp.where(nanc, 1.0, den))
+                    out = convR(ry_ref, rx_ref, c_ref[...])
+                    wn = convR(ry_ref, rx_ref, nanc.astype(jnp.float32))
+                    o_ref[j] = jnp.where(wn > _DEN_EPS, jnp.nan, out)
+
         for j in range(CB):
-            Z = x_ref[j]
-            bad = jnp.isnan(Z)
-            some_bad = jnp.any(bad)
-
-            @pl.when(jnp.logical_not(some_bad))
-            def _(j=j, Z=Z):
-                o_ref[j] = convG(gy_ref, gx_ref, Z)
-
-            @pl.when(some_bad)
-            def _(j=j, Z=Z, bad=bad):
-                badf = bad.astype(jnp.float32)
-                num = convM(my_ref, mx_ref, jnp.where(bad, 0.0, Z))
-                den = 1.0 - convM(my_ref, mx_ref, badf)
-                nanc = den <= _DEN_EPS
-                # all-NaN channel: the conv output is NaN everywhere
-                nanc = jnp.logical_or(nanc,
-                                      jnp.logical_not(jnp.any(~bad)))
-                c_ref[...] = jnp.where(nanc, 0.0, num
-                                       / jnp.where(nanc, 1.0, den))
-                out = convR(ry_ref, rx_ref, c_ref[...])
-                wn = convR(ry_ref, rx_ref, nanc.astype(jnp.float32))
-                o_ref[j] = jnp.where(wn > _DEN_EPS, jnp.nan, out)
-
             o_ref[j] = jnp.where(vp_ref[...] != 0.0, o_ref[j], jnp.nan)
 
     fn = pl.pallas_call(
@@ -1058,23 +1090,26 @@ def pipeline_fused_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
     three times.  Here the conv kernel's grid already streams every
     channel block through VMEM; the moment sums ride that stream as
     revisited accumulator planes (constant output block index), cutting
-    HBM traffic to two passes, and the accumulation is VPU work that
-    overlaps the conv's MXU dots.  Channels are processed ``CB`` per grid
-    step (the operators are channel-invariant, so blocking only amortizes
-    per-step overhead; probe_c3_cb.py measured 0.378 -> 0.343 ms for the
-    clean conv at CB=4) with the NaN normalized-convolution machinery
-    gated at BLOCK level: an all-clean block runs the composed-G path
-    with no per-channel branches, a block containing NaN falls to the
-    exact per-channel semantics of ``conv_reproject_raw_strips``.
+    HBM traffic to two passes.  NOT the shipped config-5 path: on v5e
+    the compensated accumulation (~70 VPU ops/voxel) does not hide
+    under the conv's X6 MXU dots — measured 1.05-1.12 ms fused vs
+    0.644 ms for the chain (see ops/pipeline_fused's module docstring
+    for the full trade-off).  Channels are processed ``CB`` per grid
+    step with the NaN normalized-convolution machinery gated at BLOCK
+    level: an all-clean block runs the composed-G path with no
+    per-channel branches, a block containing NaN falls to the exact
+    per-channel semantics of ``conv_reproject_raw_strips`` (that gating
+    scheme DID ship — conv_reproject_raw_strips uses it).
 
     One-pass moment numerics: the per-spaxel sums S0/S1/S2 (about the
     caller-centered ``coords_c``) and the raw data sums for statistics
-    are accumulated as Neumaier pairs (ops/df32) — sequential channel
-    order forbids the two-pass centering moments_012_pallas uses, and a
-    plain f32 running sum would lose ~n*eps; the pairs keep ~1e-14 so the
+    are accumulated as compensated float32 pairs with exact Dekker
+    products (ops/df32) — sequential channel order forbids the two-pass
+    centering moments_012_pallas uses, a plain f32 running sum would
+    lose ~n*eps, and plain f32 PRODUCTS alone put ~1e-4 on mom2 for a
+    narrow line far from the center; the pairs keep ~1e-14 so the
     caller's pair-space finalization (ops/pipeline_fused) reproduces the
-    two-pass results inside 1e-6 even for a narrow line far from the
-    coordinate center.  Reference math:
+    two-pass results inside 1e-6.  Reference math:
     ``/root/reference/spectral_cube/_moments.py:170-193`` (moments) and
     ``dask_spectral_cube.py:257-333`` (the dask pipeline graph this
     replaces).
@@ -1164,7 +1199,9 @@ def pipeline_fused_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
     valid_plane = np.asarray(valid_plane, np.float32)
     gxa, mxa, rxa = (gxT, mxT, rxT) if dense_x else (gxb, mxb, rxb)
     nsteps = nchan // CB
-    xc = np.asarray(coords_c, np.float32).reshape(nsteps, CB)
+    # full-array block (Mosaic requires blocks (8,128)-divisible or
+    # equal to the array); per-channel scalars load via dynamic index
+    xc = np.asarray(coords_c, np.float32).reshape(nchan, 1)
 
     def kernel(x_ref, xc_ref, gy_ref, gx_ref, my_ref, mx_ref, ry_ref,
                rx_ref, vp_ref, o_ref, s0h, s0l, s1h, s1l, s2h, s2l,
@@ -1204,7 +1241,7 @@ def pipeline_fused_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
             valid = fin if mask_fn is None \
                 else jnp.logical_and(fin, mask_fn(Z))
             w = jnp.where(valid, Z, 0.0).astype(jnp.float32)
-            t = xc_ref[0, j]
+            t = xc_ref[c * CB + j, 0]
             # products are formed EXACTLY (Dekker two_prod): a plain
             # f32 w*t*t rounds each term at 6e-8 of t^2 — for a narrow
             # line far from the coordinate center that alone puts
@@ -1272,7 +1309,7 @@ def pipeline_fused_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
         kernel, grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((CB, ny_in, nx_in), lambda c: (c, 0, 0)),
-            pl.BlockSpec((1, CB), lambda c: (c, 0)),
+            pl.BlockSpec((nchan, 1), lambda c: (0, 0)),
             pl.BlockSpec(gyb.shape, lambda c: (0,) * gyb.ndim),
             pl.BlockSpec(gxa.shape, lambda c: (0,) * gxa.ndim),
             pl.BlockSpec(myb.shape, lambda c: (0,) * myb.ndim),

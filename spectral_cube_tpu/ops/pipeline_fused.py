@@ -12,13 +12,27 @@ the moments read is pure added wall time.
 ``moments_conv_reproject_fused`` runs the whole thing as ONE kernel
 (banded_pallas.pipeline_fused_raw_strips): the moment/statistics sums
 accumulate in VMEM-resident planes while the conv kernel streams each
-channel block in, so their VPU work hides under the conv's MXU dots and
-the extra HBM pass disappears.  Because the kernel visits channels
-sequentially it cannot use moments_012_pallas's two-pass centering; the
-sums are Neumaier pairs (ops/df32) instead, and this module finalizes
-the cancelling forms (mom2, the per-spaxel centered second moment) in
-pair arithmetic, reproducing the two-pass results to ~1e-7 even for a
-narrow line far from the coordinate center (tests/test_pipeline_fused).
+channel block in.  Because the kernel visits channels sequentially it
+cannot use moments_012_pallas's two-pass centering; the sums are
+compensated float32 pairs with exact products (ops/df32), and this
+module finalizes the cancelling forms (mom2, the per-spaxel centered
+second moment) in pair arithmetic, reproducing the two-pass results to
+~1e-7 even for a narrow line far from the coordinate center
+(tests/test_pipeline_fused).
+
+MEASURED OUTCOME on v5e (benchmarks/probe_fused_pipeline.py, robust
+rep counts): fused 1.05-1.12 ms vs the two-program chain's 0.644 ms on
+the 256^3 config-5 workload, numerics matching at 5.5e-7.  The
+compensated accumulation is ~70 VPU ops/voxel and the v5e VPU
+(~3.9 Tf32op/s) cannot hide that under the conv's X6 MXU stream — the
+saved HBM read (0.08 ms) buys ~0.5 ms of exposed VPU time.  The chain
+therefore REMAINS the default config-5 path; this op is kept as a
+correct, tested alternative whose balance flips on parts with a wider
+VPU:MXU ratio or narrower HBM (the accumulation cost is shape-invariant
+per voxel while the saved pass scales with HBM pressure).  What DID
+ship from this work: the block-level NaN gating + channel blocking it
+introduced, backported to conv_reproject_raw_strips (see its CB note),
+and the df32 pair layer.
 
 Reference math: ``/root/reference/spectral_cube/_moments.py:170-193``
 (moments), ``np_compat.py:3-27`` (allbadtonan), and the statistics dict
