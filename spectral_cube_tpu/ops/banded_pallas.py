@@ -496,9 +496,9 @@ def per_channel_conv_strips(data, my, mx, group_idx, interpret=False,
     # (one dot against the full Mx^T, no VPU transposes) LOSES here —
     # with the always-on normalized-convolution machinery it measured
     # 0.474/0.542 ms (clean/NaN) vs strips' 0.424/0.479 at robust rep
-    # counts (benchmarks/probe_c3_variants4.py); only clean-only kernels
-    # like conv_reproject_raw_strips win from dense-x.  ``dense_x=True``
-    # remains available for probes.
+    # counts (benchmarks/probe_c3_variants4.py); round 4's CB=4 probe
+    # settled conv_reproject_raw_strips on strips-x too (0.366 vs 0.469,
+    # probe_c4_cb.py).  ``dense_x=True`` remains available for probes.
     need_dense = (2 * ny * nx + nbm_y * nx) * 4 \
         + yb.size * 4 // G + r * nx * nx * 4 + 4 * ny * nx * 4
     if dense_x is None:
@@ -887,7 +887,7 @@ def per_channel_resample_raw_strips(raw, my, mx, group_idx,
 
 
 def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
-                              interpret=False, cb=None):
+                              interpret=False, cb=None, dense_x=None):
     """Fused convolve+reproject with the NaN branch per channel in VMEM.
 
     Clean channels apply the host-composed operator G = R @ M in one
@@ -944,13 +944,7 @@ def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
         pltpu.VMEM((nbmR_y, nx_in), jnp.float32),
         pltpu.VMEM((ny_in, nx_in), jnp.float32),
     ]
-    need_dx = sum(int(np.prod(s.shape)) for s in scr_dx) * 4 \
-        + (2 * ny_in * nx_in + 2 * ny_out * nx_out) * 4 \
-        + (gyb.size + myb.size + ryb.size
-           + gxT.size + mxT.size + rxT.size) * 4
-    dense_x = need_dx <= _VMEM_BUDGET
-
-    scr = scr_dx if dense_x else [
+    scr_st = [
         # G trio
         pltpu.VMEM((nbmG_y, nx_in), jnp.float32),
         pltpu.VMEM((nx_in, ny_out), jnp.float32),
@@ -965,44 +959,42 @@ def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
         pltpu.VMEM((nbmR_x, ny_out), jnp.float32),
         pltpu.VMEM((ny_in, nx_in), jnp.float32),
     ]
-    if not dense_x:
-        need = sum(int(np.prod(s.shape)) for s in scr) * 4 \
-            + (2 * ny_in * nx_in + 2 * ny_out * nx_out) * 4 \
-            + (gyb.size + gxb.size + myb.size + mxb.size
-               + ryb.size + rxb.size) * 4
-        if need > _VMEM_BUDGET:
-            return None
     valid_plane = np.asarray(valid_plane, np.float32)
-    if dense_x:
-        gxa, mxa, rxa = gxT, mxT, rxT
-    else:
-        gxa, mxa, rxa = gxb, mxb, rxb
 
-    scr_bytes = sum(int(np.prod(s.shape)) for s in scr) * 4
-    op_bytes = (gyb.size + myb.size + ryb.size
-                + gxa.size + mxa.size + rxa.size) * 4
-
-    def _fits_cb(c):
-        return (scr_bytes + op_bytes + ny_out * nx_out * 4
+    def _fits(use_dense, c):
+        scr_mode = scr_dx if use_dense else scr_st
+        xops = (gxT.size + mxT.size + rxT.size) if use_dense \
+            else (gxb.size + mxb.size + rxb.size)
+        return (sum(int(np.prod(s.shape)) for s in scr_mode) * 4
+                + (gyb.size + myb.size + ryb.size + xops) * 4
+                + ny_out * nx_out * 4
                 + 2 * c * (ny_in * nx_in + ny_out * nx_out) * 4
                 <= _VMEM_BUDGET)
 
-    # channel blocking, round 2: CB=4 grid steps with PER-SUB-CHANNEL
-    # pl.when branches measured 0.579 ms vs 0.479 at CB=1 (the 8 branch
-    # regions serialize the clean path), but gating the NaN machinery at
-    # BLOCK level — one clean region with no branches inside, one dirty
-    # region reproducing the exact per-channel semantics — keeps the
-    # clean path at the probe kernel's blocked cost (probe_c3_cb.py
-    # 0.378 -> 0.343 clean; see benchmarks/probe_fused_pipeline.py for
-    # the shipped kernel's numbers).  Dirty blocks pay per-channel
-    # branches as before; a block is dirty iff ANY of its CB channels
-    # contains NaN, and clean channels inside a dirty block still take
-    # convG, so outputs are bitwise identical to CB=1.
-    if cb is None:
-        CB = next((c for c in (4, 2, 1) if nchan % c == 0
-                   and _fits_cb(c)), 1)
+    # mode/CB selection, by measured preference (probe_c4_cb.py /
+    # probe_conv_cb.py on v5e, clean 256^3): strips-x cb4 0.366 ms,
+    # dense-x cb4 0.469, dense-x cb1 0.523 — at CB=4 the two VPU
+    # transposes per rank cost LESS than the dense pass's
+    # structural-zero flops (at CB=1 they had measured a wash, which is
+    # why dense-x briefly shipped).  Block-level NaN gating is what
+    # makes CB>1 viable at all: per-sub-channel pl.when branches
+    # measured 0.579 ms (the 8 regions serialize the clean path); one
+    # branchless clean region + a dirty region with the exact
+    # per-channel semantics keeps outputs bitwise identical to CB=1.
+    choices = [(False, 4), (False, 2), (True, 4), (True, 2),
+               (False, 1), (True, 1)]
+    if dense_x is not None:
+        choices = [(bool(dense_x), c) for c in (4, 2, 1)]
+    if cb is not None:
+        choices = [(m, c) for (m, c) in choices if c == cb] \
+            + [(m, 1) for (m, _) in choices]
+    for dense_x, CB in choices:
+        if nchan % CB == 0 and _fits(dense_x, CB):
+            break
     else:
-        CB = cb if nchan % cb == 0 and _fits_cb(cb) else 1
+        return None
+    scr = scr_dx if dense_x else scr_st
+    gxa, mxa, rxa = (gxT, mxT, rxT) if dense_x else (gxb, mxb, rxb)
 
     def kernel(x_ref, gy_ref, gx_ref, my_ref, mx_ref, ry_ref, rx_ref,
                vp_ref, o_ref, *scratch):
@@ -1332,7 +1324,7 @@ def pipeline_fused_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
 
 
 def per_channel_shift_lerp(raw, sy, wy, sx, wx, valid_plane,
-                           zvalid=None, interpret=False):
+                           zvalid=None, interpret=False, cb=None):
     """Pure-translation bilinear resample as a VPU shift-lerp in VMEM.
 
     When the output grid is the input grid translated by a constant
@@ -1356,8 +1348,6 @@ def per_channel_shift_lerp(raw, sy, wy, sx, wx, valid_plane,
     nchan, ny, nx = raw.shape
     if ny % 8 or nx % 128:
         return None
-    if (ny * nx * 4) * 4 > _VMEM_BUDGET:
-        return None
     valid_plane = np.asarray(valid_plane, np.float32)
     if zvalid is None:
         zvalid = np.ones(nchan, np.int32)
@@ -1365,6 +1355,20 @@ def per_channel_shift_lerp(raw, sy, wy, sx, wx, valid_plane,
         zvalid = np.asarray(zvalid).astype(np.int32)
     sy, sx = int(sy), int(sx)
     wy, wx = float(wy), float(wx)
+
+    # channel blocking: same block-level NaN gating as
+    # conv_reproject_raw_strips — fewer grid steps, bitwise-identical
+    # per-channel results
+    def _fits_cb(c):
+        return (2 * c * 2 * ny * nx + ny * nx + 2 * ny * nx) * 4 \
+            <= _VMEM_BUDGET
+    if cb is None:
+        CB = next((c for c in (4, 2, 1) if nchan % c == 0
+                   and _fits_cb(c)), None)
+    else:
+        CB = cb if nchan % cb == 0 and _fits_cb(cb) else None
+    if CB is None:
+        return None
 
     def _roll(x, shift, axis):
         # out[i] = x[i + shift] == roll by -shift; pltpu.roll requires a
@@ -1380,23 +1384,32 @@ def per_channel_shift_lerp(raw, sy, wy, sx, wx, valid_plane,
 
     def kernel(zv_ref, f_ref, vp_ref, o_ref):
         c = pl.program_id(0)
-        Z = f_ref[0]
-        bad = jnp.isnan(Z)
-        o_ref[0] = lerp2(jnp.nan_to_num(Z))
+        bads = [jnp.any(jnp.isnan(f_ref[j])) for j in range(CB)]
+        for j in range(CB):
+            o_ref[j] = lerp2(jnp.nan_to_num(f_ref[j]))
 
-        @pl.when(jnp.any(bad))
+        any_bad = bads[0]
+        for b in bads[1:]:
+            any_bad = jnp.logical_or(any_bad, b)
+
+        @pl.when(any_bad)
         def _():
-            wn = lerp2(bad.astype(jnp.float32))
-            o_ref[0] = jnp.where(wn > _DEN_EPS, jnp.nan, o_ref[0])
+            for j in range(CB):
+                @pl.when(bads[j])
+                def _(j=j):
+                    wn = lerp2(jnp.isnan(f_ref[j]).astype(jnp.float32))
+                    o_ref[j] = jnp.where(wn > _DEN_EPS, jnp.nan, o_ref[j])
 
-        ok = jnp.logical_and(vp_ref[...] != 0.0, zv_ref[c] != 0)
-        o_ref[0] = jnp.where(ok, o_ref[0], jnp.nan)
+        for j in range(CB):
+            ok = jnp.logical_and(vp_ref[...] != 0.0,
+                                 zv_ref[c * CB + j] != 0)
+            o_ref[j] = jnp.where(ok, o_ref[j], jnp.nan)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(nchan,),
-        in_specs=[pl.BlockSpec((1, ny, nx), lambda c, z: (c, 0, 0)),
+        num_scalar_prefetch=1, grid=(nchan // CB,),
+        in_specs=[pl.BlockSpec((CB, ny, nx), lambda c, z: (c, 0, 0)),
                   pl.BlockSpec((ny, nx), lambda c, z: (0, 0))],
-        out_specs=pl.BlockSpec((1, ny, nx), lambda c, z: (c, 0, 0)))
+        out_specs=pl.BlockSpec((CB, ny, nx), lambda c, z: (c, 0, 0)))
     fn = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nchan, ny, nx), jnp.float32),

@@ -490,3 +490,24 @@ def test_conv_reproject_raw_strips_matches_chain(theta):
     assert np.array_equal(np.isnan(out), np.isnan(ref))
     fin = ~np.isnan(ref)
     np.testing.assert_allclose(out[fin], np.asarray(ref)[fin], atol=2e-5)
+
+
+@pytest.mark.parametrize("cb", [2, 4])
+def test_per_channel_shift_lerp_cb_bitwise(cb):
+    """Channel blocking (block-level NaN gate) is bitwise-identical to
+    CB=1, including NaN-holed and all-NaN channels and zvalid masking."""
+    from spectral_cube_tpu.ops.banded_pallas import per_channel_shift_lerp
+    rng = np.random.RandomState(5)
+    nchan, ny, nx = 8, 64, 128
+    data = rng.randn(nchan, ny, nx).astype(np.float32)
+    data[1, 10, 20] = np.nan
+    data[6, :, :] = np.nan
+    valid = np.ones((ny, nx), bool)
+    valid[-1, :] = False
+    zvalid = np.ones(nchan, np.int32)
+    zvalid[3] = 0
+    base = np.asarray(per_channel_shift_lerp(
+        data, 0, 0.37, 1, 0.61, valid, zvalid, interpret=True, cb=1))
+    out = np.asarray(per_channel_shift_lerp(
+        data, 0, 0.37, 1, 0.61, valid, zvalid, interpret=True, cb=cb))
+    assert np.array_equal(out, base, equal_nan=True)
