@@ -419,15 +419,21 @@ def bench_config5():
     else:
         flops = n * 2 * (n * n * n * 2)
     _note("config5 pipeline", per, data_np.size * 4 * 4, flops_f32=flops)
-    # Stage budget (benchmarks/probe_c5_stages.py, robust rep counts):
-    # A fused masked moments+stats 0.11 ms (1 cube read), B fused
-    # convolve+reproject 0.48 ms (cube read+write + the G-band MXU work
-    # — the same kernel economics as config 3, see its gap attribution),
-    # C combine ~0.02 ms (fuses into the consumer).  Stages are separate
-    # Pallas programs, so MXU cannot hide under ANOTHER stage's HBM: the
+    # Stage budget (benchmarks/probe_c5_cb8.py, robust rep counts):
+    # A fused masked moments+stats 0.13 ms (1 cube read; the +0.04 over
+    # config 1's 0.092 is the with_stats min/max/d2 VPU work that does
+    # not fully hide), B fused convolve+reproject 0.38 ms at CB=4
+    # strips-x (cube read+write + the G-band MXU work — the same kernel
+    # economics as config 3, see its gap attribution; CB=8 measured
+    # WORSE, 0.469, from VMEM double-buffer pressure), C combine
+    # ~0.02 ms (fuses into the consumer).  Stages are separate Pallas
+    # programs, so MXU cannot hide under ANOTHER stage's HBM: the
     # honest composed bound is A_hbm + max(B_mxu, B_hbm) + C
     # = 0.082 + max(0.262, 0.164) + ~0.02 = ~0.36 ms, not the 0.328 ms
-    # ideal-overlap line above.
+    # ideal-overlap line above.  Whole-pipeline fusion (removing A's
+    # read) was built and measured at 1.05-1.12 ms — the df32
+    # compensated accumulation the channel-blocked grid needs is
+    # VPU-bound on v5e (docs/design.md, probe_fused_pipeline.py).
     cbound = (data_np.size * 4 / (hbm_roofline_gbps() * 1e9)
               + max(flops / (mxu_roofline_tflops() * 1e12 / 6),
                     2 * data_np.size * 4 / (hbm_roofline_gbps() * 1e9))
