@@ -48,6 +48,53 @@ _DEN_EPS = 1e-6
 # stack (a 48 MB request was observed to abort compilation outright)
 _VMEM_BUDGET = 10 * 2 ** 20
 
+# host-side prep cache (strip plans + cut blocks), keyed on the identity
+# of the operator arrays.  plan_strips + strip_blocks are O(n^2) host
+# scans (~1.3 s for the three operators of an 8192-channel smooth+interp,
+# benchmarks/probe_planner_scale.py) and rebuild on every EAGER call;
+# op-level caches (ops/interpolate._si_operator_cache) reuse the same
+# array objects across calls, so identity — validated by weakref
+# liveness so a recycled id() never aliases — is a sound key.
+import weakref
+
+_PREP_CACHE = {}
+
+
+def _cached_prep(arrs, tag, builder):
+    key = (tag,) + tuple(id(a) for a in arrs)
+    ent = _PREP_CACHE.get(key)
+    if ent is not None:
+        refs, val = ent
+        if all(r() is a for r, a in zip(refs, arrs)):
+            return val
+    val = builder()
+    try:
+        refs = tuple(weakref.ref(a) for a in arrs)
+    except TypeError:
+        return val
+    if len(_PREP_CACHE) >= 64:
+        dead = [k for k, (rs, _) in _PREP_CACHE.items()
+                if any(r() is None for r in rs)]
+        for k in dead:
+            del _PREP_CACHE[k]
+        if len(_PREP_CACHE) >= 64:
+            _PREP_CACHE.clear()
+    _PREP_CACHE[key] = (refs, val)
+    return val
+
+
+def _si_prep(M, Sm, Im):
+    """plan_strips + strip_blocks for the smooth+interp operator triple;
+    None when any operator doesn't fit the strip layout."""
+    plans = [plan_strips(A != 0.0) for A in (M, Sm, Im)]
+    if any(p is None for p in plans):
+        return None
+    cut = [strip_blocks(A, mK[0], mK[1])
+           for A, mK in zip((M, Sm, Im), plans)]
+    if any(c is None for c in cut):
+        return None
+    return plans, cut
+
 
 def _backend_ok(interpret):
     """Real Mosaic lowering only exists on TPU; every public entry point
@@ -75,10 +122,11 @@ def plan_strips(profile, max_m=256):
     nout, nin = profile.shape
     # band edges via the nonzero COORDINATES, not per-row argmax: banded
     # operators have O(n*band) nonzeros, and the reversed-view argmax the
-    # hi edge needs is strided (measured 490 ms of the 250 ms+ total at
-    # 8192 channels; this path is ~30 ms there).  Dense-ish profiles
-    # would blow the index arrays up to O(n^2) memory, so they keep the
-    # argmax form.
+    # hi edge needs scans the full O(n^2) profile (measured ~55-70 ms at
+    # 8192 channels vs <1 ms for the coordinate form; whole plan_strips
+    # ~40 ms there, dominated by the (m, K) search —
+    # benchmarks/probe_planner_scale.py).  Dense-ish profiles would blow
+    # the index arrays up to O(n^2) memory, so they keep the argmax form.
     if np.count_nonzero(profile) <= 4_000_000:
         nz = np.flatnonzero(profile.ravel())
         rows = np.zeros(nout, bool)
@@ -240,13 +288,10 @@ def smooth_interp_strips(flat, M_host, S_host, I_host, interpret=False):
     S_cols = flat.shape[1]
     if nout % 8 or nin % 8:
         return None
-    plans = [plan_strips(A != 0.0) for A in (M, Sm, Im)]
-    if any(p is None for p in plans):
+    prep = _cached_prep((M, Sm, Im), "si", lambda: _si_prep(M, Sm, Im))
+    if prep is None:
         return None
-    cut = [strip_blocks(A, mK[0], mK[1])
-           for A, mK in zip((M, Sm, Im), plans)]
-    if any(c is None for c in cut):
-        return None
+    plans, cut = prep
     (mb, mst), (sb, sst), (ib, ist) = cut
     (m_m, _), (m_s, _), (m_i, _) = plans
     nb_m, nb_s, nb_i = mb.shape[0], sb.shape[0], ib.shape[0]
@@ -357,13 +402,10 @@ def smooth_interp_strips_3d(data, M_host, S_host, I_host, interpret=False):
     nout = M.shape[0]
     if nout % 8 or nin % 8:
         return None
-    plans = [plan_strips(A != 0.0) for A in (M, Sm, Im)]
-    if any(p is None for p in plans):
+    prep = _cached_prep((M, Sm, Im), "si", lambda: _si_prep(M, Sm, Im))
+    if prep is None:
         return None
-    cut = [strip_blocks(A, mK[0], mK[1])
-           for A, mK in zip((M, Sm, Im), plans)]
-    if any(c is None for c in cut):
-        return None
+    plans, cut = prep
     (mb, mst), (sb, sst), (ib, ist) = cut
     (m_m, _), (m_s, _), (m_i, _) = plans
     nb_m, nb_s, nb_i = mb.shape[0], sb.shape[0], ib.shape[0]
@@ -981,13 +1023,18 @@ def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
     # measured 0.579 ms (the 8 regions serialize the clean path); one
     # branchless clean region + a dirty region with the exact
     # per-channel semantics keeps outputs bitwise identical to CB=1.
-    choices = [(False, 4), (False, 2), (True, 4), (True, 2),
-               (False, 1), (True, 1)]
-    if dense_x is not None:
-        choices = [(bool(dense_x), c) for c in (4, 2, 1)]
     if cb is not None:
-        choices = [(m, c) for (m, c) in choices if c == cb] \
-            + [(m, 1) for (m, _) in choices]
+        # an explicit CB is honored exactly, or the call returns None —
+        # never a silent CB=1 fallback: the round-4 cb=8 probe fell
+        # through the old filter-then-append path, actually ran CB=1,
+        # and produced an unsubstantiated "CB=8 is slower" conclusion
+        modes = [bool(dense_x)] if dense_x is not None else [False, True]
+        choices = [(m, int(cb)) for m in modes]
+    elif dense_x is not None:
+        choices = [(bool(dense_x), c) for c in (4, 2, 1)]
+    else:
+        choices = [(False, 4), (False, 2), (True, 4), (True, 2),
+                   (False, 1), (True, 1)]
     for dense_x, CB in choices:
         if nchan % CB == 0 and _fits(dense_x, CB):
             break
@@ -1177,12 +1224,19 @@ def pipeline_fused_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
             + sum(int(np.prod(s.shape)) for s in scr) * 4
         return tot <= _VMEM_BUDGET
 
-    if dense_x is None:
-        dense_x = _fits(1, True)
-    elif dense_x and not _fits(1, True):
-        dense_x = False
-    cb_candidates = (cb,) if cb else (4, 2, 1)
-    for CB in cb_candidates:
+    # mode/CB preference mirrors conv_reproject_raw_strips (strips-x at
+    # CB=4/2 measured faster than dense-x there: 0.366 vs 0.469 ms,
+    # probe_c4_cb.py); explicit cb/dense_x requests are honored exactly
+    # and return None when infeasible rather than silently downgrading
+    if cb is not None:
+        modes = [bool(dense_x)] if dense_x is not None else [False, True]
+        choices = [(m, int(cb)) for m in modes]
+    elif dense_x is not None:
+        choices = [(bool(dense_x), c) for c in (4, 2, 1)]
+    else:
+        choices = [(False, 4), (False, 2), (True, 4), (True, 2),
+                   (False, 1), (True, 1)]
+    for dense_x, CB in choices:
         if nchan % CB == 0 and _fits(CB, dense_x):
             break
     else:
@@ -1358,10 +1412,14 @@ def per_channel_shift_lerp(raw, sy, wy, sx, wx, valid_plane,
 
     # channel blocking: same block-level NaN gating as
     # conv_reproject_raw_strips — fewer grid steps, bitwise-identical
-    # per-channel results
+    # per-channel results.  VMEM residency: double-buffered in+out
+    # channel blocks (2*CB planes each) plus ONE copy of the valid plane
+    # (constant index map => not double-buffered).  No operator blocks
+    # and no scratches, so this kernel gets a 13 MB ceiling instead of
+    # the shared 10 MB _VMEM_BUDGET — which also keeps CB=1 at least as
+    # permissive as the pre-blocking gate (16*ny*nx <= 10 MB).
     def _fits_cb(c):
-        return (2 * c * 2 * ny * nx + ny * nx + 2 * ny * nx) * 4 \
-            <= _VMEM_BUDGET
+        return (2 * c * 2 * ny * nx + ny * nx) * 4 <= 13 * 2 ** 20
     if cb is None:
         CB = next((c for c in (4, 2, 1) if nchan % c == 0
                    and _fits_cb(c)), None)

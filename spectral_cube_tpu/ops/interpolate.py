@@ -64,18 +64,41 @@ def _interp_matrix(idx, frac, nin):
     return mat
 
 
-def compose_interp_banded(idx, frac, banded):
+def compose_interp_banded(idx, frac, banded, dtype=np.float64):
     """``_interp_matrix(idx, frac, nin) @ banded`` without the dense
-    O(nout*nin^2) host matmul: the interp operator has exactly two taps
-    per row, so the product is a weighted sum of two gathered rows —
-    bit-identical to the dense float64 product (the skipped terms are
-    exact zeros) and O(nout*nin).  At 8192 channels the dense compose
-    measured 12.8 s on the host; this form runs in milliseconds."""
-    B = np.asarray(banded, dtype=np.float64)
-    w1 = np.asarray(frac, dtype=np.float64)[:, None]
+    O(nout*nin^2) host matmul OR full-row gathers: the interp operator
+    has exactly two taps per row and ``banded``'s rows have compact
+    nonzero spans, so each output row is a weighted float64 sum of two
+    gathered row WINDOWS — O(nout*band) arithmetic with no full-size
+    float64 temporaries.  Band values are the exact float64 products
+    rounded once to ``dtype``; at float64 the result is bit-identical to
+    the dense product (the skipped terms are exact zeros).  Measured at
+    8192 channels on the host: dense compose 28 s, full-row-gather
+    compose 11 s (plus a 6 s float64 cast of the band matrix); this form
+    ~0.3 s including the O(nnz) span scan."""
+    B = np.asarray(banded)
+    nrow, nin = B.shape
     idx = np.asarray(idx)
-    return (1.0 - w1) * B[idx] + w1 * B[np.minimum(idx + 1,
-                                                   B.shape[0] - 1)]
+    w1 = np.asarray(frac, dtype=np.float64)[:, None]
+    nout = idx.shape[0]
+    i1 = np.minimum(idx + 1, nrow - 1)
+    # per-row nonzero spans of B from the nonzero coordinates (O(nnz);
+    # all-zero rows get an empty [nin, -1) span and contribute zeros)
+    nz_r, nz_c = np.nonzero(B)
+    lo = np.full(nrow, nin, np.int64)
+    hi = np.full(nrow, -1, np.int64)
+    np.minimum.at(lo, nz_r, nz_c)
+    np.maximum.at(hi, nz_r, nz_c)
+    rlo = np.minimum(lo[idx], lo[i1])
+    rhi = np.maximum(hi[idx], hi[i1])
+    W = max(1, int((rhi - rlo + 1).max())) if nout else 1
+    rlo = np.clip(rlo, 0, nin - W)
+    cols = rlo[:, None] + np.arange(W)[None, :]
+    band = (1.0 - w1) * B[idx[:, None], cols].astype(np.float64) \
+        + w1 * B[i1[:, None], cols].astype(np.float64)
+    out = np.zeros((nout, nin), dtype)
+    np.put_along_axis(out, cols, band.astype(dtype), axis=1)
+    return out
 
 
 def block_tap_matmul(flat, i0, frac, chunk=64,
@@ -270,6 +293,38 @@ def interp_cube_spectral(data, inaxis, outaxis, include=None):
     return out.astype(data.dtype), new_include
 
 
+_SI_OP_CACHE = {}
+
+
+def _si_operators(k, idx, frac, nin):
+    """Host operator triple (S float32 band matrix, I float32 2-tap
+    matrix, M = I@S float32 composed) for the fused smooth+interp,
+    cached by VALUE of the normalized kernel and the interp weights.
+
+    The dense band-matrix builds plus the windowed compose are O(n^2)
+    host scans (~1.6 s at 8192 channels, benchmarks/
+    probe_planner_scale.py) that eager per-call users would otherwise
+    pay on every invocation; returning the SAME array objects across
+    calls also keys banded_pallas's identity-keyed strip-plan cache.
+    S stays float32 throughout: compose_interp_banded does its band
+    arithmetic in float64 on gathered windows, so a full-size float64
+    copy of S (512 MB / ~6 s at 8192 channels) buys nothing.
+    """
+    key = (int(nin), k.tobytes(), idx.tobytes(), frac.tobytes())
+    hit = _SI_OP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from .smoothing import _banded_conv_matrix
+    S = _banded_conv_matrix(nin, k)
+    Imat = _interp_matrix(idx, frac, nin)
+    M_host = compose_interp_banded(idx, frac, S, dtype=np.float32)
+    if len(_SI_OP_CACHE) >= 8:
+        _SI_OP_CACHE.clear()
+    val = (S, Imat, M_host)
+    _SI_OP_CACHE[key] = val
+    return val
+
+
 def smooth_interp_cube(data, kernel, inaxis, outaxis, include=None):
     """Fused spectral smooth + regrid of a [spec, ...] cube.
 
@@ -285,7 +340,7 @@ def smooth_interp_cube(data, kernel, inaxis, outaxis, include=None):
 
     Returns (new_data, new_include_or_None) like interp_cube_spectral.
     """
-    from .smoothing import spectral_smooth_cube, _banded_conv_matrix
+    from .smoothing import spectral_smooth_cube
     import jax.lax as lax
     data = jnp.asarray(data)
     idx, frac = interp_weights(inaxis, outaxis)
@@ -296,9 +351,7 @@ def smooth_interp_cube(data, kernel, inaxis, outaxis, include=None):
 
     k = np.asarray(kernel, dtype=np.float64)
     k = k / k.sum()
-    S = _banded_conv_matrix(nin, k).astype(np.float64)
-    Imat = _interp_matrix(idx, frac, nin)
-    M_host = compose_interp_banded(idx, frac, S).astype(np.float32)
+    S, Imat, M_host = _si_operators(k, idx, frac, nin)
     spatial = int(np.prod(data.shape[1:])) if data.ndim > 1 else 1
     flat = data.reshape(nin, spatial)
     # long axes apply the composed operator block-windowed (its band is
@@ -335,7 +388,7 @@ def smooth_interp_cube(data, kernel, inaxis, outaxis, include=None):
             exc_i = block_tap_matmul(exc_b, idx.astype(np.int64), frac,
                                      precision=lax.Precision.DEFAULT)
         else:
-            exc_i = mm(jnp.asarray(Imat.astype(np.float32)), exc_b,
+            exc_i = mm(jnp.asarray(Imat), exc_b,
                        precision=lax.Precision.DEFAULT)
         return (exc_i == 0).reshape((nout,) + data.shape[1:])
 
@@ -353,13 +406,10 @@ def smooth_interp_cube(data, kernel, inaxis, outaxis, include=None):
         from .banded_pallas import (smooth_interp_strips,
                                     smooth_interp_strips_3d)
         if data.ndim == 3:
-            out3 = smooth_interp_strips_3d(data, M_host,
-                                           S.astype(np.float32),
-                                           Imat.astype(np.float32))
+            out3 = smooth_interp_strips_3d(data, M_host, S, Imat)
             if out3 is not None:
                 return out3.astype(data.dtype), new_include()
-        out = smooth_interp_strips(flat, M_host, S.astype(np.float32),
-                                   Imat.astype(np.float32))
+        out = smooth_interp_strips(flat, M_host, S, Imat)
     if out is None:
         has_nan = jnp.any(~jnp.isfinite(flat))
         out = lax.cond(has_nan, chain, fused, flat)

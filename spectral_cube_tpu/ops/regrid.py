@@ -643,17 +643,15 @@ def reproject_image(data, wcs_in: WCS, target_header, order="bilinear"):
         else wcs_out
 
 
-def reproject_cube(data, wcs_in: WCS, target_header, order="bilinear",
-                   spectral_values_in=None):
-    """Reproject a [spec, y, x] cube onto a full 3-D target WCS.
-
-    Separable evaluation (the reference requires separable spectral/
-    celestial WCS throughout): the channel mapping depends only on z and the
-    spatial mapping only on (y, x); both are host-computed then fused into a
-    single 3-D gather on device.
-    """
+def reproject_mappings(wcs_in: WCS, target_header, nchan_in,
+                       spectral_values_in=None):
+    """Host-side target->source pixel mappings for reprojection onto
+    ``target_header``: returns ``(zs, ys, xs, wcs_out)`` with ``zs`` the
+    (nz,) input-channel coordinate of each output channel and ``ys``/``xs``
+    the (ny, nx) fractional input-pixel maps.  Shared by the unsharded
+    :func:`reproject_cube` and ``parallel.sharded.sharded_reproject``."""
     wcs_out = WCS(header=target_header)
-    nz = int(target_header.get("NAXIS3", data.shape[0]))
+    nz = int(target_header.get("NAXIS3", nchan_in))
     ny = int(target_header["NAXIS2"])
     nx = int(target_header["NAXIS1"])
     ys, xs = spatial_pixel_mapping(wcs_in, wcs_out, (ny, nx))
@@ -696,7 +694,21 @@ def reproject_cube(data, wcs_in: WCS, target_header, order="bilinear",
         zs = np.asarray(wcs_in._spectral_world2inter(sv_out_in_units)
                         / wcs_in.cdelt[wcs_in.spec]
                         + wcs_in.crpix[wcs_in.spec] - 1.0)
+    return np.asarray(zs), ys, xs, wcs_out
 
+
+def reproject_cube(data, wcs_in: WCS, target_header, order="bilinear",
+                   spectral_values_in=None):
+    """Reproject a [spec, y, x] cube onto a full 3-D target WCS.
+
+    Separable evaluation (the reference requires separable spectral/
+    celestial WCS throughout): the channel mapping depends only on z and the
+    spatial mapping only on (y, x); both are host-computed then fused into a
+    single 3-D gather on device.
+    """
+    zs, ys, xs, wcs_out = reproject_mappings(
+        wcs_in, target_header, data.shape[0],
+        spectral_values_in=spectral_values_in)
     data = jnp.asarray(data)
     out = _bilinear_spatial_then_linear_z(data, np.asarray(zs),
                                           np.asarray(ys), np.asarray(xs),

@@ -39,7 +39,7 @@ __all__ = ["sharded_moments", "sharded_statistics", "halo_pad",
            "sharded_convolve_per_channel_separable",
            "sharded_spatial_convolve", "sharded_spectral_convolve_fft",
            "sharded_sigma_clip", "sharded_spectral_interpolate",
-           "sharded_smooth_interpolate",
+           "sharded_smooth_interpolate", "sharded_reproject",
            "ShardedCube"]
 
 
@@ -547,6 +547,255 @@ def sharded_smooth_interpolate(data, kernel, inaxis, outaxis,
     return out[crop], inc[crop]
 
 
+def _reproject_tile_blocks(tap, m, n_out, n_in):
+    """Cut an (n_out, n_in) separable resample tap matrix into per-tile
+    halo-window blocks for an m-way mesh axis.
+
+    Tile t of the output (rows [t*po, (t+1)*po)) multiplies only the
+    input window [t*pi - h, (t+1)*pi + h) of its halo-padded shard; ``h``
+    is the smallest halo that covers every tile's tap columns.  Returns
+    ``(blocks (m, po, pi + 2h) float32, h)`` or None when some tile's
+    taps reach beyond the nearest neighbor (h > pi — ppermute halo
+    exchange only reaches one tile)."""
+    n_out_p = n_out + (-n_out) % m
+    n_in_p = n_in + (-n_in) % m
+    po, pi = n_out_p // m, n_in_p // m
+    h = 0
+    for t in range(m):
+        r0, r1 = t * po, min((t + 1) * po, n_out)
+        if r0 >= r1:
+            continue
+        nzc = np.nonzero(np.any(tap[r0:r1] != 0.0, axis=0))[0]
+        if nzc.size == 0:
+            continue
+        h = max(h, t * pi - int(nzc[0]), int(nzc[-1]) + 1 - (t + 1) * pi)
+    if h > pi:
+        return None
+    blocks = np.zeros((m, po, pi + 2 * h), np.float32)
+    for t in range(m):
+        r0, r1 = t * po, min((t + 1) * po, n_out)
+        if r0 >= r1:
+            continue
+        c0 = t * pi - h
+        s0, s1 = max(c0, 0), min(c0 + pi + 2 * h, n_in)
+        if s0 < s1:
+            blocks[t, :r1 - r0, s0 - c0:s1 - c0] = tap[r0:r1, s0:s1]
+    return blocks, h
+
+
+def sharded_reproject(data, zs, ys, xs, cmesh: CubeMesh, order=1):
+    """Reproject a spatially-sharded [spec, y, x] cube onto the host-side
+    target->source mappings ``(zs, ys, xs)`` — the SPMD form of
+    ``ops/regrid._bilinear_spatial_then_linear_z`` (orders 0/1; the
+    reference routes cubes through ``reproject_interp``'s map_coordinates,
+    ``/root/reference/spectral_cube/spectral_cube.py:2649-2746``).
+
+    Stage 1, spectral lerp: zero communication — the spectral axis is
+    local in the spatial layout, so each device lerps its own shard's
+    channels (the filled data and the NaN-weight plane together).
+
+    Stage 2, spatial resample, two strategies:
+
+    - **halo**: when the mapping is axis-aligned (separable bilinear) and
+      every output tile's 2-tap windows reach at most one neighbor tile,
+      each device applies its OWN per-tile slice of the (n_out, n_in) tap
+      matrices to its ppermute-halo-padded block — zero all-to-alls, the
+      direct analog of the halo convolution.  This covers the
+      offset / low-shear mosaicking case (BASELINE configs 4/5); halo
+      width = max tap displacement (``_reproject_tile_blocks``).
+    - **reshard**: rotations, non-separable mappings, order-0, and
+      beyond-halo displacements reshard to the spectral layout (full
+      planes local per channel), run the unsharded spatial resample
+      semantics on local channels, and reshard back — exactly two
+      explicit all-to-alls over ICI, never a GSPMD all-gather
+      (asserted by tests/test_parallel.py's HLO checks).
+
+    NaN-weight poisoning (>1e-6), in-range valid-plane and per-channel
+    ``zvalid`` masking follow the unsharded contract exactly.  Returns
+    the (nz, ny_out, nx_out) reprojected array in the spatial layout.
+    """
+    import jax.lax as lax
+    mesh = cmesh.mesh
+    my_m, mx_m = cmesh.grid
+    data = jnp.asarray(data)
+    nchan_in, ny_in, nx_in = data.shape
+    zs = np.asarray(zs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    xs = np.asarray(xs, np.float64)
+    nz = zs.shape[0]
+    ny_out, nx_out = ys.shape
+    order = int(order)
+    if order not in (0, 1):
+        raise ValueError("sharded_reproject supports orders 0/1 "
+                         "(nearest/bilinear); spline orders take the "
+                         "unsharded path")
+
+    # ---- host index/weight computation (mirrors the unsharded path) ----
+    zvalid = np.isfinite(zs) & (zs >= -1e-3) & (zs <= nchan_in - 1 + 1e-3)
+    zc = np.clip(np.nan_to_num(zs), 0, nchan_in - 1)
+    z0 = np.clip(zc.astype(np.int32), 0, nchan_in - 2) \
+        if nchan_in > 1 else np.zeros(nz, np.int32)
+    zf = (zc - z0).astype(np.float32)
+    if order == 0:
+        z0 = np.clip(np.round(zc).astype(np.int32), 0, nchan_in - 1)
+        zf = np.zeros(nz, np.float32)
+    z_identity = (nz == nchan_in and np.all(zc == np.arange(nchan_in))
+                  and zvalid.all())
+
+    yvalid = np.isfinite(ys) & (ys >= -1e-3) & (ys <= ny_in - 1 + 1e-3)
+    xvalid = np.isfinite(xs) & (xs >= -1e-3) & (xs <= nx_in - 1 + 1e-3)
+    ycl = np.clip(np.nan_to_num(ys), 0, ny_in - 1)
+    xcl = np.clip(np.nan_to_num(xs), 0, nx_in - 1)
+    if order == 0:
+        y0 = np.clip(np.round(ycl).astype(np.int64), 0, ny_in - 1)
+        x0 = np.clip(np.round(xcl).astype(np.int64), 0, nx_in - 1)
+        wy = np.zeros_like(ycl, np.float32)
+        wx = np.zeros_like(xcl, np.float32)
+    else:
+        y0 = np.clip(ycl.astype(np.int64), 0, max(ny_in - 2, 0))
+        x0 = np.clip(xcl.astype(np.int64), 0, max(nx_in - 2, 0))
+        wy = (ycl - y0).astype(np.float32)
+        wx = (xcl - x0).astype(np.float32)
+    y1 = np.minimum(y0 + 1, ny_in - 1)
+    x1 = np.minimum(x0 + 1, nx_in - 1)
+    vp = (yvalid & xvalid)
+    zvj_shape = (nz, 1, 1)
+
+    zj0 = jnp.asarray(z0)
+    zj1 = jnp.asarray(np.minimum(z0 + 1, nchan_in - 1))
+    zf3 = jnp.asarray(zf)[:, None, None]
+
+    def zlerp(arr):
+        if z_identity:
+            return arr
+        lo = arr[zj0]
+        if order == 0 or nchan_in == 1:
+            return lo
+        return lo * (1 - zf3) + arr[zj1] * zf3
+
+    key = ("reproject", data.shape, str(getattr(data, "dtype", "f4")),
+           order, zs.tobytes(), ys.tobytes(), xs.tobytes(),
+           tuple(id(d) for d in mesh.devices.ravel()))
+    fn = _SHARDED_JIT_CACHE.get(key)
+    if fn is not None:
+        return fn(cmesh.shard(data, "spatial"))
+
+    # ---- halo strategy: separable mapping within one-neighbor reach ----
+    ysep = order == 1 and np.ptp(y0, axis=1).max() == 0 \
+        and np.ptp(wy, axis=1).max() == 0
+    xsep = order == 1 and np.ptp(x0, axis=0).max() == 0 \
+        and np.ptp(wx, axis=0).max() == 0
+    halo = None
+    if ysep and xsep and ny_in > 1 and nx_in > 1:
+        from ..ops.interpolate import _interp_matrix
+        my_tap = _interp_matrix(y0[:, 0], wy[:, 0], ny_in)
+        mx_tap = _interp_matrix(x0[0, :], wx[0, :], nx_in)
+        by = _reproject_tile_blocks(my_tap, my_m, ny_out, ny_in)
+        bx = _reproject_tile_blocks(mx_tap, mx_m, nx_out, nx_in)
+        if by is not None and bx is not None:
+            halo = (by, bx)
+
+    zvalid_j = jnp.asarray(zvalid.reshape(zvj_shape))
+    if halo is not None:
+        (myb, hy), (mxb, hx) = halo
+        ny_out_p = ny_out + (-ny_out) % my_m
+        nx_out_p = nx_out + (-nx_out) % mx_m
+        vp_p = np.zeros((ny_out_p, nx_out_p), np.float32)
+        vp_p[:ny_out, :nx_out] = vp
+
+        def local(d, myb_l, mxb_l, vp_l):
+            fz = zlerp(jnp.nan_to_num(d))
+            wz = zlerp(jnp.isnan(d).astype(jnp.float32))
+            padded = halo_pad(jnp.concatenate([fz, wz], axis=0), hy, hx)
+            fzp, wzp = padded[:nz], padded[nz:]
+            My, Mx = myb_l[0], mxb_l[0]
+            t = jnp.einsum("ab,cbx->cax", My, fzp,
+                           precision=lax.Precision.HIGHEST)
+            out = jnp.einsum("cax,vx->cav", t, Mx,
+                             precision=lax.Precision.HIGHEST)
+            # the NaN-weight plane only feeds a >1e-6 threshold: DEFAULT
+            # (bf16) is exact enough for 0..1 flags (unsharded contract)
+            tw = jnp.einsum("ab,cbx->cax", jnp.abs(My), wzp,
+                            precision=lax.Precision.DEFAULT)
+            wn = jnp.einsum("cax,vx->cav", tw, jnp.abs(Mx),
+                            precision=lax.Precision.DEFAULT)
+            out = jnp.where(wn > 1e-6, jnp.nan, out)
+            return jnp.where((vp_l != 0.0) & zvalid_j, out, jnp.nan)
+
+        def run(d):
+            d, _, _ = _pad_spatial(d, cmesh, 0.0)
+            return shard_map(
+                local, mesh=mesh,
+                in_specs=(P(None, "y", "x"), P("y", None, None),
+                          P("x", None, None), P("y", "x")),
+                out_specs=P(None, "y", "x"))(
+                    d, jnp.asarray(myb), jnp.asarray(mxb),
+                    jnp.asarray(vp_p))[:, :ny_out, :nx_out]
+    else:
+        # ---- reshard strategy: full planes local per channel ----
+        ny_in_p = ny_in + (-ny_in) % my_m
+        nx_in_p = nx_in + (-nx_in) % mx_m
+        corners = ((y0, x0, (1 - wy) * (1 - wx)),
+                   (y0, x1, (1 - wy) * wx),
+                   (y1, x0, wy * (1 - wx)),
+                   (y1, x1, wy * wx))
+        cidx = [jnp.asarray((yy * nx_in_p + xx).ravel())
+                for yy, xx, _ in corners]
+        cw = [jnp.asarray(w.ravel().astype(np.float32))
+              for _, _, w in corners]
+
+        def spatial_local(f2, w2):
+            nzl = f2.shape[0]
+            # channels-minor layout: each gathered element sits in a
+            # contiguous channel row (the unsharded path's layout choice)
+            flat_f = f2.reshape(nzl, ny_in_p * nx_in_p).T
+
+            def gathers(flat):
+                acc = jnp.zeros((ny_out * nx_out, nzl), flat.dtype)
+                for idx, w in zip(cidx, cw):
+                    acc = acc + jnp.take(flat, idx, axis=0) * w[:, None]
+                    if order == 0:
+                        break
+                return acc
+
+            out = gathers(flat_f)
+
+            def poison(o):
+                wn = gathers(w2.reshape(nzl, ny_in_p * nx_in_p).T)
+                return jnp.where(wn > 1e-6, jnp.nan, o)
+
+            out = lax.cond(jnp.any(w2 != 0.0), poison, lambda o: o, out)
+            return out.T.reshape(nzl, ny_out, nx_out)
+
+        vp_j = jnp.asarray(vp)
+        # pre-pad so the reshard helpers neither pad nor crop: the
+        # spectral-layout planes must keep the padded (ny_in_p, nx_in_p)
+        # stride the corner indices were built against, and the channel
+        # count must divide the device count for the spectral layout
+        nz_p = nz + (-nz) % (my_m * mx_m)
+
+        def run(d):
+            # z-stage in the spatial layout (z local, zero communication)
+            fz = zlerp(jnp.nan_to_num(d))
+            wz = zlerp(jnp.isnan(d).astype(jnp.float32))
+            pads = ((0, nz_p - nz), (0, ny_in_p - ny_in),
+                    (0, nx_in_p - nx_in))
+            f2 = cmesh.reshard(jnp.pad(fz, pads), "spectral",
+                               source="spatial")
+            w2 = cmesh.reshard(jnp.pad(wz, pads), "spectral",
+                               source="spatial")
+            out2 = shard_map(
+                spatial_local, mesh=mesh,
+                in_specs=(P(("y", "x"), None, None),) * 2,
+                out_specs=P(("y", "x"), None, None))(f2, w2)
+            out = cmesh.reshard(out2, "spatial", source="spectral")[:nz]
+            return jnp.where(vp_j[None] & zvalid_j, out, jnp.nan)
+
+    fn = jax.jit(run)
+    _cache_put(key, fn)
+    return fn(cmesh.shard(data, "spatial"))
+
+
 # ---------------------------------------------------------------------------
 # ShardedCube: cube facade bound to a mesh
 # ---------------------------------------------------------------------------
@@ -751,6 +1000,36 @@ class ShardedCube:
         return ShardedCube(c._new_cube_with(data=out, wcs=new_wcs,
                                             mask=mask),
                            self.cmesh)
+
+    def reproject(self, header, order="bilinear", use_memmap=False,
+                  filled=True, **kwargs):
+        """Sharded reprojection onto a new spatial(+spectral) WCS: the
+        mappings are host-computed exactly like the unsharded
+        ``cube.reproject``, then :func:`sharded_reproject` runs the
+        resample SPMD (halo exchange for separable in-reach mappings,
+        the two-all-to-all reshard round trip otherwise).  Spline orders
+        (2/3) delegate to the unsharded path."""
+        from ..ops.regrid import reproject_mappings, _order_int
+        from ..masks import BooleanArrayMask
+        c = self.cube
+        if _order_int(order) >= 2:
+            return ShardedCube(c.reproject(header, order=order,
+                                           filled=filled, **kwargs),
+                               self.cmesh)
+        data = c._get_filled_data(fill=np.nan) if filled \
+            else c._device_data
+        zs, ys, xs, wcs_out = reproject_mappings(
+            c._wcs, header, c.shape[0],
+            spectral_values_in=np.asarray(c.spectral_axis.value))
+        out = sharded_reproject(data, zs, ys, xs, self.cmesh,
+                                order=_order_int(order))
+        footprint = jnp.isfinite(out)
+        mask = BooleanArrayMask(footprint, wcs=wcs_out, shape=out.shape)
+        new = c.__class__(data=out, wcs=wcs_out, mask=mask,
+                          meta=dict(c._meta), unit=c._unit,
+                          fill_value=c._fill_value,
+                          allow_huge_operations=c.allow_huge_operations)
+        return ShardedCube(new, self.cmesh)
 
     def convolve_to(self, beam):
         """Common-beam convolution with the reshard (rechunk-analog) path."""

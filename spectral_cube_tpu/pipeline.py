@@ -64,7 +64,11 @@ def run_pipeline(cube, cmesh: CubeMesh | None = None, snr_threshold=None,
 
     out_cube = cube
     if target_header is not None:
-        out_cube = out_cube.reproject(target_header)
+        # sharded reproject: halo exchange for separable in-reach
+        # mappings (zero all-to-alls), the explicit two-all-to-all
+        # reshard round trip otherwise (parallel/sharded.py)
+        out_cube = ShardedCube(out_cube, cmesh) \
+            .reproject(target_header).cube
 
     return {"moments": (m0, m1, linewidth), "statistics": stats,
             "cube": out_cube}

@@ -779,3 +779,115 @@ def test_streaming_pipeline_tb_scale_analog(tmp_path):
     for key in ("npts", "mean", "sigma", "sum", "max", "min"):
         np.testing.assert_allclose(float(sts[key]), float(st[key]),
                                    rtol=2e-5, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# sharded reproject (the pipeline's last stage)
+# ---------------------------------------------------------------------------
+def _offset_mapping(ny, nx, dy=0.37, dx=0.61):
+    ys = np.broadcast_to(np.arange(ny, dtype=np.float64)[:, None] + dy,
+                         (ny, nx)).copy()
+    xs = np.broadcast_to(np.arange(nx, dtype=np.float64)[None, :] + dx,
+                         (ny, nx)).copy()
+    return ys, xs
+
+
+def test_sharded_reproject_halo_matches_unsharded(cmesh, big_cube):
+    """Separable offset mapping: the halo strategy must agree with the
+    unsharded resample (NaN poisoning and out-of-range NaN included) and
+    compile to ppermute halo exchange only — zero all-to-alls."""
+    from spectral_cube_tpu.parallel.sharded import sharded_reproject
+    from spectral_cube_tpu.ops.regrid import _bilinear_spatial_then_linear_z
+    data, _, _ = big_cube
+    nchan, ny, nx = data.shape
+    zs = np.arange(nchan, dtype=np.float64)
+    ys, xs = _offset_mapping(ny, nx)
+    expected = np.asarray(_bilinear_spatial_then_linear_z(
+        jnp.asarray(data), zs, ys, xs, 1))
+    got = np.asarray(sharded_reproject(data, zs, ys, xs, cmesh, order=1))
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7,
+                               equal_nan=True)
+
+    txt = jax.jit(lambda d: sharded_reproject(
+        d, zs, ys, xs, cmesh, order=1)).lower(
+            cmesh.shard(jnp.asarray(data), "spatial")).compile().as_text()
+    assert "collective-permute" in txt
+    assert "all-to-all" not in txt
+    assert "all-gather" not in txt
+
+
+def test_sharded_reproject_reshard_rotated(cmesh, big_cube):
+    """Rotated (non-separable) mapping: the reshard strategy must agree
+    with the unsharded gather path and compile to explicit all-to-alls —
+    never the GSPMD replicate-and-slice all-gather."""
+    from spectral_cube_tpu.parallel.sharded import sharded_reproject
+    from spectral_cube_tpu.ops.regrid import _bilinear_spatial_then_linear_z
+    data, _, _ = big_cube
+    nchan, ny, nx = data.shape
+    zs = np.arange(nchan, dtype=np.float64)
+    theta = np.deg2rad(3.0)
+    c, s = np.cos(theta), np.sin(theta)
+    yy, xx = np.mgrid[0:ny, 0:nx].astype(np.float64)
+    cy, cx = (ny - 1) / 2.0, (nx - 1) / 2.0
+    ys = c * (yy - cy) - s * (xx - cx) + cy
+    xs = s * (yy - cy) + c * (xx - cx) + cx
+    expected = np.asarray(_bilinear_spatial_then_linear_z(
+        jnp.asarray(data), zs, ys, xs, 1))
+    got = np.asarray(sharded_reproject(data, zs, ys, xs, cmesh, order=1))
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7,
+                               equal_nan=True)
+
+    txt = jax.jit(lambda d: sharded_reproject(
+        d, zs, ys, xs, cmesh, order=1)).lower(
+            cmesh.shard(jnp.asarray(data), "spatial")).compile().as_text()
+    assert "all-to-all" in txt
+    assert "all-gather" not in txt, \
+        "sharded reproject fell back to replicate-and-slice"
+
+
+def test_sharded_reproject_spectral_mapping(cmesh, big_cube):
+    """Non-identity spectral mapping (2x channel regrid with out-of-range
+    tail) combined with a spatial offset."""
+    from spectral_cube_tpu.parallel.sharded import sharded_reproject
+    from spectral_cube_tpu.ops.regrid import _bilinear_spatial_then_linear_z
+    data, _, _ = big_cube
+    nchan, ny, nx = data.shape
+    zs = np.arange(20, dtype=np.float64) * 0.5 + 0.25   # beyond nchan-1
+    ys, xs = _offset_mapping(ny, nx, dy=-0.5, dx=1.25)
+    expected = np.asarray(_bilinear_spatial_then_linear_z(
+        jnp.asarray(data), zs, ys, xs, 1))
+    got = np.asarray(sharded_reproject(data, zs, ys, xs, cmesh, order=1))
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7,
+                               equal_nan=True)
+
+
+def test_sharded_reproject_order0(cmesh, big_cube):
+    """Nearest-neighbor order falls to the reshard strategy and matches."""
+    from spectral_cube_tpu.parallel.sharded import sharded_reproject
+    from spectral_cube_tpu.ops.regrid import _bilinear_spatial_then_linear_z
+    data, _, _ = big_cube
+    nchan, ny, nx = data.shape
+    zs = np.arange(nchan, dtype=np.float64)
+    ys, xs = _offset_mapping(ny, nx)
+    expected = np.asarray(_bilinear_spatial_then_linear_z(
+        jnp.asarray(data), zs, ys, xs, 0))
+    got = np.asarray(sharded_reproject(data, zs, ys, xs, cmesh, order=0))
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7,
+                               equal_nan=True)
+
+
+def test_sharded_cube_reproject_header(tmp_path, cmesh):
+    """ShardedCube.reproject(target_header) == cube.reproject (the
+    pipeline's last stage, now SPMD end to end)."""
+    path, _ = make_cube_file(tmp_path, name="srep.fits", shape=(6, 16, 16))
+    cube = SpectralCube.read(path)
+    hdr = cube.header
+    hdr["CRVAL1"] = float(hdr["CRVAL1"]) + 0.3 * float(hdr["CDELT1"])
+    hdr["CRVAL2"] = float(hdr["CRVAL2"]) + 0.6 * float(hdr["CDELT2"])
+    expected = cube.reproject(hdr)
+    got = ShardedCube(cube, cmesh).reproject(hdr)
+    np.testing.assert_allclose(
+        np.asarray(got.cube.unmasked_data[:].value),
+        np.asarray(expected.unmasked_data[:].value),
+        rtol=1e-5, atol=1e-6, equal_nan=True)
+    assert got.cube.wcs.check_equality(expected.wcs, wcs_tolerance=1e-9)
