@@ -168,6 +168,16 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
         ty //= 2
     block_bytes = per_tile * ty
     if block_bytes * factor > 15 * 2 ** 20:
+        # the whole spectral axis no longer fits one VMEM block (~1024
+        # channels at f32): chunk the channel axis instead of falling
+        # off Pallas — per-chunk two-pass numerics, exact pair
+        # accumulation across chunks (round-4's 2x throughput falloff at
+        # 1024^3 was exactly this silent XLA fallback, 94 vs 178 Gvox/s)
+        out = _moments_pallas_chunked(data, coords_c, xbar, dx,
+                                      mask_expr, include, interpret,
+                                      with_stats)
+        if out is not None:
+            return out
         if mask_expr is not None:
             inc2 = mask_expr._include(data=data)
             include = inc2 if include is None \
@@ -273,6 +283,223 @@ def moments_012_pallas(data, coords, dx, mask_expr=None, include=None,
         return moms
     mn_p, mx_p, d2_p = outs[5:]
     return moms + (_recombine_statistics(s0, cnt, mn_p, mx_p, d2_p),)
+
+
+def _moments_pallas_chunked(data, coords_c, xbar, dx, mask_expr, include,
+                            interpret, with_stats):
+    """Channel-chunked Pallas moments for spectral axes too long for one
+    VMEM block (~1024 f32 channels): grid (gy, gx, gc) with the channel
+    dim innermost, so the per-spaxel sufficient planes stay VMEM-resident
+    across chunk steps.
+
+    Numerics: each (cc, ty, tx) chunk runs the same two-pass form as the
+    single-block kernel but keeps the RAW residual sum, so its
+    contribution converts EXACTLY into the global-centered sums
+    (S1 += s0*m1 + R1, S2 += s0*m1^2 + 2*m1*R1 + s2c, Dekker products)
+    accumulated as compensated float32 pairs; the pair-space finalization
+    (``_finalize_pairs``) then evaluates the cancelling mom2/d2 forms at
+    ~1e-14 relative — the same scheme test_pipeline_fused validates
+    against an adversarial narrow-line-far-from-center cube.  The pair
+    arithmetic runs at PLANE level once per chunk (~40 VPU plane ops
+    amortized over cc channels), so the per-voxel cost stays the
+    single-block kernel's ~11 ops.  Returns None when no channel divisor
+    fits VMEM (callers fall back to the XLA expression)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .df32 import two_sum, two_prod, df_div
+
+    if not interpret and jax.default_backend() != "tpu":
+        return None
+    nchan, ny, nx = data.shape
+    n_block_inputs = 2 if include is not None else 1
+    tx = 128
+    factor = 2 + 4 + (2 if with_stats else 0)
+    choice = None
+    for ty in (16, 8):
+        for k in range(2, 65):
+            if nchan % k:
+                continue
+            cc = nchan // k
+            if cc * ty * tx * data.dtype.itemsize * n_block_inputs \
+                    * factor <= 15 * 2 ** 20:
+                choice = (ty, cc)
+                break
+        if choice:
+            break
+    if choice is None:
+        return None
+    ty, cc = choice
+    gc = nchan // cc
+    gy, gx = pl.cdiv(ny, ty), pl.cdiv(nx, tx)
+    ragged = (ny % ty != 0) or (nx % tx != 0)
+    xc_col = jnp.asarray(coords_c, dtype=jnp.float32).reshape(nchan, 1)
+    use_mask_input = include is not None
+    if mask_expr is not None and not is_data_local(mask_expr):
+        raise ValueError("mask_expr must be data-local for in-kernel fusion")
+
+    def kernel(*refs):
+        if use_mask_input:
+            (data_ref, xc_ref, inc_ref, s0h, s0l, s1h, s1l, s2h, s2l,
+             cnt_ref, *stat_refs) = refs
+        else:
+            (data_ref, xc_ref, s0h, s0l, s1h, s1l, s2h, s2l, cnt_ref,
+             *stat_refs) = refs
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        c = pl.program_id(2)
+
+        @pl.when(c == 0)
+        def _():
+            for r in (s0h, s0l, s1h, s1l, s2h, s2l):
+                r[:] = jnp.zeros_like(r[:])
+            cnt_ref[:] = jnp.zeros_like(cnt_ref[:])
+            if with_stats:
+                mn_ref, mx_ref, qh, ql = stat_refs
+                mn_ref[:] = jnp.full_like(mn_ref[:], jnp.inf)
+                mx_ref[:] = jnp.full_like(mx_ref[:], -jnp.inf)
+                qh[:] = jnp.zeros_like(qh[:])
+                ql[:] = jnp.zeros_like(ql[:])
+
+        block = data_ref[:]                      # (cc, ty, tx)
+        valid = jnp.isfinite(block)
+        if mask_expr is not None:
+            valid = jnp.logical_and(valid, mask_expr._include(data=block))
+        if use_mask_input:
+            valid = jnp.logical_and(valid, inc_ref[:] != 0)
+        if ragged:
+            row = jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 1)
+            inb = jnp.logical_and(i * ty + row < ny, j * tx + col < nx)
+            valid = jnp.logical_and(valid, inb[None, :, :])
+        w = jnp.where(valid, block, 0).astype(jnp.float32)
+        xc = xc_ref[:].reshape(cc, 1, 1)
+        # chunk-local two-pass (the single-block numerics, raw residual)
+        s0_i = jnp.sum(w, axis=0)
+        s1_i = jnp.sum(w * xc, axis=0)
+        cnt_i = jnp.sum(valid, axis=0).astype(jnp.int32)
+        safe = jnp.where(s0_i == 0, 1.0, s0_i)
+        m1 = s1_i / safe
+        d = xc - m1[None]
+        R1 = jnp.sum(w * d, axis=0)
+        s2c = jnp.sum(w * (d * d), axis=0)
+
+        def acc2(h, l, vh, vl):
+            s, e = two_sum(h[:], vh)
+            l[:] = l[:] + (e + vl)
+            h[:] = s
+
+        p1h, p1l = two_prod(s0_i, m1)
+        t2h, t2l = two_prod(p1h, m1)
+        acc2(s0h, s0l, s0_i, jnp.zeros_like(s0_i))
+        acc2(s1h, s1l, p1h, p1l + R1)
+        acc2(s2h, s2l, t2h, t2l + p1l * m1 + 2.0 * m1 * R1)
+        acc2(s2h, s2l, s2c, jnp.zeros_like(s2c))
+        cnt_ref[:] = cnt_ref[:] + cnt_i
+
+        if with_stats:
+            mn_ref, mx_ref, qh, ql = stat_refs
+            mn_ref[:] = jnp.minimum(
+                mn_ref[:], jnp.min(jnp.where(valid, block, jnp.inf),
+                                   axis=0))
+            mx_ref[:] = jnp.maximum(
+                mx_ref[:], jnp.max(jnp.where(valid, block, -jnp.inf),
+                                   axis=0))
+            # chunk sum-of-squares, derived (no w*w pass): Sum w^2 =
+            # d2_i + s0_i^2/cnt_i, with the big division as a PAIR so Q
+            # keeps pair accuracy through the final d2 = Q - S0^2/N
+            cntf_i = jnp.maximum(cnt_i, 1).astype(jnp.float32)
+            m_i = s0_i / cntf_i
+            dev = jnp.where(valid, block.astype(jnp.float32) - m_i[None],
+                            0.0)
+            d2_i = jnp.sum(dev * dev, axis=0)
+            sqh, sql = two_prod(s0_i, s0_i)
+            dh, dl = df_div((sqh, sql), (cntf_i, jnp.zeros_like(cntf_i)))
+            acc2(qh, ql, d2_i, jnp.zeros_like(d2_i))
+            acc2(qh, ql, dh, dl)
+
+    in_specs = [
+        pl.BlockSpec((cc, ty, tx), lambda i, j, c: (c, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cc, 1), lambda i, j, c: (c, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [data, xc_col]
+    if use_mask_input:
+        in_specs.append(pl.BlockSpec((cc, ty, tx),
+                                     lambda i, j, c: (c, i, j),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(include.astype(jnp.uint8))
+    out_spec = pl.BlockSpec((ty, tx), lambda i, j, c: (i, j),
+                            memory_space=pltpu.VMEM)
+    oy, ox = gy * ty, gx * tx
+    fmap = jax.ShapeDtypeStruct((oy, ox), jnp.float32)
+    imap = jax.ShapeDtypeStruct((oy, ox), jnp.int32)
+    shapes = (fmap,) * 6 + (imap,) + \
+        ((fmap, fmap, fmap, fmap) if with_stats else ())
+    outs = pl.pallas_call(
+        kernel,
+        grid=(gy, gx, gc),
+        in_specs=in_specs,
+        out_specs=(out_spec,) * len(shapes),
+        out_shape=shapes,
+        interpret=interpret,
+    )(*inputs)
+    outs = [a[:ny, :nx] for a in outs]
+    s0h, s0l, s1h, s1l, s2h, s2l, cnt = outs[:7]
+    cntf = cnt.astype(jnp.float32)
+    out_dtype = data.dtype
+    if with_stats:
+        mn_p, mx_p, qh, ql = outs[7:]
+        m0, m1, m2, stats = _finalize_pairs(
+            (s0h, s0l, s1h, s1l, s2h, s2l, qh, ql, cntf, mn_p, mx_p),
+            xbar, dx, True)
+        return (m0.astype(out_dtype), m1.astype(out_dtype),
+                m2.astype(out_dtype), stats)
+    m0, m1, m2 = _finalize_pairs((s0h, s0l, s1h, s1l, s2h, s2l, cntf),
+                                 xbar, dx, False)
+    return (m0.astype(out_dtype), m1.astype(out_dtype),
+            m2.astype(out_dtype))
+
+
+def _finalize_pairs(planes, xbar, dx, with_stats):
+    """Finalize moments (and optionally statistics) from compensated-pair
+    sufficient planes ``(s0h, s0l, s1h, s1l, s2h, s2l[, qh, ql], cntf
+    [, mn, mx])`` — the shared pair-space evaluation of the cancelling
+    forms mom2 = S2/S0 - (S1/S0)^2 and d2 = Q - S0^2/n (see ops/df32).
+    Used by the channel-chunked moments kernel and the whole-pipeline
+    fusion (ops/pipeline_fused)."""
+    from .df32 import df_sub, df_mul, df_div, df_collapse
+
+    if with_stats:
+        s0h, s0l, s1h, s1l, s2h, s2l, qh, ql, cntf, mn, mx = planes
+    else:
+        s0h, s0l, s1h, s1l, s2h, s2l, cntf = planes
+    zero = jnp.zeros_like(s0h)
+    s0c = s0h + s0l
+    deg = s0c == 0
+    S0 = (jnp.where(deg, 1.0, s0h), jnp.where(deg, 0.0, s0l))
+    q1 = df_div((s1h, s1l), S0)               # S1/S0 as a pair
+    some = cntf > 0
+    nan = jnp.asarray(jnp.nan, jnp.float32)
+    mom0 = jnp.where(some, s0c * np.float32(dx), nan)
+    mom1 = jnp.where(some, np.float32(xbar) + df_collapse(q1), nan)
+    # mom2 = S2/S0 - (S1/S0)^2, differenced in pair space: both terms
+    # carry ~1e-14 relative error, so the cancellation (up to ~1e4:1 for
+    # a narrow line far from xbar) costs nothing
+    mom2 = jnp.where(
+        some,
+        df_collapse(df_sub(df_div((s2h, s2l), S0), df_mul(q1, q1))), nan)
+    if not with_stats:
+        return mom0, mom1, mom2
+    # statistics: per-spaxel centered second moment d2 = Q - S0^2/n in
+    # pair space (DC-offset robustness), then the plane-level recombination
+    ns = jnp.maximum(cntf, 1.0)
+    d2 = df_collapse(df_sub((qh, ql),
+                            df_div(df_mul((s0h, s0l), (s0h, s0l)),
+                                   (ns, zero))))
+    d2 = jnp.where(some, jnp.maximum(d2, 0.0), 0.0)
+    stats = _recombine_statistics(s0c, cntf.astype(jnp.int32), mn, mx, d2)
+    return mom0, mom1, mom2, stats
 
 
 def _recombine_statistics(s0, cnt, mn_p, mx_p, d2_p):

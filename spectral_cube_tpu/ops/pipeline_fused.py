@@ -44,14 +44,9 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .df32 import df_add, df_sub, df_mul, df_div, df_collapse
-from .moments import _center, _recombine_statistics
+from .moments import _center, _finalize_pairs
 
 __all__ = ["moments_conv_reproject_fused"]
-
-
-def _pair(h, l):
-    return (h, l)
 
 
 def moments_conv_reproject_fused(data, kernel, ys, xs, coords, dx,
@@ -92,35 +87,11 @@ def moments_conv_reproject_fused(data, kernel, ys, xs, coords, dx,
         return None
     out, (s0h, s0l, s1h, s1l, s2h, s2l, qh, ql, cntf, mn, mx) = res
 
-    # ---- pair-space finalization (see module docstring) -------------
-    zero = jnp.zeros_like(s0h)
-    s0c = s0h + s0l
-    deg = s0c == 0
-    S0 = _pair(jnp.where(deg, 1.0, s0h), jnp.where(deg, 0.0, s0l))
-    S1 = _pair(s1h, s1l)
-    S2 = _pair(s2h, s2l)
-    q1 = df_div(S1, S0)                       # S1/S0 as a pair
-    some = cntf > 0
-    nan = jnp.asarray(jnp.nan, jnp.float32)
-    mom0 = jnp.where(some, s0c * np.float32(dx), nan)
-    mom1 = jnp.where(some, np.float32(xbar) + df_collapse(q1), nan)
-    # mom2 = S2/S0 - (S1/S0)^2, differenced in pair space: both terms
-    # carry ~1e-14 relative error, so the cancellation (up to ~1e4:1 for
-    # a narrow line far from xbar) costs nothing
-    mom2 = jnp.where(
-        some, df_collapse(df_sub(df_div(S2, S0), df_mul(q1, q1))), nan)
-
-    # statistics: per-spaxel centered second moment d2 = Q - S0^2/n in
-    # pair space (DC-offset robustness), then the shared plane-level
-    # recombination
-    ns = jnp.maximum(cntf, 1.0)
-    d2 = df_collapse(df_sub(_pair(qh, ql),
-                            df_div(df_mul(_pair(s0h, s0l),
-                                          _pair(s0h, s0l)),
-                                   _pair(ns, zero))))
-    d2 = jnp.where(some, jnp.maximum(d2, 0.0), 0.0)
-    stats = _recombine_statistics(s0h + s0l, cntf.astype(jnp.int32),
-                                  mn, mx, d2)
+    # pair-space finalization, shared with the channel-chunked moments
+    # kernel (ops/moments._finalize_pairs; see module docstring)
+    mom0, mom1, mom2, stats = _finalize_pairs(
+        (s0h, s0l, s1h, s1l, s2h, s2l, qh, ql, cntf, mn, mx),
+        xbar, dx, True)
     odt = data.dtype
     return (out.astype(odt), mom0.astype(odt), mom1.astype(odt),
             mom2.astype(odt), stats)

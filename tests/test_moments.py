@@ -381,3 +381,85 @@ def test_pallas_with_stats_all_masked():
     assert int(st["npts"]) == 0
     assert np.isnan(float(st["mean"])) and np.isnan(float(st["sigma"]))
     assert np.isnan(float(st["min"])) and np.isnan(float(st["max"]))
+
+
+def test_chunked_pallas_long_axis_matches_oracle():
+    """Channel-chunked kernel (spectral axis too long for one VMEM
+    block): masked moments at 1024 channels match the float64 oracle at
+    the single-block kernel's tolerances."""
+    from spectral_cube_tpu.ops.moments import (_moments_pallas_chunked,
+                                               _center)
+    rng = np.random.RandomState(11)
+    nchan, ny, nx = 1024, 16, 128
+    data = rng.rand(nchan, ny, nx).astype("f4")
+    data[5, 1, 1] = np.nan
+    data[:, 0, 3] = np.nan          # all-NaN spaxel
+    coords = np.arange(nchan) * 0.5
+    dx = 0.5
+    mask = LazyComparisonMask(jnp.greater, 0.3, shape=data.shape)
+    # the dispatcher itself must route to the chunked kernel at 1024
+    got = moments_012_pallas(jnp.asarray(data), coords, dx,
+                             mask_expr=mask, interpret=True)
+    e0, e1, e2 = np_moments(data, coords, dx, thresh=0.3)
+    p0, p1, p2 = (np.asarray(m) for m in got)
+    assert np.allclose(p0, e0, rtol=2e-6, equal_nan=True)
+    assert np.allclose(p1, e1, rtol=2e-6, equal_nan=True)
+    assert np.allclose(p2, e2, rtol=2e-5, atol=1e-7, equal_nan=True)
+    # direct chunked call agrees too (cc genuinely < nchan)
+    coords_c, xbar = _center(coords)
+    got2 = _moments_pallas_chunked(jnp.asarray(data), coords_c, xbar, dx,
+                                   mask, None, True, False)
+    assert got2 is not None
+    for a, b in zip(got2, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7, equal_nan=True)
+
+
+def test_chunked_pallas_adversarial_narrow_line():
+    """The pair-accumulation scheme must survive a narrow line far from
+    the coordinate center (the mom2 cancellation the two-pass form
+    exists for): 1e-6 vs the float64 oracle."""
+    from spectral_cube_tpu.ops.moments import _moments_pallas_chunked, _center
+    nchan, ny, nx = 512, 8, 128
+    rng = np.random.RandomState(12)
+    coords = np.arange(nchan) * 1.0
+    v = coords - 500.0              # line centered at channel 500
+    line = np.exp(-0.5 * (v / 3.0) ** 2).astype("f4")
+    data = (line[:, None, None]
+            * (0.5 + rng.rand(1, ny, nx)).astype("f4")).astype("f4")
+    coords_c, xbar = _center(coords)
+    got = _moments_pallas_chunked(jnp.asarray(data), coords_c, xbar, 1.0,
+                                  None, None, True, False)
+    assert got is not None
+    e0, e1, e2 = np_moments(data, coords, 1.0)
+    np.testing.assert_allclose(np.asarray(got[0]), e0, rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), e1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[2]), e2, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_chunked_pallas_with_stats_matches_float64():
+    """Chunked with_stats: statistics recombine across chunks (pair Q)
+    including the DC-offset regime."""
+    from spectral_cube_tpu.ops.moments import _moments_pallas_chunked, _center
+    rng = np.random.RandomState(13)
+    nchan, ny, nx = 512, 8, 128
+    data = (1000.0 + 0.01 * rng.randn(nchan, ny, nx)).astype("f4")
+    data[3, 2, 5] = np.nan
+    include = data > 999.995
+    coords = np.arange(float(nchan))
+    coords_c, xbar = _center(coords)
+    got = _moments_pallas_chunked(jnp.asarray(data), coords_c, xbar, 1.0,
+                                  None, jnp.asarray(include), True, True)
+    assert got is not None
+    st = got[3]
+    v = include & np.isfinite(data)
+    x = data[v].astype(np.float64)
+    assert int(st["npts"]) == x.size
+    np.testing.assert_allclose(float(st["mean"]), x.mean(), rtol=1e-6)
+    np.testing.assert_allclose(float(st["sigma"]), x.std(ddof=1),
+                               rtol=5e-4)
+    np.testing.assert_allclose(float(st["min"]), x.min(), rtol=0)
+    np.testing.assert_allclose(float(st["max"]), x.max(), rtol=0)
+    np.testing.assert_allclose(float(st["rms"]),
+                               np.sqrt((x * x).mean()), rtol=1e-6)
