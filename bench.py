@@ -265,11 +265,29 @@ def bench_config3():
     # re-adds MORE structural-zero MXU work: 0.474 vs 0.424 ms,
     # probe_c3_variants4.py); NaN machinery ~0.04 ms (clean-only kernel
     # 0.378 ms, probe_c3_cb.py CB=1); per-grid-step overhead ~0.035 ms
-    # (4-channel blocking reaches 0.343 ms but requires contiguous-group
-    # channel runs — this config's interleaved beams would pay a 0.16 ms
-    # permutation pass, a net loss); residual ~0.08 ms = X6 efficiency at
-    # m=64-row strip dots.  The strip scheme itself is the right one:
-    # einsum-gather 0.846 ms, dense 0.72 ms (probe_banded2.py).
+    # (4-channel blocking — exploited by the CONTIGUOUS variant below,
+    # which real monotone-drifting VRSC beams hit; this config's
+    # interleaved beams would pay a 0.16 ms permutation pass, a net
+    # loss); residual ~0.08 ms = X6 efficiency at m=64-row strip dots.
+    # The strip scheme itself is the right one: einsum-gather 0.846 ms,
+    # dense 0.72 ms (probe_banded2.py).
+
+    # config3b: contiguous beam groups (4 consecutive channels per beam,
+    # the monotone-drift case) take per_channel_conv_strips_blocked —
+    # same 64 distinct beams, zero permutation
+    group_contig = (np.arange(n) // 4).astype(np.int32) % ngroups
+
+    def one_pass_c(d):
+        return cv.convolve_per_channel_separable(d, kernels, group_contig)
+
+    per_c = _measure(one_pass_c, (jnp.asarray(data_np),), reps=80)
+    _note("config3b vrsc convolve (contiguous beams)", per_c,
+          data_np.size * 4 * 2, flops_f32=flops)
+    print(json.dumps(
+        {"metric": "vrsc_contiguous_beam_convolve_256cube_throughput",
+         "value": round(gvox / per_c, 3), "unit": "Gvoxel/s/chip",
+         "vs_baseline": round((gvox / per_c) / (gvox / t_base), 2)}),
+        flush=True)
     return {"metric": "vrsc_common_beam_convolve_256cube_throughput",
             "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
             "vs_baseline": round((gvox / per) / (gvox / t_base), 2)}
@@ -557,6 +575,62 @@ def bench_config7():
             "vs_baseline": round(t_base / per, 2)}
 
 
+def bench_config8():
+    """HBM-scale headline: SNR-masked fused moments 0/1/2 on a 1024^3
+    float32 cube (4.3 GB, ~1/3 of a v5e chip's HBM) — the per-chip
+    working set of a TB-scale sharded cube, and the scale at which
+    round 4 measured an unexplained 2x falloff (94 vs 178 Gvox/s at
+    256^3).  Cause: at 1024 channels the whole-spectral-axis VMEM block
+    stopped fitting and moments_012_pallas silently fell back to the XLA
+    expression; the channel-chunked kernel (ops/moments.
+    _moments_pallas_chunked) closes it.  The cube generates ON DEVICE
+    (4 GB through the ~27 MB/s tunnel is not an option); the baseline is
+    the host numpy reference algorithm on a 128^3 slab, scaled per
+    voxel."""
+    from spectral_cube_tpu.masks import LazyComparisonMask
+    from spectral_cube_tpu.ops.moments import moments_012, moments_012_pallas
+    N = 1024
+
+    @jax.jit
+    def synth(k2):
+        v = (jnp.arange(N, dtype=jnp.float32) - N / 2) / (N / 16)
+        line = jnp.exp(-0.5 * v * v)[:, None, None]
+        return line * jax.random.uniform(k2, (N, N, N), jnp.float32) + 0.1
+
+    data = synth(jax.random.PRNGKey(0))
+    jax.block_until_ready(data)
+    coords = np.arange(N, dtype=np.float64)
+    mask = LazyComparisonMask(jnp.greater, 0.25, shape=(N, N, N))
+    on_tpu = jax.default_backend() == "tpu"
+
+    def one_pass(d):
+        if on_tpu:
+            return moments_012_pallas(d, coords, 1.0, mask_expr=mask)
+        return moments_012(d, coords, 1.0, include=d > 0.25)
+
+    per = _measure(one_pass, (data,), reps=6)
+    gvox = N ** 3 / 1e9
+
+    # host baseline: the reference numpy algorithm on a 128^3 slab of
+    # the same synthetic distribution, scaled per voxel (min-of-2)
+    ns = 128
+    rng = np.random.RandomState(0)
+    v = (np.arange(ns) - ns / 2) / (ns / 16)
+    sub = (np.exp(-0.5 * v * v)[:, None, None]
+           * rng.rand(1, ns, ns) + 0.1).astype(np.float32)
+    numpy_reference_moments(sub[:8], coords[:8], 1.0, 0.25)  # warm
+    t_base = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        numpy_reference_moments(sub, coords[:ns], 1.0, 0.25)
+        t_base = min(t_base, time.perf_counter() - t0)
+    t_base *= (N / ns) ** 3
+    _note("config8 masked moments 1024^3", per, N ** 3 * 4)
+    return {"metric": "snr_masked_moment012_1024cube_throughput",
+            "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
+            "vs_baseline": round((gvox / per) / (gvox / t_base), 2)}
+
+
 def main():
     data_np, coords, dx = make_cube()
     gvox = data_np.size / 1e9
@@ -636,7 +710,8 @@ def main():
     # configs 2-5 as additional JSON lines (a failure in one must not
     # take down the headline metric)
     for fn in (bench_config2, bench_config3, bench_config4,
-               bench_config5, bench_config6, bench_config7):
+               bench_config5, bench_config6, bench_config7,
+               bench_config8):
         try:
             print(json.dumps(fn()), flush=True)
         except Exception as exc:  # pragma: no cover

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["plan_strips", "strip_blocks", "banded_matmul_strips",
            "smooth_interp_strips", "smooth_interp_strips_3d",
-           "per_channel_conv_strips",
+           "per_channel_conv_strips", "per_channel_conv_strips_blocked",
            "per_channel_resample_strips", "per_channel_resample_raw_strips",
            "per_channel_shift_lerp", "per_channel_plain_strips",
            "conv_reproject_raw_strips", "pipeline_fused_raw_strips"]
@@ -622,6 +622,107 @@ def per_channel_conv_strips(data, my, mx, group_idx, interpret=False,
               jnp.asarray(xarg))
 
 
+def per_channel_conv_strips_blocked(data, my, mx, group_idx, cb=4,
+                                    interpret=False):
+    """Channel-blocked variant of :func:`per_channel_conv_strips` for
+    CONTIGUOUS beam groups: when every aligned ``cb``-channel block has a
+    uniform group (the common monotone-beam-drift VRSC case — real beams
+    drift slowly, so same-group channels are consecutive), the grid runs
+    nchan/cb steps of (cb, ny, nx) blocks, amortizing the per-grid-step
+    pipeline overhead that costs the one-channel kernel ~0.035 ms of its
+    0.438 ms on the 64-group 256^3 BASELINE config (bench.py config-3 gap
+    attribution; 4-channel blocking measured 0.343 ms there).  Blocks are
+    visited in group-sorted order for operator-block reuse.  NaN gating
+    is block-level with exact per-channel semantics
+    (conv_reproject_raw_strips' scheme): an all-clean block runs ``cb``
+    convs with no branches; outputs are bitwise identical to the
+    one-channel kernel.  Returns None when channels aren't
+    aligned-contiguous by group, the operators don't fit the strip
+    layout, or VMEM (callers fall back to the one-channel kernel)."""
+    if not _backend_ok(interpret):
+        return None
+    nchan, ny, nx = data.shape
+    cb = int(cb)
+    gi = np.asarray(group_idx, dtype=np.int32)
+    if cb < 2 or nchan % cb:
+        return None
+    gb = gi.reshape(-1, cb)
+    if not np.all(gb == gb[:, :1]):
+        return None         # interleaved groups: the permutation pass
+    gb = gb[:, 0]           # per-block group
+    my = np.asarray(my, np.float32)
+    mx = np.asarray(mx, np.float32)
+    G, r = my.shape[:2]
+    if ny % 8 or nx % 128:
+        return None
+    pp = _plan_pair(my, mx)
+    if pp is None:
+        return None
+    (m_y, K_y), (m_x, K_x), (yb, ys), (xbl, xs) = pp
+    nb_y, nb_x = yb.shape[2], xbl.shape[2]
+    nbm_y, nbm_x = nb_y * m_y, nb_x * m_x
+    need = (2 * cb * 2 * ny * nx + nbm_y * nx + nx * ny + nbm_x * ny) * 4 \
+        + (yb.size + xbl.size) * 8 // G + 4 * ny * nx * 4
+    if need > _VMEM_BUDGET:
+        return None
+    pb = np.argsort(gb, kind="stable").astype(np.int32)
+    gsorted = gb[pb]
+    dims = ((m_y, K_y, nb_y, ny), (m_x, K_x, nb_x, nx))
+
+    def kernel(pb_ref, gs_ref, x_ref, yb_ref, xb_ref, o_ref,
+               t_ref, u_ref, w_ref):
+        conv = _make_conv(r, dims, (ys, xs), t_ref, u_ref, w_ref)
+        valids = [jnp.isfinite(x_ref[j]) for j in range(cb)]
+        alls = [jnp.all(v) for v in valids]
+        all_clean = alls[0]
+        for a in alls[1:]:
+            all_clean = jnp.logical_and(all_clean, a)
+
+        @pl.when(all_clean)
+        def _():
+            for j in range(cb):
+                o_ref[j] = conv(yb_ref, xb_ref, x_ref[j])
+
+        @pl.when(jnp.logical_not(all_clean))
+        def _():
+            # exact per-channel semantics of per_channel_conv_strips
+            for j in range(cb):
+                v = valids[j]
+                num = conv(yb_ref, xb_ref, jnp.where(v, x_ref[j], 0.0))
+                o_ref[j] = num
+
+                @pl.when(jnp.logical_not(alls[j]))
+                def _(j=j, v=v, num=num):
+                    den = 1.0 - conv(yb_ref, xb_ref,
+                                     jnp.logical_not(v)
+                                     .astype(jnp.float32))
+                    ok = den > _DEN_EPS
+                    o = jnp.where(ok, num / jnp.where(ok, den, 1.0),
+                                  jnp.nan)
+                    o_ref[j] = jnp.where(jnp.any(v), o, jnp.nan)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(nchan // cb,),
+        in_specs=[
+            pl.BlockSpec((cb, ny, nx), lambda c, p, g: (p[c], 0, 0)),
+            pl.BlockSpec((1, r, nb_y, m_y, K_y),
+                         lambda c, p, g: (g[c], 0, 0, 0, 0)),
+            pl.BlockSpec((1, r, nb_x, m_x, K_x),
+                         lambda c, p, g: (g[c], 0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((cb, ny, nx), lambda c, p, g: (p[c], 0, 0)),
+        scratch_shapes=[pltpu.VMEM((nbm_y, nx), jnp.float32),
+                        pltpu.VMEM((nx, ny), jnp.float32),
+                        pltpu.VMEM((nbm_x, ny), jnp.float32)])
+    fn = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nchan, ny, nx), jnp.float32),
+        interpret=interpret)
+    return fn(jnp.asarray(pb), jnp.asarray(gsorted),
+              jnp.asarray(data, jnp.float32), jnp.asarray(yb),
+              jnp.asarray(xbl))
+
+
 def _plan_pair(my, mx, max_m=128):
     """Shared host-side prep for the per-channel kernels: strip plans and
     blocks for a (G, r, n_out, n_in) matrix pair.  Returns None when the
@@ -1161,7 +1262,7 @@ def pipeline_fused_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
     per-spaxel (ny_in, nx_in) float32 planes (q = sum of squared masked
     data), or None when infeasible.
     """
-    from .df32 import two_sum, two_prod
+    from .df32 import two_sum, two_prod, df_div
 
     if not _backend_ok(interpret):
         return None
@@ -1279,7 +1380,17 @@ def pipeline_fused_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
             l[...] = l[...] + (e + vl)
             h[...] = s
 
-        bads = []
+        # block-two-pass accumulation (the channel-chunked moments
+        # scheme, ops/moments._moments_pallas_chunked): the block's own
+        # two-pass sums run at ~2 extra VPU ops/voxel, and the EXACT
+        # conversion into global-centered pairs (Dekker products on the
+        # block sums) happens once per block at PLANE level — vs the
+        # round-4 per-VOXEL two_prod form (~70 VPU ops/voxel), which is
+        # what made the fused pipeline VPU-bound (1.05-1.12 ms) and kept
+        # it off the shipped config-5 path.  Accuracy is the same pair
+        # class: the adversarial narrow-line test still holds at ~1e-7.
+        bads, ws, valids, ts = [], [], [], []
+        s0_i = s1_i = cnt_i = None
         for j in range(CB):
             Z = x_ref[j]
             bads.append(jnp.any(jnp.isnan(Z)))
@@ -1288,25 +1399,45 @@ def pipeline_fused_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
                 else jnp.logical_and(fin, mask_fn(Z))
             w = jnp.where(valid, Z, 0.0).astype(jnp.float32)
             t = xc_ref[c * CB + j, 0]
-            # products are formed EXACTLY (Dekker two_prod): a plain
-            # f32 w*t*t rounds each term at 6e-8 of t^2 — for a narrow
-            # line far from the coordinate center that alone puts
-            # ~1e-4 relative error on mom2 (measured in
-            # tests/test_pipeline_fused's adversarial case); with exact
-            # products + pair accumulation the one-pass form matches the
-            # two-pass kernel at ~1e-7.  t itself is exact: channel
-            # coords minus their mean are half-integers.
-            t2h, t2l = two_prod(t, t)
-            _acc2(s0h, s0l, w, jnp.zeros_like(w))
-            p1h, p1l = two_prod(w, t)
-            _acc2(s1h, s1l, p1h, p1l)
-            p2h, p2l = two_prod(w, t2h)
-            _acc2(s2h, s2l, p2h, p2l + w * t2l)
-            pqh, pql = two_prod(w, w)
-            _acc2(qh, ql, pqh, pql)
-            cnt[...] = cnt[...] + valid.astype(jnp.float32)
+            ws.append(w)
+            valids.append(valid)
+            ts.append(t)
+            vf = valid.astype(jnp.float32)
+            s0_i = w if s0_i is None else s0_i + w
+            s1_i = w * t if s1_i is None else s1_i + w * t
+            cnt_i = vf if cnt_i is None else cnt_i + vf
             mn[...] = jnp.minimum(mn[...], jnp.where(valid, Z, jnp.inf))
-            mxp[...] = jnp.maximum(mxp[...], jnp.where(valid, Z, -jnp.inf))
+            mxp[...] = jnp.maximum(mxp[...],
+                                   jnp.where(valid, Z, -jnp.inf))
+        safe = jnp.where(s0_i == 0, 1.0, s0_i)
+        m1 = s1_i / safe
+        cntf_i = jnp.maximum(cnt_i, 1.0)
+        m_i = s0_i / cntf_i
+        R1 = s2c = d2_i = None
+        for j in range(CB):
+            d = ts[j] - m1                      # plane op per channel
+            wd = ws[j] * d
+            R1 = wd if R1 is None else R1 + wd
+            wdd = wd * d
+            s2c = wdd if s2c is None else s2c + wdd
+            dev = jnp.where(valids[j], ws[j] - m_i, 0.0)
+            dd = dev * dev
+            d2_i = dd if d2_i is None else d2_i + dd
+        p1h, p1l = two_prod(s0_i, m1)
+        t2h, t2l = two_prod(p1h, m1)
+        zero = jnp.zeros_like(s0_i)
+        _acc2(s0h, s0l, s0_i, zero)
+        _acc2(s1h, s1l, p1h, p1l + R1)
+        _acc2(s2h, s2l, t2h, t2l + p1l * m1 + 2.0 * m1 * R1)
+        _acc2(s2h, s2l, s2c, zero)
+        # Sum w^2 derived without a w*w pass: d2_i + s0_i^2/cnt_i, the
+        # big division as a PAIR so Q keeps pair accuracy through
+        # d2 = Q - S0^2/N
+        sqh, sql = two_prod(s0_i, s0_i)
+        dh, dl = df_div((sqh, sql), (cntf_i, zero))
+        _acc2(qh, ql, d2_i, zero)
+        _acc2(qh, ql, dh, dl)
+        cnt[...] = cnt[...] + cnt_i
 
         any_bad = bads[0]
         for b in bads[1:]:

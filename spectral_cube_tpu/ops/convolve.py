@@ -438,9 +438,16 @@ def convolve_per_channel_separable(data, kernels, group_idx, max_rank=4,
         # convolution NaN machinery runs per channel inside the kernel
         # (measured 0.846 -> ~0.43 ms on the 64-group 256^3 BASELINE
         # config; that workload is MXU-bound at f32 HIGHEST)
-        from .banded_pallas import per_channel_conv_strips
-        out = per_channel_conv_strips(
-            data, my, mx, np.asarray(group_idx, dtype=np.int32))
+        from .banded_pallas import (per_channel_conv_strips,
+                                    per_channel_conv_strips_blocked)
+        gi = np.asarray(group_idx, dtype=np.int32)
+        # contiguous beam groups (the monotone-drift VRSC common case):
+        # 4-channel-blocked grid amortizes per-step overheads (0.438 ->
+        # 0.343 ms on the 64-group 256^3 config); interleaved groups
+        # keep the one-channel group-sorted kernel
+        out = per_channel_conv_strips_blocked(data, my, mx, gi)
+        if out is None:
+            out = per_channel_conv_strips(data, my, mx, gi)
         if out is not None:
             return out.astype(data.dtype)
 

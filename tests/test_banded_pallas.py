@@ -511,3 +511,51 @@ def test_per_channel_shift_lerp_cb_bitwise(cb):
     out = np.asarray(per_channel_shift_lerp(
         data, 0, 0.37, 1, 0.61, valid, zvalid, interpret=True, cb=cb))
     assert np.array_equal(out, base, equal_nan=True)
+
+
+@pytest.mark.parametrize("dirty", [False, True])
+def test_per_channel_conv_strips_blocked_bitwise(dirty):
+    """Contiguous-group channel blocking is bitwise-identical to the
+    one-channel kernel (incl. NaN-holed and all-NaN channels)."""
+    from spectral_cube_tpu.ops.banded_pallas import (
+        per_channel_conv_strips_blocked)
+    rng = np.random.RandomState(9)
+    nchan, ny, nx = 8, 128, 128
+    data = rng.randn(nchan, ny, nx).astype(np.float32)
+    if dirty:
+        data[1, 30:40, 50:60] = np.nan
+        data[4] = np.nan
+    kernels = [_gauss2d(2.0, 2.0), _gauss2d(3.0, 1.5, theta=0.15)]
+    group_idx = np.array([0, 0, 0, 0, 1, 1, 1, 1], np.int32)  # contiguous
+    rmax = max(separable_factors(k)[0].shape[1] for k in kernels)
+    my = np.zeros((2, rmax, ny, ny), np.float32)
+    mx = np.zeros((2, rmax, nx, nx), np.float32)
+    for g, k in enumerate(kernels):
+        yt, xt = separable_factors(k)
+        for i in range(yt.shape[1]):
+            my[g, i] = _banded_conv_matrix(ny, yt[:, i])
+            mx[g, i] = _banded_conv_matrix(nx, xt[:, i])
+    base = np.asarray(jax.jit(
+        lambda d: per_channel_conv_strips(d, my, mx, group_idx,
+                                          interpret=True,
+                                          dense_x=False))(
+            jnp.asarray(data)))
+    got = np.asarray(jax.jit(
+        lambda d: per_channel_conv_strips_blocked(d, my, mx, group_idx,
+                                                  interpret=True))(
+            jnp.asarray(data)))
+    assert np.array_equal(got, base, equal_nan=True)
+
+
+def test_per_channel_conv_strips_blocked_gates():
+    """Interleaved groups (no aligned runs) must return None."""
+    from spectral_cube_tpu.ops.banded_pallas import (
+        per_channel_conv_strips_blocked)
+    my = np.zeros((2, 1, 128, 128), np.float32)
+    mx = np.zeros((2, 1, 128, 128), np.float32)
+    my[:, 0] = np.eye(128, dtype=np.float32)
+    mx[:, 0] = np.eye(128, dtype=np.float32)
+    out = per_channel_conv_strips_blocked(
+        np.zeros((8, 128, 128), np.float32), my, mx,
+        (np.arange(8) % 2).astype(np.int32), interpret=True)
+    assert out is None

@@ -214,10 +214,13 @@ def test_fused_cb_variants_identical_moments(cb):
     # conv path: identical per-channel dots regardless of CB
     assert np.array_equal(np.asarray(res[0]), np.asarray(base[0]),
                           equal_nan=True)
-    # moments: same accumulation order (channel-sequential) -> bitwise
+    # moments: the block-two-pass accumulation centers each CB-channel
+    # block at its own first-pass estimate, so different CBs agree to
+    # pair precision (~1e-7), not bitwise (the pre-round-5 per-voxel
+    # Dekker form was bitwise but cost ~70 VPU ops/voxel)
     for a, b in zip(res[1:4], base[1:4]):
-        assert np.array_equal(np.asarray(a), np.asarray(b),
-                              equal_nan=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=1e-6, equal_nan=True)
 
 
 def test_fused_gates_return_none():

@@ -531,3 +531,31 @@ def test_unquantize_chunking_exact(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(out, dtype=np.float64),
         np.asarray(ref, dtype=np.float64))
+
+
+def test_archive_scale_encode_speed():
+    """The write path must run at archive speed too (>= 10 Mpx/s
+    end-to-end through compressed_image_blocks: quantization + dither +
+    RICE encode + table assembly) — round-4 enforced only the decode
+    side."""
+    from spectral_cube_tpu.io.native import native_available
+    if not native_available():
+        pytest.skip("native codec unavailable (no compiler)")
+    import time
+    rng = np.random.RandomState(33)
+    ny, nx = 4096, 512                     # 2 Mpx keeps the test quick
+    data = (1000 * np.sin(np.arange(ny * nx) / 500.0)
+            + 20 * rng.randn(ny * nx)).astype(np.float32).reshape(ny, nx)
+    compressed_image_blocks(data[:128], cmptype="RICE_1",
+                            quantize_level=-0.05)   # warm the codec
+    t0 = time.time()
+    chdr, payload = compressed_image_blocks(
+        data, cmptype="RICE_1", quantize_level=-0.05)
+    dt = time.time() - t0
+    mpxs = ny * nx / 1e6 / dt
+    assert mpxs >= 10, f"encode ran at {mpxs:.1f} Mpx/s (< 10)"
+    # and the product still round-trips through the decoder
+    tbl = int(chdr["NAXIS1"]) * int(chdr["NAXIS2"])
+    _, out = decompress_image_hdu(Header(chdr), payload[:tbl],
+                                  payload[tbl:])
+    assert float(np.abs(out - data).max()) <= 0.025 + 1e-3
