@@ -560,6 +560,17 @@ def bench_config7():
     # fused accumulate write (5), relayout out + validity where (2),
     # consumer read (1), isnan flag read (1): ~11 cube passes.  Gathers
     # cannot stream at the HBM line — the model marks the floor.
+    # Gather-free alternative, considered and REJECTED on parity grounds:
+    # a Paeth 3-shear rotation (each shear a per-row-block roll + lerp,
+    # fully VPU) would move only ~6 cube passes (~0.49 ms at the HBM
+    # line) — but it composes three 1-D lerps, a DIFFERENT interpolant
+    # than reproject_interp's 2-D bilinear (the reference contract this
+    # config measures, spectral_cube.py:2726-2732), with visibly
+    # different smoothing anisotropy.  Exact rotated bilinear needs true
+    # 2-D corner gathers (y0 spans ~sin(3deg)*256 = 13 rows along one
+    # output row, so no roll/segment decomposition applies); the gather
+    # path IS the right design and the remaining gap is gather-issue
+    # rate, not a missing algorithm.
     t_hbm = data_np.size * 4 * 11 / (hbm_roofline_gbps() * 1e9)
     print(f"# config7 rotated reproject 3deg bilinear 256^3: "
           f"{per * 1e3:.3f} ms/pass, "
