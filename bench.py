@@ -210,6 +210,11 @@ def bench_config2():
         flops = M.shape[0] * nchan * spatial * 2
     _note("config2 smooth+interp", per, data_np.size * 4 * 1.5,
           flops_f32=flops)
+    # the round-3 "98% of bound" figure came from pre-rigor timing (the
+    # <30 ms in-loop runs CLAUDE.md now forbids); under fixed-rep
+    # min-of-2 with full-sum consumption this config measures 92% — a
+    # measurement-honesty correction, not a kernel regression (the
+    # kernel is unchanged since round 3).
     return {"metric": "spectral_smooth_interp_512chan_throughput",
             "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
             "vs_baseline": round((gvox / per) / (gvox / t_base), 2)}
@@ -437,14 +442,16 @@ def bench_config5():
     else:
         flops = n * 2 * (n * n * n * 2)
     _note("config5 pipeline", per, data_np.size * 4 * 4, flops_f32=flops)
-    # Stage budget (benchmarks/probe_c5_cb8.py, robust rep counts):
+    # Stage budget (benchmarks/probe_r5_cb8.py, robust rep counts):
     # A fused masked moments+stats 0.13 ms (1 cube read; the +0.04 over
     # config 1's 0.092 is the with_stats min/max/d2 VPU work that does
-    # not fully hide), B fused convolve+reproject 0.38 ms at CB=4
+    # not fully hide), B fused convolve+reproject 0.38-0.40 ms at CB=4
     # strips-x (cube read+write + the G-band MXU work — the same kernel
-    # economics as config 3, see its gap attribution; CB=8 measured
-    # WORSE, 0.469, from VMEM double-buffer pressure), C combine
-    # ~0.02 ms (fuses into the consumer).  Stages are separate Pallas
+    # economics as config 3, see its gap attribution; CB=8 is
+    # INFEASIBLE under the VMEM gate — the round-4 "CB=8 measured
+    # worse" claim came from a probe whose cb=8 request silently ran
+    # CB=1 and is retracted), C combine ~0.02 ms (fuses into the
+    # consumer).  Stages are separate Pallas
     # programs, so MXU cannot hide under ANOTHER stage's HBM: the
     # honest composed bound is A_hbm + max(B_mxu, B_hbm) + C
     # = 0.082 + max(0.262, 0.164) + ~0.02 = ~0.36 ms, not the 0.328 ms
