@@ -7,16 +7,23 @@ computes this as three nan-aware numpy passes over a mask-filled copy
 exactly that algorithm in numpy on the host.  This framework runs one fused
 Pallas pass on the TPU with the mask predicate evaluated in VMEM.
 
-Then configs #2-#5 as additional JSON lines:
+Then configs #2-#8 as additional JSON lines:
   #2 spectral Gaussian smooth + 2x spectral_interpolate on a 512-channel
      cube (vs scipy.ndimage on the host),
   #3 VaryingResolution common-beam convolution (per-channel kernels
-     grouped by beam; DFT-as-matmul spectral multiply on TPU),
+     grouped by beam; DFT-as-matmul spectral multiply on TPU), plus a
+     #3b contiguous-beam variant (the monotone-drift case, channel-
+     blocked kernel),
   #4 full-cube reprojection onto an offset WCS + Stokes IQUV extraction
      (vs scipy.ndimage.map_coordinates),
   #5 end-to-end pipeline (mask -> moments -> convolve -> reproject) on
      all local devices — single-chip here; the multichip layout is
-     validated separately by dryrun_multichip.
+     validated separately by dryrun_multichip,
+  #6 sigma_clip_spectrally on the reference's published 623x768x768
+     benchmark shape,
+  #7 rotated (non-separable) 3-degree bilinear reproject,
+  #8 HBM-scale 1024^3 SNR-masked moments (the TB-north-star per-chip
+     working set; device-generated).
 
 One JSON line per config:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -346,10 +353,20 @@ def bench_config4():
     # once more and writes one component (+ (4+1)/8 of a cube pass)
     _note("config4 reproject+stokes", per,
           data_np.size * 4 * 2 + data_np.size * 4 * 5 // 8)
-    # the ~25% above the line: the shift-lerp's VPU work (~6 ops/voxel
-    # ~= 0.05 ms) does not hide fully under the DMA stream, plus 512
-    # per-grid-step pipeline overheads (~0.1-0.15 us each, cf. the
-    # probe_c3_cb.py channel-blocking measurement)
+    # Round-5 settlement of the r03->r04 "regression" (0.577 -> 0.816):
+    # the r03 number was an under-measurement (pre-rigor timing) — the
+    # shift-lerp KERNEL alone now robustly measures 0.56-0.59 ms, and a
+    # PURE-COPY Pallas kernel on the same shape measures 0.584 ms
+    # (460 GB/s in+out) across every layout tried (channel grid,
+    # spatial tiles, flat, parallel semantics, CB in {4, 8};
+    # probe_c4_floor*.py), so the kernel sits AT the Pallas
+    # bidirectional-DMA floor with its ~8 VPU ops/voxel fully hidden.
+    # The 819 GB/s aggregate line is not reachable by any 1:1
+    # read:write Pallas stream on this chip; XLA alternatives measured
+    # WORSE (roll+lerp 2.88 ms clean — jnp.roll materializes passes;
+    # probe_c4_xla_lerp.py), and the 2-tap MXU matmul path 0.75 ms.
+    # Remaining total = kernel-at-floor + the Stokes combine's
+    # read+write at XLA rates.
     return {"metric": "reproject_stokes_iquv_throughput",
             "value": round(gvox / per, 3), "unit": "Gvoxel/s/chip",
             "vs_baseline": round((gvox / per) / (gvox / t_base), 2)}
@@ -456,9 +473,15 @@ def bench_config5():
     # honest composed bound is A_hbm + max(B_mxu, B_hbm) + C
     # = 0.082 + max(0.262, 0.164) + ~0.02 = ~0.36 ms, not the 0.328 ms
     # ideal-overlap line above.  Whole-pipeline fusion (removing A's
-    # read) was built and measured at 1.05-1.12 ms — the df32
-    # compensated accumulation the channel-blocked grid needs is
-    # VPU-bound on v5e (docs/design.md, probe_fused_pipeline.py).
+    # read) has now been tried TWICE: the round-4 per-voxel df32 form
+    # measured 1.05-1.12 ms (VPU-bound), and the round-5 rebuild with
+    # block-two-pass accumulation (~3.5x fewer VPU ops/voxel) still
+    # measured 0.981 ms vs the chain's 0.510 (probe_c5_fused_v2.py) —
+    # the fusion's cost is structural (serialization of the moment
+    # plane updates against the conv's MXU stream), not the
+    # accumulation arithmetic, so the chain ships.  The remaining gap
+    # to the composed bound is stage B's X6 strip-dot efficiency
+    # (config 3's residual, same economics).
     cbound = (data_np.size * 4 / (hbm_roofline_gbps() * 1e9)
               + max(flops / (mxu_roofline_tflops() * 1e12 / 6),
                     2 * data_np.size * 4 / (hbm_roofline_gbps() * 1e9))

@@ -4,8 +4,11 @@
 mesh, in one place: the TB-scale workflow the reference runs through dask
 graphs (with rechunks between op families) runs here as a sequence of
 sharded jit programs — with ZERO reshards when the beams are separable
-(the halo-exchange convolution keeps the spatial layout), or exactly two
-(the spectral-multiply path's all-to-all round trip) otherwise.
+(the halo-exchange convolution keeps the spatial layout) and the target
+grid is axis-aligned within one-neighbor reach (the halo-strategy
+sharded reproject), or exactly two per non-conforming stage (the
+spectral-multiply convolution and the rotated-reproject all-to-all
+round trips) otherwise.
 """
 
 from __future__ import annotations
