@@ -22,6 +22,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persist compiled programs across runs: the 1024^3 kernels compile for
+# minutes each over the tunnel (same rationale as bench.py)
+from spectral_cube_tpu import enable_compilation_cache
+enable_compilation_cache()
+
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 REPS = 20
 
