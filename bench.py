@@ -276,17 +276,21 @@ def bench_config3():
     # VPU transposes ~0.05 ms (the dense-x alternative that removes them
     # re-adds MORE structural-zero MXU work: 0.474 vs 0.424 ms,
     # probe_c3_variants4.py); NaN machinery ~0.04 ms (clean-only kernel
-    # 0.378 ms, probe_c3_cb.py CB=1); per-grid-step overhead ~0.035 ms
-    # (4-channel blocking — exploited by the CONTIGUOUS variant below,
-    # which real monotone-drifting VRSC beams hit; this config's
-    # interleaved beams would pay a 0.16 ms permutation pass, a net
-    # loss); residual ~0.08 ms = X6 efficiency at m=64-row strip dots.
+    # 0.378 ms, probe_c3_cb.py CB=1); per-grid-step overhead ~0.035 ms;
+    # residual ~0.08 ms = X6 efficiency at m=64-row strip dots.
     # The strip scheme itself is the right one: einsum-gather 0.846 ms,
     # dense 0.72 ms (probe_banded2.py).
 
     # config3b: contiguous beam groups (4 consecutive channels per beam,
     # the monotone-drift case) take per_channel_conv_strips_blocked —
-    # same 64 distinct beams, zero permutation
+    # same 64 distinct beams, zero permutation.  Driver-captured
+    # outcome (r05): a WASH vs the one-channel kernel (0.424 vs
+    # 0.416 ms) — the round-4 "0.343 ms at CB=4" projection came from a
+    # clean-only probe kernel WITHOUT the NaN machinery; with the exact
+    # per-channel NaN semantics the isfinite scans + block gating eat
+    # the grid-step savings.  The blocked kernel stays (it never loses,
+    # and amortization grows with plane count), but the contiguous case
+    # is NOT a config-3 lever.
     group_contig = (np.arange(n) // 4).astype(np.int32) % ngroups
 
     def one_pass_c(d):
