@@ -485,7 +485,12 @@ def bench_config5():
     # plane updates against the conv's MXU stream), not the
     # accumulation arithmetic, so the chain ships.  The remaining gap
     # to the composed bound is stage B's X6 strip-dot efficiency
-    # (config 3's residual, same economics).
+    # (config 3's residual, same economics) — and, per the round-5
+    # copy-floor probes (probe_c4_floor*.py), stage B's 1:1 read:write
+    # stream is also subject to the ~460 GB/s Pallas bidirectional
+    # plateau, which puts its HBM term at ~0.29 ms rather than the
+    # 0.164 aggregate line: against that ACHIEVABLE composed bound the
+    # pipeline attains ~85%.
     cbound = (data_np.size * 4 / (hbm_roofline_gbps() * 1e9)
               + max(flops / (mxu_roofline_tflops() * 1e12 / 6),
                     2 * data_np.size * 4 / (hbm_roofline_gbps() * 1e9))

@@ -463,3 +463,22 @@ def test_chunked_pallas_with_stats_matches_float64():
     np.testing.assert_allclose(float(st["max"]), x.max(), rtol=0)
     np.testing.assert_allclose(float(st["rms"]),
                                np.sqrt((x * x).mean()), rtol=1e-6)
+
+
+def test_chunked_pallas_selected_at_1024_channels(monkeypatch):
+    """The 1024-channel bench-config-8 shape must take the chunked
+    Pallas kernel, NOT the XLA fallback (the silent fallback was
+    round 4's 2x HBM-scale falloff)."""
+    from spectral_cube_tpu.ops import moments as M
+
+    def boom(*a, **k):
+        raise AssertionError("1024-channel moments fell back to XLA")
+
+    monkeypatch.setattr(M, "moments_012", boom)
+    rng = np.random.RandomState(17)
+    data = rng.rand(1024, 8, 128).astype("f4")
+    mask = LazyComparisonMask(jnp.greater, 0.25, shape=data.shape)
+    m0, m1, m2 = M.moments_012_pallas(jnp.asarray(data),
+                                      np.arange(1024.0), 1.0,
+                                      mask_expr=mask, interpret=True)
+    assert np.asarray(m0).shape == (8, 128)
