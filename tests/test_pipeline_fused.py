@@ -211,16 +211,23 @@ def test_fused_cb_variants_identical_moments(cb):
     res = _run_fused(data, coords, ys, xs, k, cb=cb)
     assert res is not None
     base = _run_fused(data, coords, ys, xs, k, cb=1)
-    # conv path: identical per-channel dots regardless of CB
-    assert np.array_equal(np.asarray(res[0]), np.asarray(base[0]),
-                          equal_nan=True)
+    # conv path: same per-channel dots, but NOT bitwise across CB on
+    # real TPU — Mosaic compiles the CB-unrolled dot loop with a
+    # different X6 pass structure (observed in the round-5 real-chip
+    # run; interpret mode IS bitwise).  NaN patterns must still agree
+    # exactly; values to X6 rounding.
+    a0, b0 = np.asarray(res[0]), np.asarray(base[0])
+    assert np.array_equal(np.isnan(a0), np.isnan(b0))
+    np.testing.assert_allclose(a0, b0, rtol=1e-5, atol=1e-6,
+                               equal_nan=True)
     # moments: the block-two-pass accumulation centers each CB-channel
     # block at its own first-pass estimate, so different CBs agree to
     # pair precision (~1e-7), not bitwise (the pre-round-5 per-voxel
-    # Dekker form was bitwise but cost ~70 VPU ops/voxel)
+    # Dekker form was bitwise but cost ~70 VPU ops/voxel); real-TPU
+    # reassociation adds the same X6-rounding class of wobble
     for a, b in zip(res[1:4], base[1:4]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-6, atol=1e-6, equal_nan=True)
+                                   rtol=1e-5, atol=1e-6, equal_nan=True)
 
 
 def test_fused_gates_return_none():
