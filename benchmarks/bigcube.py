@@ -67,6 +67,7 @@ def _timed(fn, *args, reps=REPS):
 def main():
     print(f"backend={jax.default_backend()}  cube={N}^3 f32 "
           f"({N ** 3 * 4 / 2 ** 30:.1f} GiB)", file=sys.stderr)
+    from spectral_cube_tpu.ops import moments
     from spectral_cube_tpu.ops.moments import (moments_012,
                                                moments_012_pallas)
     from spectral_cube_tpu.ops import reductions as red
@@ -107,10 +108,16 @@ def main():
             return moments_012_pallas(d, coords, 1.0, mask_expr=mask)
         return moments_012(d, coords, 1.0, include=d > 0.25)
 
+    def stats(d):
+        # the product path (cube.statistics): one-HBM-pass Pallas route
+        # on TPU, masked_statistics' two-pass form elsewhere
+        if on_tpu:
+            return tuple(moments.statistics_pallas(d).values())
+        return tuple(red.masked_statistics(d, red.valid_mask(d)).values())
+
     for name, fn, extra in [
         ("masked_moments", mom, ()),
-        ("statistics", lambda d: tuple(red.masked_statistics(
-            d, red.valid_mask(d)).values()), ()),
+        ("statistics", stats, ()),
     ]:
         per, comp = _timed(fn, data, *extra)
         results.append({"op": name, "ms": round(per * 1e3, 3),

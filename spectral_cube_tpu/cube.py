@@ -998,11 +998,28 @@ class BaseSpectralCube:
     def statistics(self):
         """One-pass global statistics, CASA ia.statistics naming (reference
         dask_spectral_cube.py:769-814)."""
+        import jax as _jax
         data = self._device_data
-        include = self._mask.include(data=data, wcs=self._wcs) if self._mask is not None \
-            else None
-        valid = _red.valid_mask(data, include)
-        raw = _red.masked_statistics(data, valid)
+        raw = None
+        if _jax.default_backend() == "tpu" \
+                and getattr(data, "dtype", None) == jnp.float32:
+            # single-HBM-pass Pallas route: masked_statistics' two-pass
+            # sigma reads the cube twice, which at HBM scale is the
+            # whole cost (1024^3: 16 -> ~7 ms; ops/moments.
+            # statistics_pallas).  Data-local masks fuse in-kernel.
+            from .masks import is_data_local as _idl
+            mask_expr = self._mask if (self._mask is not None
+                                       and _idl(self._mask)) else None
+            include = None
+            if self._mask is not None and mask_expr is None:
+                include = self._mask.include(data=data, wcs=self._wcs)
+            raw = _mom.statistics_cached(data, include=include,
+                                         mask_expr=mask_expr)
+        if raw is None:
+            include = self._mask.include(data=data, wcs=self._wcs) \
+                if self._mask is not None else None
+            valid = _red.valid_mask(data, include)
+            raw = _red.masked_statistics(data, valid)
         # two fetches total (npts exact as int; the float stats stacked):
         # per-scalar float() conversions would pay one dispatch round trip
         # each (8x ~29 ms over a tunnel)

@@ -547,10 +547,51 @@ def _recombine_statistics(s0, cnt, mn_p, mx_p, d2_p):
             "rms": rms.astype(f32)}
 
 
+def statistics_pallas(data, include=None, mask_expr=None, interpret=False):
+    """One-HBM-pass global statistics via the fused moments kernel's
+    ``with_stats`` machinery (coords all-zero, the moment planes are
+    discarded): ``masked_statistics``' two-pass sigma reads the cube
+    twice, which at HBM scale is the whole cost (1024^3: 16 ms two-pass
+    vs ~7 ms here — the kernel is HBM-bound at ~83% of the line, so the
+    wasted zero-coordinate moment VPU work hides under the stream).
+    Returns the statistics dict, or None off-TPU / for non-f32 data
+    (callers keep the XLA two-pass path).  Reference semantics:
+    CASA-style ``statistics()``, dask_spectral_cube.py:769-814."""
+    if not (interpret or jax.default_backend() == "tpu"):
+        return None
+    if data.dtype != jnp.float32:
+        return None
+    res = moments_012_pallas(data, np.zeros(data.shape[0], np.float64),
+                             1.0, mask_expr=mask_expr, include=include,
+                             interpret=interpret, with_stats=True)
+    return res[3]
+
+
 # compiled-program cache: eager pallas_call / jnp dispatch re-traces the
 # whole kernel on every invocation (~0.5-1 s host time per call); cubes of
 # the same shape/coords/mask structure reuse one jitted program
 _MOMENTS_JIT_CACHE = {}
+
+
+def statistics_cached(data, include=None, mask_expr=None):
+    """Jit-cached dispatch of :func:`statistics_pallas` (eager pallas
+    tracing costs ~0.5-1 s host time per call).  Caller guarantees the
+    TPU/f32 gates hold."""
+    from ..masks import expr_key
+    key = ("stats1p", data.shape, str(data.dtype), expr_key(mask_expr),
+           include is not None)
+    fn = _MOMENTS_JIT_CACHE.get(key)
+    if fn is None:
+        if include is None:
+            fn = jax.jit(lambda d: statistics_pallas(
+                d, mask_expr=mask_expr))
+        else:
+            fn = jax.jit(lambda d, i: statistics_pallas(
+                d, include=i, mask_expr=mask_expr))
+        if len(_MOMENTS_JIT_CACHE) > 64:
+            _MOMENTS_JIT_CACHE.clear()
+        _MOMENTS_JIT_CACHE[key] = fn
+    return fn(data) if include is None else fn(data, include)
 
 
 def moments_012_cached(data, coords, dx, mask_expr=None, include=None,

@@ -482,3 +482,31 @@ def test_chunked_pallas_selected_at_1024_channels(monkeypatch):
                                       np.arange(1024.0), 1.0,
                                       mask_expr=mask, interpret=True)
     assert np.asarray(m0).shape == (8, 128)
+
+
+def test_statistics_pallas_matches_masked_statistics():
+    """The one-HBM-pass statistics route (cube.statistics' TPU path)
+    matches the two-pass masked_statistics on masked NaN data."""
+    from spectral_cube_tpu.ops import reductions as red
+    from spectral_cube_tpu.ops.moments import statistics_pallas
+    rng = np.random.RandomState(19)
+    data = rng.randn(48, 16, 256).astype("f4")
+    data[3, 2, 5] = np.nan
+    inc = data > -0.5
+    st = statistics_pallas(jnp.asarray(data), include=jnp.asarray(inc),
+                           interpret=True)
+    ref = red.masked_statistics(
+        jnp.asarray(data), red.valid_mask(jnp.asarray(data),
+                                          jnp.asarray(inc)))
+    for key in ("npts", "min", "max", "sum", "mean", "sigma", "rms",
+                "sumsq"):
+        rel = abs(float(st[key]) - float(ref[key])) \
+            / max(abs(float(ref[key])), 1e-30)
+        assert rel < 2e-5, (key, rel)
+    # data-local mask form agrees with the include form
+    mask = LazyComparisonMask(jnp.greater, -0.5, shape=data.shape)
+    st2 = statistics_pallas(jnp.asarray(data), mask_expr=mask,
+                            interpret=True)
+    assert int(st2["npts"]) == int(st["npts"])
+    np.testing.assert_allclose(float(st2["sigma"]), float(st["sigma"]),
+                               rtol=1e-6)
