@@ -346,6 +346,28 @@ def convolve2d_separable(data, kernel, precision=None):
     ytaps, xtaps = factors
     data = jnp.asarray(data)
     nchan, ny, nx = data.shape
+    import jax
+    if jax.default_backend() == "tpu" and data.dtype == jnp.float32 \
+            and precision == lax.Precision.HIGHEST:
+        # strip-blocked Pallas route (single group): the dense einsums
+        # below spend ~nin/K of their MXU flops on structural zeros —
+        # bigcube's 1024x512x512 separable-convolve row measured
+        # 23.2 ms dense vs the strips kernel's banded flops (~5x less
+        # MXU work); NaN semantics identical (per-channel normalized
+        # convolution, same 1e-6 floor, oracle-tested)
+        r = ytaps.shape[1]
+        my = np.stack([_conv_matrix_1d(ny, ytaps[:, i])
+                       for i in range(r)])[None]
+        mx = np.stack([_conv_matrix_1d(nx, xtaps[:, i])
+                       for i in range(r)])[None]
+        gi = np.zeros(nchan, np.int32)
+        from .banded_pallas import (per_channel_conv_strips,
+                                    per_channel_conv_strips_blocked)
+        out = per_channel_conv_strips_blocked(data, my, mx, gi)
+        if out is None:
+            out = per_channel_conv_strips(data, my, mx, gi)
+        if out is not None:
+            return out.astype(data.dtype)
     valid = jnp.isfinite(data)
     comp = jnp.float64 if data.dtype == jnp.float64 else jnp.float32
     filled = jnp.where(valid, data, 0).astype(comp)
