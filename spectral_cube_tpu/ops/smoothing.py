@@ -77,8 +77,11 @@ def _block_banded_conv(data, kernel, chunk=512):
     # (C, C+2h) operand is reused across the huge spaxel dimension, so
     # the MXU stays fed even at C=64 (measured on v5e, 1024ch x 256^2:
     # C=64 2.50 ms vs C=256 3.13 ms for a 17-tap kernel; wide kernels
-    # flat at ~3.1 ms for any C >= 64)
-    chunk = min(chunk, max(64, _round_up(h + 1, 8) * 2))
+    # flat at ~3.1 ms for any C >= 64).  An explicitly-passed chunk is
+    # honored (probes; the default 512 takes the policy clamp).
+    if chunk == 512:
+        chunk = max(64, _round_up(h + 1, 8) * 2)
+    chunk = min(chunk, _round_up(n, 8))
     nb = -(-n // chunk)
     npad = nb * chunk
     # W[r, c] over the haloed window: output row r reads window column
@@ -87,17 +90,27 @@ def _block_banded_conv(data, kernel, chunk=512):
     o = cc - rr - h + half_lo              # kernel tap index per cell
     W = np.where((o >= 0) & (o < klen),
                  kf[np.clip(o, 0, klen - 1)], 0.0).astype(np.float32)
-    # slice/pad along the MAJOR axis only and batch-contract with the
-    # minor dims untouched: the old (n, spatial) flatten was a physical
-    # HBM relayout both ways on TPU (bigcube 1024x512x512 spectral
-    # smooth measured 19.6 ms; relayout-free ~2x less)
-    xp = jnp.pad(data, ((h, h + npad - n),) + ((0, 0),) * (data.ndim - 1))
-    windows = jnp.stack([
-        lax.slice_in_dim(xp, i * chunk, i * chunk + chunk + 2 * h, axis=0)
-        for i in range(nb)])
-    out = jnp.einsum("rc,bc...->br...", jnp.asarray(W), windows,
-                     precision=lax.Precision.HIGHEST)
-    return out.reshape((npad,) + data.shape[1:])[:n].astype(data.dtype)
+    # per-block einsums on clipped windows, minor dims untouched: the
+    # old form flattened to (n, spatial) — a physical HBM relayout both
+    # ways on TPU — AND materialized a zero-padded copy plus a stacked
+    # (nb, C+2h, ...) window array (~4 extra cube passes).  Here each
+    # block contracts a direct slice of the input (edge blocks drop the
+    # out-of-range W columns, which is exactly the zero-fill boundary),
+    # and the outputs concatenate straight into the result allocation.
+    # bigcube 1024x512x512 spectral smooth: 19.6 (flat+stack) -> 16.3
+    # (unflattened stack) -> this form.
+    Wj = jnp.asarray(W)
+    outs = []
+    for i in range(nb):
+        s, e = i * chunk - h, i * chunk + chunk + h
+        cs, ce = max(s, 0), min(e, n)
+        rows = min(chunk, n - i * chunk)
+        Wi = Wj[:rows, cs - s:W.shape[1] - (e - ce)]
+        outs.append(jnp.einsum(
+            "rc,c...->r...", Wi, lax.slice_in_dim(data, cs, ce, axis=0),
+            precision=lax.Precision.HIGHEST))
+    out = outs[0] if nb == 1 else jnp.concatenate(outs, axis=0)
+    return out.astype(data.dtype)
 
 
 def _conv1d_along_axis0(data, kernel):
@@ -134,20 +147,26 @@ def convolve1d_nan(data, kernel, axis=0):
     kernel = kernel / kernel.sum()
     if axis != 0:
         data = jnp.moveaxis(data, axis, 0)
+    comp = jnp.float32 if data.dtype != jnp.float64 else jnp.float64
     valid = jnp.isfinite(data)
-    filled = jnp.where(valid, data, 0).astype(jnp.float32
-                                              if data.dtype != jnp.float64
-                                              else jnp.float64)
+    filled = jnp.where(valid, data, 0).astype(comp)
     num = _conv1d_along_axis0(filled, kernel)
 
     # astropy boundary='fill': zero padding counts as valid data, so the
     # denominator only drops below 1 around NaN holes.  All-finite cubes
-    # (checked at runtime) return num directly — denominator conv, divide,
-    # and the NaN wheres all live inside the dirty branch of one lax.cond,
-    # so the clean path pays zero extra HBM passes (num ==
-    # where(1>eps, num/1, nan) bitwise when den == 1).
+    # (checked at runtime) return num directly — denominator conv,
+    # divide, and the NaN wheres all live inside the dirty branch of one
+    # lax.cond whose operands are (num, data); the validity mask is
+    # recomputed inside the branch rather than closed over.  (Round-5
+    # note: swapping the bool-cube operand for this form measured
+    # NEUTRAL at 1024^3 — 9.3 vs 9.8 ms, within tunnel noise — the
+    # clean path's residual over the bare conv (2.7 ms,
+    # /tmp-probe chunk=64) is the cond's operand copies of num + the
+    # isfinite/all reduction, which a cond-free form would trade for an
+    # always-on denominator conv of the same size.)
     def _dirty(args):
-        n, v = args
+        n, d = args
+        v = jnp.isfinite(d)
         den = 1.0 - _conv1d_along_axis0((~v).astype(n.dtype), kernel)
         # den floor 1e-6 like every other normalized-convolution path
         # (CLAUDE.md): f32 HIGHEST reconstructs a true 0 only to ~1e-7,
@@ -156,7 +175,7 @@ def convolve1d_nan(data, kernel, axis=0):
         o = jnp.where(den > eps, n / jnp.where(den > eps, den, 1), jnp.nan)
         return jnp.where(jnp.any(v, axis=0, keepdims=True), o, jnp.nan)
 
-    out = lax.cond(jnp.all(valid), lambda a: a[0], _dirty, (num, valid))
+    out = lax.cond(jnp.all(valid), lambda a: a[0], _dirty, (num, data))
     # astropy keeps original NaNs NaN only when interpolation impossible;
     # with nan_treatment='interpolate' NaN positions get interpolated values
     if axis != 0:
