@@ -284,13 +284,14 @@ def bench_config3():
     # config3b: contiguous beam groups (4 consecutive channels per beam,
     # the monotone-drift case) take per_channel_conv_strips_blocked —
     # same 64 distinct beams, zero permutation.  Driver-captured
-    # outcome (r05): a WASH vs the one-channel kernel (0.424 vs
-    # 0.416 ms) — the round-4 "0.343 ms at CB=4" projection came from a
-    # clean-only probe kernel WITHOUT the NaN machinery; with the exact
-    # per-channel NaN semantics the isfinite scans + block gating eat
-    # the grid-step savings.  The blocked kernel stays (it never loses,
-    # and amortization grows with plane count), but the contiguous case
-    # is NOT a config-3 lever.
+    # outcome (two r05 runs): 3b 0.387-0.424 ms vs 3's 0.416-0.429 —
+    # a 0-9% gain, comparable to tunnel variance.  The round-4
+    # "0.343 ms at CB=4" projection came from a clean-only probe kernel
+    # WITHOUT the NaN machinery; with the exact per-channel NaN
+    # semantics the isfinite scans + block gating eat most of the
+    # grid-step savings.  The blocked kernel stays (it never loses, and
+    # amortization grows with plane count), but the contiguous case is
+    # a marginal config-3 lever, not the projected 20%.
     group_contig = (np.arange(n) // 4).astype(np.int32) % ngroups
 
     def one_pass_c(d):
