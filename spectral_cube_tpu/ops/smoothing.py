@@ -148,26 +148,22 @@ def convolve1d_nan(data, kernel, axis=0):
     if axis != 0:
         data = jnp.moveaxis(data, axis, 0)
     comp = jnp.float32 if data.dtype != jnp.float64 else jnp.float64
-    valid = jnp.isfinite(data)
-    filled = jnp.where(valid, data, 0).astype(comp)
-    num = _conv1d_along_axis0(filled, kernel)
 
     # astropy boundary='fill': zero padding counts as valid data, so the
-    # denominator only drops below 1 around NaN holes.  All-finite cubes
-    # (checked at runtime) return num directly — denominator conv,
-    # divide, and the NaN wheres all live inside the dirty branch of one
-    # lax.cond whose operands are (num, data); the validity mask is
-    # recomputed inside the branch rather than closed over.  (Round-5
-    # note: swapping the bool-cube operand for this form measured
-    # NEUTRAL at 1024^3 — 9.3 vs 9.8 ms, within tunnel noise — the
-    # clean path's residual over the bare conv (2.7 ms,
-    # /tmp-probe chunk=64) is the cond's operand copies of num + the
-    # isfinite/all reduction, which a cond-free form would trade for an
-    # always-on denominator conv of the same size.)
-    def _dirty(args):
-        n, d = args
+    # denominator only drops below 1 around NaN holes.  BOTH convs live
+    # inside the lax.cond branches with ``data`` as the only operand:
+    # the clean branch convolves the input directly (bitwise equal to
+    # conv(where(valid, data, 0)) when all-finite), so all-finite cubes
+    # pay no filled-copy materialization and no num operand copy — the
+    # pre-round-5 form computed num OUTSIDE the cond and paid ~2 extra
+    # cube passes for it on every clean call.
+    def _clean(d):
+        return _conv1d_along_axis0(d.astype(comp), kernel)
+
+    def _dirty(d):
         v = jnp.isfinite(d)
-        den = 1.0 - _conv1d_along_axis0((~v).astype(n.dtype), kernel)
+        n = _conv1d_along_axis0(jnp.where(v, d, 0).astype(comp), kernel)
+        den = 1.0 - _conv1d_along_axis0((~v).astype(comp), kernel)
         # den floor 1e-6 like every other normalized-convolution path
         # (CLAUDE.md): f32 HIGHEST reconstructs a true 0 only to ~1e-7,
         # and `> 0` let all-NaN windows emit fake 0.0 instead of NaN
@@ -175,7 +171,7 @@ def convolve1d_nan(data, kernel, axis=0):
         o = jnp.where(den > eps, n / jnp.where(den > eps, den, 1), jnp.nan)
         return jnp.where(jnp.any(v, axis=0, keepdims=True), o, jnp.nan)
 
-    out = lax.cond(jnp.all(valid), lambda a: a[0], _dirty, (num, data))
+    out = lax.cond(jnp.all(jnp.isfinite(data)), _clean, _dirty, data)
     # astropy keeps original NaNs NaN only when interpolation impossible;
     # with nan_treatment='interpolate' NaN positions get interpolated values
     if axis != 0:
