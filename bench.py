@@ -277,9 +277,12 @@ def bench_config3():
     # re-adds MORE structural-zero MXU work: 0.474 vs 0.424 ms,
     # probe_c3_variants4.py); NaN machinery ~0.04 ms (clean-only kernel
     # 0.378 ms, probe_c3_cb.py CB=1); per-grid-step overhead ~0.035 ms;
-    # residual ~0.08 ms = X6 efficiency at m=64-row strip dots.
-    # The strip scheme itself is the right one: einsum-gather 0.846 ms,
-    # dense 0.72 ms (probe_banded2.py).
+    # residual ~0.08 ms = X6 efficiency of the strip dots — NOT the
+    # strip height: forcing m=96 (50% taller operands, 12.5% padded
+    # rows) measured 0.418 vs 0.417 ms with bitwise-identical output
+    # (benchmarks/probe_c3_m96.py), so the planner's exact-cover
+    # tie-break stands.  The strip scheme itself is the right one:
+    # einsum-gather 0.846 ms, dense 0.72 ms (probe_banded2.py).
 
     # config3b: contiguous beam groups (4 consecutive channels per beam,
     # the monotone-drift case) take per_channel_conv_strips_blocked —
