@@ -1001,7 +1001,11 @@ class BaseSpectralCube:
         import jax as _jax
         data = self._device_data
         raw = None
-        if _jax.default_backend() == "tpu" \
+        # same multi-device guard as _moments012: a Pallas custom call
+        # over a mesh-sharded array has no GSPMD partitioning rule
+        sharded = (hasattr(data, "sharding")
+                   and len(getattr(data.sharding, "device_set", [0])) > 1)
+        if _jax.default_backend() == "tpu" and not sharded \
                 and getattr(data, "dtype", None) == jnp.float32:
             # single-HBM-pass Pallas route: masked_statistics' two-pass
             # sigma reads the cube twice, which at HBM scale is the

@@ -520,18 +520,10 @@ def per_channel_conv_strips(data, my, mx, group_idx, interpret=False,
     G, r = my.shape[:2]
     if ny % 8 or nx % 128:
         return None
-    plan_y = plan_strips(np.any(my != 0.0, axis=(0, 1)), max_m=128)
-    plan_x = plan_strips(np.any(mx != 0.0, axis=(0, 1)), max_m=128)
-    if plan_y is None or plan_x is None:
+    pp = _cached_prep((my, mx), "pair", lambda: _plan_pair(my, mx))
+    if pp is None:
         return None
-    m_y, K_y = plan_y
-    m_x, K_x = plan_x
-    cy = strip_blocks(my, m_y, K_y)
-    cx = strip_blocks(mx, m_x, K_x)
-    if cy is None or cx is None:
-        return None
-    yb, ys = cy
-    xbl, xs = cx
+    (m_y, K_y), (m_x, K_x), (yb, ys), (xbl, xs) = pp
     nb_y, nb_x = yb.shape[2], xbl.shape[2]
     nbm_y, nbm_x = nb_y * m_y, nb_x * m_x
     # x pass: strips+transposes by default.  The dense-x alternative
@@ -655,7 +647,8 @@ def per_channel_conv_strips_blocked(data, my, mx, group_idx, cb=4,
     G, r = my.shape[:2]
     if ny % 8 or nx % 128:
         return None
-    pp = _plan_pair(my, mx)
+    pp = _cached_prep((my, mx), "pair",
+                      lambda: _plan_pair(my, mx))
     if pp is None:
         return None
     (m_y, K_y), (m_x, K_x), (yb, ys), (xbl, xs) = pp
@@ -721,6 +714,22 @@ def per_channel_conv_strips_blocked(data, my, mx, group_idx, cb=4,
     return fn(jnp.asarray(pb), jnp.asarray(gsorted),
               jnp.asarray(data, jnp.float32), jnp.asarray(yb),
               jnp.asarray(xbl))
+
+
+def _mode_cb_choices(cb, dense_x):
+    """(dense_x, CB) candidates by measured preference (strips-x at
+    CB=4/2 before dense-x, probe_c4_cb.py); explicit cb/dense_x
+    requests are honored EXACTLY — callers' for/else returns None on
+    infeasibility, never a silent CB=1 fallback (the round-4 cb=8
+    probe silently ran CB=1 through such a fallback and produced an
+    unsubstantiated conclusion)."""
+    if cb is not None:
+        modes = [bool(dense_x)] if dense_x is not None else [False, True]
+        return [(m, int(cb)) for m in modes]
+    if dense_x is not None:
+        return [(bool(dense_x), c) for c in (4, 2, 1)]
+    return [(False, 4), (False, 2), (True, 4), (True, 2),
+            (False, 1), (True, 1)]
 
 
 def _plan_pair(my, mx, max_m=128):
@@ -820,7 +829,8 @@ def per_channel_resample_strips(fz, wz, my, mx, group_idx,
     nx_out = mx.shape[2]
     if not _rect_gates(ny_in, nx_in, ny_out, nx_out):
         return None
-    pp = _plan_pair(my, mx)
+    pp = _cached_prep((my, mx), "pair",
+                      lambda: _plan_pair(my, mx))
     if pp is None:
         return None
     (m_y, K_y), (m_x, K_x), (yb, ys), (xbl, xs) = pp
@@ -932,7 +942,8 @@ def per_channel_resample_raw_strips(raw, my, mx, group_idx,
     nx_out = mx.shape[2]
     if not _rect_gates(ny_in, nx_in, ny_out, nx_out):
         return None
-    pp = _plan_pair(my, mx)
+    pp = _cached_prep((my, mx), "pair",
+                      lambda: _plan_pair(my, mx))
     if pp is None:
         return None
     (m_y, K_y), (m_x, K_x), (yb, ys), (xbl, xs) = pp
@@ -1124,19 +1135,7 @@ def conv_reproject_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
     # measured 0.579 ms (the 8 regions serialize the clean path); one
     # branchless clean region + a dirty region with the exact
     # per-channel semantics keeps outputs bitwise identical to CB=1.
-    if cb is not None:
-        # an explicit CB is honored exactly, or the call returns None —
-        # never a silent CB=1 fallback: the round-4 cb=8 probe fell
-        # through the old filter-then-append path, actually ran CB=1,
-        # and produced an unsubstantiated "CB=8 is slower" conclusion
-        modes = [bool(dense_x)] if dense_x is not None else [False, True]
-        choices = [(m, int(cb)) for m in modes]
-    elif dense_x is not None:
-        choices = [(bool(dense_x), c) for c in (4, 2, 1)]
-    else:
-        choices = [(False, 4), (False, 2), (True, 4), (True, 2),
-                   (False, 1), (True, 1)]
-    for dense_x, CB in choices:
+    for dense_x, CB in _mode_cb_choices(cb, dense_x):
         if nchan % CB == 0 and _fits(dense_x, CB):
             break
     else:
@@ -1325,19 +1324,7 @@ def pipeline_fused_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
             + sum(int(np.prod(s.shape)) for s in scr) * 4
         return tot <= _VMEM_BUDGET
 
-    # mode/CB preference mirrors conv_reproject_raw_strips (strips-x at
-    # CB=4/2 measured faster than dense-x there: 0.366 vs 0.469 ms,
-    # probe_c4_cb.py); explicit cb/dense_x requests are honored exactly
-    # and return None when infeasible rather than silently downgrading
-    if cb is not None:
-        modes = [bool(dense_x)] if dense_x is not None else [False, True]
-        choices = [(m, int(cb)) for m in modes]
-    elif dense_x is not None:
-        choices = [(bool(dense_x), c) for c in (4, 2, 1)]
-    else:
-        choices = [(False, 4), (False, 2), (True, 4), (True, 2),
-                   (False, 1), (True, 1)]
-    for dense_x, CB in choices:
+    for dense_x, CB in _mode_cb_choices(cb, dense_x):
         if nchan % CB == 0 and _fits(CB, dense_x):
             break
     else:
@@ -1622,7 +1609,8 @@ def per_channel_plain_strips(data, my, mx, group_idx, interpret=False,
     nx_out = mx.shape[2]
     if not _rect_gates(ny_in, nx_in, ny_out, nx_out):
         return None
-    pp = _plan_pair(my, mx)
+    pp = _cached_prep((my, mx), "pair",
+                      lambda: _plan_pair(my, mx))
     if pp is None:
         return None
     (m_y, K_y), (m_x, K_x), (yb, ys), (xbl, xs) = pp

@@ -334,6 +334,31 @@ def separable_factors(kernel, tol=1e-7, max_rank=8):
     return U[:, :r] * s[:r], Vt[:r, :].T
 
 
+_SEP_OP_CACHE = {}
+
+
+def _sep_operator_stacks(ytaps, xtaps, ny, nx):
+    """Value-cached (1, r, ny, ny)/(1, r, nx, nx) banded operator stacks
+    for the single-kernel separable convolution; bounded by bytes (the
+    stacks are O(n^2) dense)."""
+    key = (ny, nx, ytaps.tobytes(), xtaps.tobytes())
+    hit = _SEP_OP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    r = ytaps.shape[1]
+    my = np.stack([_conv_matrix_1d(ny, ytaps[:, i])
+                   for i in range(r)])[None]
+    mx = np.stack([_conv_matrix_1d(nx, xtaps[:, i])
+                   for i in range(r)])[None]
+    val = (my, mx)
+    nbytes = my.nbytes + mx.nbytes
+    total = sum(v[0].nbytes + v[1].nbytes for v in _SEP_OP_CACHE.values())
+    if len(_SEP_OP_CACHE) >= 16 or total + nbytes > 2 ** 29:
+        _SEP_OP_CACHE.clear()
+    _SEP_OP_CACHE[key] = val
+    return val
+
+
 def convolve2d_separable(data, kernel, precision=None):
     """NaN-interpolating linear convolution of [nchan, ny, nx] data with one
     2-D kernel via SVD-separable banded matmuls (zero-fill boundary —
@@ -354,12 +379,12 @@ def convolve2d_separable(data, kernel, precision=None):
         # bigcube's 1024x512x512 separable-convolve row measured
         # 23.2 ms dense vs the strips kernel's banded flops (~5x less
         # MXU work); NaN semantics identical (per-channel normalized
-        # convolution, same 1e-6 floor, oracle-tested)
-        r = ytaps.shape[1]
-        my = np.stack([_conv_matrix_1d(ny, ytaps[:, i])
-                       for i in range(r)])[None]
-        mx = np.stack([_conv_matrix_1d(nx, xtaps[:, i])
-                       for i in range(r)])[None]
+        # convolution, same 1e-6 floor, oracle-tested).  The operator
+        # stacks are value-cached so repeat eager calls (convolve_to on
+        # many same-beam cubes) reuse the SAME arrays — which also keys
+        # banded_pallas's identity-keyed strip-plan cache, skipping the
+        # O(n^2) plan/cut host scans per call.
+        my, mx = _sep_operator_stacks(ytaps, xtaps, ny, nx)
         gi = np.zeros(nchan, np.int32)
         from .banded_pallas import (per_channel_conv_strips,
                                     per_channel_conv_strips_blocked)

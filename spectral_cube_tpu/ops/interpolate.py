@@ -318,9 +318,14 @@ def _si_operators(k, idx, frac, nin):
     S = _banded_conv_matrix(nin, k)
     Imat = _interp_matrix(idx, frac, nin)
     M_host = compose_interp_banded(idx, frac, S, dtype=np.float32)
-    if len(_SI_OP_CACHE) >= 8:
-        _SI_OP_CACHE.clear()
     val = (S, Imat, M_host)
+    # bound by BYTES, not entries: each triple is O(nin^2) dense — at
+    # 8192 channels ~0.5 GB — so 8 unbounded entries could pin multi-GB
+    # host RAM across a parameter sweep
+    nbytes = sum(a.nbytes for a in val)
+    total = sum(sum(a.nbytes for a in v) for v in _SI_OP_CACHE.values())
+    if len(_SI_OP_CACHE) >= 8 or total + nbytes > 2 * 2 ** 30:
+        _SI_OP_CACHE.clear()
     _SI_OP_CACHE[key] = val
     return val
 

@@ -244,6 +244,46 @@ def _spline_spatial_then_z(data, zs, ys, xs, order):
     return jnp.where(valid, out, jnp.nan)
 
 
+def bilinear_host_maps(zs, ys, xs, nchan_in, ny_in, nx_in, order):
+    """Host-side index/weight/validity arrays for the separable
+    trilinear resample — shared by :func:`_bilinear_spatial_then_linear_z`
+    and ``parallel.sharded.sharded_reproject`` (whose contract is exact
+    agreement with the unsharded path, so the derivations must not be
+    able to diverge).  Returns
+    ``(zvalid, z0, zf, z_identity, yvalid, xvalid, y0, y1, wy, x0, x1,
+    wx)`` with ``zf``/``wy``/``wx`` float32 numpy arrays."""
+    nz = zs.shape[0]
+    zvalid = np.isfinite(zs) & (zs >= -1e-3) & (zs <= nchan_in - 1 + 1e-3)
+    zc = np.clip(np.nan_to_num(zs), 0, nchan_in - 1)
+    z0 = np.clip(zc.astype(np.int32), 0, nchan_in - 2) \
+        if nchan_in > 1 else np.zeros(nz, np.int32)
+    zf = (zc - z0).astype(np.float32)
+    if order == 0:
+        z0 = np.clip(np.round(zc).astype(np.int32), 0, nchan_in - 1)
+        zf = np.zeros(nz, np.float32)
+    z_identity = (nz == nchan_in and np.all(zc == np.arange(nchan_in))
+                  and zvalid.all())
+
+    yvalid = np.isfinite(ys) & (ys >= -1e-3) & (ys <= ny_in - 1 + 1e-3)
+    xvalid = np.isfinite(xs) & (xs >= -1e-3) & (xs <= nx_in - 1 + 1e-3)
+    ycl = np.clip(np.nan_to_num(ys), 0, ny_in - 1)
+    xcl = np.clip(np.nan_to_num(xs), 0, nx_in - 1)
+    if order == 0:
+        y0 = np.clip(np.round(ycl).astype(np.int64), 0, ny_in - 1)
+        x0 = np.clip(np.round(xcl).astype(np.int64), 0, nx_in - 1)
+        wy = np.zeros_like(ycl, np.float32)
+        wx = np.zeros_like(xcl, np.float32)
+    else:
+        y0 = np.clip(ycl.astype(np.int64), 0, max(ny_in - 2, 0))
+        x0 = np.clip(xcl.astype(np.int64), 0, max(nx_in - 2, 0))
+        wy = (ycl - y0).astype(np.float32)
+        wx = (xcl - x0).astype(np.float32)
+    y1 = np.minimum(y0 + 1, ny_in - 1)
+    x1 = np.minimum(x0 + 1, nx_in - 1)
+    return (zvalid, z0, zf, z_identity, yvalid, xvalid, y0, y1, wy,
+            x0, x1, wx)
+
+
 def _bilinear_spatial_then_linear_z(data, zs, ys, xs, order):
     """Separable trilinear resample: spectral lerp (shared weights per
     channel) then spatial bilinear via four flat takes.
@@ -264,34 +304,10 @@ def _bilinear_spatial_then_linear_z(data, zs, ys, xs, order):
     nz = zs.shape[0]
     ny, nx = ys.shape
 
-    zvalid = np.isfinite(zs) & (zs >= -1e-3) & (zs <= nchan_in - 1 + 1e-3)
-    zc = np.clip(np.nan_to_num(zs), 0, nchan_in - 1)
-    z0 = np.clip(zc.astype(np.int32), 0, nchan_in - 2) \
-        if nchan_in > 1 else np.zeros(nz, np.int32)
-    zf = jnp.asarray((zc - z0).astype(np.float32))[:, None, None]
-    if order == 0:
-        z0 = np.clip(np.round(zc).astype(np.int32), 0, nchan_in - 1)
-        zf = jnp.zeros((nz, 1, 1), jnp.float32)
-
-    yvalid = np.isfinite(ys) & (ys >= -1e-3) & (ys <= ny_in - 1 + 1e-3)
-    xvalid = np.isfinite(xs) & (xs >= -1e-3) & (xs <= nx_in - 1 + 1e-3)
-    ycl = np.clip(np.nan_to_num(ys), 0, ny_in - 1)
-    xcl = np.clip(np.nan_to_num(xs), 0, nx_in - 1)
-    if order == 0:
-        y0 = np.clip(np.round(ycl).astype(np.int64), 0, ny_in - 1)
-        x0 = np.clip(np.round(xcl).astype(np.int64), 0, nx_in - 1)
-        wy = np.zeros_like(ycl, np.float32)
-        wx = np.zeros_like(xcl, np.float32)
-    else:
-        y0 = np.clip(ycl.astype(np.int64), 0, max(ny_in - 2, 0))
-        x0 = np.clip(xcl.astype(np.int64), 0, max(nx_in - 2, 0))
-        wy = (ycl - y0).astype(np.float32)
-        wx = (xcl - x0).astype(np.float32)
-    y1 = np.minimum(y0 + 1, ny_in - 1)
-    x1 = np.minimum(x0 + 1, nx_in - 1)
-
-    z_identity = (nz == nchan_in and np.all(zc == np.arange(nchan_in))
-                  and zvalid.all())
+    (zvalid, z0, zf_np, z_identity, yvalid, xvalid, y0, y1, wy,
+     x0, x1, wx) = bilinear_host_maps(zs, ys, xs, nchan_in, ny_in,
+                                      nx_in, order)
+    zf = jnp.asarray(zf_np)[:, None, None]
 
     if z_identity and order == 1:
         # one-kernel fast paths: when the spectral axis is untouched and
