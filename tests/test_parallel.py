@@ -891,3 +891,52 @@ def test_sharded_cube_reproject_header(tmp_path, cmesh):
         np.asarray(expected.unmasked_data[:].value),
         rtol=1e-5, atol=1e-6, equal_nan=True)
     assert got.cube.wcs.check_equality(expected.wcs, wcs_tolerance=1e-9)
+
+
+def test_sharded_reproject_resizing_halo(cmesh, big_cube):
+    """Rectangular (downsampling) separable mapping: per-tile blocks with
+    different output/input tile sizes still agree with the unsharded
+    path."""
+    from spectral_cube_tpu.parallel.sharded import sharded_reproject
+    from spectral_cube_tpu.ops.regrid import _bilinear_spatial_then_linear_z
+    data, _, _ = big_cube
+    nchan, ny, nx = data.shape
+    zs = np.arange(nchan, dtype=np.float64)
+    ny_out, nx_out = ny // 2, nx // 2
+    ys = np.broadcast_to(
+        np.arange(ny_out, dtype=np.float64)[:, None] * 2 + 0.25,
+        (ny_out, nx_out)).copy()
+    xs = np.broadcast_to(
+        np.arange(nx_out, dtype=np.float64)[None, :] * 2 + 0.75,
+        (ny_out, nx_out)).copy()
+    expected = np.asarray(_bilinear_spatial_then_linear_z(
+        jnp.asarray(data), zs, ys, xs, 1))
+    got = np.asarray(sharded_reproject(data, zs, ys, xs, cmesh, order=1))
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7,
+                               equal_nan=True)
+
+
+def test_sharded_reproject_beyond_halo_falls_to_reshard(cmesh, big_cube):
+    """A displacement beyond one-neighbor reach must take the reshard
+    strategy (and still match); the compiled program contains
+    all-to-alls, not a GSPMD all-gather."""
+    from spectral_cube_tpu.parallel.sharded import sharded_reproject
+    from spectral_cube_tpu.ops.regrid import _bilinear_spatial_then_linear_z
+    data, _, _ = big_cube
+    nchan, ny, nx = data.shape
+    zs = np.arange(nchan, dtype=np.float64)
+    # x tiles are nx/4 = 8 cols on the 2x4 mesh; a 20-col shift reaches
+    # two tiles away (h = 24 > px = 8), beyond ppermute's one-neighbor
+    # halo (a 20-ROW shift on the 12-row y tiles is exactly reachable,
+    # h = 12 = py, and stays on the halo path)
+    ys, xs = _offset_mapping(ny, nx, dy=0.37, dx=-20.0)
+    expected = np.asarray(_bilinear_spatial_then_linear_z(
+        jnp.asarray(data), zs, ys, xs, 1))
+    got = np.asarray(sharded_reproject(data, zs, ys, xs, cmesh, order=1))
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7,
+                               equal_nan=True)
+    txt = jax.jit(lambda d: sharded_reproject(
+        d, zs, ys, xs, cmesh, order=1)).lower(
+            cmesh.shard(jnp.asarray(data), "spatial")).compile().as_text()
+    assert "all-to-all" in txt
+    assert "all-gather" not in txt
