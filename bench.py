@@ -1,4 +1,5 @@
-"""Driver benchmark: all five BASELINE.json configs.
+"""Driver benchmark: the BASELINE.json configs plus the
+extended workloads (configs 6-8 and the 3b variant).
 
 Config #1 (the headline, printed first): "256^3 synthetic Gaussian-line
 FITS cube: SNR-masked moment 0/1/2 + linewidth_sigma".  The reference

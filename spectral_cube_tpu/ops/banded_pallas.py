@@ -1230,10 +1230,12 @@ def pipeline_fused_raw_strips(raw, Gy, Gx, My, Mx, Ry, Rx, valid_plane,
     channel block through VMEM; the moment sums ride that stream as
     revisited accumulator planes (constant output block index), cutting
     HBM traffic to two passes.  NOT the shipped config-5 path: on v5e
-    the compensated accumulation (~70 VPU ops/voxel) does not hide
-    under the conv's X6 MXU dots — measured 1.05-1.12 ms fused vs
-    0.644 ms for the chain (see ops/pipeline_fused's module docstring
-    for the full trade-off).  Channels are processed ``CB`` per grid
+    even the round-5 block-two-pass accumulation (~3.5x fewer VPU
+    ops/voxel than the original per-voxel Dekker form) measured
+    0.98 ms fused vs 0.51 ms for the chain
+    (benchmarks/probe_c5_fused_v2.py) — the cost is structural
+    (moment-plane updates serialize against the conv MXU stream), see
+    ops/pipeline_fused's module docstring for the full trade-off.  Channels are processed ``CB`` per grid
     step with the NaN normalized-convolution machinery gated at BLOCK
     level: an all-clean block runs the composed-G path with no
     per-channel branches, a block containing NaN falls to the exact

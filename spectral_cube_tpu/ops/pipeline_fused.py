@@ -20,19 +20,22 @@ second moment) in pair arithmetic, reproducing the two-pass results to
 ~1e-7 even for a narrow line far from the coordinate center
 (tests/test_pipeline_fused).
 
-MEASURED OUTCOME on v5e (benchmarks/probe_fused_pipeline.py, robust
-rep counts): fused 1.05-1.12 ms vs the two-program chain's 0.644 ms on
-the 256^3 config-5 workload, numerics matching at 5.5e-7.  The
-compensated accumulation is ~70 VPU ops/voxel and the v5e VPU
-(~3.9 Tf32op/s) cannot hide that under the conv's X6 MXU stream — the
-saved HBM read (0.08 ms) buys ~0.5 ms of exposed VPU time.  The chain
-therefore REMAINS the default config-5 path; this op is kept as a
-correct, tested alternative whose balance flips on parts with a wider
-VPU:MXU ratio or narrower HBM (the accumulation cost is shape-invariant
-per voxel while the saved pass scales with HBM pressure).  What DID
-ship from this work: the block-level NaN gating + channel blocking it
-introduced, backported to conv_reproject_raw_strips (see its CB note),
-and the df32 pair layer.
+MEASURED OUTCOME on v5e: the round-4 per-voxel Dekker form measured
+1.05-1.12 ms vs the two-program chain's 0.644 ms on the 256^3 config-5
+workload (benchmarks/probe_fused_pipeline.py); the round-5 rebuild
+with block-two-pass accumulation (~3.5x fewer VPU ops/voxel — the
+block's own two-pass sums plus ONE plane-level pair conversion per
+CB-channel block, ops/moments._moments_pallas_chunked's scheme) still
+measured 0.98 ms vs the chain's 0.51 (probe_c5_fused_v2.py), numerics
+matching at ~6e-7.  The residual cost is structural — the revisited
+moment-plane updates serialize against the conv's MXU stream — so the
+chain REMAINS the default config-5 path; this op is kept as a correct,
+tested alternative whose balance flips on parts with a wider VPU:MXU
+ratio or narrower HBM.  What DID ship from this work: the block-level
+NaN gating + channel blocking (backported to
+conv_reproject_raw_strips), the df32 pair layer, and the
+block-two-pass accumulation scheme (reused by the channel-chunked
+moments kernel that closed the 1024^3 falloff).
 
 Reference math: ``/root/reference/spectral_cube/_moments.py:170-193``
 (moments), ``np_compat.py:3-27`` (allbadtonan), and the statistics dict
