@@ -711,6 +711,13 @@ def test_streaming_pipeline_tb_scale_analog(tmp_path):
     from spectral_cube_tpu.pipeline import run_pipeline
     from spectral_cube_tpu.units import Quantity
 
+    if len(jax.devices()) < 8:
+        # the O(shard) host-peak bound presumes cube/8 tiles; on one
+        # real chip the single shard IS the cube (observed in the
+        # round-5 real-TPU full-suite run), so the memory assertion is
+        # meaningless there — same guard as the module's cmesh fixture
+        pytest.skip("streaming TB-scale analog needs the 8-device mesh")
+
     shape = (48, 80, 96)
     cube_bytes = int(np.prod(shape)) * 8   # float64 on file
     p, _ = make_cube_file(tmp_path, name="tb.fits", shape=shape, seed=5)
