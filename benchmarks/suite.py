@@ -118,8 +118,16 @@ def main():
         lambda d: moments_012(d, coords, 1.0, include=d > 0.25),
         data, bytes_per_pass=nbytes))
 
+    if on_tpu:
+        # the product route (cube.statistics on TPU): one HBM pass via
+        # the with-stats Pallas kernel
+        from spectral_cube_tpu.ops.moments import statistics_pallas
+        results.append(timed(
+            "statistics (one-pass pallas)",
+            lambda d: tuple(statistics_pallas(d).values()),
+            data, bytes_per_pass=nbytes))
     results.append(timed(
-        "statistics (one-pass)",
+        "statistics (two-pass xla)",
         lambda d: tuple(red.masked_statistics(
             d, red.valid_mask(d)).values()),
         data, bytes_per_pass=nbytes))
