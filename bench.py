@@ -614,7 +614,10 @@ def bench_config7():
     # 2-D corner gathers (y0 spans ~sin(3deg)*256 = 13 rows along one
     # output row, so no roll/segment decomposition applies); the gather
     # path IS the right design and the remaining gap is gather-issue
-    # rate, not a missing algorithm.
+    # rate, not a missing algorithm.  (Also probed and rejected:
+    # fetching both x taps per corner pair with ONE (2, nz) slice
+    # gather — lax.gather with multi-row slices serializes on TPU,
+    # 240.6 ms vs 1.602, benchmarks/probe_rotated_pairs.py.)
     t_hbm = data_np.size * 4 * 11 / (hbm_roofline_gbps() * 1e9)
     print(f"# config7 rotated reproject 3deg bilinear 256^3: "
           f"{per * 1e3:.3f} ms/pass, "
